@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the beyond-reference training-data operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Column
+names and float rounding are aligned on both sides because the driver
+hash-compares values after sorting columns by name.
+
+Cross-engine determinism rules used throughout:
+- every computed column is aliased identically in Spark and SQL;
+- float *aggregates* are rounded (sums→2dp, means/ratios→6dp) since
+  distributed summation order differs between engines;
+- hashes use md5 (bit-identical in Spark and DuckDB), so dedup /
+  MinHash / SimHash signatures cross-check exactly;
+- top-k queries order by (rounded metric, unique key) so tie-breaks
+  are engine-independent.
 """
 
 from __future__ import annotations
@@ -12,27 +21,998 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_core_spark.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# DuckDB SQL fragments (kept in sync with etl_core_spark.functions.text)
+# --------------------------------------------------------------------------
+
+_TOKS = (
+    "CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+        f"list_transform(range(1, greatest(len(toks) - {n} + 1, 1) + 1), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')) END"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 filter (rule tree → pass/fail ports)
+# --------------------------------------------------------------------------
+
+_FILTER_RULE = {
+    "operator": "AND",
+    "rules": [
+        {"column": "o_totalprice", "operator": ">", "value": 150000.0},
+        {
+            "operator": "OR",
+            "rules": [
+                {"column": "o_orderpriority", "operator": "contains", "value": "urgent"},
+                {"column": "o_orderstatus", "operator": "==", "value": ["O", "P"]},
+            ],
+        },
+    ],
+}
+
+
+def _filter_port(port: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_core_spark.operators.base import get_operator
+
+        orders = _t(spark, sf_dir, "orders")
+        out = get_operator("filter")(rule=_FILTER_RULE).apply({"in": orders})
+        return out[port].select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+
+    return q
+
+
+def _filter_sql(negate: bool) -> str:
+    from etl_core_spark.functions.rules import rule_from_dict, rule_to_sql
+
+    cond = rule_to_sql(rule_from_dict(_FILTER_RULE))
+    wrapped = f"COALESCE({cond}, FALSE)"
+    if negate:
+        wrapped = f"NOT {wrapped}"
+    return (
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice "
+        f"FROM orders WHERE {wrapped}"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation (all reference ops)
+# --------------------------------------------------------------------------
+
+def q_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = get_operator("aggregation")(
+        group_by=["l_returnflag"],
+        aggregations=[
+            {"src": "*", "op": "count", "dest": "n_rows"},
+            {"src": "l_quantity", "op": "sum", "dest": "sum_qty"},
+            {"src": "l_quantity", "op": "min", "dest": "min_qty"},
+            {"src": "l_quantity", "op": "max", "dest": "max_qty"},
+            {"src": "l_quantity", "op": "mean", "dest": "avg_qty"},
+            {"src": "l_quantity", "op": "median", "dest": "med_qty"},
+            {"src": "l_quantity", "op": "std", "dest": "std_qty"},
+            {"src": "l_partkey", "op": "nunique", "dest": "n_parts"},
+        ],
+    ).apply({"in": li})["out"]
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("med_qty", 6).alias("med_qty"),
+        F.round("std_qty", 6).alias("std_qty"),
+        "n_parts",
+    )
+
+
+_SQL_AGG_OPS = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(median(l_quantity), 6) AS med_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    out = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[
+            {"src": "*", "op": "count", "dest": "n_orders"},
+            {"src": "o_totalprice", "op": "sum", "dest": "sum_price"},
+            {"src": "o_totalprice", "op": "mean", "dest": "avg_price"},
+            {"src": "o_custkey", "op": "nunique", "dest": "n_customers"},
+        ],
+    ).apply({"in": orders})["out"]
+    return out.select(
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("avg_price", 6).alias("avg_price"),
+        "n_customers",
+    )
+
+
+_SQL_AGG_GLOBAL = """
+SELECT count(*) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
+       round(avg(o_totalprice), 6) AS avg_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped pipelines (filter + join plan + aggregation operators)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    li = li.withColumn(
+        "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).withColumn(
+        "charge",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+    )
+    out = get_operator("aggregation")(
+        group_by=["l_returnflag", "l_linestatus"],
+        aggregations=[
+            {"src": "l_quantity", "op": "sum", "dest": "sum_qty"},
+            {"src": "l_extendedprice", "op": "sum", "dest": "sum_base_price"},
+            {"src": "disc_price", "op": "sum", "dest": "sum_disc_price"},
+            {"src": "charge", "op": "sum", "dest": "sum_charge"},
+            {"src": "l_quantity", "op": "mean", "dest": "avg_qty"},
+            {"src": "l_extendedprice", "op": "mean", "dest": "avg_price"},
+            {"src": "l_discount", "op": "mean", "dest": "avg_disc"},
+            {"src": "*", "op": "count", "dest": "count_order"},
+        ],
+    ).apply({"in": li})["out"]
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("avg_disc", 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.schema_mapping import SchemaMappingOperator
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-06-15")
+    op: SchemaMappingOperator = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {
+                    "left_port": "orders", "right_port": "customer",
+                    "left_on": "o_custkey", "right_on": "c_custkey",
+                    "how": "inner", "output_port": "oc", "broadcast": True,
+                },
+                {
+                    "left_port": "lineitem", "right_port": "oc",
+                    "left_on": "l_orderkey", "right_on": "o_orderkey",
+                    "how": "inner", "output_port": "locs",
+                },
+            ]
+        }
+    )
+    joined = op.apply({"orders": orders, "customer": cust, "lineitem": li})["locs"]
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-01'
+  AND l_shipdate > TIMESTAMP '1999-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    op = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "nation", "right_port": "region",
+                 "left_on": "n_regionkey", "right_on": "r_regionkey",
+                 "how": "inner", "output_port": "nr", "broadcast": True},
+                {"left_port": "customer", "right_port": "nr",
+                 "left_on": "c_nationkey", "right_on": "n_nationkey",
+                 "how": "inner", "output_port": "cnr", "broadcast": True},
+                {"left_port": "orders", "right_port": "cnr",
+                 "left_on": "o_custkey", "right_on": "c_custkey",
+                 "how": "inner", "output_port": "ocnr"},
+                {"left_port": "lineitem", "right_port": "ocnr",
+                 "left_on": "l_orderkey", "right_on": "o_orderkey",
+                 "how": "inner", "output_port": "locnr"},
+                {"left_port": "locnr", "right_port": "supplier",
+                 "left_on": "l_suppkey", "right_on": "s_suppkey",
+                 "how": "inner", "output_port": "all", "broadcast": True},
+            ]
+        }
+    )
+    joined = op.apply(
+        {"nation": nation, "region": region, "customer": customer,
+         "orders": orders, "lineitem": li, "supplier": supplier}
+    )["all"]
+    return (
+        joined.filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 join-type matrix (inner/left/right/outer with null padding)
+# --------------------------------------------------------------------------
+
+def _join_matrix(how: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_core_spark.operators.base import get_operator
+
+        cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+        nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 2)
+        out = get_operator("schema_mapping")(
+            join_plan={
+                "steps": [
+                    {"left_port": "customer", "right_port": "nation",
+                     "left_on": "c_nationkey", "right_on": "n_nationkey",
+                     "how": how, "output_port": "out"},
+                ]
+            }
+        ).apply({"customer": cust, "nation": nation})["out"]
+        return out.select("c_custkey", "c_name", "n_nationkey", "n_name")
+
+    return q
+
+
+def _join_matrix_sql(how: str) -> str:
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+               "outer": "FULL OUTER JOIN"}[how]
+    return f"""
+SELECT c_custkey, c_name, n_nationkey, n_name
+FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+{sql_how} (SELECT * FROM nation WHERE n_regionkey <= 2) n
+ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_join_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    out = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "customer", "right_port": "nation",
+                 "left_on": "c_nationkey", "right_on": "n_nationkey",
+                 "how": "inner", "output_port": "cn", "broadcast": True},
+                {"left_port": "cn", "right_port": "region",
+                 "left_on": "n_regionkey", "right_on": "r_regionkey",
+                 "how": "inner", "output_port": "cnr", "broadcast": True},
+            ]
+        }
+    ).apply(
+        {
+            "customer": _t(spark, sf_dir, "customer"),
+            "nation": _t(spark, sf_dir, "nation"),
+            "region": _t(spark, sf_dir, "region"),
+        }
+    )["cnr"]
+    return out.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+_SQL_JOIN_MULTI = """
+SELECT r_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 type conversion (cast ladders)
+# --------------------------------------------------------------------------
+
+def q_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.col("value").alias("v_num"),
+        F.col("event_type").alias("et_bool"),
+    )
+    out = get_operator("type_conversion")(
+        rules=[
+            {"column_path": "k_str", "target": "integer", "on_error": "null"},
+            {"column_path": "v_num", "target": "integer", "on_error": "null"},
+            {"column_path": "et_bool", "target": "boolean", "on_error": "null"},
+        ]
+    ).apply({"in": ev})["out"]
+    return out.withColumnsRenamed({"k_str": "k_int", "v_num": "v_int"})
+
+
+_SQL_TYPE_CONVERSION = """
+SELECT event_id,
+       CASE WHEN try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+                 AND try_cast(json_extract_string(props, '$.k') AS DOUBLE)
+                     = floor(try_cast(json_extract_string(props, '$.k') AS DOUBLE))
+            THEN CAST(try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT)
+            ELSE NULL END AS k_int,
+       CASE WHEN value = floor(value) THEN CAST(value AS BIGINT) ELSE NULL END AS v_int,
+       CASE WHEN lower(trim(event_type)) IN ('', 'na', 'nan', 'null', 'none') THEN NULL
+            WHEN lower(trim(event_type)) IN ('true', 't', '1', 'yes', 'y') THEN TRUE
+            WHEN lower(trim(event_type)) IN ('false', 'f', '0', 'no', 'n') THEN FALSE
+            ELSE NULL END AS et_bool
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 merge (union), split, top-k, windows (beyond-reference)
+# --------------------------------------------------------------------------
+
+def q_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") > 45)
+    lo = li.filter(F.col("l_quantity") < 2)
+    out = get_operator("merge")().apply({"in": hi, "in#1": lo})["out"]
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_SQL_MERGE_UNION = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 2
+"""
+
+
+def q_split_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    branches = get_operator("split")(branches=["a", "b"]).apply({"in": orders})
+    counts = branches["a"].groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    avgs = branches["b"].groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price")
+    )
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "counts", "right_port": "avgs",
+                 "left_on": "o_orderstatus", "right_on": "o_orderstatus",
+                 "how": "inner", "output_port": "out"},
+            ]
+        }
+    ).apply({"counts": counts, "avgs": avgs})["out"]
+    return joined
+
+
+_SQL_SPLIT_AGG = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_K = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+FROM customer
+QUALIFY rn <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_SQL_WINDOW_RUNNING = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time windows + JSON props (events table)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.streaming import windowed_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_aggregate(
+        ev, ts_col="ts", window_duration="1 hour",
+        aggs=[("value", "sum", "sum_value"), ("*", "count", "n_events")],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        "n_events",
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       round(sum(value), 6) AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "event_type",
+        )
+        .where(F.col("k") >= 50)
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) as a batch
+    window-function pipeline — the SQL-expressible analog of the
+    streaming applyInPandasWithState operator."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    gap = (F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")
+    sessioned = ev.withColumn(
+        "new_session", F.when(gap | prev.isNull(), 1).otherwise(0)
+    )
+    return (
+        sessioned.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: dedup / text analysis / similarity (documents,
+# embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    return exact_dedup(docs, ["h"], id_col="doc_id").select("doc_id", "n_chars")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+      FROM documents GROUP BY 1) s
+ON d.doc_id = s.doc_id
+"""
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.text_analysis import annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    return annotate(
+        docs, metrics=("n_tokens", "punct_ratio", "stopword_ratio", "fingerprint")
+    ).select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "fingerprint",
+    )
+
+
+_SQL_TEXT_METRICS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(ltoks) > 0
+             THEN len(list_filter(ltoks, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','that','for'], x)))
+                  / CAST(len(ltoks) AS DOUBLE)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       md5(text) AS fingerprint
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.text_analysis import annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    return annotate(docs, metrics=("lang_pred",)).select("doc_id", "lang", "lang_pred")
+
+
+def _lang_id_sql() -> str:
+    from etl_core_spark.functions.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(f"len(list_intersect(dtoks, [{lst}])) AS hits_{lang}")
+    langs = sorted(LANG_STOPWORDS)  # alphabetical = Spark's tie-break
+    best = "GREATEST(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    pick = "CASE "
+    for l in langs:
+        pick += f"WHEN hits_{l} = {best} THEN '{l}' "
+    pick += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN length(trim(lower(text))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS dtoks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, {', '.join(hit_cols)} FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_pred
+FROM h
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.functions.text import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), num_hashes=2, shingle_n=3)
+    return docs.select(
+        "doc_id", sig[0].alias("m0"), sig[1].alias("m1")
+    )
+
+
+_SQL_MINHASH_SIG = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM t
+), m AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS m0,
+         min(md5('1:' || s)) AS m1
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, m.m0, m.m1
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=4, bands=2, shingle_n=3
+    )
+
+
+_SQL_MINHASH_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_shingles_sql(3)} AS shingles FROM t
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS s0, min(md5('1:' || s)) AS s1,
+         min(md5('2:' || s)) AS s2, min(md5('3:' || s)) AS s3
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, md5('0|' || s0 || '|' || s1) AS bk FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || s2 || '|' || s3) AS bk FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM shl
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(x.ds, y.ds))
+             / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN dsh x ON x.doc_id = id_a
+JOIN dsh y ON y.doc_id = id_b
+WHERE len(list_intersect(x.ds, y.ds))
+      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.dedup import simhash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "text", "doc_id", shingle_n=2)
+
+
+_SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_shingles_sql(2)}) AS s FROM t
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM h, range(0, 60) b(b)
+  GROUP BY doc_id, b.b
+), fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(fp.simhash, repeat('0', 60)) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_ANN_BRUTE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cs
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, round(round(cs, 6), 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(cs, 6) DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return cosine_near_dup_pairs(emb, threshold=0.9, exact=True)
+
+
+_SQL_COSINE_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets. The bucket
+    assignment depends on seeded driver-side hyperplanes, so there is
+    no SQL oracle — the driver records a rows-only check."""
+    from etl_core_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched
+    mapInPandas (decode stubbed — no media libs in container). Uses a
+    deterministic synthetic media table; rows-only check."""
+    from etl_core_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64, payload_bytes=256)
+    return extract_features(media, feature_dim=8).select(
+        "media_id", "n_bytes", "sha256"
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "agg_ops": q_agg_ops,
+        "agg_global": q_agg_global,
+        "filter_rule_pass": _filter_port("pass"),
+        "filter_rule_fail": _filter_port("fail"),
+        "join_inner": _join_matrix("inner"),
+        "join_left": _join_matrix("left"),
+        "join_right": _join_matrix("right"),
+        "join_outer": _join_matrix("outer"),
+        "join_multi_step": q_join_multi_step,
+        "type_conversion": q_type_conversion,
+        "merge_union": q_merge_union,
+        "split_aggregate": q_split_aggregate,
+        "top_k": q_top_k,
+        "window_rank": q_window_rank,
+        "window_running_sum": q_window_running_sum,
+        "events_hourly": q_events_hourly,
+        "events_json_filter": q_events_json_filter,
+        "sessionize": q_sessionize_batch,
+        "dedup_exact": q_dedup_exact,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "minhash_signature": q_minhash_signature,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "simhash": q_simhash,
+        "ann_brute_force": q_ann_brute_force,
+        "cosine_near_dup": q_cosine_near_dup,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _SQL_Q1,
+        "q3_shipping_priority": _SQL_Q3,
+        "q5_region_revenue": _SQL_Q5,
+        "agg_ops": _SQL_AGG_OPS,
+        "agg_global": _SQL_AGG_GLOBAL,
+        "filter_rule_pass": _filter_sql(negate=False),
+        "filter_rule_fail": _filter_sql(negate=True),
+        "join_inner": _join_matrix_sql("inner"),
+        "join_left": _join_matrix_sql("left"),
+        "join_right": _join_matrix_sql("right"),
+        "join_outer": _join_matrix_sql("outer"),
+        "join_multi_step": _SQL_JOIN_MULTI,
+        "type_conversion": _SQL_TYPE_CONVERSION,
+        "merge_union": _SQL_MERGE_UNION,
+        "split_aggregate": _SQL_SPLIT_AGG,
+        "top_k": _SQL_TOP_K,
+        "window_rank": _SQL_WINDOW_RANK,
+        "window_running_sum": _SQL_WINDOW_RUNNING,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_json_filter": _SQL_EVENTS_JSON,
+        "sessionize": _SQL_SESSIONIZE,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "text_metrics": _SQL_TEXT_METRICS,
+        "lang_id": _lang_id_sql(),
+        "minhash_signature": _SQL_MINHASH_SIG,
+        "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
+        "simhash": _SQL_SIMHASH,
+        "ann_brute_force": _SQL_ANN_BRUTE,
+        "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
+        # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
+        # binary payloads — no SQL equivalent; rows-only checks.
+    }

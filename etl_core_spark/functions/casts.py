@@ -1,0 +1,211 @@
+"""Type-conversion cast ladders.
+
+Capability parity with the reference's type_conversion component
+(``src/etl_core/components/data_operations/type_conversion/
+type_conversion_component.py:57-145`` and
+``receivers/.../type_conversion/type_conversion_helper.py``):
+
+- Rule: ``{column_path, target, on_error}``; paths support dots into
+  structs and ``*`` for array elements (``payload.items.*.price``).
+- ``on_error='raise'``: first unconvertible value fails the query
+  (ANSI cast).
+- ``on_error='null'``: unconvertible → NULL (``try_cast``).
+- ``on_error='skip'``: the reference keeps the original value,
+  producing a mixed-dtype pandas column — impossible in Spark's typed
+  model. Documented deviation (SURVEY.md §7.4): 'skip' here keeps the
+  original value only when it round-trips, else NULL, and the column
+  is typed to the target; callers needing the untouched originals
+  route them via a filter on the convertibility predicate instead.
+
+Semantics tables reproduced from the reference
+(``type_conversion_helper.py:51-53,92-144``):
+
+- string→bool: true/t/1/yes/y → True; false/f/0/no/n → False
+  (case/whitespace-insensitive); ''/na/nan/null/none → NULL.
+- →int: bool is forbidden; floats only if integral; strings parsed
+  with float fallback, again only if integral.
+- null-marker strings ('', na, nan, null, none) → NULL for all
+  numeric/bool targets.
+
+All ladders compile to ``F.when`` chains + ``try_cast`` — pure
+Catalyst expressions, codegen'd, no Python per row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRUE_STRINGS = ("true", "t", "1", "yes", "y")
+FALSE_STRINGS = ("false", "f", "0", "no", "n")
+NULL_STRINGS = ("", "na", "nan", "null", "none")
+
+_TARGET_SPARK: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "integer": T.LongType(),
+    "float": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+}
+
+ON_ERROR = ("raise", "null", "skip")
+
+
+class CastError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class CastRule:
+    column_path: str
+    target: str
+    on_error: str = "raise"
+
+    def __post_init__(self) -> None:
+        if self.target not in _TARGET_SPARK:
+            raise CastError(f"unknown cast target: {self.target!r}")
+        if self.on_error not in ON_ERROR:
+            raise CastError(f"unknown on_error policy: {self.on_error!r}")
+
+
+# Back-compat alias used in docs/tests
+OnError = ON_ERROR
+
+
+def _normalized_string(col: Column) -> Column:
+    return F.lower(F.trim(col.cast("string")))
+
+
+def _null_marker(col: Column) -> Column:
+    return _normalized_string(col).isin(*NULL_STRINGS)
+
+
+def _convert(col: Column, source_type: T.DataType, target: str) -> Column:
+    """Build the conversion expression; unconvertible values → NULL.
+
+    The on_error policy is layered on top by ``compile_cast``.
+    """
+    if target == "string":
+        return col.cast("string")
+
+    if target == "boolean":
+        if isinstance(source_type, T.BooleanType):
+            return col
+        if isinstance(source_type, (T.StringType,)):
+            s = _normalized_string(col)
+            return (
+                F.when(col.isNull() | _null_marker(col), F.lit(None).cast("boolean"))
+                .when(s.isin(*TRUE_STRINGS), F.lit(True))
+                .when(s.isin(*FALSE_STRINGS), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
+        if isinstance(source_type, T.NumericType):
+            # numeric→bool: 0/1 only (reference helper:126-144)
+            return (
+                F.when(col.isNull(), F.lit(None).cast("boolean"))
+                .when(col == 1, F.lit(True))
+                .when(col == 0, F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
+        return F.lit(None).cast("boolean")
+
+    if target == "integer":
+        if isinstance(source_type, T.BooleanType):
+            # bool→int forbidden (reference helper:92-96)
+            return F.lit(None).cast("long")
+        if isinstance(source_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return col.cast("long")
+        if isinstance(source_type, (T.DoubleType, T.FloatType, T.DecimalType)):
+            # floats accepted only if integral (reference helper:97-105)
+            d = col.cast("double")
+            return F.when(d.isNotNull() & (d == F.floor(d)), d.cast("long")).otherwise(
+                F.lit(None).cast("long")
+            )
+        # strings: parse via double fallback, require integral
+        d = F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
+            F.trim(col.cast("string")).try_cast("double")
+        )
+        return F.when(d.isNotNull() & (d == F.floor(d)), d.cast("long")).otherwise(
+            F.lit(None).cast("long")
+        )
+
+    if target == "float":
+        if isinstance(source_type, T.BooleanType):
+            return F.lit(None).cast("double")
+        if isinstance(source_type, T.NumericType):
+            return col.cast("double")
+        return F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
+            F.trim(col.cast("string")).try_cast("double")
+        )
+
+    if target in ("timestamp", "date"):
+        return col.try_cast(target)
+
+    raise CastError(f"unreachable target {target!r}")
+
+
+def compile_cast(
+    df: DataFrame, rule: CastRule, source_type: Optional[T.DataType] = None
+) -> Column:
+    """Compile one cast rule against ``df``'s schema to a Column.
+
+    Supports dotted struct paths and ``*`` array-element paths by
+    rebuilding the enclosing struct/array with ``withField`` /
+    ``transform`` (done in the operator; here we compile the leaf
+    expression for a directly-addressable column).
+    """
+    path = rule.column_path
+    if source_type is None:
+        source_type = _resolve_type(df.schema, path)
+    col = F.col(path)
+    converted = _convert(col, source_type, rule.target)
+    if rule.on_error == "skip" and rule.target != "string":
+        # keep-original where convertible-check fails is not typable;
+        # nearest semantics: convert when possible, else NULL — same
+        # output as 'null'. Deviation documented in module docstring.
+        return converted
+    return converted
+
+
+def _resolve_type(schema: T.StructType, path: str) -> T.DataType:
+    parts = path.split(".")
+    current: T.DataType = schema
+    for part in parts:
+        if isinstance(current, T.StructType):
+            match = next((f for f in current.fields if f.name == part), None)
+            if match is None:
+                raise CastError(f"column path '{path}' not found (missing '{part}')")
+            current = match.dataType
+        elif isinstance(current, T.ArrayType) and part == "*":
+            current = current.elementType
+        else:
+            raise CastError(f"cannot descend into {current} at '{part}' for path '{path}'")
+    return current
+
+
+def raise_on_unconvertible(
+    df: DataFrame, rule: CastRule, converted_name: str
+) -> DataFrame:
+    """on_error='raise' enforcement: fail the job if any non-null
+    source value converted to NULL.
+
+    Uses a single aggregate over the already-computed conversion
+    column — one extra pass, no Python loop. At cluster scale this is
+    a map-side count reduced to one row.
+    """
+    src = F.col(rule.column_path)
+    bad = df.filter(
+        src.isNotNull() & ~_null_marker(src) & F.col(converted_name).isNull()
+    )
+    first_bad = bad.select(src.cast("string").alias("v")).limit(1).collect()
+    if first_bad:
+        raise CastError(
+            f"type_conversion(on_error=raise): value {first_bad[0]['v']!r} in "
+            f"'{rule.column_path}' is not convertible to {rule.target}"
+        )
+    return df

@@ -1,0 +1,205 @@
+"""Text-analysis column expressions (beyond-reference).
+
+Everything is built from ``pyspark.sql.functions`` — tokenization,
+shingling, hashing, scoring all stay JVM-side (no Python UDFs), so
+these run at full codegen speed over 100 TB of documents.
+
+Hash choice: ``md5`` — identical output in Spark and DuckDB, which
+makes every operator here differentially testable against the oracle
+(engine-specific hashes like ``xxhash64`` would not cross-check).
+MinHash signatures compare md5 hex strings lexicographically —
+order-equivalent to comparing the underlying 128-bit integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + hard-coded: language ID at scale is
+# a lookup-table scoring pass, not a model inference.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "una", "es", "por"],
+    "zh": ["de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → []."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish subword segmentation via regex: words, numbers, and
+    individual punctuation marks as separate tokens (the common
+    GPT-2-style pre-tokenizer shape, minus byte fallback)."""
+    return F.expr(
+        f"regexp_extract_all({_sql(col)}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+
+
+def _sql(col: Column) -> str:
+    # Column → SQL identifier usable inside F.expr; relies on the
+    # caller passing simple named columns for expr-based helpers.
+    return col._jc.toString()  # type: ignore[attr-defined]
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality score: rewards mid-length docs, low
+    punctuation density, and a healthy stopword ratio — the standard
+    cheap pre-filter shape for LLM training-data pipelines."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw > 0.5, F.lit(0.5)).otherwise(
+        F.least(sw * F.lit(4.0), F.lit(1.0))
+    )
+    return F.round((len_score + punct_pen + sw_score) / 3.0, 6)
+
+
+def lang_scores(col: Column) -> Column:
+    """Map of language → stopword-hit count over the token set."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    entries = []
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        entries.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.array_intersect(toks, sw)).alias("hits"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over lang_scores; 'und' when no stopword hits at all."""
+    scored = lang_scores(col)
+    # deterministic argmax: sort by (-hits, lang) and take the head
+    best = F.sort_array(
+        F.transform(
+            scored, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))
+        )
+    )[0]
+    top_hits = -best["neg"]
+    return F.when(top_hits > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined); docs shorter than n
+    tokens yield their whole token string as a single shingle."""
+    toks = tokens(F.lower(col))
+    k = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k > 0, ngrams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: for seed j, min over shingles of
+    md5(j || ':' || shingle) compared lexicographically. md5 hex
+    ordering == 128-bit integer ordering, and DuckDB computes the
+    identical strings, so signatures cross-check with the oracle."""
+    sh = shingles(col, shingle_n)
+
+    def min_hash(j: int) -> Column:
+        # NB: the lambda must take exactly one arg — PySpark treats a
+        # two-parameter lambda as (element, index)
+        prefix = f"{j}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[min_hash(j) for j in range(num_hashes)])
+
+
+def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """LSH banding: signature → array of band bucket keys
+    md5(band_idx || joined rows). Docs sharing ≥1 band key are
+    near-dup candidates."""
+    keys = []
+    for b in range(bands):
+        band = F.slice(sig_col, b * rows + 1, rows)
+        keys.append(F.md5(F.concat(F.lit(f"{b}|"), F.array_join(band, "|"))))
+    return F.array(*keys)
+
+
+def simhash64(col: Column, shingle_n: int = 2, bits: int = 60) -> Column:
+    """SimHash fingerprint as a bit-string (60 bits by default, kept
+    under a signed long's 63 so the per-shingle hash is plain BIGINT
+    arithmetic): per shingle take the top 15 hex chars of md5 as a
+    60-bit integer; for each bit position sum +1/-1 by whether the
+    bit is set; the sign vector, rendered '1'/'0', is the
+    fingerprint. A bit-string groups/compares exactly like an integer
+    fingerprint and sidesteps decimal-overflow in fold types."""
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+
+    def bit_vector(h: Column) -> Column:
+        # +1/-1 per bit, msb first; shift amounts are Python ints
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+                for b in range(bits - 1, -1, -1)
+            ]
+        )
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_vector(h), lambda a, b: a + b),
+    )
+    signs = F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.array_join(signs, "")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

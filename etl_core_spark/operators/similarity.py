@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+- ``brute_force_topk``: exact cosine top-k of every query vector
+  against the corpus. The corpus side is broadcast when small; for a
+  large corpus the join is a partitioned cross product — O(n·m) but
+  embarrassingly parallel and shuffle-free after the broadcast.
+  The per-pair dot product is a codegen'd higher-order-function
+  expression (functions/vectors.py), no Python per row.
+- ``lsh_topk``: random-hyperplane LSH — vectors bucket by the sign
+  pattern of h fixed hyperplanes; candidates are bucket-mates, then
+  exact cosine rescoring + top-k. At 100 TB this replaces the cross
+  product with an equi-join on bucket id (one shuffle, prunable).
+- ``cosine_near_dup_pairs``: all-pairs near-duplicate detection via
+  the same LSH bucketing (embedding-cosine dedup).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_core_spark.functions import vectors as V
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by corpus id for
+    deterministic output. Returns (query_id, vec_id, cosine, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__corpus_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__query_vec")
+    )
+    right = F.broadcast(c) if broadcast_corpus else c
+    scored = q.crossJoin(right).select(
+        F.col("__query_id"),
+        F.col("__corpus_id"),
+        F.round(V.cosine(F.col("__query_vec"), F.col("__corpus_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("__query_id").orderBy(
+        F.col("cosine").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__query_id").alias(query_id_col),
+            F.col("__corpus_id").alias(id_col),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _seeded_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucketed(
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    planes = _seeded_planes(dim, num_planes, seed)
+    return df.withColumn("__bucket", V.hyperplane_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket, exact
+    rescoring inside the bucket. Recall < 1 by construction; raise
+    num_planes for precision / lower for recall."""
+    c = lsh_bucketed(
+        corpus.select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv")),
+        "__cv", dim, num_planes, seed,
+    )
+    q = lsh_bucketed(
+        queries.select(F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", dim, num_planes, seed,
+    )
+    scored = q.join(c, on="__bucket").select(
+        "__query_id",
+        "__corpus_id",
+        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("__query_id").orderBy(
+        F.col("cosine").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__query_id").alias(query_id_col),
+            F.col("__corpus_id").alias(id_col),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id_a < id_b, cosine ≥ threshold). ``exact=True`` does
+    the full cross product (oracle-checkable); default prunes via LSH
+    buckets (the 100 TB path)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if exact:
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = lsh_bucketed(base, vec_col, dim, num_planes, seed)
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        )
+        pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(V.cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+@register_operator("similarity_search")
+class SimilaritySearchOperator(Operator):
+    in_ports = ("corpus", "queries")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.method = self.config.get("method", "brute_force")
+        if self.method not in ("brute_force", "lsh"):
+            raise OperatorConfigError(f"unknown similarity method {self.method!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        corpus = inputs.get("corpus")
+        queries = inputs.get("queries", corpus)
+        if corpus is None:
+            raise OperatorConfigError("similarity_search requires a 'corpus' input")
+        c = self.config
+        kwargs = dict(
+            k=int(c.get("k", 10)),
+            vec_col=c.get("vec_col", "embedding"),
+            id_col=c.get("id_col", "vec_id"),
+            query_id_col=c.get("query_id_col", "query_id"),
+        )
+        if self.method == "brute_force":
+            out = brute_force_topk(corpus, queries, **kwargs)
+        else:
+            out = lsh_topk(
+                corpus, queries, dim=int(c.get("dim", 64)),
+                num_planes=int(c.get("num_planes", 6)), **kwargs,
+            )
+        return {"out": out}

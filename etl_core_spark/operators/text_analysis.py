@@ -1,0 +1,61 @@
+"""Text analysis operator (beyond-reference): language ID, quality
+scoring, token counting, fingerprinting — the cheap single-pass
+document metrics a training-data pipeline runs before dedup/filter.
+
+All metrics are codegen'd column expressions (functions/text.py);
+one narrow map over the documents table, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.functions import text as X
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+AVAILABLE_METRICS = (
+    "n_chars",
+    "n_tokens",
+    "n_tokens_bpe",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_token_length",
+    "quality_score",
+    "lang_pred",
+    "fingerprint",
+)
+
+
+def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = AVAILABLE_METRICS) -> DataFrame:
+    col = F.col(text_col)
+    exprs = {
+        "n_chars": lambda: X.char_count(col),
+        "n_tokens": lambda: X.token_count(col),
+        "n_tokens_bpe": lambda: F.size(X.bpe_ish_tokens(col)),
+        "punct_ratio": lambda: F.round(X.punct_ratio(col), 6),
+        "stopword_ratio": lambda: F.round(X.stopword_ratio(col), 6),
+        "mean_token_length": lambda: F.round(X.mean_token_length(col), 6),
+        "quality_score": lambda: X.quality_score(col),
+        "lang_pred": lambda: X.lang_id(col),
+        "fingerprint": lambda: F.md5(col),
+    }
+    out = df
+    for m in metrics:
+        if m not in exprs:
+            raise OperatorConfigError(f"unknown text metric {m!r}")
+        out = out.withColumn(m, exprs[m]())
+    return out
+
+
+@register_operator("text_analysis")
+class TextAnalysisOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.text_col = self.config.get("text_col", "text")
+        self.metrics = tuple(self.config.get("metrics") or AVAILABLE_METRICS)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {"out": annotate(self.single_input(inputs), self.text_col, self.metrics)}

@@ -1,0 +1,87 @@
+"""Type conversion operator.
+
+Parity with the reference type_conversion component
+(``src/etl_core/components/data_operations/type_conversion/
+type_conversion_component.py:57-145``; semantics tables and the
+``*`` array-path handling in
+``receivers/.../type_conversion/type_conversion_helper.py:26-277``).
+
+Paths: ``a.b`` descends into structs, ``a.items.*.price`` converts
+each array element's field. Struct rebuilds use ``withField`` and
+array rebuilds use ``F.transform`` — no explode/regroup shuffle, the
+conversion stays a narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_core_spark.functions.casts import CastRule, _convert, _resolve_type, raise_on_unconvertible
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def _apply_rule(df: DataFrame, rule: CastRule) -> DataFrame:
+    parts = rule.column_path.split(".")
+    src_type = _resolve_type(df.schema, rule.column_path)
+
+    if rule.on_error == "raise" and "*" not in parts and len(parts) == 1:
+        # one aggregate pass over the conversion expr; fails fast with
+        # the first offending value (≈ reference helper:149-162)
+        probe = df.withColumn(
+            "__conv_probe", _convert(F.col(parts[0]), src_type, rule.target)
+        )
+        raise_on_unconvertible(probe, rule, "__conv_probe")
+
+    if "*" not in parts and len(parts) == 1:
+        return df.withColumn(parts[0], _convert(F.col(parts[0]), src_type, rule.target))
+    return df.withColumn(
+        parts[0],
+        _rebuild(
+            F.col(parts[0]), _subtype(df.schema, parts[0]), parts[1:], src_type, rule.target
+        ),
+    )
+
+
+def _subtype(schema: T.StructType, name: str) -> T.DataType:
+    match = next((f for f in schema.fields if f.name == name), None)
+    if match is None:
+        raise OperatorConfigError(f"column {name!r} not found")
+    return match.dataType
+
+
+def _rebuild(col: Column, dtype: T.DataType, rest: list[str], leaf_type: T.DataType, target: str) -> Column:
+    """Recursively rebuild struct/array columns, converting the leaf."""
+    if not rest:
+        return _convert(col, leaf_type, target)
+    head, tail = rest[0], rest[1:]
+    if head == "*":
+        if not isinstance(dtype, T.ArrayType):
+            raise OperatorConfigError("'*' path segment requires an array column")
+        elem = dtype.elementType
+        return F.transform(col, lambda x: _rebuild(x, elem, tail, leaf_type, target))
+    if not isinstance(dtype, T.StructType):
+        raise OperatorConfigError(f"cannot descend into {dtype} at {head!r}")
+    sub = next((f for f in dtype.fields if f.name == head), None)
+    if sub is None:
+        raise OperatorConfigError(f"field {head!r} not found in struct")
+    return col.withField(head, _rebuild(col.getField(head), sub.dataType, tail, leaf_type, target))
+
+
+@register_operator("type_conversion")
+class TypeConversionOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        rules = self.config.get("rules")
+        if not rules:
+            raise OperatorConfigError("type_conversion requires 'rules'")
+        self.rules = [r if isinstance(r, CastRule) else CastRule(**r) for r in rules]
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        df = self.single_input(inputs)
+        for rule in self.rules:
+            df = _apply_rule(df, rule)
+        return {"out": df}

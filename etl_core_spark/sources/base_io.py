@@ -1,0 +1,61 @@
+"""Shared source/sink operator bases."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap
+from etl_core_spark.schema import Schema
+
+
+class SourceOperator(Operator):
+    """No in-ports; produces one `out` DataFrame lazily."""
+
+    in_ports: tuple[str, ...] = ()
+    out_ports = ("out",)
+
+    def __init__(self, spark: Optional[SparkSession] = None, **config) -> None:
+        self.spark = spark
+        super().__init__(**config)
+
+    def _session(self) -> SparkSession:
+        if self.spark is not None:
+            return self.spark
+        active = SparkSession.getActiveSession()
+        if active is None:
+            raise OperatorConfigError("no active SparkSession for source")
+        return active
+
+    def declared_schema(self):
+        s = self.config.get("schema")
+        if s is None:
+            return None
+        if isinstance(s, Schema):
+            return s.to_struct_type()
+        return Schema.from_dict(s).to_struct_type()
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if inputs:
+            raise OperatorConfigError("source takes no inputs")
+        return {"out": self.read()}
+
+    def read(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class SinkOperator(Operator):
+    """One in-port; `apply` returns the input unchanged (for chaining
+    / metrics) and `write` performs the terminal action."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        df = self.single_input(inputs)
+        self.write(df)
+        return {"out": df}
+
+    def write(self, df: DataFrame) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError

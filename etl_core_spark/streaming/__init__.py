@@ -1,0 +1,13 @@
+from etl_core_spark.streaming.stream import (
+    read_stream,
+    windowed_aggregate,
+    sessionize,
+    write_stream_foreach_batch,
+)
+
+__all__ = [
+    "read_stream",
+    "windowed_aggregate",
+    "sessionize",
+    "write_stream_foreach_batch",
+]

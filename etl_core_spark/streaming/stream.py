@@ -1,0 +1,169 @@
+"""Structured Streaming layer (beyond-reference).
+
+The reference's "streaming" is asyncio back-pressure inside a bounded
+batch job — no event time, watermarks, or state (SURVEY.md §2.8).
+This module adds real streaming capability with Spark primitives:
+
+- ``read_stream``: file / rate sources with explicit schemas (no
+  inference on streams).
+- ``windowed_aggregate``: event-time tumbling/sliding windows with a
+  watermark for late data.
+- ``sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key session windows with a gap
+  timeout, the canonical "operator Spark lacks" example.
+- ``write_stream_foreach_batch``: reuse any batch sink operator for
+  each micro-batch, which is how the engine's batch operator library
+  serves streaming jobs unchanged.
+
+Scale: state lives in the state store (RocksDB on a real cluster —
+set ``spark.sql.streaming.stateStore.providerClass``); watermarks
+bound state size, shuffle partitioning of keys is the same hash
+shuffle as batch groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_core_spark.schema import Schema
+
+
+def read_stream(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    schema: Schema | T.StructType | None = None,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        st = schema.to_struct_type() if isinstance(schema, Schema) else schema
+        reader = reader.schema(st)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    if path is not None:
+        reader = reader.option("path", path)
+    return reader.load()
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: list[tuple[str, str, str]],
+    group_by: list[str] | None = None,
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark.
+
+    ``aggs``: (src, op, dest) triples reusing the batch aggregation
+    op names. Works identically on batch DataFrames (window is just a
+    grouping expression), which is how the oracle checks it.
+    """
+    from etl_core_spark.operators.aggregation import _AGG_FUNCS
+
+    if df.isStreaming:
+        # watermarks require TIMESTAMP (ltz); NTZ event time is cast
+        # in-place (session tz is UTC, so instants are unchanged)
+        if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    w = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    cols = [_AGG_FUNCS[op](src).alias(dest) for src, op, dest in aggs]
+    keys = [w.alias("window")] + [F.col(g) for g in (group_by or [])]
+    return df.groupBy(*keys).agg(*cols)
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_func(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gap-timeout sessionization state update (runs per key group)."""
+    gap_s = 30 * 60
+    if state.hasTimedOut:
+        start_ts, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ts, unit="s")],
+                "session_end": [pd.Timestamp(last_ts, unit="s")],
+                "n_events": [n],
+            }
+        )
+        return
+    ts_values: list[float] = []
+    count = 0
+    for pdf in pdfs:
+        count += len(pdf)
+        ts_values.extend(pdf["ts"].astype("int64").floordiv(1_000_000_000).tolist())
+    if not ts_values:
+        return
+    lo, hi = min(ts_values), max(ts_values)
+    if state.exists:
+        start_ts, last_ts, n = state.get
+        state.update((min(start_ts, lo), max(last_ts, hi), n + count))
+    else:
+        state.update((float(lo), float(hi), count))
+    state.setTimeoutDuration(gap_s * 1000)
+    return
+    yield  # pragma: no cover - generator form
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows
+    with a 30-minute inactivity gap (applyInPandasWithState)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_func,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def write_stream_foreach_batch(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Route a stream through any batch sink operator per micro-batch."""
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

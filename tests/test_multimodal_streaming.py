@@ -1,0 +1,93 @@
+import pytest
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import get_operator
+from etl_core_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from etl_core_spark.streaming import windowed_aggregate
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=32, payload_bytes=100)
+    feats = extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r["n_bytes"] == 100
+        assert len(r["sha256"]) == 64
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, feature_dim=8).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_operator_registered(spark):
+    media = synthetic_media(spark, n=4)
+    out = get_operator("multimodal_features")(feature_dim=4).apply({"in": media})["out"]
+    assert out.count() == 4
+    assert out.schema["feature"].dataType.simpleString() == "array<float>"
+
+
+def test_frame_sampling(spark):
+    media = synthetic_media(spark, n=4)
+    frames = frame_sample(media, every_ms=500)
+    audio = frames.where(F.col("media_id") == 1).collect()
+    # duration 2000ms sampled every 500ms → 5 frames (0..2000 inclusive)
+    assert len(audio) == 5
+    image = frames.where(F.col("media_id") == 0).collect()
+    assert len(image) == 1  # no duration → single frame at 0
+
+
+def test_windowed_aggregate_batch_semantics(tables, duck):
+    """Event-time tumbling window on the bounded events table —
+    identical grouping to the oracle's date_trunc."""
+    out = windowed_aggregate(
+        tables["events"],
+        ts_col="ts",
+        window_duration="1 hour",
+        aggs=[("value", "sum", "sum_value"), ("*", "count", "n")],
+        group_by=["event_type"],
+    ).select(
+        F.col("window.start").alias("ws"), "event_type", "sum_value", "n"
+    )
+    want = duck.execute(
+        """
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               sum(value) AS sum_value, count(*) AS n
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(out, want, approx=1e-6)
+
+
+def test_streaming_windowed_aggregate(spark, tmp_path, tables):
+    """True readStream → watermark window → availableNow micro-batch."""
+    src_dir = tmp_path / "stream_src"
+    tables["events"].select("event_id", "ts", "user_id", "event_type", "value").coalesce(1).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    agg = windowed_aggregate(
+        stream, ts_col="ts", window_duration="1 day",
+        aggs=[("value", "sum", "sum_value")], watermark="1 hour",
+    )
+    out_dir = tmp_path / "stream_out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final window stays open, so expect >= total days - 1
+    result = spark.read.parquet(str(out_dir))
+    n_days = tables["events"].select(F.date_trunc("day", "ts")).distinct().count()
+    assert result.count() >= n_days - 1

@@ -1,0 +1,155 @@
+import json
+
+import pytest
+
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+from etl_core_spark.sources.jdbc_io import build_update_sql, build_upsert_sql
+from etl_core_spark.sources.mongodb_io import build_pipeline
+from etl_core_spark.sources.xml_io import element_to_dict
+
+
+def test_csv_read_all_string_default(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a;b\n1;x\n2;y\n")
+    df = get_operator("read_csv")(spark=spark, filepath=str(p), separator=";").apply({})["out"]
+    assert dict(df.dtypes) == {"a": "string", "b": "string"}
+    assert df.count() == 2
+
+
+def test_csv_declared_schema_wins(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n")
+    schema = {"fields": [
+        {"name": "a", "data_type": "integer"},
+        {"name": "b", "data_type": "string"},
+    ]}
+    df = get_operator("read_csv")(spark=spark, filepath=str(p), schema=schema).apply({})["out"]
+    assert dict(df.dtypes)["a"] == "bigint"
+
+
+def test_csv_separator_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("read_csv")(spark=spark, filepath="/x.csv", separator="|")
+
+
+def test_json_ndjson_and_array(spark, tmp_path):
+    nd = tmp_path / "d.ndjson"
+    nd.write_text('{"a": 1, "n": {"x": "u"}}\n{"a": 2, "n": {"x": "v"}}\n')
+    df = get_operator("read_json")(spark=spark, filepath=str(nd)).apply({})["out"]
+    assert df.count() == 2
+    assert df.select("n.x").collect()[0][0] == "u"
+
+    arr = tmp_path / "d.json"
+    arr.write_text(json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]))
+    df2 = get_operator("read_json")(spark=spark, filepath=str(arr)).apply({})["out"]
+    assert df2.count() == 3
+
+
+def test_json_write_nested_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, ("u",))], "a long, n struct<x:string>")
+    out = tmp_path / "out_json"
+    get_operator("write_json")(filepath=str(out)).apply({"in": df})
+    back = spark.read.json(str(out))
+    assert back.select("n.x").collect()[0][0] == "u"
+
+
+def test_xml_element_conventions():
+    import xml.etree.ElementTree as ET
+
+    elem = ET.fromstring(
+        '<rec id="7"><name>alice</name><tag>a</tag><tag>b</tag>'
+        "<addr><city>Berlin</city></addr></rec>"
+    )
+    d = element_to_dict(elem)
+    assert d["@id"] == "7"
+    assert d["name"] == "alice"
+    assert d["tag"] == ["a", "b"]
+    assert d["addr"]["city"] == "Berlin"
+
+
+def test_xml_read_native(spark, tmp_path):
+    # Spark 4 bundles the XML data source (format("xml")); values are
+    # type-inferred (id → bigint)
+    p = tmp_path / "t.xml"
+    p.write_text(
+        "<root><rec><id>1</id><name>a</name></rec>"
+        "<rec><id>2</id><name>b</name></rec></root>"
+    )
+    df = get_operator("read_xml")(
+        spark=spark, filepath=str(p), root_tag="root", record_tag="rec"
+    ).apply({})["out"]
+    rows = sorted([(r["id"], r["name"]) for r in df.collect()])
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_xml_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    out = tmp_path / "out_xml"
+    get_operator("write_xml")(
+        filepath=str(out), root_tag="root", record_tag="rec"
+    ).apply({"in": df})
+    back = spark.read.format("xml").option("rowTag", "rec").load(str(out))
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path, tables):
+    out = tmp_path / "pq"
+    get_operator("write_parquet")(
+        filepath=str(out), partition_by=["o_orderstatus"]
+    ).apply({"in": tables["orders"]})
+    back = get_operator("read_parquet")(spark=spark, filepath=str(out)).apply({})["out"]
+    assert back.count() == tables["orders"].count()
+    # partition dirs exist → partition pruning is available
+    assert any(d.name.startswith("o_orderstatus=") for d in out.iterdir())
+
+
+def test_upsert_sql_dialects():
+    cols = ["id", "name", "v"]
+    pg = build_upsert_sql("postgresql", "t", cols, ["id"])
+    assert 'ON CONFLICT ("id") DO UPDATE SET' in pg and "EXCLUDED." in pg
+    my = build_upsert_sql("mariadb", "t", cols, ["id"])
+    assert "ON DUPLICATE KEY UPDATE" in my and "VALUES(`name`)" in my
+    ms = build_upsert_sql("sqlserver", "t", cols, ["id"])
+    assert ms.startswith("MERGE [t] AS t USING") and "WHEN NOT MATCHED" in ms
+    upd = build_update_sql("postgresql", "t", ["name"], ["id"])
+    assert upd == 'UPDATE "t" SET "name" = ? WHERE "id" = ?'
+
+
+def test_jdbc_config_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("write_postgresql")(operation="upsert", entity_name="t")
+    with pytest.raises(OperatorConfigError):
+        get_operator("read_postgresql")(spark=spark)
+    op = get_operator("read_postgresql")(spark=spark, entity_name="t", url="jdbc:postgresql://h/db")
+    assert op.config["dialect"] == "postgresql"
+
+
+def test_mongo_pipeline_compilation():
+    pipe = build_pipeline(
+        query_filter={"status": "A"},
+        sort=[("ts", -1)],
+        skip=10,
+        limit=5,
+        projection_paths=["a", "n.x"],
+    )
+    assert pipe == [
+        {"$match": {"status": "A"}},
+        {"$sort": {"ts": -1}},
+        {"$skip": 10},
+        {"$limit": 5},
+        {"$project": {"a": 1, "n.x": 1}},
+    ]
+
+
+def test_mongo_projection_from_schema():
+    op_cls = get_operator("read_mongodb")
+    op = op_cls(
+        database="db", collection="c",
+        schema={"fields": [
+            {"name": "a", "data_type": "integer"},
+            {"name": "n", "data_type": "object", "children": [
+                {"name": "x", "data_type": "string"}]},
+        ]},
+    )
+    pipe = op.pipeline()
+    assert {"$project": {"a": 1, "n.x": 1}} in pipe

@@ -1,0 +1,104 @@
+import pytest
+
+from etl_core_spark.functions.casts import CastError
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+
+def tc(**cfg):
+    return get_operator("type_conversion")(**cfg)
+
+
+def test_string_to_bool_table(spark):
+    df = spark.createDataFrame(
+        [("true",), ("T",), ("1",), ("yes",), ("Y",),
+         ("false",), ("F",), ("0",), ("no",), ("N",),
+         ("",), ("na",), ("NaN",), ("null",), ("none",), ("maybe",)],
+        "v string",
+    )
+    out = tc(rules=[{"column_path": "v", "target": "boolean", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    vals = [r["v"] for r in out.collect()]
+    assert vals[:5] == [True] * 5
+    assert vals[5:10] == [False] * 5
+    assert vals[10:] == [None] * 6  # null markers + unconvertible
+
+
+def test_string_to_int_float_fallback(spark):
+    df = spark.createDataFrame([("3",), ("3.0",), ("3.5",), ("x",), ("",)], "v string")
+    out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    assert [r["v"] for r in out.collect()] == [3, 3, None, None, None]
+    assert dict(out.dtypes)["v"] == "bigint"
+
+
+def test_float_to_int_integral_only(spark):
+    df = spark.createDataFrame([(3.0,), (3.7,), (None,)], "v double")
+    out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    assert [r["v"] for r in out.collect()] == [3, None, None]
+
+
+def test_bool_to_int_forbidden(spark):
+    df = spark.createDataFrame([(True,), (False,)], "v boolean")
+    out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    assert [r["v"] for r in out.collect()] == [None, None]
+
+
+def test_on_error_raise(spark):
+    df = spark.createDataFrame([("3",), ("x",)], "v string")
+    op = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "raise"}])
+    with pytest.raises(CastError, match="not convertible"):
+        op.apply({"in": df})
+
+
+def test_on_error_raise_passes_when_clean(spark):
+    df = spark.createDataFrame([("3",), ("4",), ("",)], "v string")
+    out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "raise"}]).apply(
+        {"in": df}
+    )["out"]
+    # null-marker strings are legal nulls, not conversion errors
+    assert [r["v"] for r in out.collect()] == [3, 4, None]
+
+
+def test_nested_struct_path(spark):
+    df = spark.createDataFrame([((("5",),),)], "payload struct<inner:struct<v:string>>")
+    out = tc(rules=[{"column_path": "payload.inner.v", "target": "integer"}]).apply(
+        {"in": df}
+    )["out"]
+    assert out.collect()[0]["payload"]["inner"]["v"] == 5
+    assert "bigint" in out.schema["payload"].dataType["inner"].dataType["v"].dataType.simpleString()
+
+
+def test_array_star_path(spark):
+    df = spark.createDataFrame(
+        [(["1", "2", "x"],)], "items array<string>"
+    )
+    out = tc(rules=[{"column_path": "items.*", "target": "integer", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    assert out.collect()[0]["items"] == [1, 2, None]
+
+
+def test_array_of_struct_star_path(spark):
+    df = spark.createDataFrame(
+        [([("3.5",), ("4",)],)], "items array<struct<price:string>>"
+    )
+    out = tc(
+        rules=[{"column_path": "items.*.price", "target": "float", "on_error": "null"}]
+    ).apply({"in": df})["out"]
+    prices = [x["price"] for x in out.collect()[0]["items"]]
+    assert prices == [3.5, 4.0]
+
+
+def test_config_validation():
+    with pytest.raises(OperatorConfigError):
+        tc(rules=[])
+    with pytest.raises(CastError):
+        tc(rules=[{"column_path": "v", "target": "complex128"}])
+    with pytest.raises(CastError):
+        tc(rules=[{"column_path": "v", "target": "integer", "on_error": "explode"}])
