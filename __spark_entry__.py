@@ -767,8 +767,9 @@ FROM h
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.functions.text import minhash_signature
+    from etl_core_spark.session import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sig = minhash_signature(F.col("text"), num_hashes=2, shingle_n=3)
     return docs.select(
         "doc_id", sig[0].alias("m0"), sig[1].alias("m1")

@@ -138,12 +138,13 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(k > 0, ngrams).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: for seed j, min over shingles of
-    md5(j || ':' || shingle) compared lexicographically. md5 hex
-    ordering == 128-bit integer ordering, and DuckDB computes the
-    identical strings, so signatures cross-check with the oracle."""
-    sh = shingles(col, shingle_n)
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over a (possibly pre-materialized) shingle
+    array: for seed j, min over shingles of md5(j || ':' || shingle)
+    compared lexicographically. md5 hex ordering == 128-bit integer
+    ordering, and DuckDB computes the identical strings, so
+    signatures cross-check with the oracle. Duplicate shingles don't
+    affect a min, so distinct vs raw shingle arrays are equivalent."""
 
     def min_hash(j: int) -> Column:
         # NB: the lambda must take exactly one arg — PySpark treats a
@@ -154,6 +155,10 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> 
         )
 
     return F.array(*[min_hash(j) for j in range(num_hashes)])
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    return minhash_signature_from_shingles(shingles(col, shingle_n), num_hashes)
 
 
 def band_keys(sig_col: Column, bands: int, rows: int) -> Column:

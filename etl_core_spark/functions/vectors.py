@@ -35,6 +35,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def unit(a: Column) -> Column:
+    """Vector scaled to unit length (zero vector stays zero).
+
+    Pre-normalizing each side once turns per-pair cosine into a bare
+    dot product — at n×m pair scale this removes two norm scans +
+    sqrt per pair (≈3× less arithmetic on the quadratic stage)."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -41,20 +41,30 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str | None = None) -> Da
     return df.join(survivors, on=keys + [id_col], how="left_semi")
 
 
-def minhash_candidates(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int = 16,
-    bands: int = 8,
-    shingle_n: int = 3,
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, distinct-shingle-array) — the one expensive narrow map
+    every MinHash stage derives from. Persisted because candidate
+    generation and Jaccard verification each consume it (a self-join
+    would otherwise recompute the tokenize+shingle+md5 subtree up to
+    4×; at 100 TB this is the difference between one corpus scan and
+    four)."""
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).persist()
+
+
+def minhash_candidates_from_shingles(
+    sh_table: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
     rows = num_hashes // bands
-    sig = df.select(
+    sig = sh_table.select(
         F.col(id_col),
         X.band_keys(
-            X.minhash_signature(F.col(text_col), num_hashes, shingle_n), bands, rows
+            X.minhash_signature_from_shingles(F.col("sh"), num_hashes), bands, rows
         ).alias("bands"),
     )
     exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
@@ -70,6 +80,18 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    return minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -81,11 +103,8 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥
     threshold. Returns (id_a, id_b, jaccard)."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
@@ -96,7 +115,9 @@ def minhash_dedup_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
-    return df.select(
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).select(
         F.col(id_col), X.simhash64(F.col(text_col), shingle_n).alias("simhash")
     )
 

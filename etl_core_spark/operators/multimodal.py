@@ -103,7 +103,11 @@ def extract_features(
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch))
     try:
-        return df.select(id_col, payload_col).mapInPandas(op, FEATURE_SCHEMA)
+        from etl_core_spark.session import ensure_parallelism
+
+        return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+            op, FEATURE_SCHEMA
+        )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 

@@ -36,17 +36,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine; ties broken by corpus id for
     deterministic output. Returns (query_id, vec_id, cosine, rank)."""
+    # normalize each side once; the quadratic stage is then a plain
+    # dot product per pair
     c = corpus.select(
-        F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__corpus_vec")
+        F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__corpus_vec")
     )
-    q = queries.select(
-        F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__query_vec")
+    from etl_core_spark.session import ensure_parallelism
+
+    # the cross-join output inherits the stream (query) side's
+    # partitioning — spread it so pair scoring parallelizes
+    q = ensure_parallelism(
+        queries.select(
+            F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__query_vec")
+        )
     )
     right = F.broadcast(c) if broadcast_corpus else c
     scored = q.crossJoin(right).select(
         F.col("__query_id"),
         F.col("__corpus_id"),
-        F.round(V.cosine(F.col("__query_vec"), F.col("__corpus_vec")), 6).alias("cosine"),
+        F.round(V.dot(F.col("__query_vec"), F.col("__corpus_vec")), 6).alias("cosine"),
     )
     w = Window.partitionBy("__query_id").orderBy(
         F.col("cosine").desc(), F.col("__corpus_id").asc()
@@ -89,18 +97,20 @@ def lsh_topk(
     """Approximate top-k: equi-join on hyperplane bucket, exact
     rescoring inside the bucket. Recall < 1 by construction; raise
     num_planes for precision / lower for recall."""
+    # hyperplane signs are scale-invariant → bucketing the unit
+    # vectors gives identical buckets and a dot-only rescoring stage
     c = lsh_bucketed(
-        corpus.select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv")),
+        corpus.select(F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__cv")),
         "__cv", dim, num_planes, seed,
     )
     q = lsh_bucketed(
-        queries.select(F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__qv")),
+        queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv")),
         "__qv", dim, num_planes, seed,
     )
     scored = q.join(c, on="__bucket").select(
         "__query_id",
         "__corpus_id",
-        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(V.dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("__query_id").orderBy(
         F.col("cosine").desc(), F.col("__corpus_id").asc()
@@ -130,22 +140,24 @@ def cosine_near_dup_pairs(
     """Pairs (id_a < id_b, cosine ≥ threshold). ``exact=True`` does
     the full cross product (oracle-checkable); default prunes via LSH
     buckets (the 100 TB path)."""
-    base = df.select(F.col(id_col), F.col(vec_col))
+    from etl_core_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(df.select(F.col(id_col), V.unit(F.col(vec_col)).alias("__unit")))
     if exact:
-        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        a = base.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bucketed = lsh_bucketed(base, vec_col, dim, num_planes, seed)
+        bucketed = lsh_bucketed(base, "__unit", dim, num_planes, seed)
         a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+            F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__bucket"
         )
         b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+            F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"), "__bucket"
         )
         pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", F.round(V.cosine(F.col("__va"), F.col("__vb")), 6))
+        pairs.withColumn("cosine", F.round(V.dot(F.col("__va"), F.col("__vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

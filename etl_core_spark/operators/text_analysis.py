@@ -28,6 +28,9 @@ AVAILABLE_METRICS = (
 
 
 def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = AVAILABLE_METRICS) -> DataFrame:
+    from etl_core_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     col = F.col(text_col)
     exprs = {
         "n_chars": lambda: X.char_count(col),

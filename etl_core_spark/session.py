@@ -62,3 +62,24 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ensure_parallelism(df, target: int | None = None):
+    """Repartition up when the input has fewer partitions than cores.
+
+    Parquet splits by bytes (`maxPartitionBytes`), so a small file
+    arrives as ONE partition — fine for scan-bound queries, but a
+    CPU-bound narrow map (shingling, hashing, vector math, Pandas
+    UDFs) then runs on one core. This helper is the work-based
+    partitioning lever: a no-op at 100 TB (inputs already have
+    thousands of partitions), a large win on small CPU-heavy inputs.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
