@@ -424,6 +424,122 @@ GROUP BY r_name
 """
 
 
+def _join_semi_anti(how: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_core_spark.operators.base import get_operator
+
+        cust = _t(spark, sf_dir, "customer")
+        big_orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 470000.0
+        )
+        out = get_operator("schema_mapping")(
+            join_plan={
+                "steps": [
+                    {"left_port": "customer", "right_port": "orders",
+                     "left_on": "c_custkey", "right_on": "o_custkey",
+                     "how": how, "output_port": "out"},
+                ]
+            }
+        ).apply({"customer": cust, "orders": big_orders})["out"]
+        return out.select("c_custkey", "c_name", "c_acctbal")
+
+    return q
+
+
+def _join_semi_anti_sql(how: str) -> str:
+    op = "" if how == "semi" else "NOT "
+    return f"""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE {op}EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 470000.0)
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.intersect(b)
+
+
+_SQL_SET_INTERSECT = """
+SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+INTERSECT
+SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.exceptAll(b).distinct()
+
+
+_SQL_SET_EXCEPT = """
+SELECT DISTINCT l_orderkey FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+  EXCEPT ALL
+  SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.7 type conversion (cast ladders)
 # --------------------------------------------------------------------------
@@ -834,6 +950,52 @@ WHERE len(list_intersect(x.ds, y.ds))
 """
 
 
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup operator's minhash_lsh end-to-end output: documents
+    with the higher id of every verified near-dup pair removed."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("dedup")(
+        method="minhash_lsh", text_col="text", id_col="doc_id",
+        threshold=0.5, num_hashes=4, bands=2, shingle_n=3,
+    ).apply({"in": docs})["out"]
+    return out.select("doc_id", "lang", "source")
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_shingles_sql(3)} AS shingles FROM t
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS s0, min(md5('1:' || s)) AS s1,
+         min(md5('2:' || s)) AS s2, min(md5('3:' || s)) AS s3
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, md5('0|' || s0 || '|' || s1) AS bk FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || s2 || '|' || s3) AS bk FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM shl
+), dropped AS (
+  SELECT DISTINCT id_b FROM cand
+  JOIN dsh x ON x.doc_id = id_a
+  JOIN dsh y ON y.doc_id = id_b
+  WHERE len(list_intersect(x.ds, y.ds))
+        / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import simhash_fingerprints
 
@@ -961,6 +1123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_right": _join_matrix("right"),
         "join_outer": _join_matrix("outer"),
         "join_multi_step": q_join_multi_step,
+        "join_semi": _join_semi_anti("semi"),
+        "join_anti": _join_semi_anti("anti"),
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "pivot_event_counts": q_pivot,
+        "rollup_orders": q_rollup,
+        "cube_lineitem": q_cube,
+        "dedup_minhash": q_dedup_minhash,
         "type_conversion": q_type_conversion,
         "merge_union": q_merge_union,
         "split_aggregate": q_split_aggregate,
@@ -997,6 +1167,14 @@ def oracle_sql() -> dict[str, str]:
         "join_right": _join_matrix_sql("right"),
         "join_outer": _join_matrix_sql("outer"),
         "join_multi_step": _SQL_JOIN_MULTI,
+        "join_semi": _join_semi_anti_sql("semi"),
+        "join_anti": _join_semi_anti_sql("anti"),
+        "set_intersect": _SQL_SET_INTERSECT,
+        "set_except": _SQL_SET_EXCEPT,
+        "pivot_event_counts": _SQL_PIVOT,
+        "rollup_orders": _SQL_ROLLUP,
+        "cube_lineitem": _SQL_CUBE,
+        "dedup_minhash": _SQL_DEDUP_MINHASH,
         "type_conversion": _SQL_TYPE_CONVERSION,
         "merge_union": _SQL_MERGE_UNION,
         "split_aggregate": _SQL_SPLIT_AGG,
