@@ -1,0 +1,121 @@
+"""Command-line interface.
+
+Parity with the reference's Typer CLI
+(``src/etl_core/api/cli/commands/jobs.py:15-57`` — job CRUD from a
+JSON file; ``execution.py:15-30`` — start an execution by job id).
+
+    python -m etl_core_spark jobs create path/to/job.json
+    python -m etl_core_spark jobs list
+    python -m etl_core_spark jobs get JOB_ID
+    python -m etl_core_spark jobs delete JOB_ID
+    python -m etl_core_spark execution start JOB_ID
+    python -m etl_core_spark execution list [JOB_ID]
+    python -m etl_core_spark schedule create JOB_ID --interval 3600
+    python -m etl_core_spark schedule run-due
+    python -m etl_core_spark run path/to/job.json      # one-shot, no store
+
+The FastAPI server/scheduler daemon of the reference is intentionally
+out of scope for the engine core: the store + `run-due` provide the
+same capability driven by any external cron.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _store(args):
+    from etl_core_spark.plans.store import JobStore
+
+    return JobStore(args.db)
+
+
+def _spark():
+    from etl_core_spark.session import get_spark
+
+    return get_spark(app_name="etl_core_spark_cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="etl_core_spark")
+    parser.add_argument("--db", default="jobs.db", help="job store sqlite path")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    jobs = sub.add_parser("jobs").add_subparsers(dest="jobs_cmd", required=True)
+    p = jobs.add_parser("create")
+    p.add_argument("config_path")
+    p = jobs.add_parser("get")
+    p.add_argument("job_id")
+    jobs.add_parser("list")
+    p = jobs.add_parser("update")
+    p.add_argument("job_id")
+    p.add_argument("config_path")
+    p = jobs.add_parser("delete")
+    p.add_argument("job_id")
+
+    execution = sub.add_parser("execution").add_subparsers(dest="exec_cmd", required=True)
+    p = execution.add_parser("start")
+    p.add_argument("job_id")
+    p = execution.add_parser("list")
+    p.add_argument("job_id", nargs="?")
+
+    schedule = sub.add_parser("schedule").add_subparsers(dest="sched_cmd", required=True)
+    p = schedule.add_parser("create")
+    p.add_argument("job_id")
+    p.add_argument("--interval", type=float, required=True, help="seconds")
+    schedule.add_parser("run-due")
+
+    p = sub.add_parser("run", help="run a job config file directly (no store)")
+    p.add_argument("config_path")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        from etl_core_spark.plans import JobRunner, build_job
+
+        config = json.loads(Path(args.config_path).read_text())
+        result = JobRunner(build_job(_spark(), config)).run()
+        print(json.dumps(result.__dict__))
+        return 0 if result.status == "SUCCESS" else 1
+
+    store = _store(args)
+    try:
+        if args.cmd == "jobs":
+            if args.jobs_cmd == "create":
+                config = json.loads(Path(args.config_path).read_text())
+                print(store.create_job(config))
+            elif args.jobs_cmd == "get":
+                print(json.dumps(store.get_job(args.job_id), indent=2))
+            elif args.jobs_cmd == "list":
+                print(json.dumps(store.list_jobs(), indent=2))
+            elif args.jobs_cmd == "update":
+                config = json.loads(Path(args.config_path).read_text())
+                store.update_job(args.job_id, config)
+                print("updated")
+            elif args.jobs_cmd == "delete":
+                store.delete_job(args.job_id)
+                print("deleted")
+        elif args.cmd == "execution":
+            if args.exec_cmd == "start":
+                record = store.start_execution(_spark(), args.job_id)
+                print(json.dumps(record.__dict__))
+                return 0 if record.status == "SUCCESS" else 1
+            elif args.exec_cmd == "list":
+                print(json.dumps([r.__dict__ for r in store.list_executions(args.job_id)], indent=2))
+        elif args.cmd == "schedule":
+            if args.sched_cmd == "create":
+                print(store.create_schedule(args.job_id, args.interval))
+            elif args.sched_cmd == "run-due":
+                records = store.run_due(_spark())
+                print(json.dumps([r.__dict__ for r in records]))
+        return 0
+    except KeyError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,6 +16,7 @@ from etl_core_spark.operators import (  # noqa: F401
     type_conversion,
     split,
     merge,
+    validate,
     dedup,
     similarity,
     text_analysis,

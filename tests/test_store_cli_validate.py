@@ -1,0 +1,135 @@
+import json
+
+import pytest
+
+from etl_core_spark.cli import main as cli_main
+from etl_core_spark.operators.base import get_operator
+from etl_core_spark.operators.validate import ValidationError
+from etl_core_spark.plans.store import JobStore
+
+
+def make_job_config(tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n3,c\n")
+    return {
+        "name": "store_job",
+        "components": [
+            {
+                "name": "read", "comp_type": "read_csv", "filepath": str(src),
+                "routes": {"out": [{"to": "sink", "in_port": "in"}]},
+            },
+            {"name": "sink", "comp_type": "write_csv", "filepath": str(tmp_path / "out")},
+        ],
+    }
+
+
+def test_job_store_crud_and_execution(spark, tmp_path):
+    store = JobStore(tmp_path / "jobs.db")
+    cfg = make_job_config(tmp_path)
+    job_id = store.create_job(cfg)
+    assert store.get_job(job_id)["name"] == "store_job"
+    assert store.list_jobs()[0]["job_id"] == job_id
+
+    record = store.start_execution(spark, job_id)
+    assert record.status == "SUCCESS"
+    assert record.metrics["sink"]["lines_received"] == 3
+    assert store.list_executions(job_id)[0].execution_id == record.execution_id
+
+    cfg["name"] = "renamed"
+    store.update_job(job_id, cfg)
+    assert store.get_job(job_id)["name"] == "renamed"
+    store.delete_job(job_id)
+    with pytest.raises(KeyError):
+        store.get_job(job_id)
+
+
+def test_job_store_rejects_invalid_config(tmp_path):
+    store = JobStore(tmp_path / "jobs.db")
+    with pytest.raises(Exception):
+        store.create_job({"name": "bad", "components": [{"name": "x"}]})
+
+
+def test_schedule_run_due(spark, tmp_path):
+    store = JobStore(tmp_path / "jobs.db")
+    job_id = store.create_job(make_job_config(tmp_path))
+    store.create_schedule(job_id, interval_seconds=3600)
+    records = store.run_due(spark)
+    assert len(records) == 1 and records[0].status == "SUCCESS"
+    # not due again until interval passes
+    assert store.run_due(spark) == []
+    # but due after the interval
+    import time
+
+    assert len(store.run_due(spark, now=time.time() + 3601)) == 1
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(make_job_config(tmp_path)))
+    db = str(tmp_path / "cli.db")
+
+    assert cli_main(["--db", db, "jobs", "create", str(cfg_path)]) == 0
+    job_id = capsys.readouterr().out.strip()
+
+    assert cli_main(["--db", db, "jobs", "list"]) == 0
+    assert job_id in capsys.readouterr().out
+
+    assert cli_main(["--db", db, "execution", "start", job_id]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "SUCCESS"
+
+    assert cli_main(["--db", db, "jobs", "delete", job_id]) == 0
+    capsys.readouterr()
+    assert cli_main(["--db", db, "jobs", "get", job_id]) == 2
+
+
+def test_cli_run_direct(tmp_path, spark, capsys):
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(make_job_config(tmp_path)))
+    assert cli_main(["run", str(cfg_path)]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "SUCCESS"
+
+
+def test_validate_routes_rows(spark):
+    df = spark.createDataFrame(
+        [("a", "O"), (None, "O"), ("c", "X")], "k string, status string"
+    )
+    schema = {"fields": [
+        {"name": "k", "data_type": "string", "nullable": False},
+        {"name": "status", "data_type": "enum", "enum_values": ["O", "F", "P"]},
+    ]}
+    out = get_operator("validate")(schema=schema).apply({"in": df})
+    assert {r["k"] for r in out["valid"].collect()} == {"a"}
+    assert out["invalid"].count() == 2
+
+
+def test_validate_structural_strict(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, extra int")
+    schema = {"fields": [{"name": "k", "data_type": "string"}]}
+    with pytest.raises(ValidationError, match="unknown extra"):
+        get_operator("validate")(schema=schema).apply({"in": df})
+    # non-strict allows extras
+    out = get_operator("validate")(schema=schema, strict=False).apply({"in": df})
+    assert out["valid"].count() == 1
+    with pytest.raises(ValidationError, match="missing required"):
+        get_operator("validate")(schema={"fields": [{"name": "nope", "data_type": "string"}]}, strict=False).apply({"in": df})
+
+
+def test_validate_raise_mode(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    schema = {"fields": [{"name": "k", "data_type": "string", "nullable": False}]}
+    with pytest.raises(ValidationError, match="first bad row"):
+        get_operator("validate")(schema=schema, mode="raise").apply({"in": df})
+
+
+def test_validate_nested_nullability(spark):
+    df = spark.createDataFrame(
+        [((None,),), (("x",),)], "payload struct<inner:string>"
+    )
+    schema = {"fields": [
+        {"name": "payload", "data_type": "object", "children": [
+            {"name": "inner", "data_type": "string", "nullable": False}]},
+    ]}
+    out = get_operator("validate")(schema=schema).apply({"in": df})
+    assert out["valid"].count() == 1
+    assert out["invalid"].count() == 1
