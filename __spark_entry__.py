@@ -1075,6 +1075,130 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_core_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2)
+
+
+_SQL_IVF_TOPK = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), ca AS (
+  SELECT e.vec_id AS corpus_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY rn = 1
+), qa AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < 10
+  QUALIFY rn <= 2
+), scored AS (
+  SELECT qa.query_id, ca.corpus_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS cosine
+  FROM qa JOIN ca ON qa.cid = ca.cid
+  JOIN embeddings qe ON qe.vec_id = qa.query_id
+  JOIN embeddings ce ON ce.vec_id = ca.corpus_id
+)
+SELECT query_id, corpus_id AS vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the first pass of any tokenizer /
+    vocab-building pipeline. explode → groupBy is the canonical
+    map-side-combinable shape (partial counts before the shuffle)."""
+    from etl_core_spark.functions.text import tokens
+    from etl_core_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+_SQL_TOKEN_FREQ = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+)
+SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM x GROUP BY token
+ORDER BY n_total DESC, token ASC LIMIT 50
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score gate: the cheap pre-filter before dedup in a
+    training-data pipeline."""
+    from etl_core_spark.operators.text_analysis import annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        annotate(docs, metrics=("quality_score",))
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id", "quality_score")
+    )
+
+
+_SQL_QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct,
+         CASE WHEN len(ltoks) > 0
+              THEN len(list_filter(ltoks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for'], x)))
+                   / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS sw
+  FROM t
+), s AS (
+  SELECT doc_id,
+         round((least(n_tok / 50.0, 1.0)
+                + greatest(0.0, 1.0 - punct * 4)
+                + CASE WHEN sw > 0.5 THEN 0.5 ELSE least(sw * 4.0, 1.0) END
+               ) / 3.0, 6) AS quality_score
+  FROM m
+)
+SELECT doc_id, quality_score FROM s WHERE quality_score >= 0.5
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets. The bucket
     assignment depends on seeded driver-side hyperplanes, so there is
@@ -1147,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash": q_simhash,
         "ann_brute_force": q_ann_brute_force,
+        "ivf_topk": q_ivf_topk,
+        "token_frequency": q_token_frequency,
+        "quality_filter": q_quality_filter,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1191,6 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
         "simhash": _SQL_SIMHASH,
         "ann_brute_force": _SQL_ANN_BRUTE,
+        "ivf_topk": _SQL_IVF_TOPK,
+        "token_frequency": _SQL_TOKEN_FREQ,
+        "quality_filter": _SQL_QUALITY_FILTER,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
         # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
         # binary payloads — no SQL equivalent; rows-only checks.

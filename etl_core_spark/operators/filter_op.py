@@ -45,5 +45,13 @@ class FilterOperator(Operator):
         df = self.single_input(inputs)
         if self.cache:
             df = df.persist()
-        cond = F.coalesce(compile_rule(self.rule), F.lit(False))
-        return {"pass": df.filter(cond), "fail": df.filter(~cond)}
+        cond = compile_rule(self.rule)
+        # pass: a bare filter treats NULL as false already, and the
+        # un-wrapped predicate stays pushdown-eligible (a top-level
+        # coalesce() would block parquet PushedFilters entirely).
+        # fail: needs the explicit null→False coalesce so null-valued
+        # rows route to `fail` instead of being dropped from both.
+        return {
+            "pass": df.filter(cond),
+            "fail": df.filter(~F.coalesce(cond, F.lit(False))),
+        }

@@ -127,6 +127,84 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its nprobe nearest centroids (by dot on
+    unit vectors; ties broken by centroid id). Centroids are expected
+    small → broadcast."""
+    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(centroids.select("__cid", "__cvec"))
+    )
+    scored = scored.withColumn("__sim", V.dot(F.col(vec_col), F.col("__cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .where(F.col("__crn") <= nprobe)
+        .select(id_col, vec_col, "__cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into
+    centroid cells, search only the query's nprobe nearest cells.
+
+    Centroid selection is deterministic (the num_centroids lowest-id
+    corpus vectors, unit-normalized) instead of k-means — this keeps
+    the operator oracle-checkable; swap in k-means centroids for
+    recall without touching the plan shape. At scale: the corpus
+    assignment is a broadcast-join narrow map done ONCE (then reused
+    across query batches), and each query touches ~1/num_centroids
+    of the corpus — the classic IVF trade.
+    """
+    from etl_core_spark.session import ensure_parallelism
+
+    cent = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("__cid"), V.unit(F.col(vec_col)).alias("__cvec"))
+    )
+    c_unit = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__cv"))
+    )
+    q_unit = ensure_parallelism(
+        queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv"))
+    )
+    c_assigned = ivf_assign(c_unit, cent, "__corpus_id", "__cv", nprobe=1)
+    q_assigned = ivf_assign(q_unit, cent, "__query_id", "__qv", nprobe=nprobe)
+    scored = q_assigned.join(c_assigned, on="__cid").select(
+        "__query_id",
+        "__corpus_id",
+        F.round(V.dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("__query_id").orderBy(
+        F.col("cosine").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__query_id").alias(query_id_col),
+            F.col("__corpus_id").alias(id_col),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

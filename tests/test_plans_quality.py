@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: assert the physical plans keep the
+shapes that matter at scale (broadcasts on dimension joins, parquet
+predicate pushdown, no shuffles where none are needed)."""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_joins_are_broadcast(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["q5_region_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit under the threshold
+
+
+def test_q1_filter_pushed_to_parquet(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_projection_pruned_at_scan(spark, tables):
+    plan = plan_of(tables["lineitem"].select("l_orderkey", "l_quantity"))
+    # ReadSchema must contain only the selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_merge_union_has_no_shuffle(spark, tables):
+    from etl_core_spark.operators.base import get_operator
+
+    li = tables["lineitem"]
+    out = get_operator("merge")().apply(
+        {"in": li.filter(F.col("l_quantity") > 45), "in#1": li.filter(F.col("l_quantity") < 2)}
+    )["out"]
+    assert "Exchange" not in plan_of(out)
+
+
+def test_split_reuses_plan_no_cache(spark, tables):
+    from etl_core_spark.operators.base import get_operator
+
+    branches = get_operator("split")(branches=["a", "b"]).apply({"in": tables["orders"]})
+    # same underlying plan object — no duplication, no materialization
+    assert branches["a"] is branches["b"]
+
+
+def test_filter_rule_pushdown(spark, tables):
+    from etl_core_spark.operators.base import get_operator
+
+    out = get_operator("filter")(
+        rule={"column": "o_totalprice", "operator": ">", "value": 100000.0}
+    ).apply({"in": tables["orders"]})
+    plan = plan_of(out["pass"])
+    assert "GreaterThan(o_totalprice,100000.0)" in plan
+
+
+def test_ivf_topk_self_query(spark, tables):
+    from etl_core_spark.operators.similarity import ivf_topk
+
+    emb = tables["embeddings"]
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = ivf_topk(emb, queries, k=3, num_centroids=4, nprobe=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        top = min(rs, key=lambda r: r["rank"])
+        # a query always lands in its own cell → self is rank 1
+        assert top["vec_id"] == qid
+        assert top["cosine"] == pytest.approx(1.0, abs=1e-4)
