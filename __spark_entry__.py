@@ -882,14 +882,11 @@ FROM h
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.functions.text import minhash_signature
-    from etl_core_spark.session import ensure_parallelism
+    from etl_core_spark.operators.dedup import _shingle_table, minhash_sig_table
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    sig = minhash_signature(F.col("text"), num_hashes=2, shingle_n=3)
-    return docs.select(
-        "doc_id", sig[0].alias("m0"), sig[1].alias("m1")
-    )
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, "text", "doc_id", shingle_n=3)
+    return minhash_sig_table(sh, "doc_id", num_hashes=2)
 
 
 _SQL_MINHASH_SIG = f"""

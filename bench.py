@@ -25,8 +25,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="etl_core_spark_bench")
 
-    # JVM warm-up outside the timed region
+    # JVM + Python-UDF-worker warm-up outside the timed region (the
+    # Pandas-UDF worker pool spins up once per session; that one-time
+    # env cost is not a per-query number)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -1,0 +1,56 @@
+"""Skew-mitigation join helpers.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+on by default in session.py) handles most skew at runtime. Salting is
+the explicit fallback for the pathological case AQE can't fix: a
+single hot key whose matching *build side* row must meet millions of
+probe rows — e.g. joining clickstream events to a dimension where 40%
+of events share one key.
+
+`salted_join`: the skewed (large) side gets a random salt in
+[0, salt), the small side is exploded ×salt; the join key becomes
+(key, salt) so the hot key's rows spread over `salt` reducers.
+Semantics preserved for inner/left joins (each large-side row still
+matches exactly the rows it matched before).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the large side's hot keys spread over `salt`
+    buckets. `on` must name the key column in BOTH frames. The small
+    side is replicated ×salt (explode), so keep it genuinely small
+    or let AQE handle it instead."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves semantics for inner/left only")
+    salted_large = large.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_large.join(salted_small, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def skewness_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Per-key row counts + share of total — the diagnostic to decide
+    between AQE, salting, and broadcast."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(F.col("n_rows").desc())
+        .limit(top)
+    )

@@ -56,18 +56,43 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) ->
     ).persist()
 
 
+def minhash_sig_table(sh_table: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns via explode +
+    groupBy-min.
+
+    Equivalent to the higher-order-function formulation
+    (functions/text.minhash_signature) but faster in practice: HOF
+    lambdas are interpreted per element, while explode + hash + min
+    stays inside whole-stage codegen with a map-side partial min
+    before the (32-byte-per-hash) shuffle. explode_outer keeps
+    zero-shingle docs with NULL signatures (md5/concat of NULL is
+    NULL, min of the single NULL row is NULL)."""
+    ex = sh_table.select(F.col(id_col), F.explode_outer("sh").alias("__s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def minhash_candidates_from_shingles(
     sh_table: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
     rows = num_hashes // bands
-    sig = sh_table.select(
-        F.col(id_col),
-        X.band_keys(
-            X.minhash_signature_from_shingles(F.col("sh"), num_hashes), bands, rows
-        ).alias("bands"),
+    sig = minhash_sig_table(sh_table, id_col, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
     )
-    exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -114,12 +139,37 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2, bits: int = 60
+) -> DataFrame:
+    """SimHash via explode + 60 codegen'd sum aggregates (same result
+    as functions/text.simhash64's HOF form, far cheaper to analyze
+    and execute; partial sums combine map-side). Zero-shingle docs
+    get the all-zero fingerprint."""
     from etl_core_spark.session import ensure_parallelism
 
-    return ensure_parallelism(df).select(
-        F.col(id_col), X.simhash64(F.col(text_col), shingle_n).alias("simhash")
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode_outer(X.shingles(F.col(text_col), shingle_n)).alias("__s"),
     )
+    h = F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+    ex = ex.withColumn("__h", h)
+    aggs = [
+        F.sum(
+            F.when(F.col("__h").isNull(), F.lit(0)).otherwise(
+                F.shiftright(F.col("__h"), b) % 2 * 2 - 1
+            )
+        ).alias(f"b{b}")
+        for b in range(bits - 1, -1, -1)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(bits - 1, -1, -1)
+        ]
+    )
+    return g.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:

@@ -68,12 +68,17 @@ class JobRunner:
         )
 
     def _run_once(self) -> dict[str, Any]:
+        import uuid
+
         metrics: dict[str, Any] = {}
         for sink_name in self.builder.sinks:
             op = self.builder.operators[sink_name]
             assert isinstance(op, SinkOperator)
             df = self.builder.sink_inputs[sink_name]
-            obs = Observation(f"{sink_name}_rows")
+            # observation names must be globally unique: a retried
+            # attempt registering a same-named observation makes
+            # Observation.get block forever on the stale listener
+            obs = Observation(f"{sink_name}_rows_{uuid.uuid4().hex[:8]}")
             observed: DataFrame = df.observe(obs, _count_expr())
             op.write(observed)
             metrics[sink_name] = {"lines_received": obs.get["count"]}

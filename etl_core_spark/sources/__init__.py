@@ -14,4 +14,5 @@ from etl_core_spark.sources import (  # noqa: F401
     parquet_io,
     jdbc_io,
     mongodb_io,
+    generate,
 )
