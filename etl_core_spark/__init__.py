@@ -22,6 +22,11 @@ Design (see SURVEY.md §7):
 from etl_core_spark.session import get_spark, stop_spark
 from etl_core_spark.schema import DataType, FieldDef, Schema
 
+# import for registry side effects: every operator and source/sink
+# registers itself, so get_operator() works from any entry point
+from etl_core_spark import operators as _operators  # noqa: F401,E402
+from etl_core_spark import sources as _sources  # noqa: F401,E402
+
 __all__ = ["get_spark", "stop_spark", "DataType", "FieldDef", "Schema"]
 
 __version__ = "0.1.0"

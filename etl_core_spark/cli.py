@@ -71,7 +71,24 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("run", help="run a job config file directly (no store)")
     p.add_argument("config_path")
 
+    p = sub.add_parser(
+        "operators", help="list registered operators (≈ reference GET /schemas)"
+    )
+    p.add_argument("name", nargs="?", help="show one operator's doc")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "operators":
+        import inspect
+
+        from etl_core_spark.operators.base import get_operator, operator_names
+
+        if args.name:
+            cls = get_operator(args.name)
+            print(f"{args.name}: {inspect.getdoc(cls) or inspect.getdoc(inspect.getmodule(cls))}")
+        else:
+            print(json.dumps(operator_names(), indent=2))
+        return 0
 
     if args.cmd == "run":
         from etl_core_spark.plans import JobRunner, build_job
