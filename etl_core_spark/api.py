@@ -1,0 +1,123 @@
+"""HTTP API.
+
+Parity with the reference's FastAPI surface
+(``src/etl_core/api/routers/execution.py:36-74`` — POST
+/execution/{job_id}; ``api/routers/jobs`` — job CRUD;
+``api/routers/schemas.py:33-180`` — GET /schemas for UI form
+building). FastAPI is not available in this container, so the server
+is stdlib ``http.server`` — same routes, JSON in/out, threaded.
+
+Routes:
+    GET    /health
+    GET    /jobs                     list
+    POST   /jobs                     create (body = job config JSON)
+    GET    /jobs/{id}                fetch config
+    PUT    /jobs/{id}                update
+    DELETE /jobs/{id}                delete
+    POST   /execution/{id}           run; returns execution record
+    GET    /execution?job_id=...     list execution records
+    GET    /operators                registry names
+    GET    /operators/{name}         operator doc
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qs, urlparse
+
+
+class ApiServer:
+    def __init__(self, spark, store, host: str = "127.0.0.1", port: int = 8343):
+        self.spark = spark
+        self.store = store
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- routing --------------------------------------------------------
+
+    def dispatch(self, method: str, path: str, query: dict, body: Any) -> tuple[int, Any]:
+        import inspect
+
+        from etl_core_spark.operators.base import get_operator, operator_names
+
+        routes: list[tuple[str, str, Callable]] = [
+            ("GET", r"^/health$", lambda m: (200, {"status": "ok"})),
+            ("GET", r"^/jobs$", lambda m: (200, self.store.list_jobs())),
+            ("POST", r"^/jobs$", lambda m: (201, {"job_id": self.store.create_job(body)})),
+            ("GET", r"^/jobs/([^/]+)$", lambda m: (200, self.store.get_job(m.group(1)))),
+            ("PUT", r"^/jobs/([^/]+)$",
+             lambda m: (200, {"updated": self.store.update_job(m.group(1), body) or True})),
+            ("DELETE", r"^/jobs/([^/]+)$",
+             lambda m: (200, {"deleted": self.store.delete_job(m.group(1)) or True})),
+            ("POST", r"^/execution/([^/]+)$",
+             lambda m: (200, self.store.start_execution(self.spark, m.group(1)).__dict__)),
+            ("GET", r"^/execution$",
+             lambda m: (200, [r.__dict__ for r in self.store.list_executions(
+                 (query.get("job_id") or [None])[0])])),
+            ("GET", r"^/operators$", lambda m: (200, operator_names())),
+            ("GET", r"^/operators/([^/]+)$",
+             lambda m: (200, {"name": m.group(1),
+                              "doc": inspect.getdoc(get_operator(m.group(1))) or ""})),
+        ]
+        for route_method, pattern, handler in routes:
+            if method == route_method:
+                match = re.match(pattern, path)
+                if match:
+                    try:
+                        return handler(match)
+                    except KeyError as exc:
+                        return 404, {"error": str(exc)}
+                    except Exception as exc:  # noqa: BLE001 - API boundary
+                        return 400, {"error": f"{type(exc).__name__}: {exc}"}
+        return 404, {"error": f"no route {method} {path}"}
+
+    # -- server ---------------------------------------------------------
+
+    def _make_handler(self):
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _respond(self):
+                parsed = urlparse(self.path)
+                body = None
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    body = json.loads(self.rfile.read(length))
+                status, payload = api.dispatch(
+                    self.command, parsed.path, parse_qs(parsed.query), body
+                )
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            do_GET = do_POST = do_PUT = do_DELETE = _respond
+
+        return Handler
+
+    def start(self) -> "ApiServer":
+        self._httpd = ThreadingHTTPServer((self.host, self.port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+
+def serve(spark, store, host: str = "127.0.0.1", port: int = 8343) -> ApiServer:
+    return ApiServer(spark, store, host, port).start()

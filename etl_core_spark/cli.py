@@ -76,7 +76,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("name", nargs="?", help="show one operator's doc")
 
+    p = sub.add_parser("serve", help="start the HTTP API (stdlib http.server)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8343)
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "serve":
+        from etl_core_spark.api import serve as api_serve
+        from etl_core_spark.plans.store import JobStore
+
+        server = api_serve(_spark(), JobStore(args.db), host=args.host, port=args.port)
+        print(f"listening on http://{args.host}:{server.port} (ctrl-c to stop)")
+        try:
+            import signal
+
+            signal.pause()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.stop()
+        return 0
 
     if args.cmd == "operators":
         import inspect

@@ -42,10 +42,13 @@ class PlanBuilder:
     # -- validation -----------------------------------------------------
 
     def _instantiate(self, comp: ComponentConfig) -> Operator:
+        from etl_core_spark.plans.context import apply_context
+
         cls = get_operator(comp.comp_type)
+        params = apply_context(comp.params)
         if issubclass(cls, SourceOperator):
-            return cls(spark=self.spark, **comp.params)
-        return cls(**comp.params)
+            return cls(spark=self.spark, **params)
+        return cls(**params)
 
     def _topo_order(self) -> list[str]:
         ts: graphlib.TopologicalSorter[str] = graphlib.TopologicalSorter()

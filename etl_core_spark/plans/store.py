@@ -68,7 +68,10 @@ class ExecutionRecord:
 class JobStore:
     def __init__(self, path: str | Path = "jobs.db"):
         self.path = str(path)
-        self._conn = sqlite3.connect(self.path)
+        # check_same_thread=False + a lock: the HTTP API serves from
+        # handler threads while the store is created on the main one
+        self._conn = sqlite3.connect(self.path, check_same_thread=False)
+        self._lock = __import__("threading").RLock()
         self._conn.executescript(_SCHEMA)
         self._conn.commit()
 
@@ -80,11 +83,12 @@ class JobStore:
         JobConfig.from_dict(config)  # validate before persisting
         job_id = job_id or uuid.uuid4().hex[:12]
         now = time.time()
-        self._conn.execute(
-            "INSERT INTO jobs VALUES (?, ?, ?, ?, ?)",
-            (job_id, config.get("name", "job"), json.dumps(config), now, now),
-        )
-        self._conn.commit()
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO jobs VALUES (?, ?, ?, ?, ?)",
+                (job_id, config.get("name", "job"), json.dumps(config), now, now),
+            )
+            self._conn.commit()
         return job_id
 
     def get_job(self, job_id: str) -> dict[str, Any]:
@@ -97,19 +101,23 @@ class JobStore:
 
     def update_job(self, job_id: str, config: dict[str, Any]) -> None:
         JobConfig.from_dict(config)
-        n = self._conn.execute(
-            "UPDATE jobs SET config_json = ?, name = ?, updated_at = ? WHERE job_id = ?",
-            (json.dumps(config), config.get("name", "job"), time.time(), job_id),
-        ).rowcount
-        if n == 0:
-            raise KeyError(f"unknown job_id {job_id!r}")
-        self._conn.commit()
+        with self._lock:
+            n = self._conn.execute(
+                "UPDATE jobs SET config_json = ?, name = ?, updated_at = ? WHERE job_id = ?",
+                (json.dumps(config), config.get("name", "job"), time.time(), job_id),
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"unknown job_id {job_id!r}")
+            self._conn.commit()
 
     def delete_job(self, job_id: str) -> None:
-        n = self._conn.execute("DELETE FROM jobs WHERE job_id = ?", (job_id,)).rowcount
-        if n == 0:
-            raise KeyError(f"unknown job_id {job_id!r}")
-        self._conn.commit()
+        with self._lock:
+            n = self._conn.execute(
+                "DELETE FROM jobs WHERE job_id = ?", (job_id,)
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"unknown job_id {job_id!r}")
+            self._conn.commit()
 
     def list_jobs(self) -> list[dict[str, Any]]:
         rows = self._conn.execute(
@@ -142,15 +150,16 @@ class JobStore:
             error=result.error,
             started_at=started,
         )
-        self._conn.execute(
-            "INSERT INTO executions VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
-            (
-                record.execution_id, record.job_id, record.status, record.attempts,
-                record.wall_seconds, json.dumps(record.metrics), record.error,
-                record.started_at,
-            ),
-        )
-        self._conn.commit()
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO executions VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (
+                    record.execution_id, record.job_id, record.status, record.attempts,
+                    record.wall_seconds, json.dumps(record.metrics), record.error,
+                    record.started_at,
+                ),
+            )
+            self._conn.commit()
         return record
 
     def list_executions(self, job_id: str | None = None) -> list[ExecutionRecord]:
@@ -174,11 +183,12 @@ class JobStore:
     def create_schedule(self, job_id: str, interval_seconds: float) -> str:
         self.get_job(job_id)  # existence check
         schedule_id = uuid.uuid4().hex[:12]
-        self._conn.execute(
-            "INSERT INTO schedules VALUES (?, ?, ?, ?, 1)",
-            (schedule_id, job_id, interval_seconds, time.time()),
-        )
-        self._conn.commit()
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO schedules VALUES (?, ?, ?, ?, 1)",
+                (schedule_id, job_id, interval_seconds, time.time()),
+            )
+            self._conn.commit()
         return schedule_id
 
     def run_due(self, spark, now: float | None = None) -> list[ExecutionRecord]:

@@ -1,0 +1,115 @@
+import json
+import urllib.request
+
+import pytest
+
+from etl_core_spark.api import serve
+from etl_core_spark.plans.context import ContextError, apply_context, resolve_context
+from etl_core_spark.plans.store import JobStore
+
+
+def http(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    store = JobStore(tmp_path / "api.db")
+    server = serve(spark, store, port=0)
+    yield server, tmp_path
+    server.stop()
+
+
+def test_api_job_crud_and_execution(api, spark):
+    server, tmp_path = api
+    base = f"http://127.0.0.1:{server.port}"
+
+    assert http("GET", f"{base}/health")[1] == {"status": "ok"}
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    config = {
+        "name": "api_job",
+        "components": [
+            {"name": "r", "comp_type": "read_csv", "filepath": str(src),
+             "routes": {"out": [{"to": "w", "in_port": "in"}]}},
+            {"name": "w", "comp_type": "write_csv", "filepath": str(tmp_path / "out")},
+        ],
+    }
+    status, created = http("POST", f"{base}/jobs", config)
+    assert status == 201
+    job_id = created["job_id"]
+
+    assert http("GET", f"{base}/jobs")[1][0]["job_id"] == job_id
+    assert http("GET", f"{base}/jobs/{job_id}")[1]["name"] == "api_job"
+
+    status, record = http("POST", f"{base}/execution/{job_id}")
+    assert status == 200
+    assert record["status"] == "SUCCESS"
+    assert record["metrics"]["w"]["lines_received"] == 2
+
+    status, execs = http("GET", f"{base}/execution?job_id={job_id}")
+    assert status == 200 and len(execs) == 1
+
+    assert http("DELETE", f"{base}/jobs/{job_id}")[0] == 200
+    assert http("GET", f"{base}/jobs/{job_id}")[0] == 404
+
+
+def test_api_operators_and_errors(api):
+    server, _ = api
+    base = f"http://127.0.0.1:{server.port}"
+    status, names = http("GET", f"{base}/operators")
+    assert status == 200 and "filter" in names
+    status, doc = http("GET", f"{base}/operators/dedup")
+    assert status == 200 and "minhash" in doc["doc"]
+    assert http("GET", f"{base}/nope")[0] == 404
+    assert http("POST", f"{base}/jobs", {"name": "bad", "components": [{"name": "x"}]})[0] == 400
+
+
+def test_context_from_file(tmp_path, monkeypatch):
+    ctx_file = tmp_path / "contexts.json"
+    ctx_file.write_text(json.dumps({
+        "prod_pg": {
+            "url": "jdbc:postgresql://db.prod/warehouse",
+            "user": "etl",
+            "password_env": "PROD_PG_PW",
+        }
+    }))
+    monkeypatch.setenv("ETL_CONTEXTS_FILE", str(ctx_file))
+    monkeypatch.setenv("PROD_PG_PW", "s3cret")
+    resolved = resolve_context("prod_pg")
+    assert resolved == {
+        "url": "jdbc:postgresql://db.prod/warehouse", "user": "etl", "password": "s3cret",
+    }
+    # secret env missing → clear error
+    monkeypatch.delenv("PROD_PG_PW")
+    with pytest.raises(ContextError, match="PROD_PG_PW"):
+        resolve_context("prod_pg")
+
+
+def test_context_from_env_vars(monkeypatch):
+    monkeypatch.delenv("ETL_CONTEXTS_FILE", raising=False)
+    monkeypatch.setenv("ETL_CTX_STAGE_MONGO_URI", "mongodb://stage:27017")
+    monkeypatch.setenv("ETL_CTX_STAGE_MONGO_DATABASE", "etl")
+    assert resolve_context("stage_mongo") == {
+        "uri": "mongodb://stage:27017", "database": "etl",
+    }
+    with pytest.raises(ContextError):
+        resolve_context("missing_ctx")
+
+
+def test_apply_context_merge(monkeypatch):
+    monkeypatch.setenv("ETL_CTX_X_URL", "jdbc:postgresql://h/db")
+    monkeypatch.setenv("ETL_CTX_X_USER", "default_user")
+    merged = apply_context({"context_id": "x", "user": "override", "entity_name": "t"})
+    # explicit keys win; context_id consumed
+    assert merged == {"url": "jdbc:postgresql://h/db", "user": "override", "entity_name": "t"}
+    assert apply_context({"a": 1}) == {"a": 1}
