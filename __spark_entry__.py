@@ -724,6 +724,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide): every
+    event lands in two overlapping windows."""
+    from etl_core_spark.streaming import windowed_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_aggregate(
+        ev, ts_col="ts", window_duration="1 hour", slide_duration="30 minutes",
+        aggs=[("value", "sum", "sum_value"), ("*", "count", "n_events")],
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.round("sum_value", 6).alias("sum_value"),
+        "n_events",
+    )
+
+
+_SQL_EVENTS_SLIDING = """
+WITH w AS (
+  SELECT value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                ]) AS win_start
+  FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       round(sum(value), 6) AS sum_value,
+       count(*) AS n_events
+FROM w GROUP BY 1
+"""
+
+
+def q_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_mapping field-mapping rules: rename/move source leaves
+    to destination paths (flat here so the oracle stays hashable;
+    nesting is covered by tests/test_joins.py)."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    out = get_operator("schema_mapping")(
+        rules_by_dest={
+            "out": {
+                "customer_id": {"src_port": "in", "src_path": "c_custkey"},
+                "segment": {"src_port": "in", "src_path": "c_mktsegment"},
+                "balance": {"src_port": "in", "src_path": "c_acctbal"},
+            }
+        }
+    ).apply({"in": cust})["out"]
+    return out
+
+
+_SQL_MAPPING_RULES = """
+SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+       c_acctbal AS balance
+FROM customer
+"""
+
+
 def q_events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -808,11 +866,13 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return annotate(
-        docs, metrics=("n_tokens", "punct_ratio", "stopword_ratio", "fingerprint")
+        docs,
+        metrics=("n_tokens", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "fingerprint"),
     ).select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
         "n_tokens",
+        "n_tokens_bpe",
         "punct_ratio",
         "stopword_ratio",
         "fingerprint",
@@ -831,6 +891,7 @@ WITH t AS (
 SELECT doc_id,
        length(text) AS n_chars_calc,
        len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpe,
        round(CASE WHEN length(text) > 0
              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                   / CAST(length(text) AS DOUBLE)
@@ -1259,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "window_running_sum": q_window_running_sum,
         "events_hourly": q_events_hourly,
+        "events_sliding_window": q_events_sliding_window,
+        "mapping_rules": q_mapping_rules,
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
         "dedup_exact": q_dedup_exact,
@@ -1306,6 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "window_rank": _SQL_WINDOW_RANK,
         "window_running_sum": _SQL_WINDOW_RUNNING,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_sliding_window": _SQL_EVENTS_SLIDING,
+        "mapping_rules": _SQL_MAPPING_RULES,
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
         "dedup_exact": _SQL_DEDUP_EXACT,
