@@ -86,6 +86,36 @@ def build_upsert_sql(
     raise OperatorConfigError(f"unknown dialect {dialect!r}")
 
 
+def bind_named_params(query: str, params: dict[str, Any] | None) -> str:
+    """Bind ``:name`` placeholders to SQL literals (reference readers
+    accept ``params`` bound server-side via SQLAlchemy —
+    ``postgresql_receiver.py:17-79``; Spark's JDBC ``query`` option
+    has no bind API, so values are rendered as escaped literals).
+    Unknown placeholders raise; string values are quote-escaped."""
+    import re as _re
+
+    params = params or {}
+
+    def render(value: Any) -> str:
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return "TRUE" if value else "FALSE"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        return "'" + str(value).replace("'", "''") + "'"
+
+    def sub(match: "_re.Match[str]") -> str:
+        name = match.group(1)
+        if name not in params:
+            raise OperatorConfigError(
+                f"query references :{name} but params has no {name!r}"
+            )
+        return render(params[name])
+
+    return _re.sub(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)", sub, query)
+
+
 def build_update_sql(
     dialect: str, table: str, set_columns: Sequence[str], where_columns: Sequence[str]
 ) -> str:
@@ -125,6 +155,7 @@ def _make_jdbc_read(dialect: str):
             spark = self._session()
             c = self.config
             query = c.get("query") or f"SELECT * FROM {c['entity_name']}"
+            query = bind_named_params(query, c.get("params"))
             reader = spark.read.format("jdbc").options(**self._jdbc_options())
             reader = reader.option("query", query)
             # partitioned parallel read — strict upgrade over the

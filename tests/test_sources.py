@@ -115,6 +115,20 @@ def test_upsert_sql_dialects():
     assert upd == 'UPDATE "t" SET "name" = ? WHERE "id" = ?'
 
 
+def test_jdbc_param_binding():
+    from etl_core_spark.sources.jdbc_io import bind_named_params
+
+    q = bind_named_params(
+        "SELECT * FROM t WHERE a = :a AND s = :s AND flag = :f AND n = :n",
+        {"a": 5, "s": "it's", "f": True, "n": None},
+    )
+    assert q == "SELECT * FROM t WHERE a = 5 AND s = 'it''s' AND flag = TRUE AND n = NULL"
+    # postgres-style casts (double colon) are left alone
+    assert bind_named_params("SELECT x::text FROM t", {}) == "SELECT x::text FROM t"
+    with pytest.raises(OperatorConfigError, match="no 'missing'"):
+        bind_named_params("SELECT :missing", {})
+
+
 def test_jdbc_config_validation(spark):
     with pytest.raises(OperatorConfigError):
         get_operator("write_postgresql")(operation="upsert", entity_name="t")
