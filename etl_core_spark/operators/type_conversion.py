@@ -69,10 +69,36 @@ def _rebuild(col: Column, dtype: T.DataType, rest: list[str], leaf_type: T.DataT
     return col.withField(head, _rebuild(col.getField(head), sub.dataType, tail, leaf_type, target))
 
 
+def _unconvertible_predicate(df: DataFrame, rule: CastRule):
+    """True where this rule would turn a real (non-null, non-marker)
+    source value into NULL. Only direct top-level paths participate —
+    nested/array element failures aren't row-addressable."""
+    from etl_core_spark.functions.casts import _null_marker
+
+    parts = rule.column_path.split(".")
+    if "*" in parts or len(parts) > 1:
+        return None
+    src = F.col(rule.column_path)
+    src_type = _resolve_type(df.schema, rule.column_path)
+    converted = _convert(src, src_type, rule.target)
+    return src.isNotNull() & ~_null_marker(src) & converted.isNull()
+
+
 @register_operator("type_conversion")
 class TypeConversionOperator(Operator):
+    """Out ports:
+
+    - ``out``: converted rows (all policies).
+    - ``errors``: the ORIGINAL (pre-conversion) rows where any rule
+      failed to convert a real value. This is the engine's answer to
+      the reference's ``on_error='skip'`` mixed-dtype columns
+      (type_conversion_helper.py:162,262-277) — Spark columns are
+      typed, so instead of keeping originals inline, the originals
+      route to a dedicated port (SURVEY.md §7.4 deviation, narrowed).
+    """
+
     in_ports = ("in",)
-    out_ports = ("out",)
+    out_ports = ("out", "errors")
 
     def validate_config(self) -> None:
         rules = self.config.get("rules")
@@ -82,6 +108,15 @@ class TypeConversionOperator(Operator):
 
     def apply(self, inputs: PortMap) -> PortMap:
         df = self.single_input(inputs)
+        failed = None
         for rule in self.rules:
-            df = _apply_rule(df, rule)
-        return {"out": df}
+            pred = _unconvertible_predicate(df, rule)
+            if pred is not None:
+                failed = pred if failed is None else (failed | pred)
+        out = df
+        for rule in self.rules:
+            out = _apply_rule(out, rule)
+        errors = (
+            df.filter(failed) if failed is not None else df.limit(0)
+        )
+        return {"out": out, "errors": errors}

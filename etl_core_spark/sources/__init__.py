@@ -15,4 +15,5 @@ from etl_core_spark.sources import (  # noqa: F401
     jdbc_io,
     mongodb_io,
     generate,
+    bucketed,
 )
