@@ -845,6 +845,58 @@ FROM g GROUP BY user_id
 # embeddings)
 # --------------------------------------------------------------------------
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents by md5 hash bucket —
+    stable across reruns, partitionings, and engines."""
+    from etl_core_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate=0.1).select("doc_id", "lang")
+
+
+_SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {int(0.1 * 16 ** 8)}
+"""
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment (90/5/5) by hash bucket; the
+    query returns per-split sizes, which pins every row's assignment."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = get_operator("hash_split")(
+        key_col="doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    ).apply({"in": docs})
+    parts = [
+        splits[name].groupBy().agg(
+            F.lit(name).alias("split"), F.count(F.lit(1)).alias("n_docs")
+        )
+        for name in ("train", "val", "test")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SQL_HASH_SPLIT = f"""
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+  FROM documents
+), assigned AS (
+  SELECT CASE
+    WHEN bucket < {int(0.9 * 16 ** 8)} THEN 'train'
+    WHEN bucket < {int((0.9 + 0.05) * 16 ** 8)} THEN 'val'
+    ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs FROM assigned GROUP BY split
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import exact_dedup
 
@@ -1324,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_rules": q_mapping_rules,
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
+        "hash_sample": q_hash_sample,
+        "hash_split_counts": q_hash_split_counts,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -1373,6 +1427,8 @@ def oracle_sql() -> dict[str, str]:
         "mapping_rules": _SQL_MAPPING_RULES,
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
+        "hash_sample": _SQL_HASH_SAMPLE,
+        "hash_split_counts": _SQL_HASH_SPLIT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "text_metrics": _SQL_TEXT_METRICS,
         "lang_id": _lang_id_sql(),

@@ -17,6 +17,7 @@ from etl_core_spark.operators import (  # noqa: F401
     split,
     merge,
     validate,
+    sampling,
     dedup,
     similarity,
     text_analysis,

@@ -31,6 +31,10 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the ltz→ntz cast below renders wall time in the SESSION
+        # timezone; pin UTC so the rebuild is correct under any
+        # caller-provided session (the stored nanos are UTC instants)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(
             "ts",
