@@ -782,6 +782,79 @@ FROM customer
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the value of the same
+    user's latest purchase at-or-before the click. Spark lacks ASOF
+    JOIN — implemented as a single-shuffle union-and-carry
+    (operators/asof.py); DuckDB's native ASOF JOIN is the oracle."""
+    from etl_core_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+_SQL_ASOF = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(p.value, 6) AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 250.0),
+    ("mid", 250.0, 700.0),
+    ("premium", 700.0, 1200.0),
+    ("luxury", 1200.0, 2500.0),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: part prices into non-uniform price
+    bands via bucketized candidates + exact verify (operators/asof.py
+    range_join) instead of an inequality cross join."""
+    from etl_core_spark.operators.asof import range_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    out = range_join(
+        part, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi",
+        bucket_width=250.0,
+    )
+    return out.select("p_partkey", "p_retailprice", "band")
+
+
+_SQL_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 250.0), ('mid', 250.0, 700.0),
+         ('premium', 700.0, 1200.0), ('luxury', 1200.0, 2500.0)
+)
+SELECT p_partkey, p_retailprice, band
+FROM part JOIN bands
+ON p_retailprice >= lo AND p_retailprice < hi
+"""
+
+
 def q_events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1374,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sliding_window": q_events_sliding_window,
         "mapping_rules": q_mapping_rules,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
         "hash_sample": q_hash_sample,
@@ -1425,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sliding_window": _SQL_EVENTS_SLIDING,
         "mapping_rules": _SQL_MAPPING_RULES,
+        "asof_join": _SQL_ASOF,
+        "range_join": _SQL_RANGE_JOIN,
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
         "hash_sample": _SQL_HASH_SAMPLE,

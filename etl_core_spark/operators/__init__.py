@@ -18,6 +18,7 @@ from etl_core_spark.operators import (  # noqa: F401
     merge,
     validate,
     sampling,
+    asof,
     dedup,
     similarity,
     text_analysis,

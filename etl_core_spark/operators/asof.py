@@ -1,0 +1,154 @@
+"""As-of (time-series) and range joins (beyond-reference).
+
+Spark has no native ASOF JOIN. The naive formulation —
+``left JOIN right ON key AND r.ts <= l.ts`` then keep the latest
+right row — explodes to O(|left|·|right-per-key|) intermediate rows.
+The scalable formulation used here is **union-and-carry**:
+
+1. tag right rows 0 and left rows 1, union them;
+2. one sort-shuffle by (key, ts, tag);
+3. ``last(value, ignorenulls)`` over rows unbounded-preceding carries
+   the most recent right-side value forward;
+4. keep the left rows.
+
+One shuffle, no row explosion, state bounded by the window frame —
+the same shape at 6 k rows and at 100 TB. (DuckDB's native ASOF JOIN
+serves as the differential oracle.)
+
+``range_join`` covers interval containment: intervals are exploded
+to the fixed-width buckets they overlap, points map to one bucket,
+and the candidate equi-join on bucket is verified with the exact
+predicate — turning an inequality join into a prunable shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right
+    row with ``right_ts <= left_ts`` (or ``<`` when ``strict``) and
+    the same ``on`` key. Left rows with no prior right row get NULLs.
+
+    Ties on the same timestamp: a right row at exactly ``left_ts``
+    matches (non-strict), and among equal right timestamps the
+    last-sorted one wins — matching DuckDB ASOF JOIN semantics.
+    """
+    for c in value_cols:
+        if c not in right.columns:
+            raise OperatorConfigError(f"value column {c!r} not in right side")
+
+    # strict mode: a right row at ts must NOT serve a left row at the
+    # same ts → order right rows after left ones at equal timestamps
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_tag).alias("__tag"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l_cols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_tag).alias("__tag"),
+        *[F.lit(None).cast(r.schema[f"__v_{c}"].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in l_cols]).alias("__row"),
+    )
+    r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
+
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__tag",
+        "__row",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__tag") == left_tag).select(
+        *[F.col("__row")[c].alias(c) for c in l_cols],
+        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points into [lo, hi) intervals via bucketized candidates.
+
+    Each interval explodes to the width-``bucket_width`` buckets it
+    overlaps; each point maps to exactly one bucket; the equi-join on
+    bucket replaces the O(n·m) inequality cross join and the exact
+    predicate filters the candidates. Choose ``bucket_width`` near
+    the median interval width: wider → fewer candidate duplicates,
+    narrower → fewer false candidates.
+    """
+    if how not in ("inner", "left"):
+        raise OperatorConfigError("range_join supports inner/left")
+    bw = float(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("long"),
+                F.floor((F.col(hi_col) - 1e-12) / bw).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / bw).cast("long"))
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    joined = pt.join(iv, on="__bucket", how="inner").filter(cond).drop("__bucket")
+    if how == "inner":
+        return joined
+    # left: keep unmatched points with nulls
+    matched_keys = joined.select(*points.columns)
+    unmatched = pt.drop("__bucket").exceptAll(matched_keys)
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return joined.unionByName(unmatched)
+
+
+@register_operator("as_of_join")
+class AsOfJoinOperator(Operator):
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("on", "left_ts", "right_ts", "value_cols"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"as_of_join requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": as_of_join(
+                inputs["left"], inputs["right"], c["on"], c["left_ts"],
+                c["right_ts"], list(c["value_cols"]), bool(c.get("strict", False)),
+            )
+        }
