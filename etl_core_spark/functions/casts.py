@@ -55,6 +55,16 @@ _TARGET_SPARK: dict[str, T.DataType] = {
 
 ON_ERROR = ("raise", "null", "skip")
 
+# Int64 bounds as exact doubles: a double d is representable as a long
+# iff -2^63 <= d < 2^63 (Long.MaxValue = 2^63-1 itself is not a double;
+# the nearest double >= it is exactly 2^63, which overflows). Without
+# this guard Spark's non-ANSI cast SATURATES out-of-range doubles to
+# Long.Max/MinValue — silent corruption (reference's Python path keeps
+# arbitrary-precision ints, so its unrepresentable-in-int64 values must
+# become NULL/error here, reference type_conversion_helper.py:92-114).
+_INT64_MIN_D = float(-(2**63))  # exactly representable
+_INT64_MAX_EXCL_D = float(2**63)  # first double above Long.MaxValue
+
 
 class CastError(ValueError):
     pass
@@ -83,6 +93,20 @@ def _normalized_string(col: Column) -> Column:
 
 def _null_marker(col: Column) -> Column:
     return _normalized_string(col).isin(*NULL_STRINGS)
+
+
+def _integral_double_to_long(d: Column) -> Column:
+    """double → long: integral AND inside int64 range, else NULL.
+
+    The range guard prevents non-ANSI cast saturation (1e19 → Long.Max).
+    """
+    ok = (
+        d.isNotNull()
+        & (d == F.floor(d))
+        & (d >= F.lit(_INT64_MIN_D))
+        & (d < F.lit(_INT64_MAX_EXCL_D))
+    )
+    return F.when(ok, d.cast("long")).otherwise(F.lit(None).cast("long"))
 
 
 def _convert(col: Column, source_type: T.DataType, target: str) -> Column:
@@ -123,16 +147,12 @@ def _convert(col: Column, source_type: T.DataType, target: str) -> Column:
         if isinstance(source_type, (T.DoubleType, T.FloatType, T.DecimalType)):
             # floats accepted only if integral (reference helper:97-105)
             d = col.cast("double")
-            return F.when(d.isNotNull() & (d == F.floor(d)), d.cast("long")).otherwise(
-                F.lit(None).cast("long")
-            )
+            return _integral_double_to_long(d)
         # strings: parse via double fallback, require integral
         d = F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
             F.trim(col.cast("string")).try_cast("double")
         )
-        return F.when(d.isNotNull() & (d == F.floor(d)), d.cast("long")).otherwise(
-            F.lit(None).cast("long")
-        )
+        return _integral_double_to_long(d)
 
     if target == "float":
         if isinstance(source_type, T.BooleanType):

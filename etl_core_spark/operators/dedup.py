@@ -139,13 +139,31 @@ def minhash_dedup_pairs(
     )
 
 
+_SIMHASH_LANE_BITS = 20  # per-bit popcount lane width
+_SIMHASH_LANES_PER_LONG = 3  # 3 × 20-bit lanes per packed long
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2, bits: int = 60
 ) -> DataFrame:
-    """SimHash via explode + 60 codegen'd sum aggregates (same result
-    as functions/text.simhash64's HOF form, far cheaper to analyze
-    and execute; partial sums combine map-side). Zero-shingle docs
-    get the all-zero fingerprint."""
+    """SimHash with packed-counter aggregation.
+
+    The naive form — one ``sum(when(shiftright(h,b)%2*2-1))`` aggregate
+    per bit — puts 60 conditional expressions inside HashAggregateExec;
+    the generated Java blows past the JIT/codegen method-size limits
+    and the whole aggregate runs interpreted (measured 17 s on 5k docs
+    at sf0.1). Instead we pack 3 per-bit popcount lanes of 20 bits into
+    each of 20 longs in a *projection* (codegen-friendly), aggregate
+    with 20 plain ``sum(long)`` + one ``count`` (map-side combinable,
+    40 bytes of state per doc), and unpack lanes + majority-vote in a
+    final cheap projection. Fingerprint bit b = 1 iff
+    ``2*popcount(b) > n_shingles`` — identical to sign-of-sum-of-±1.
+
+    Lane width 20 bits caps a document at 2^20 (~1M) shingles before a
+    lane overflows into its neighbor; beyond-cap docs would need wider
+    lanes (documented scale assumption). Zero-shingle docs get the
+    all-zero fingerprint (count 0 → no majority anywhere).
+    """
     from etl_core_spark.session import ensure_parallelism
 
     ex = ensure_parallelism(df).select(
@@ -154,22 +172,38 @@ def simhash_fingerprints(
     )
     h = F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
     ex = ex.withColumn("__h", h)
-    aggs = [
-        F.sum(
-            F.when(F.col("__h").isNull(), F.lit(0)).otherwise(
-                F.shiftright(F.col("__h"), b) % 2 * 2 - 1
-            )
-        ).alias(f"b{b}")
-        for b in range(bits - 1, -1, -1)
+
+    lanes = _SIMHASH_LANES_PER_LONG
+    lw = _SIMHASH_LANE_BITS
+    n_packed = (bits + lanes - 1) // lanes
+    packed_cols = []
+    for j in range(n_packed):
+        lane_exprs = []
+        for k in range(lanes):
+            b = j * lanes + k
+            if b >= bits:
+                break
+            bit = F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))
+            lane_exprs.append(F.shiftleft(bit, k * lw))
+        packed = lane_exprs[0]
+        for e in lane_exprs[1:]:
+            packed = packed + e
+        packed_cols.append(F.coalesce(packed, F.lit(0)).alias(f"p{j}"))
+    ex = ex.select(F.col(id_col), F.col("__h"), *packed_cols)
+
+    aggs = [F.sum(f"p{j}").alias(f"p{j}") for j in range(n_packed)] + [
+        F.count("__h").alias("__cnt")
     ]
     g = ex.groupBy(id_col).agg(*aggs)
-    fp = F.concat(
-        *[
-            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for b in range(bits - 1, -1, -1)
-        ]
-    )
-    return g.select(F.col(id_col), fp.alias("simhash"))
+
+    bit_chars = []
+    for b in range(bits - 1, -1, -1):
+        j, k = b // lanes, b % lanes
+        pop = F.shiftrightunsigned(F.col(f"p{j}"), k * lw).bitwiseAND(F.lit((1 << lw) - 1))
+        bit_chars.append(
+            F.when(pop * 2 > F.col("__cnt"), F.lit("1")).otherwise(F.lit("0"))
+        )
+    return g.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:

@@ -101,6 +101,10 @@ def model_str_to_int(s):
         return None
     if math.isnan(d) or math.isinf(d) or d != math.floor(d):
         return None
+    # int64 range guard (as doubles): out-of-range is unrepresentable in
+    # LongType, so the engine yields NULL rather than saturating.
+    if d < -(2**63) or d >= 2**63:
+        return None
     return int(d)
 
 

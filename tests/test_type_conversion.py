@@ -41,6 +41,33 @@ def test_float_to_int_integral_only(spark):
     assert [r["v"] for r in out.collect()] == [3, None, None]
 
 
+def test_int_cast_out_of_int64_range_nulls_not_saturates(spark):
+    # Non-ANSI Spark cast saturates 1e19 to Long.MaxValue; the ladder
+    # must yield NULL instead (and 'raise' must detect it).
+    df = spark.createDataFrame(
+        [("1e19",), ("-1e19",), ("9223372036854775807",),  # parses to 2^63 as double → out
+         ("-9223372036854775808",),  # exactly -2^63 as double → in range
+         ("1e18",), ("123",)],
+        "v string",
+    )
+    out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
+        {"in": df}
+    )["out"]
+    assert [r["v"] for r in out.collect()] == [
+        None, None, None, -(2**63), 10**18, 123
+    ]
+
+    dbl = spark.createDataFrame([(1e19,), (-1e19,), (1e18,)], "v double")
+    out2 = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
+        {"in": dbl}
+    )["out"]
+    assert [r["v"] for r in out2.collect()] == [None, None, 10**18]
+
+    op = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "raise"}])
+    with pytest.raises(CastError, match="not convertible"):
+        op.apply({"in": spark.createDataFrame([("1e19",)], "v string")})
+
+
 def test_bool_to_int_forbidden(spark):
     df = spark.createDataFrame([(True,), (False,)], "v boolean")
     out = tc(rules=[{"column_path": "v", "target": "integer", "on_error": "null"}]).apply(
