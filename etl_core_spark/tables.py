@@ -1,12 +1,20 @@
 """Canonical loaders for the benchmark/test tables.
 
-``/root/testdata/sf*/events.parquet`` stores its ``ts`` column as
-parquet TIMESTAMP(NANOS), which Spark's parquet reader rejects
-(PARQUET_TYPE_ILLEGAL). The documented escape hatch is
-``spark.sql.legacy.parquet.nanosAsLong`` — ts arrives as nanos since
-epoch and is rebuilt to a microsecond TIMESTAMP_NTZ here (matching
-the NTZ type Spark infers for the ms-precision tables). The cast
-stays in the distributed scan; no driver-side materialization.
+``/root/testdata/sf*/events.parquet`` has shipped its ``ts`` column
+as parquet TIMESTAMP(NANOS) in some generations and plain
+TIMESTAMP(MICROS) in others; the testdata contract never froze the
+physical type, so the loader branches on the dtype Spark actually
+observes:
+
+- ``bigint`` — the file is NANOS and
+  ``spark.sql.legacy.parquet.nanosAsLong`` surfaced it as nanos
+  since epoch; rebuild a microsecond TIMESTAMP_NTZ.
+- ``timestamp`` (ltz) — cast to TIMESTAMP_NTZ under the UTC session
+  pin (stored instants are UTC wall times).
+- ``timestamp_ntz`` — already the canonical type; pass through.
+
+All branches stay in the distributed scan; no driver-side
+materialization.
 """
 
 from __future__ import annotations
@@ -31,15 +39,24 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the ltz→ntz cast below renders wall time in the SESSION
+        # any ltz→ntz cast below renders wall time in the SESSION
         # timezone; pin UTC so the rebuild is correct under any
-        # caller-provided session (the stored nanos are UTC instants)
+        # caller-provided session (the stored values are UTC instants)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file surfaced as nanos-since-epoch
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "CAST(timestamp_micros(CAST(ts / 1000 AS BIGINT))"
+                    " AS TIMESTAMP_NTZ)"
+                ),
+            )
+        if ts_type == "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
