@@ -109,64 +109,98 @@ def _integral_double_to_long(d: Column) -> Column:
     return F.when(ok, d.cast("long")).otherwise(F.lit(None).cast("long"))
 
 
-def _convert(col: Column, source_type: T.DataType, target: str) -> Column:
-    """Build the conversion expression; unconvertible values → NULL.
+def _convert_stages(col, source_type, target):
+    """Build the conversion as (prep, finish).
 
-    The on_error policy is layered on top by ``compile_cast``.
+    ``prep`` (a Column or None) is an intermediate worth materializing
+    exactly once in its own projection; ``finish`` maps the
+    materialized intermediate (or the original column when prep is
+    None) to the final value. The split exists for performance:
+    ``_integral_double_to_long`` references its input ~6×, and if that
+    input is itself an expensive parse (try_cast of a JSON extract),
+    Catalyst would otherwise duplicate the parse into every reference.
+    Materializing ``prep`` as a separate non-cheap, multi-referenced
+    projection keeps CollapseProject from inlining it, so the parse
+    runs once per row. ``_convert`` composes the stages for callers
+    that need a single expression.
     """
     if target == "string":
-        return col.cast("string")
+        return None, lambda c: c.cast("string")
 
     if target == "boolean":
         if isinstance(source_type, T.BooleanType):
-            return col
+            return None, lambda c: c
         if isinstance(source_type, (T.StringType,)):
-            s = _normalized_string(col)
-            return (
-                F.when(col.isNull() | _null_marker(col), F.lit(None).cast("boolean"))
-                .when(s.isin(*TRUE_STRINGS), F.lit(True))
-                .when(s.isin(*FALSE_STRINGS), F.lit(False))
-                .otherwise(F.lit(None).cast("boolean"))
-            )
+            def finish_bool(s: Column) -> Column:
+                # s is the normalized string; NULL iff the source was
+                return (
+                    F.when(
+                        s.isNull() | s.isin(*NULL_STRINGS),
+                        F.lit(None).cast("boolean"),
+                    )
+                    .when(s.isin(*TRUE_STRINGS), F.lit(True))
+                    .when(s.isin(*FALSE_STRINGS), F.lit(False))
+                    .otherwise(F.lit(None).cast("boolean"))
+                )
+
+            return _normalized_string(col), finish_bool
         if isinstance(source_type, T.NumericType):
             # numeric→bool: 0/1 only (reference helper:126-144)
-            return (
-                F.when(col.isNull(), F.lit(None).cast("boolean"))
-                .when(col == 1, F.lit(True))
-                .when(col == 0, F.lit(False))
-                .otherwise(F.lit(None).cast("boolean"))
-            )
-        return F.lit(None).cast("boolean")
+            def finish_num_bool(c: Column) -> Column:
+                return (
+                    F.when(c.isNull(), F.lit(None).cast("boolean"))
+                    .when(c == 1, F.lit(True))
+                    .when(c == 0, F.lit(False))
+                    .otherwise(F.lit(None).cast("boolean"))
+                )
+
+            return None, finish_num_bool
+        return None, lambda c: F.lit(None).cast("boolean")
 
     if target == "integer":
         if isinstance(source_type, T.BooleanType):
             # bool→int forbidden (reference helper:92-96)
-            return F.lit(None).cast("long")
+            return None, lambda c: F.lit(None).cast("long")
         if isinstance(source_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            return col.cast("long")
+            return None, lambda c: c.cast("long")
         if isinstance(source_type, (T.DoubleType, T.FloatType, T.DecimalType)):
             # floats accepted only if integral (reference helper:97-105)
-            d = col.cast("double")
-            return _integral_double_to_long(d)
+            return col.cast("double"), _integral_double_to_long
         # strings: parse via double fallback, require integral
-        d = F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
+        parsed = F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
             F.trim(col.cast("string")).try_cast("double")
         )
-        return _integral_double_to_long(d)
+        return parsed, _integral_double_to_long
 
     if target == "float":
         if isinstance(source_type, T.BooleanType):
-            return F.lit(None).cast("double")
+            return None, lambda c: F.lit(None).cast("double")
         if isinstance(source_type, T.NumericType):
-            return col.cast("double")
-        return F.when(_null_marker(col), F.lit(None).cast("double")).otherwise(
-            F.trim(col.cast("string")).try_cast("double")
-        )
+            return None, lambda c: c.cast("double")
+
+        def finish_float(c: Column) -> Column:
+            return F.when(_null_marker(c), F.lit(None).cast("double")).otherwise(
+                F.trim(c.cast("string")).try_cast("double")
+            )
+
+        return None, finish_float
 
     if target in ("timestamp", "date"):
-        return col.try_cast(target)
+        return None, lambda c: c.try_cast(target)
 
     raise CastError(f"unreachable target {target!r}")
+
+
+def _convert(col: Column, source_type: T.DataType, target: str) -> Column:
+    """Build the conversion expression; unconvertible values → NULL.
+
+    Single-expression composition of ``_convert_stages`` (for filter
+    predicates and nested-path rebuilds where a staged projection
+    isn't available). The on_error policy is layered on top by
+    ``compile_cast``.
+    """
+    prep, finish = _convert_stages(col, source_type, target)
+    return finish(prep) if prep is not None else finish(col)
 
 
 def compile_cast(

@@ -18,8 +18,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_core_spark.functions.casts import CastRule, _convert, _resolve_type, raise_on_unconvertible
+from etl_core_spark.functions.casts import (
+    CastRule,
+    _convert,
+    _convert_stages,
+    _resolve_type,
+    raise_on_unconvertible,
+)
 from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def _staged_convert(df: DataFrame, name: str, out_name: str, src_type: T.DataType, target: str) -> DataFrame:
+    """Convert a top-level column via a two-projection plan: the parse
+    intermediate is materialized once as its own (non-cheap,
+    multi-referenced) projection, so CollapseProject cannot inline it
+    into every reference of the finishing ladder."""
+    prep, finish = _convert_stages(F.col(name), src_type, target)
+    if prep is None:
+        return df.withColumn(out_name, finish(F.col(name)))
+    tmp = f"__tc_prep_{name}"
+    return (
+        df.withColumn(tmp, prep)
+        .withColumn(out_name, finish(F.col(tmp)))
+        .drop(tmp)
+    )
 
 
 def _apply_rule(df: DataFrame, rule: CastRule) -> DataFrame:
@@ -29,13 +51,11 @@ def _apply_rule(df: DataFrame, rule: CastRule) -> DataFrame:
     if rule.on_error == "raise" and "*" not in parts and len(parts) == 1:
         # one aggregate pass over the conversion expr; fails fast with
         # the first offending value (≈ reference helper:149-162)
-        probe = df.withColumn(
-            "__conv_probe", _convert(F.col(parts[0]), src_type, rule.target)
-        )
+        probe = _staged_convert(df, parts[0], "__conv_probe", src_type, rule.target)
         raise_on_unconvertible(probe, rule, "__conv_probe")
 
     if "*" not in parts and len(parts) == 1:
-        return df.withColumn(parts[0], _convert(F.col(parts[0]), src_type, rule.target))
+        return _staged_convert(df, parts[0], parts[0], src_type, rule.target)
     return df.withColumn(
         parts[0],
         _rebuild(
