@@ -19,15 +19,20 @@ Parity with the reference database components
   batches of ``batch_size`` rather than the reference's row-by-row
   ``iterrows()`` loop (postgresql_receiver.py:102-152).
 
-No JDBC driver jars nor live databases exist in this container, so
-tests cover DML generation and config validation; the read/write
-paths execute unchanged on a cluster with the driver jar on the
-classpath.
+No JDBC driver jars nor live database servers exist in this
+container. DML generation and config validation are unit-tested, and
+the executor-side DML wire path (``foreachPartition`` →
+``_execute_dml_partition``) runs end-to-end against an in-process
+SQLite DB via the ``jdbc:sqlite:`` DBAPI mapping (the postgres
+upsert/update SQL is valid SQLite verbatim). The server-backed
+read/insert paths execute unchanged on a cluster with the driver jar
+on the classpath.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+import math
+from typing import Any, Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row
 
@@ -86,12 +91,18 @@ def build_upsert_sql(
     raise OperatorConfigError(f"unknown dialect {dialect!r}")
 
 
-def bind_named_params(query: str, params: dict[str, Any] | None) -> str:
+def bind_named_params(
+    query: str, params: dict[str, Any] | None, dialect: str = "postgresql"
+) -> str:
     """Bind ``:name`` placeholders to SQL literals (reference readers
     accept ``params`` bound server-side via SQLAlchemy —
     ``postgresql_receiver.py:17-79``; Spark's JDBC ``query`` option
     has no bind API, so values are rendered as escaped literals).
-    Unknown placeholders raise; string values are quote-escaped."""
+    Unknown placeholders raise. Strings are quote-escaped; for the
+    MySQL-family dialect (where backslash is a string escape char)
+    backslashes are doubled first, so a value ending in ``\\`` cannot
+    swallow the closing quote. Non-finite floats are rejected —
+    ``repr(inf)`` is not valid SQL."""
     import re as _re
 
     params = params or {}
@@ -101,9 +112,18 @@ def bind_named_params(query: str, params: dict[str, Any] | None) -> str:
             return "NULL"
         if isinstance(value, bool):
             return "TRUE" if value else "FALSE"
-        if isinstance(value, (int, float)):
+        if isinstance(value, float):
+            if not math.isfinite(value):
+                raise OperatorConfigError(
+                    f"cannot bind non-finite float {value!r} as a SQL literal"
+                )
             return repr(value)
-        return "'" + str(value).replace("'", "''") + "'"
+        if isinstance(value, int):
+            return repr(value)
+        s = str(value)
+        if dialect in ("mariadb", "mysql"):
+            s = s.replace("\\", "\\\\")
+        return "'" + s.replace("'", "''") + "'"
 
     def sub(match: "_re.Match[str]") -> str:
         name = match.group(1)
@@ -155,7 +175,7 @@ def _make_jdbc_read(dialect: str):
             spark = self._session()
             c = self.config
             query = c.get("query") or f"SELECT * FROM {c['entity_name']}"
-            query = bind_named_params(query, c.get("params"))
+            query = bind_named_params(query, c.get("params"), c["dialect"])
             reader = spark.read.format("jdbc").options(**self._jdbc_options())
             reader = reader.option("query", query)
             # partitioned parallel read — strict upgrade over the
@@ -231,10 +251,10 @@ def _execute_dml_partition(rows, sql, param_cols, url, user, password, batch_siz
     rows = list(rows)
     if not rows:
         return
-    conn = _dbapi_connect(url, user, password)
+    conn, paramstyle = _dbapi_connect(url, user, password)
     try:
         cur = conn.cursor()
-        stmt = sql.replace("?", "%s")
+        stmt = sql if paramstyle == "qmark" else sql.replace("?", "%s")
         for i in range(0, len(rows), batch_size):
             batch = [[r[c] for c in param_cols] for r in rows[i : i + batch_size]]
             cur.executemany(stmt, batch)
@@ -244,13 +264,20 @@ def _execute_dml_partition(rows, sql, param_cols, url, user, password, batch_siz
 
 
 def _dbapi_connect(url: str, user, password):
+    """Resolve a DBAPI connection from the JDBC url scheme.
+
+    Returns ``(connection, paramstyle)`` where paramstyle is 'qmark'
+    (statement keeps ``?``) or 'pyformat' (``?`` → ``%s``). The
+    ``jdbc:sqlite:`` mapping is stdlib and exists so the DML wire path
+    is exercisable end-to-end without a server (the postgres upsert /
+    update dialect SQL is valid SQLite verbatim)."""
     if url.startswith("jdbc:postgresql:"):
         try:
             import psycopg2  # type: ignore
         except ImportError as exc:
             raise RuntimeError("psycopg2 required on executors for postgres upsert") from exc
         dsn = url.removeprefix("jdbc:")
-        return psycopg2.connect(dsn=dsn, user=user, password=password)
+        return psycopg2.connect(dsn=dsn, user=user, password=password), "pyformat"
     if url.startswith("jdbc:mariadb:") or url.startswith("jdbc:mysql:"):
         try:
             import pymysql  # type: ignore
@@ -259,9 +286,43 @@ def _dbapi_connect(url: str, user, password):
         hostpart = url.split("//", 1)[1]
         host, dbname = hostpart.split("/", 1)
         host, _, port = host.partition(":")
-        return pymysql.connect(
-            host=host, port=int(port or 3306), user=user, password=password, database=dbname
+        return (
+            pymysql.connect(
+                host=host, port=int(port or 3306), user=user, password=password, database=dbname
+            ),
+            "pyformat",
         )
+    if url.startswith("jdbc:sqlserver:"):
+        try:
+            import pymssql  # type: ignore
+        except ImportError as exc:
+            raise RuntimeError(
+                "pymssql required on executors for sqlserver upsert/update"
+            ) from exc
+        # jdbc:sqlserver://host[:port][;databaseName=db;...]
+        rest = url.removeprefix("jdbc:sqlserver://")
+        hostport, _, props = rest.partition(";")
+        host, _, port = hostport.partition(":")
+        propmap = dict(
+            p.split("=", 1) for p in props.split(";") if "=" in p
+        )
+        return (
+            pymssql.connect(
+                server=host,
+                port=int(port or 1433),
+                user=user,
+                password=password,
+                database=propmap.get("databaseName", ""),
+            ),
+            "pyformat",
+        )
+    if url.startswith("jdbc:sqlite:"):
+        import sqlite3
+
+        path = url.removeprefix("jdbc:sqlite:")
+        # generous lock timeout: concurrent executor partitions share
+        # one file; writes serialize on sqlite's single-writer lock
+        return sqlite3.connect(path, timeout=60), "qmark"
     raise RuntimeError(f"no DBAPI mapping for url {url!r}")
 
 
