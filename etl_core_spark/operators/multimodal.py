@@ -138,7 +138,10 @@ def synthetic_media(spark, n: int = 64, payload_bytes: int = 128) -> DataFrame:
         rows.append(
             (i, payload, ("image/png", 64, 64, None) if i % 2 == 0 else ("audio/wav", None, None, 2000))
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # createDataFrame pre-slices to defaultParallelism; size to the
+    # actual row count so tiny tables don't fan out to 32 workers
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(parts)
 
 
 @register_operator("multimodal_features")

@@ -64,15 +64,27 @@ def stop_spark() -> None:
         active.stop()
 
 
-def ensure_parallelism(df, target: int | None = None):
-    """Repartition up when the input has fewer partitions than cores.
+def ensure_parallelism(
+    df,
+    target: int | None = None,
+    approx_rows: int | None = None,
+    min_rows_per_partition: int = 16,
+    min_bytes_per_partition: int = 8 * 1024,
+):
+    """Size partitions to the actual work, within ``target`` (cores).
 
     Parquet splits by bytes (`maxPartitionBytes`), so a small file
     arrives as ONE partition — fine for scan-bound queries, but a
     CPU-bound narrow map (shingling, hashing, vector math, Pandas
-    UDFs) then runs on one core. This helper is the work-based
-    partitioning lever: a no-op at 100 TB (inputs already have
-    thousands of partitions), a large win on small CPU-heavy inputs.
+    UDFs) then runs on one core. The inverse failure also exists: a
+    tiny local DataFrame arrives pre-sliced to defaultParallelism, and
+    64 rows fanned to 32 Python workers pay 32× the Arrow/worker
+    fixed cost. This helper caps the partition count by the estimated
+    input volume (row count when known — via ``approx_rows`` or plan
+    stats — else optimizer ``sizeInBytes``; the per-partition floor is
+    deliberately small because CPU cost per byte is enormous for
+    shingling/hashing) and then repartitions up or coalesces down.
+    At 100 TB both estimates exceed ``target`` and this is a no-op.
     """
     from pyspark.sql import DataFrame
 
@@ -80,6 +92,24 @@ def ensure_parallelism(df, target: int | None = None):
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    cap = target
+    rows = approx_rows
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        if rows is None and stats.rowCount().isDefined():
+            rows = int(str(stats.rowCount().get()))
+        if rows is not None:
+            cap = min(cap, max(1, -(-rows // min_rows_per_partition)))
+        else:
+            size = int(str(stats.sizeInBytes()))
+            # Long.MaxValue / huge sentinels mean "unknown"
+            if 0 <= size < (1 << 60):
+                cap = min(cap, max(1, -(-size // min_bytes_per_partition)))
+    except Exception:
+        pass  # stats unavailable — fall back to core count
+    current = df.rdd.getNumPartitions()
+    if current < cap:
+        return df.repartition(cap)
+    if current > 2 * cap and cap < target:
+        return df.coalesce(cap)
     return df
