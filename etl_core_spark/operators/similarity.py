@@ -78,6 +78,7 @@ def brute_force_topk_numpy(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    max_corpus_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow-batched numpy/BLAS kernel.
 
@@ -86,12 +87,25 @@ def brute_force_topk_numpy(
     small dim (no Arrow transfer); this path wins when dim is wide
     (d≳256) because the scoring becomes one SGEMM per query batch.
     The corpus matrix is collected once and broadcast — executors
-    each hold one copy, queries stream through mapInPandas.
+    each hold one copy, queries stream through mapInPandas. That
+    collect is driver-bounded by ``max_corpus_rows`` (checked with a
+    short-circuiting limit probe, not a full count): past it, the
+    broadcast-matrix design itself is wrong for the corpus — use
+    ``lsh_topk`` or ``ivf_topk`` instead.
     """
     import numpy as np
 
     from etl_core_spark.session import ensure_parallelism
 
+    limit = int(max_corpus_rows)
+    probe = corpus.select(id_col).limit(limit + 1).count()
+    if probe > limit:
+        raise ValueError(
+            f"brute_force_topk_numpy: corpus exceeds max_corpus_rows="
+            f"{limit}; a driver-collected broadcast matrix does not "
+            f"scale to this corpus — use lsh_topk or ivf_topk (or "
+            f"raise max_corpus_rows if the driver can hold it)"
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)

@@ -13,6 +13,7 @@ from etl_core_spark.operators.dedup import (
 )
 from etl_core_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_numpy,
     cosine_near_dup_pairs,
     lsh_topk,
 )
@@ -80,6 +81,19 @@ def test_brute_force_topk_self_query(spark, tables):
         assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
         ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_brute_force_numpy_guards_corpus_size(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+        brute_force_topk_numpy(emb, queries, k=3, max_corpus_rows=10)
+    # under the ceiling the kernel matches the JVM-expression path
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    kernel = brute_force_topk_numpy(emb, queries, k=3).collect()
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in exact} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in kernel
+    }
 
 
 def test_lsh_topk_recall_vs_exact(spark, tables):
