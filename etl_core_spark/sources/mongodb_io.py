@@ -24,6 +24,7 @@ cluster with the connector on the classpath.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -56,6 +57,23 @@ def build_pipeline(
     return pipeline
 
 
+def _connector_absent(exc: BaseException) -> bool:
+    """True iff the failure signature means the mongo-spark connector
+    jar is not on the classpath (Spark's DATA_SOURCE_NOT_FOUND /
+    ClassNotFoundException shapes), as opposed to a connection, auth,
+    or pipeline error that must propagate."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(
+        sig in msg
+        for sig in (
+            "DATA_SOURCE_NOT_FOUND",
+            "Failed to find data source",
+            "Failed to find the data source",
+            "ClassNotFoundException",
+        )
+    )
+
+
 @register_operator("read_mongodb")
 class ReadMongodb(SourceOperator):
     def validate_config(self) -> None:
@@ -75,23 +93,37 @@ class ReadMongodb(SourceOperator):
 
     def read(self) -> DataFrame:
         spark = self._session()
-        c = self.config
         try:
-            reader = (
-                spark.read.format("mongodb")
-                .option("connection.uri", c.get("uri", "mongodb://localhost:27017"))
-                .option("database", c["database"])
-                .option("collection", c["collection"])
-                .option("aggregation.pipeline", json.dumps(self.pipeline()))
+            return self._connector_read(spark)
+        except Exception as exc:
+            # only connector-absence engages the driver-side fallback;
+            # auth/pipeline/server errors must surface, and a healthy
+            # connector must never be silently bypassed by a
+            # driver-collecting path
+            if not _connector_absent(exc):
+                raise
+            logging.getLogger(__name__).warning(
+                "mongo-spark connector not on the classpath; falling back "
+                "to a driver-side pymongo read (single-node, collects the "
+                "result on the driver)"
             )
-            schema = self.declared_schema()
-            if schema is not None:
-                reader = reader.schema(schema)
-            df = reader.load()
-            df.schema
-            return df
-        except Exception:
             return self._fallback_read(spark)
+
+    def _connector_read(self, spark) -> DataFrame:
+        c = self.config
+        reader = (
+            spark.read.format("mongodb")
+            .option("connection.uri", c.get("uri", "mongodb://localhost:27017"))
+            .option("database", c["database"])
+            .option("collection", c["collection"])
+            .option("aggregation.pipeline", json.dumps(self.pipeline()))
+        )
+        schema = self.declared_schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load()
+        df.schema
+        return df
 
     def _fallback_read(self, spark) -> DataFrame:
         try:

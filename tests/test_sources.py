@@ -167,3 +167,29 @@ def test_mongo_projection_from_schema():
     )
     pipe = op.pipeline()
     assert {"$project": {"a": 1, "n.x": 1}} in pipe
+
+
+def test_mongo_read_reraises_non_connector_errors(spark, monkeypatch):
+    op = get_operator("read_mongodb")(spark=spark, database="db", collection="c")
+
+    def auth_fail(_spark):
+        raise ValueError("Authentication failed for user 'etl'")
+
+    monkeypatch.setattr(op, "_connector_read", auth_fail)
+    # the driver-collect fallback must NOT mask a real server error
+    with pytest.raises(ValueError, match="Authentication failed"):
+        op.read()
+
+
+def test_mongo_read_falls_back_when_connector_absent(spark, monkeypatch):
+    op = get_operator("read_mongodb")(spark=spark, database="db", collection="c")
+    sentinel = spark.range(1)
+
+    def no_connector(_spark):
+        raise Exception(
+            "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: mongodb."
+        )
+
+    monkeypatch.setattr(op, "_connector_read", no_connector)
+    monkeypatch.setattr(op, "_fallback_read", lambda _spark: sentinel)
+    assert op.read() is sentinel
