@@ -18,6 +18,11 @@ Routes:
     GET    /execution?job_id=...     list execution records
     GET    /operators                registry names
     GET    /operators/{name}         operator doc
+    GET    /configs/job              job-document JSON Schema
+    GET    /configs/component_types  concrete component type list
+    GET    /configs/{type}/form      component JSON Schema, hidden stripped
+    GET    /configs/{type}/full      component JSON Schema, all fields
+    GET    /configs/{type}/hidden    component JSON Schema, hidden-only
 """
 
 from __future__ import annotations
@@ -45,8 +50,14 @@ class ApiServer:
         import inspect
 
         from etl_core_spark.operators.base import get_operator, operator_names
+        from etl_core_spark.plans import op_schemas
 
         routes: list[tuple[str, str, Callable]] = [
+            ("GET", r"^/configs/job$", lambda m: (200, op_schemas.job_schema())),
+            ("GET", r"^/configs/component_types$",
+             lambda m: (200, op_schemas.component_types())),
+            ("GET", r"^/configs/([^/]+)/(form|full|hidden)$",
+             lambda m: (200, op_schemas.component_schema(m.group(1), m.group(2)))),
             ("GET", r"^/health$", lambda m: (200, {"status": "ok"})),
             ("GET", r"^/jobs$", lambda m: (200, self.store.list_jobs())),
             ("POST", r"^/jobs$", lambda m: (201, {"job_id": self.store.create_job(body)})),

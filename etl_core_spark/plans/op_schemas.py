@@ -1,0 +1,371 @@
+"""Per-component JSON Schemas for the HTTP API / UI form building.
+
+Parity with the reference's schema router
+(``src/etl_core/api/routers/schemas.py:33-180,362-520``): the
+reference derives JSON Schema from each component's pydantic model
+and serves three views per component — ``form`` (GUI-hidden fields
+stripped), ``full`` (everything), ``hidden`` (hidden-only) — plus the
+job-document schema and the component-type list. This engine's
+operators validate config imperatively (no pydantic), so the field
+specs live here as one declarative table keyed by registry name; the
+same ``hidden`` flag drives the three views.
+
+Draft: https://json-schema.org/draft/2020-12/schema (the subset the
+reference's GUI consumes: type/properties/required/default/enum/
+description/items).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from etl_core_spark.operators.base import OperatorConfigError, operator_names
+
+
+def f(
+    name: str,
+    jtype: str,
+    *,
+    required: bool = False,
+    default: Any = None,
+    desc: str = "",
+    hidden: bool = False,
+    enum: list | None = None,
+    items: dict | None = None,
+) -> dict[str, Any]:
+    spec: dict[str, Any] = {"name": name, "type": jtype, "required": required, "hidden": hidden}
+    if default is not None:
+        spec["default"] = default
+    if desc:
+        spec["description"] = desc
+    if enum is not None:
+        spec["enum"] = enum
+    if items is not None:
+        spec["items"] = items
+    return spec
+
+
+_STR_ARRAY = {"type": "array", "items": {"type": "string"}}
+
+# port-schema declaration accepted by every source/sink (Schema.from_dict)
+_SCHEMA_FIELD = f(
+    "schema", "object",
+    desc="declared port schema: {fields: [{name, data_type, nullable, children}]}",
+)
+
+_WRITE_MODE = f("mode", "string", default="overwrite", enum=["overwrite", "append"])
+_SINGLE_FILE = f(
+    "single_file", "boolean", default=True,
+    desc="coalesce(1) for a single output file (reference writes one file)",
+)
+_FILEPATH = f("filepath", "string", required=True)
+
+_RULE_DESC = (
+    "rule tree: {column, operator, value} with operator in "
+    "(==, !=, >, <, >=, <=, contains) or {logical_operator: AND|OR|NOT, rules: [...]}"
+)
+
+_JDBC_READ = [
+    f("url", "string", required=True, desc="jdbc:<dialect>://host:port/db"),
+    f("user", "string"),
+    f("password", "string", hidden=True),
+    f("driver", "string", desc="JDBC driver class override"),
+    f("entity_name", "string", desc="table to SELECT * from (or use 'query')"),
+    f("query", "string", desc="SQL text; :name placeholders bound from 'params'"),
+    f("params", "object", desc="named bind parameters for :name placeholders"),
+    f("partitionColumn", "string", desc="numeric column for parallel range reads"),
+    f("lowerBound", "integer"),
+    f("upperBound", "integer"),
+    f("numPartitions", "integer"),
+    f("fetchsize", "integer"),
+    _SCHEMA_FIELD,
+]
+
+_JDBC_WRITE = [
+    f("url", "string", required=True),
+    f("user", "string"),
+    f("password", "string", hidden=True),
+    f("driver", "string"),
+    f("entity_name", "string", required=True, desc="target table"),
+    f("operation", "string", default="insert", enum=["insert", "upsert", "update", "truncate"]),
+    f("key_columns", "array", items={"type": "string"}, desc="conflict keys (upsert)"),
+    f("where_columns", "array", items={"type": "string"}, desc="match columns (update)"),
+    f("set_columns", "array", items={"type": "string"}, desc="columns to SET (update; default = non-where)"),
+    f("batch_size", "integer", default=1000, desc="DML rows per executemany batch"),
+]
+
+FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
+    # -- file / table sources & sinks ---------------------------------
+    "read_csv": [
+        _FILEPATH,
+        f("separator", "string", default=",", enum=[",", ";", "\t", "|"]),
+        _SCHEMA_FIELD,
+    ],
+    "write_csv": [
+        _FILEPATH,
+        f("separator", "string", default=","),
+        _SINGLE_FILE,
+        _WRITE_MODE,
+    ],
+    "read_json": [
+        _FILEPATH,
+        f("lines", "boolean", default=False, desc="force NDJSON mode (auto-detected otherwise)"),
+        _SCHEMA_FIELD,
+    ],
+    "write_json": [
+        _FILEPATH,
+        _SINGLE_FILE,
+        _WRITE_MODE,
+        f("compression", "string", enum=["gzip", "bzip2", "none"]),
+    ],
+    "read_xml": [
+        _FILEPATH,
+        f("record_tag", "string", required=True, desc="XML element per row"),
+        _SCHEMA_FIELD,
+    ],
+    "write_xml": [
+        _FILEPATH,
+        f("root_tag", "string", required=True),
+        f("record_tag", "string", required=True),
+        _SINGLE_FILE,
+        _WRITE_MODE,
+    ],
+    "read_excel": [
+        _FILEPATH,
+        f("sheet_name", "string", default="0"),
+        f("npartitions", "integer", default=8, desc="partitions after the driver-side pandas bridge"),
+        _SCHEMA_FIELD,
+    ],
+    "write_excel": [
+        _FILEPATH,
+        f("sheet_name", "string", default="Sheet1"),
+    ],
+    "read_parquet": [_FILEPATH, _SCHEMA_FIELD],
+    "write_parquet": [
+        _FILEPATH,
+        _WRITE_MODE,
+        f("partition_by", "array", items={"type": "string"}),
+        f("compression", "string", enum=["snappy", "zstd", "gzip", "none"]),
+    ],
+    "write_bucketed": [
+        f("table", "string", required=True),
+        f("bucket_by", "array", required=True, items={"type": "string"}),
+        f("num_buckets", "integer", default=32),
+        f("sort_by", "array", items={"type": "string"}),
+        f("format", "string", default="parquet"),
+        _WRITE_MODE,
+    ],
+    "read_table": [f("table", "string", required=True)],
+    "generate_rows": [f("n", "integer", default=100)],
+    "fail_source": [f("message", "string", hidden=True)],
+    "fail_once_sink": [f("key", "string", default="default", hidden=True)],
+    # -- databases -----------------------------------------------------
+    "read_mongodb": [
+        f("uri", "string", default="mongodb://localhost:27017"),
+        f("database", "string", required=True),
+        f("collection", "string", required=True),
+        f("query_filter", "object", desc="Mongo $match document"),
+        f("sort", "array", items={"type": "array"}, desc="[[field, 1|-1], ...]"),
+        f("skip", "integer"),
+        f("limit", "integer"),
+        _SCHEMA_FIELD,
+    ],
+    "write_mongodb": [
+        f("uri", "string", default="mongodb://localhost:27017"),
+        f("database", "string", required=True),
+        f("collection", "string", required=True),
+        f("operation", "string", default="insert", enum=["insert", "truncate", "upsert", "update"]),
+        f("key_fields", "array", items={"type": "string"}, desc="match keys (upsert)"),
+        f("match_filter", "object", desc="static match document (update)"),
+        f("update_fields", "array", items={"type": "string"}, desc="$set fields (default: all)"),
+        f("ordered", "boolean", default=False),
+    ],
+    # -- data operations ----------------------------------------------
+    "filter": [
+        f("rule", "object", required=True, desc=_RULE_DESC),
+        f("cache", "boolean", default=False, desc="cache the input so pass+fail scan it once"),
+    ],
+    "aggregation": [
+        f("group_by", "array", items={"type": "string"}),
+        f(
+            "aggregations", "array", required=True,
+            items={"type": "object"},
+            desc="[{src, func in (min,max,sum,avg,count,median,std,var,nunique), dest}]",
+        ),
+    ],
+    "schema_mapping": [
+        f("join_plan", "object", desc="{steps: [{left, right, on, how}]} multi-step joins"),
+        f("rules_by_dest", "object", desc="dest -> [{src_path, dst_path}] mapping rules"),
+    ],
+    "type_conversion": [
+        f(
+            "rules", "array", required=True,
+            items={"type": "object"},
+            desc="[{column_path (dots + '*'), target in (string,integer,float,boolean,timestamp,date), on_error in (raise,null,skip)}]",
+        ),
+    ],
+    "merge": [
+        f("allow_missing_columns", "boolean", default=True, desc="unionByName(allowMissingColumns)"),
+    ],
+    "split": [
+        f("branches", "array", default=["out_1", "out_2"], items={"type": "string"}),
+    ],
+    "validate": [
+        _SCHEMA_FIELD | {"required": True},
+        f("strict", "boolean", default=True, desc="extra columns are errors"),
+        f("mode", "string", default="route", enum=["route", "raise"]),
+    ],
+    "as_of_join": [
+        f("on", "string", required=True, desc="equi-key"),
+        f("left_ts", "string", required=True),
+        f("right_ts", "string", required=True),
+        f("value_cols", "array", required=True, items={"type": "string"}),
+        f("strict", "boolean", default=False, desc="strictly-before match"),
+    ],
+    # -- LLM-pipeline operators ---------------------------------------
+    "dedup": [
+        f("method", "string", default="exact", enum=["exact", "minhash_lsh", "simhash"]),
+        f("keys", "array", items={"type": "string"}, desc="dedup keys (exact)"),
+        f("id_col", "string", default="doc_id", desc="survivor = min(id)"),
+        f("text_col", "string", default="text"),
+        f("threshold", "number", default=0.7, desc="Jaccard verify threshold (minhash_lsh)"),
+        f("num_hashes", "integer", default=16),
+        f("bands", "integer", default=8),
+        f("shingle_n", "integer", default=3),
+    ],
+    "similarity_search": [
+        f("method", "string", default="brute_force", enum=["brute_force", "lsh"]),
+        f("k", "integer", default=10),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+        f("query_id_col", "string", default="query_id"),
+        f("dim", "integer", default=64, desc="embedding dim (lsh)"),
+        f("num_planes", "integer", default=6, desc="hyperplanes per bucket code (lsh)"),
+    ],
+    "text_analysis": [
+        f("text_col", "string", default="text"),
+        f(
+            "metrics", "array", items={"type": "string"},
+            desc="subset of (n_chars,n_tokens,punct_ratio,stopword_ratio,quality_score,lang)",
+        ),
+    ],
+    "multimodal_features": [
+        f("feature_dim", "integer", default=8),
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("max_records_per_batch", "integer", default=256, desc="Arrow batch rows (bound blob memory)"),
+    ],
+    "hash_split": [
+        f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
+        f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),
+        f("salt", "string", default=""),
+    ],
+    "hash_sample": [
+        f("key_col", "string", required=True),
+        f("rate", "number", default=0.1),
+        f("salt", "string", default=""),
+    ],
+}
+
+# jdbc operators are factory-registered per dialect
+for _d in ("postgresql", "mariadb", "sqlserver"):
+    FIELD_SPECS[f"read_{_d}"] = list(_JDBC_READ)
+    FIELD_SPECS[f"write_{_d}"] = list(_JDBC_WRITE)
+
+VIEWS = ("form", "full", "hidden")
+
+
+def component_types() -> list[str]:
+    return operator_names()
+
+
+def component_schema(comp_type: str, view: str = "form") -> dict[str, Any]:
+    """JSON Schema for one component's config (``params`` in the job
+    document). Views mirror the reference router: ``form`` strips
+    hidden fields, ``full`` keeps everything, ``hidden`` keeps only
+    hidden fields (reference ``schemas.py:410-520``)."""
+    if view not in VIEWS:
+        raise OperatorConfigError(f"unknown schema view {view!r}; known: {VIEWS}")
+    if comp_type not in FIELD_SPECS:
+        if comp_type in operator_names():
+            raise OperatorConfigError(f"no field spec recorded for {comp_type!r}")
+        raise KeyError(f"unknown component type {comp_type!r}")
+    fields = FIELD_SPECS[comp_type]
+    if view == "form":
+        fields = [s for s in fields if not s["hidden"]]
+    elif view == "hidden":
+        fields = [s for s in fields if s["hidden"]]
+    props: dict[str, Any] = {}
+    required: list[str] = []
+    for spec in fields:
+        prop: dict[str, Any] = {"type": spec["type"]}
+        for key in ("default", "description", "enum", "items"):
+            if key in spec:
+                prop[key] = spec[key]
+        props[spec["name"]] = prop
+        if spec["required"]:
+            required.append(spec["name"])
+    schema: dict[str, Any] = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": comp_type,
+        "type": "object",
+        "properties": props,
+        "additionalProperties": True,
+    }
+    if required:
+        schema["required"] = required
+    return schema
+
+
+def job_schema() -> dict[str, Any]:
+    """JSON Schema of the job document (``JobConfig.from_dict``),
+    mirroring reference ``GET /configs/job`` (``schemas.py:362-388``;
+    job model ``runtimejob.py:37-67``). $defs preserved, not inlined."""
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "Job",
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "num_of_retries": {"type": "integer", "default": 0},
+            "metadata": {"type": "object"},
+            "components": {"type": "array", "items": {"$ref": "#/$defs/component"}},
+        },
+        "required": ["name", "components"],
+        "$defs": {
+            "component": {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string"},
+                    "comp_type": {"type": "string", "enum": component_types()},
+                    "routes": {
+                        "type": "object",
+                        "description": "out_port -> [edge]",
+                        "additionalProperties": {
+                            "type": "array", "items": {"$ref": "#/$defs/edge"}
+                        },
+                    },
+                    "port_schemas": {"type": "object"},
+                    "strategy_type": {
+                        "type": "string",
+                        "description": "parsed for reference compatibility; single Spark engine",
+                    },
+                },
+                "required": ["name", "comp_type"],
+                "additionalProperties": True,
+            },
+            "edge": {
+                "oneOf": [
+                    {"type": "string", "description": "target component name"},
+                    {
+                        "type": "object",
+                        "properties": {
+                            "to": {"type": "string"},
+                            "in_port": {"type": "string", "default": "in"},
+                        },
+                        "required": ["to"],
+                    },
+                ]
+            },
+        },
+    }

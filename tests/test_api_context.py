@@ -74,6 +74,50 @@ def test_api_operators_and_errors(api):
     assert http("POST", f"{base}/jobs", {"name": "bad", "components": [{"name": "x"}]})[0] == 400
 
 
+def test_api_config_schemas(api):
+    server, _ = api
+    base = f"http://127.0.0.1:{server.port}"
+
+    status, types = http("GET", f"{base}/configs/component_types")
+    assert status == 200 and "read_csv" in types and "type_conversion" in types
+
+    status, job = http("GET", f"{base}/configs/job")
+    assert status == 200
+    assert job["required"] == ["name", "components"]
+    assert "component" in job["$defs"]
+    assert "read_csv" in job["$defs"]["component"]["properties"]["comp_type"]["enum"]
+
+    status, form = http("GET", f"{base}/configs/write_postgresql/form")
+    assert status == 200
+    assert form["type"] == "object"
+    assert "password" not in form["properties"]  # hidden in the form view
+    assert "entity_name" in form["required"]
+    assert form["properties"]["operation"]["enum"] == [
+        "insert", "upsert", "update", "truncate"
+    ]
+
+    status, full = http("GET", f"{base}/configs/write_postgresql/full")
+    assert status == 200 and "password" in full["properties"]
+
+    status, hidden = http("GET", f"{base}/configs/write_postgresql/hidden")
+    assert status == 200 and list(hidden["properties"]) == ["password"]
+
+    assert http("GET", f"{base}/configs/nope/form")[0] == 404
+
+
+def test_every_operator_has_a_field_spec():
+    # coverage guard: registering an operator without a schema spec is
+    # an API regression (reference serves a schema for every component)
+    from etl_core_spark.operators.base import operator_names
+    from etl_core_spark.plans.op_schemas import FIELD_SPECS, component_schema
+
+    missing = [n for n in operator_names() if n not in FIELD_SPECS]
+    assert missing == []
+    for name in operator_names():
+        schema = component_schema(name, "full")
+        assert schema["type"] == "object" and "properties" in schema
+
+
 def test_context_from_file(tmp_path, monkeypatch):
     ctx_file = tmp_path / "contexts.json"
     ctx_file.write_text(json.dumps({
