@@ -23,6 +23,14 @@ Routes:
     GET    /configs/{type}/form      component JSON Schema, hidden stripped
     GET    /configs/{type}/full      component JSON Schema, all fields
     GET    /configs/{type}/hidden    component JSON Schema, hidden-only
+    POST   /schedules                {job_id, trigger_type, trigger_args}
+    GET    /schedules[/{id}]         list / fetch
+    PUT    /schedules/{id}           retrigger
+    DELETE /schedules/{id}           delete
+    POST   /schedules/{id}/pause|resume|run-now
+    POST   /contexts                 {context_id, mapping} (*_env secrets)
+    GET    /contexts[/{id}]          list / fetch (secrets masked)
+    DELETE /contexts/{id}            delete
 """
 
 from __future__ import annotations
@@ -75,6 +83,40 @@ class ApiServer:
             ("GET", r"^/operators/([^/]+)$",
              lambda m: (200, {"name": m.group(1),
                               "doc": inspect.getdoc(get_operator(m.group(1))) or ""})),
+            # schedules (reference api/routers/schedules.py: CRUD +
+            # pause/resume/run-now, interval/cron/date triggers)
+            ("POST", r"^/schedules$",
+             lambda m: (201, {"schedule_id": self.store.create_schedule(
+                 body["job_id"],
+                 trigger_type=body.get("trigger_type", "interval"),
+                 trigger_args=body.get("trigger_args"))})),
+            ("GET", r"^/schedules$", lambda m: (200, self.store.list_schedules())),
+            ("GET", r"^/schedules/([^/]+)$",
+             lambda m: (200, self.store.get_schedule(m.group(1)))),
+            ("PUT", r"^/schedules/([^/]+)$",
+             lambda m: (200, self.store.update_schedule(
+                 m.group(1), (body or {}).get("trigger_type"),
+                 (body or {}).get("trigger_args")))),
+            ("DELETE", r"^/schedules/([^/]+)$",
+             lambda m: (200, {"deleted": self.store.delete_schedule(m.group(1)) or True})),
+            ("POST", r"^/schedules/([^/]+)/pause$",
+             lambda m: (200, self.store.pause_schedule(m.group(1)))),
+            ("POST", r"^/schedules/([^/]+)/resume$",
+             lambda m: (200, self.store.resume_schedule(m.group(1)))),
+            ("POST", r"^/schedules/([^/]+)/run-now$",
+             lambda m: (200, self.store.run_schedule_now(self.spark, m.group(1)).__dict__)),
+            # contexts (reference api/routers/contexts.py: named
+            # connection-parameter sets; secrets via *_env indirection,
+            # literal secret values masked on read)
+            ("POST", r"^/contexts$",
+             lambda m: (201, {"context_id": self.store.create_context(
+                 body["context_id"], body["mapping"])})),
+            ("GET", r"^/contexts$", lambda m: (200, self.store.list_contexts())),
+            ("GET", r"^/contexts/([^/]+)$",
+             lambda m: (200, {"context_id": m.group(1),
+                              "mapping": self.store.get_context(m.group(1))})),
+            ("DELETE", r"^/contexts/([^/]+)$",
+             lambda m: (200, {"deleted": self.store.delete_context(m.group(1)) or True})),
         ]
         for route_method, pattern, handler in routes:
             if method == route_method:

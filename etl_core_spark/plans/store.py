@@ -46,9 +46,15 @@ CREATE TABLE IF NOT EXISTS executions (
 CREATE TABLE IF NOT EXISTS schedules (
     schedule_id TEXT PRIMARY KEY,
     job_id TEXT NOT NULL REFERENCES jobs(job_id),
-    interval_seconds REAL NOT NULL,
-    next_due REAL NOT NULL,
+    trigger_type TEXT NOT NULL DEFAULT 'interval',
+    trigger_args_json TEXT NOT NULL DEFAULT '{}',
+    next_due REAL,
     enabled INTEGER NOT NULL DEFAULT 1
+);
+CREATE TABLE IF NOT EXISTS contexts (
+    context_id TEXT PRIMARY KEY,
+    mapping_json TEXT NOT NULL,
+    created_at REAL NOT NULL
 );
 """
 
@@ -74,6 +80,7 @@ class JobStore:
         self._lock = __import__("threading").RLock()
         self._conn.executescript(_SCHEMA)
         self._conn.commit()
+        self._load_contexts()  # stored contexts join the resolution path
 
     # -- jobs -----------------------------------------------------------
 
@@ -180,36 +187,187 @@ class JobStore:
 
     # -- schedules ------------------------------------------------------
 
-    def create_schedule(self, job_id: str, interval_seconds: float) -> str:
+    def create_schedule(
+        self,
+        job_id: str,
+        interval_seconds: float | None = None,
+        trigger_type: str = "interval",
+        trigger_args: dict[str, Any] | None = None,
+    ) -> str:
+        """Register a schedule. ``interval_seconds`` is the historical
+        shorthand for ``trigger_type='interval'``; cron/date triggers
+        pass ``trigger_args`` (reference trigger surface:
+        ``scheduling/scheduler_service.py:12-14,50-384``)."""
+        from etl_core_spark.plans.triggers import first_due
+
         self.get_job(job_id)  # existence check
+        if interval_seconds is not None:
+            trigger_type = "interval"
+            trigger_args = {"seconds": float(interval_seconds)}
+        trigger_args = trigger_args or {}
+        now = time.time()
+        next_due = first_due(trigger_type, trigger_args, now)
         schedule_id = uuid.uuid4().hex[:12]
         with self._lock:
             self._conn.execute(
-                "INSERT INTO schedules VALUES (?, ?, ?, ?, 1)",
-                (schedule_id, job_id, interval_seconds, time.time()),
+                "INSERT INTO schedules VALUES (?, ?, ?, ?, ?, 1)",
+                (schedule_id, job_id, trigger_type, json.dumps(trigger_args), next_due),
             )
             self._conn.commit()
         return schedule_id
 
+    def _schedule_row(self, row) -> dict[str, Any]:
+        return {
+            "schedule_id": row[0],
+            "job_id": row[1],
+            "trigger_type": row[2],
+            "trigger_args": json.loads(row[3]),
+            "next_due": row[4],
+            "enabled": bool(row[5]),
+        }
+
+    def get_schedule(self, schedule_id: str) -> dict[str, Any]:
+        row = self._conn.execute(
+            "SELECT * FROM schedules WHERE schedule_id = ?", (schedule_id,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(f"unknown schedule_id {schedule_id!r}")
+        return self._schedule_row(row)
+
+    def list_schedules(self) -> list[dict[str, Any]]:
+        rows = self._conn.execute("SELECT * FROM schedules").fetchall()
+        return [self._schedule_row(r) for r in rows]
+
+    def update_schedule(
+        self,
+        schedule_id: str,
+        trigger_type: str | None = None,
+        trigger_args: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        from etl_core_spark.plans.triggers import first_due
+
+        current = self.get_schedule(schedule_id)
+        new_type = trigger_type or current["trigger_type"]
+        new_args = trigger_args if trigger_args is not None else current["trigger_args"]
+        next_due = first_due(new_type, new_args, time.time())
+        with self._lock:
+            self._conn.execute(
+                "UPDATE schedules SET trigger_type = ?, trigger_args_json = ?, "
+                "next_due = ?, enabled = 1 WHERE schedule_id = ?",
+                (new_type, json.dumps(new_args), next_due, schedule_id),
+            )
+            self._conn.commit()
+        return self.get_schedule(schedule_id)
+
+    def delete_schedule(self, schedule_id: str) -> None:
+        with self._lock:
+            n = self._conn.execute(
+                "DELETE FROM schedules WHERE schedule_id = ?", (schedule_id,)
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"unknown schedule_id {schedule_id!r}")
+            self._conn.commit()
+
+    def _set_enabled(self, schedule_id: str, enabled: bool) -> dict[str, Any]:
+        with self._lock:
+            n = self._conn.execute(
+                "UPDATE schedules SET enabled = ? WHERE schedule_id = ?",
+                (int(enabled), schedule_id),
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"unknown schedule_id {schedule_id!r}")
+            self._conn.commit()
+        return self.get_schedule(schedule_id)
+
+    def pause_schedule(self, schedule_id: str) -> dict[str, Any]:
+        return self._set_enabled(schedule_id, False)
+
+    def resume_schedule(self, schedule_id: str) -> dict[str, Any]:
+        return self._set_enabled(schedule_id, True)
+
+    def run_schedule_now(self, spark, schedule_id: str) -> ExecutionRecord:
+        """Reference POST /schedules/{id}/run-now: execute immediately
+        without touching next_due."""
+        return self.start_execution(spark, self.get_schedule(schedule_id)["job_id"])
+
     def run_due(self, spark, now: float | None = None) -> list[ExecutionRecord]:
         """Execute every enabled schedule whose next_due has passed,
-        then advance next_due (fixed-rate, like the reference's
-        30 s APScheduler sync loop)."""
+        then advance next_due per its trigger (fixed-rate, like the
+        reference's 30 s APScheduler sync loop). One-shot date
+        triggers disable themselves after firing."""
+        from etl_core_spark.plans.triggers import next_due_after_run
+
         now = now if now is not None else time.time()
         due = self._conn.execute(
-            "SELECT schedule_id, job_id, interval_seconds FROM schedules "
-            "WHERE enabled = 1 AND next_due <= ?",
+            "SELECT schedule_id, job_id, trigger_type, trigger_args_json "
+            "FROM schedules WHERE enabled = 1 AND next_due IS NOT NULL AND next_due <= ?",
             (now,),
         ).fetchall()
         records = []
-        for schedule_id, job_id, interval in due:
+        for schedule_id, job_id, trigger_type, args_json in due:
             records.append(self.start_execution(spark, job_id))
+            nxt = next_due_after_run(trigger_type, json.loads(args_json), now)
             self._conn.execute(
-                "UPDATE schedules SET next_due = ? WHERE schedule_id = ?",
-                (now + interval, schedule_id),
+                "UPDATE schedules SET next_due = ?, enabled = ? WHERE schedule_id = ?",
+                (nxt, int(nxt is not None), schedule_id),
             )
         self._conn.commit()
         return records
+
+    # -- contexts -------------------------------------------------------
+    # (reference: api/routers/contexts.py — named connection-parameter
+    #  sets with env-indirected secrets; see plans/context.py)
+
+    def create_context(self, context_id: str, mapping: dict[str, Any]) -> str:
+        from etl_core_spark.plans.context import register_runtime_context
+
+        if not context_id or not isinstance(mapping, dict):
+            raise ValueError("context requires an id and a mapping object")
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO contexts VALUES (?, ?, ?)",
+                (context_id, json.dumps(mapping), time.time()),
+            )
+            self._conn.commit()
+        register_runtime_context(context_id, mapping)
+        return context_id
+
+    def get_context(self, context_id: str, mask_secrets: bool = True) -> dict[str, Any]:
+        from etl_core_spark.plans.context import mask_secret_keys
+
+        row = self._conn.execute(
+            "SELECT mapping_json FROM contexts WHERE context_id = ?", (context_id,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(f"unknown context_id {context_id!r}")
+        mapping = json.loads(row[0])
+        return mask_secret_keys(mapping) if mask_secrets else mapping
+
+    def list_contexts(self) -> list[str]:
+        return [
+            r[0]
+            for r in self._conn.execute(
+                "SELECT context_id FROM contexts ORDER BY context_id"
+            ).fetchall()
+        ]
+
+    def delete_context(self, context_id: str) -> None:
+        from etl_core_spark.plans.context import unregister_runtime_context
+
+        with self._lock:
+            n = self._conn.execute(
+                "DELETE FROM contexts WHERE context_id = ?", (context_id,)
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"unknown context_id {context_id!r}")
+            self._conn.commit()
+        unregister_runtime_context(context_id)
+
+    def _load_contexts(self) -> None:
+        from etl_core_spark.plans.context import register_runtime_context
+
+        for ctx_id in self.list_contexts():
+            register_runtime_context(ctx_id, self.get_context(ctx_id, mask_secrets=False))
 
     def close(self) -> None:
         self._conn.close()

@@ -105,6 +105,89 @@ def test_api_config_schemas(api):
     assert http("GET", f"{base}/configs/nope/form")[0] == 404
 
 
+def test_api_schedules_crud(api, spark, monkeypatch):
+    server, tmp_path = api
+    base = f"http://127.0.0.1:{server.port}"
+
+    src = tmp_path / "s.csv"
+    src.write_text("id\n1\n")
+    job = {
+        "name": "sched_job",
+        "components": [
+            {"name": "r", "comp_type": "read_csv", "filepath": str(src),
+             "routes": {"out": [{"to": "w", "in_port": "in"}]}},
+            {"name": "w", "comp_type": "write_csv", "filepath": str(tmp_path / "so")},
+        ],
+    }
+    job_id = http("POST", f"{base}/jobs", job)[1]["job_id"]
+
+    status, created = http("POST", f"{base}/schedules", {
+        "job_id": job_id, "trigger_type": "cron",
+        "trigger_args": {"expression": "0 3 * * *"},
+    })
+    assert status == 201
+    sid = created["schedule_id"]
+
+    status, listed = http("GET", f"{base}/schedules")
+    assert status == 200 and listed[0]["schedule_id"] == sid
+
+    status, one = http("GET", f"{base}/schedules/{sid}")
+    assert one["trigger_type"] == "cron" and one["enabled"] is True
+
+    status, updated = http("PUT", f"{base}/schedules/{sid}", {
+        "trigger_type": "interval", "trigger_args": {"seconds": 60},
+    })
+    assert updated["trigger_type"] == "interval"
+
+    assert http("POST", f"{base}/schedules/{sid}/pause")[1]["enabled"] is False
+    assert http("POST", f"{base}/schedules/{sid}/resume")[1]["enabled"] is True
+
+    status, record = http("POST", f"{base}/schedules/{sid}/run-now")
+    assert status == 200 and record["status"] == "SUCCESS"
+
+    assert http("DELETE", f"{base}/schedules/{sid}")[0] == 200
+    assert http("GET", f"{base}/schedules/{sid}")[0] == 404
+
+    # invalid trigger rejected at the API boundary
+    status, err = http("POST", f"{base}/schedules", {
+        "job_id": job_id, "trigger_type": "cron",
+        "trigger_args": {"expression": "not cron"},
+    })
+    assert status == 400 and "cron" in err["error"]
+
+
+def test_api_contexts_crud(api, monkeypatch):
+    server, _ = api
+    base = f"http://127.0.0.1:{server.port}"
+    monkeypatch.delenv("ETL_CONTEXTS_FILE", raising=False)
+    monkeypatch.setenv("API_PG_PW", "s3cret")
+
+    status, created = http("POST", f"{base}/contexts", {
+        "context_id": "api_pg",
+        "mapping": {"url": "jdbc:postgresql://h/db", "user": "etl",
+                    "password_env": "API_PG_PW", "api_token": "literal-secret"},
+    })
+    assert status == 201 and created["context_id"] == "api_pg"
+    assert http("GET", f"{base}/contexts")[1] == ["api_pg"]
+
+    status, got = http("GET", f"{base}/contexts/api_pg")
+    # literal secrets masked; *_env indirection is a name, stays visible
+    assert got["mapping"]["api_token"] == "***"
+    assert got["mapping"]["password_env"] == "API_PG_PW"
+    assert got["mapping"]["user"] == "etl"
+
+    # a job param block with context_id resolves through the store
+    from etl_core_spark.plans.context import apply_context
+
+    merged = apply_context({"context_id": "api_pg", "entity_name": "t"})
+    assert merged["password"] == "s3cret" and merged["url"] == "jdbc:postgresql://h/db"
+
+    assert http("DELETE", f"{base}/contexts/api_pg")[0] == 200
+    assert http("GET", f"{base}/contexts/api_pg")[0] == 404
+    with pytest.raises(Exception):
+        apply_context({"context_id": "api_pg"})
+
+
 def test_every_operator_has_a_field_spec():
     # coverage guard: registering an operator without a schema spec is
     # an API regression (reference serves a schema for every component)

@@ -63,6 +63,66 @@ def test_schedule_run_due(spark, tmp_path):
     assert len(store.run_due(spark, now=time.time() + 3601)) == 1
 
 
+def test_cron_trigger_next_fire():
+    import datetime as dt
+
+    from etl_core_spark.plans.triggers import TriggerError, cron_next, parse_cron
+
+    base = dt.datetime(2026, 8, 13, 10, 30, 45, tzinfo=dt.timezone.utc).timestamp()
+
+    def at(ts):
+        return dt.datetime.fromtimestamp(ts, tz=dt.timezone.utc)
+
+    # every 15 minutes: 10:30:45 → 10:45
+    assert at(cron_next("*/15 * * * *", base)) == at(base).replace(
+        minute=45, second=0, microsecond=0
+    )
+    # daily at 02:05 → next day
+    n = at(cron_next("5 2 * * *", base))
+    assert (n.day, n.hour, n.minute) == (14, 2, 5)
+    # first of month at midnight
+    n = at(cron_next("0 0 1 * *", base))
+    assert (n.month, n.day, n.hour, n.minute) == (9, 1, 0, 0)
+    # weekly: sunday (0) — 2026-08-13 is a Thursday → the 16th
+    n = at(cron_next("0 12 * * 0", base))
+    assert (n.day, n.isoweekday()) == (16, 7)
+    with pytest.raises(TriggerError):
+        parse_cron("* * *")
+    with pytest.raises(TriggerError):
+        parse_cron("61 * * * *")
+
+
+def test_schedule_cron_and_date_triggers(spark, tmp_path):
+    import time
+
+    store = JobStore(tmp_path / "jobs.db")
+    job_id = store.create_job(make_job_config(tmp_path))
+
+    sid = store.create_schedule(job_id, trigger_type="cron",
+                                trigger_args={"expression": "*/5 * * * *"})
+    sched = store.get_schedule(sid)
+    assert sched["trigger_type"] == "cron" and sched["next_due"] > time.time()
+    # cron fires once its minute arrives, then re-arms at the next slot
+    assert len(store.run_due(spark, now=sched["next_due"])) == 1
+    assert store.get_schedule(sid)["next_due"] > sched["next_due"]
+
+    # date trigger: one-shot, disables itself after firing
+    did = store.create_schedule(job_id, trigger_type="date",
+                                trigger_args={"run_at": time.time() - 1})
+    assert len(store.run_due(spark)) == 1
+    after = store.get_schedule(did)
+    assert after["enabled"] is False and after["next_due"] is None
+
+    # pause/resume/run-now/delete
+    store.pause_schedule(sid)
+    assert store.run_due(spark, now=time.time() + 10 * 60) == []
+    store.resume_schedule(sid)
+    assert store.run_schedule_now(spark, sid).status == "SUCCESS"
+    store.delete_schedule(sid)
+    with pytest.raises(KeyError):
+        store.get_schedule(sid)
+
+
 def test_cli_end_to_end(spark, tmp_path, capsys):
     cfg_path = tmp_path / "job.json"
     cfg_path.write_text(json.dumps(make_job_config(tmp_path)))
