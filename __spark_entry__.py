@@ -1302,6 +1302,52 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 sources, oracle-checked end-to-end: nation → write_csv →
+    read_csv. The reader's all-string parity with the reference
+    (dtype=str read, csv_io.py) means the oracle casts every column
+    to VARCHAR; value equality proves the quoting/escaping round-trip."""
+    import tempfile
+
+    from etl_core_spark.operators.base import get_operator
+
+    nat = _t(spark, sf_dir, "nation")
+    path = f"{tempfile.mkdtemp(prefix='spark_csv_rt_')}/nation_csv"
+    get_operator("write_csv")(filepath=path).apply({"in": nat})
+    return get_operator("read_csv")(spark=spark, filepath=path).apply({})["out"]
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+FROM nation
+"""
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 sources: orders projection → write_json (NDJSON) →
+    read_json. long/double/string survive the text round-trip typed
+    (dates would come back as strings — excluded by design)."""
+    import tempfile
+
+    from etl_core_spark.operators.base import get_operator
+
+    proj = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = f"{tempfile.mkdtemp(prefix='spark_json_rt_')}/orders_json"
+    get_operator("write_json")(filepath=path).apply({"in": proj})
+    # Spark's json writer emits NDJSON; lines=True picks the
+    # line-delimited read path (the dir name carries no .jsonl hint)
+    out = get_operator("read_json")(spark=spark, filepath=path, lines=True).apply({})["out"]
+    return out.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+_SQL_JSON_ROUNDTRIP = """
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+"""
+
+
 def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: the first pass of any tokenizer /
     vocab-building pipeline. explode → groupBy is the canonical
@@ -1463,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "token_frequency": q_token_frequency,
         "quality_filter": q_quality_filter,
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1516,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
+        "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
         # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
         # binary payloads — no SQL equivalent; rows-only checks.
