@@ -160,9 +160,12 @@ def simhash_fingerprints(
     ``2*popcount(b) > n_shingles`` — identical to sign-of-sum-of-±1.
 
     Lane width 20 bits caps a document at 2^20 (~1M) shingles before a
-    lane overflows into its neighbor; beyond-cap docs would need wider
-    lanes (documented scale assumption). Zero-shingle docs get the
-    all-zero fingerprint (count 0 → no majority anywhere).
+    lane overflows into its neighbor; a document at/over the cap fails
+    the query loudly (``raise_error`` in the final projection — the
+    check costs one comparison against the already-computed count) so
+    corruption can't pass silently; beyond-cap corpora need wider
+    lanes. Zero-shingle docs get the all-zero fingerprint (count 0 →
+    no majority anywhere).
     """
     from etl_core_spark.session import ensure_parallelism
 
@@ -203,7 +206,18 @@ def simhash_fingerprints(
         bit_chars.append(
             F.when(pop * 2 > F.col("__cnt"), F.lit("1")).otherwise(F.lit("0"))
         )
-    return g.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    fingerprint = F.when(
+        F.col("__cnt") < F.lit(1 << lw), F.concat(*bit_chars)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash lane overflow: document "),
+                F.col(id_col).cast("string"),
+                F.lit(f" has >= 2^{lw} shingles; use wider lanes (bits/lanes config)"),
+            )
+        )
+    )
+    return g.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:

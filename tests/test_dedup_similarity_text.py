@@ -66,6 +66,24 @@ def test_simhash_exact_dups_same_fingerprint(docs):
     assert any(g["n_docs"] >= 2 and g["min_id"] == 1 for g in groups)
 
 
+def test_simhash_lane_overflow_fails_loudly(spark, monkeypatch):
+    # shrink the lane width so the cap is reachable: lw=4 → a doc with
+    # >= 16 shingles must raise instead of silently corrupting lanes
+    import etl_core_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_SIMHASH_LANE_BITS", 4)
+    monkeypatch.setattr(dd, "_SIMHASH_LANES_PER_LONG", 3)
+    big = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="lane overflow"):
+        dd.simhash_fingerprints(big, "text", "doc_id").collect()
+    small = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    assert len(dd.simhash_fingerprints(small, "text", "doc_id").collect()) == 1
+
+
 def test_brute_force_topk_self_query(spark, tables):
     emb = tables["embeddings"]
     queries = emb.limit(3).select(
