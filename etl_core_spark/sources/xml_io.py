@@ -7,15 +7,32 @@ wrapping repeated ``record_tag`` elements; attributes surface as
 ``@attr`` fields, text content as ``#text``, repeated child tags as
 arrays (helper:74-110 conventions).
 
-Primary path: Spark's built-in XML data source (Spark ≥4.0,
-``format("xml")`` with ``rowTag``) — distributed, pushdown-capable.
-Fallback (older Spark): driver-side ``ET.iterparse`` streaming into
-``createDataFrame`` — same single-node reality as the reference's
-incremental parser, flagged at plan-build time.
+Read paths:
+
+- Primary: Spark's built-in XML data source (Spark ≥4.0,
+  ``format("xml")`` with ``rowTag``) — distributed, pushdown-capable.
+- Fallback (data source absent): ``wholeTextFiles`` + per-file
+  ``ET.iterparse`` on executors, records re-serialized as JSON lines
+  so Spark's distributed JSON inference types them. Parallelism is
+  per-FILE — a many-file XML corpus scales across executors; one
+  giant single file is one parser (the same limitation the
+  reference's incremental parser has, documented here).
+
+Write paths:
+
+- ``mode='overwrite'``: native XML writer (rootTag/rowTag).
+- ``mode='append'``: reference-parity in-place append to ONE local
+  XML document (``xml_helper.py:300-359`` — seek the closing root
+  tag, truncate, write records, re-close). Appending to a single
+  document is inherently single-writer; rows stream through
+  ``toLocalIterator`` so the DataFrame is never fully materialized
+  on the driver.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import xml.etree.ElementTree as ET
 from typing import Any
 
@@ -49,6 +66,42 @@ def element_to_dict(elem: ET.Element) -> Any:
     return d
 
 
+def dict_to_element(tag: str, value: Any) -> ET.Element:
+    """Inverse of ``element_to_dict`` (reference ``_row_to_element``,
+    xml_helper.py:262-288): @attr keys → attributes, #text → text,
+    lists → repeated child tags, dicts → nested elements."""
+    elem = ET.Element(tag)
+    if isinstance(value, dict):
+        for key, val in value.items():
+            if key.startswith("@"):
+                if val is not None:
+                    elem.set(key[1:], str(val))
+            elif key == "#text":
+                elem.text = "" if val is None else str(val)
+            elif isinstance(val, list):
+                for item in val:
+                    elem.append(dict_to_element(key, item))
+            else:
+                elem.append(dict_to_element(key, val))
+    elif value is not None:
+        elem.text = str(value)
+    return elem
+
+
+def _parse_xml_content(content: str, record_tag: str) -> list[str]:
+    """Parse one XML document's text into JSON-line records (executed
+    on executors by the fallback read)."""
+    import io
+
+    out = []
+    for _, elem in ET.iterparse(io.StringIO(content), events=("end",)):
+        if elem.tag == record_tag:
+            rec = element_to_dict(elem)
+            out.append(json.dumps(rec if isinstance(rec, dict) else {"#text": rec}))
+            elem.clear()
+    return out
+
+
 @register_operator("read_xml")
 class ReadXml(SourceOperator):
     def validate_config(self) -> None:
@@ -71,16 +124,61 @@ class ReadXml(SourceOperator):
             return self._fallback_read(spark, path)
 
     def _fallback_read(self, spark, path: str) -> DataFrame:
-        records = []
-        for _, elem in ET.iterparse(path, events=("end",)):
-            if elem.tag == self.config["record_tag"]:
-                rec = element_to_dict(elem)
-                records.append(rec if isinstance(rec, dict) else {"#text": rec})
-                elem.clear()
+        """Distributed iterparse: one executor task per file, records
+        re-serialized as JSON lines for distributed type inference."""
+        record_tag = self.config["record_tag"]
+        files = spark.sparkContext.wholeTextFiles(path)
+        json_lines = files.flatMap(lambda kv: _parse_xml_content(kv[1], record_tag))
+        reader = spark.read
         schema = self.declared_schema()
         if schema is not None:
-            return spark.createDataFrame(records, schema)
-        return spark.createDataFrame(records)
+            reader = reader.schema(schema)
+        return reader.json(json_lines)
+
+
+def append_records_in_place(
+    path: str, root_tag: str, record_tag: str, rows, encoding: str = "utf-8"
+) -> None:
+    """Append records into one existing XML document in place
+    (reference ``xml_helper.py:300-359``): locate the closing root
+    tag at the file tail, truncate it, stream the new record bytes,
+    re-close. Creates the document if absent/empty."""
+    closing = f"</{root_tag}>".encode(encoding)
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(f'<?xml version="1.0" encoding="{encoding}"?>\n'.encode(encoding))
+            fh.write(f"<{root_tag}>".encode(encoding))
+            for row in rows:
+                fh.write(ET.tostring(dict_to_element(record_tag, row), encoding=encoding))
+            fh.write(closing)
+        return
+    with open(path, "rb+") as fh:
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell()
+        chunk = 64 * 1024
+        pos = size
+        remainder = b""
+        closing_pos = None
+        while pos > 0 and closing_pos is None:
+            read_size = min(chunk, pos)
+            pos -= read_size
+            fh.seek(pos)
+            buf = fh.read(read_size) + remainder
+            idx = buf.rfind(closing)
+            if idx != -1:
+                closing_pos = pos + idx
+                break
+            remainder = buf[: max(0, len(closing) - 1)]
+        if closing_pos is None:
+            raise OperatorConfigError(
+                f"append to {path!r}: closing tag </{root_tag}> not found"
+            )
+        fh.seek(closing_pos)
+        fh.truncate(closing_pos)
+        for row in rows:
+            fh.write(ET.tostring(dict_to_element(record_tag, row), encoding=encoding))
+        fh.write(closing)
 
 
 @register_operator("write_xml")
@@ -91,6 +189,16 @@ class WriteXml(SinkOperator):
                 raise OperatorConfigError(f"write_xml requires {key!r}")
 
     def write(self, df: DataFrame) -> None:
+        if self.config.get("mode") == "append":
+            # reference-parity in-place append to one document; rows
+            # stream through toLocalIterator (never fully driver-held)
+            append_records_in_place(
+                str(self.config["filepath"]),
+                self.config["root_tag"],
+                self.config["record_tag"],
+                (row.asDict(recursive=True) for row in df.toLocalIterator()),
+            )
+            return
         out = df.coalesce(1) if self.config.get("single_file", True) else df
         (
             out.write.format("xml")

@@ -92,6 +92,49 @@ def test_xml_write_roundtrip(spark, tmp_path):
     assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
 
 
+def test_xml_append_in_place(spark, tmp_path):
+    from etl_core_spark.sources.xml_io import dict_to_element
+
+    p = tmp_path / "doc.xml"
+    p.write_text('<?xml version="1.0"?><root><rec><id>1</id><name>a</name></rec></root>')
+    df = spark.createDataFrame([(2, "b"), (3, "c")], "id long, name string")
+    get_operator("write_xml")(
+        filepath=str(p), root_tag="root", record_tag="rec", mode="append"
+    ).apply({"in": df})
+    # still ONE well-formed document, originals intact, appends last
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(str(p)).getroot()
+    assert root.tag == "root"
+    ids = [rec.find("id").text for rec in root.findall("rec")]
+    assert ids == ["1", "2", "3"]
+
+    # append to a missing file creates the document
+    p2 = tmp_path / "new.xml"
+    get_operator("write_xml")(
+        filepath=str(p2), root_tag="root", record_tag="rec", mode="append"
+    ).apply({"in": df.limit(1)})
+    assert ET.parse(str(p2)).getroot().find("rec/id").text == "2"
+
+    # dict_to_element inverts element_to_dict conventions
+    el = dict_to_element("rec", {"@id": "7", "name": "x", "tag": ["a", "b"]})
+    assert el.get("id") == "7" and [t.text for t in el.findall("tag")] == ["a", "b"]
+
+
+def test_xml_fallback_read_is_distributed(spark, tmp_path):
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.xml").write_text(
+            f"<root><rec><id>{2*i}</id><name>n{2*i}</name></rec>"
+            f"<rec><id>{2*i+1}</id><name>n{2*i+1}</name></rec></root>"
+        )
+    op = get_operator("read_xml")(spark=spark, filepath=str(d), record_tag="rec")
+    df = op._fallback_read(spark, str(d))
+    rows = sorted((int(r["id"]), r["name"]) for r in df.collect())
+    assert rows == [(i, f"n{i}") for i in range(6)]
+
+
 def test_parquet_roundtrip_partitioned(spark, tmp_path, tables):
     out = tmp_path / "pq"
     get_operator("write_parquet")(
