@@ -839,7 +839,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
     out = range_join(
         part, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi",
-        bucket_width=250.0,
+        bucket_width=250.0, broadcast_intervals=True,
     )
     return out.select("p_partkey", "p_retailprice", "band")
 

@@ -99,6 +99,7 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_intervals: bool | None = None,
 ) -> DataFrame:
     """Join points into [lo, hi) intervals via bucketized candidates.
 
@@ -108,6 +109,15 @@ def range_join(
     predicate filters the candidates. Choose ``bucket_width`` near
     the median interval width: wider → fewer candidate duplicates,
     narrower → fewer false candidates.
+
+    ``broadcast_intervals``: the usual shape is points ≫ intervals
+    (bands, calendars, IP ranges), and the right 100 TB plan
+    broadcasts the exploded intervals so the point side never
+    shuffles. Local-relation intervals (``createDataFrame``) have
+    unknown optimizer stats, so without the hint Spark may instead
+    broadcast the POINT side — correct at test scale, fatal at 100×.
+    True forces the hint; None (default) applies it when the interval
+    side's estimated size is known-small (<8 MB); False never does.
     """
     if how not in ("inner", "left"):
         raise OperatorConfigError("range_join supports inner/left")
@@ -121,6 +131,14 @@ def range_join(
             )
         ),
     )
+    if broadcast_intervals is None:
+        try:
+            size = int(str(intervals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+            broadcast_intervals = 0 <= size <= (8 << 20)
+        except Exception:
+            broadcast_intervals = False
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     pt = points.withColumn("__bucket", F.floor(F.col(point_col) / bw).cast("long"))
     cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     joined = pt.join(iv, on="__bucket", how="inner").filter(cond).drop("__bucket")
