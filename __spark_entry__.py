@@ -1016,7 +1016,7 @@ WITH t AS (
 SELECT doc_id,
        length(text) AS n_chars_calc,
        len(toks) AS n_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpe,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpe,
        round(CASE WHEN length(text) > 0
              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                   / CAST(length(text) AS DOUBLE)

@@ -61,6 +61,11 @@ class ApiServer:
         from etl_core_spark.plans import op_schemas
 
         routes: list[tuple[str, str, Callable]] = [
+            # reference api/routers/setup.py: GUI setup-key check (the
+            # reference ships a placeholder constant; env-overridable here)
+            ("GET", r"^/setup$",
+             lambda m: (200, (query.get("key") or [None])[0]
+                        == __import__("os").environ.get("ETL_SETUP_KEY", "VALID_KEY"))),
             ("GET", r"^/configs/job$", lambda m: (200, op_schemas.job_schema())),
             ("GET", r"^/configs/component_types$",
              lambda m: (200, op_schemas.component_types())),

@@ -74,6 +74,13 @@ def test_api_operators_and_errors(api):
     assert http("POST", f"{base}/jobs", {"name": "bad", "components": [{"name": "x"}]})[0] == 400
 
 
+def test_api_setup_key(api):
+    server, _ = api
+    base = f"http://127.0.0.1:{server.port}"
+    assert http("GET", f"{base}/setup?key=VALID_KEY")[1] is True
+    assert http("GET", f"{base}/setup?key=nope")[1] is False
+
+
 def test_api_config_schemas(api):
     server, _ = api
     base = f"http://127.0.0.1:{server.port}"
