@@ -65,6 +65,17 @@ def test_filter_rule_pushdown(spark, tables):
     assert "GreaterThan(o_totalprice,100000.0)" in plan
 
 
+def test_range_join_broadcasts_interval_side(spark):
+    # the point side must stream (never shuffle/broadcast); the tiny
+    # exploded interval side carries the broadcast
+    import __spark_entry__ as m
+
+    df = m.queries()["range_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "BuildLeft" not in plan
+
+
 def test_ivf_topk_self_query(spark, tables):
     from etl_core_spark.operators.similarity import ivf_topk
 
