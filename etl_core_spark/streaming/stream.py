@@ -103,44 +103,72 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def _sessions_frame(user_id, sessions: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s[0], unit="s") for s in sessions],
+            "session_end": [pd.Timestamp(s[1], unit="s") for s in sessions],
+            "n_events": [s[2] for s in sessions],
+        }
+    )
+
+
 def _session_func(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Gap-timeout sessionization state update (runs per key group)."""
-    gap_s = 30 * 60
+    """Event-time gap sessionization (runs per key group).
+
+    Gaps are measured in EVENT time, not wall time — same semantics as
+    the batch window-function analog, so replaying history yields
+    identical sessions. Two emission paths: a within-batch gap closes
+    the open session immediately; otherwise the event-time timer fires
+    once the watermark passes last_event + gap.
+    """
+    gap_s = SESSION_GAP_SECONDS
     if state.hasTimedOut:
         start_ts, last_ts, n = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_ts, unit="s")],
-                "session_end": [pd.Timestamp(last_ts, unit="s")],
-                "n_events": [n],
-            }
-        )
+        yield _sessions_frame(key[0], [(start_ts, last_ts, n)])
         return
     ts_values: list[float] = []
-    count = 0
     for pdf in pdfs:
-        count += len(pdf)
         ts_values.extend(pdf["ts"].astype("int64").floordiv(1_000_000_000).tolist())
     if not ts_values:
         return
-    lo, hi = min(ts_values), max(ts_values)
+    ts_values.sort()
     if state.exists:
-        start_ts, last_ts, n = state.get
-        state.update((min(start_ts, lo), max(last_ts, hi), n + count))
+        cur_start, cur_last, cur_n = state.get
     else:
-        state.update((float(lo), float(hi), count))
-    state.setTimeoutDuration(gap_s * 1000)
-    return
-    yield  # pragma: no cover - generator form
+        cur_start, cur_last, cur_n = float(ts_values[0]), float(ts_values[0]), 0
+    closed: list[tuple] = []
+    for t in ts_values:
+        if t - cur_last > gap_s:
+            closed.append((cur_start, cur_last, cur_n))
+            cur_start, cur_last, cur_n = float(t), float(t), 1
+        else:
+            cur_last = max(cur_last, float(t))
+            cur_n += 1
+    state.update((cur_start, cur_last, cur_n))
+    # the timer must sit above the current watermark to be legal
+    state.setTimeoutTimestamp(
+        max(int((cur_last + gap_s) * 1000), state.getCurrentWatermarkMs() + 1)
+    )
+    if closed:
+        yield _sessions_frame(key[0], closed)
 
 
 def sessionize(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user session windows
-    with a 30-minute inactivity gap (applyInPandasWithState)."""
+    with a 30-minute inactivity gap (applyInPandasWithState,
+    EventTimeTimeout — sessions close deterministically as the
+    watermark advances, including within one availableNow run)."""
+    if isinstance(events.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require ltz; UTC session pin keeps instants equal
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", "30 minutes")
         .groupBy("user_id")
@@ -149,7 +177,7 @@ def sessionize(events: DataFrame) -> DataFrame:
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -7,12 +7,13 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_sessionize_streaming_runs_and_checkpoints(spark, tmp_path):
+def test_sessionize_streaming_emits_closed_sessions(spark, tmp_path):
     src_dir = tmp_path / "src"
     base = datetime.datetime(2024, 1, 1)
     rows = []
     for u in range(3):
-        # two bursts >30min apart → 2 sessions per user once state times out
+        # two bursts >30min apart → the first session per user closes
+        # when the second burst arrives (within-batch event-time gap)
         for i in range(5):
             rows.append((u, base + datetime.timedelta(seconds=i * 60)))
         for i in range(5):
@@ -42,13 +43,81 @@ def test_sessionize_streaming_runs_and_checkpoints(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert q.exception() is None
-    # processing-time timeouts don't fire inside a single availableNow
-    # run — state persists in the checkpoint; a successful terminated
-    # run with committed state is the contract here
-    import os
-
     assert (tmp_path / "ckpt" / "state").exists()
-    assert q.lastProgress is not None
+
+    out = spark.read.parquet(str(out_dir)).collect()
+    # first burst closed for every user (5 events, 4 min span); second
+    # burst stays open in state (nothing after it advances the
+    # watermark past its gap)
+    assert len(out) == 3
+    for r in sorted(out, key=lambda r: r["user_id"]):
+        assert r["n_events"] == 5
+        assert (r["session_end"] - r["session_start"]).total_seconds() == 4 * 60
+
+
+def test_sessionize_event_time_timeout_across_batches(spark, tmp_path):
+    """A quiet user's open session closes once OTHER users' events
+    advance the watermark past the gap — the event-time-timer path,
+    exercised deterministically with one file per micro-batch."""
+    import os
+    import time as _time
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    base = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        p = str(src_dir / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    write_file("f1", [(1, base), (1, base + datetime.timedelta(minutes=10))], t0)
+    write_file("f2", [(2, base + datetime.timedelta(hours=3))], t0 + 10)
+    write_file("f3", [(2, base + datetime.timedelta(hours=6))], t0 + 20)
+
+    from etl_core_spark.streaming import sessionize
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert q.exception() is None
+
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # user 1 closed by the TIMER (watermark passed 10:40 after f2);
+    # user 2's 13:00 session closed by the in-batch gap at 16:00; the
+    # 16:00 session stays open (watermark never passes 16:30)
+    assert got[1] == (base, base + datetime.timedelta(minutes=10), 2)
+    assert got[2] == (
+        base + datetime.timedelta(hours=3),
+        base + datetime.timedelta(hours=3),
+        1,
+    )
+    assert len(got) == 2
 
 
 def test_sessionize_batch_equivalent_counts(spark, tables, duck):
