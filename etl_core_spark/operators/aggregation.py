@@ -93,12 +93,43 @@ class AggregationOperator(Operator):
     def apply(self, inputs: PortMap) -> PortMap:
         df = self.single_input(inputs)
         self._prevalidate(df)
-        cols = [a.to_column() for a in self.aggregations]
-        if self.group_by:
-            out = df.groupBy(*[F.col(g) for g in self.group_by]).agg(*cols)
+        specs = self.aggregations
+        # mixing a sort-based aggregate (median) with a distinct
+        # aggregate (nunique) in ONE agg forces Spark's Expand
+        # strategy — every input row duplicated per distinct group and
+        # the median re-evaluated over the expanded stream (measured
+        # 4× the cost of either alone). Split that mix into two
+        # single-purpose aggregations and join the per-group results
+        # (tiny: one row per group, AQE broadcasts it).
+        has_median = any(a.op == "median" for a in specs)
+        distinct_specs = [a for a in specs if a.op == "nunique"]
+        if has_median and distinct_specs:
+            rest = [a for a in specs if a.op != "nunique"]
+            left = self._aggregate(df, rest)
+            right = self._aggregate(df, distinct_specs)
+            if self.group_by:
+                cond = None
+                for k in self.group_by:
+                    c = left[k].eqNullSafe(right[k])  # null keys are groups
+                    cond = c if cond is None else cond & c
+                joined = left.join(right, cond, "inner").select(
+                    *[left[k] for k in self.group_by],
+                    *[left[a.dest] for a in rest],
+                    *[right[a.dest] for a in distinct_specs],
+                )
+            else:
+                joined = left.crossJoin(right)
+            # restore the configured column order
+            out = joined.select(*self.group_by, *[a.dest for a in specs])
         else:
-            out = df.agg(*cols)
+            out = self._aggregate(df, specs)
         return {"out": out}
+
+    def _aggregate(self, df: DataFrame, specs: list[AggSpec]) -> DataFrame:
+        cols = [a.to_column() for a in specs]
+        if self.group_by:
+            return df.groupBy(*[F.col(g) for g in self.group_by]).agg(*cols)
+        return df.agg(*cols)
 
     def _prevalidate(self, df: DataFrame) -> None:
         # ≈ reference schema prevalidation aggregation_component.py:69-90
