@@ -11,7 +11,11 @@ JSON file; ``execution.py:15-30`` — start an execution by job id).
     python -m etl_core_spark execution start JOB_ID
     python -m etl_core_spark execution list [JOB_ID]
     python -m etl_core_spark schedule create JOB_ID --interval 3600
+    python -m etl_core_spark schedule create JOB_ID --cron "0 3 * * *"
+    python -m etl_core_spark schedule create JOB_ID --at 2026-09-01T03:00:00
+    python -m etl_core_spark schedule list|pause|resume|run-now|delete ...
     python -m etl_core_spark schedule run-due
+    python -m etl_core_spark contexts create|list|get|delete ...
     python -m etl_core_spark run path/to/job.json      # one-shot, no store
 
 The FastAPI server/scheduler daemon of the reference is intentionally
@@ -65,8 +69,25 @@ def main(argv: list[str] | None = None) -> int:
     schedule = sub.add_parser("schedule").add_subparsers(dest="sched_cmd", required=True)
     p = schedule.add_parser("create")
     p.add_argument("job_id")
-    p.add_argument("--interval", type=float, required=True, help="seconds")
+    trig = p.add_mutually_exclusive_group(required=True)
+    trig.add_argument("--interval", type=float, help="seconds")
+    trig.add_argument("--cron", help="5-field cron expression")
+    trig.add_argument("--at", help="one-shot: ISO datetime or epoch seconds")
+    schedule.add_parser("list")
+    for name in ("pause", "resume", "run-now", "delete"):
+        p = schedule.add_parser(name)
+        p.add_argument("schedule_id")
     schedule.add_parser("run-due")
+
+    contexts = sub.add_parser("contexts").add_subparsers(dest="ctx_cmd", required=True)
+    p = contexts.add_parser("create")
+    p.add_argument("context_id")
+    p.add_argument("mapping_json", help="JSON object; *_env keys name secret env vars")
+    contexts.add_parser("list")
+    p = contexts.add_parser("get")
+    p.add_argument("context_id")
+    p = contexts.add_parser("delete")
+    p.add_argument("context_id")
 
     p = sub.add_parser("run", help="run a job config file directly (no store)")
     p.add_argument("config_path")
@@ -144,10 +165,41 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps([r.__dict__ for r in store.list_executions(args.job_id)], indent=2))
         elif args.cmd == "schedule":
             if args.sched_cmd == "create":
-                print(store.create_schedule(args.job_id, args.interval))
+                if args.interval is not None:
+                    print(store.create_schedule(args.job_id, args.interval))
+                elif args.cron:
+                    print(store.create_schedule(
+                        args.job_id, trigger_type="cron",
+                        trigger_args={"expression": args.cron}))
+                else:
+                    run_at = float(args.at) if args.at.replace(".", "").isdigit() else args.at
+                    print(store.create_schedule(
+                        args.job_id, trigger_type="date",
+                        trigger_args={"run_at": run_at}))
+            elif args.sched_cmd == "list":
+                print(json.dumps(store.list_schedules(), indent=2))
+            elif args.sched_cmd == "pause":
+                print(json.dumps(store.pause_schedule(args.schedule_id)))
+            elif args.sched_cmd == "resume":
+                print(json.dumps(store.resume_schedule(args.schedule_id)))
+            elif args.sched_cmd == "run-now":
+                print(json.dumps(store.run_schedule_now(_spark(), args.schedule_id).__dict__))
+            elif args.sched_cmd == "delete":
+                store.delete_schedule(args.schedule_id)
+                print("deleted")
             elif args.sched_cmd == "run-due":
                 records = store.run_due(_spark())
                 print(json.dumps([r.__dict__ for r in records]))
+        elif args.cmd == "contexts":
+            if args.ctx_cmd == "create":
+                print(store.create_context(args.context_id, json.loads(args.mapping_json)))
+            elif args.ctx_cmd == "list":
+                print(json.dumps(store.list_contexts()))
+            elif args.ctx_cmd == "get":
+                print(json.dumps(store.get_context(args.context_id), indent=2))
+            elif args.ctx_cmd == "delete":
+                store.delete_context(args.context_id)
+                print("deleted")
         return 0
     except KeyError as exc:
         print(f"error: {exc}", file=sys.stderr)

@@ -143,6 +143,37 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert cli_main(["--db", db, "jobs", "get", job_id]) == 2
 
 
+def test_cli_schedules_and_contexts(spark, tmp_path, capsys):
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(make_job_config(tmp_path)))
+    db = str(tmp_path / "cli.db")
+
+    cli_main(["--db", db, "jobs", "create", str(cfg_path)])
+    job_id = capsys.readouterr().out.strip()
+
+    assert cli_main(["--db", db, "schedule", "create", job_id, "--cron", "0 3 * * *"]) == 0
+    sid = capsys.readouterr().out.strip()
+    assert cli_main(["--db", db, "schedule", "list"]) == 0
+    listed = json.loads(capsys.readouterr().out)
+    assert listed[0]["schedule_id"] == sid and listed[0]["trigger_type"] == "cron"
+    assert cli_main(["--db", db, "schedule", "pause", sid]) == 0
+    assert json.loads(capsys.readouterr().out)["enabled"] is False
+    assert cli_main(["--db", db, "schedule", "run-now", sid]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "SUCCESS"
+    assert cli_main(["--db", db, "schedule", "delete", sid]) == 0
+    capsys.readouterr()
+
+    assert cli_main([
+        "--db", db, "contexts", "create", "cli_pg",
+        json.dumps({"url": "jdbc:postgresql://h/db", "password": "hunter2"}),
+    ]) == 0
+    capsys.readouterr()
+    assert cli_main(["--db", db, "contexts", "get", "cli_pg"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["password"] == "***" and got["url"].startswith("jdbc:")
+    assert cli_main(["--db", db, "contexts", "delete", "cli_pg"]) == 0
+
+
 def test_cli_run_direct(tmp_path, spark, capsys):
     cfg_path = tmp_path / "job.json"
     cfg_path.write_text(json.dumps(make_job_config(tmp_path)))
