@@ -1091,6 +1091,46 @@ FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing / MOSS) document fingerprints: char
+    k-gram md5s, sliding-window minima, sorted distinct selection.
+    Scalar digest compared against DuckDB recomputing the identical
+    md5 selections."""
+    from etl_core_spark.operators.dedup import winnow_fingerprint_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprint_table(docs, "text", "doc_id", k=8, window=4).select(
+        "doc_id", "n_fingerprints", "digest"
+    )
+
+
+_SQL_WINNOW = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id, norm, greatest(length(norm) - 8 + 1, 1) AS n FROM t
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, n + 1),
+                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) AS hashes,
+         n
+  FROM g
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(n - 4 + 1, 1) + 1),
+                          j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))
+         )) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS digest
+FROM w
+"""
+
+
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1511,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1566,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _SQL_QUALITY_FILTER,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
+        "winnow_fingerprint": _SQL_WINNOW,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
         # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
         # binary payloads — no SQL equivalent; rows-only checks.

@@ -208,3 +208,37 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def winnow_gram_hashes(col: Column, k: int = 8) -> Column:
+    """Stage 1 of winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): md5 of every character
+    k-gram of the whitespace-normalized text. MATERIALIZE this in its
+    own projection before calling ``winnow_select`` — the window
+    stage references the hash array once per window, and an inlined
+    transform would re-hash the document O(n·w) times.
+
+    md5 hex strings compare lexicographically exactly like their
+    128-bit values and DuckDB computes identical digests, so the
+    selection cross-checks with the SQL oracle (same trick as the
+    MinHash signatures above)."""
+    norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
+    )
+
+
+def winnow_select(hashes: Column, window: int = 4) -> Column:
+    """Stage 2 of winnowing: slide a ``window`` of consecutive k-gram
+    hashes, keep each window's minimum, return sorted distinct
+    selections. Any shared substring of length ≥ k + window − 1
+    contributes a shared fingerprint, so plagiarism/near-dup
+    detection reduces to an equi-join on fingerprint. Pass a
+    MATERIALIZED hash-array column (see ``winnow_gram_hashes``)."""
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

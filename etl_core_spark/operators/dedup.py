@@ -143,6 +143,32 @@ _SIMHASH_LANE_BITS = 20  # per-bit popcount lane width
 _SIMHASH_LANES_PER_LONG = 3  # 3 × 20-bit lanes per packed long
 
 
+def winnow_fingerprint_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """(id, fingerprints, n_fingerprints, digest) winnowing rolling-
+    hash fingerprints (functions/text.winnow_gram_hashes/_select).
+    The k-gram hash array is materialized in its own projection so
+    the window stage references it as an attribute instead of
+    re-hashing the document per window. Zero shuffle; near-dup
+    candidates are then ``explode(fingerprints)`` + equi-join, the
+    same scale shape as MinHash banding."""
+    from etl_core_spark.session import ensure_parallelism
+
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col), X.winnow_gram_hashes(F.col(text_col), k).alias("__gh")
+    )
+    fps = hashed.select(
+        F.col(id_col), X.winnow_select(F.col("__gh"), window).alias("fingerprints")
+    )
+    return fps.select(
+        F.col(id_col),
+        "fingerprints",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.md5(F.array_join("fingerprints", ",")).alias("digest"),
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2, bits: int = 60
 ) -> DataFrame:

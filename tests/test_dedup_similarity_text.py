@@ -179,6 +179,30 @@ def test_quality_and_tokens_match_duckdb(tables, duck):
     assert out == want
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    from etl_core_spark.operators.dedup import winnow_fingerprint_table
+
+    # winnowing guarantee: any shared substring of length >= k+w-1
+    # (= 11 here) yields at least one shared fingerprint
+    common = "the stolen paragraph about spark"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text alpha {common} closing words"),
+            (2, f"completely different framing. {common}. and more"),
+            (3, "nothing in common with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprint_table(docs, "text", "doc_id", k=8, window=4)
+    rows = {r["doc_id"]: set(r["fingerprints"]) for r in fp.collect()}
+    assert rows[1] & rows[2]
+    assert not (rows[1] & rows[3])
+    # deterministic digest
+    d1 = {r["doc_id"]: r["digest"] for r in fp.collect()}
+    d2 = {r["doc_id"]: r["digest"] for r in fp.collect()}
+    assert d1 == d2
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([("a b c d",)], "t string")
     row = df.select(X.shingles(F.col("t"), 2).alias("s")).collect()[0]
