@@ -1131,6 +1131,52 @@ FROM w
 """
 
 
+def q_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-style near-dup pairs: explode winnowing fingerprints
+    and equi-join (no all-pairs scan), count shared selections. The
+    doc-frequency cap drops generic-substring fingerprints that would
+    make the join quadratic (hot keys)."""
+    from etl_core_spark.operators.dedup import winnow_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_near_dup_pairs(
+        docs, "text", "doc_id", k=8, window=4, min_shared=2, max_doc_freq=5
+    )
+
+
+_SQL_WINNOW_PAIRS = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id, norm, greatest(length(norm) - 8 + 1, 1) AS n FROM t
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, n + 1),
+                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) AS hashes,
+         n
+  FROM g
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(n - 4 + 1, 1) + 1),
+                          j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))
+         )) AS fps
+  FROM h
+), ex0 AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), rare AS (
+  SELECT fp FROM ex0 GROUP BY fp HAVING count(*) <= 5
+), ex AS (
+  SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN rare ON ex0.fp = rare.fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1552,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1608,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "winnow_fingerprint": _SQL_WINNOW,
+        "winnow_near_dup_pairs": _SQL_WINNOW_PAIRS,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
         # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
         # binary payloads — no SQL equivalent; rows-only checks.

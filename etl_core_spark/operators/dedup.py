@@ -169,6 +169,56 @@ def winnow_fingerprint_table(
     )
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — explode + equi-join on fingerprint, the
+    same scale shape as MinHash banding (no all-pairs comparison).
+
+    ``max_doc_freq`` drops fingerprints appearing in more than that
+    many documents before the join. This is load-bearing, not a
+    tuning nicety: a fingerprint of a GENERIC 11-char substring
+    ("the data is") can occur in thousands of documents, and one such
+    hot key alone makes the self-join quadratic. Capping document
+    frequency bounds the join fan-out at ``max_doc_freq²`` per
+    fingerprint — the stop-words idea applied to fingerprints
+    (standard in MOSS-style dedup at corpus scale)."""
+    fp = winnow_fingerprint_table(df, text_col, id_col, k, window)
+    # explode_outer, deliberately: plain explode makes Catalyst infer a
+    # `size(fingerprints) > 0` filter (InferFiltersFromGenerate) and
+    # predicate pushdown inlines the ENTIRE fingerprint expression
+    # into it — with the hash transform nested inside the window
+    # lambda, i.e. O(n²·w) md5s per document. Winnowing arrays are
+    # never empty (≥1 selection by construction), so outer is
+    # semantically identical; null fingerprints (null text) drop at
+    # the equi-join.
+    ex = fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp"))
+    rare = (
+        ex.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_doc_freq)
+        .select("__fp")
+    )
+    ex = ex.join(rare, on="__fp")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, on="__fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2, bits: int = 60
 ) -> DataFrame:

@@ -203,6 +203,23 @@ def test_winnow_shared_substring_guarantee(spark):
     assert d1 == d2
 
 
+def test_winnow_near_dup_pairs(spark):
+    from etl_core_spark.operators.dedup import winnow_near_dup_pairs
+
+    common = "the stolen paragraph about spark engines"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro alpha {common} closing"),
+            (2, f"other frame. {common}. more"),
+            (3, "nothing shared with anybody here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup_pairs(docs, "text", "doc_id", min_shared=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["n_shared"] >= 2
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([("a b c d",)], "t string")
     row = df.select(X.shingles(F.col("t"), 2).alias("s")).collect()[0]
