@@ -199,7 +199,9 @@ def winnow_near_dup_pairs(
     # never empty (≥1 selection by construction), so outer is
     # semantically identical; null fingerprints (null text) drop at
     # the equi-join.
-    ex = fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp"))
+    ex = fp.select(
+        F.col(id_col), F.explode_outer("fingerprints").alias("__fp")
+    ).persist()  # consumed 3× (doc-freq filter + both join sides)
     rare = (
         ex.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__df"))
