@@ -65,6 +65,20 @@ def test_filter_rule_pushdown(spark, tables):
     assert "GreaterThan(o_totalprice,100000.0)" in plan
 
 
+def test_type_conversion_parse_not_duplicated(spark):
+    """Regression guard for the cast-ladder staging: the JSON extract
+    and the string→double parse must each appear exactly once in the
+    optimized plan (the integral-long ladder references its input ~6×,
+    and un-staged plans duplicated the parse into every reference —
+    a 20× slowdown at sf0.1)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["type_conversion"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("get_json_object") == 1
+    assert plan.count("try_cast") == 1
+
+
 def test_range_join_broadcasts_interval_side(spark):
     # the point side must stream (never shuffle/broadcast); the tiny
     # exploded interval side carries the broadcast

@@ -92,6 +92,47 @@ def test_cron_trigger_next_fire():
         parse_cron("61 * * * *")
 
 
+def test_cron_next_fire_matches_brute_force():
+    """Property check: the day-skipping scanner agrees with a dumb
+    minute-by-minute walk for a spread of expressions and starts."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from etl_core_spark.plans.triggers import cron_next, parse_cron, _day_matches
+
+    def brute(expr, after):
+        spec = parse_cron(expr)
+        t = dt.datetime.fromtimestamp(after, tz=dt.timezone.utc).replace(
+            second=0, microsecond=0
+        )
+        for _ in range(60 * 24 * 400):
+            t += dt.timedelta(minutes=1)
+            if (
+                _day_matches(spec, t.date())
+                and t.hour in spec["hour"]
+                and t.minute in spec["minute"]
+            ):
+                return t.timestamp()
+        raise AssertionError("brute force found no fire in 400 days")
+
+    exprs = st.sampled_from([
+        "*/15 * * * *", "0 */6 * * *", "30 2 * * *", "5 4 1,15 * *",
+        "0 0 * * 0", "0 12 13 * 5", "59 23 28-31 * *", "7 3-5 * 2,8 *",
+    ])
+    starts = st.integers(
+        min_value=int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()),
+        max_value=int(dt.datetime(2026, 12, 31, tzinfo=dt.timezone.utc).timestamp()),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(expr=exprs, after=starts)
+    def check(expr, after):
+        assert cron_next(expr, after) == brute(expr, after)
+
+    check()
+
+
 def test_schedule_cron_and_date_triggers(spark, tmp_path):
     import time
 
