@@ -178,26 +178,44 @@ class WriteMongodb(SinkOperator):
         is_upsert = op == "upsert"
 
         def run_partition(rows) -> None:
-            import pymongo
-
-            client = pymongo.MongoClient(uri)
-            coll = client[database][collection]
-            ops = []
-            for row in rows:
-                d = row.asDict(recursive=True)
-                if is_upsert:
-                    flt = {k: d[k] for k in key_fields}
-                else:
-                    flt = dict(match_filter)
-                update = {k: d[k] for k in (update_fields or d.keys())}
-                ops.append(
-                    pymongo.UpdateOne(flt, {"$set": update}, upsert=is_upsert)
-                )
-                if len(ops) >= 1000:
-                    coll.bulk_write(ops, ordered=ordered)
-                    ops = []
-            if ops:
-                coll.bulk_write(ops, ordered=ordered)
-            client.close()
+            _execute_mongo_partition(
+                rows, uri, database, collection, is_upsert,
+                key_fields, match_filter, update_fields, ordered,
+            )
 
         df.foreachPartition(run_partition)
+
+
+def _execute_mongo_partition(
+    rows,
+    uri: str,
+    database: str,
+    collection: str,
+    is_upsert: bool,
+    key_fields,
+    match_filter,
+    update_fields,
+    ordered: bool,
+    batch_size: int = 1000,
+) -> None:
+    """Executed on executors: batched ``UpdateOne($set)`` bulk writes
+    (reference ``mongodb_receiver.py:91-133,260-422``). Module-level
+    so the wire logic is unit-testable without a live server."""
+    import pymongo
+
+    client = pymongo.MongoClient(uri)
+    try:
+        coll = client[database][collection]
+        ops = []
+        for row in rows:
+            d = row.asDict(recursive=True) if hasattr(row, "asDict") else dict(row)
+            flt = {k: d[k] for k in key_fields} if is_upsert else dict(match_filter)
+            update = {k: d[k] for k in (update_fields or d.keys())}
+            ops.append(pymongo.UpdateOne(flt, {"$set": update}, upsert=is_upsert))
+            if len(ops) >= batch_size:
+                coll.bulk_write(ops, ordered=ordered)
+                ops = []
+        if ops:
+            coll.bulk_write(ops, ordered=ordered)
+    finally:
+        client.close()

@@ -212,6 +212,62 @@ def test_mongo_projection_from_schema():
     assert {"$project": {"a": 1, "n.x": 1}} in pipe
 
 
+def test_mongo_write_wire_with_fake_pymongo(monkeypatch):
+    """Drive _execute_mongo_partition through a recording fake pymongo:
+    verifies upsert filters, $set docs, ordered flag, and batch
+    flushing — everything short of a live server."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeUpdateOne:
+        def __init__(self, flt, update, upsert=False):
+            self.flt, self.update, self.upsert = flt, update, upsert
+
+    class FakeColl:
+        def bulk_write(self, ops, ordered=False):
+            calls.append((list(ops), ordered))
+
+    class FakeClient:
+        def __init__(self, uri):
+            self.uri = uri
+            self.closed = False
+
+        def __getitem__(self, _name):
+            return {"c": FakeColl()}
+
+        def close(self):
+            self.closed = True
+
+    fake = types.ModuleType("pymongo")
+    fake.MongoClient = FakeClient
+    fake.UpdateOne = FakeUpdateOne
+    monkeypatch.setitem(sys.modules, "pymongo", fake)
+
+    from etl_core_spark.sources.mongodb_io import _execute_mongo_partition
+
+    rows = [{"id": i, "v": f"x{i}"} for i in range(5)]
+    _execute_mongo_partition(
+        rows, "mongodb://h", "db", "c", True, ["id"], {}, None, True, batch_size=2
+    )
+    # 5 rows, batch_size 2 → flushes of 2+2+1, ordered preserved
+    assert [len(ops) for ops, _ in calls] == [2, 2, 1]
+    assert all(ordered for _, ordered in calls)
+    first = calls[0][0][0]
+    assert first.flt == {"id": 0} and first.update == {"$set": {"id": 0, "v": "x0"}}
+    assert first.upsert is True
+
+    calls.clear()
+    _execute_mongo_partition(
+        rows[:2], "mongodb://h", "db", "c", False, [], {"status": "A"},
+        ["v"], False,
+    )
+    ops = calls[0][0]
+    assert ops[0].flt == {"status": "A"} and ops[0].update == {"$set": {"v": "x0"}}
+    assert ops[0].upsert is False
+
+
 def test_mongo_read_reraises_non_connector_errors(spark, monkeypatch):
     op = get_operator("read_mongodb")(spark=spark, database="db", collection="c")
 
