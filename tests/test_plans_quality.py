@@ -90,6 +90,28 @@ def test_range_join_broadcasts_interval_side(spark):
     assert "BuildLeft" not in plan
 
 
+def test_asof_join_is_single_shuffle_no_explosion(spark):
+    # union-and-carry: both sides exchange ONCE on the key; no range
+    # condition ever reaches a join operator (no nested-loop fallback)
+    import __spark_entry__ as m
+
+    df = m.queries()["asof_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # not a join at all — a window
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    # banding must keep the candidate join an equi-join on band_key
+    import __spark_entry__ as m
+
+    df = m.queries()["minhash_near_dup_pairs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_topk_self_query(spark, tables):
     from etl_core_spark.operators.similarity import ivf_topk
 
