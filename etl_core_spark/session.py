@@ -95,16 +95,30 @@ def ensure_parallelism(
     cap = target
     rows = approx_rows
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        stats = plan.stats()
         if rows is None and stats.rowCount().isDefined():
             rows = int(str(stats.rowCount().get()))
+        size = int(str(stats.sizeInBytes()))
+        size_known = 0 <= size < (1 << 60)
+        if rows is None and not size_known:
+            # createDataFrame data (LocalRelation / LogicalRDD leaves)
+            # is driver-held by construction, so a bounded count probe
+            # is cheap and beats assuming core-count work
+            leaves = plan.collectLeaves()
+            local = all(
+                leaves.apply(i).getClass().getSimpleName()
+                in ("LocalRelation", "LogicalRDD")
+                for i in range(leaves.size())
+            )
+            if local and leaves.size() > 0:
+                probe = target * min_rows_per_partition
+                n = df.limit(probe + 1).count()
+                rows = None if n > probe else n
         if rows is not None:
             cap = min(cap, max(1, -(-rows // min_rows_per_partition)))
-        else:
-            size = int(str(stats.sizeInBytes()))
-            # Long.MaxValue / huge sentinels mean "unknown"
-            if 0 <= size < (1 << 60):
-                cap = min(cap, max(1, -(-size // min_bytes_per_partition)))
+        elif size_known:
+            cap = min(cap, max(1, -(-size // min_bytes_per_partition)))
     except Exception:
         pass  # stats unavailable — fall back to core count
     current = df.rdd.getNumPartitions()
