@@ -95,30 +95,22 @@ def ensure_parallelism(
     cap = target
     rows = approx_rows
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        stats = plan.stats()
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
         if rows is None and stats.rowCount().isDefined():
             rows = int(str(stats.rowCount().get()))
-        size = int(str(stats.sizeInBytes()))
-        size_known = 0 <= size < (1 << 60)
-        if rows is None and not size_known:
-            # createDataFrame data (LocalRelation / LogicalRDD leaves)
-            # is driver-held by construction, so a bounded count probe
-            # is cheap and beats assuming core-count work
-            leaves = plan.collectLeaves()
-            local = all(
-                leaves.apply(i).getClass().getSimpleName()
-                in ("LocalRelation", "LogicalRDD")
-                for i in range(leaves.size())
-            )
-            if local and leaves.size() > 0:
-                probe = target * min_rows_per_partition
-                n = df.limit(probe + 1).count()
-                rows = None if n > probe else n
         if rows is not None:
             cap = min(cap, max(1, -(-rows // min_rows_per_partition)))
-        elif size_known:
-            cap = min(cap, max(1, -(-size // min_bytes_per_partition)))
+        else:
+            size = int(str(stats.sizeInBytes()))
+            # Long.MaxValue / huge sentinels mean "unknown". The
+            # unknown case is (in this engine) always a LogicalRDD
+            # from createDataFrame; a limit-count probe there costs a
+            # Python-worker round-trip per partition (measured ~1-2 s
+            # for 64 rows — more than the fan-out it would prevent),
+            # so callers with local data pass approx_rows or pre-size
+            # the DataFrame instead (synthetic_media does).
+            if 0 <= size < (1 << 60):
+                cap = min(cap, max(1, -(-size // min_bytes_per_partition)))
     except Exception:
         pass  # stats unavailable — fall back to core count
     current = df.rdd.getNumPartitions()
