@@ -1468,6 +1468,37 @@ ORDER BY n_total DESC, token ASC LIMIT 50
 """
 
 
+def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF (keyword
+    extraction / vocab pruning). Ranked on the 6dp-rounded score with
+    term-asc tie-break for engine-independent results."""
+    from etl_core_spark.operators.text_analysis import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+_SQL_TF_IDF = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((nd.n + 1) / CAST(dfq.df + 1 AS DOUBLE)) + 1), 6) AS tf_idf
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf_idf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tf_idf DESC, term ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score gate: the cheap pre-filter before dedup in a
     training-data pipeline."""
@@ -1599,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1656,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "winnow_fingerprint": _SQL_WINNOW,
         "winnow_near_dup_pairs": _SQL_WINNOW_PAIRS,
+        "tf_idf_top_terms": _SQL_TF_IDF,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
         # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
         # binary payloads — no SQL equivalent; rows-only checks.

@@ -51,6 +51,47 @@ def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = A
     return out
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    tf = term count within the document; idf = ln((N+1)/(df+1)) + 1
+    (sklearn's smoothed variant — bounded, never zero). Classic
+    keyword extraction / vocab-pruning pass for a training-data
+    pipeline. Plan shape: explode → two hash aggregations (both
+    map-side combinable) → broadcast the tiny per-term df table back
+    → per-doc window top-k. Ties break on term asc so results are
+    engine-independent; scores rounded to 6dp for cross-engine float
+    equality.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(X.tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = tf.join(F.broadcast(doc_freq), on="term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf_idf", "rank")
+    )
+
+
 @register_operator("text_analysis")
 class TextAnalysisOperator(Operator):
     in_ports = ("in",)

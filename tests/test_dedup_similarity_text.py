@@ -203,6 +203,30 @@ def test_winnow_shared_substring_guarantee(spark):
     assert d1 == d2
 
 
+def test_tf_idf_top_terms(spark):
+    from etl_core_spark.operators.text_analysis import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare spark engine engine"),
+            (2, "common words common words"),
+            (3, "common words again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(docs, "text", "doc_id", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf_idf"]))
+    # doc 1: 'engine' tf=2 and appears in 1 doc → top term
+    assert sorted(by_doc[1])[0][1] == "engine"
+    # every doc gets exactly top_k rows (ties broken deterministically)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # idf ordering: unique terms outscore corpus-wide ones at equal tf
+    d1 = {t: s for _, t, s in by_doc[1]}
+    assert d1["engine"] > max(s for _, t, s in by_doc[2])
+
+
 def test_winnow_near_dup_pairs(spark):
     from etl_core_spark.operators.dedup import winnow_near_dup_pairs
 
