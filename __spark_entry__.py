@@ -1329,8 +1329,12 @@ QUALIFY rank <= 5
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.similarity import cosine_near_dup_pairs
 
+    # threshold 0.4 is data-reachable on the synthetic embeddings
+    # (max pairwise cosine: 0.479 at sf0.001, 0.513 at sf0.01, 0.598
+    # at sf0.1; 0.4 yields 66/59/246 pairs) — a 0.9 threshold never
+    # fires and certifies nothing
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return cosine_near_dup_pairs(emb, threshold=0.9, exact=True)
+    return cosine_near_dup_pairs(emb, threshold=0.4, exact=True)
 
 
 _SQL_COSINE_NEAR_DUP = """
@@ -1340,7 +1344,7 @@ WITH e AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
 
 

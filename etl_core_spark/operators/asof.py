@@ -116,8 +116,18 @@ def range_join(
     shuffles. Local-relation intervals (``createDataFrame``) have
     unknown optimizer stats, so without the hint Spark may instead
     broadcast the POINT side — correct at test scale, fatal at 100×.
-    True forces the hint; None (default) applies it when the interval
-    side's estimated size is known-small (<8 MB); False never does.
+    True forces the hint; None (default) applies it when the
+    POST-EXPLOSION size is known-small (<8 MB); False never does.
+
+    Auto mode sizes what is actually broadcast: the hint lands on the
+    exploded ``iv``, which fans out by (hi−lo)/bucket_width buckets
+    per interval, so gating on the raw relation alone lets a mis-sized
+    ``bucket_width`` force an arbitrarily larger broadcast. When the
+    raw side passes the 8 MB stats gate, a one-row aggregate over it
+    measures the average bucket fan-out and the product must still fit
+    — a bounded probe (it scans a known-≤8 MB relation once, never the
+    point side) rather than a guess. An explicit ``True`` skips the
+    probe: the caller asserts the exploded side fits.
     """
     if how not in ("inner", "left"):
         raise OperatorConfigError("range_join supports inner/left")
@@ -134,7 +144,21 @@ def range_join(
     if broadcast_intervals is None:
         try:
             size = int(str(intervals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-            broadcast_intervals = 0 <= size <= (8 << 20)
+            if 0 <= size <= (8 << 20):
+                probe = intervals.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.floor((F.col(hi_col) - 1e-12) / bw).cast("long")
+                        - F.floor(F.col(lo_col) / bw).cast("long")
+                        + F.lit(1)
+                    ).alias("buckets"),
+                ).first()
+                n = probe["n"] or 0
+                buckets = probe["buckets"] or 0
+                fanout = (buckets / n) if n else 1.0
+                broadcast_intervals = size * max(1.0, fanout) <= (8 << 20)
+            else:
+                broadcast_intervals = False
         except Exception:
             broadcast_intervals = False
     if broadcast_intervals:

@@ -34,11 +34,28 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str | None = None) -> Da
     (groupBy + self-join on (key, min_id) — semantically stable under
     re-partitioning, unlike ``dropDuplicates`` whose survivor is
     partition-order dependent). Without: plain ``dropDuplicates``.
+
+    NULL dedup keys are real keys (a dirty corpus has null-text docs
+    on day one): groupBy already groups NULLs together, and the
+    survivors join compares keys with ``eqNullSafe`` so the NULL group
+    keeps its min-id row instead of silently vanishing (a plain
+    equi-semi-join never matches NULL = NULL — that was exactly the
+    bug). The id comparison is null-safe too, with one documented
+    edge: a group whose ids are ALL NULL has no orderable survivor, so
+    every row in it survives (matching ``dropDuplicates``'s "can't
+    distinguish them" spirit rather than dropping the group).
     """
     if id_col is None:
         return df.dropDuplicates(keys)
     survivors = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
-    return df.join(survivors, on=keys + [id_col], how="left_semi")
+    s = survivors.select(
+        *[F.col(c).alias(f"__sv_{c}") for c in keys],
+        F.col(id_col).alias(f"__sv_{id_col}"),
+    )
+    cond = df[id_col].eqNullSafe(s[f"__sv_{id_col}"])
+    for c in keys:
+        cond = cond & df[c].eqNullSafe(s[f"__sv_{c}"])
+    return df.join(s, cond, how="left_semi")
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
@@ -47,13 +64,16 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) ->
     generation and Jaccard verification each consume it (a self-join
     would otherwise recompute the tokenize+shingle+md5 subtree up to
     4×; at 100 TB this is the difference between one corpus scan and
-    four)."""
-    from etl_core_spark.session import ensure_parallelism
+    four). Tracked via ``persist_intermediate`` so long-lived sessions
+    can release the cache (session.release_intermediates)."""
+    from etl_core_spark.session import ensure_parallelism, persist_intermediate
 
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).persist()
+    return persist_intermediate(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+    )
 
 
 def minhash_sig_table(sh_table: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -76,11 +96,34 @@ def minhash_sig_table(sh_table: DataFrame, id_col: str, num_hashes: int) -> Data
 
 
 def minhash_candidates_from_shingles(
-    sh_table: DataFrame, id_col: str, num_hashes: int, bands: int
+    sh_table: DataFrame, id_col: str, num_hashes: int, bands: int,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Zero-shingle documents (empty/whitespace/null text) are dropped
+    BEFORE banding. Their signatures are all-NULL, and ``concat_ws``
+    renders an all-NULL band as ``""`` — so without the filter every
+    empty doc in the corpus lands in ONE shared band bucket and the
+    candidate self-join goes quadratic in the empty-doc count (a real
+    crawl corpus has millions of empty docs). Dropping them never
+    changes verified output: Jaccard over an empty shingle set is 0.0,
+    below any positive threshold.
+
+    ``max_band_freq`` (optional) drops band keys shared by more than
+    that many documents before the self-join — the guard for
+    mass-duplicated content (a boilerplate page crawled a million
+    times is a LEGITIMATE band collision, and still quadratic). Same
+    idea as winnowing's ``max_doc_freq``. Off by default because it
+    trades recall on exactly the hottest duplicate groups; exact
+    dedup (or a first exact pass on ``md5(text)``) is the right tool
+    for identical content, and pairs within a dropped hot band are
+    identical-signature by construction.
+    """
     rows = num_hashes // bands
-    sig = minhash_sig_table(sh_table, id_col, num_hashes)
+    sig = minhash_sig_table(sh_table, id_col, num_hashes).where(
+        F.col("m0").isNotNull()
+    )
     band_cols = [
         F.md5(
             F.concat(
@@ -93,6 +136,14 @@ def minhash_candidates_from_shingles(
     exploded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
     )
+    if max_band_freq is not None:
+        rare = (
+            exploded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__bf"))
+            .where(F.col("__bf") <= int(max_band_freq))
+            .select("band_key")
+        )
+        exploded = exploded.join(rare, on="band_key")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -112,9 +163,12 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    return minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
+    return minhash_candidates_from_shingles(
+        sh, id_col, num_hashes, bands, max_band_freq
+    )
 
 
 def minhash_dedup_pairs(
@@ -199,9 +253,11 @@ def winnow_near_dup_pairs(
     # never empty (≥1 selection by construction), so outer is
     # semantically identical; null fingerprints (null text) drop at
     # the equi-join.
-    ex = fp.select(
-        F.col(id_col), F.explode_outer("fingerprints").alias("__fp")
-    ).persist()  # consumed 3× (doc-freq filter + both join sides)
+    from etl_core_spark.session import persist_intermediate
+
+    ex = persist_intermediate(  # consumed 3× (doc-freq filter + both join sides)
+        fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp"))
+    )
     rare = (
         ex.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__df"))

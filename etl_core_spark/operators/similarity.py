@@ -25,6 +25,23 @@ from etl_core_spark.functions import vectors as V
 from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
 
 
+def _fits_broadcast(df: DataFrame, limit_bytes: int = 8 << 20) -> bool:
+    """True iff optimizer stats say the relation is known-small.
+
+    Unknown stats (LogicalRDD from createDataFrame, huge sentinels)
+    → False: never *force* a broadcast on a relation whose size the
+    optimizer can't bound. Spark hard-caps broadcasts at 8 GB and an
+    explicit hint bypasses autoBroadcastJoinThreshold, so at 100 TB an
+    unconditional hint is a guaranteed OOM — the guard keeps the hint
+    a stats-backed promise (same policy as range_join,
+    operators/asof.py)."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return 0 <= size <= limit_bytes
+    except Exception:
+        return False
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -32,10 +49,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    broadcast_corpus: bool = True,
+    broadcast_corpus: bool | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine; ties broken by corpus id for
-    deterministic output. Returns (query_id, vec_id, cosine, rank)."""
+    deterministic output. Returns (query_id, vec_id, cosine, rank).
+
+    ``broadcast_corpus``: None (default) applies the broadcast hint
+    only when optimizer stats bound the corpus under 8 MB (see
+    ``_fits_broadcast``); True forces the hint (caller asserts the
+    corpus fits); False never hints (Spark falls back to a partitioned
+    cross product — the only correct shape for an unbounded corpus).
+    """
     # normalize each side once; the quadratic stage is then a plain
     # dot product per pair
     c = corpus.select(
@@ -50,6 +74,11 @@ def brute_force_topk(
             F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__query_vec")
         )
     )
+    if broadcast_corpus is None:
+        # probe the RAW corpus relation, not the projected c: the
+        # projection's stats inherit column-pruned estimates that can
+        # undercount the materialized vectors
+        broadcast_corpus = _fits_broadcast(corpus)
     right = F.broadcast(c) if broadcast_corpus else c
     scored = q.crossJoin(right).select(
         F.col("__query_id"),

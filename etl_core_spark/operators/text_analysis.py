@@ -67,6 +67,13 @@ def tf_idf_top_terms(
     → per-doc window top-k. Ties break on term asc so results are
     engine-independent; scores rounded to 6dp for cross-engine float
     equality.
+
+    The corpus size N rides the plan as a broadcast one-row aggregate
+    cross-joined into the scored rows — NOT a driver-side
+    ``.count()``. Building this plan therefore launches zero Spark
+    jobs (the engine's lazy contract, plans/builder.py) and costs no
+    extra corpus scan; the previous eager-count form paid one full
+    scan+shuffle per call at plan-construction time.
     """
     from pyspark.sql import Window
 
@@ -75,12 +82,16 @@ def tf_idf_top_terms(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
-    scored = tf.join(F.broadcast(doc_freq), on="term").select(
-        F.col(id_col),
-        "term",
-        F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+    n_docs = df.select(F.countDistinct(id_col).alias("__n_docs"))
+    idf = F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(doc_freq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf_idf").desc(), F.col("term").asc()

@@ -64,6 +64,53 @@ def stop_spark() -> None:
         active.stop()
 
 
+#: operator-internal persisted DataFrames, oldest first (see
+#: ``persist_intermediate``). Process-local, driver-side only.
+_CACHED_INTERMEDIATES: list = []
+_MAX_CACHED_INTERMEDIATES = 8
+
+
+def persist_intermediate(df):
+    """``df.persist()`` with a release path.
+
+    Operators persist intermediates consumed several times within one
+    plan (MinHash shingle tables, winnowing exploded fingerprints). A
+    bare ``.persist()`` has no owner: in a long-lived session (the
+    HTTP API server) repeated jobs accumulate cached partitions until
+    executor eviction. This wrapper tracks every such persist in a
+    bounded FIFO — once more than ``_MAX_CACHED_INTERMEDIATES`` are
+    alive the oldest is unpersisted automatically, and
+    ``release_intermediates()`` drops them all (tests/servers call it
+    after the consuming action). Unpersisting is always
+    correctness-safe: any plan still referencing the DataFrame simply
+    recomputes it from lineage.
+    """
+    df.persist()
+    _CACHED_INTERMEDIATES.append(df)
+    while len(_CACHED_INTERMEDIATES) > _MAX_CACHED_INTERMEDIATES:
+        old = _CACHED_INTERMEDIATES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked operator intermediate; returns how many
+    were released. Call after the consuming action (end of a job, a
+    test, or an API request) to leave zero cached partitions behind."""
+    n = 0
+    while _CACHED_INTERMEDIATES:
+        df = _CACHED_INTERMEDIATES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def ensure_parallelism(
     df,
     target: int | None = None,

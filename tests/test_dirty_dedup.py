@@ -1,0 +1,245 @@
+"""Dirty-corpus dedup behavior + plan-hygiene guards.
+
+A real crawl corpus hits null-text documents, empty documents, and
+whitespace-only documents on day one. These tests pin the behaviors
+the clean synthetic fixtures cannot surface:
+
+- exact_dedup must KEEP rows whose dedup key is NULL (a plain
+  equi-semi-join silently drops them — NULL never equi-matches);
+- MinHash LSH must not collapse every zero-shingle doc into one band
+  bucket (quadratic candidate blow-up in the empty-doc count);
+- operator-persisted intermediates must be releasable (no cache leak
+  across jobs in a long-lived session);
+- tf_idf_top_terms plan construction must launch zero Spark jobs;
+- brute_force_topk must not broadcast an unbounded corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_dedup_pairs,
+    winnow_near_dup_pairs,
+)
+from etl_core_spark.session import release_intermediates
+
+
+@pytest.fixture(scope="module")
+def dirty_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, None),  # null text
+        (4, None),  # null text (dup key group with 3)
+        (5, ""),  # empty
+        (6, ""),  # empty
+        (7, "   "),  # whitespace-only
+        (8, "\t\n"),  # whitespace-only
+        (9, "a genuinely different document about spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- exact dedup on null keys -------------------------------------------
+
+
+def test_exact_dedup_keeps_null_key_rows(dirty_docs):
+    keyed = dirty_docs.withColumn("h", F.md5("text"))  # md5(NULL) = NULL
+    out = exact_dedup(keyed, ["h"], id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # one survivor per key group, min id wins — including the NULL-key
+    # group (docs 3,4): survivor 3. Before the eqNullSafe fix both
+    # null-text rows vanished entirely.
+    assert ids == [1, 3, 5, 7, 8, 9]
+
+
+def test_exact_dedup_null_and_nonnull_paths_agree(dirty_docs):
+    keyed = dirty_docs.withColumn("h", F.md5("text"))
+    with_id = exact_dedup(keyed, ["h"], id_col="doc_id")
+    without_id = exact_dedup(keyed, ["h"])  # dropDuplicates path
+    assert with_id.count() == without_id.count()
+
+
+def test_exact_dedup_multi_key_nulls(spark):
+    rows = [
+        (1, None, "x"),
+        (2, None, "x"),  # dup of 1 under (a,b)
+        (3, None, None),
+        (4, "v", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = exact_dedup(df, ["a", "b"], id_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+
+
+# -- MinHash LSH on zero-shingle docs -----------------------------------
+
+
+def test_empty_docs_yield_zero_candidates(spark):
+    # 40 empty/space/null docs (zero shingles each): pre-fix they all
+    # shared ONE band key ("" from concat_ws over all-NULL signatures)
+    # → 40*39/2 = 780 candidate pairs from garbage. Post-fix: zero.
+    rows = [(i, ["", "   ", None, " "][i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_candidates(df, "text", "doc_id").count() == 0
+    release_intermediates()
+
+
+def test_max_band_freq_caps_mass_duplicate_hot_bucket(spark):
+    # 30 identical docs + 2 distinct near-dups: identical content is a
+    # LEGITIMATE band collision (not the NULL bug), but at corpus
+    # scale a million-times-duplicated boilerplate page makes the
+    # band self-join quadratic. max_band_freq drops band keys hotter
+    # than the cap — same idea as winnowing's max_doc_freq.
+    rows = [(i, "the same boilerplate page body text") for i in range(30)]
+    rows += [(100, "one unusual document"), (101, "one unusual document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_candidates(df, "text", "doc_id").count()
+    assert uncapped >= 30 * 29 / 2  # the hot bucket, quadratic
+    capped = minhash_candidates(df, "text", "doc_id", max_band_freq=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot band dropped, rare pair kept
+    release_intermediates()
+
+
+def test_minhash_pairs_unaffected_by_dirty_rows(dirty_docs):
+    pairs = minhash_dedup_pairs(dirty_docs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # the real dup still found
+    # no pair involves a zero-shingle doc
+    zero_shingle = {3, 4, 5, 6, 7, 8}
+    assert all(a not in zero_shingle and b not in zero_shingle for a, b in got)
+    release_intermediates()
+
+
+def test_minhash_signature_table_still_covers_all_docs(dirty_docs):
+    # the SIGNATURE table keeps zero-shingle docs (NULL signature) —
+    # only candidate banding filters them; the oracle-checked
+    # minhash_signature query depends on full coverage
+    from etl_core_spark.operators.dedup import _shingle_table, minhash_sig_table
+
+    sh = _shingle_table(dirty_docs, "text", "doc_id", 3)
+    sig = minhash_sig_table(sh, "doc_id", 4)
+    assert sig.count() == dirty_docs.count()
+    release_intermediates()
+
+
+# -- cache release -------------------------------------------------------
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_dedup_intermediates_released(spark, dirty_docs):
+    release_intermediates()
+    before = _persistent_rdd_ids(spark)
+    minhash_dedup_pairs(dirty_docs, "text", "doc_id", threshold=0.5).count()
+    winnow_near_dup_pairs(dirty_docs, "text", "doc_id").count()
+    assert len(_persistent_rdd_ids(spark) - before) >= 1  # caches were live
+    release_intermediates()
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_intermediate_fifo_bounds_cache(spark, dirty_docs):
+    # even WITHOUT an explicit release, repeated jobs must not
+    # accumulate unboundedly: the FIFO evicts past _MAX_CACHED
+    from etl_core_spark import session as S
+
+    release_intermediates()
+    before = _persistent_rdd_ids(spark)
+    for _ in range(S._MAX_CACHED_INTERMEDIATES + 3):
+        minhash_dedup_pairs(dirty_docs, "text", "doc_id").count()
+    assert len(S._CACHED_INTERMEDIATES) <= S._MAX_CACHED_INTERMEDIATES
+    release_intermediates()
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+# -- lazy-plan contract --------------------------------------------------
+
+
+def test_tf_idf_plan_construction_launches_no_jobs(spark, tables):
+    from etl_core_spark.operators.text_analysis import tf_idf_top_terms
+
+    sc = spark.sparkContext
+    group = "tfidf_lazy_probe"
+    sc.setJobGroup(group, "tf_idf plan construction must be lazy")
+    try:
+        plan = tf_idf_top_terms(tables["documents"], "text", "doc_id", top_k=3)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # and the plan still answers
+    assert plan.limit(1).count() == 1
+
+
+# -- broadcast guard -----------------------------------------------------
+
+
+def _has_broadcast_hint(df) -> bool:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "BroadcastHint" in plan or "broadcast" in plan.lower()
+
+
+def test_brute_force_broadcast_modes(spark, tables):
+    from etl_core_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    # parquet corpus has known small stats → auto mode broadcasts
+    assert sim._fits_broadcast(emb)
+    auto = sim.brute_force_topk(emb, queries, k=2)
+    assert "BroadcastNestedLoopJoin" in auto._jdf.queryExecution().executedPlan().toString()
+
+    # forced off → no broadcast-hint nested loop on the corpus side
+    off = sim.brute_force_topk(emb, queries, k=2, broadcast_corpus=False)
+    assert "BroadcastHint" not in off._jdf.queryExecution().optimizedPlan().toString()
+
+    # unknown-stats corpus (mock huge size) → auto must decline
+    class _FakeDF:
+        class _J:
+            def queryExecution(self):
+                raise RuntimeError("no stats")
+
+        _jdf = _J()
+
+    assert not sim._fits_broadcast(_FakeDF())
+
+
+def test_fits_broadcast_declines_huge_relation(spark):
+    big = spark.range(0, 10_000_000).withColumn(
+        "payload", F.repeat(F.lit("x"), 100)
+    )
+    from etl_core_spark.operators.similarity import _fits_broadcast
+
+    assert not _fits_broadcast(big)
+
+
+# -- range_join explosion-aware auto broadcast ---------------------------
+
+
+def test_range_join_auto_declines_huge_fanout(spark):
+    from etl_core_spark.operators.asof import range_join
+
+    # 2k intervals, each ~5 wide, bucket_width tiny → ~50k buckets per
+    # interval: raw side is small but the EXPLODED side is ~100M rows.
+    intervals = spark.range(0, 2000).select(
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 5.0).alias("hi"),
+        F.col("id").alias("iv_id"),
+    )
+    points = spark.range(0, 100).select((F.col("id") * 1.0).alias("p"))
+    out = range_join(points, intervals, "p", "lo", "hi", bucket_width=0.0001)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+    # sane bucket_width on the same data → auto broadcast applies
+    out2 = range_join(points, intervals, "p", "lo", "hi", bucket_width=5.0)
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan2.lower()
+    # correctness unaffected by the hint decision
+    assert out2.count() == points.join(
+        intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    ).count()
