@@ -579,6 +579,55 @@ FROM events
 """
 
 
+def q_cast_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→timestamp and string→date cast targets (casts.py:188)
+    through the type_conversion operator, with reference null-marker
+    strings (''/'na'/'none') injected so the on_error=null path is
+    exercised on dirty values, not just parseable ones. Outputs are
+    re-formatted to strings for engine-independent hashing (the same
+    convention events_hourly uses)."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("na"))
+        .when(F.col("event_id") % 89 == 0, F.lit(""))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_str"),
+        F.when(F.col("event_id") % 83 == 0, F.lit("none"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("d_str"),
+    )
+    out = get_operator("type_conversion")(
+        rules=[
+            {"column_path": "ts_str", "target": "timestamp", "on_error": "null"},
+            {"column_path": "d_str", "target": "date", "on_error": "null"},
+        ]
+    ).apply({"in": ev})["out"]
+    return out.select(
+        "event_id",
+        F.date_format("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts_cast"),
+        F.col("d_str").cast("string").alias("d_cast"),
+    )
+
+
+_SQL_CAST_TEMPORAL = """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN 'na'
+              WHEN event_id % 89 = 0 THEN ''
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str,
+         CASE WHEN event_id % 83 = 0 THEN 'none'
+              ELSE strftime(ts, '%Y-%m-%d') END AS d_str
+  FROM events
+)
+SELECT event_id,
+       strftime(try_cast(ts_str AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_cast,
+       CAST(try_cast(d_str AS DATE) AS VARCHAR) AS d_cast
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.5 merge (union), split, top-k, windows (beyond-reference)
 # --------------------------------------------------------------------------
@@ -1606,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": q_cube,
         "dedup_minhash": q_dedup_minhash,
         "type_conversion": q_type_conversion,
+        "cast_temporal": q_cast_temporal,
         "merge_union": q_merge_union,
         "split_aggregate": q_split_aggregate,
         "top_k": q_top_k,
@@ -1664,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_lineitem": _SQL_CUBE,
         "dedup_minhash": _SQL_DEDUP_MINHASH,
         "type_conversion": _SQL_TYPE_CONVERSION,
+        "cast_temporal": _SQL_CAST_TEMPORAL,
         "merge_union": _SQL_MERGE_UNION,
         "split_aggregate": _SQL_SPLIT_AGG,
         "top_k": _SQL_TOP_K,

@@ -190,10 +190,38 @@ def _seeded_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float
 
 
 def lsh_bucketed(
-    df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: int = 42
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
-    planes = _seeded_planes(dim, num_planes, seed)
-    return df.withColumn("__bucket", V.hyperplane_bucket(F.col(vec_col), planes))
+    """Attach a ``__bucket`` column (one row per vector per table).
+
+    ``num_tables`` > 1 is multi-table LSH: each table hashes with an
+    independent seeded plane set, a vector explodes to one
+    table-prefixed bucket key per table, and candidates are the union
+    of per-table bucket-mates. Recall for a pair with per-table
+    collision probability p rises from p to 1-(1-p)^T while each
+    table's bucket population (the hot-bucket/shuffle width concern)
+    stays what a single table would see — the standard way to buy
+    recall without coarser buckets. Cost: the bucketed relation is T×
+    rows and duplicate candidate pairs must be deduped downstream.
+    """
+    if num_tables <= 1:
+        planes = _seeded_planes(dim, num_planes, seed)
+        return df.withColumn(
+            "__bucket", V.hyperplane_bucket(F.col(vec_col), planes).cast("string")
+        )
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                V.hyperplane_bucket(
+                    F.col(vec_col), _seeded_planes(dim, num_planes, seed + 1000 * t)
+                ).cast("string"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return df.withColumn("__bucket", F.explode(keys))
 
 
 def lsh_topk(
@@ -206,25 +234,33 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket, exact
     rescoring inside the bucket. Recall < 1 by construction; raise
-    num_planes for precision / lower for recall."""
+    ``num_tables`` for recall (union of independent tables — see
+    ``lsh_bucketed``), raise num_planes for precision / lower for
+    recall within each table."""
     # hyperplane signs are scale-invariant → bucketing the unit
     # vectors gives identical buckets and a dot-only rescoring stage
     c = lsh_bucketed(
         corpus.select(F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__cv")),
-        "__cv", dim, num_planes, seed,
+        "__cv", dim, num_planes, seed, num_tables,
     )
     q = lsh_bucketed(
         queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv")),
-        "__qv", dim, num_planes, seed,
+        "__qv", dim, num_planes, seed, num_tables,
     )
     scored = q.join(c, on="__bucket").select(
         "__query_id",
         "__corpus_id",
         F.round(V.dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
+    if num_tables > 1:
+        # the same pair surfaces once per colliding table; dedupe so
+        # row_number ranks distinct candidates (identical rows — the
+        # cosine is a pure function of the pair)
+        scored = scored.dropDuplicates(["__query_id", "__corpus_id"])
     w = Window.partitionBy("__query_id").orderBy(
         F.col("cosine").desc(), F.col("__corpus_id").asc()
     )
@@ -327,10 +363,12 @@ def cosine_near_dup_pairs(
     num_planes: int = 6,
     seed: int = 42,
     exact: bool = False,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Pairs (id_a < id_b, cosine ≥ threshold). ``exact=True`` does
     the full cross product (oracle-checkable); default prunes via LSH
-    buckets (the 100 TB path)."""
+    buckets (the 100 TB path). ``num_tables`` > 1 unions independent
+    LSH tables for recall (see ``lsh_bucketed``)."""
     from etl_core_spark.session import ensure_parallelism
 
     base = ensure_parallelism(df.select(F.col(id_col), V.unit(F.col(vec_col)).alias("__unit")))
@@ -339,7 +377,7 @@ def cosine_near_dup_pairs(
         b = base.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bucketed = lsh_bucketed(base, "__unit", dim, num_planes, seed)
+        bucketed = lsh_bucketed(base, "__unit", dim, num_planes, seed, num_tables)
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__bucket"
         )
@@ -347,6 +385,8 @@ def cosine_near_dup_pairs(
             F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"), "__bucket"
         )
         pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
+        if num_tables > 1:
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn("cosine", F.round(V.dot(F.col("__va"), F.col("__vb")), 6))
         .where(F.col("cosine") >= threshold)

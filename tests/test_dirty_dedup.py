@@ -218,6 +218,56 @@ def test_fits_broadcast_declines_huge_relation(spark):
     assert not _fits_broadcast(big)
 
 
+# -- multi-table LSH recall ----------------------------------------------
+
+
+def test_cosine_near_dup_multi_table_recall(spark, tables):
+    # the default (bucketed) near-dup path, certified against the
+    # exact path on the real embeddings at the oracle threshold:
+    # multi-table LSH must be a strict subset of exact with recall
+    # well above a single table's (measured 0.83 vs 0.11 at 4 planes)
+    from etl_core_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    assert len(exact) > 0
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, threshold=0.4, num_planes=4, num_tables=1
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, threshold=0.4, num_planes=4, num_tables=8
+        ).collect()
+    }
+    assert one <= exact and multi <= exact  # no false positives ever
+    assert len(multi) / len(exact) >= 0.6
+    assert len(multi) >= len(one)
+
+
+def test_lsh_topk_multi_table_recall(spark, tables):
+    from etl_core_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = tables["embeddings"]
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    multi = lsh_topk(emb, queries, dim=64, k=3, num_planes=4, num_tables=8)
+    rows = multi.collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    # dedupe guard: no (query, corpus) pair ranked twice
+    assert len(rows) == len(got)
+    assert len(exact & got) / len(exact) >= 0.5
+
+
 # -- range_join explosion-aware auto broadcast ---------------------------
 
 
