@@ -201,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                 store.delete_context(args.context_id)
                 print("deleted")
         return 0
-    except KeyError as exc:
+    except (KeyError, ValueError) as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
 

@@ -30,14 +30,26 @@ from etl_core_spark.sources.base_io import SinkOperator, SourceOperator
 
 
 class PlanBuilder:
-    def __init__(self, spark: SparkSession, job: JobConfig, strict_schemas: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        job: JobConfig,
+        strict_schemas: bool = True,
+        observe_metrics: bool = True,
+    ):
         self.spark = spark
         self.job = job
         self.strict_schemas = strict_schemas
+        self.observe_metrics = observe_metrics
         self.operators: dict[str, Operator] = {}
         self.outputs: dict[str, dict[str, DataFrame]] = {}
         self.sinks: list[str] = []
         self.sink_inputs: dict[str, DataFrame] = {}
+        #: per-component {out_port: Observation} for ports on a live
+        #: path to a sink (populated when observe_metrics)
+        self.observations: dict[str, dict[str, Any]] = {}
+        #: inbound edges per component: [(src_name, src_port, in_port)]
+        self.inbound_edges: dict[str, list[tuple[str, str, str]]] = {}
 
     # -- validation -----------------------------------------------------
 
@@ -68,6 +80,54 @@ class PlanBuilder:
         except graphlib.CycleError as exc:
             raise JobConfigError(f"job DAG has a cycle: {exc.args[1]}") from exc
 
+    def _live_components(self) -> set[str]:
+        """Components on some path to a sink. Observations attach only
+        to live out-ports: a dead branch never executes, and an
+        ``Observation.get`` on it would block forever."""
+        rev: dict[str, set[str]] = {c.name: set() for c in self.job.components}
+        live: set[str] = set()
+        for comp in self.job.components:
+            if issubclass(get_operator(comp.comp_type), SinkOperator):
+                live.add(comp.name)
+            for edges in comp.routes.values():
+                for edge in edges:
+                    rev[edge.to].add(comp.name)
+        stack = list(live)
+        while stack:
+            for pred in rev[stack.pop()]:
+                if pred not in live:
+                    live.add(pred)
+                    stack.append(pred)
+        return live
+
+    def _observe_outputs(
+        self, comp: ComponentConfig, outputs: dict[str, DataFrame], live: set[str]
+    ) -> dict[str, DataFrame]:
+        """Wrap live out-ports with ``df.observe`` row counters.
+
+        Counts ride the sink actions themselves (one CollectMetrics
+        node per port, zero extra scans) — the reference pays an extra
+        ``map_partitions(len).sum().compute()`` pass per metric
+        (``filter_receiver.py:107-116``). Observation names carry a
+        uuid: names are global per session and a rebuilt plan must not
+        collide with a previous build's listeners."""
+        import uuid
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs_map: dict[str, Any] = {}
+        for port, df in outputs.items():
+            edges = comp.routes.get(port, ())
+            if not any(e.to in live for e in edges):
+                continue
+            obs = Observation(f"m_{comp.name}_{port}_{uuid.uuid4().hex[:8]}")
+            outputs[port] = df.observe(obs, F.count(F.lit(1)).alias("count"))
+            obs_map[port] = obs
+        if obs_map:
+            self.observations[comp.name] = obs_map
+        return outputs
+
     # -- build ----------------------------------------------------------
 
     def build(self) -> dict[str, dict[str, DataFrame]]:
@@ -78,6 +138,8 @@ class PlanBuilder:
             for out_port, edges in comp.routes.items():
                 for edge in edges:
                     inbound[edge.to].append((comp.name, out_port, edge.in_port))
+        self.inbound_edges = inbound
+        live = self._live_components() if self.observe_metrics else set()
 
         for name in order:
             comp = self.job.component(name)
@@ -108,6 +170,8 @@ class PlanBuilder:
             else:
                 outputs = op.apply(inputs)
             self._check_port_schemas(comp, outputs)
+            if self.observe_metrics and name in live and not isinstance(op, SinkOperator):
+                outputs = self._observe_outputs(comp, outputs, live)
             self.outputs[name] = outputs
         return self.outputs
 

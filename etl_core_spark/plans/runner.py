@@ -82,7 +82,53 @@ class JobRunner:
             observed: DataFrame = df.observe(obs, _count_expr())
             op.write(observed)
             metrics[sink_name] = {"lines_received": obs.get["count"]}
+        metrics.update(self._component_metrics())
         return metrics
+
+    def _component_metrics(self) -> dict[str, Any]:
+        """Reference-parity per-component counters
+        (``component_metrics.py:4-31``: lines_received / forwarded /
+        dismissed), read from the build-time observations — every
+        value rode a sink action, zero extra scans or count() calls.
+
+        received = sum of inbound edge counts (an edge into a live
+        component comes from an observed port by construction);
+        forwarded = sum of observed out-port counts; dismissed = rows
+        received but not forwarded on any live port, floored at 0 —
+        for a filter whose ``fail`` port is unrouted this is exactly
+        the reference's FilterMetrics ``lines_dismissed``; for
+        fan-out operators (split/join) forwarded may legitimately
+        exceed received, hence the floor. Sinks keep their own
+        ``lines_received`` entry from the write action itself.
+        """
+        obs = self.builder.observations
+        if not obs:
+            return {}
+        port_counts: dict[str, dict[str, int]] = {
+            name: {port: o.get["count"] for port, o in ports.items()}
+            for name, ports in obs.items()
+        }
+        out: dict[str, Any] = {}
+        for name, ports in port_counts.items():
+            received = None
+            inbound = self.builder.inbound_edges.get(name, [])
+            in_counts = [
+                port_counts[src][src_port]
+                for src, src_port, _ in inbound
+                if src in port_counts and src_port in port_counts[src]
+            ]
+            if in_counts or inbound:
+                received = sum(in_counts)
+            forwarded = sum(ports.values())
+            entry: dict[str, Any] = {
+                "lines_forwarded": forwarded,
+                "ports": dict(ports),
+            }
+            if received is not None:
+                entry["lines_received"] = received
+                entry["lines_dismissed"] = max(0, received - forwarded)
+            out[name] = entry
+        return out
 
 
 def _count_expr():

@@ -78,9 +78,42 @@ class JobStore:
         # handler threads while the store is created on the main one
         self._conn = sqlite3.connect(self.path, check_same_thread=False)
         self._lock = __import__("threading").RLock()
+        self._migrate_schedules_table()
         self._conn.executescript(_SCHEMA)
         self._conn.commit()
         self._load_contexts()  # stored contexts join the resolution path
+
+    def _migrate_schedules_table(self) -> None:
+        """Upgrade a pre-trigger schedules table in place.
+
+        The original table was (schedule_id, job_id, interval_seconds,
+        next_due, enabled); CREATE TABLE IF NOT EXISTS silently keeps
+        that 5-column shape, so without migration the new 6-value
+        INSERT fails and row unpacking misindexes. Old rows become
+        interval triggers with the same cadence."""
+        cols = [
+            r[1]
+            for r in self._conn.execute("PRAGMA table_info(schedules)").fetchall()
+        ]
+        if not cols or "trigger_type" in cols:
+            return  # absent (fresh db) or already current
+        if "interval_seconds" not in cols:
+            raise RuntimeError(
+                f"schedules table has unknown schema {cols}; refusing to guess"
+            )
+        old = self._conn.execute(
+            "SELECT schedule_id, job_id, interval_seconds, next_due, enabled "
+            "FROM schedules"
+        ).fetchall()
+        self._conn.execute("ALTER TABLE schedules RENAME TO schedules_v0")
+        self._conn.executescript(_SCHEMA)
+        for sid, job_id, secs, next_due, enabled in old:
+            self._conn.execute(
+                "INSERT INTO schedules VALUES (?, ?, 'interval', ?, ?, ?)",
+                (sid, job_id, json.dumps({"seconds": float(secs)}), next_due, enabled),
+            )
+        self._conn.execute("DROP TABLE schedules_v0")
+        self._conn.commit()
 
     # -- jobs -----------------------------------------------------------
 
@@ -124,6 +157,10 @@ class JobStore:
             ).rowcount
             if n == 0:
                 raise KeyError(f"unknown job_id {job_id!r}")
+            # cascade: sqlite FKs are off by default and a dangling
+            # schedule would fail (and, pre-isolation, poison) every
+            # run_due sweep
+            self._conn.execute("DELETE FROM schedules WHERE job_id = ?", (job_id,))
             self._conn.commit()
 
     def list_jobs(self) -> list[dict[str, Any]]:
@@ -305,13 +342,52 @@ class JobStore:
         ).fetchall()
         records = []
         for schedule_id, job_id, trigger_type, args_json in due:
-            records.append(self.start_execution(spark, job_id))
+            # per-schedule isolation: one schedule failing to even
+            # START (deleted job, config/build error — job-RUN errors
+            # already surface as FAILED RunResults) must not abort the
+            # sweep, re-fire already-executed schedules on the next
+            # sweep, or block later due schedules. next_due advances
+            # and commits per iteration regardless of outcome.
+            try:
+                records.append(self.start_execution(spark, job_id))
+            except Exception as exc:  # noqa: BLE001 - sweep isolation
+                record = ExecutionRecord(
+                    execution_id=uuid.uuid4().hex[:12],
+                    job_id=job_id,
+                    status="FAILED",
+                    attempts=0,
+                    wall_seconds=0.0,
+                    metrics={},
+                    error=f"{type(exc).__name__}: {exc}",
+                    started_at=now,
+                )
+                with self._lock:
+                    self._conn.execute(
+                        "INSERT INTO executions VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                        (
+                            record.execution_id, record.job_id, record.status,
+                            record.attempts, record.wall_seconds,
+                            json.dumps(record.metrics), record.error,
+                            record.started_at,
+                        ),
+                    )
+                records.append(record)
+                if isinstance(exc, KeyError):
+                    # the job is gone: disable rather than re-fail forever
+                    with self._lock:
+                        self._conn.execute(
+                            "UPDATE schedules SET enabled = 0 WHERE schedule_id = ?",
+                            (schedule_id,),
+                        )
+                        self._conn.commit()
+                    continue
             nxt = next_due_after_run(trigger_type, json.loads(args_json), now)
-            self._conn.execute(
-                "UPDATE schedules SET next_due = ?, enabled = ? WHERE schedule_id = ?",
-                (nxt, int(nxt is not None), schedule_id),
-            )
-        self._conn.commit()
+            with self._lock:
+                self._conn.execute(
+                    "UPDATE schedules SET next_due = ?, enabled = ? WHERE schedule_id = ?",
+                    (nxt, int(nxt is not None), schedule_id),
+                )
+                self._conn.commit()
         return records
 
     # -- contexts -------------------------------------------------------
@@ -319,10 +395,33 @@ class JobStore:
     #  sets with env-indirected secrets; see plans/context.py)
 
     def create_context(self, context_id: str, mapping: dict[str, Any]) -> str:
-        from etl_core_spark.plans.context import register_runtime_context
+        """Persist a context. Secret-marker keys (password/token/…)
+        must use ``*_env`` indirection — the store persists plaintext
+        JSON in SQLite, so accepting a literal secret would write it
+        to disk and hand it back through GET /contexts on any key the
+        masking heuristic misses. The reference keeps secrets out of
+        its persistence the same way (SecretProvider; only non-secret
+        metadata is stored)."""
+        from etl_core_spark.plans.context import (
+            _SECRET_MARKERS,
+            register_runtime_context,
+        )
 
         if not context_id or not isinstance(mapping, dict):
             raise ValueError("context requires an id and a mapping object")
+        literal_secrets = [
+            k
+            for k in mapping
+            if not k.endswith("_env")
+            and any(m in k.lower() for m in _SECRET_MARKERS)
+        ]
+        if literal_secrets:
+            raise ValueError(
+                f"context {context_id!r}: keys {sorted(literal_secrets)} look "
+                f"like secrets and must not be stored literally — use "
+                f"'<key>_env' naming an environment variable instead "
+                f"(resolved at run time, never persisted)"
+            )
         with self._lock:
             self._conn.execute(
                 "INSERT OR REPLACE INTO contexts VALUES (?, ?, ?)",

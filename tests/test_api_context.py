@@ -169,18 +169,30 @@ def test_api_contexts_crud(api, monkeypatch):
     monkeypatch.delenv("ETL_CONTEXTS_FILE", raising=False)
     monkeypatch.setenv("API_PG_PW", "s3cret")
 
-    status, created = http("POST", f"{base}/contexts", {
+    # literal secret values are REJECTED at create (the store persists
+    # plaintext JSON; masking-on-read alone leaks any key the
+    # heuristic misses) — *_env indirection is the secret path
+    status, err = http("POST", f"{base}/contexts", {
         "context_id": "api_pg",
         "mapping": {"url": "jdbc:postgresql://h/db", "user": "etl",
                     "password_env": "API_PG_PW", "api_token": "literal-secret"},
+    })
+    assert status == 400 and "api_token" in err["error"]
+
+    monkeypatch.setenv("API_TOKEN_VALUE", "tok-123")
+    status, created = http("POST", f"{base}/contexts", {
+        "context_id": "api_pg",
+        "mapping": {"url": "jdbc:postgresql://h/db", "user": "etl",
+                    "password_env": "API_PG_PW",
+                    "api_token_env": "API_TOKEN_VALUE"},
     })
     assert status == 201 and created["context_id"] == "api_pg"
     assert http("GET", f"{base}/contexts")[1] == ["api_pg"]
 
     status, got = http("GET", f"{base}/contexts/api_pg")
-    # literal secrets masked; *_env indirection is a name, stays visible
-    assert got["mapping"]["api_token"] == "***"
+    # *_env indirections are names, not secrets — they stay visible
     assert got["mapping"]["password_env"] == "API_PG_PW"
+    assert got["mapping"]["api_token_env"] == "API_TOKEN_VALUE"
     assert got["mapping"]["user"] == "etl"
 
     # a job param block with context_id resolves through the store
@@ -188,6 +200,7 @@ def test_api_contexts_crud(api, monkeypatch):
 
     merged = apply_context({"context_id": "api_pg", "entity_name": "t"})
     assert merged["password"] == "s3cret" and merged["url"] == "jdbc:postgresql://h/db"
+    assert merged["api_token"] == "tok-123"
 
     assert http("DELETE", f"{base}/contexts/api_pg")[0] == 200
     assert http("GET", f"{base}/contexts/api_pg")[0] == 404

@@ -159,3 +159,90 @@ def test_job_config_json_roundtrip(tmp_path):
         JobConfig.from_dict({"name": "dup", "components": [
             {"name": "x", "comp_type": "merge"}, {"name": "x", "comp_type": "merge"},
         ]})
+
+
+def test_per_component_metrics(spark, tmp_path):
+    """Reference-parity component counters (component_metrics.py:4-31,
+    filter_metrics.py:6-18): lines_received/forwarded/dismissed per
+    component, observed on the sink action itself — no count() calls,
+    no extra scans."""
+    src = make_csv(tmp_path)
+    out_dir = tmp_path / "out_metrics"
+    job = {
+        "name": "metrics_job",
+        "components": [
+            {
+                "name": "read",
+                "comp_type": "read_csv",
+                "filepath": str(src),
+                "routes": {"out": [{"to": "flt", "in_port": "in"}]},
+            },
+            {
+                "name": "flt",
+                "comp_type": "filter",
+                "rule": {"column": "age", "operator": ">", "value": "18"},
+                # fail port deliberately unrouted: dismissed must be
+                # derived (received - forwarded), not separately scanned
+                "routes": {"pass": [{"to": "sink", "in_port": "in"}]},
+            },
+            {"name": "sink", "comp_type": "write_csv", "filepath": str(out_dir)},
+        ],
+    }
+    sc = spark.sparkContext
+    group = "metrics_job_probe"
+    sc.setJobGroup(group, "metrics ride the sink action")
+    try:
+        result = JobRunner(build_job(spark, job)).run()
+    finally:
+        sc.setJobGroup(None, None)
+    assert result.status == "SUCCESS", result.error
+    flt = result.metrics["flt"]
+    assert flt["lines_received"] == 3
+    assert flt["lines_forwarded"] == 2
+    assert flt["lines_dismissed"] == 1
+    assert flt["ports"] == {"pass": 2}
+    assert result.metrics["read"] == {
+        "lines_forwarded": 3, "ports": {"out": 3}
+    }  # sources have no received side
+    assert result.metrics["sink"]["lines_received"] == 2
+    # the whole job — metrics included — ran as the sink's write
+    # action(s) only: no per-metric count() jobs
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) <= 3
+
+
+def test_metrics_skip_dead_branch(spark, tmp_path):
+    """A branch that never reaches a sink must not be observed (its
+    Observation would block forever) nor executed."""
+    src = make_csv(tmp_path)
+    out_dir = tmp_path / "out_dead"
+    job = {
+        "name": "dead_branch",
+        "components": [
+            {
+                "name": "read",
+                "comp_type": "read_csv",
+                "filepath": str(src),
+                "routes": {"out": [{"to": "sp", "in_port": "in"}]},
+            },
+            {
+                "name": "sp",
+                "comp_type": "split",
+                "branches": ["a", "b"],
+                "routes": {
+                    "a": [{"to": "sink", "in_port": "in"}],
+                    "b": [{"to": "dead", "in_port": "in"}],
+                },
+            },
+            {
+                "name": "dead",
+                "comp_type": "filter",
+                "rule": {"column": "age", "operator": ">", "value": "0"},
+                "routes": {},
+            },
+            {"name": "sink", "comp_type": "write_csv", "filepath": str(out_dir)},
+        ],
+    }
+    result = JobRunner(build_job(spark, job)).run()
+    assert result.status == "SUCCESS", result.error
+    assert result.metrics["sp"]["ports"] == {"a": 3}  # only the live branch
+    assert "dead" not in result.metrics

@@ -204,14 +204,20 @@ def test_cli_schedules_and_contexts(spark, tmp_path, capsys):
     assert cli_main(["--db", db, "schedule", "delete", sid]) == 0
     capsys.readouterr()
 
+    # literal secrets are rejected at create — *_env is the secret path
     assert cli_main([
         "--db", db, "contexts", "create", "cli_pg",
         json.dumps({"url": "jdbc:postgresql://h/db", "password": "hunter2"}),
+    ]) == 2
+    assert "password" in capsys.readouterr().err
+    assert cli_main([
+        "--db", db, "contexts", "create", "cli_pg",
+        json.dumps({"url": "jdbc:postgresql://h/db", "password_env": "CLI_PG_PW"}),
     ]) == 0
     capsys.readouterr()
     assert cli_main(["--db", db, "contexts", "get", "cli_pg"]) == 0
     got = json.loads(capsys.readouterr().out)
-    assert got["password"] == "***" and got["url"].startswith("jdbc:")
+    assert got["password_env"] == "CLI_PG_PW" and got["url"].startswith("jdbc:")
     assert cli_main(["--db", db, "contexts", "delete", "cli_pg"]) == 0
 
 
@@ -265,3 +271,95 @@ def test_validate_nested_nullability(spark):
     out = get_operator("validate")(schema=schema).apply({"in": df})
     assert out["valid"].count() == 1
     assert out["invalid"].count() == 1
+
+
+def test_run_due_isolates_failing_schedules(spark, tmp_path):
+    """One schedule whose job can't even start (deleted job) must not
+    abort the sweep: later due schedules still run, the failure is
+    recorded as a FAILED execution, and the dangling schedule is
+    disabled instead of re-failing every sweep."""
+    import sqlite3
+    import time
+
+    store = JobStore(tmp_path / "jobs.db")
+    good_id = store.create_job(make_job_config(tmp_path))
+    bad_id = store.create_job(make_job_config(tmp_path))
+    sid_bad = store.create_schedule(bad_id, interval_seconds=1)
+    sid_good = store.create_schedule(good_id, interval_seconds=1)
+    # orphan the first schedule behind the store's back (simulates the
+    # pre-cascade state an old db can still contain)
+    con = sqlite3.connect(str(tmp_path / "jobs.db"))
+    con.execute("DELETE FROM jobs WHERE job_id = ?", (bad_id,))
+    con.commit(); con.close()
+    store._conn.execute("DELETE FROM jobs WHERE job_id = ?", (bad_id,))
+    store._conn.commit()
+
+    records = store.run_due(spark, now=time.time() + 2)
+    by_job = {r.job_id: r for r in records}
+    assert by_job[good_id].status == "SUCCESS"
+    assert by_job[bad_id].status == "FAILED" and "KeyError" in by_job[bad_id].error
+    assert store.get_schedule(sid_bad)["enabled"] is False
+    assert store.get_schedule(sid_good)["enabled"] is True
+    # the good schedule advanced: not due again at the same instant
+    assert store.get_schedule(sid_good)["next_due"] > time.time() + 1
+
+
+def test_delete_job_cascades_schedules(spark, tmp_path):
+    store = JobStore(tmp_path / "jobs.db")
+    job_id = store.create_job(make_job_config(tmp_path))
+    sid = store.create_schedule(job_id, interval_seconds=3600)
+    store.delete_job(job_id)
+    with pytest.raises(KeyError):
+        store.get_schedule(sid)
+
+
+def test_schedules_table_migration(tmp_path):
+    """A store db from before trigger_type/trigger_args must be
+    upgraded in place (CREATE TABLE IF NOT EXISTS would silently keep
+    the old 5-column table and break every schedule insert/read)."""
+    import sqlite3
+    import time
+
+    db = tmp_path / "old.db"
+    con = sqlite3.connect(str(db))
+    con.executescript(
+        """
+        CREATE TABLE jobs (
+            job_id TEXT PRIMARY KEY, name TEXT NOT NULL,
+            config_json TEXT NOT NULL, created_at REAL NOT NULL,
+            updated_at REAL NOT NULL);
+        CREATE TABLE schedules (
+            schedule_id TEXT PRIMARY KEY,
+            job_id TEXT NOT NULL REFERENCES jobs(job_id),
+            interval_seconds REAL NOT NULL,
+            next_due REAL,
+            enabled INTEGER NOT NULL DEFAULT 1);
+        """
+    )
+    now = time.time()
+    con.execute("INSERT INTO jobs VALUES ('j1', 'old', '{}', ?, ?)", (now, now))
+    con.execute(
+        "INSERT INTO schedules VALUES ('s1', 'j1', 1800.0, ?, 1)", (now + 60,)
+    )
+    con.commit(); con.close()
+
+    store = JobStore(db)
+    sched = store.get_schedule("s1")
+    assert sched["trigger_type"] == "interval"
+    assert sched["trigger_args"] == {"seconds": 1800.0}
+    assert sched["next_due"] == pytest.approx(now + 60)
+    assert sched["enabled"] is True
+    # and the new shape round-trips
+    job_id = store.create_job(make_job_config(tmp_path))
+    sid = store.create_schedule(job_id, trigger_type="cron",
+                                trigger_args={"expression": "0 3 * * *"})
+    assert store.get_schedule(sid)["trigger_type"] == "cron"
+
+
+def test_create_context_rejects_literal_secrets(tmp_path):
+    store = JobStore(tmp_path / "jobs.db")
+    with pytest.raises(ValueError, match="api_key"):
+        store.create_context("c1", {"url": "x", "api_key": "literal"})
+    # *_env indirection and non-secret keys are fine
+    store.create_context("c1", {"url": "x", "api_key_env": "MY_KEY"})
+    assert store.get_context("c1")["api_key_env"] == "MY_KEY"
