@@ -1343,6 +1343,46 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
 
 
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within hamming distance 8 of each other's simhash, found
+    via pigeonhole banding (9 disjoint bands; ≤8 differing bits must
+    leave one band untouched) — no all-pairs stage. The oracle does
+    the quadratic comparison directly; the Spark side must reach the
+    identical pair set through the banded candidates."""
+    from etl_core_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", shingle_n=2, max_hamming=8)
+
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_shingles_sql(2)}) AS s FROM t
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM h, range(0, 60) b(b)
+  GROUP BY doc_id, b.b
+), fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 61),
+              i -> CASE WHEN a.simhash[i] <> b.simhash[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+)
+WHERE hamming <= 8
+"""
+
+
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.similarity import brute_force_topk
 
@@ -1676,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_brute_force": q_ann_brute_force,
         "ivf_topk": q_ivf_topk,
         "token_frequency": q_token_frequency,
@@ -1735,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
         "simhash": _SQL_SIMHASH,
+        "simhash_near_dup_pairs": _SQL_SIMHASH_PAIRS,
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ivf_topk": _SQL_IVF_TOPK,
         "token_frequency": _SQL_TOKEN_FREQ,

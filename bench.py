@@ -33,6 +33,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from etl_core_spark.session import release_intermediates
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -42,6 +44,13 @@ def main() -> None:
         elapsed = time.monotonic() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
+        # queries are independent jobs: release operator-persisted
+        # intermediates between them (inside the timed region would
+        # charge query N for query N-1's cache; outside it, the next
+        # query starts from the same cold-cache state a fresh job
+        # would — and accumulated storage memory can't crowd the
+        # execution side)
+        release_intermediates()
 
     print(
         json.dumps(

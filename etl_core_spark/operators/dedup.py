@@ -354,6 +354,89 @@ def simhash_fingerprints(
     return g.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    bits: int = 60,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose simhash fingerprints differ
+    in at most ``max_hamming`` bits.
+
+    Exact-bucket simhash grouping only finds IDENTICAL fingerprints;
+    real near-dups differ in a few bits. Probing the full hamming
+    ball explicitly is C(bits, k) keys per doc — hopeless. The
+    pigeonhole banding used here is the standard scalable form: split
+    the fingerprint into ``max_hamming + 1`` disjoint bands; k
+    differing bits cannot touch all k+1 bands, so any pair within
+    distance k agrees EXACTLY on at least one band. Candidates are an
+    equi-join on (band index, band bits) — the same scale shape as
+    MinHash banding, no all-pairs stage — and the verify is one XOR +
+    popcount on the 60-bit fingerprints as longs.
+
+    Zero-shingle docs (null/empty/whitespace text) are excluded up
+    front: they'd all share the all-zero fingerprint and every band
+    bucket, the same dirty-corpus quadratic the MinHash path guards
+    against. ``max_band_freq`` optionally drops hotter-than-cap band
+    keys (mass-identical content), as in ``minhash_candidates``.
+    """
+    from etl_core_spark.session import persist_intermediate
+
+    # zero shingles ⇔ zero tokens ⇔ empty trimmed text (functions/
+    # text.tokens); NULL text fails the predicate too
+    clean = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    # consumed 3× (banding + both verify sides); without the persist
+    # the whole shingle→hash→aggregate subtree runs three times
+    fp = persist_intermediate(
+        simhash_fingerprints(clean, text_col, id_col, shingle_n, bits)
+    )
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}|"), F.substring("simhash", i * width + 1, width)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    ex = fp.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    if max_band_freq is not None:
+        rare = (
+            ex.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__bf"))
+            .where(F.col("__bf") <= int(max_band_freq))
+            .select("band_key")
+        )
+        ex = ex.join(rare, on="band_key")
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    ham = F.bit_count(
+        F.conv(F.col("__fa"), 2, 10)
+        .cast("long")
+        .bitwiseXOR(F.conv(F.col("__fb"), 2, 10).cast("long"))
+    )
+    return (
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
     """Groups of docs sharing an identical simhash fingerprint."""
     fp = simhash_fingerprints(df, text_col, id_col, shingle_n)

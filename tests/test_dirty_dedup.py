@@ -126,6 +126,75 @@ def test_minhash_signature_table_still_covers_all_docs(dirty_docs):
     release_intermediates()
 
 
+# -- simhash banded near-dup pairs ---------------------------------------
+
+
+def test_simhash_near_dup_pairs_finds_band_distant_pair(spark):
+    # docs 1/2 differ by one token out of many → few simhash bits
+    # apart, NOT identical — exact-bucket grouping misses them, the
+    # pigeonhole banding must not
+    from etl_core_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base + "ending one"),
+        (2, base + "ending two"),
+        (3, "a completely different document about query planners"),
+        (4, ""),  # zero-shingle: excluded
+        (5, None),  # null text: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash_fingerprints(df, "text", "doc_id").collect()}
+    d12 = sum(a != b for a, b in zip(fps[1], fps[2]))
+    assert 0 < d12 <= 8  # near but not identical
+    pairs = simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == d12
+    assert all(3 not in p and 4 not in p and 5 not in p for p in got)
+
+
+def test_simhash_near_dup_excludes_empty_docs(spark):
+    # 30 empty/whitespace docs share the all-zero fingerprint; without
+    # the clean filter they'd be 435 hamming-0 "pairs" from garbage
+    from etl_core_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [(i, ["", "   ", None][i % 3]) for i in range(30)]
+    rows.append((100, "one real document with several words in it"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=8).count() == 0
+
+
+def test_simhash_pigeonhole_exhaustive_vs_banded(spark, tables):
+    # the banded candidate stage must reach the identical pair set the
+    # quadratic comparison finds (pigeonhole: ≤k flips spare one of
+    # k+1 bands) — checked on the real documents table
+    from etl_core_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    docs = tables["documents"]
+    fps = simhash_fingerprints(docs, "text", "doc_id").collect()
+    exhaustive = set()
+    for i, a in enumerate(fps):
+        for b in fps[i + 1:]:
+            d = sum(x != y for x, y in zip(a["simhash"], b["simhash"]))
+            if d <= 6 and a["simhash"] != "0" * 60 and b["simhash"] != "0" * 60:
+                pair = tuple(sorted((a["doc_id"], b["doc_id"])))
+                exhaustive.add(pair)
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert banded == exhaustive
+
+
 # -- cache release -------------------------------------------------------
 
 
