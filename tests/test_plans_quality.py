@@ -126,3 +126,30 @@ def test_ivf_topk_self_query(spark, tables):
         # a query always lands in its own cell → self is rank 1
         assert top["vec_id"] == qid
         assert top["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    # pigeonhole banding must keep candidate generation an equi-join
+    # on the band key — the oracle's quadratic comparison is exactly
+    # the plan shape the operator must NOT have
+    import __spark_entry__ as m
+
+    df = m.queries()["simhash_near_dup_pairs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from etl_core_spark.session import release_intermediates
+
+    release_intermediates()
+
+
+def test_tf_idf_n_docs_is_broadcast_not_eager(spark, tables):
+    # corpus size N must ride the plan as a broadcast one-row
+    # aggregate; the plan therefore contains a broadcast join for it
+    # (the zero-jobs-at-construction property is asserted in
+    # test_dirty_dedup.py)
+    from etl_core_spark.operators.text_analysis import tf_idf_top_terms
+
+    df = tf_idf_top_terms(tables["documents"], "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
