@@ -179,11 +179,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥
     threshold. Returns (id_a, id_b, jaccard)."""
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
+    cands = minhash_candidates_from_shingles(
+        sh, id_col, num_hashes, bands, max_band_freq
+    )
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
@@ -469,6 +472,7 @@ class DedupOperator(Operator):
                 raise OperatorConfigError("exact dedup requires 'keys'")
             return {"out": exact_dedup(df, list(keys), c.get("id_col"))}
         if self.method == "minhash_lsh":
+            mbf = c.get("max_band_freq")
             pairs = minhash_dedup_pairs(
                 df,
                 c.get("text_col", "text"),
@@ -477,6 +481,7 @@ class DedupOperator(Operator):
                 int(c.get("num_hashes", 16)),
                 int(c.get("bands", 8)),
                 int(c.get("shingle_n", 3)),
+                int(mbf) if mbf is not None else None,
             )
             # drop the higher id of each verified pair
             dups = pairs.select(F.col("id_b").alias(c.get("id_col", "doc_id"))).distinct()

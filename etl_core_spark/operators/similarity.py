@@ -421,6 +421,7 @@ class SimilaritySearchOperator(Operator):
         else:
             out = lsh_topk(
                 corpus, queries, dim=int(c.get("dim", 64)),
-                num_planes=int(c.get("num_planes", 6)), **kwargs,
+                num_planes=int(c.get("num_planes", 6)),
+                num_tables=int(c.get("num_tables", 1)), **kwargs,
             )
         return {"out": out}

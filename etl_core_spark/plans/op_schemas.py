@@ -232,6 +232,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_hashes", "integer", default=16),
         f("bands", "integer", default=8),
         f("shingle_n", "integer", default=3),
+        f("max_band_freq", "integer",
+          desc="drop LSH band keys hotter than this (mass-duplicate guard; minhash_lsh)"),
     ],
     "similarity_search": [
         f("method", "string", default="brute_force", enum=["brute_force", "lsh"]),
@@ -241,6 +243,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("query_id_col", "string", default="query_id"),
         f("dim", "integer", default=64, desc="embedding dim (lsh)"),
         f("num_planes", "integer", default=6, desc="hyperplanes per bucket code (lsh)"),
+        f("num_tables", "integer", default=1,
+          desc="independent LSH tables unioned for recall (lsh)"),
     ],
     "text_analysis": [
         f("text_col", "string", default="text"),

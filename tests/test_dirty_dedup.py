@@ -126,6 +126,34 @@ def test_minhash_signature_table_still_covers_all_docs(dirty_docs):
     release_intermediates()
 
 
+def test_operator_configs_expose_scale_knobs(spark):
+    # the registry/config surface must carry the new guards, not just
+    # the python functions
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [(i, "same boilerplate body text here") for i in range(20)]
+    rows += [(100, "a rare doc"), (101, "a rare doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = get_operator("dedup")(
+        method="minhash_lsh", text_col="text", id_col="doc_id",
+        threshold=0.5, max_band_freq=5,
+    ).apply({"in": df})["out"]
+    ids = {r["doc_id"] for r in out.collect()}
+    # hot band dropped → boilerplate group untouched; rare dup removed
+    assert 101 not in ids and 100 in ids and len(ids) == 21
+    release_intermediates()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = get_operator("similarity_search")(
+        method="lsh", dim=8, k=2, num_tables=4
+    ).apply({"corpus": emb, "queries": queries})["out"]
+    assert out.count() > 0  # multi-table path runs through the config
+
+
 # -- simhash banded near-dup pairs ---------------------------------------
 
 
