@@ -1,5 +1,6 @@
 from etl_core_spark.streaming.stream import (
     read_stream,
+    streaming_dedup,
     windowed_aggregate,
     sessionize,
     write_stream_foreach_batch,
@@ -7,6 +8,7 @@ from etl_core_spark.streaming.stream import (
 
 __all__ = [
     "read_stream",
+    "streaming_dedup",
     "windowed_aggregate",
     "sessionize",
     "write_stream_foreach_batch",

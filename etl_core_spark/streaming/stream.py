@@ -52,6 +52,29 @@ def read_stream(
     return reader.load()
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup over an unbounded stream with BOUNDED state.
+
+    ``dropDuplicates`` on a stream keeps every key ever seen — state
+    grows without bound and a 100 TB/day feed kills the state store
+    in hours. ``dropDuplicatesWithinWatermark`` evicts keys once the
+    watermark passes them: a duplicate arriving within the watermark
+    window is dropped, one arriving later than the watermark is
+    treated as new (the documented trade — dedup horizon = watermark
+    horizon). This is the streaming face of ``exact_dedup``: same
+    hash-shuffle on the key columns, state store instead of a
+    groupBy, first-arrival survivor instead of min-id (a stream has
+    no total order to pick min over).
+    """
+    out = df.withWatermark(event_time_col, watermark)
+    return out.dropDuplicatesWithinWatermark(list(keys))
+
+
 def windowed_aggregate(
     df: DataFrame,
     ts_col: str,

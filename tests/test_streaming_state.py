@@ -142,3 +142,60 @@ def test_sessionize_batch_equivalent_counts(spark, tables, duck):
     )
     got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving across micro-batches within the watermark
+    are dropped; state is bounded by the watermark (the whole point
+    vs dropDuplicates on a stream)."""
+    import datetime
+
+    from etl_core_spark.streaming import streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    src_dir = tmp_path / "src"
+    # batch 1: keys a,b,c
+    b1 = [("a", base), ("b", base + datetime.timedelta(minutes=1)),
+          ("c", base + datetime.timedelta(minutes=2))]
+    # batch 2 (separate file): duplicate of b within the watermark + a
+    # fresh key d
+    b2 = [("b", base + datetime.timedelta(minutes=3)),
+          ("d", base + datetime.timedelta(minutes=4))]
+    schema = "k string, ts timestamp"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src_dir), mode="append"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src_dir), mode="append"
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(str(src_dir))
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        streaming_dedup(stream, ["k"], "ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert q.exception() is None
+    assert (tmp_path / "ckpt" / "state").exists()  # keyed state store
+
+    out = spark.read.parquet(str(out_dir)).collect()
+    ks = sorted(r["k"] for r in out)
+    assert ks == ["a", "b", "c", "d"]  # the cross-batch dup of b dropped
+    # survivor is the FIRST arrival of b
+    b_ts = [r["ts"] for r in out if r["k"] == "b"]
+    assert b_ts == [base.replace(minute=1)]
