@@ -1638,6 +1638,70 @@ SELECT doc_id, quality_score FROM s WHERE quality_score >= 0.5
 """
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite: quality gate → exact dedup (md5 of
+    text, min-id survivor) → deterministic hash sample — the
+    canonical first three passes of a training-data pipeline, chained
+    through the REAL operator registry so the oracle certifies
+    operator composition, not just each stage alone."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = get_operator("text_analysis")(metrics=["quality_score"]).apply(
+        {"in": docs}
+    )["out"]
+    kept = scored.where(F.col("quality_score") >= 0.5).withColumn(
+        "__h", F.md5("text")
+    )
+    deduped = get_operator("dedup")(
+        method="exact", keys=["__h"], id_col="doc_id"
+    ).apply({"in": kept})["out"].drop("__h")
+    sampled = get_operator("hash_sample")(key_col="doc_id", rate=0.5).apply(
+        {"in": deduped}
+    )["out"]
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+_SQL_TRAINING_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct,
+         CASE WHEN len(ltoks) > 0
+              THEN len(list_filter(ltoks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for'], x)))
+                   / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS sw
+  FROM t
+), s AS (
+  SELECT doc_id, lang, text,
+         round((least(n_tok / 50.0, 1.0)
+                + greatest(0.0, 1.0 - punct * 4)
+                + CASE WHEN sw > 0.5 THEN 0.5 ELSE least(sw * 4.0, 1.0) END
+               ) / 3.0, 6) AS quality_score
+  FROM m
+), q AS (
+  SELECT doc_id, lang, text, quality_score FROM s WHERE quality_score >= 0.5
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+)
+SELECT q.doc_id, q.lang, q.quality_score
+FROM q JOIN surv USING (doc_id)
+WHERE CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {int(0.5 * 16 ** 8)}
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets. The bucket
     assignment depends on seeded driver-side hyperplanes, so there is
@@ -1721,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "token_frequency": q_token_frequency,
         "quality_filter": q_quality_filter,
+        "training_pipeline": q_training_pipeline,
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -1781,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
+        "training_pipeline": _SQL_TRAINING_PIPELINE,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "winnow_fingerprint": _SQL_WINNOW,

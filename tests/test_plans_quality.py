@@ -153,3 +153,15 @@ def test_tf_idf_n_docs_is_broadcast_not_eager(spark, tables):
     df = tf_idf_top_terms(tables["documents"], "text", "doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_training_pipeline_composes_without_cartesian(spark):
+    # quality gate → null-safe dedup semi-join → hash sample must stay
+    # hash/sort-merge joins end-to-end (eqNullSafe keys are valid hash
+    # join keys; a planner fallback to BNLJ would be a scale bug)
+    import __spark_entry__ as m
+
+    df = m.queries()["training_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
