@@ -131,3 +131,33 @@ def test_cast_ladders_match_reference_tables(spark, values):
     )
     got_int = [r["v"] for r in op_int.apply({"in": df})["out"].collect()]
     assert got_int == [model_str_to_int(v) for v in values]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 999),                      # id
+            st.one_of(st.none(), st.integers(0, 4)),  # key a (nullable)
+            st.one_of(st.none(), st.sampled_from("xy")),  # key b (nullable)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],  # unique ids
+    )
+)
+def test_exact_dedup_matches_python_model_with_nulls(spark, rows):
+    """Differential property: exact_dedup's min-id survivor against a
+    plain-Python groupby that treats NULL as a real key value — the
+    semantics the eqNullSafe join must implement."""
+    from etl_core_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "id long, a long, b string")
+    got = sorted(r["id"] for r in exact_dedup(df, ["a", "b"], id_col="id").collect())
+
+    survivors: dict = {}
+    for rid, a, b in rows:
+        k = (a, b)
+        if k not in survivors or rid < survivors[k]:
+            survivors[k] = rid
+    assert got == sorted(survivors.values())
