@@ -298,6 +298,49 @@ def ivf_assign(
     )
 
 
+def refine_centroids(
+    corpus_unit: DataFrame, cent: DataFrame, iters: int
+) -> DataFrame:
+    """Deterministic Lloyd's iterations on unit vectors.
+
+    Each round: assign every corpus vector to its nearest centroid
+    (broadcast narrow map), recompute each cell's elementwise mean
+    (posexplode → map-side-combinable avg keyed by (cell, dim) —
+    corpus-sized but partial-aggregated, the unavoidable k-means
+    cost), unit-normalize. Empty cells keep their previous centroid
+    (left-join coalesce) so the centroid count never shrinks. No
+    randomness anywhere (seeded by the lowest-id vectors); the only
+    run-to-run wobble is float-summation order inside avg, which
+    moves centroids by ~1 ulp and cannot flip an assignment except
+    on exact ties.
+
+    Expects ``corpus_unit`` as (__corpus_id, __cv) unit vectors and
+    ``cent`` as (__cid, __cvec).
+    """
+    for _ in range(int(iters)):
+        assigned = ivf_assign(corpus_unit, cent, "__corpus_id", "__cv", nprobe=1)
+        means = (
+            assigned.select("__cid", F.posexplode("__cv").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                "__cid",
+                V.unit(F.transform("__pm", lambda s: s["__m"])).alias("__new"),
+            )
+        )
+        cent = (
+            cent.join(means, on="__cid", how="left")
+            .select("__cid", F.coalesce("__new", "__cvec").alias("__cvec"))
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -307,17 +350,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
     centroid cells, search only the query's nprobe nearest cells.
 
-    Centroid selection is deterministic (the num_centroids lowest-id
-    corpus vectors, unit-normalized) instead of k-means — this keeps
-    the operator oracle-checkable; swap in k-means centroids for
-    recall without touching the plan shape. At scale: the corpus
-    assignment is a broadcast-join narrow map done ONCE (then reused
-    across query batches), and each query touches ~1/num_centroids
-    of the corpus — the classic IVF trade.
+    Centroid seeding is deterministic (the num_centroids lowest-id
+    corpus vectors, unit-normalized); ``kmeans_iters`` > 0 runs that
+    many deterministic Lloyd's rounds (``refine_centroids``) for
+    better-balanced cells — still reproducible, but the oracle query
+    keeps iters=0 where the SQL stays expressible. At scale: the
+    corpus assignment is a broadcast-join narrow map done ONCE (then
+    reused across query batches), and each query touches
+    ~nprobe/num_centroids of the corpus — the classic IVF trade.
     """
     from etl_core_spark.session import ensure_parallelism
 
@@ -332,6 +377,8 @@ def ivf_topk(
     q_unit = ensure_parallelism(
         queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv"))
     )
+    if kmeans_iters > 0:
+        cent = refine_centroids(c_unit, cent, kmeans_iters)
     c_assigned = ivf_assign(c_unit, cent, "__corpus_id", "__cv", nprobe=1)
     q_assigned = ivf_assign(q_unit, cent, "__query_id", "__qv", nprobe=nprobe)
     scored = q_assigned.join(c_assigned, on="__cid").select(

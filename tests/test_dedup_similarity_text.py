@@ -252,3 +252,60 @@ def test_shingles_and_jaccard(spark):
         X.jaccard(F.array(F.lit("x"), F.lit("y")), F.array(F.lit("y"), F.lit("z"))).alias("j")
     ).collect()[0]["j"]
     assert j == pytest.approx(1 / 3)
+
+
+def test_ivf_kmeans_refinement_recovers_clusters(spark):
+    """Adversarial seeding: all IVF seed centroids (lowest ids) sit in
+    one cluster, so iters=0 mis-assigns two clusters; deterministic
+    Lloyd rounds must migrate the centroids and recover full recall
+    (measured 0.725 → 1.0 on this fixture). On uniform random
+    embeddings refinement is a no-op by design — it's a
+    clustered-data feature."""
+    import random
+
+    from etl_core_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        refine_centroids,
+    )
+
+    rng = random.Random(7)
+    dim, rows = 16, []
+    for i in range(90):
+        c = 0 if i < 3 else i % 3  # seeds (ids 0-2) all in cluster 0
+        base = [0.0] * dim
+        base[c * 5] = 1.0
+        rows.append((i, [b + rng.gauss(0, 0.05) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(
+        F.col("vec_id").isin([10, 11, 20, 22, 31, 40, 50, 61])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5, broadcast_corpus=True).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                emb, queries, k=5, num_centroids=3, nprobe=1, kmeans_iters=iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r5 = recall(0), recall(5)
+    assert r5 == 1.0 and r0 < r5
+
+    # refinement preserves the centroid count (empty cells keep their
+    # previous centroid instead of disappearing)
+    from etl_core_spark.functions import vectors as V
+
+    c_unit = emb.select(
+        F.col("vec_id").alias("__corpus_id"), V.unit(F.col("embedding")).alias("__cv")
+    )
+    cent0 = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("__cid"), V.unit(F.col("embedding")).alias("__cvec"))
+    )
+    assert refine_centroids(c_unit, cent0, 3).count() == 3
