@@ -487,8 +487,18 @@ class DedupOperator(Operator):
             dups = pairs.select(F.col("id_b").alias(c.get("id_col", "doc_id"))).distinct()
             return {"out": df.join(dups, on=c.get("id_col", "doc_id"), how="left_anti")}
         # simhash
-        fp = simhash_fingerprints(
-            df, c.get("text_col", "text"), c.get("id_col", "doc_id"), int(c.get("shingle_n", 2))
-        )
-        keep = fp.groupBy("simhash").agg(F.min(c.get("id_col", "doc_id")).alias(c.get("id_col", "doc_id")))
-        return {"out": df.join(keep, on=c.get("id_col", "doc_id"), how="left_semi")}
+        id_col = c.get("id_col", "doc_id")
+        text_col = c.get("text_col", "text")
+        shingle_n = int(c.get("shingle_n", 2))
+        max_hamming = c.get("max_hamming")
+        if max_hamming is not None:
+            # near-dup mode: drop the higher id of every pair within
+            # the hamming budget (banded candidates, no all-pairs)
+            pairs = simhash_near_dup_pairs(
+                df, text_col, id_col, shingle_n, int(max_hamming)
+            )
+            dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            return {"out": df.join(dups, on=id_col, how="left_anti")}
+        fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
+        keep = fp.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+        return {"out": df.join(keep, on=id_col, how="left_semi")}

@@ -234,6 +234,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("shingle_n", "integer", default=3),
         f("max_band_freq", "integer",
           desc="drop LSH band keys hotter than this (mass-duplicate guard; minhash_lsh)"),
+        f("max_hamming", "integer",
+          desc="simhash: dedup within this hamming distance (banded) instead of exact-fingerprint only"),
     ],
     "similarity_search": [
         f("method", "string", default="brute_force", enum=["brute_force", "lsh"]),

@@ -390,3 +390,24 @@ def test_range_join_auto_declines_huge_fanout(spark):
     assert out2.count() == points.join(
         intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
     ).count()
+
+
+def test_dedup_operator_simhash_hamming_mode(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base + "ending one"),
+        (2, base + "ending two"),  # few bits from 1 — NOT identical
+        (3, "a totally different document about planners"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact_mode = get_operator("dedup")(
+        method="simhash", text_col="text", id_col="doc_id"
+    ).apply({"in": df})["out"]
+    assert {r["doc_id"] for r in exact_mode.collect()} == {1, 2, 3}  # misses
+    near_mode = get_operator("dedup")(
+        method="simhash", text_col="text", id_col="doc_id", max_hamming=8
+    ).apply({"in": df})["out"]
+    assert {r["doc_id"] for r in near_mode.collect()} == {1, 3}  # 2 dropped
+    release_intermediates()
