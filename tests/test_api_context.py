@@ -260,3 +260,38 @@ def test_apply_context_merge(monkeypatch):
     # explicit keys win; context_id consumed
     assert merged == {"url": "jdbc:postgresql://h/db", "user": "override", "entity_name": "t"}
     assert apply_context({"a": 1}) == {"a": 1}
+
+
+def test_api_execution_reports_component_metrics(api, spark):
+    """Reference-parity per-component counters surfaced through the
+    HTTP surface (GET /execution): a filter job reports received +
+    forwarded + dismissed, all observed on the sink action itself —
+    no count() scans anywhere in the path."""
+    server, tmp_path = api
+    base = f"http://127.0.0.1:{server.port}"
+    src = tmp_path / "mx.csv"
+    src.write_text("id,age\n1,30\n2,17\n3,45\n4,12\n")
+    config = {
+        "name": "metrics_api_job",
+        "components": [
+            {"name": "r", "comp_type": "read_csv", "filepath": str(src),
+             "routes": {"out": [{"to": "flt", "in_port": "in"}]}},
+            {"name": "flt", "comp_type": "filter",
+             "rule": {"column": "age", "operator": ">", "value": "18"},
+             "routes": {"pass": [{"to": "w", "in_port": "in"}]}},
+            {"name": "w", "comp_type": "write_csv",
+             "filepath": str(tmp_path / "mx_out")},
+        ],
+    }
+    _, created = http("POST", f"{base}/jobs", config)
+    status, record = http("POST", f"{base}/execution/{created['job_id']}")
+    assert status == 200 and record["status"] == "SUCCESS"
+    flt = record["metrics"]["flt"]
+    assert flt["lines_received"] == 4
+    assert flt["lines_forwarded"] == 2
+    assert flt["lines_dismissed"] == 2
+    assert record["metrics"]["w"]["lines_received"] == 2
+
+    # and the persisted record serves the same numbers back
+    _, execs = http("GET", f"{base}/execution?job_id={created['job_id']}")
+    assert execs[-1]["metrics"]["flt"]["lines_dismissed"] == 2
