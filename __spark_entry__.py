@@ -1161,16 +1161,18 @@ WITH t AS (
   SELECT doc_id, norm, greatest(length(norm) - 8 + 1, 1) AS n FROM t
 ), h AS (
   SELECT doc_id,
-         list_transform(range(1, n + 1),
-                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) AS hashes,
+         CASE WHEN norm IS NULL OR length(norm) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, n + 1),
+                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) END AS hashes,
          n
   FROM g
 ), w AS (
   SELECT doc_id,
-         list_sort(list_distinct(
+         CASE WHEN len(hashes) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_sort(list_distinct(
            list_transform(range(1, greatest(n - 4 + 1, 1) + 1),
                           j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))
-         )) AS fps
+         )) END AS fps
   FROM h
 )
 SELECT doc_id,
@@ -1201,16 +1203,18 @@ WITH t AS (
   SELECT doc_id, norm, greatest(length(norm) - 8 + 1, 1) AS n FROM t
 ), h AS (
   SELECT doc_id,
-         list_transform(range(1, n + 1),
-                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) AS hashes,
+         CASE WHEN norm IS NULL OR length(norm) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, n + 1),
+                        i -> md5(substr(norm, CAST(i AS INTEGER), 8))) END AS hashes,
          n
   FROM g
 ), w AS (
   SELECT doc_id,
-         list_sort(list_distinct(
+         CASE WHEN len(hashes) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_sort(list_distinct(
            list_transform(range(1, greatest(n - 4 + 1, 1) + 1),
                           j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))
-         )) AS fps
+         )) END AS fps
   FROM h
 ), ex0 AS (
   SELECT doc_id, unnest(fps) AS fp FROM w

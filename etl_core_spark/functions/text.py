@@ -221,11 +221,20 @@ def winnow_gram_hashes(col: Column, k: int = 8) -> Column:
     md5 hex strings compare lexicographically exactly like their
     128-bit values and DuckDB computes identical digests, so the
     selection cross-checks with the SQL oracle (same trick as the
-    MinHash signatures above)."""
+    MinHash signatures above).
+
+    Empty/null text yields an EMPTY hash array, not ``[md5("")]`` —
+    otherwise every empty doc in a crawl corpus shares one
+    fingerprint key and the near-dup equi-join goes quadratic in the
+    empty-doc count (the same hot-key failure MinHash banding guards
+    against; the doc-freq cap only contained it by coincidence)."""
     norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
     n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
+    )
+    return F.when(F.length(norm) > 0, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -235,10 +244,13 @@ def winnow_select(hashes: Column, window: int = 4) -> Column:
     selections. Any shared substring of length ≥ k + window − 1
     contributes a shared fingerprint, so plagiarism/near-dup
     detection reduces to an equi-join on fingerprint. Pass a
-    MATERIALIZED hash-array column (see ``winnow_gram_hashes``)."""
+    MATERIALIZED hash-array column (see ``winnow_gram_hashes``).
+    An empty hash array (empty/null doc) selects nothing."""
     n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(hashes, j, window)),
     )
-    return F.array_sort(F.array_distinct(mins))
+    return F.when(
+        F.size(hashes) > 0, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<string>"))

@@ -411,3 +411,17 @@ def test_dedup_operator_simhash_hamming_mode(spark):
     ).apply({"in": df})["out"]
     assert {r["doc_id"] for r in near_mode.collect()} == {1, 3}  # 2 dropped
     release_intermediates()
+
+
+def test_winnow_pairs_ignore_dirty_docs(spark, dirty_docs):
+    # winnowing is structurally safe on dirty docs (null fingerprints
+    # never equi-match; empty docs have no fingerprints) — pin it so a
+    # refactor can't regress what MinHash had to be fixed for
+    pairs = winnow_near_dup_pairs(
+        dirty_docs, "text", "doc_id", min_shared=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # the real exact dup
+    dirty = {3, 4, 5, 6, 7, 8}
+    assert all(a not in dirty and b not in dirty for a, b in got)
+    release_intermediates()
