@@ -424,7 +424,14 @@ def cosine_near_dup_pairs(
         b = base.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bucketed = lsh_bucketed(base, "__unit", dim, num_planes, seed, num_tables)
+        # zero-norm vectors (the classic failed-embedding-job output)
+        # all hash to the SAME hyperplane sign pattern — a million of
+        # them is one quadratic bucket — and their cosine with
+        # anything is 0, below any positive threshold, so dropping
+        # them pre-bucketing changes no verified pair (the empty-doc
+        # guard from the text-dedup family, in vector form)
+        nonzero = base.where(V.norm(F.col("__unit")) > 0)
+        bucketed = lsh_bucketed(nonzero, "__unit", dim, num_planes, seed, num_tables)
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__bucket"
         )

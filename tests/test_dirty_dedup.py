@@ -425,3 +425,31 @@ def test_winnow_pairs_ignore_dirty_docs(spark, dirty_docs):
     dirty = {3, 4, 5, 6, 7, 8}
     assert all(a not in dirty and b not in dirty for a, b in got)
     release_intermediates()
+
+
+def test_cosine_near_dup_lsh_drops_zero_vectors(spark):
+    # 30 zero vectors (failed-embedding-job output) share one LSH
+    # bucket; they can never reach a positive threshold, so the
+    # bucketed path must exclude them pre-join instead of scoring
+    # 30*29/2 garbage candidates
+    from etl_core_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [(i, [0.0] * 8) for i in range(30)]
+    rows += [
+        (100, [1.0] + [0.0] * 7),
+        (101, [0.999, 0.02] + [0.0] * 6),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.9, dim=8, num_planes=2, num_tables=4
+        ).collect()
+    }
+    assert got == {(100, 101)}
+    # exact path agrees on the verified output (zero vectors score 0)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.9, dim=8, exact=True).collect()
+    }
+    assert exact == {(100, 101)}
