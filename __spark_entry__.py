@@ -1507,6 +1507,29 @@ FROM nation
 """
 
 
+def q_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7/2.8 sources, oracle-checked end-to-end: nation →
+    write_excel → read_excel via the stdlib ``lite`` engine
+    (sources/xlsx_lite.py — a real .xlsx on disk, not a monkeypatch).
+    All-string read parity, same oracle shape as csv_roundtrip."""
+    import tempfile
+
+    from etl_core_spark.operators.base import get_operator
+
+    nat = _t(spark, sf_dir, "nation")
+    path = f"{tempfile.mkdtemp(prefix='spark_xlsx_rt_')}/nation.xlsx"
+    get_operator("write_excel")(filepath=path, engine="lite").apply({"in": nat})
+    out = get_operator("read_excel")(spark=spark, filepath=path, engine="lite").apply({})["out"]
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_SQL_EXCEL_ROUNDTRIP = """
+SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+FROM nation
+"""
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 sources: orders projection → write_json (NDJSON) →
     read_json. long/double/string survive the text round-trip typed
@@ -1791,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "training_pipeline": q_training_pipeline,
         "csv_roundtrip": q_csv_roundtrip,
+        "excel_roundtrip": q_excel_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
@@ -1852,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _SQL_QUALITY_FILTER,
         "training_pipeline": _SQL_TRAINING_PIPELINE,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "excel_roundtrip": _SQL_EXCEL_ROUNDTRIP,
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "winnow_fingerprint": _SQL_WINNOW,
         "winnow_near_dup_pairs": _SQL_WINNOW_PAIRS,

@@ -134,11 +134,13 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         _FILEPATH,
         f("sheet_name", "string", default="0"),
         f("npartitions", "integer", default=8, desc="partitions after the driver-side pandas bridge"),
+        f("engine", "string", default="auto", desc="auto|pandas (openpyxl)|lite (stdlib zip+XML)"),
         _SCHEMA_FIELD,
     ],
     "write_excel": [
         _FILEPATH,
         f("sheet_name", "string", default="Sheet1"),
+        f("engine", "string", default="auto", desc="auto|pandas (openpyxl)|lite (stdlib zip+XML)"),
     ],
     "read_parquet": [_FILEPATH, _SCHEMA_FIELD],
     "write_parquet": [

@@ -1,35 +1,164 @@
-"""Excel bridge coverage (sources/excel_io.py).
+"""Excel bridge coverage (sources/excel_io.py + sources/xlsx_lite.py).
 
-openpyxl is absent in this container, so the real file path can't
-run; what CAN and MUST be tested is (a) the gating error fires with
-an actionable message, and (b) the schema/dtype plumbing around the
-driver-side pandas bridge — ``dtype=str`` all-string parity when no
-schema is declared (the reference's ``pd.read_excel`` reality,
-``excel_helper.py:110-142``), declared schema winning otherwise, and
-the sink collecting to a single driver-side ``to_excel`` call with
-the configured sheet name.
+Two engines: ``pandas`` (openpyxl, the reference's own stack —
+absent in this container, so it's exercised via monkeypatched pandas)
+and ``lite`` (stdlib zip+XML), which runs the REAL file path here:
+write an actual .xlsx, read it back, assert values. All-string read
+parity mirrors the reference's ``pd.read_excel(dtype=str)`` reality
+(``excel_helper.py:110-142``).
 """
+
+import datetime
+import zipfile
+import xml.etree.ElementTree as ET
 
 import pandas as pd
 import pytest
 
 from etl_core_spark.operators.base import OperatorConfigError
-from etl_core_spark.sources import excel_io
+from etl_core_spark.sources import excel_io, xlsx_lite
 from etl_core_spark.sources.excel_io import ReadExcel, WriteExcel
 
 
-def test_read_gating_error_without_openpyxl(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: False)
-    op = ReadExcel(spark=spark, filepath="/nonexistent.xlsx")
-    with pytest.raises(OperatorConfigError, match="openpyxl"):
-        op.read()
+# ---------------------------------------------------------- xlsx_lite
+
+def test_col_letter_roundtrip():
+    for idx, letter in [(0, "A"), (25, "Z"), (26, "AA"), (27, "AB"), (701, "ZZ"), (702, "AAA")]:
+        assert xlsx_lite.col_letter(idx) == letter
+        assert xlsx_lite.col_index(f"{letter}7") == idx
 
 
-def test_write_gating_error_without_openpyxl(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: False)
-    op = WriteExcel(filepath="/nonexistent.xlsx")
+def test_lite_roundtrip_types_and_escaping(tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    header = ["s", "n", "f", "b", "none", "dt"]
+    rows = [
+        ["a<b&\"c'>", 5, 2.5, True, None, datetime.date(2026, 8, 14)],
+        ["  padded  ", -3, float("nan"), False, None,
+         datetime.datetime(2026, 8, 14, 12, 30, 5)],
+        ["line1\nline2", 0, 1e18, True, None, None],
+    ]
+    xlsx_lite.write_xlsx(path, header, rows)
+    h, out = xlsx_lite.read_xlsx(path)
+    assert h == header
+    assert out[0] == ["a<b&\"c'>", "5", "2.5", "True", None, "2026-08-14"]
+    # xml:space="preserve" keeps padding; NaN cells are omitted → None
+    assert out[1] == ["  padded  ", "-3", None, "False", None, "2026-08-14 12:30:05"]
+    assert out[2][0] == "line1\nline2"
+    assert out[2][1] == "0"
+    assert float(out[2][2]) == 1e18
+
+
+def test_lite_sheet_selection_and_errors(tmp_path):
+    path = str(tmp_path / "s.xlsx")
+    xlsx_lite.write_xlsx(path, ["a"], [["1"]], sheet_name="Data")
+    assert xlsx_lite.read_xlsx(path, "Data")[1] == [["1"]]
+    assert xlsx_lite.read_xlsx(path, 0)[1] == [["1"]]
+    with pytest.raises(ValueError, match="no sheet named"):
+        xlsx_lite.read_xlsx(path, "Missing")
+    with pytest.raises(ValueError, match="out of range"):
+        xlsx_lite.read_xlsx(path, 3)
+
+
+def test_lite_reads_shared_strings_and_rich_text(tmp_path):
+    """Hand-built workbook with a sharedStrings table (t="s") and
+    rich-text runs — the shape openpyxl/Excel itself writes."""
+    path = str(tmp_path / "shared.xlsx")
+    ns = xlsx_lite.NS_MAIN
+    sheet = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        f'<sst xmlns="{ns}" count="3" uniqueCount="3">'
+        "<si><t>col1</t></si><si><t>col2</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si>"
+        "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", xlsx_lite._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", xlsx_lite._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", xlsx_lite._workbook_xml("Sheet1"))
+        zf.writestr("xl/_rels/workbook.xml.rels", xlsx_lite._WORKBOOK_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    header, rows = xlsx_lite.read_xlsx(path)
+    assert header == ["col1", "col2"]
+    assert rows == [["rich text", "42"]]
+
+
+def test_lite_sparse_rows_pad_and_unnamed_headers(tmp_path):
+    path = str(tmp_path / "sparse.xlsx")
+    xlsx_lite.write_xlsx(path, ["a", None, "c"], [["1"], ["1", "2", "3", "4"]])
+    header, rows = xlsx_lite.read_xlsx(path)
+    assert header == ["a", "Unnamed: 1", "c", "Unnamed: 3"]
+    assert rows == [["1", None, None, None], ["1", "2", "3", "4"]]
+
+
+def test_lite_workbook_is_valid_zip_of_xml(tmp_path):
+    path = str(tmp_path / "valid.xlsx")
+    xlsx_lite.write_xlsx(path, ["a"], [["x"]])
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"} <= names
+        for n in names:  # every part parses as XML
+            ET.fromstring(zf.read(n))
+
+
+# ----------------------------------------------------- operator: lite
+
+def test_operator_roundtrip_real_file_lite_engine(spark, tmp_path):
+    """The REAL executable path in this container: Spark df →
+    write_excel (lite) → actual .xlsx on disk → read_excel (lite) →
+    all-string Spark df."""
+    path = str(tmp_path / "rt.xlsx")
+    df = spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta & <gamma>", -1.25), (3, None, 7.0)],
+        "id long, name string, score double",
+    )
+    WriteExcel(filepath=path, sheet_name="Data").write(df)
+    out = ReadExcel(spark=spark, filepath=path, sheet_name="Data").read()
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["string"] * 3
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("1", "alpha", "0.5"), ("2", "beta & <gamma>", "-1.25"), ("3", None, "7.0")
+    ]
+
+
+def test_operator_lite_declared_schema_casts(spark, tmp_path):
+    path = str(tmp_path / "typed.xlsx")
+    df = spark.createDataFrame([(1, 0.5), (2, 1.5)], "a long, b double")
+    WriteExcel(filepath=path).write(df)
+    schema = {
+        "fields": [
+            {"name": "a", "data_type": "integer"},
+            {"name": "b", "data_type": "float"},
+        ]
+    }
+    out = ReadExcel(spark=spark, filepath=path, schema=schema).read()
+    assert out.schema.simpleString() == "struct<a:bigint,b:double>"
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 0.5), (2, 1.5)]
+
+
+def test_engine_pandas_gated_when_openpyxl_absent(spark, monkeypatch):
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: False)
     with pytest.raises(OperatorConfigError, match="openpyxl"):
-        op.write(spark.range(1))
+        ReadExcel(spark=spark, filepath="/in.xlsx", engine="pandas")
+    with pytest.raises(OperatorConfigError, match="openpyxl"):
+        WriteExcel(filepath="/out.xlsx", engine="pandas")
+
+
+def test_engine_auto_prefers_pandas_when_available(monkeypatch):
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
+    assert excel_io._resolve_engine({}) == "pandas"
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: False)
+    assert excel_io._resolve_engine({}) == "lite"
+    with pytest.raises(OperatorConfigError, match="unknown excel engine"):
+        excel_io._resolve_engine({"engine": "bogus"})
 
 
 def test_read_requires_filepath():
@@ -37,8 +166,10 @@ def test_read_requires_filepath():
         ReadExcel(spark=None)
 
 
+# --------------------------------------------------- operator: pandas
+
 def test_read_all_string_parity_without_schema(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: True)
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
     seen = {}
 
     def fake_read_excel(path, sheet_name, dtype):
@@ -56,7 +187,7 @@ def test_read_all_string_parity_without_schema(spark, monkeypatch):
 
 
 def test_read_declared_schema_wins(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: True)
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
     monkeypatch.setattr(
         pd, "read_excel",
         lambda path, sheet_name, dtype: pd.DataFrame({"a": [1, 2], "b": [0.5, 1.5]}),
@@ -73,7 +204,7 @@ def test_read_declared_schema_wins(spark, monkeypatch):
 
 
 def test_read_repartitions_for_downstream_parallelism(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: True)
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
     monkeypatch.setattr(
         pd, "read_excel",
         lambda path, sheet_name, dtype: pd.DataFrame({"a": [str(i) for i in range(64)]}),
@@ -83,7 +214,7 @@ def test_read_repartitions_for_downstream_parallelism(spark, monkeypatch):
 
 
 def test_write_single_driver_side_to_excel(spark, monkeypatch):
-    monkeypatch.setattr(excel_io, "_require_pandas_excel", lambda: True)
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
     calls = []
 
     def fake_to_excel(self, path, sheet_name, index):
