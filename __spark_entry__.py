@@ -1035,6 +1035,58 @@ ON d.doc_id = s.doc_id
 """
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text operator (operators/text_analysis.py): HTML strip,
+    entity unescape, email/IP/phone redaction, whitespace
+    normalization. The synthetic documents carry no PII, so the query
+    derives dirty text DETERMINISTICALLY from doc_id (same expression
+    in the oracle) — the certification exercises every redaction
+    stage on every row instead of passing vacuously."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p> Contact: user"), key,
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(key, 4, "0"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 &amp; done"),
+        ).alias("text"),
+    )
+    out = get_operator("clean_text")().apply({"in": dirty})["out"]
+    return out.select("doc_id", "text_clean")
+
+
+_SQL_CLEAN_TEXT = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<p>' || coalesce(text, '') || '</p> Contact: user'
+         || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+         || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+         || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 &amp; done'
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+trim(regexp_replace(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(text, '<[^>]*>', '', 'g'),
+          '&nbsp;',' '),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&amp;','&'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\-\s.]{6,}[0-9]', '<PHONE>', 'g'),
+  '\s+', ' ', 'g')) AS text_clean
+FROM dirty
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.text_analysis import annotate
 
@@ -1803,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": q_hash_split_counts,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
+        "clean_text": q_clean_text,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
@@ -1865,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_counts": _SQL_HASH_SPLIT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "text_metrics": _SQL_TEXT_METRICS,
+        "clean_text": _SQL_CLEAN_TEXT,
         "lang_id": _lang_id_sql(),
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,

@@ -126,6 +126,103 @@ def lang_id(col: Column) -> Column:
     return F.when(top_hits > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# --------------------------------------------------------------- cleaning
+#
+# Text cleaning / PII redaction for training-data pipelines. Every
+# stage is a JVM-side regexp/replace chain (no Python), and every
+# pattern sticks to the Java-regex ∩ RE2 subset (char classes, greedy
+# quantifiers, \b, non-capturing groups; NO lookaround) so the DuckDB
+# oracle computes byte-identical output with regexp_replace(..., 'g').
+
+HTML_TAG_RE = "<[^>]*>"
+
+# &amp; must be unescaped LAST: a single unescape pass must turn
+# "&amp;lt;" into "&lt;", not "<".
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# conservative: an international-ish digit run (≥8 chars incl.
+# separators). Applied AFTER ip redaction — dotted quads would match.
+PHONE_RE = "\\+?[0-9][0-9()\\-\\s.]{6,}[0-9]"
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def strip_html(col: Column) -> Column:
+    """Remove every <...> tag. Run BEFORE pii redaction — the
+    placeholders are angle-bracketed and must survive."""
+    return F.regexp_replace(col, HTML_TAG_RE, "")
+
+
+def unescape_entities(col: Column) -> Column:
+    """Single-pass unescape of the six common HTML entities."""
+    for ent, rep in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def redact_pii(
+    col: Column, emails: bool = True, ips: bool = True, phones: bool = True
+) -> Column:
+    """Replace emails / IPv4s / phone-like digit runs with typed
+    placeholders. Order is fixed email → ip → phone: dotted quads
+    are phone-shaped, so ips must be consumed first."""
+    if emails:
+        col = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    if ips:
+        col = F.regexp_replace(col, IPV4_RE, IP_TOKEN)
+    if phones:
+        col = F.regexp_replace(col, PHONE_RE, PHONE_TOKEN)
+    return col
+
+
+def normalize_whitespace(col: Column) -> Column:
+    """Collapse every whitespace run to one space and trim."""
+    return F.trim(F.regexp_replace(col, "\\s+", " "))
+
+
+CLEAN_STEPS = (
+    "strip_html",
+    "unescape_entities",
+    "redact_emails",
+    "redact_ips",
+    "redact_phones",
+    "normalize_whitespace",
+    "lowercase",
+)
+
+DEFAULT_CLEAN_STEPS = CLEAN_STEPS[:-1]  # lowercase is opt-in
+
+
+def clean_text(col: Column, steps: tuple[str, ...] = DEFAULT_CLEAN_STEPS) -> Column:
+    """Composable cleaning chain; steps apply in the given order
+    (the default order is the safe one — see step docstrings)."""
+    fns = {
+        "strip_html": strip_html,
+        "unescape_entities": unescape_entities,
+        "redact_emails": lambda c: redact_pii(c, ips=False, phones=False),
+        "redact_ips": lambda c: redact_pii(c, emails=False, phones=False),
+        "redact_phones": lambda c: redact_pii(c, emails=False, ips=False),
+        "normalize_whitespace": normalize_whitespace,
+        "lowercase": F.lower,
+    }
+    for step in steps:
+        if step not in fns:
+            raise ValueError(f"unknown clean_text step {step!r}; have {CLEAN_STEPS}")
+        col = fns[step](col)
+    return col
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Token n-gram shingles (space-joined); docs shorter than n
     tokens yield their whole token string as a single shingle."""

@@ -103,6 +103,38 @@ def tf_idf_top_terms(
     )
 
 
+@register_operator("clean_text")
+class CleanTextOperator(Operator):
+    """Text cleaning / PII redaction (beyond-reference): HTML-tag
+    strip, entity unescape, email/IPv4/phone redaction, whitespace
+    normalization, optional lowercasing — the standard scrub pass a
+    corpus gets before dedup/tokenization. One narrow codegen'd map
+    (functions/text.py clean chain), no shuffle, no Python; patterns
+    stay in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    reproduces the output exactly."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.text_col = self.config.get("text_col", "text")
+        self.output_col = self.config.get("output_col", "text_clean")
+        steps = tuple(self.config.get("steps") or X.DEFAULT_CLEAN_STEPS)
+        for s in steps:
+            if s not in X.CLEAN_STEPS:
+                raise OperatorConfigError(
+                    f"unknown clean_text step {s!r}; have {X.CLEAN_STEPS}"
+                )
+        self.steps = steps
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        df = self.single_input(inputs)
+        out = df.withColumn(
+            self.output_col, X.clean_text(F.col(self.text_col), self.steps)
+        )
+        return {"out": out}
+
+
 @register_operator("text_analysis")
 class TextAnalysisOperator(Operator):
     in_ports = ("in",)

@@ -250,6 +250,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1,
           desc="independent LSH tables unioned for recall (lsh)"),
     ],
+    "clean_text": [
+        f("text_col", "string", default="text"),
+        f("output_col", "string", default="text_clean"),
+        f(
+            "steps", "array", items={"type": "string"},
+            desc="ordered subset of (strip_html,unescape_entities,redact_emails,"
+                 "redact_ips,redact_phones,normalize_whitespace,lowercase)",
+        ),
+    ],
     "text_analysis": [
         f("text_col", "string", default="text"),
         f(
