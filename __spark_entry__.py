@@ -983,6 +983,59 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample operator (operators/sampling.py): per-lang
+    keep fractions — downsample dominant English, keep more of the
+    rarer slices, default rate for strata not listed. Narrow map,
+    no shuffle; assignment is md5-stable so the oracle checks every
+    kept row, not just counts."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("stratified_sample")(
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.2, "de": 0.8, "fr": 0.6},
+        default_rate=0.4,
+    )
+    return op.apply({"in": docs})["out"].select("doc_id", "lang")
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CASE lang WHEN 'en' THEN {int(0.2 * 16 ** 8)}
+                  WHEN 'de' THEN {int(0.8 * 16 ** 8)}
+                  WHEN 'fr' THEN {int(0.6 * 16 ** 8)}
+                  ELSE {int(0.4 * 16 ** 8)} END
+"""
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cap_per_group operator (operators/sampling.py): at most 50
+    events per event_type, selected by hash order (stable under
+    reruns/partitioning — not "first seen"). One window shuffle."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("cap_per_group")(
+        group_cols=["event_type"], key_col="event_id", max_rows=50
+    )
+    return op.apply({"in": ev})["out"].select("event_id", "event_type")
+
+
+_SQL_CAP_PER_GROUP = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    event_id) AS rn
+  FROM events) t
+WHERE rn <= 50
+"""
+
+
 def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split assignment (90/5/5) by hash bucket; the
     query returns per-split sizes, which pins every row's assignment."""
@@ -1852,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_group": q_cap_per_group,
         "hash_split_counts": q_hash_split_counts,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
@@ -1915,6 +1970,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "cap_per_group": _SQL_CAP_PER_GROUP,
         "hash_split_counts": _SQL_HASH_SPLIT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "text_metrics": _SQL_TEXT_METRICS,

@@ -61,6 +61,118 @@ def hash_split(
     return out
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum (e.g.
+    language, source domain) keeps its own fraction — the standard
+    rebalancing pass when one slice of a crawl dominates the corpus.
+    Still a narrow codegen'd map (a literal CASE over the stratum
+    column and one md5), no shuffle; a NULL stratum uses
+    ``default_rate``."""
+    for s, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise OperatorConfigError(f"rate for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise OperatorConfigError("default_rate must be in [0, 1]")
+    threshold = F.lit(int(default_rate * _HASH_SPACE))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(int(float(r) * _HASH_SPACE))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    max_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group downsample: keep at most ``max_rows``
+    rows per group, chosen by hash order (stable across reruns,
+    partitioning, and engines — NOT "first seen"). The balancing cap
+    a training mix applies per source/domain/user.
+
+    One shuffle (window partitioned by the group). Ties in the hash
+    bucket break on the key itself, so row selection is total-ordered
+    and oracle-checkable. Scale note: a pathologically hot group
+    serializes into one task's sort — for billions-per-group caps,
+    pre-filter with ``hash_sample`` at ≈max_rows/count first so the
+    window sees a bounded group."""
+    from pyspark.sql import Window
+
+    if max_rows < 1:
+        raise OperatorConfigError("max_rows must be >= 1")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(hash_bucket(F.col(key_col), salt), F.col(key_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+@register_operator("stratified_sample")
+class StratifiedSampleOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("key_col"):
+            raise OperatorConfigError("stratified_sample requires 'key_col'")
+        if not self.config.get("strata_col"):
+            raise OperatorConfigError("stratified_sample requires 'strata_col'")
+        rates = self.config.get("rates")
+        if not isinstance(rates, dict) or not rates:
+            raise OperatorConfigError("stratified_sample requires 'rates' dict")
+        self.rates = {str(k): float(v) for k, v in rates.items()}
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {
+            "out": stratified_hash_sample(
+                self.single_input(inputs),
+                self.config["key_col"],
+                self.config["strata_col"],
+                self.rates,
+                float(self.config.get("default_rate", 0.0)),
+                self.config.get("salt", ""),
+            )
+        }
+
+
+@register_operator("cap_per_group")
+class CapPerGroupOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("group_cols"):
+            raise OperatorConfigError("cap_per_group requires 'group_cols'")
+        if not self.config.get("key_col"):
+            raise OperatorConfigError("cap_per_group requires 'key_col'")
+        self.max_rows = int(self.config.get("max_rows", 1000))
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {
+            "out": cap_per_group(
+                self.single_input(inputs),
+                list(self.config["group_cols"]),
+                self.config["key_col"],
+                self.max_rows,
+                self.config.get("salt", ""),
+            )
+        }
+
+
 @register_operator("hash_split")
 class HashSplitOperator(Operator):
     """Config: ``key_col``, ``weights`` ({port: fraction}), optional

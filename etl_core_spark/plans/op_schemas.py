@@ -282,6 +282,19 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("rate", "number", default=0.1),
         f("salt", "string", default=""),
     ],
+    "stratified_sample": [
+        f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
+        f("strata_col", "string", required=True, desc="stratum column (lang, source, ...)"),
+        f("rates", "object", required=True, desc="stratum value -> keep fraction"),
+        f("default_rate", "number", default=0.0, desc="rate for strata not in 'rates' (incl. NULL)"),
+        f("salt", "string", default=""),
+    ],
+    "cap_per_group": [
+        f("group_cols", "array", required=True, items={"type": "string"}),
+        f("key_col", "string", required=True, desc="hash-order selection key within each group"),
+        f("max_rows", "integer", default=1000),
+        f("salt", "string", default=""),
+    ],
 }
 
 # jdbc operators are factory-registered per dialect

@@ -1,4 +1,5 @@
 import pytest
+from pyspark.sql import functions as F
 
 from etl_core_spark.operators.base import OperatorConfigError, get_operator
 from etl_core_spark.operators.sampling import hash_sample, hash_split
@@ -48,3 +49,78 @@ def test_operator_config_validation():
         get_operator("hash_split")(weights={"a": 1.0})
     op = get_operator("hash_split")(key_col="id", weights={"a": 0.7, "b": 0.3})
     assert op.out_ports == ("a", "b")
+
+
+# ------------------------------------------------- stratified / cap
+
+def test_stratified_rates_respected_per_stratum(tables):
+    from etl_core_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    docs = tables["documents"]
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == totals["en"]       # rate 1.0 keeps all
+    assert "de" not in by_lang                  # rate 0.0 drops all
+    for lang in ("fr", "es", "zh"):             # default ~0.5, generous
+        assert 0.2 * totals[lang] < by_lang[lang] < 0.8 * totals[lang]
+    # a stratum at the default rate selects EXACTLY the plain
+    # hash_sample rows — thresholds compose, not resample
+    fr_ids = {r["doc_id"] for r in out.where(F.col("lang") == "fr").collect()}
+    plain = hash_sample(docs.where(F.col("lang") == "fr"), "doc_id", 0.5)
+    assert fr_ids == {r["doc_id"] for r in plain.select("doc_id").collect()}
+
+
+def test_stratified_null_stratum_uses_default(spark):
+    from etl_core_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(100)], "id long, lang string"
+    )
+    kept_all = stratified_hash_sample(df, "id", "lang", {"en": 0.0}, default_rate=1.0)
+    rows = kept_all.collect()
+    assert all(r["lang"] is None for r in rows)
+    assert len(rows) == 50
+
+
+def test_stratified_validation():
+    with pytest.raises(OperatorConfigError, match="rates"):
+        get_operator("stratified_sample")(key_col="id", strata_col="lang")
+    with pytest.raises(OperatorConfigError, match="key_col"):
+        get_operator("stratified_sample")(strata_col="lang", rates={"en": 0.5})
+
+
+def test_cap_per_group_caps_and_is_stable(tables):
+    from etl_core_spark.operators.sampling import cap_per_group
+
+    ev = tables["events"]
+    capped = cap_per_group(ev, ["event_type"], "event_id", 20)
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in capped.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes and all(n == 20 for n in sizes.values())
+    # selection is hash-ordered, hence partitioning-independent
+    again = cap_per_group(ev.repartition(13), ["event_type"], "event_id", 20)
+    ids_a = {r["event_id"] for r in capped.select("event_id").collect()}
+    ids_b = {r["event_id"] for r in again.select("event_id").collect()}
+    assert ids_a == ids_b
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from etl_core_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(3)], "g string, id long"
+    )
+    assert cap_per_group(df, ["g"], "id", 10).count() == 6
+    with pytest.raises(OperatorConfigError, match="max_rows"):
+        cap_per_group(df, ["g"], "id", 0)
