@@ -165,3 +165,34 @@ def test_training_pipeline_composes_without_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clean_text_is_single_narrow_stage(spark):
+    """clean_text must stay one codegen'd projection over a pruned
+    scan — no shuffle, no Python, only the referenced columns read."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["clean_text"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_stratified_sample_is_single_narrow_stage(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["stratified_sample"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_cap_per_group_prelimits_before_shuffle(spark):
+    """cap_per_group must keep the map-side WindowGroupLimit: each
+    input partition is cut to max_rows per group BEFORE the exchange,
+    so only survivors shuffle — the difference between shipping 50
+    rows per group per partition and shipping the whole corpus."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["cap_per_group"](spark, "/root/testdata/sf0.001"))
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
