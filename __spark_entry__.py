@@ -1221,6 +1221,47 @@ FROM h
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (functions/text.py
+    LANG_CHAR_TRIGRAMS — the Cavnar-Trenkle n-gram idea reduced to a
+    fixed counting pass). Scores are total characters consumed by
+    each language's trigrams over the padded text; the oracle
+    recomputes the identical length/replace arithmetic."""
+    from etl_core_spark.operators.text_analysis import annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    return annotate(docs, metrics=("lang_pred_ngram",)).select(
+        "doc_id", "lang", "lang_pred_ngram"
+    )
+
+
+def _lang_id_ngram_sql() -> str:
+    from etl_core_spark.functions.text import LANG_CHAR_TRIGRAMS
+
+    hit_cols = []
+    for lang, grams in LANG_CHAR_TRIGRAMS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{g}', '')))" for g in grams
+        )
+        hit_cols.append(f"({terms}) AS hits_{lang}")
+    langs = sorted(LANG_CHAR_TRIGRAMS)  # alphabetical = Spark's tie-break
+    best = "GREATEST(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    pick = "CASE "
+    for l in langs:
+        pick += f"WHEN hits_{l} = {best} THEN '{l}' "
+    pick += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+), h AS (
+  SELECT doc_id, lang, {', '.join(hit_cols)} FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_pred_ngram
+FROM h
+"""
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import _shingle_table, minhash_sig_table
 
@@ -1912,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "clean_text": q_clean_text,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "minhash_signature": q_minhash_signature,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash": q_simhash,
@@ -1977,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "text_metrics": _SQL_TEXT_METRICS,
         "clean_text": _SQL_CLEAN_TEXT,
         "lang_id": _lang_id_sql(),
+        "lang_id_ngram": _lang_id_ngram_sql(),
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
         "simhash": _SQL_SIMHASH,

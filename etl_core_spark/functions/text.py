@@ -113,10 +113,9 @@ def lang_scores(col: Column) -> Column:
     return F.array(*entries)
 
 
-def lang_id(col: Column) -> Column:
-    """argmax over lang_scores; 'und' when no stopword hits at all."""
-    scored = lang_scores(col)
-    # deterministic argmax: sort by (-hits, lang) and take the head
+def _argmax_lang(scored: Column) -> Column:
+    """Deterministic argmax over an array<struct<lang,hits>>: sort by
+    (-hits, lang) and take the head; 'und' when every score is 0."""
     best = F.sort_array(
         F.transform(
             scored, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))
@@ -124,6 +123,51 @@ def lang_id(col: Column) -> Column:
     )[0]
     top_hits = -best["neg"]
     return F.when(top_hits > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over lang_scores; 'und' when no stopword hits at all."""
+    return _argmax_lang(lang_scores(col))
+
+
+# Characteristic character trigrams per language — a deliberately
+# tiny, hard-coded profile (the classic Cavnar-Trenkle n-gram-profile
+# idea reduced to a fixed lookup): language ID at corpus scale is a
+# counting pass, not model inference. ALL entries are exactly 3 ASCII
+# chars, so the removed-character count IS 3× the occurrence count
+# and the argmax needs no division (keeps both engines in integer
+# arithmetic). zh is pinyin — same documented toy as LANG_STOPWORDS.
+LANG_CHAR_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "ing", " an", "nd "],
+    "de": ["der", "ich", "sch", "ein", "die"],
+    "fr": [" le", "les", "ent", "que", "des"],
+    "es": [" el", "los", " la", "ado", "nte"],
+    "zh": ["shi", "de ", "wo ", "ni ", "men"],
+}
+
+
+def lang_scores_ngram(col: Column) -> Column:
+    """Map of language → total characters consumed by that language's
+    trigram profile over ' ' || lower(text) || ' ' (padding so
+    word-boundary grams fire at the edges). Pure length/replace
+    arithmetic — codegen'd, exact, engine-portable."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    entries = []
+    for lang, grams in LANG_CHAR_TRIGRAMS.items():
+        hits = None
+        for g in grams:
+            h = F.length(padded) - F.length(F.replace(padded, F.lit(g), F.lit("")))
+            hits = h if hits is None else hits + h
+        entries.append(
+            F.struct(F.lit(lang).alias("lang"), hits.cast("int").alias("hits"))
+        )
+    return F.array(*entries)
+
+
+def lang_id_ngram(col: Column) -> Column:
+    """Char-trigram-profile language ID (the n-gram heuristic);
+    'und' when no profile gram occurs at all."""
+    return _argmax_lang(lang_scores_ngram(col))
 
 
 # --------------------------------------------------------------- cleaning

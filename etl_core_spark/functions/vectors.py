@@ -40,10 +40,46 @@ def unit(a: Column) -> Column:
 
     Pre-normalizing each side once turns per-pair cosine into a bare
     dot product — at n×m pair scale this removes two norm scans +
-    sqrt per pair (≈3× less arithmetic on the quadratic stage)."""
+    sqrt per pair (≈3× less arithmetic on the quadratic stage).
+
+    PERF: the norm sub-expression ends up INSIDE the ``transform``
+    lambda, and lambda bodies are re-evaluated per element — this
+    single-Column form is O(dim²) per row. Fine for one-off scoring;
+    for normalizing a whole relation use ``select_unit`` (staged
+    two-projection form, O(dim) per row)."""
     n = norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
         F.transform(a, lambda x: x.cast("double"))
+    )
+
+
+def unit_given_norm(a: Column, n: Column) -> Column:
+    """``unit`` against an already-materialized norm column."""
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )
+
+
+def select_unit(df, id_expr_alias, vec_col: str, out_alias: str):
+    """``df.select(id AS alias, unit(vec) AS out_alias)`` in the
+    staged O(dim)-per-row shape: the norm is materialized as its own
+    projection and the division lambda references that scalar.
+    ``norm()`` is non-cheap and referenced twice (the zero guard and
+    the lambda body), so CollapseProject keeps the staging projection
+    separate instead of inlining the aggregate back into the lambda —
+    the same Catalyst contract the cast ladders rely on
+    (operators/type_conversion.py:_staged_convert). At dim=64 this is
+    a ~60× cut in normalization arithmetic; the previous inlined form
+    re-ran the norm aggregate for every element."""
+    id_expr, id_alias = id_expr_alias
+    tmp_v, tmp_n = "__su_vec", "__su_norm"
+    return (
+        df.select(id_expr.alias(id_alias), F.col(vec_col).alias(tmp_v))
+        .withColumn(tmp_n, norm(F.col(tmp_v)))
+        .select(
+            F.col(id_alias),
+            unit_given_norm(F.col(tmp_v), F.col(tmp_n)).alias(out_alias),
+        )
     )
 
 

@@ -62,18 +62,18 @@ def brute_force_topk(
     """
     # normalize each side once; the quadratic stage is then a plain
     # dot product per pair
-    c = corpus.select(
-        F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__corpus_vec")
-    )
+    c = V.select_unit(corpus, (F.col(id_col), "__corpus_id"), vec_col, "__corpus_vec")
     from etl_core_spark.session import ensure_parallelism
 
     # the cross-join output inherits the stream (query) side's
     # partitioning — spread it so pair scoring parallelizes
-    q = ensure_parallelism(
-        queries.select(
-            F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__query_vec")
-        )
+    # parallelize BEFORE normalizing: the stats probe then analyzes a
+    # bare scan/filter subtree (HOF lambdas are expensive to analyze)
+    # and the normalization itself runs on the widened partitioning
+    q_raw = ensure_parallelism(
+        queries.select(F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__qv0"))
     )
+    q = V.select_unit(q_raw, (F.col("__query_id"), "__query_id"), "__qv0", "__query_vec")
     if broadcast_corpus is None:
         # probe the RAW corpus relation, not the projected c: the
         # projection's stats inherit column-pruned estimates that can
@@ -244,11 +244,11 @@ def lsh_topk(
     # hyperplane signs are scale-invariant → bucketing the unit
     # vectors gives identical buckets and a dot-only rescoring stage
     c = lsh_bucketed(
-        corpus.select(F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__cv")),
+        V.select_unit(corpus, (F.col(id_col), "__corpus_id"), vec_col, "__cv"),
         "__cv", dim, num_planes, seed, num_tables,
     )
     q = lsh_bucketed(
-        queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv")),
+        V.select_unit(queries, (F.col(query_id_col), "__query_id"), vec_col, "__qv"),
         "__qv", dim, num_planes, seed, num_tables,
     )
     scored = q.join(c, on="__bucket").select(
@@ -366,17 +366,18 @@ def ivf_topk(
     """
     from etl_core_spark.session import ensure_parallelism
 
-    cent = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("__cid"), V.unit(F.col(vec_col)).alias("__cvec"))
+    cent = V.select_unit(
+        corpus.orderBy(F.col(id_col).asc()).limit(num_centroids),
+        (F.col(id_col), "__cid"), vec_col, "__cvec",
     )
-    c_unit = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("__corpus_id"), V.unit(F.col(vec_col)).alias("__cv"))
+    c_raw = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv0"))
     )
-    q_unit = ensure_parallelism(
-        queries.select(F.col(query_id_col).alias("__query_id"), V.unit(F.col(vec_col)).alias("__qv"))
+    c_unit = V.select_unit(c_raw, (F.col("__corpus_id"), "__corpus_id"), "__cv0", "__cv")
+    q_raw2 = ensure_parallelism(
+        queries.select(F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__qv0"))
     )
+    q_unit = V.select_unit(q_raw2, (F.col("__query_id"), "__query_id"), "__qv0", "__qv")
     if kmeans_iters > 0:
         cent = refine_centroids(c_unit, cent, kmeans_iters)
     c_assigned = ivf_assign(c_unit, cent, "__corpus_id", "__cv", nprobe=1)
@@ -418,7 +419,10 @@ def cosine_near_dup_pairs(
     LSH tables for recall (see ``lsh_bucketed``)."""
     from etl_core_spark.session import ensure_parallelism
 
-    base = ensure_parallelism(df.select(F.col(id_col), V.unit(F.col(vec_col)).alias("__unit")))
+    base_raw = ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col).alias("__v0"))
+    )
+    base = V.select_unit(base_raw, (F.col(id_col), id_col), "__v0", "__unit")
     if exact:
         a = base.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
         b = base.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))

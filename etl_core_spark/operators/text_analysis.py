@@ -23,6 +23,7 @@ AVAILABLE_METRICS = (
     "mean_token_length",
     "quality_score",
     "lang_pred",
+    "lang_pred_ngram",
     "fingerprint",
 )
 
@@ -41,6 +42,7 @@ def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = A
         "mean_token_length": lambda: F.round(X.mean_token_length(col), 6),
         "quality_score": lambda: X.quality_score(col),
         "lang_pred": lambda: X.lang_id(col),
+        "lang_pred_ngram": lambda: X.lang_id_ngram(col),
         "fingerprint": lambda: F.md5(col),
     }
     out = df
