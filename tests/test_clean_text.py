@@ -128,3 +128,35 @@ def test_differential_vs_duckdb_on_dirty_fixture(spark):
     assert want[1] == "reach <EMAIL> or <PHONE> ok"
     assert want[2] == "host <IP> <internal>"
     assert want[5] == "&lt;escaped twice&gt;"
+
+
+# ------------------------------------------------ n-gram language id
+
+def test_lang_id_ngram_profiles(spark):
+    from etl_core_spark.functions.text import lang_id_ngram
+
+    rows = [
+        (1, "the king and the queen are singing in the morning"),
+        (2, "ich bin ein berliner und der schnee ist schoen"),
+        (3, "les enfants que nous aimons sont dans les jardins"),
+        (4, ""),
+        (5, None),
+        (6, "zzz qqq xxx"),  # no profile gram fires
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", lang_id_ngram(F.col("text")).alias("p")).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und" and got[5] == "und" and got[6] == "und"
+
+
+def test_lang_id_ngram_tie_breaks_alphabetically(spark):
+    from etl_core_spark.functions.text import lang_id_ngram
+
+    # "que" scores fr; " el" scores es; equal totals -> alphabetical
+    df = spark.createDataFrame([("que el",)], "text string")
+    assert df.select(lang_id_ngram(F.col("text")).alias("p")).first()["p"] == "es"
