@@ -1385,8 +1385,7 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MINHASH_PAIRS = f"""
-WITH t AS (
+_MINHASH_PAIRS_CTES = f"""t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), shl AS (
   SELECT doc_id, {_shingles_sql(3)} AS shingles FROM t
@@ -1406,8 +1405,9 @@ WITH t AS (
   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 ), dsh AS (
   SELECT doc_id, list_distinct(shingles) AS ds FROM shl
-)
-SELECT id_a, id_b,
+)"""
+
+_MINHASH_PAIRS_SELECT = """SELECT id_a, id_b,
        round(len(list_intersect(x.ds, y.ds))
              / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6) AS jaccard
 FROM cand
@@ -1415,6 +1415,43 @@ JOIN dsh x ON x.doc_id = id_a
 JOIN dsh y ON y.doc_id = id_b
 WHERE len(list_intersect(x.ds, y.ds))
       / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+"""
+
+_SQL_MINHASH_PAIRS = f"""WITH {_MINHASH_PAIRS_CTES}
+{_MINHASH_PAIRS_SELECT}"""
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs
+    (operators/dedup.py connected_components): transitive-closure
+    clusters, cluster_id = min doc_id reachable. The oracle computes
+    the same closure with a DuckDB recursive CTE — one of the few
+    genuinely iterative operators that still has an exact SQL
+    cross-check."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=4, bands=2, shingle_n=3
+    )
+    return get_operator("near_dup_clusters")().apply({"pairs": pairs})["out"]
+
+
+_SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
@@ -1956,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "minhash_signature": q_minhash_signature,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_brute_force": q_ann_brute_force,
@@ -2022,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _lang_id_ngram_sql(),
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
+        "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
         "simhash": _SQL_SIMHASH,
         "simhash_near_dup_pairs": _SQL_SIMHASH_PAIRS,
         "ann_brute_force": _SQL_ANN_BRUTE,

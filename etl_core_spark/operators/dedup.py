@@ -440,6 +440,109 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over a near-dup pair list →
+    ``(id, cluster_id)`` with ``cluster_id`` = min id in the
+    component. The standard transitive-closure dedup semantic: a
+    chain a~b~c is ONE cluster even when a~c was never verified
+    (the pair-greedy policy in ``DedupOperator`` keeps every local
+    minimum instead — both are legitimate; this is the one
+    large-scale training-data pipelines usually want).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup graphs are shallow — dup
+    clusters are cliques or short chains). Each round is ONE shuffle
+    (edge-label join + min-aggregate). The label frontier is
+    persisted per round and ``localCheckpoint``-ed every
+    ``checkpoint_every`` rounds so lineage (and per-round analysis
+    cost) stays bounded; on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss resilience. For graphs with adversarial diameter
+    (they do not arise from LSH dedup) the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce")
+    converges in O(log n) rounds — the swap is confined to the loop
+    body. Raises after ``max_iters`` rather than returning
+    unconverged labels."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
+        .distinct()
+    )
+    from etl_core_spark.session import persist_intermediate
+
+    edges = persist_intermediate(edges)
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for i in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["t"] == labels["id"])
+            .select(F.col("s").alias("id"), F.col("comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("__ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("__ncomp"), F.col("comp"))).alias("comp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            # re-registering with persist_intermediate is a no-op
+            # persist + adds the release path (release_intermediates)
+            persist_intermediate(labels)
+            return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+    labels.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological graph diameter; raise max_iters or switch to the "
+        "large-star/small-star variant"
+    )
+
+
+@register_operator("near_dup_clusters")
+class NearDupClustersOperator(Operator):
+    """CC over a pairs relation (in-port ``pairs`` with columns
+    ``id_a``/``id_b``) → (id, cluster_id). Compose after any pair
+    producer (minhash/simhash/winnow/cosine near-dup)."""
+
+    in_ports = ("pairs",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.id_a = self.config.get("id_a", "id_a")
+        self.id_b = self.config.get("id_b", "id_b")
+        self.max_iters = int(self.config.get("max_iters", 50))
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {
+            "out": connected_components(
+                inputs["pairs"], self.id_a, self.id_b, self.max_iters
+            )
+        }
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
     """Groups of docs sharing an identical simhash fingerprint."""
     fp = simhash_fingerprints(df, text_col, id_col, shingle_n)

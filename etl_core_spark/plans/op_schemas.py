@@ -282,6 +282,11 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("rate", "number", default=0.1),
         f("salt", "string", default=""),
     ],
+    "near_dup_clusters": [
+        f("id_a", "string", default="id_a"),
+        f("id_b", "string", default="id_b"),
+        f("max_iters", "integer", default=50, desc="label-propagation round cap"),
+    ],
     "stratified_sample": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
         f("strata_col", "string", required=True, desc="stratum column (lang, source, ...)"),

@@ -453,3 +453,88 @@ def test_cosine_near_dup_lsh_drops_zero_vectors(spark):
         for r in cosine_near_dup_pairs(df, threshold=0.9, dim=8, exact=True).collect()
     }
     assert exact == {(100, 101)}
+
+
+# ------------------------------------------- connected components
+
+def _cc(spark, edges, **kw):
+    from etl_core_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_chain_is_one_cluster(spark):
+    # a~b, b~c: transitive closure merges all three (the pair-greedy
+    # policy would also keep only 1 here; the semantics differ on stars)
+    assert _cc(spark, [(1, 2), (2, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_star_merges_unlike_pair_greedy(spark):
+    # 2~5 and 3~5 but 2!~3: CC puts all three in cluster 2; the
+    # pair-greedy dedup keeps both 2 and 3 — documented difference
+    assert _cc(spark, [(2, 5), (3, 5)]) == {2: 2, 3: 2, 5: 2}
+
+
+def test_cc_separate_components(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_long_chain_exercises_checkpoint_path(spark):
+    # diameter 19 > checkpoint_every -> several localCheckpoint cuts
+    edges = [(i, i + 1) for i in range(20)]
+    got = _cc(spark, edges, checkpoint_every=3)
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_cc_empty_pairs(spark):
+    assert _cc(spark, spark.createDataFrame([], "id_a long, id_b long").collect() or [(0, 0)]) == {0: 0}
+    from etl_core_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_cc_partitioning_independent(spark):
+    from etl_core_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 100) for i in range(50)] + [(i + 100, i + 200) for i in range(50)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["id"], r["cluster_id"]) for r in connected_components(df).collect()}
+    b = {(r["id"], r["cluster_id"]) for r in connected_components(df.repartition(17)).collect()}
+    assert a == b
+
+
+def test_cc_nonconvergence_raises(spark):
+    from etl_core_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=2)
+
+
+def test_cc_operator_port(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    pairs = spark.createDataFrame([(7, 9, 0.9)], "id_a long, id_b long, jaccard double")
+    out = get_operator("near_dup_clusters")().apply({"pairs": pairs})["out"]
+    assert {tuple(r) for r in out.collect()} == {(7, 7), (9, 7)}
+
+
+def test_cc_releases_its_caches(spark):
+    from etl_core_spark.operators.dedup import connected_components
+    from etl_core_spark.session import release_intermediates
+
+    # baseline may be non-zero: localCheckpoint RDDs from earlier
+    # tests stay cached until the ContextCleaner collects them
+    jsc = spark.sparkContext._jsc.sc()
+    release_intermediates()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = connected_components(df)
+    out.collect()
+    release_intermediates()
+    # everything CC persisted (edges + converged labels) is released
+    assert jsc.getPersistentRDDs().size() <= before
