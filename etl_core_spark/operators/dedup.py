@@ -553,10 +553,39 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, shingle_n: int
     )
 
 
+def _drop_dups(df: DataFrame, pairs: DataFrame, id_col: str, config: dict) -> DataFrame:
+    """Survivor selection from verified near-dup pairs.
+
+    ``survivor_policy``:
+
+    - ``greedy`` (default): drop the higher id of every pair — keeps
+      every LOCAL minimum of the pair graph. A doc survives unless a
+      smaller-id doc was directly verified similar to it; two docs
+      that merely share a neighbor both survive. Lazy, one anti-join.
+    - ``cluster``: transitive closure (``connected_components``) —
+      one survivor (min id) per connected component, the standard
+      training-corpus semantic. Eager (iterative convergence), one
+      extra join.
+    """
+    policy = config.get("survivor_policy", "greedy")
+    if policy == "greedy":
+        dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(dups, on=id_col, how="left_anti")
+    if policy == "cluster":
+        clusters = connected_components(pairs, max_iters=int(config.get("max_iters", 50)))
+        dups = (
+            clusters.where(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col))
+        )
+        return df.join(dups, on=id_col, how="left_anti")
+    raise OperatorConfigError(f"unknown survivor_policy {policy!r}")
+
+
 @register_operator("dedup")
 class DedupOperator(Operator):
     """Config: ``method`` ∈ {exact, minhash_lsh, simhash}; per-method
-    keys as in the functions above."""
+    keys as in the functions above. Near-dup methods accept
+    ``survivor_policy`` ∈ {greedy, cluster} (see ``_drop_dups``)."""
 
     in_ports = ("in",)
     out_ports = ("out",)
@@ -586,9 +615,7 @@ class DedupOperator(Operator):
                 int(c.get("shingle_n", 3)),
                 int(mbf) if mbf is not None else None,
             )
-            # drop the higher id of each verified pair
-            dups = pairs.select(F.col("id_b").alias(c.get("id_col", "doc_id"))).distinct()
-            return {"out": df.join(dups, on=c.get("id_col", "doc_id"), how="left_anti")}
+            return {"out": _drop_dups(df, pairs, c.get("id_col", "doc_id"), c)}
         # simhash
         id_col = c.get("id_col", "doc_id")
         text_col = c.get("text_col", "text")
@@ -600,8 +627,7 @@ class DedupOperator(Operator):
             pairs = simhash_near_dup_pairs(
                 df, text_col, id_col, shingle_n, int(max_hamming)
             )
-            dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
-            return {"out": df.join(dups, on=id_col, how="left_anti")}
+            return {"out": _drop_dups(df, pairs, id_col, c)}
         fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
         keep = fp.groupBy("simhash").agg(F.min(id_col).alias(id_col))
         return {"out": df.join(keep, on=id_col, how="left_semi")}

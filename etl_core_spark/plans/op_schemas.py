@@ -231,6 +231,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("id_col", "string", default="doc_id", desc="survivor = min(id)"),
         f("text_col", "string", default="text"),
         f("threshold", "number", default=0.7, desc="Jaccard verify threshold (minhash_lsh)"),
+        f("survivor_policy", "string", default="greedy", enum=["greedy", "cluster"],
+          desc="greedy=drop higher id per pair; cluster=one survivor per connected component"),
         f("num_hashes", "integer", default=16),
         f("bands", "integer", default=8),
         f("shingle_n", "integer", default=3),

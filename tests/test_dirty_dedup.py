@@ -538,3 +538,43 @@ def test_cc_releases_its_caches(spark):
     release_intermediates()
     # everything CC persisted (edges + converged labels) is released
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_dedup_cluster_policy_vs_greedy(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    # docs 2 and 3 are each near-dups of 5 but not of each other
+    # (star shape): greedy keeps {2, 3}; cluster keeps only {2}
+    rows = [
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (5, "alpha beta gamma delta epsilon zeta eta"),
+        (9, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    conf = dict(method="minhash_lsh", text_col="text", id_col="doc_id",
+                threshold=0.3, num_hashes=4, bands=4, shingle_n=2)
+    greedy = get_operator("dedup")(**conf).apply({"in": df})["out"]
+    cluster = get_operator("dedup")(**conf, survivor_policy="cluster").apply({"in": df})["out"]
+    g = {r["doc_id"] for r in greedy.collect()}
+    c = {r["doc_id"] for r in cluster.collect()}
+    assert 9 in g and 9 in c          # the unrelated doc always survives
+    assert 2 in g and 2 in c          # global min always survives
+    assert 5 not in g and 5 not in c  # higher id of a pair never does
+    assert c <= g                      # cluster is at least as aggressive
+    # the star difference, provided LSH verified both 2~5 and 3~5
+    from etl_core_spark.operators.dedup import minhash_dedup_pairs
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.3, num_hashes=4, bands=4, shingle_n=2).collect()}
+    if (2, 5) in pairs and (3, 5) in pairs and (2, 3) not in pairs:
+        assert 3 in g and 3 not in c
+
+
+def test_dedup_bad_survivor_policy_raises(spark):
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.base import OperatorConfigError as E
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    op = get_operator("dedup")(method="minhash_lsh", survivor_policy="bogus")
+    with pytest.raises(E, match="survivor_policy"):
+        op.apply({"in": df})
