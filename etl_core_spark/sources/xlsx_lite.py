@@ -38,6 +38,27 @@ _XML_SPACE = "{http://www.w3.org/XML/1998/namespace}space"
 
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 
+# Characters XML 1.0 cannot carry even escaped (everything < 0x20
+# except TAB/LF/CR). OOXML's own convention (ECMA-376 §22.9.2.19,
+# ST_Xstring) encodes them as _xHHHH_; a literal "_xHHHH_" in user
+# text must itself have its underscore escaped as _x005F_.
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+_XSTRING_SEQ = re.compile(r"_x[0-9A-Fa-f]{4}_")
+
+
+def _xstring_escape(text: str) -> str:
+    # escape pre-existing _xHHHH_ lookalikes FIRST (leading underscore
+    # becomes _x005F_), or the real escapes added next would be
+    # indistinguishable from user text on read-back
+    text = _XSTRING_SEQ.sub(lambda m: "_x005F_" + m.group(0)[1:], text)
+    return _XML_ILLEGAL.sub(lambda m: f"_x{ord(m.group(0)):04X}_", text)
+
+
+def _xstring_unescape(text: str) -> str:
+    return _XSTRING_SEQ.sub(
+        lambda m: chr(int(m.group(0)[2:-1], 16)), text
+    )
+
 
 def col_letter(idx: int) -> str:
     """0-based column index → spreadsheet letters (0→A, 26→AA)."""
@@ -123,7 +144,7 @@ def _append_cell(row_el: ET.Element, ref: str, value: Any) -> None:
         else:
             ET.SubElement(cell, f"{{{NS_MAIN}}}v").text = repr(value)
             return
-    text = value if isinstance(value, str) else _to_text(value)
+    text = _xstring_escape(value if isinstance(value, str) else _to_text(value))
     cell.set("t", "inlineStr")
     is_el = ET.SubElement(cell, f"{{{NS_MAIN}}}is")
     t_el = ET.SubElement(is_el, f"{{{NS_MAIN}}}t")
@@ -218,15 +239,19 @@ def _cell_text(cell: ET.Element, shared: list[str]) -> Optional[str]:
         is_el = cell.find(f"{{{NS_MAIN}}}is")
         if is_el is None:
             return None
-        return "".join(t.text or "" for t in is_el.iter(f"{{{NS_MAIN}}}t"))
+        return _xstring_unescape(
+            "".join(t.text or "" for t in is_el.iter(f"{{{NS_MAIN}}}t"))
+        )
     v = cell.find(f"{{{NS_MAIN}}}v")
     if v is None or v.text is None:
         return None
     if ctype == "s":
-        return shared[int(v.text)]
+        return _xstring_unescape(shared[int(v.text)])
     if ctype == "b":
         return "True" if v.text.strip() == "1" else "False"
-    return v.text  # "n" numeric (raw text) or "str" formula result
+    if ctype == "str":
+        return _xstring_unescape(v.text)
+    return v.text  # "n" numeric (raw text)
 
 
 def read_xlsx(

@@ -228,3 +228,42 @@ def test_write_single_driver_side_to_excel(spark, monkeypatch):
     assert calls == [
         {"rows": 2, "path": "/out.xlsx", "sheet": "Data", "index": False}
     ]
+
+
+def test_lite_xstring_escaping_control_chars_and_lookalikes(tmp_path):
+    path = str(tmp_path / "ctrl.xlsx")
+    rows = [
+        ["bell\x07tab\there"],        # \x07 illegal in XML, \t legal
+        ["literal _x0008_ text"],      # lookalike must survive verbatim
+        ["_x005F_ and _xZZZZ_"],       # escape-of-escape + non-hex noise
+    ]
+    xlsx_lite.write_xlsx(path, ["c"], rows)
+    with zipfile.ZipFile(path) as zf:  # the part must be valid XML
+        ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    _, out = xlsx_lite.read_xlsx(path)
+    assert [r[0] for r in out] == [r[0] for r in rows]
+
+
+def test_lite_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "S", "Z", "Cc"),
+            exclude_characters="\r",  # XML normalizes \r\n -> \n on parse
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(texts, min_size=2, max_size=2), min_size=1, max_size=4))
+    def check(rows):
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "p.xlsx")
+            xlsx_lite.write_xlsx(path, ["a", "b"], rows)
+            _, out = xlsx_lite.read_xlsx(path)
+            assert out == rows
+
+    check()
