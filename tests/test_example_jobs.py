@@ -105,3 +105,40 @@ def test_parquet_dedup_parquet(spark, tmp_path, tables):
 @pytest.mark.parametrize("name", [p.name for p in EXAMPLES.glob("*.json")])
 def test_all_examples_parse(name):
     json.loads((EXAMPLES / name).read_text())
+
+
+def test_parquet_training_mix_parquet(spark, tmp_path):
+    """The full training-data shape through the runner: clean_text →
+    cluster-policy near-dedup → per-lang rebalance → train/val split,
+    with per-component metrics observed along the way."""
+
+    def inputs(d):
+        rows = []
+        # 3 exact-ish near-dup docs (one cluster), plus distinct docs
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows += [(i, base + f" v{i}", "en") for i in range(3)]
+        rows += [(10 + i, f"unique document number {i} about topic {i} with words", "en")
+                 for i in range(6)]
+        rows += [(50 + i, f"ein ganz anderes deutsches dokument nummer {i}", "de")
+                 for i in range(4)]
+        spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+            .coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_training_mix_parquet.json", inputs
+    )
+    train = spark.read.parquet(str(out / "train"))
+    val = spark.read.parquet(str(out / "val"))
+    got_ids = {r["doc_id"] for r in train.collect()} | {r["doc_id"] for r in val.collect()}
+    # near-dup clusters {0,1,2} and {50..53} each collapsed to min id
+    assert not ({1, 2} & got_ids) and not ({51, 52, 53} & got_ids)
+    # the German survivor rides through the en-only downsample
+    # (default_rate=1.0), while en survivors are hash-halved
+    assert 50 in got_ids
+    assert got_ids <= {0, 10, 11, 12, 13, 14, 15, 50}
+    assert 1 <= len(got_ids - {50}) < 7  # en rate 0.5: some, not all
+    # split is a partition of the sampled set
+    assert len(got_ids) == train.count() + val.count()
+    m = result.metrics
+    assert m["near_dedup"]["lines_received"] == 13
+    assert m["near_dedup"]["lines_forwarded"] == m["rebalance"]["lines_received"]
