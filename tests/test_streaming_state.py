@@ -199,3 +199,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # survivor is the FIRST arrival of b
     b_ts = [r["ts"] for r in out if r["k"] == "b"]
     assert b_ts == [base.replace(minute=1)]
+
+
+def test_stateless_operators_compose_with_streams(spark, tmp_path):
+    """clean_text / filter / stratified_sample are narrow codegen'd
+    maps, so the SAME operator objects apply unchanged to a streaming
+    DataFrame — the batch/stream unification Structured Streaming
+    promises. availableNow micro-batch into a memory sink."""
+    from etl_core_spark.operators.base import get_operator
+
+    src_dir = tmp_path / "docs"
+    df = spark.createDataFrame(
+        [
+            (1, "<b>Contact admin@example.com</b>", "en"),
+            (2, "plain  text   here", "en"),
+            (3, "noch ein text", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    df.coalesce(1).write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    cleaned = get_operator("clean_text")().apply({"in": stream})["out"]
+    sampled = get_operator("stratified_sample")(
+        key_col="doc_id", strata_col="lang", rates={"en": 1.0}, default_rate=1.0
+    ).apply({"in": cleaned})["out"]
+    assert sampled.isStreaming
+
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("clean_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r["text_clean"] for r in spark.sql(
+        "select doc_id, text_clean from clean_stream").collect()}
+    assert rows[1] == "Contact <EMAIL>"
+    assert rows[2] == "plain text here"
+    assert rows[3] == "noch ein text"
