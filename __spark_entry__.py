@@ -1602,6 +1602,26 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy BLAS ANN kernel (operators/similarity.py
+    brute_force_topk_numpy) under the SAME oracle as the JVM
+    expression path — identical contract (rank by 6dp-rounded cosine
+    desc, corpus id asc), so a single SQL certifies both kernels."""
+    from etl_core_spark.operators.similarity import brute_force_topk_numpy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk_numpy(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -1997,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_brute_force": q_ann_brute_force,
+        "ann_numpy": q_ann_numpy,
         "ivf_topk": q_ivf_topk,
         "token_frequency": q_token_frequency,
         "quality_filter": q_quality_filter,
@@ -2064,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SQL_SIMHASH,
         "simhash_near_dup_pairs": _SQL_SIMHASH_PAIRS,
         "ann_brute_force": _SQL_ANN_BRUTE,
+        "ann_numpy": _SQL_ANN_BRUTE,
         "ivf_topk": _SQL_IVF_TOPK,
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
