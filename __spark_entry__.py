@@ -1733,6 +1733,29 @@ FROM nation
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 sources, oracle-checked end-to-end: nation →
+    write_xml → read_xml (rowTag records). XML carries no types, so
+    the read is all-string — same oracle shape as csv_roundtrip."""
+    import tempfile
+
+    from etl_core_spark.operators.base import get_operator
+
+    nat = _t(spark, sf_dir, "nation")
+    path = f"{tempfile.mkdtemp(prefix='spark_xml_rt_')}/nation.xml"
+    get_operator("write_xml")(
+        filepath=path, root_tag="nations", record_tag="nation"
+    ).apply({"in": nat})
+    out = get_operator("read_xml")(
+        spark=spark, filepath=path, record_tag="nation"
+    ).apply({})["out"]
+    return out.select(
+        F.col("n_nationkey").cast("string").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("string").alias("n_regionkey"),
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 sources: orders projection → write_json (NDJSON) →
     read_json. long/double/string survive the text round-trip typed
@@ -2024,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "csv_roundtrip": q_csv_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
@@ -2092,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline": _SQL_TRAINING_PIPELINE,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "excel_roundtrip": _SQL_EXCEL_ROUNDTRIP,
+        "xml_roundtrip": _SQL_EXCEL_ROUNDTRIP,
         "json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "winnow_fingerprint": _SQL_WINNOW,
         "winnow_near_dup_pairs": _SQL_WINNOW_PAIRS,
