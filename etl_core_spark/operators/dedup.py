@@ -440,12 +440,35 @@ def simhash_near_dup_pairs(
     )
 
 
+def _union_find_labels(edges: list) -> dict:
+    """Driver-side union-find (union by min root, path compression)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
     checkpoint_every: int = 5,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list →
     ``(id, cluster_id)`` with ``cluster_id`` = min id in the
@@ -455,28 +478,52 @@ def connected_components(
     minimum instead — both are legitimate; this is the one
     large-scale training-data pipelines usually want).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup graphs are shallow — dup
-    clusters are cliques or short chains). Each round is ONE shuffle
-    (edge-label join + min-aggregate). The label frontier is
-    persisted per round and ``localCheckpoint``-ed every
-    ``checkpoint_every`` rounds so lineage (and per-round analysis
-    cost) stays bounded; on a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    executor-loss resilience. For graphs with adversarial diameter
-    (they do not arise from LSH dedup) the large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce")
-    converges in O(log n) rounds — the swap is confined to the loop
-    body. Raises after ``max_iters`` rather than returning
-    unconverged labels."""
-    edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
-        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
-        .distinct()
-    )
+    Two execution paths, picked by a count of the (already small)
+    pair relation:
+
+    - ``≤ driver_max_edges``: collect the edges and union-find on
+      the driver. The pair list is the verified product of LSH — a
+      tiny fraction of the corpus — and a distributed round costs
+      whole Spark jobs; a million-edge union-find is milliseconds.
+      This is NOT a driver-side loop over corpus data: only edges
+      (two ids each) ever leave the executors.
+    - larger graphs: iterative min-label propagation — each round
+      every node takes the min of its own and its neighbors' labels;
+      converges in O(graph diameter) rounds (near-dup graphs are
+      shallow — dup clusters are cliques or short chains). One
+      shuffle per round (edge-label join + min-aggregate); the label
+      frontier is persisted per round and ``localCheckpoint``-ed
+      every ``checkpoint_every`` rounds so lineage (and per-round
+      analysis cost) stays bounded. On a real cluster prefer
+      ``setCheckpointDir`` + ``checkpoint()`` for executor-loss
+      resilience; for adversarial diameters the large-star/small-star
+      variant (Kiveris et al., "Connected Components in MapReduce")
+      converges in O(log n) rounds — the swap is confined to the
+      loop body. Raises after ``max_iters`` rather than returning
+      unconverged labels.
+    """
     from etl_core_spark.session import persist_intermediate
 
+    raw = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+    if driver_max_edges > 0:
+        # ONE bounded collect doubles as the size probe (limit keeps
+        # it driver-safe; an over-limit graph pays one bounded fetch
+        # and falls through to the distributed loop)
+        head = raw.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            labels = _union_find_labels([(r["s"], r["t"]) for r in head])
+            spark = pairs.sparkSession
+            id_type = pairs.schema[id_a].dataType
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+            )
+            return spark.createDataFrame(sorted(labels.items()), schema)
+
+    edges = raw.union(
+        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t"))
+    ).distinct()
     edges = persist_intermediate(edges)
     labels = (
         edges.select(F.col("s").alias("id")).distinct()
@@ -534,11 +581,13 @@ class NearDupClustersOperator(Operator):
         self.id_a = self.config.get("id_a", "id_a")
         self.id_b = self.config.get("id_b", "id_b")
         self.max_iters = int(self.config.get("max_iters", 50))
+        self.driver_max_edges = int(self.config.get("driver_max_edges", 1_000_000))
 
     def apply(self, inputs: PortMap) -> PortMap:
         return {
             "out": connected_components(
-                inputs["pairs"], self.id_a, self.id_b, self.max_iters
+                inputs["pairs"], self.id_a, self.id_b, self.max_iters,
+                driver_max_edges=self.driver_max_edges,
             )
         }
 

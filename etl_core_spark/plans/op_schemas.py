@@ -288,6 +288,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("id_a", "string", default="id_a"),
         f("id_b", "string", default="id_b"),
         f("max_iters", "integer", default=50, desc="label-propagation round cap"),
+        f("driver_max_edges", "integer", default=1000000,
+          desc="edge count under which CC runs as driver-side union-find (0 = always distributed)"),
     ],
     "stratified_sample": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),

@@ -485,7 +485,7 @@ def test_cc_separate_components(spark):
 def test_cc_long_chain_exercises_checkpoint_path(spark):
     # diameter 19 > checkpoint_every -> several localCheckpoint cuts
     edges = [(i, i + 1) for i in range(20)]
-    got = _cc(spark, edges, checkpoint_every=3)
+    got = _cc(spark, edges, checkpoint_every=3, driver_max_edges=0)
     assert got == {i: 0 for i in range(21)}
 
 
@@ -502,8 +502,8 @@ def test_cc_partitioning_independent(spark):
 
     edges = [(i, i + 100) for i in range(50)] + [(i + 100, i + 200) for i in range(50)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    a = {(r["id"], r["cluster_id"]) for r in connected_components(df).collect()}
-    b = {(r["id"], r["cluster_id"]) for r in connected_components(df.repartition(17)).collect()}
+    a = {(r["id"], r["cluster_id"]) for r in connected_components(df, driver_max_edges=0).collect()}
+    b = {(r["id"], r["cluster_id"]) for r in connected_components(df.repartition(17), driver_max_edges=0).collect()}
     assert a == b
 
 
@@ -512,7 +512,7 @@ def test_cc_nonconvergence_raises(spark):
 
     df = spark.createDataFrame([(i, i + 1) for i in range(10)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iters=2)
+        connected_components(df, max_iters=2, driver_max_edges=0)
 
 
 def test_cc_operator_port(spark):
@@ -533,7 +533,7 @@ def test_cc_releases_its_caches(spark):
     release_intermediates()
     before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    out = connected_components(df)
+    out = connected_components(df, driver_max_edges=0)
     out.collect()
     release_intermediates()
     # everything CC persisted (edges + converged labels) is released
@@ -578,3 +578,14 @@ def test_dedup_bad_survivor_policy_raises(spark):
     op = get_operator("dedup")(method="minhash_lsh", survivor_policy="bogus")
     with pytest.raises(E, match="survivor_policy"):
         op.apply({"in": df})
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    from etl_core_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (7, 30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {(r["id"], r["cluster_id"]) for r in connected_components(df).collect()}
+    dist = {(r["id"], r["cluster_id"])
+            for r in connected_components(df, driver_max_edges=0).collect()}
+    assert drv == dist and len(drv) > 0
