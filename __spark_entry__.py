@@ -352,6 +352,194 @@ GROUP BY n_name
 """
 
 
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year. Five-step join plan through the schema_mapping
+    operator (nation dims broadcast); the nation-pair predicate is an
+    OR-of-ANDs rule tree through the filter operator."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "supplier",
+                 "left_on": "l_suppkey", "right_on": "s_suppkey",
+                 "how": "inner", "output_port": "ls", "broadcast": True},
+                {"left_port": "ls", "right_port": "orders",
+                 "left_on": "l_orderkey", "right_on": "o_orderkey",
+                 "how": "inner", "output_port": "lso"},
+                {"left_port": "lso", "right_port": "customer",
+                 "left_on": "o_custkey", "right_on": "c_custkey",
+                 "how": "inner", "output_port": "lsoc", "broadcast": True},
+                {"left_port": "lsoc", "right_port": "n1",
+                 "left_on": "s_nationkey", "right_on": "s_nk",
+                 "how": "inner", "output_port": "j1", "broadcast": True},
+                {"left_port": "j1", "right_port": "n2",
+                 "left_on": "c_nationkey", "right_on": "c_nk",
+                 "how": "inner", "output_port": "j2", "broadcast": True},
+            ]
+        }
+    ).apply({"lineitem": li, "supplier": sup, "orders": orders,
+             "customer": cust, "n1": n1, "n2": n2})["j2"]
+    pair_rule = {
+        "operator": "OR",
+        "rules": [
+            {"operator": "AND", "rules": [
+                {"column": "supp_nation", "operator": "==", "value": "NATION_1"},
+                {"column": "cust_nation", "operator": "==", "value": "NATION_2"},
+            ]},
+            {"operator": "AND", "rules": [
+                {"column": "supp_nation", "operator": "==", "value": "NATION_2"},
+                {"column": "cust_nation", "operator": "==", "value": "NATION_1"},
+            ]},
+        ],
+    }
+    filtered = get_operator("filter")(rule=pair_rule).apply({"in": joined})["pass"]
+    return (
+        filtered.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp table in the testdata, so profit
+    = revenue): per supplier-nation, per ship year, revenue on
+    ECONOMY-type parts. Part filter via the filter operator, joins
+    via schema_mapping."""
+    from etl_core_spark.operators.base import get_operator
+
+    part = get_operator("filter")(
+        rule={"column": "p_type", "operator": "==", "value": "ECONOMY"}
+    ).apply({"in": _t(spark, sf_dir, "part")})["pass"]
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "part",
+                 "left_on": "l_partkey", "right_on": "p_partkey",
+                 "how": "inner", "output_port": "lp", "broadcast": True},
+                {"left_port": "lp", "right_port": "supplier",
+                 "left_on": "l_suppkey", "right_on": "s_suppkey",
+                 "how": "inner", "output_port": "lps", "broadcast": True},
+                {"left_port": "lps", "right_port": "nation",
+                 "left_on": "s_nationkey", "right_on": "n_nationkey",
+                 "how": "inner", "output_port": "lpsn", "broadcast": True},
+            ]
+        }
+    ).apply({"lineitem": li, "part": part, "supplier": sup, "nation": nation})["lpsn"]
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+_SQL_Q9 = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY n_name, l_year
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R'); deterministic tiebreak on c_custkey."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = get_operator("filter")(
+        rule={"column": "l_returnflag", "operator": "==", "value": "R"}
+    ).apply({"in": _t(spark, sf_dir, "lineitem")})["pass"]
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "orders",
+                 "left_on": "l_orderkey", "right_on": "o_orderkey",
+                 "how": "inner", "output_port": "lo"},
+                {"left_port": "lo", "right_port": "customer",
+                 "left_on": "o_custkey", "right_on": "c_custkey",
+                 "how": "inner", "output_port": "loc", "broadcast": True},
+                {"left_port": "loc", "right_port": "nation",
+                 "left_on": "c_nationkey", "right_on": "n_nationkey",
+                 "how": "inner", "output_port": "locn", "broadcast": True},
+            ]
+        }
+    ).apply({"lineitem": li, "orders": orders, "customer": cust, "nation": nation})["locn"]
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.3 join-type matrix (inner/left/right/outer with null padding)
 # --------------------------------------------------------------------------
@@ -522,6 +710,60 @@ _SQL_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    per-status, per-priority, and grand-total rows in one pass —
+    Spark 4's DataFrame.groupingSets, one Expand + one aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history with lag/lead over a deterministic
+    (date, key) ordering — the standard prev/next-event shape."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+_SQL_WINDOW_LEAD_LAG = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 2) AS price,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
@@ -1994,6 +2236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q9_product_profit": q_q9_product_profit,
+        "q10_returned_items": q_q10_returned_items,
         "agg_ops": q_agg_ops,
         "agg_global": q_agg_global,
         "filter_rule_pass": _filter_port("pass"),
@@ -2009,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "pivot_event_counts": q_pivot,
         "rollup_orders": q_rollup,
+        "grouping_sets": q_grouping_sets,
         "cube_lineitem": q_cube,
         "dedup_minhash": q_dedup_minhash,
         "type_conversion": q_type_conversion,
@@ -2017,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_aggregate": q_split_aggregate,
         "top_k": q_top_k,
         "window_rank": q_window_rank,
+        "window_lead_lag": q_window_lead_lag,
         "window_running_sum": q_window_running_sum,
         "events_hourly": q_events_hourly,
         "events_sliding_window": q_events_sliding_window,
@@ -2063,6 +2310,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _SQL_Q1,
         "q3_shipping_priority": _SQL_Q3,
         "q5_region_revenue": _SQL_Q5,
+        "q7_volume_shipping": _SQL_Q7,
+        "q9_product_profit": _SQL_Q9,
+        "q10_returned_items": _SQL_Q10,
         "agg_ops": _SQL_AGG_OPS,
         "agg_global": _SQL_AGG_GLOBAL,
         "filter_rule_pass": _filter_sql(negate=False),
@@ -2078,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "set_except": _SQL_SET_EXCEPT,
         "pivot_event_counts": _SQL_PIVOT,
         "rollup_orders": _SQL_ROLLUP,
+        "grouping_sets": _SQL_GROUPING_SETS,
         "cube_lineitem": _SQL_CUBE,
         "dedup_minhash": _SQL_DEDUP_MINHASH,
         "type_conversion": _SQL_TYPE_CONVERSION,
@@ -2086,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "split_aggregate": _SQL_SPLIT_AGG,
         "top_k": _SQL_TOP_K,
         "window_rank": _SQL_WINDOW_RANK,
+        "window_lead_lag": _SQL_WINDOW_LEAD_LAG,
         "window_running_sum": _SQL_WINDOW_RUNNING,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sliding_window": _SQL_EVENTS_SLIDING,
