@@ -196,3 +196,16 @@ def test_cap_per_group_prelimits_before_shuffle(spark):
     plan = plan_of(m.queries()["cap_per_group"](spark, "/root/testdata/sf0.001"))
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
+
+
+def test_q7_q9_q10_no_cartesian_or_bnlj(spark):
+    """The new TPC-H analogs must stay hash joins: dimension sides
+    broadcast (hinted), the fact join free for AQE/SMJ at scale —
+    never a Cartesian or nested-loop fallback."""
+    import __spark_entry__ as m
+
+    for q in ("q7_volume_shipping", "q9_product_profit", "q10_returned_items"):
+        plan = plan_of(m.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
