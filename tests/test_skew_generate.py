@@ -90,3 +90,48 @@ def test_fail_source_fails_job(spark):
     }
     with pytest.raises(RuntimeError, match="injected failure"):
         build_job(spark, job)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's session defaults include AQE skew-join handling;
+    this pins that a hot-key sort-merge join actually gets its skewed
+    partition SPLIT at runtime (skew=true in the final adaptive plan)
+    — the self-healing path that makes explicit salting
+    (functions/skew.py) a fallback rather than a requirement."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 4 == 0, 0)
+            .otherwise(F.col("id") % 50 + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, on="k")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
