@@ -1663,6 +1663,30 @@ _SQL_MINHASH_PAIRS = f"""WITH {_MINHASH_PAIRS_CTES}
 {_MINHASH_PAIRS_SELECT}"""
 
 
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pairs over the distinct source labels via
+    SymSpell-style deletion-neighborhood banding (operators/dedup.py
+    typo_near_dup_pairs) — candidates from an equi-join on deletion
+    keys (no cross join), exact levenshtein verify. The oracle does
+    the quadratic form; the engine's plan is the linear-ish one."""
+    from etl_core_spark.operators.dedup import typo_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.col("source").alias("name")).distinct()
+    return typo_near_dup_pairs(
+        vals.withColumn("sid", F.col("name")), "name", "sid"
+    )
+
+
+_SQL_TYPO_PAIRS = """
+WITH v AS (SELECT DISTINCT source AS s FROM documents)
+SELECT a.s AS id_a, b.s AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs
     (operators/dedup.py connected_components): transitive-closure
@@ -2284,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "typo_pairs": q_typo_pairs,
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_brute_force": q_ann_brute_force,
@@ -2358,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
         "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
+        "typo_pairs": _SQL_TYPO_PAIRS,
         "simhash": _SQL_SIMHASH,
         "simhash_near_dup_pairs": _SQL_SIMHASH_PAIRS,
         "ann_brute_force": _SQL_ANN_BRUTE,

@@ -440,6 +440,66 @@ def simhash_near_dup_pairs(
     )
 
 
+def typo_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, dist) pairs whose normalized strings are within
+    edit distance 1 — typo-tolerant matching for SHORT strings
+    (names, titles, codes; rows longer than ``max_len`` chars are
+    excluded — long-text near-dup belongs to MinHash/winnowing).
+
+    Scale shape: SymSpell-style deletion neighborhoods. Each string
+    emits itself plus every single-character deletion as candidate
+    keys; two strings at distance 1 ALWAYS share a key (substitution
+    → both delete position i; insertion/deletion → the shorter string
+    IS a deletion of the longer), so an equi-join on the neighborhood
+    key finds every true pair with no cross join — O(n·L) keys, one
+    shuffle. Verification is exact ``levenshtein`` ≤ 1 (built-in in
+    Spark AND DuckDB, so the whole operator oracle-checks).
+    Candidates that merely share a deletion but sit at distance 2
+    (e.g. 'abc'/'axc' share 'ac'... those are distance 1; rather
+    'ab'/'ba' share 'a'/'b') are filtered by the verify stage."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col), norm.alias("__t"))
+        .where(F.length("__t").between(1, max_len))
+    )
+    # the deletion neighborhood is built with a SQL-text lambda:
+    # substring's position argument must reference the lambda
+    # variable, which the Python F.substring signature can't express
+    keyed = base.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("__t")),
+                F.expr(
+                    "transform(sequence(1, length(__t)), i -> "
+                    "concat(substring(__t, 1, i - 1), substring(__t, i + 1, len(__t))))"
+                ),
+            )
+        ).alias("__k"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), F.col("__k")
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), F.col("__k")
+    )
+    return (
+        a.join(b, on="__k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def _union_find_labels(edges: list) -> dict:
     """Driver-side union-find (union by min root, path compression)."""
     parent: dict = {}
@@ -641,7 +701,7 @@ class DedupOperator(Operator):
 
     def validate_config(self) -> None:
         self.method = self.config.get("method", "exact")
-        if self.method not in ("exact", "minhash_lsh", "simhash"):
+        if self.method not in ("exact", "minhash_lsh", "simhash", "typo"):
             raise OperatorConfigError(f"unknown dedup method {self.method!r}")
 
     def apply(self, inputs: PortMap) -> PortMap:
@@ -652,6 +712,15 @@ class DedupOperator(Operator):
             if not keys:
                 raise OperatorConfigError("exact dedup requires 'keys'")
             return {"out": exact_dedup(df, list(keys), c.get("id_col"))}
+        if self.method == "typo":
+            # short-string edit-distance-1 dedup (names/titles/codes)
+            pairs = typo_near_dup_pairs(
+                df,
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("max_len", 64)),
+            )
+            return {"out": _drop_dups(df, pairs, c.get("id_col", "doc_id"), c)}
         if self.method == "minhash_lsh":
             mbf = c.get("max_band_freq")
             pairs = minhash_dedup_pairs(

@@ -226,7 +226,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     # -- LLM-pipeline operators ---------------------------------------
     "dedup": [
-        f("method", "string", default="exact", enum=["exact", "minhash_lsh", "simhash"]),
+        f("method", "string", default="exact", enum=["exact", "minhash_lsh", "simhash", "typo"]),
+        f("max_len", "integer", default=64, desc="typo method: strings longer than this are excluded"),
         f("keys", "array", items={"type": "string"}, desc="dedup keys (exact)"),
         f("id_col", "string", default="doc_id", desc="survivor = min(id)"),
         f("text_col", "string", default="text"),

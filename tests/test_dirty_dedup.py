@@ -589,3 +589,61 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     dist = {(r["id"], r["cluster_id"])
             for r in connected_components(df, driver_max_edges=0).collect()}
     assert drv == dist and len(drv) > 0
+
+
+# ----------------------------------------------- typo (edit distance)
+
+def test_typo_pairs_completeness_vs_quadratic(spark):
+    """Deletion-neighborhood candidates must find EVERY distance<=1
+    pair — cross-check against the exhaustive quadratic form."""
+    from etl_core_spark.operators.dedup import typo_near_dup_pairs
+    from pyspark.sql import functions as F
+
+    names = ["alpha", "alpah", "alphx", "alph", "xalpha", "beta",
+             "betta", "beat", "b", "", "  alpha  ", "ALPHA"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in typo_near_dup_pairs(df, "name", "id").collect()}
+    # quadratic reference with the same normalization + length gate
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    norm = [(i, n.strip().lower()) for i, n in enumerate(names)
+            if 1 <= len(n.strip().lower()) <= 64]
+    want = {(a, b, lev(x, y)) for (a, x), (b, y)
+            in itertools.combinations(norm, 2) if lev(x, y) <= 1}
+    assert got == want and len(want) >= 4
+
+
+def test_typo_pairs_deterministic_across_runs(spark):
+    from etl_core_spark.operators.dedup import typo_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"item{i}") for i in range(100)], "id long, name string"
+    )
+    a = {tuple(r) for r in typo_near_dup_pairs(df, "name", "id").collect()}
+    b = {tuple(r) for r in typo_near_dup_pairs(df.repartition(7), "name", "id").collect()}
+    assert a == b and len(a) > 0  # item1~item2 etc.
+
+
+def test_dedup_typo_method_with_cluster_policy(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme c0rp"), (3, "acme corps"),
+         (4, "other llc")],
+        "doc_id long, text string",
+    )
+    out = get_operator("dedup")(
+        method="typo", survivor_policy="cluster", id_col="doc_id"
+    ).apply({"in": df})["out"]
+    # 1~2 (substitution), 1~3 (insertion) -> one cluster, min id 1
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
