@@ -352,6 +352,30 @@ GROUP BY n_name
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, so the values match to the last bit
+    (rounded 6dp for float hygiene). At 100 TB exact percentile sorts
+    per group; the operator-level alternative is approx_percentile
+    (already exposed via the aggregation operator sketches)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analog: bilateral trade volume between two nations by
     ship year. Five-step join plan through the schema_mapping
@@ -2265,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "agg_ops": q_agg_ops,
         "agg_global": q_agg_global,
+        "percentiles": q_percentiles,
         "filter_rule_pass": _filter_port("pass"),
         "filter_rule_fail": _filter_port("fail"),
         "join_inner": _join_matrix("inner"),
@@ -2340,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": _SQL_Q10,
         "agg_ops": _SQL_AGG_OPS,
         "agg_global": _SQL_AGG_GLOBAL,
+        "percentiles": _SQL_PERCENTILES,
         "filter_rule_pass": _filter_sql(negate=False),
         "filter_rule_fail": _filter_sql(negate=True),
         "join_inner": _join_matrix_sql("inner"),
