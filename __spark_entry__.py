@@ -352,6 +352,36 @@ GROUP BY n_name
 """
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the watermarked stream-stream attribution join
+    (streaming/stream.py attribution_join): every (view, purchase)
+    pair for the same user with the view in the hour before the
+    purchase. The streaming form is the same code path with
+    watermarks bounding join state; the e2e stream test lives in
+    tests/test_streaming_state.py."""
+    from etl_core_spark.streaming.stream import attribution_join
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+_SQL_ATTRIBUTION_JOIN = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, view_ts, purchase_ts,
+       CAST(floor(epoch(purchase_ts)) - floor(epoch(view_ts)) AS BIGINT) AS lag_seconds
+FROM v JOIN p ON v.user_id = p.user_id
+ AND view_ts <= purchase_ts
+ AND view_ts >= purchase_ts - INTERVAL 1 HOUR
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group: Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
@@ -2321,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
+        "attribution_join": q_attribution_join,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_group": q_cap_per_group,
@@ -2397,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _SQL_RANGE_JOIN,
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
+        "attribution_join": _SQL_ATTRIBUTION_JOIN,
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "cap_per_group": _SQL_CAP_PER_GROUP,

@@ -218,3 +218,54 @@ def write_stream_foreach_batch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with every view
+    by the same user in the preceding ``max_lag`` — the classic
+    attribution shape. Works identically on batch AND streaming
+    inputs (the batch form is what the DuckDB oracle certifies).
+
+    On streams both sides get a watermark and the time-interval
+    condition bounds join state: Spark evicts buffered view rows once
+    the purchase-side watermark passes view_ts + max_lag, so state is
+    O(events within the lag window), not O(stream). This is the
+    standard watermarked stream-stream join contract — without the
+    interval condition the state would grow unboundedly and Spark
+    rejects append-mode output.
+
+    Returns (<user_col>, view_ts, purchase_ts, lag_seconds).
+    """
+    v = views.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("view_ts")
+    )
+    p = purchases.select(
+        F.col(user_col).alias("__pu"), F.col(ts_col).alias("purchase_ts")
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("__u") == F.col("__pu"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return (
+        v.join(p, cond, "inner")
+        .select(
+            F.col("__u").alias(user_col),
+            "view_ts",
+            "purchase_ts",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).cast("long").alias("lag_seconds"),
+        )
+    )

@@ -239,3 +239,47 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
     assert rows[1] == "Contact <EMAIL>"
     assert rows[2] == "plain text here"
     assert rows[3] == "noch ein text"
+
+
+def test_attribution_join_stream_stream_with_watermarks(spark, tmp_path):
+    """The SAME attribution_join code path on two streaming inputs:
+    watermarks + the time-interval condition bound join state, and
+    the availableNow run emits exactly the batch answer."""
+    import datetime as dt
+
+    from etl_core_spark.streaming.stream import attribution_join
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    views = [(1, base), (1, base + dt.timedelta(minutes=50)),
+             (2, base), (3, base)]
+    purchases = [
+        (1, base + dt.timedelta(minutes=55)),   # joins both views of user 1
+        (2, base + dt.timedelta(minutes=90)),   # outside 1h -> no pair
+        (4, base + dt.timedelta(minutes=5)),    # no view at all
+    ]
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    spark.createDataFrame(views, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(vdir))
+    spark.createDataFrame(purchases, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(pdir))
+
+    vs = spark.readStream.schema("user_id long, ts timestamp").parquet(str(vdir))
+    ps = spark.readStream.schema("user_id long, ts timestamp").parquet(str(pdir))
+    out = attribution_join(vs, ps)
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory").queryName("attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["lag_seconds"])
+           for r in spark.sql("select * from attr").collect()}
+    assert got == {(1, 55 * 60), (1, 5 * 60)}
+
+    # batch parity: same function, batch inputs
+    batch = attribution_join(
+        spark.createDataFrame(views, "user_id long, ts timestamp"),
+        spark.createDataFrame(purchases, "user_id long, ts timestamp"),
+    )
+    assert {(r["user_id"], r["lag_seconds"]) for r in batch.collect()} == got
