@@ -352,6 +352,67 @@ GROUP BY n_name
 """
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zscore_outliers operator (operators/timeseries.py): per-group
+    stats broadcast back onto the stream — no Window sort over the
+    big side."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("zscore_outliers")(
+        value_col="value", group_cols=["event_type"], threshold=2.5
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "event_type", "zscore", "is_outlier", "mean", "std")
+
+
+_SQL_ZSCORE = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round(CASE WHEN sd IS NOT NULL AND sd > 0
+                  THEN (value - m) / sd ELSE 0.0 END, 6) AS zscore,
+       abs(round(CASE WHEN sd IS NOT NULL AND sd > 0
+                      THEN (value - m) / sd ELSE 0.0 END, 6)) > 2.5 AS is_outlier,
+       round(m, 6) AS mean, round(sd, 6) AS std
+FROM events e JOIN s USING (event_type)
+"""
+
+
+def q_densify_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """densify_buckets operator (operators/timeseries.py): hourly
+    per-type event counts with every gap hour materialized at 0 —
+    the spine comes from a tiny per-key span aggregate exploded via
+    sequence(), proportional to the OUTPUT not the input."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    out = get_operator("densify_buckets")(
+        key_cols=["event_type"], bucket_col="bucket", step="INTERVAL 1 HOUR",
+        agg_cols={"n": "count:*", "total": "sum:value"},
+    ).apply({"in": ev})["out"]
+    return out.select("event_type", "bucket", "n", "total")
+
+
+_SQL_DENSIFY = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, round(sum(value), 6) AS total
+  FROM events GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY event_type
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM s
+)
+SELECT spine.event_type, spine.bucket,
+       coalesce(n, 0) AS n, coalesce(total, 0.0) AS total
+FROM spine LEFT JOIN b USING (event_type, bucket)
+"""
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of the watermarked stream-stream attribution join
     (streaming/stream.py attribution_join): every (view, purchase)
@@ -2352,6 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_filter": q_events_json_filter,
         "sessionize": q_sessionize_batch,
         "attribution_join": q_attribution_join,
+        "zscore_outliers": q_zscore_outliers,
+        "densify_buckets": q_densify_buckets,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_group": q_cap_per_group,
@@ -2429,6 +2492,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_filter": _SQL_EVENTS_JSON,
         "sessionize": _SQL_SESSIONIZE,
         "attribution_join": _SQL_ATTRIBUTION_JOIN,
+        "zscore_outliers": _SQL_ZSCORE,
+        "densify_buckets": _SQL_DENSIFY,
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "cap_per_group": _SQL_CAP_PER_GROUP,

@@ -22,6 +22,7 @@ from etl_core_spark.operators import (  # noqa: F401
     dedup,
     similarity,
     text_analysis,
+    timeseries,
     multimodal,
 )
 

@@ -1,0 +1,153 @@
+"""Time-series / profiling operators (beyond-reference).
+
+- ``zscore_outliers``: flag rows whose value deviates more than k
+  standard deviations from their group mean. Two-pass shape: a tiny
+  per-group stats aggregate broadcast back onto the stream — no
+  window function, no per-group sort, so the big side stays a narrow
+  map (the classic scalable outlier pass; a Window over the group
+  would sort 100 TB for no reason).
+- ``densify_buckets``: fill gaps in a per-key bucketed series — the
+  missing (key, bucket) combinations materialize with a fill value.
+  Built from ``sequence``/``explode`` over each key's observed
+  [min, max] span + a left anti-ish join; the bucket span table is
+  tiny (one row per key) and the explode is bounded by span/step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Annotate rows with (mean, std, zscore, is_outlier) computed
+    per group (or globally when ``group_cols`` is empty). std is the
+    sample standard deviation (ddof=1, matching the aggregation
+    operator and DuckDB's ``stddev``); groups with std 0/NULL (single
+    row or constant) get zscore 0 and are never outliers."""
+    group_cols = list(group_cols or [])
+    stats_aggs = [
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__std"),
+    ]
+    if group_cols:
+        stats = df.groupBy(*group_cols).agg(*stats_aggs)
+        joined = df.join(F.broadcast(stats), on=group_cols)
+    else:
+        stats = df.agg(*stats_aggs)
+        joined = df.crossJoin(F.broadcast(stats))
+    z = F.when(
+        F.col("__std").isNotNull() & (F.col("__std") > 0),
+        (F.col(value_col) - F.col("__mean")) / F.col("__std"),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("zscore", F.round(z, 6))
+        .withColumn("is_outlier", F.abs(F.col("zscore")) > threshold)
+        .withColumn("mean", F.round("__mean", 6))
+        .withColumn("std", F.round("__std", 6))
+        .drop("__mean", "__std")
+    )
+
+
+def densify_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    step: Column | str,
+    agg_cols: dict[str, str] | None = None,
+    fill: float = 0.0,
+) -> DataFrame:
+    """Aggregate to (key, bucket) and fill the missing buckets in
+    each key's observed [min(bucket), max(bucket)] span with ``fill``.
+
+    ``step`` is the bucket stride — an INTERVAL expression string for
+    timestamp buckets (e.g. ``"INTERVAL 1 HOUR"``) or a Column/long
+    for numeric buckets. ``agg_cols`` maps output name → "sum:col" /
+    "count:*" specs applied during bucketing.
+
+    Plan shape: one aggregation to buckets; one tiny per-key span
+    aggregate exploded via ``sequence`` (bounded by span/step rows
+    per key); a left join from the dense spine to the sparse buckets.
+    The spine is proportional to the OUTPUT, never the input."""
+    agg_cols = agg_cols or {"n": "count:*"}
+    aggs = []
+    for out_name, spec in agg_cols.items():
+        op, _, col = spec.partition(":")
+        if op == "count":
+            aggs.append(F.count(F.lit(1)).alias(out_name))
+        elif op == "sum":
+            aggs.append(F.round(F.sum(col), 6).alias(out_name))
+        else:
+            raise OperatorConfigError(f"unknown densify agg {spec!r}")
+    sparse = df.groupBy(*key_cols, bucket_col).agg(*aggs)
+
+    step_expr = F.expr(step) if isinstance(step, str) else step
+    spans = sparse.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias(
+            bucket_col
+        ),
+    )
+    out = spine.join(sparse, on=[*key_cols, bucket_col], how="left")
+    for out_name in agg_cols:
+        # fill in the column's OWN dtype (a count stays long; 0.0
+        # would silently widen it to double and break schema parity)
+        dtype = sparse.schema[out_name].dataType
+        out = out.withColumn(
+            out_name, F.coalesce(F.col(out_name), F.lit(fill).cast(dtype))
+        )
+    return out
+
+
+@register_operator("zscore_outliers")
+class ZscoreOutliersOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("zscore_outliers requires 'value_col'")
+        self.threshold = float(self.config.get("threshold", 3.0))
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {
+            "out": zscore_outliers(
+                self.single_input(inputs),
+                self.config["value_col"],
+                list(self.config.get("group_cols") or []),
+                self.threshold,
+            )
+        }
+
+
+@register_operator("densify_buckets")
+class DensifyBucketsOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "bucket_col", "step"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"densify_buckets requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        return {
+            "out": densify_buckets(
+                self.single_input(inputs),
+                list(self.config["key_cols"]),
+                self.config["bucket_col"],
+                self.config["step"],
+                self.config.get("agg_cols"),
+                float(self.config.get("fill", 0.0)),
+            )
+        }

@@ -292,6 +292,18 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("driver_max_edges", "integer", default=1000000,
           desc="edge count under which CC runs as driver-side union-find (0 = always distributed)"),
     ],
+    "zscore_outliers": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("threshold", "number", default=3.0, desc="|zscore| above this flags an outlier"),
+    ],
+    "densify_buckets": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("bucket_col", "string", required=True),
+        f("step", "string", required=True, desc="bucket stride, e.g. 'INTERVAL 1 HOUR'"),
+        f("agg_cols", "object", desc="output name -> 'sum:col' | 'count:*'"),
+        f("fill", "number", default=0.0),
+    ],
     "stratified_sample": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
         f("strata_col", "string", required=True, desc="stratum column (lang, source, ...)"),

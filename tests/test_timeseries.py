@@ -1,0 +1,69 @@
+"""zscore_outliers + densify_buckets (operators/timeseries.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+from etl_core_spark.operators.timeseries import densify_buckets, zscore_outliers
+
+
+def test_zscore_flags_the_planted_outlier(spark):
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 12, 9, 100]] + [
+        ("b", 5.0), ("b", 5.0)  # constant group: std 0 -> never outliers
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = zscore_outliers(df, "value", ["g"], threshold=2.0)
+    flagged = [(r["g"], r["value"]) for r in out.where("is_outlier").collect()]
+    assert flagged == [("a", 100.0)]
+    b_rows = out.where(F.col("g") == "b").collect()
+    assert all(r["zscore"] == 0.0 and not r["is_outlier"] for r in b_rows)
+
+
+def test_zscore_global_and_plan_has_no_window(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "value double")
+    out = zscore_outliers(df, "value", [], threshold=3.0)
+    assert out.count() == 50
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # stats broadcast, not a sorted window
+    assert "Broadcast" in plan
+
+
+def test_densify_fills_gaps_with_typed_zero(spark):
+    base = dt.datetime(2026, 1, 1, 0, 0)
+    rows = [
+        ("a", base, 1.5), ("a", base, 2.5),            # hour 0: n=2
+        ("a", base + dt.timedelta(hours=3), 4.0),       # hours 1,2 missing
+        ("b", base, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double") \
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    out = densify_buckets(df, ["k"], "bucket", "INTERVAL 1 HOUR",
+                          {"n": "count:*", "total": "sum:value"})
+    got = {(r["k"], r["bucket"].hour): (r["n"], r["total"]) for r in out.collect()}
+    assert got[("a", 0)] == (2, 4.0)
+    assert got[("a", 1)] == (0, 0.0) and got[("a", 2)] == (0, 0.0)
+    assert got[("a", 3)] == (1, 4.0)
+    assert got[("b", 0)] == (1, 1.0)
+    assert ("b", 1) not in got  # spine is per-key [min, max], not global
+    # count column keeps its integer type after the fill
+    assert dict(out.dtypes)["n"] == "bigint"
+
+
+def test_densify_numeric_buckets(spark):
+    df = spark.createDataFrame([("x", 1), ("x", 4)], "k string, bucket int")
+    out = densify_buckets(df, ["k"], "bucket", F.lit(1), {"n": "count:*"})
+    assert {(r["bucket"], r["n"]) for r in out.collect()} == {
+        (1, 1), (2, 0), (3, 0), (4, 1)
+    }
+
+
+def test_timeseries_config_validation(spark):
+    with pytest.raises(OperatorConfigError, match="value_col"):
+        get_operator("zscore_outliers")()
+    with pytest.raises(OperatorConfigError, match="step"):
+        get_operator("densify_buckets")(key_cols=["k"], bucket_col="b")
+    df = spark.createDataFrame([("x", 1)], "k string, bucket int")
+    with pytest.raises(OperatorConfigError, match="unknown densify agg"):
+        densify_buckets(df, ["k"], "bucket", F.lit(1), {"n": "median:bucket"})
