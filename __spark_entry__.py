@@ -352,6 +352,26 @@ GROUP BY n_name
 """
 
 
+def q_json_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_expand operator (operators/json_ops.py): declared typed
+    columns from the props JSON string via ONE staged from_json parse
+    (plan-pinned in tests/test_plans_quality.py)."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("json_expand")(
+        json_col="props", fields=[{"name": "k", "data_type": "integer"}]
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "event_type", "k")
+
+
+_SQL_JSON_EXPAND = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zscore_outliers operator (operators/timeseries.py): per-group
     stats broadcast back onto the stream — no Window sort over the
@@ -2411,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_json_filter": q_events_json_filter,
+        "json_expand": q_json_expand,
         "sessionize": q_sessionize_batch,
         "attribution_join": q_attribution_join,
         "zscore_outliers": q_zscore_outliers,
@@ -2490,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF,
         "range_join": _SQL_RANGE_JOIN,
         "events_json_filter": _SQL_EVENTS_JSON,
+        "json_expand": _SQL_JSON_EXPAND,
         "sessionize": _SQL_SESSIONIZE,
         "attribution_join": _SQL_ATTRIBUTION_JOIN,
         "zscore_outliers": _SQL_ZSCORE,

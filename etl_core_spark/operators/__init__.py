@@ -23,6 +23,7 @@ from etl_core_spark.operators import (  # noqa: F401
     similarity,
     text_analysis,
     timeseries,
+    json_ops,
     multimodal,
 )
 

@@ -292,6 +292,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("driver_max_edges", "integer", default=1000000,
           desc="edge count under which CC runs as driver-side union-find (0 = always distributed)"),
     ],
+    "json_expand": [
+        f("json_col", "string", required=True),
+        f("fields", "array", required=True, items={"type": "object"},
+          desc="[{name, data_type}] top-level JSON keys to expand as typed columns"),
+        f("drop_source", "boolean", default=False),
+    ],
     "zscore_outliers": [
         f("value_col", "string", required=True),
         f("group_cols", "array", items={"type": "string"}),

@@ -209,3 +209,21 @@ def test_q7_q9_q10_no_cartesian_or_bnlj(spark):
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_json_expand_parses_once(spark):
+    """json_expand must keep ONE from_json in the optimized plan no
+    matter how many fields reference the parse — the staged-
+    projection contract (same as the cast ladders)."""
+    from etl_core_spark.operators.base import get_operator
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x", "c": 2.5}')], "id long, j string"
+    )
+    out = get_operator("json_expand")(json_col="j", fields=[
+        {"name": "a", "data_type": "integer"},
+        {"name": "b", "data_type": "string"},
+        {"name": "c", "data_type": "float"},
+    ]).apply({"in": df})["out"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1

@@ -129,3 +129,22 @@ def test_config_validation():
         tc(rules=[{"column_path": "v", "target": "complex128"}])
     with pytest.raises(CastError):
         tc(rules=[{"column_path": "v", "target": "integer", "on_error": "explode"}])
+
+
+def test_json_expand_malformed_and_drop_source(spark):
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, "nope"), (3, None)], "id long, props string"
+    )
+    out = get_operator("json_expand")(
+        json_col="props",
+        fields=[{"name": "k", "data_type": "integer"}],
+        drop_source=True,
+    ).apply({"in": df})["out"]
+    assert out.columns == ["id", "k"]
+    got = {r["id"]: r["k"] for r in out.collect()}
+    assert got == {1: 7, 2: None, 3: None}  # malformed/null -> NULL field
+    with pytest.raises(OperatorConfigError, match="fields"):
+        get_operator("json_expand")(json_col="props")
