@@ -647,3 +647,40 @@ def test_dedup_typo_method_with_cluster_policy(spark):
     ).apply({"in": df})["out"]
     # 1~2 (substitution), 1~3 (insertion) -> one cluster, min id 1
     assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+
+def test_typo_pairs_random_corpora_vs_quadratic(spark):
+    """Three seeded random short-string corpora (small alphabet →
+    dense distance-1 collisions) against the exhaustive quadratic
+    reference — the deletion-neighborhood completeness proof under
+    adversarial-ish inputs, not just the hand-picked fixture."""
+    import itertools
+    import random
+
+    from etl_core_spark.operators.dedup import typo_near_dup_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        names = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "id long, name string"
+        )
+        got = {(r["id_a"], r["id_b"], r["dist"])
+               for r in typo_near_dup_pairs(df, "name", "id").collect()}
+        want = {(a, b, lev(x, y)) for (a, x), (b, y)
+                in itertools.combinations(list(enumerate(names)), 2)
+                if lev(x, y) <= 1}
+        assert got == want, f"seed {seed}"
+        assert len(want) > 10  # the corpus is genuinely collision-dense
