@@ -675,6 +675,362 @@ LIMIT 20
 """
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (testdata has no commit/receipt dates, so the
+    EXISTS predicate is 'order has a returned line'): order counts per
+    priority for orders in 1996 that contain at least one returned
+    lineitem. The EXISTS correlates via a semi join step in the
+    schema_mapping operator — no duplicate inflation, lineitem columns
+    never surface."""
+    from etl_core_spark.operators.base import get_operator
+
+    returned = get_operator("filter")(
+        rule={"column": "l_returnflag", "operator": "==", "value": "R"}
+    ).apply({"in": _t(spark, sf_dir, "lineitem")})["pass"]
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    semi = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "orders", "right_port": "returned",
+                 "left_on": "o_orderkey", "right_on": "l_orderkey",
+                 "how": "semi", "output_port": "out"},
+            ]
+        }
+    ).apply({"orders": orders, "returned": returned})["out"]
+    return (
+        get_operator("aggregation")(
+            group_by=["o_orderpriority"],
+            aggregations=[{"src": "*", "op": "count", "dest": "order_count"}],
+        )
+        .apply({"in": semi})["out"]
+    )
+
+
+_SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: single-table filter + global aggregate. The
+    discount/quantity band is a rule tree through the filter operator
+    (plan-checked elsewhere to reach the parquet scan as PushedFilters);
+    revenue = sum(extendedprice * discount) via the aggregation
+    operator on a derived column."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    band = get_operator("filter")(
+        rule={
+            "operator": "AND",
+            "rules": [
+                {"column": "l_discount", "operator": ">=", "value": 0.03},
+                {"column": "l_discount", "operator": "<=", "value": 0.07},
+                {"column": "l_quantity", "operator": "<", "value": 24.0},
+            ],
+        }
+    ).apply({"in": li})["pass"]
+    derived = band.withColumn(
+        "__rev", F.col("l_extendedprice") * F.col("l_discount")
+    )
+    out = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "__rev", "op": "sum", "dest": "revenue"}],
+    ).apply({"in": derived})["out"]
+    return out.select(F.round("revenue", 2).alias("revenue"))
+
+
+_SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no l_shipmode column; grouped by
+    l_linestatus): high- vs low-priority order-line counts per line
+    status — the CASE-conditional aggregate pattern. Flags are narrow
+    projections; sums are map-side combinable through the aggregation
+    operator."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "orders",
+                 "left_on": "l_orderkey", "right_on": "o_orderkey",
+                 "how": "inner", "output_port": "out"},
+            ]
+        }
+    ).apply({"lineitem": li, "orders": orders})["out"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    flagged = joined.select(
+        "l_linestatus",
+        F.when(high, F.lit(1)).otherwise(F.lit(0)).alias("__high"),
+        F.when(~high, F.lit(1)).otherwise(F.lit(0)).alias("__low"),
+    )
+    return (
+        get_operator("aggregation")(
+            group_by=["l_linestatus"],
+            aggregations=[
+                {"src": "__high", "op": "sum", "dest": "high_line_count"},
+                {"src": "__low", "op": "sum", "dest": "low_line_count"},
+            ],
+        )
+        .apply({"in": flagged})["out"]
+    )
+
+
+_SQL_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog ('PROMO%' prefix → the flat ECONOMY type):
+    percentage of one month's revenue from ECONOMY parts. Part dim is
+    broadcast; the conditional numerator and total are two sums in ONE
+    aggregation pass (not two scans)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "part",
+                 "left_on": "l_partkey", "right_on": "p_partkey",
+                 "how": "inner", "output_port": "out", "broadcast": True},
+            ]
+        }
+    ).apply({"lineitem": li, "part": part})["out"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    derived = joined.select(
+        F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)).alias("__promo"),
+        rev.alias("__rev"),
+    )
+    out = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[
+            {"src": "__promo", "op": "sum", "dest": "promo"},
+            {"src": "__rev", "op": "sum", "dest": "total"},
+        ],
+    ).apply({"in": derived})["out"]
+    return out.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct")
+    )
+
+
+_SQL_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers with orders totalling > 250 units.
+    HAVING is expressed as the filter operator applied to the
+    aggregation operator's output (the engine's composition story for
+    post-aggregate predicates); the surviving keyset (~1% of orders)
+    is broadcast into orders, then the customer dim is broadcast."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    sums = get_operator("aggregation")(
+        group_by=["l_orderkey"],
+        aggregations=[{"src": "l_quantity", "op": "sum", "dest": "sum_qty"}],
+    ).apply({"in": li})["out"]
+    big = get_operator("filter")(
+        rule={"column": "sum_qty", "operator": ">", "value": 250.0}
+    ).apply({"in": sums})["pass"]
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "orders", "right_port": "big",
+                 "left_on": "o_orderkey", "right_on": "l_orderkey",
+                 "how": "inner", "output_port": "ob", "broadcast": True},
+                {"left_port": "ob", "right_port": "customer",
+                 "left_on": "o_custkey", "right_on": "c_custkey",
+                 "how": "inner", "output_port": "out", "broadcast": True},
+            ]
+        }
+    ).apply({"orders": orders, "big": big, "customer": cust})["out"]
+    return (
+        joined.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size band) and lineitem attributes
+    (quantity band) — the disjunctive-pushdown stress case, expressed
+    as one rule tree through the filter operator AFTER the broadcast
+    join (each disjunct spans both tables, so it cannot be pushed to
+    either scan alone; Catalyst still derives the per-scan residuals)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "lineitem", "right_port": "part",
+                 "left_on": "l_partkey", "right_on": "p_partkey",
+                 "how": "inner", "output_port": "out", "broadcast": True},
+            ]
+        }
+    ).apply({"lineitem": li, "part": part})["out"]
+    rule = {
+        "operator": "OR",
+        "rules": [
+            {"operator": "AND", "rules": [
+                {"column": "p_brand", "operator": "==", "value": "Brand#1"},
+                {"column": "p_size", "operator": ">=", "value": 1},
+                {"column": "p_size", "operator": "<=", "value": 15},
+                {"column": "l_quantity", "operator": ">=", "value": 1.0},
+                {"column": "l_quantity", "operator": "<=", "value": 20.0},
+            ]},
+            {"operator": "AND", "rules": [
+                {"column": "p_brand", "operator": "==", "value": "Brand#3"},
+                {"column": "p_size", "operator": ">=", "value": 10},
+                {"column": "p_size", "operator": "<=", "value": 30},
+                {"column": "l_quantity", "operator": ">=", "value": 10.0},
+                {"column": "l_quantity", "operator": "<=", "value": 35.0},
+            ]},
+        ],
+    }
+    hit = get_operator("filter")(rule=rule).apply({"in": joined})["pass"]
+    derived = hit.withColumn(
+        "__rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    out = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "__rev", "op": "sum", "dest": "revenue"}],
+    ).apply({"in": derived})["out"]
+    return out.select(F.round("revenue", 2).alias("revenue"))
+
+
+_SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
+       AND l_quantity >= 1.0 AND l_quantity <= 20.0)
+   OR (p_brand = 'Brand#3' AND p_size >= 10 AND p_size <= 30
+       AND l_quantity >= 10.0 AND l_quantity <= 35.0)
+"""
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: above-average-balance customers with no
+    orders since 1999, per market segment. The scalar subquery (global
+    average balance) is a one-row aggregate broadcast-cross-joined
+    into the customer scan — no driver-side collect, no eager job at
+    plan construction — and NOT EXISTS is an anti-join step."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    pos = get_operator("filter")(
+        rule={"column": "c_acctbal", "operator": ">", "value": 0.0}
+    ).apply({"in": cust})["pass"]
+    avg_bal = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "c_acctbal", "op": "mean", "dest": "__avg_bal"}],
+    ).apply({"in": pos})["out"]
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    idle = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "rich", "right_port": "recent",
+                 "left_on": "c_custkey", "right_on": "o_custkey",
+                 "how": "anti", "output_port": "out"},
+            ]
+        }
+    ).apply({"rich": rich, "recent": recent})["out"]
+    out = get_operator("aggregation")(
+        group_by=["c_mktsegment"],
+        aggregations=[
+            {"src": "*", "op": "count", "dest": "n_cust"},
+            {"src": "c_acctbal", "op": "sum", "dest": "total_bal"},
+        ],
+    ).apply({"in": idle})["out"]
+    return out.select(
+        "c_mktsegment", "n_cust", F.round("total_bal", 2).alias("total_bal")
+    )
+
+
+_SQL_Q22 = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.3 join-type matrix (inner/left/right/outer with null padding)
 # --------------------------------------------------------------------------
@@ -2398,6 +2754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q_q7_volume_shipping,
         "q9_product_profit": q_q9_product_profit,
         "q10_returned_items": q_q10_returned_items,
+        "q4_order_priority": q_q4_order_priority,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q12_priority_class": q_q12_priority_class,
+        "q14_promo_ratio": q_q14_promo_ratio,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_filter": q_q19_disjunctive_filter,
+        "q22_idle_customers": q_q22_idle_customers,
         "agg_ops": q_agg_ops,
         "agg_global": q_agg_global,
         "percentiles": q_percentiles,
@@ -2478,6 +2841,13 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": _SQL_Q7,
         "q9_product_profit": _SQL_Q9,
         "q10_returned_items": _SQL_Q10,
+        "q4_order_priority": _SQL_Q4,
+        "q6_forecast_revenue": _SQL_Q6,
+        "q12_priority_class": _SQL_Q12,
+        "q14_promo_ratio": _SQL_Q14,
+        "q18_large_orders": _SQL_Q18,
+        "q19_disjunctive_filter": _SQL_Q19,
+        "q22_idle_customers": _SQL_Q22,
         "agg_ops": _SQL_AGG_OPS,
         "agg_global": _SQL_AGG_GLOBAL,
         "percentiles": _SQL_PERCENTILES,
