@@ -1031,6 +1031,129 @@ GROUP BY c_mktsegment
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_join operator (operators/asof.py): interval×interval
+    overlap join, bucketized on both sides with each pair emitted only
+    from its overlap-start bucket (no distinct stage). Intervals are
+    derived arithmetically from orders/part keys so the oracle can
+    rebuild them; the key caps keep the pair set identical across
+    scale factors."""
+    from etl_core_spark.operators.base import get_operator
+
+    a = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select(
+            F.col("o_orderkey").alias("a_id"),
+            ((F.col("o_orderkey") * 37) % 4000).alias("lo"),
+            ((F.col("o_orderkey") * 37) % 4000 + 1 + F.col("o_orderkey") % 7).alias("hi"),
+        )
+    )
+    b = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 180)
+        .select(
+            F.col("p_partkey").alias("b_id"),
+            ((F.col("p_partkey") * 53) % 4000).alias("lo"),
+            ((F.col("p_partkey") * 53) % 4000 + 1 + F.col("p_partkey") % 5).alias("hi"),
+        )
+    )
+    out = get_operator("interval_join")(
+        left_lo="lo", left_hi="hi", right_lo="lo_r", right_hi="hi_r",
+        bucket_width=8.0,
+    ).apply({"left": a, "right": b.select(
+        "b_id", F.col("lo").alias("lo_r"), F.col("hi").alias("hi_r")
+    )})["out"]
+    return out.select(
+        "a_id", "b_id",
+        (F.least("hi", "hi_r") - F.greatest("lo", "lo_r"))
+        .cast("long").alias("overlap"),
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+WITH a AS (SELECT o_orderkey AS a_id,
+                  (o_orderkey * 37) % 4000 AS lo,
+                  (o_orderkey * 37) % 4000 + 1 + o_orderkey % 7 AS hi
+           FROM orders WHERE o_orderkey < 1200),
+     b AS (SELECT p_partkey AS b_id,
+                  (p_partkey * 53) % 4000 AS lo_r,
+                  (p_partkey * 53) % 4000 + 1 + p_partkey % 5 AS hi_r
+           FROM part WHERE p_partkey < 180)
+SELECT a_id, b_id,
+       CAST(least(hi, hi_r) - greatest(lo, lo_r) AS BIGINT) AS overlap
+FROM a JOIN b ON a.lo < b.hi_r AND b.lo_r < a.hi
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel operator (operators/timeseries.py): per-user deepest
+    stage of the view → click → purchase sequence, each step strictly
+    after the previous. Cascaded conditional-min aggregates with
+    broadcast stage tables — no per-user collect_list."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("funnel")(
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"],
+    ).apply({"in": ev})["out"]
+    return out
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+     s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id),
+     s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id)
+SELECT s1.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS stage
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ntile: customers cut into account-balance deciles
+    (ties broken by c_custkey for a total, engine-independent order),
+    profiled per decile."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    tiled = cust.select(
+        "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+_SQL_NTILE = """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM (SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+      FROM customer)
+GROUP BY decile
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.3 join-type matrix (inner/left/right/outer with null padding)
 # --------------------------------------------------------------------------
@@ -2793,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_rules": q_mapping_rules,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "interval_join": q_interval_join,
+        "funnel": q_funnel,
+        "ntile_deciles": q_ntile_deciles,
         "events_json_filter": q_events_json_filter,
         "json_expand": q_json_expand,
         "sessionize": q_sessionize_batch,
@@ -2880,6 +3006,9 @@ def oracle_sql() -> dict[str, str]:
         "mapping_rules": _SQL_MAPPING_RULES,
         "asof_join": _SQL_ASOF,
         "range_join": _SQL_RANGE_JOIN,
+        "interval_join": _SQL_INTERVAL_JOIN,
+        "funnel": _SQL_FUNNEL,
+        "ntile_deciles": _SQL_NTILE,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,
         "sessionize": _SQL_SESSIONIZE,

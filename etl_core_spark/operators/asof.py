@@ -176,6 +176,90 @@ def range_join(
     return joined.unionByName(unmatched)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join: pair every left [lo, hi) with every
+    right [lo, hi) interval that overlaps it (``l.lo < r.hi AND
+    r.lo < l.hi``) — the interval×interval sibling of ``range_join``'s
+    point-in-interval.
+
+    Scale shape: BOTH sides explode to the width-``bucket_width``
+    buckets they cover and candidates come from an equi-join on the
+    bucket id — never an inequality cross join. An overlapping pair
+    shares every bucket its intersection covers, so the naive
+    candidate join emits the pair once per shared bucket and needs a
+    ``distinct`` (an extra full shuffle of the output). Instead each
+    pair is emitted ONLY from the bucket containing the start of the
+    intersection, ``floor(greatest(l.lo, r.lo) / w)`` — a constant-
+    time predicate on columns already in hand — so the join output is
+    exactly one row per overlapping pair with no dedup stage at all.
+
+    Right-side columns that collide with left names get ``suffix``
+    (pandas-merge convention, matching the schema_mapping operator).
+    """
+    bw = float(bucket_width)
+    if bw <= 0:
+        raise OperatorConfigError("interval_join requires bucket_width > 0")
+
+    def exploded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bw).cast("long"),
+                    F.floor((F.col(hi) - 1e-12) / bw).cast("long"),
+                )
+            ),
+        )
+
+    renames = {
+        c: (c + suffix if c in left.columns else c) for c in right.columns
+    }
+    r = right.select(*[F.col(c).alias(renames[c]) for c in right.columns])
+    r_lo, r_hi = renames[right_lo], renames[right_hi]
+
+    le = exploded(left, left_lo, left_hi)
+    re_ = exploded(r, r_lo, r_hi)
+    overlap = (F.col(left_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(left_hi))
+    start_bucket = F.floor(
+        F.greatest(F.col(left_lo), F.col(r_lo)) / bw
+    ).cast("long")
+    return (
+        le.join(re_, on="__bucket", how="inner")
+        .where(overlap & (F.col("__bucket") == start_bucket))
+        .drop("__bucket")
+    )
+
+
+@register_operator("interval_join")
+class IntervalJoinOperator(Operator):
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("left_lo", "left_hi", "right_lo", "right_hi", "bucket_width"):
+            if self.config.get(key) is None:
+                raise OperatorConfigError(f"interval_join requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": interval_join(
+                inputs["left"], inputs["right"], c["left_lo"], c["left_hi"],
+                c["right_lo"], c["right_hi"], float(c["bucket_width"]),
+                str(c.get("suffix", "_r")),
+            )
+        }
+
+
 @register_operator("as_of_join")
 class AsOfJoinOperator(Operator):
     in_ports = ("left", "right")

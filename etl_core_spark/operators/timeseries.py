@@ -109,6 +109,79 @@ def densify_buckets(
     return out
 
 
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-sequence (funnel) analysis: for each user, how many of
+    ``steps`` completed in order, each step strictly after the one
+    before it. Output: one row per user who reached step 1, with
+    ``stage`` (1..len(steps)) = deepest step reached.
+
+    Scale shape — cascaded conditional-min aggregates, NOT a per-user
+    ``collect_list``: a power user with millions of events would blow
+    per-task memory if the engine gathered their whole history into
+    one array. Instead stage k is ``min(ts) WHERE type = step_k AND
+    ts > t_{k-1}``: a map-side-combinable aggregate over the events
+    relation joined to the (tiny, one-row-per-user) stage-(k-1) table
+    — broadcast, so the events side never shuffles. len(steps) passes
+    over the (already type-pruned) events, each embarrassingly
+    parallel; state per user is one timestamp.
+    """
+    if not steps:
+        raise OperatorConfigError("funnel requires at least one step")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__type"),
+    ).where(F.col(type_col).isin(list(steps)))
+
+    reached = (
+        ev.where(F.col("__type") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("__type") == step)
+            .join(F.broadcast(reached.select("__u", f"__t{k - 1}")), on="__u")
+            .where(F.col("__ts") > F.col(f"__t{k - 1}"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"__t{k}"))
+        )
+        reached = reached.join(nxt, on="__u", how="left")
+    stage = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        stage = F.when(F.col(f"__t{k}").isNotNull(), F.lit(k)).otherwise(stage)
+    # deepest non-null __tk wins; __tk is only non-null if __t{k-1} was
+    return reached.select(
+        F.col("__u").alias(user_col), stage.cast("int").alias("stage")
+    )
+
+
+@register_operator("funnel")
+class FunnelOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("user_col", "ts_col", "type_col", "steps"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"funnel requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": funnel(
+                self.single_input(inputs), c["user_col"], c["ts_col"],
+                c["type_col"], list(c["steps"]),
+            )
+        }
+
+
 @register_operator("zscore_outliers")
 class ZscoreOutliersOperator(Operator):
     in_ports = ("in",)

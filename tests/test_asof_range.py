@@ -88,3 +88,92 @@ def test_range_join_matches_inequality_join(spark, tables):
     assert sorted((r["p_partkey"], r["band"]) for r in fast.collect()) == sorted(
         (r["p_partkey"], r["band"]) for r in slow.collect()
     )
+
+
+# ----------------------------------------------------------------------
+# interval_join (interval-overlap, bucketized both sides)
+# ----------------------------------------------------------------------
+
+def _naive_overlap_pairs(spark, a, b):
+    """Oracle: inequality cross join (fine at test scale only)."""
+    return (
+        a.crossJoin(b.select(F.col("b_id"), F.col("lo").alias("lo_r"),
+                             F.col("hi").alias("hi_r")))
+        .where((F.col("lo") < F.col("hi_r")) & (F.col("lo_r") < F.col("hi")))
+        .select("a_id", "b_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def interval_sets(spark):
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 30.0), (4, 42.0, 43.0)],
+        "a_id long, lo double, hi double",
+    )
+    b = spark.createDataFrame(
+        [(1, 9.0, 21.0), (2, 5.5, 5.7), (3, 30.0, 40.0), (4, 41.0, 42.0)],
+        "b_id long, lo double, hi double",
+    )
+    return a, b
+
+
+def test_interval_join_matches_naive(spark, interval_sets):
+    from etl_core_spark.operators.asof import interval_join
+
+    a, b = interval_sets
+    br = b.select("b_id", F.col("lo").alias("lo_r"), F.col("hi").alias("hi_r"))
+    for bw in (1.0, 3.0, 100.0):  # narrower and wider than every interval
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in interval_join(a, br, "lo", "hi", "lo_r", "hi_r", bw).collect()
+        }
+        want = {(r["a_id"], r["b_id"])
+                for r in _naive_overlap_pairs(spark, a, b).collect()}
+        assert got == want, f"bucket_width={bw}"
+    # half-open semantics: [20,30) does not overlap [30,40), and
+    # [42,43) does not overlap [41,42)
+    assert (3, 3) not in want and (4, 4) not in want
+    # sanity on the expected pairs
+    assert want == {(1, 1), (1, 2), (2, 2), (3, 1)}
+
+
+def test_interval_join_emits_each_pair_exactly_once(spark, interval_sets):
+    """The overlap-start-bucket trick replaces distinct: a pair whose
+    intersection spans many buckets must still appear once."""
+    from etl_core_spark.operators.asof import interval_join
+
+    a = spark.createDataFrame([(1, 0.0, 100.0)], "a_id long, lo double, hi double")
+    b = spark.createDataFrame([(9, 10.0, 90.0)], "b_id long, lo_r double, hi_r double")
+    out = interval_join(a, b, "lo", "hi", "lo_r", "hi_r", 1.0)  # 80 shared buckets
+    assert out.count() == 1
+
+
+def test_interval_join_no_cartesian_plan(spark, interval_sets):
+    from etl_core_spark.operators.asof import interval_join
+
+    a, b = interval_sets
+    br = b.select("b_id", F.col("lo").alias("lo_r"), F.col("hi").alias("hi_r"))
+    plan = interval_join(a, br, "lo", "hi", "lo_r", "hi_r", 2.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_suffixes_colliding_columns(spark, interval_sets):
+    from etl_core_spark.operators.asof import interval_join
+
+    a, b = interval_sets  # both sides have lo/hi
+    out = interval_join(a, b, "lo", "hi", "lo", "hi", 2.0)
+    assert {"lo_r", "hi_r"} <= set(out.columns)
+
+
+def test_interval_join_operator_registered(spark, interval_sets):
+    from etl_core_spark.operators.base import get_operator
+
+    a, b = interval_sets
+    br = b.select("b_id", F.col("lo").alias("lo_r"), F.col("hi").alias("hi_r"))
+    out = get_operator("interval_join")(
+        left_lo="lo", left_hi="hi", right_lo="lo_r", right_hi="hi_r",
+        bucket_width=2.0,
+    ).apply({"left": a, "right": br})["out"]
+    assert out.count() == 4

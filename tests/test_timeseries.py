@@ -67,3 +67,78 @@ def test_timeseries_config_validation(spark):
     df = spark.createDataFrame([("x", 1)], "k string, bucket int")
     with pytest.raises(OperatorConfigError, match="unknown densify agg"):
         densify_buckets(df, ["k"], "bucket", F.lit(1), {"n": "median:bucket"})
+
+
+# ----------------------------------------------------------------------
+# funnel (ordered sequence matching via cascaded conditional mins)
+# ----------------------------------------------------------------------
+
+def _funnel_events(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing: click must not count; stops at view
+        (2, 10, "click"), (2, 20, "view"),
+        # u3 purchase before click: reaches click only
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+        # u4 never views: excluded entirely
+        (4, 10, "click"), (4, 20, "purchase"),
+        # u5 out-of-funnel events ignored; later duplicate steps ok
+        (5, 10, "signup"), (5, 20, "view"), (5, 25, "view"),
+        (5, 30, "click"), (5, 40, "click"), (5, 50, "purchase"),
+    ]
+    return spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows], "user_id long, ts double, event_type string"
+    )
+
+
+def test_funnel_stages(spark):
+    from etl_core_spark.operators.timeseries import funnel
+
+    out = funnel(_funnel_events(spark), "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"])
+    got = {r["user_id"]: r["stage"] for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 5: 3}
+
+
+def test_funnel_strictly_after(spark):
+    """A step at exactly the same timestamp as the previous one does
+    not advance the funnel (strict >)."""
+    from etl_core_spark.operators.timeseries import funnel
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "view"), (1, 10.0, "click"), (2, 10.0, "view"), (2, 11.0, "click")],
+        "user_id long, ts double, event_type string",
+    )
+    out = funnel(df, "user_id", "ts", "event_type", ["view", "click"])
+    got = {r["user_id"]: r["stage"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_funnel_single_step_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    from etl_core_spark.operators.timeseries import funnel
+
+    df = _funnel_events(spark)
+    out = funnel(df, "user_id", "ts", "event_type", ["purchase"])
+    assert {r["user_id"] for r in out.collect()} == {1, 3, 4, 5}
+    with _pytest.raises(OperatorConfigError, match="steps"):
+        get_operator("funnel")(user_col="u", ts_col="t", type_col="e")
+    with _pytest.raises(OperatorConfigError, match="at least one step"):
+        funnel(df, "user_id", "ts", "event_type", [])
+
+
+def test_funnel_operator_broadcasts_stage_tables(spark):
+    """The events side must never be the build side: stage tables are
+    broadcast so the big relation stays un-shuffled."""
+    from etl_core_spark.operators.base import get_operator
+
+    out = get_operator("funnel")(
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"],
+    ).apply({"in": _funnel_events(spark)})["out"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
