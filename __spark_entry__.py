@@ -2848,6 +2848,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch NDV (operators/sketch.py): per-event-type
+    approximate distinct users via DataSketches HLL. Approximate BY
+    CONTRACT (rse ~1.6% at lg_k=12) and DuckDB's HLL is a different
+    implementation, so there is no value oracle — the driver records
+    a rows-only check; the error-bound/merge-algebra certification
+    lives in tests/test_sketch.py."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    return get_operator("hll_distinct")(
+        group_cols=["event_type"], value_col="user_id"
+    ).apply({"in": ev})["out"]
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
     mapInPandas (decode stubbed — no media libs in container). Uses a
@@ -2955,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
+        "hll_distinct": q_hll_distinct,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -24,6 +24,7 @@ from etl_core_spark.operators import (  # noqa: F401
     text_analysis,
     timeseries,
     json_ops,
+    sketch,
     multimodal,
 )
 

@@ -1,0 +1,158 @@
+"""Sketch aggregates (beyond-reference; the 100 TB pre-aggregation
+story).
+
+Exact ``count(DISTINCT x)`` re-shuffles the full column every time a
+question is asked. The sketch pattern computes a tiny mergeable
+summary ONCE at fine granularity and answers every coarser rollup by
+merging summaries — no second pass over the data:
+
+- ``hll_distinct``: per-group approximate NDV via Apache DataSketches
+  HLL (``hll_sketch_agg``). Map-side combinable; state per group is
+  the 2^lg_k-register sketch (~4 KB at lg_k=12), not the value set.
+- ``hll_build`` / ``hll_merge``: the rollup algebra. Build binary
+  sketches at (a, b) once; ``hll_merge`` to (a), (b), or () unions
+  the sketches. Union is lossless at the REGISTER level (max per
+  register), but DataSketches keeps a more accurate order-dependent
+  HIP estimator while inserting which a union discards — so a merged
+  estimate can differ by a fraction of the error bound from a direct
+  scan at the coarse granularity (both stay within the rse bound; the
+  tests pin that, not bit-equality). This is how a 100 TB fact table
+  serves interactive "distinct users by <any dimension subset>"
+  dashboards without rescanning.
+- ``approx_quantiles``: per-group percentile_approx (GK sketch) with
+  a tunable accuracy/state trade; deterministic for a given accuracy.
+
+Estimates are approximate BY CONTRACT (DataSketches HLL rse ≈
+1.04/sqrt(2^lg_k) ≈ 1.6 % at the default lg_k=12), so these operators
+carry pytest error-bound + merge-algebra certification instead of a
+DuckDB hash oracle (DuckDB's HLL is a different implementation; the
+estimates legitimately differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+_SKETCH_TYPE = "HLL_8"
+
+
+def hll_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group binary HLL sketch of ``value_col`` (column
+    ``__hll``). The sketch column is opaque binary — store it in a
+    rollup table and answer coarser groupings later via
+    ``hll_merge`` without touching the source again."""
+    if not 4 <= int(lg_k) <= 21:
+        raise OperatorConfigError("hll lg_k must be in [4, 21]")
+    agg = F.hll_sketch_agg(value_col, int(lg_k)).alias("__hll")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def hll_merge(sketches: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Roll sketches up to ``to_cols`` granularity (a subset of the
+    build grouping) and return the estimated NDV per group. Merging
+    shuffles only the sketch table — one row per fine group — never
+    the source relation."""
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg("__hll", allowDifferentLgConfigK=False)
+    ).alias("est_ndv")
+    if to_cols:
+        return sketches.groupBy(*to_cols).agg(agg)
+    return sketches.agg(agg)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One-shot per-group approximate NDV (build + estimate fused:
+    the optimizer sees a single aggregate, partials combine
+    map-side)."""
+    if not 4 <= int(lg_k) <= 21:
+        raise OperatorConfigError("hll lg_k must be in [4, 21]")
+    est = F.hll_sketch_estimate(
+        F.hll_sketch_agg(value_col, int(lg_k))
+    ).alias("est_ndv")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(est)
+    return df.agg(est)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probabilities: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles (Greenwald-Khanna): guaranteed
+    rank error <= 1/accuracy at O(accuracy) state per group, vs the
+    exact ``percentile``'s full sort. Output: one ``q_<pct>`` column
+    per requested probability."""
+    probs = [float(p) for p in probabilities]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise OperatorConfigError("probabilities must be in [0, 1]")
+    agg = F.percentile_approx(
+        value_col, probs, int(accuracy)
+    ).alias("__qs")
+    g = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+    names = [f"q_{int(round(p * 100)):02d}" for p in probs]
+    return g.select(
+        *(group_cols or []),
+        *[F.col("__qs")[i].alias(names[i]) for i in range(len(probs))],
+    )
+
+
+@register_operator("hll_distinct")
+class HllDistinctOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("hll_distinct requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": hll_distinct(
+                self.single_input(inputs),
+                list(c.get("group_cols") or []),
+                c["value_col"],
+                int(c.get("lg_k", 12)),
+            )
+        }
+
+
+@register_operator("approx_quantiles")
+class ApproxQuantilesOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("value_col", "probabilities"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"approx_quantiles requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": approx_quantiles(
+                self.single_input(inputs),
+                list(c.get("group_cols") or []),
+                c["value_col"],
+                list(c["probabilities"]),
+                int(c.get("accuracy", 10000)),
+            )
+        }
