@@ -2568,6 +2568,42 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink → pruned read, oracle-checked
+    end-to-end: orders written partitionBy(o_orderstatus), read back
+    with a partition-column filter (the scan touches only the one
+    matching directory — pruning plan-asserted in
+    tests/test_plans_quality.py), then aggregated. At 100 TB this
+    layout is the difference between scanning a shard and scanning
+    the lake."""
+    import tempfile
+
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.mkdtemp(prefix='spark_pq_part_')}/orders_by_status"
+    get_operator("write_parquet")(
+        filepath=path, partition_by=["o_orderstatus"]
+    ).apply({"in": orders})
+    back = get_operator("read_parquet")(spark=spark, filepath=path).apply({})["out"]
+    return (
+        back.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_SQL_PARQUET_PARTITIONED = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 sources, oracle-checked end-to-end: nation → write_csv →
     read_csv. The reader's all-string parity with the reference
@@ -2961,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "quality_filter": q_quality_filter,
         "training_pipeline": q_training_pipeline,
+        "parquet_partitioned": q_parquet_partitioned,
         "csv_roundtrip": q_csv_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
@@ -3052,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
         "training_pipeline": _SQL_TRAINING_PIPELINE,
+        "parquet_partitioned": _SQL_PARQUET_PARTITIONED,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "excel_roundtrip": _SQL_EXCEL_ROUNDTRIP,
         "xml_roundtrip": _SQL_EXCEL_ROUNDTRIP,

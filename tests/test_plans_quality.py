@@ -227,3 +227,18 @@ def test_json_expand_parses_once(spark):
     ]).apply({"in": df})["out"]
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") == 1
+
+
+def test_partitioned_read_prunes_partitions(spark, tables, tmp_path):
+    """A filter on the partition column must land in PartitionFilters
+    (directory pruning), not as a post-scan Filter over all files."""
+    from etl_core_spark.operators.base import get_operator
+
+    out = tmp_path / "orders_by_status"
+    get_operator("write_parquet")(
+        filepath=str(out), partition_by=["o_orderstatus"]
+    ).apply({"in": tables["orders"]})
+    back = get_operator("read_parquet")(spark=spark, filepath=str(out)).apply({})["out"]
+    plan = plan_of(back.where(F.col("o_orderstatus") == "O"))
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
