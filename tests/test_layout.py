@@ -1,0 +1,120 @@
+"""Write-time layout: compaction to a target file size, sorted and
+z-ordered clustering, and the pruning statistics they produce."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_core_spark.functions.layout import _ZBITS, zvalue
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+
+def _py_interleave(buckets: list[int]) -> int:
+    n = len(buckets)
+    out = 0
+    for i, b in enumerate(buckets):
+        for k in range(_ZBITS):
+            out |= ((b >> k) & 1) << (k * n + i)
+    return out
+
+
+def test_zvalue_matches_python_interleave(spark):
+    # values chosen so bucket = value (span 0..65535 over 2^16 buckets
+    # maps v -> floor(v / 65535 * 65536) which is v for v < 65535/2…
+    # use exact corner values instead)
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (65535.0, 0.0), (0.0, 65535.0), (65535.0, 65535.0)],
+        "x double, y double",
+    )
+    got = {
+        (r["x"], r["y"]): r["__z"] for r in zvalue(df, ["x", "y"]).collect()
+    }
+    m = (1 << _ZBITS) - 1
+    assert got[(0.0, 0.0)] == 0
+    assert got[(65535.0, 0.0)] == _py_interleave([m, 0])
+    assert got[(0.0, 65535.0)] == _py_interleave([0, m])
+    assert got[(65535.0, 65535.0)] == _py_interleave([m, m])
+
+
+def test_zvalue_handles_constant_and_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (1.0, 5.0)], "x double, y double"
+    )
+    rows = zvalue(df, ["x", "y"]).collect()
+    # constant column -> bucket 0 everywhere; NULL -> bucket 0
+    zs = sorted(r["__z"] for r in rows)
+    assert zs[0] == 0  # (1.0, NULL)
+    with pytest.raises(ValueError, match="1-4 columns"):
+        zvalue(df, [])
+
+
+def test_target_file_mb_compacts(spark, tmp_path, tables):
+    src = tables["lineitem"].repartition(32)  # the small-files shape
+    out = tmp_path / "compacted"
+    get_operator("write_parquet")(
+        filepath=str(out), target_file_mb=64
+    ).apply({"in": src})
+    files = [p for p in out.iterdir() if p.name.endswith(".parquet")]
+    # sf0.001 lineitem is far below 64 MB -> exactly one data file
+    assert len(files) == 1
+    back = get_operator("read_parquet")(spark=spark, filepath=str(out)).apply({})["out"]
+    assert back.count() == src.count()
+
+
+def test_sort_by_tightens_file_ranges(spark, tmp_path, tables):
+    """Each sorted output file must cover a disjoint range of the sort
+    column (repartitionByRange + sortWithinPartitions)."""
+    out = tmp_path / "sorted"
+    get_operator("write_parquet")(
+        filepath=str(out), sort_by=["o_totalprice"], num_files=5
+    ).apply({"in": tables["orders"].repartition(8)})
+    back = spark.read.parquet(str(out))
+    ranges = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint -> min/max pruning works
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path, tables):
+    """Z-ordered files must localize BOTH columns: every file's span
+    in each dimension is a fraction of the global span (a single-col
+    sort leaves the other column's per-file span ~ the full span)."""
+    orders = tables["orders"].repartition(8)
+    out = tmp_path / "zordered"
+    get_operator("write_parquet")(
+        filepath=str(out), zorder_by=["o_custkey", "o_totalprice"], num_files=6
+    ).apply({"in": orders})
+    back = spark.read.parquet(str(out))
+    assert "__z" not in back.columns
+    assert back.count() == orders.count()
+    per_file = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp_span"),
+        )
+        .collect()
+    )
+    glob = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).collect()[0]
+    if len(per_file) > 2:
+        avg_ck = sum(r["ck_span"] for r in per_file) / len(per_file)
+        avg_tp = sum(r["tp_span"] for r in per_file) / len(per_file)
+        # each dimension localized to well under the full span
+        assert avg_ck < 0.8 * glob["ck"]
+        assert avg_tp < 0.8 * glob["tp"]
+
+
+def test_sort_and_zorder_exclusive(spark):
+    with pytest.raises(OperatorConfigError, match="exclusive"):
+        get_operator("write_parquet")(
+            filepath="/tmp/x", sort_by=["a"], zorder_by=["b"]
+        )
