@@ -2568,6 +2568,50 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile operator (operators/profile.py) in exact-NDV mode:
+    melted per-column statistics over orders. The approx default is
+    pytest-certified; the oracle needs the exact path."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    return get_operator("profile")(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+        approx_ndv=False,
+    ).apply({"in": orders})["out"]
+
+
+_SQL_PROFILE = """
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS ndv,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+       round(avg(o_orderkey), 6) AS mean,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       NULL, NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+       round(avg(o_totalprice), 6), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       NULL, NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink → pruned read, oracle-checked
     end-to-end: orders written partitionBy(o_orderstatus), read back
@@ -2997,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "quality_filter": q_quality_filter,
         "training_pipeline": q_training_pipeline,
+        "profile": q_profile,
         "parquet_partitioned": q_parquet_partitioned,
         "csv_roundtrip": q_csv_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
@@ -3089,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
         "training_pipeline": _SQL_TRAINING_PIPELINE,
+        "profile": _SQL_PROFILE,
         "parquet_partitioned": _SQL_PARQUET_PARTITIONED,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "excel_roundtrip": _SQL_EXCEL_ROUNDTRIP,

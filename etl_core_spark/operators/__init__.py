@@ -25,6 +25,7 @@ from etl_core_spark.operators import (  # noqa: F401
     timeseries,
     json_ops,
     sketch,
+    profile,
     multimodal,
 )
 
