@@ -21,6 +21,12 @@ merging summaries — no second pass over the data:
   dashboards without rescanning.
 - ``approx_quantiles``: per-group percentile_approx (GK sketch) with
   a tunable accuracy/state trade; deterministic for a given accuracy.
+- ``cms_build`` / ``cms_estimate``: Count-Min frequency sketch —
+  point-queryable heavy-hitter counts at O(1/eps) state per group,
+  ``true <= est <= true + eps*N`` with the configured confidence.
+
+All three compose with Structured Streaming unchanged (they are
+ordinary aggregates; the windowed-HLL streaming test pins it).
 
 Estimates are approximate BY CONTRACT (DataSketches HLL rse ≈
 1.04/sqrt(2^lg_k) ≈ 1.6 % at the default lg_k=12), so these operators
@@ -112,6 +118,41 @@ def approx_quantiles(
         *(group_cols or []),
         *[F.col("__qs")[i].alias(names[i]) for i in range(len(probs))],
     )
+
+
+def cms_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Count-Min sketch of ``value_col`` frequencies
+    (column ``__cms``, opaque binary). One map-side-combinable
+    aggregate; state is O(1/eps · ln(1/confidence)) counters per
+    group, independent of cardinality. The point-query side is
+    ``cms_estimate`` — CMS guarantees ``true <= est <= true +
+    eps·N`` with probability ``confidence``."""
+    if not 0 < float(eps) < 1 or not 0 < float(confidence) < 1:
+        raise OperatorConfigError("cms eps/confidence must be in (0, 1)")
+    agg = F.count_min_sketch(
+        value_col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
+    ).alias("__cms")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def cms_estimate(spark, sketch: bytes, items: list) -> dict:
+    """Point-query a serialized Count-Min sketch for candidate
+    ``items`` (driver-side: the sketch is a few KB; candidates come
+    from elsewhere — a sample, a dictionary, an alert list). Returns
+    {item: estimated_count}."""
+    jvm = spark._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    return {it: cms.estimateCount(it) for it in items}
 
 
 @register_operator("hll_distinct")

@@ -100,3 +100,91 @@ def test_sketch_operator_registration_and_validation(spark, facts):
         hll_distinct(facts, [], "user", lg_k=30)
     with pytest.raises(OperatorConfigError, match="probabilities"):
         approx_quantiles(facts, [], "v", [1.5])
+
+
+# ----------------------------------------------------------------------
+# Count-Min frequency sketch
+# ----------------------------------------------------------------------
+
+def test_cms_point_query_bounds(spark):
+    from etl_core_spark.operators.sketch import cms_build, cms_estimate
+
+    n = 20000
+    df = spark.createDataFrame([(i % 100,) for i in range(n)], "x long")
+    sk = cms_build(df, [], "x", eps=0.001).collect()[0]["__cms"]
+    est = cms_estimate(spark, sk, list(range(100)) + [999])
+    for item in range(100):
+        true = n // 100
+        # CMS never underestimates; overestimate bounded by eps * N
+        assert true <= est[item] <= true + 0.001 * n + 1
+    assert est[999] <= 0.001 * n  # absent item only collides
+
+
+def test_cms_per_group_and_validation(spark):
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(300)] + [("b", 7)] * 10,
+        "g string, x long",
+    )
+    rows = {r["g"]: r["__cms"] for r in cms_build(df, ["g"], "x").collect()}
+    assert cms_estimate(spark, rows["a"], [0])[0] >= 100
+    assert cms_estimate(spark, rows["b"], [7])[7] >= 10
+    with pytest.raises(OperatorConfigError, match="eps"):
+        cms_build(df, [], "x", eps=2.0)
+
+
+# ----------------------------------------------------------------------
+# sketches compose with Structured Streaming
+# ----------------------------------------------------------------------
+
+def test_hll_streaming_windowed_distinct(spark, tmp_path):
+    """hll_sketch_agg is an ordinary aggregate: it runs inside a
+    watermarked streaming window unchanged — approximate distinct
+    users per window over an unbounded feed with bounded state."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=m, seconds=s), u)
+        for m in range(0, 120, 60)      # two 1-hour windows
+        for s in (0, 30)
+        for u in range(50)              # 50 distinct users each window
+    ]
+    # sentinel far past both windows: once processed, the watermark
+    # (3:00 - 10min) passes both window ends and append mode emits them
+    rows.append((base + datetime.timedelta(hours=3), 0))
+    df = spark.createDataFrame(rows, "ts timestamp, user long")
+    src = tmp_path / "src"
+    # two files -> separate micro-batches: the watermark advances
+    # BETWEEN batches (a single batch would leave every window open)
+    df.where(F.hour("ts") == 0).coalesce(1).write.mode("append").parquet(str(src))
+    df.where(F.hour("ts") >= 1).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("est"))
+        .select(F.col("w.start").alias("start"), "est")
+    )
+    out = tmp_path / "out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {r["start"].hour: r["est"] for r in spark.read.parquet(str(out)).collect()}
+    # append mode emits only watermark-closed windows: hour 0 closed
+    # by hour 1's events; 50 distinct is far under sketch capacity →
+    # exact-mode estimate
+    assert got[0] == 50
