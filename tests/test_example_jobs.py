@@ -142,3 +142,37 @@ def test_parquet_training_mix_parquet(spark, tmp_path):
     m = result.metrics
     assert m["near_dedup"]["lines_received"] == 13
     assert m["near_dedup"]["lines_forwarded"] == m["rebalance"]["lines_received"]
+
+
+def test_parquet_profile_compact(spark, tmp_path):
+    """Data-quality + layout maintenance through the runner: one scan
+    fans out to a melted profile report (JSON) and a z-ordered,
+    compacted copy of the table."""
+
+    def inputs(d):
+        rows = [
+            (i, f"document {i} body text" if i % 5 else None, (i * 37) % 400)
+            for i in range(200)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string, n_chars long") \
+            .repartition(16).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(spark, tmp_path, "parquet_profile_compact.json", inputs)
+
+    prof = {
+        json.loads(line)["column"]: json.loads(line)
+        for p in (out / "profile_report").glob("*.json")
+        for line in p.read_text().splitlines() if line.strip()
+    }
+    assert set(prof) == {"doc_id", "text", "n_chars"}
+    assert prof["doc_id"]["n_rows"] == 200
+    assert prof["text"]["n_nulls"] == 40
+    assert prof["n_chars"]["min_num"] == 0.0
+
+    files = [p for p in (out / "compacted").iterdir() if p.name.endswith(".parquet")]
+    assert len(files) == 2  # num_files pinned past the 16-task input
+    back = spark.read.parquet(str(out / "compacted"))
+    assert back.count() == 200 and "__z" not in back.columns
+    m = result.metrics
+    assert m["stats"]["lines_forwarded"] == 3  # melted: one row per column
+    assert m["compact"]["lines_received"] == 200
