@@ -323,6 +323,37 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("max_rows", "integer", default=1000),
         f("salt", "string", default=""),
     ],
+    "interval_join": [
+        f("left_lo", "string", required=True),
+        f("left_hi", "string", required=True),
+        f("right_lo", "string", required=True),
+        f("right_hi", "string", required=True),
+        f("bucket_width", "number", required=True, desc="bucketization width; pick near the median interval width"),
+        f("suffix", "string", default="_r", desc="suffix for right columns colliding with left names"),
+    ],
+    "funnel": [
+        f("user_col", "string", required=True),
+        f("ts_col", "string", required=True),
+        f("type_col", "string", required=True),
+        f("steps", "array", required=True, items={"type": "string"},
+          desc="ordered step types; each must occur strictly after the previous"),
+    ],
+    "hll_distinct": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("lg_k", "integer", default=12, desc="2^lg_k HLL registers; rse ~ 1.04/sqrt(2^lg_k)"),
+    ],
+    "approx_quantiles": [
+        f("value_col", "string", required=True),
+        f("probabilities", "array", required=True, items={"type": "number"}),
+        f("group_cols", "array", items={"type": "string"}),
+        f("accuracy", "integer", default=10000, desc="rank error <= 1/accuracy"),
+    ],
+    "profile": [
+        f("columns", "array", items={"type": "string"}, desc="default: every column"),
+        f("approx_ndv", "boolean", default=True,
+          desc="HLL NDV in the single stats pass; false = exact count distinct (separate Expand pass)"),
+    ],
 }
 
 # jdbc operators are factory-registered per dialect
