@@ -1288,14 +1288,38 @@ SELECT DISTINCT l_orderkey FROM (
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot operator (operators/reshape.py): long → wide with a
+    DECLARED value list (single-pass, bounded schema)."""
+    from etl_core_spark.operators.base import get_operator
+
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, types)
-    )
+    return get_operator("pivot")(
+        group_by=["user_id"], pivot_col="event_type", values=types
+    ).apply({"in": ev})["out"]
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot operator (operators/reshape.py): wide → long melt of
+    lineitem's numeric measures, zero-shuffle Expand projection,
+    NULLs kept (SQL UNPIVOT INCLUDE NULLS parity)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return get_operator("unpivot")(
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).apply({"in": li})["out"]
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 200)
+UNPIVOT INCLUDE NULLS (value FOR metric IN
+    (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
 
 
 _SQL_PIVOT = """
@@ -2994,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "pivot_event_counts": q_pivot,
+        "unpivot_measures": q_unpivot,
         "rollup_orders": q_rollup,
         "grouping_sets": q_grouping_sets,
         "cube_lineitem": q_cube,
@@ -3087,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": _SQL_SET_INTERSECT,
         "set_except": _SQL_SET_EXCEPT,
         "pivot_event_counts": _SQL_PIVOT,
+        "unpivot_measures": _SQL_UNPIVOT,
         "rollup_orders": _SQL_ROLLUP,
         "grouping_sets": _SQL_GROUPING_SETS,
         "cube_lineitem": _SQL_CUBE,

@@ -26,6 +26,7 @@ from etl_core_spark.operators import (  # noqa: F401
     json_ops,
     sketch,
     profile,
+    reshape,
     multimodal,
 )
 

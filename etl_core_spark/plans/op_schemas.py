@@ -323,6 +323,21 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("max_rows", "integer", default=1000),
         f("salt", "string", default=""),
     ],
+    "pivot": [
+        f("group_by", "array", required=True, items={"type": "string"}),
+        f("pivot_col", "string", required=True),
+        f("values", "array", required=True, items={"type": "string"},
+          desc="declared pivot values (no inference scan; bounded schema)"),
+        f("agg", "string", default="count", enum=["count", "sum", "min", "max", "mean"]),
+        f("agg_col", "string", default="*"),
+        f("fill", "number", default=0),
+    ],
+    "unpivot": [
+        f("id_cols", "array", required=True, items={"type": "string"}),
+        f("value_cols", "array", required=True, items={"type": "string"}),
+        f("var_name", "string", default="metric"),
+        f("value_name", "string", default="value"),
+    ],
     "interval_join": [
         f("left_lo", "string", required=True),
         f("left_hi", "string", required=True),

@@ -177,3 +177,20 @@ def test_interval_join_operator_registered(spark, interval_sets):
         bucket_width=2.0,
     ).apply({"left": a, "right": br})["out"]
     assert out.count() == 4
+
+
+def test_interval_join_null_bounds_never_match(spark):
+    """NULL lo/hi intervals and NULL-bounded pairs drop out exactly as
+    SQL's three-valued overlap predicate would drop them — not a crash,
+    not a spurious match (sequence(NULL) explodes to zero buckets)."""
+    from etl_core_spark.operators.asof import interval_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, None, 10.0), (3, 5.0, None)],
+        "a_id long, lo double, hi double",
+    )
+    b = spark.createDataFrame(
+        [(1, 5.0, 6.0), (2, None, None)], "b_id long, lo_r double, hi_r double"
+    )
+    out = interval_join(a, b, "lo", "hi", "lo_r", "hi_r", 4.0)
+    assert {(r["a_id"], r["b_id"]) for r in out.collect()} == {(1, 1)}

@@ -142,3 +142,24 @@ def test_funnel_operator_broadcasts_stage_tables(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_null_timestamps_ignored(spark):
+    """NULL event times follow SQL aggregate/predicate semantics (the
+    same rows the oracle CTEs would produce): a user whose only
+    first-step event has NULL ts still groups into stage 1 (min over
+    NULLs emits a NULL t1 row) but can never be advanced past it
+    (ts > NULL is never true), and NULL-ts later-step events never
+    advance anything."""
+    from etl_core_spark.operators.timeseries import funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "view"), (1, 10.0, "click"),
+         (2, 5.0, "view"), (2, None, "click"), (2, 8.0, "click")],
+        "user_id long, ts double, event_type string",
+    )
+    out = funnel(df, "user_id", "ts", "event_type", ["view", "click"])
+    got = {r["user_id"]: r["stage"] for r in out.collect()}
+    # u1: NULL-ts view -> stage 1 only (the 10.0 click can't beat NULL)
+    # u2: NULL-ts click ignored; the 8.0 click advances normally
+    assert got == {1: 1, 2: 2}
