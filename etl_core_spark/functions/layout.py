@@ -36,25 +36,66 @@ def _spread_bits(col: Column, ndims: int, offset: int) -> Column:
     return out
 
 
-def zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
+#: quantile mode: bits per dimension (256 boundaries); the per-row
+#: assignment folds over the boundary array, so this bounds the
+#: per-row work at 2^_QBITS comparisons
+_QBITS = 8
+
+
+def zvalue(df: DataFrame, cols: list[str], method: str = "range") -> DataFrame:
     """Append ``__z``: the Morton (z-order) value of ``cols``.
 
-    Each column is normalized to a 2^16-bucket id over its observed
-    [min, max] span — ONE tiny global aggregate, broadcast back, so
-    the big side stays a narrow map. Uniform bucketing is the
-    documented trade: heavy skew in a dimension concentrates rows in
-    few buckets and weakens skipping on that dimension (a
-    quantile-based normalizer can replace the min/max one without
-    touching the interleave).
+    ``method="range"``: each column is normalized to a 2^16-bucket id
+    over its observed [min, max] span — ONE tiny global aggregate,
+    broadcast back, so the big side stays a narrow map. Uniform
+    bucketing is the documented trade: heavy skew in a dimension
+    concentrates rows in few buckets and weakens skipping there.
+
+    ``method="quantile"``: normalization by the column's approximate
+    CDF instead — 2^8 percentile_approx boundaries per column (one
+    aggregate pass, KB-sized broadcast), per-row bucket = count of
+    boundaries <= value via a fold over the boundary array (O(256)
+    JVM comparisons per row, no UDF). Buckets are equi-POPULATED
+    regardless of distribution, so a zipf-skewed column still spreads
+    across the curve. 8 bits per dimension is plenty: it bounds file
+    counts at 2^(8·dims) distinct cells, far above any real layout.
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zvalue supports 1-4 columns")
+    if method not in ("range", "quantile"):
+        raise ValueError("zvalue method must be 'range' or 'quantile'")
+    n = len(cols)
+    if method == "quantile":
+        nb = 1 << _QBITS
+        probs = [i / nb for i in range(1, nb)]
+        stats = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), probs, 10000).alias(
+                    f"__qs_{c}"
+                )
+                for c in cols
+            ]
+        )
+        with_stats = df.crossJoin(F.broadcast(stats))
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            v = F.col(c).cast("double")
+            bucket = F.aggregate(
+                F.col(f"__qs_{c}"),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+            )
+            bucket = F.coalesce(bucket, F.lit(0))  # NULL value -> first cell
+            z = z + _spread_bits(bucket, n, i)
+        return with_stats.withColumn("__z", z).drop(
+            *[f"__qs_{c}" for c in cols]
+        )
+
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
     )
     with_stats = df.crossJoin(F.broadcast(stats))
-    n = len(cols)
     max_bucket = (1 << _ZBITS) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):

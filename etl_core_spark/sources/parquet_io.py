@@ -86,7 +86,7 @@ class WriteParquet(SinkOperator):
         if zorder_by:
             from etl_core_spark.functions.layout import zvalue
 
-            df = zvalue(df, zorder_by)
+            df = zvalue(df, zorder_by, str(self.config.get("zorder_method", "range")))
             sort_by = ["__z"]
             drop_z = True
         if sort_by:

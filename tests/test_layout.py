@@ -118,3 +118,41 @@ def test_sort_and_zorder_exclusive(spark):
         get_operator("write_parquet")(
             filepath="/tmp/x", sort_by=["a"], zorder_by=["b"]
         )
+
+
+def test_zvalue_quantile_spreads_skewed_data(spark):
+    """Under zipf-ish skew, range normalization crams most rows into
+    a few buckets; quantile normalization keeps cells equi-populated.
+    Measured as the population share of the single hottest z-cell."""
+    import math
+
+    rows = [(float(int(math.exp(i / 120.0))), float(i % 997)) for i in range(6000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    def spread(method):
+        z = zvalue(df, ["x"], method=method)  # 1-dim: z IS the bucket
+        counts = [r["count"] for r in z.groupBy("__z").count().collect()]
+        return len(counts), max(counts) / sum(counts)
+
+    q_cells, q_hot = spread("quantile")
+    r_cells, r_hot = spread("range")
+    # exp() tail: range normalization crams most rows into the low
+    # buckets; quantile buckets stay equi-populated
+    assert q_cells > 100 and q_hot < 0.05
+    # (cell COUNTS are not comparable across modes: range uses 16-bit
+    # buckets, quantile 8-bit — the population share is the metric)
+    assert q_hot < r_hot
+    assert r_hot > 0.2  # the skew really is pathological for range mode
+    with pytest.raises(ValueError, match="method"):
+        zvalue(df, ["x"], method="hilbert")
+
+
+def test_zorder_quantile_through_sink(spark, tmp_path, tables):
+    out = tmp_path / "zq"
+    get_operator("write_parquet")(
+        filepath=str(out), zorder_by=["o_custkey", "o_totalprice"],
+        zorder_method="quantile", num_files=4,
+    ).apply({"in": tables["orders"]})
+    back = spark.read.parquet(str(out))
+    assert back.count() == tables["orders"].count()
+    assert "__z" not in back.columns
