@@ -1122,6 +1122,48 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via window arithmetic: maximal runs of
+    consecutive o_orderkey values among high-value orders
+    (key - row_number is constant within an island). One window sort
+    over the filtered subset, one aggregation — no self-join. The
+    unpartitioned row_number serializes into one task by nature of
+    the problem (islands need a global order); at 100 TB the same
+    identity runs per partition key (e.g. per day/user) with the
+    window partitioned — the global form here is for bounded,
+    pre-filtered subsets."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0)
+    w = Window.orderBy("o_orderkey")
+    grouped = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        grouped.groupBy("__grp")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .where(F.col("island_len") >= 5)
+        .select("island_start", "island_end", "island_len")
+    )
+
+
+_SQL_GAPS_ISLANDS = """
+SELECT min(o_orderkey) AS island_start,
+       max(o_orderkey) AS island_end,
+       count(*) AS island_len
+FROM (SELECT o_orderkey,
+             o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+      FROM orders WHERE o_totalprice > 100000.0)
+GROUP BY grp
+HAVING count(*) >= 5
+"""
+
+
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ntile: customers cut into account-balance deciles
     (ties broken by c_custkey for a total, engine-independent order),
@@ -3039,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "ntile_deciles": q_ntile_deciles,
+        "gaps_islands": q_gaps_islands,
         "events_json_filter": q_events_json_filter,
         "json_expand": q_json_expand,
         "sessionize": q_sessionize_batch,
@@ -3133,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _SQL_INTERVAL_JOIN,
         "funnel": _SQL_FUNNEL,
         "ntile_deciles": _SQL_NTILE,
+        "gaps_islands": _SQL_GAPS_ISLANDS,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,
         "sessionize": _SQL_SESSIONIZE,
