@@ -304,6 +304,23 @@ def simhash_fingerprints(
     lanes. Zero-shingle docs get the all-zero fingerprint (count 0 →
     no majority anywhere).
     """
+    g = _simhash_packed(df, text_col, id_col, shingle_n, bits)
+    lanes, lw = _SIMHASH_LANES_PER_LONG, _SIMHASH_LANE_BITS
+    bit_chars = []
+    for b in range(bits - 1, -1, -1):
+        pop = _simhash_pop(b)
+        bit_chars.append(
+            F.when(pop * 2 > F.col("__cnt"), F.lit("1")).otherwise(F.lit("0"))
+        )
+    fingerprint = _simhash_overflow_guard(F.concat(*bit_chars), id_col)
+    return g.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def _simhash_packed(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, bits: int
+) -> DataFrame:
+    """Shared aggregation stage: one row per doc with the packed
+    popcount lanes (p0..pN) and the shingle count (__cnt)."""
     from etl_core_spark.session import ensure_parallelism
 
     ex = ensure_parallelism(df).select(
@@ -334,18 +351,21 @@ def simhash_fingerprints(
     aggs = [F.sum(f"p{j}").alias(f"p{j}") for j in range(n_packed)] + [
         F.count("__h").alias("__cnt")
     ]
-    g = ex.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col).agg(*aggs)
 
-    bit_chars = []
-    for b in range(bits - 1, -1, -1):
-        j, k = b // lanes, b % lanes
-        pop = F.shiftrightunsigned(F.col(f"p{j}"), k * lw).bitwiseAND(F.lit((1 << lw) - 1))
-        bit_chars.append(
-            F.when(pop * 2 > F.col("__cnt"), F.lit("1")).otherwise(F.lit("0"))
-        )
-    fingerprint = F.when(
-        F.col("__cnt") < F.lit(1 << lw), F.concat(*bit_chars)
-    ).otherwise(
+
+def _simhash_pop(b: int):
+    """Popcount of bit ``b`` unpacked from its lane."""
+    lanes, lw = _SIMHASH_LANES_PER_LONG, _SIMHASH_LANE_BITS
+    j, k = b // lanes, b % lanes
+    return F.shiftrightunsigned(F.col(f"p{j}"), k * lw).bitwiseAND(
+        F.lit((1 << lw) - 1)
+    )
+
+
+def _simhash_overflow_guard(expr, id_col: str):
+    lw = _SIMHASH_LANE_BITS
+    return F.when(F.col("__cnt") < F.lit(1 << lw), expr).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("simhash lane overflow: document "),
@@ -354,7 +374,29 @@ def simhash_fingerprints(
             )
         )
     )
-    return g.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_fingerprints_long(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2, bits: int = 60
+) -> DataFrame:
+    """Same fingerprint as ``simhash_fingerprints`` but packed into a
+    LONG (bit b of the long == character ``bits-1-b`` of the string
+    form). The pairs pipeline uses this: an 8-byte long shuffles ~7×
+    narrower than a 60-char bit string, band keys come from shifts
+    instead of substrings, and the hamming verify is one
+    ``bit_count(a ^ b)`` with no string→long conversion."""
+    g = _simhash_packed(df, text_col, id_col, shingle_n, bits)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.shiftleft(
+            F.when(_simhash_pop(b) * 2 > F.col("__cnt"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            b,
+        )
+    return g.select(
+        F.col(id_col), _simhash_overflow_guard(fp, id_col).alias("simhash64")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -392,45 +434,52 @@ def simhash_near_dup_pairs(
     # text.tokens); NULL text fails the predicate too
     clean = df.where(F.length(F.trim(F.col(text_col))) > 0)
     # consumed 3× (banding + both verify sides); without the persist
-    # the whole shingle→hash→aggregate subtree runs three times
+    # the whole shingle→hash→aggregate subtree runs three times.
+    # LONG fingerprints throughout: ~7× narrower shuffles than the
+    # 60-char bit-string form, shift/mask band keys, one-XOR verify
+    # (the string form stays available via simhash_fingerprints for
+    # the cross-engine signature oracle).
     fp = persist_intermediate(
-        simhash_fingerprints(clean, text_col, id_col, shingle_n, bits)
+        simhash_fingerprints_long(clean, text_col, id_col, shingle_n, bits)
     )
     n_bands = max_hamming + 1
     width = -(-bits // n_bands)
-    band_keys = F.array(
+    mask = (1 << width) - 1
+    bands = F.array(
         *[
-            F.concat(
-                F.lit(f"{i}|"), F.substring("simhash", i * width + 1, width)
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash64"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
             )
             for i in range(n_bands)
         ]
     )
-    ex = fp.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    ex = fp.select(F.col(id_col), F.explode(bands).alias("__b")).select(
+        F.col(id_col), F.col("__b.band_idx"), F.col("__b.band_val")
+    )
+    band_cols = ["band_idx", "band_val"]
     if max_band_freq is not None:
         rare = (
-            ex.groupBy("band_key")
+            ex.groupBy(*band_cols)
             .agg(F.count(F.lit(1)).alias("__bf"))
             .where(F.col("__bf") <= int(max_band_freq))
-            .select("band_key")
+            .select(*band_cols)
         )
-        ex = ex.join(rare, on="band_key")
+        ex = ex.join(rare, on=band_cols)
     a, b = ex.alias("a"), ex.alias("b")
     cands = (
-        a.join(b, on="band_key")
+        a.join(b, on=band_cols)
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
     )
-    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
-    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
-    ham = F.bit_count(
-        F.conv(F.col("__fa"), 2, 10)
-        .cast("long")
-        .bitwiseXOR(F.conv(F.col("__fb"), 2, 10).cast("long"))
-    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("__fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("__fb"))
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
     return (
         cands.join(fa, on="id_a")
         .join(fb, on="id_b")

@@ -309,3 +309,22 @@ def test_ivf_kmeans_refinement_recovers_clusters(spark):
         .select(F.col("vec_id").alias("__cid"), V.unit(F.col("embedding")).alias("__cvec"))
     )
     assert refine_centroids(c_unit, cent0, 3).count() == 3
+
+
+def test_simhash_long_matches_string_fingerprints(spark, tables):
+    """The pairs pipeline's long fingerprints are the same bits as the
+    oracle-certified string form (bit b of the long == char bits-1-b
+    of the string)."""
+    from etl_core_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_long,
+    )
+
+    docs = tables["documents"].limit(200)
+    s = {r["doc_id"]: r["simhash"] for r in
+         simhash_fingerprints(docs, "text", "doc_id").collect()}
+    l = {r["doc_id"]: r["simhash64"] for r in
+         simhash_fingerprints_long(docs, "text", "doc_id").collect()}
+    assert set(s) == set(l)
+    for did, bits in s.items():
+        assert int(bits, 2) == l[did]
