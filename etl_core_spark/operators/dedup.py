@@ -124,12 +124,16 @@ def minhash_candidates_from_shingles(
     sig = minhash_sig_table(sh_table, id_col, num_hashes).where(
         F.col("m0").isNotNull()
     )
+    # band key = xxhash64 long, not an md5 string: the key only ever
+    # meets an equality join, so any collision-safe hash gives the
+    # SAME candidate membership while shuffling 8 bytes instead of a
+    # 32-char string. (The signature values themselves stay md5 — they
+    # are the cross-engine oracle surface; post m0-filter every m_i is
+    # non-null, so no NULL-collapse hazard here.)
     band_cols = [
-        F.md5(
-            F.concat(
-                F.lit(f"{b}|"),
-                F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]),
-            )
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)]),
         )
         for b in range(bands)
     ]
