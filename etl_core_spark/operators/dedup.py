@@ -262,8 +262,21 @@ def winnow_near_dup_pairs(
     # the equi-join.
     from etl_core_spark.session import persist_intermediate
 
+    # join key = xxhash64 of the selected fingerprint: selection
+    # stays md5-lexicographic (the oracle surface), but the 3×-reused
+    # exploded table and the self-join shuffle 8-byte longs instead
+    # of 32-char strings; shared-count output is hash-invariant.
+    # NULL entries (explode_outer of an empty doc) must STAY null —
+    # xxhash64(NULL) is the non-null seed, which would fuse every
+    # empty doc into one hot join key.
     ex = persist_intermediate(  # consumed 3× (doc-freq filter + both join sides)
-        fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp"))
+        fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp0"))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__fp0").isNotNull(), F.xxhash64("__fp0")
+            ).alias("__fp"),
+        )
     )
     rare = (
         ex.groupBy("__fp")
