@@ -1122,6 +1122,30 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cap_per_group in metric mode (operators/sampling.py): top-3
+    orders per priority by total price — WindowGroupLimit pre-cuts
+    map-side, tie-broken on the key for a total order."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    out = get_operator("cap_per_group")(
+        group_cols=["o_orderpriority"], key_col="o_orderkey",
+        max_rows=3, order_col="o_totalprice", descending=True,
+    ).apply({"in": orders})["out"]
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+_SQL_TOP_N_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands via window arithmetic: maximal runs of
     consecutive o_orderkey values among high-value orders
@@ -3082,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "ntile_deciles": q_ntile_deciles,
         "gaps_islands": q_gaps_islands,
+        "top_n_per_group": q_top_n_per_group,
         "events_json_filter": q_events_json_filter,
         "json_expand": q_json_expand,
         "sessionize": q_sessionize_batch,
@@ -3177,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "ntile_deciles": _SQL_NTILE,
         "gaps_islands": _SQL_GAPS_ISLANDS,
+        "top_n_per_group": _SQL_TOP_N_PER_GROUP,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,
         "sessionize": _SQL_SESSIONIZE,

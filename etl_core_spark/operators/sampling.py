@@ -94,26 +94,34 @@ def cap_per_group(
     key_col: str,
     max_rows: int,
     salt: str = "",
+    order_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Deterministic per-group downsample: keep at most ``max_rows``
-    rows per group, chosen by hash order (stable across reruns,
-    partitioning, and engines — NOT "first seen"). The balancing cap
-    a training mix applies per source/domain/user.
+    rows per group. Default selection is hash order (stable across
+    reruns, partitioning, and engines — NOT "first seen"): the
+    balancing cap a training mix applies per source/domain/user.
+    With ``order_col`` it becomes top-N per group BY THE METRIC
+    (``descending`` by default — "best N docs per domain by quality
+    score"), tie-broken by the key so selection stays total-ordered
+    and oracle-checkable either way.
 
-    One shuffle (window partitioned by the group). Ties in the hash
-    bucket break on the key itself, so row selection is total-ordered
-    and oracle-checkable. Scale note: a pathologically hot group
-    serializes into one task's sort — for billions-per-group caps,
-    pre-filter with ``hash_sample`` at ≈max_rows/count first so the
-    window sees a bounded group."""
+    One shuffle (window partitioned by the group); Spark's
+    WindowGroupLimit pre-cuts each input partition to max_rows per
+    group on the map side before the exchange in both modes. Scale
+    note: a pathologically hot group serializes into one task's sort
+    — for billions-per-group caps, pre-filter with ``hash_sample`` at
+    ≈max_rows/count first so the window sees a bounded group."""
     from pyspark.sql import Window
 
     if max_rows < 1:
         raise OperatorConfigError("max_rows must be >= 1")
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy(hash_bucket(F.col(key_col), salt), F.col(key_col))
-    )
+    if order_col is not None:
+        metric = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        order = [metric, F.col(key_col)]
+    else:
+        order = [hash_bucket(F.col(key_col), salt), F.col(key_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= max_rows)
@@ -169,6 +177,8 @@ class CapPerGroupOperator(Operator):
                 self.config["key_col"],
                 self.max_rows,
                 self.config.get("salt", ""),
+                self.config.get("order_col"),
+                bool(self.config.get("descending", True)),
             )
         }
 

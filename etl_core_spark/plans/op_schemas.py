@@ -319,9 +319,11 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     "cap_per_group": [
         f("group_cols", "array", required=True, items={"type": "string"}),
-        f("key_col", "string", required=True, desc="hash-order selection key within each group"),
+        f("key_col", "string", required=True, desc="hash-order selection key / tie-break within each group"),
         f("max_rows", "integer", default=1000),
         f("salt", "string", default=""),
+        f("order_col", "string", desc="rank by this metric instead of hash order (top-N per group)"),
+        f("descending", "boolean", default=True),
     ],
     "pivot": [
         f("group_by", "array", required=True, items={"type": "string"}),

@@ -124,3 +124,31 @@ def test_cap_per_group_small_groups_untouched(spark):
     assert cap_per_group(df, ["g"], "id", 10).count() == 6
     with pytest.raises(OperatorConfigError, match="max_rows"):
         cap_per_group(df, ["g"], "id", 0)
+
+
+def test_cap_per_group_metric_mode(spark):
+    from etl_core_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+         ("b", 5, 1.0)],
+        "g string, k long, score double",
+    )
+    top2 = cap_per_group(df, ["g"], "k", 2, order_col="score", descending=True)
+    got = {(r["g"], r["k"]) for r in top2.collect()}
+    # score ties (k=2, k=4 both 30.0) break on the key: 2 wins
+    assert got == {("a", 2), ("a", 4), ("b", 5)}
+    bottom1 = cap_per_group(df, ["g"], "k", 1, order_col="score", descending=False)
+    assert {(r["g"], r["k"]) for r in bottom1.collect()} == {("a", 1), ("b", 5)}
+
+
+def test_cap_per_group_metric_mode_window_group_limit(spark, tables):
+    from etl_core_spark.operators.sampling import cap_per_group
+
+    out = cap_per_group(
+        tables["orders"], ["o_orderpriority"], "o_orderkey", 3,
+        order_col="o_totalprice",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-side pre-cut before the exchange, final cut after — both
+    assert plan.count("WindowGroupLimit") >= 2
