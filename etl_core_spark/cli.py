@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("config_path")
 
     p = sub.add_parser(
+        "explain",
+        help="print each sink's optimized physical plan for a job config "
+        "(no execution — audit pushdown/broadcasts/shuffles before running)",
+    )
+    p.add_argument("config_path")
+
+    p = sub.add_parser(
         "operators", help="list registered operators (≈ reference GET /schemas)"
     )
     p.add_argument("name", nargs="?", help="show one operator's doc")
@@ -138,6 +145,16 @@ def main(argv: list[str] | None = None) -> int:
         result = JobRunner(build_job(_spark(), config)).run()
         print(json.dumps(result.__dict__))
         return 0 if result.status == "SUCCESS" else 1
+
+    if args.cmd == "explain":
+        from etl_core_spark.plans import build_job
+
+        config = json.loads(Path(args.config_path).read_text())
+        builder = build_job(_spark(), config)
+        for sink_name in builder.sinks:
+            print(f"== sink: {sink_name} ==")
+            builder.sink_inputs[sink_name].explain("formatted")
+        return 0
 
     store = _store(args)
     try:

@@ -363,3 +363,20 @@ def test_create_context_rejects_literal_secrets(tmp_path):
     # *_env indirection and non-secret keys are fine
     store.create_context("c1", {"url": "x", "api_key_env": "MY_KEY"})
     assert store.get_context("c1")["api_key_env"] == "MY_KEY"
+
+
+def test_cli_explain(spark, tmp_path, capsys):
+    """`explain` prints each sink's formatted physical plan without
+    executing anything (the output file must NOT appear)."""
+    cfg = make_job_config(tmp_path)
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli_main(["explain", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "== sink:" in out
+    assert "Physical Plan" in out
+    # nothing ran: the sink path was never written
+    sink_paths = [c.get("filepath") for c in cfg["components"]
+                  if str(c.get("comp_type", "")).startswith("write_")]
+    import os
+    assert sink_paths and not any(os.path.exists(p) for p in sink_paths)
