@@ -2666,7 +2666,8 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return get_operator("profile")(
-        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority", "o_orderdate"],
         approx_ndv=False,
     ).apply({"in": orders})["out"]
 
@@ -2698,6 +2699,14 @@ SELECT 'o_orderpriority', count(*),
        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT o_orderpriority),
        NULL, NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderdate),
+       NULL, NULL, NULL,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
 FROM orders
 """
 

@@ -66,6 +66,14 @@ def profile(
                 F.min(F.col(c)).alias(f"__smin_{c}"),
                 F.max(F.col(c)).alias(f"__smax_{c}"),
             ]
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # temporal range surfaces in the string slots, formatted
+            # engine-neutrally (a raw cast's text form is dialect soup)
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            aggs += [
+                F.date_format(F.min(F.col(c)), fmt).alias(f"__smin_{c}"),
+                F.date_format(F.max(F.col(c)), fmt).alias(f"__smax_{c}"),
+            ]
         if approx_ndv:
             aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
     stats = df.agg(*aggs)
@@ -84,7 +92,9 @@ def profile(
     for c in cols:
         dt = df.schema[c].dataType
         is_num = isinstance(dt, _NUMERIC)
-        is_str = isinstance(dt, T.StringType)
+        is_str = isinstance(
+            dt, (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),

@@ -59,3 +59,13 @@ def test_profile_unknown_column(spark, tables):
         profile(tables["orders"], ["nope"])
     out = get_operator("profile")().apply({"in": tables["orders"]})["out"]
     assert out.count() == len(tables["orders"].columns)
+
+
+def test_profile_temporal_range(spark, tables):
+    got = {r["column"]: r for r in profile(
+        tables["orders"], ["o_orderdate"], approx_ndv=False
+    ).collect()}
+    r = got["o_orderdate"]
+    assert r["min_str"] == "1995-01-01 00:00:00"
+    assert r["min_num"] is None and r["mean"] is None
+    assert r["max_str"] > r["min_str"]
