@@ -220,6 +220,102 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+def incremental_rollup(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    ts_col: str,
+    window: str,
+    group_cols: list[str],
+    agg_cols: dict[str, str],
+    watermark: str = "1 hour",
+    trigger_once: bool = True,
+):
+    """Maintain a queryable rollup TABLE from an unbounded stream —
+    the incremental-materialized-view pattern over plain parquet.
+
+    Each micro-batch aggregates to (window_start, *group_cols) in
+    update mode, then rewrites ONLY the partitions that batch touched
+    via dynamic partition overwrite (``partitionOverwriteMode=
+    dynamic`` scoped to this writer). Readers see complete, current
+    values for every window partition; untouched history is never
+    rewritten. This is how a 100 TB/day feed keeps an hourly rollup
+    fresh without either unbounded streaming state in a sink or a
+    daily full recompute: state is bounded by the watermark, and I/O
+    per batch is bounded by the partitions the batch's events fall
+    into.
+
+    ``agg_cols`` maps output name → "sum:col" | "count:*" (the
+    densify_buckets spec). The parquet table is partitioned by
+    ``__window`` (the window start, formatted) so the overwrite unit
+    = the window.
+    """
+    aggs = []
+    for out_name, spec in agg_cols.items():
+        op, _, col = spec.partition(":")
+        if op == "count":
+            aggs.append(F.count(F.lit(1)).alias(out_name))
+        elif op == "sum":
+            aggs.append(F.sum(col).alias(out_name))
+        else:
+            raise ValueError(f"unknown rollup agg {spec!r}")
+
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.date_format("__w.start", "yyyy-MM-dd-HH-mm").alias("__window"),
+            *group_cols,
+            *agg_cols.keys(),
+        )
+    )
+
+    def upsert_partitions(batch_df: DataFrame, batch_id: int) -> None:
+        # update mode emits only the (window, group) rows that CHANGED
+        # this batch (with cumulative values). Overwriting a window
+        # partition with just those rows would drop the window's
+        # unchanged groups — so merge: carry over existing rows the
+        # batch didn't touch, then dynamically overwrite only the
+        # affected window partitions. The carried read is partition-
+        # pruned to those windows, so per-batch I/O stays proportional
+        # to the windows the batch touched, never the table.
+        import os
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # detach from streaming lineage
+        merged = batch_df
+        if os.path.exists(table_path):
+            windows = [r["__window"] for r in batch_df.select("__window").distinct().collect()]
+            if not windows:
+                return
+            existing = spark.read.parquet(table_path).where(
+                F.col("__window").isin(windows)
+            )
+            carried = existing.join(
+                batch_df.select("__window", *group_cols),
+                on=["__window", *group_cols],
+                how="left_anti",
+            ).localCheckpoint()  # detach lineage from table_path: the
+            # write below overwrites the very partitions being read
+            merged = batch_df.unionByName(carried)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__window").parquet(table_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert_partitions)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def attribution_join(
     views: DataFrame,
     purchases: DataFrame,

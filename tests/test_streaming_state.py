@@ -283,3 +283,53 @@ def test_attribution_join_stream_stream_with_watermarks(spark, tmp_path):
         spark.createDataFrame(purchases, "user_id long, ts timestamp"),
     )
     assert {(r["user_id"], r["lag_seconds"]) for r in batch.collect()} == got
+
+
+def test_incremental_rollup_partition_refresh(spark, tmp_path):
+    """Incremental-materialized-view pattern: a stream maintains an
+    hourly rollup table via per-batch dynamic partition overwrite.
+    Batch 2 updates hour 1 (same window, new events, PLUS a group the
+    second batch does not touch — which must survive the refresh) and
+    the final table equals a full batch recompute."""
+    import datetime
+
+    from etl_core_spark.streaming.stream import incremental_rollup
+
+    base = datetime.datetime(2024, 1, 1)
+    b1 = [
+        (base + datetime.timedelta(minutes=m), "click", 1.0) for m in (0, 5, 65)
+    ] + [(base + datetime.timedelta(minutes=66), "view", 2.0)]
+    b2 = [
+        (base + datetime.timedelta(minutes=m), "click", 3.0) for m in (70, 80)
+    ]
+    schema = "ts timestamp, kind string, v double"
+    src = tmp_path / "src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    table = tmp_path / "rollup"
+    q = incremental_rollup(
+        stream, str(table), str(tmp_path / "ckpt"),
+        ts_col="ts", window="1 hour", group_cols=["kind"],
+        agg_cols={"n": "count:*", "total": "sum:v"},
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        (r["__window"], r["kind"]): (r["n"], r["total"])
+        for r in spark.read.parquet(str(table)).collect()
+    }
+    want = {
+        ("2024-01-01-00-00", "click"): (2, 2.0),
+        # hour 1 click: 1 event in batch 1 + 2 in batch 2, cumulative
+        ("2024-01-01-01-00", "click"): (3, 7.0),
+        # hour 1 view: untouched by batch 2 — must survive the refresh
+        ("2024-01-01-01-00", "view"): (1, 2.0),
+    }
+    assert got == want
