@@ -2034,6 +2034,72 @@ ON d.doc_id = s.doc_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_documents operator (operators/text_analysis.py):
+    overlapping token-window chunks for embedding/pretraining
+    pipelines — pure token arithmetic, so the oracle reproduces
+    byte-identical chunk text."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("chunk_documents")(
+        text_col="text", id_col="doc_id", chunk_tokens=16, overlap=4,
+    ).apply({"in": docs})["out"]
+
+
+_SQL_CHUNK_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE length(trim(text)) > 0
+), st AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 16
+              THEN CAST(ceil((len(toks) - 4) / CAST(12 AS DOUBLE)) AS INT)
+              ELSE 1 END AS n_starts
+  FROM t
+), ex AS (
+  SELECT doc_id, toks, unnest(range(0, n_starts)) AS chunk_idx FROM st
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 12 + 1, chunk_idx * 12 + 16), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * 12 + 1, chunk_idx * 12 + 16)) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences operator (operators/sampling.py): deterministic
+    GPT-style concatenation packing — each doc's (shard, bin, offset)
+    under a fixed token budget, hash-sharded so no global sort."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("pack_sequences")(
+        key_col="doc_id", token_count_col="n_chars", capacity=4096, shards=8,
+    ).apply({"in": docs})["out"]
+
+
+_SQL_PACK_SEQUENCES = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, hv, hv % 8 AS shard FROM h
+), c AS (
+  SELECT doc_id, n_chars, shard,
+         sum(n_chars) OVER (PARTITION BY shard ORDER BY hv, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(floor((cum - n_chars) / 4096) AS BIGINT) AS bin_id,
+       CAST((cum - n_chars) % 4096 AS BIGINT) AS offset_in_bin,
+       CAST(n_chars AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_text operator (operators/text_analysis.py): HTML strip,
     entity unescape, email/IP/phone redaction, whitespace
@@ -3129,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
         "clean_text": q_clean_text,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "minhash_signature": q_minhash_signature,
@@ -3225,6 +3293,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "text_metrics": _SQL_TEXT_METRICS,
         "clean_text": _SQL_CLEAN_TEXT,
+        "chunk_documents": _SQL_CHUNK_DOCS,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "lang_id": _lang_id_sql(),
         "lang_id_ngram": _lang_id_ngram_sql(),
         "minhash_signature": _SQL_MINHASH_SIG,

@@ -227,3 +227,78 @@ class HashSampleOperator(Operator):
                 self.config.get("salt", ""),
             )
         }
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    capacity: int,
+    shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences —
+    the GPT-style packing model where documents are concatenated in a
+    deterministic order and cut every ``capacity`` tokens. Each doc
+    gets (shard, bin_id, offset_in_bin): the sequence it STARTS in
+    and where. Offsets are exact concatenation arithmetic, so the
+    trainer can replay the identical layout from this table alone.
+
+    Scale shape: a single global concatenation order would serialize
+    a 100 TB corpus into one sorted task. Instead docs are
+    hash-sharded (deterministically, by key) and packed WITHIN each
+    shard: the running-offset window partitions by shard, so the sort
+    parallelizes ``shards``-wide and each shard's layout is
+    independent of every other's. Hash order inside the shard doubles
+    as shuffling — adjacent docs are unrelated, which is what
+    pretraining wants anyway.
+    """
+    if capacity < 1:
+        raise OperatorConfigError("capacity must be >= 1")
+    if shards < 1:
+        raise OperatorConfigError("shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), salt)
+    shard = (h % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__h"), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(key_col),
+        F.col(token_count_col).cast("long").alias("__n"),
+        h.alias("__h"),
+        shard,
+    )
+    cum = staged.withColumn("__end", F.sum("__n").over(w))
+    start = F.col("__end") - F.col("__n")
+    return cum.select(
+        F.col(key_col),
+        F.col("shard").cast("int").alias("shard"),
+        F.floor(start / capacity).cast("long").alias("bin_id"),
+        (start % capacity).cast("long").alias("offset_in_bin"),
+        F.col("__n").alias("n_tokens"),
+    )
+
+
+@register_operator("pack_sequences")
+class PackSequencesOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_col", "token_count_col", "capacity"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"pack_sequences requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": pack_sequences(
+                self.single_input(inputs), c["key_col"], c["token_count_col"],
+                int(c["capacity"]), int(c.get("shards", 64)),
+                str(c.get("salt", "")),
+            )
+        }

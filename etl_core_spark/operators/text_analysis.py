@@ -148,3 +148,76 @@ class TextAnalysisOperator(Operator):
 
     def apply(self, inputs: PortMap) -> PortMap:
         return {"out": annotate(self.single_input(inputs), self.text_col, self.metrics)}
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding/RAG/pretraining preprocessing step. Output one row per
+    chunk: (id, chunk_idx, chunk_text, n_tokens).
+
+    Shape: tokens → sequence of window starts (stride = chunk_tokens
+    − overlap) → explode → slice+join. Pure codegen array ops, zero
+    shuffle, output rows ∝ input tokens / stride. A document shorter
+    than one chunk yields exactly one chunk (its whole text,
+    whitespace-normalized); empty/NULL docs yield no rows — a crawl
+    corpus's empties must not become empty training rows.
+
+    Deterministic and engine-portable: chunk boundaries are pure
+    token arithmetic (no tokenizer state), so the DuckDB oracle
+    reproduces byte-identical chunks.
+    """
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise OperatorConfigError(
+            "chunk_documents requires chunk_tokens >= 1 and 0 <= overlap < chunk_tokens"
+        )
+    from etl_core_spark.session import ensure_parallelism
+
+    stride = chunk_tokens - overlap
+    toks = X.tokens(F.col(text_col))
+    n = F.size(toks)
+    # last window start: the largest multiple of stride that still
+    # begins inside the doc AND starts new content (start < n); for
+    # n <= chunk_tokens that is just start 0
+    n_starts = F.when(
+        n > chunk_tokens, F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).otherwise(F.lit(1)).cast("int")
+    base = ensure_parallelism(df).where(F.length(F.trim(F.col(text_col))) > 0)
+    exploded = base.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("__toks"), start + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+@register_operator("chunk_documents")
+class ChunkDocumentsOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("text_col", "id_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"chunk_documents requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": chunk_documents(
+                self.single_input(inputs), c["text_col"], c["id_col"],
+                int(c.get("chunk_tokens", 256)), int(c.get("overlap", 32)),
+            )
+        }

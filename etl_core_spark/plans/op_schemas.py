@@ -325,6 +325,19 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("order_col", "string", desc="rank by this metric instead of hash order (top-N per group)"),
         f("descending", "boolean", default=True),
     ],
+    "chunk_documents": [
+        f("text_col", "string", required=True),
+        f("id_col", "string", required=True),
+        f("chunk_tokens", "integer", default=256),
+        f("overlap", "integer", default=32, desc="tokens shared by consecutive chunks"),
+    ],
+    "pack_sequences": [
+        f("key_col", "string", required=True),
+        f("token_count_col", "string", required=True),
+        f("capacity", "integer", required=True, desc="token budget per training sequence"),
+        f("shards", "integer", default=64, desc="independent packing shards (parallelism of the layout sort)"),
+        f("salt", "string", default=""),
+    ],
     "pivot": [
         f("group_by", "array", required=True, items={"type": "string"}),
         f("pivot_col", "string", required=True),

@@ -152,3 +152,57 @@ def test_cap_per_group_metric_mode_window_group_limit(spark, tables):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # map-side pre-cut before the exchange, final cut after — both
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from etl_core_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "doc_id", "n", capacity=1000, shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        # offsets are exact concatenation arithmetic: sorting by
+        # (bin, offset) reconstructs a gapless token stream
+        rows.sort(key=lambda r: (r["bin_id"], r["offset_in_bin"]))
+        stream = 0
+        for r in rows:
+            assert r["bin_id"] * 1000 + r["offset_in_bin"] == stream
+            stream += r["n_tokens"]
+    # deterministic under repartitioning
+    again = pack_sequences(
+        spark.createDataFrame(
+            [(i, 100 + (i * 37) % 400) for i in range(200)], "doc_id long, n long"
+        ).repartition(13),
+        "doc_id", "n", capacity=1000, shards=4,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_chunk_documents_boundaries(spark):
+    from etl_core_spark.operators.text_analysis import chunk_documents
+    from etl_core_spark.operators.base import OperatorConfigError
+    import pytest as _pytest
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6 (ceil(9/3)=3 chunks)
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    # every token covered, overlap of 1 at each seam
+    assert rows[(2, 0)] == ("short doc", 2)  # sub-chunk doc: one chunk
+    assert not any(d in (3, 4) for d, _ in rows)  # empty/null: no rows
+    with _pytest.raises(OperatorConfigError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
