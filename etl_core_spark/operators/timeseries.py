@@ -109,12 +109,33 @@ def densify_buckets(
     return out
 
 
+def _maybe_broadcast(df: DataFrame, force: bool | None, cap_bytes: int = 8 << 20):
+    """Stats-gated broadcast hint (the range_join policy): ``True``
+    forces, ``False`` never, ``None`` applies the hint only when the
+    optimizer's size estimate fits under ``cap_bytes`` — an explicit
+    hint bypasses autoBroadcastJoinThreshold, so an unconditional one
+    is an OOM promise at scale."""
+    if force is False:
+        return df
+    if force is None:
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            return df
+        if not 0 <= size <= cap_bytes:
+            return df
+    return F.broadcast(df)
+
+
 def funnel(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     type_col: str,
     steps: list[str],
+    broadcast_stages: bool | None = None,
 ) -> DataFrame:
     """Ordered-sequence (funnel) analysis: for each user, how many of
     ``steps`` completed in order, each step strictly after the one
@@ -126,10 +147,14 @@ def funnel(
     per-task memory if the engine gathered their whole history into
     one array. Instead stage k is ``min(ts) WHERE type = step_k AND
     ts > t_{k-1}``: a map-side-combinable aggregate over the events
-    relation joined to the (tiny, one-row-per-user) stage-(k-1) table
-    — broadcast, so the events side never shuffles. len(steps) passes
-    over the (already type-pruned) events, each embarrassingly
-    parallel; state per user is one timestamp.
+    relation joined to the one-row-per-user stage-(k-1) table.
+    ``broadcast_stages``: the stage table is small for product-scale
+    funnels but is O(|users|) — at web scale it can be hundreds of
+    millions of rows, so the broadcast hint is stats-gated (``None``
+    default: hint only when the estimate fits 8 MB; ``True`` forces —
+    the events side then never shuffles; ``False`` never). len(steps)
+    passes over the (already type-pruned) events; state per user is
+    one timestamp.
     """
     if not steps:
         raise OperatorConfigError("funnel requires at least one step")
@@ -147,7 +172,12 @@ def funnel(
     for k, step in enumerate(steps[1:], start=2):
         nxt = (
             ev.where(F.col("__type") == step)
-            .join(F.broadcast(reached.select("__u", f"__t{k - 1}")), on="__u")
+            .join(
+                _maybe_broadcast(
+                    reached.select("__u", f"__t{k - 1}"), broadcast_stages
+                ),
+                on="__u",
+            )
             .where(F.col("__ts") > F.col(f"__t{k - 1}"))
             .groupBy("__u")
             .agg(F.min("__ts").alias(f"__t{k}"))
@@ -178,6 +208,7 @@ class FunnelOperator(Operator):
             "out": funnel(
                 self.single_input(inputs), c["user_col"], c["ts_col"],
                 c["type_col"], list(c["steps"]),
+                c.get("broadcast_stages"),
             )
         }
 

@@ -367,6 +367,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("type_col", "string", required=True),
         f("steps", "array", required=True, items={"type": "string"},
           desc="ordered step types; each must occur strictly after the previous"),
+        f("broadcast_stages", "boolean",
+          desc="force/suppress the stage-table broadcast; default: stats-gated"),
     ],
     "hll_distinct": [
         f("value_col", "string", required=True),

@@ -131,15 +131,19 @@ def test_funnel_single_step_and_validation(spark):
 
 
 def test_funnel_operator_broadcasts_stage_tables(spark):
-    """The events side must never be the build side: stage tables are
-    broadcast so the big relation stays un-shuffled."""
+    """The events side must never be the build side. With the stage
+    tables' stats unknown (aggregate output), the gate defers to AQE,
+    which converts to broadcast at runtime — the FINAL adaptive plan
+    must show it."""
     from etl_core_spark.operators.base import get_operator
 
     out = get_operator("funnel")(
         user_col="user_id", ts_col="ts", type_col="event_type",
         steps=["view", "click", "purchase"],
     ).apply({"in": _funnel_events(spark)})["out"]
+    out.collect()  # let AQE finalize
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -163,3 +167,24 @@ def test_funnel_null_timestamps_ignored(spark):
     # u1: NULL-ts view -> stage 1 only (the 10.0 click can't beat NULL)
     # u2: NULL-ts click ignored; the 8.0 click advances normally
     assert got == {1: 1, 2: 2}
+
+
+def test_funnel_broadcast_modes(spark):
+    """The stage-table broadcast is stats-gated (unconditional hints
+    are OOM promises at web scale): all three modes give identical
+    results; False suppresses the explicit hint."""
+    from etl_core_spark.operators.timeseries import funnel
+
+    df = _funnel_events(spark)
+    want = {(r["user_id"], r["stage"]) for r in
+            funnel(df, "user_id", "ts", "event_type",
+                   ["view", "click", "purchase"]).collect()}
+    for mode in (True, False):
+        got = {(r["user_id"], r["stage"]) for r in
+               funnel(df, "user_id", "ts", "event_type",
+                      ["view", "click", "purchase"],
+                      broadcast_stages=mode).collect()}
+        assert got == want, mode
+    hinted = funnel(df, "user_id", "ts", "event_type", ["view", "click"],
+                    broadcast_stages=True)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
