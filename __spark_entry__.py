@@ -864,8 +864,11 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog: customers with orders totalling > 250 units.
     HAVING is expressed as the filter operator applied to the
     aggregation operator's output (the engine's composition story for
-    post-aggregate predicates); the surviving keyset (~1% of orders)
-    is broadcast into orders, then the customer dim is broadcast."""
+    post-aggregate predicates). The surviving keyset (~1% of orders)
+    is NOT hint-broadcast — it scales with the fact table, so the
+    join is left to AQE, which converts to broadcast at runtime
+    whenever the filtered aggregate turns out small; only the
+    customer dim carries an explicit hint."""
     from etl_core_spark.operators.base import get_operator
 
     li = _t(spark, sf_dir, "lineitem")
@@ -883,7 +886,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "steps": [
                 {"left_port": "orders", "right_port": "big",
                  "left_on": "o_orderkey", "right_on": "l_orderkey",
-                 "how": "inner", "output_port": "ob", "broadcast": True},
+                 "how": "inner", "output_port": "ob"},
                 {"left_port": "ob", "right_port": "customer",
                  "left_on": "o_custkey", "right_on": "c_custkey",
                  "how": "inner", "output_port": "out", "broadcast": True},
