@@ -198,6 +198,9 @@ def chunk_documents(
     return exploded.select(
         F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )

@@ -176,3 +176,32 @@ def test_parquet_profile_compact(spark, tmp_path):
     m = result.metrics
     assert m["stats"]["lines_forwarded"] == 3  # melted: one row per column
     assert m["compact"]["lines_received"] == 200
+
+
+def test_parquet_chunk_pack(spark, tmp_path):
+    """Training-prep through the runner: documents → overlapping
+    token chunks → deterministic sequence packing → parquet
+    partitioned by shard."""
+
+    def inputs(d):
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(5 + (i % 20))))
+            for i in range(40)
+        ] + [(99, ""), (100, None)]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(spark, tmp_path, "parquet_chunk_pack.json", inputs)
+    packed = spark.read.parquet(str(out / "packed"))
+    rows = packed.collect()
+    assert packed.count() > 40  # multi-chunk docs fanned out
+    assert set(r["shard"] for r in rows) <= {0, 1, 2, 3}
+    # every chunk keyed uniquely; offsets within capacity
+    keys = [r["chunk_id"] for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(0 <= r["offset_in_bin"] < 64 for r in rows)
+    # empty/null docs produced no chunks
+    assert not any(k.startswith(("99:", "100:")) for k in keys)
+    m = result.metrics
+    assert m["chunker"]["lines_received"] == 42
+    assert m["packer"]["lines_received"] == m["chunker"]["lines_forwarded"]
