@@ -801,10 +801,10 @@ def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_Q12 = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -2744,7 +2744,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PROFILE = """
 SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT o_orderkey) AS ndv,
        CAST(min(o_orderkey) AS DOUBLE) AS min_num,
        CAST(max(o_orderkey) AS DOUBLE) AS max_num,
@@ -2753,26 +2753,26 @@ SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', count(*),
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderstatus),
        NULL, NULL, NULL, min(o_orderstatus), max(o_orderstatus)
 FROM orders
 UNION ALL
 SELECT 'o_totalprice', count(*),
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_totalprice),
        CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
        round(avg(o_totalprice), 6), NULL, NULL
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', count(*),
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderpriority),
        NULL, NULL, NULL, min(o_orderpriority), max(o_orderpriority)
 FROM orders
 UNION ALL
 SELECT 'o_orderdate', count(*),
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderdate),
        NULL, NULL, NULL,
        strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
@@ -3135,6 +3135,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Ordering contract: the driver correctness-checks the FIRST 50
+        # registry keys each round. Never-driver-checked queries lead,
+        # followed by rows fixed/rewritten this round, then rows whose
+        # r04 certification rotated out, then this round's touched ops.
+        "top_n_per_group": q_top_n_per_group,
+        "json_expand": q_json_expand,
+        "attribution_join": q_attribution_join,
+        "zscore_outliers": q_zscore_outliers,
+        "densify_buckets": q_densify_buckets,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_group": q_cap_per_group,
+        "clean_text": q_clean_text,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "lang_id_ngram": q_lang_id_ngram,
+        "near_dup_clusters": q_near_dup_clusters,
+        "typo_pairs": q_typo_pairs,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "ann_numpy": q_ann_numpy,
+        "training_pipeline": q_training_pipeline,
+        "profile": q_profile,
+        "parquet_partitioned": q_parquet_partitioned,
+        "excel_roundtrip": q_excel_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
+        "hll_distinct": q_hll_distinct,
+        "q12_priority_class": q_q12_priority_class,
+        "cosine_near_dup": q_cosine_near_dup,
+        "ann_brute_force": q_ann_brute_force,
+        "csv_roundtrip": q_csv_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "events_json_filter": q_events_json_filter,
+        "hash_sample": q_hash_sample,
+        "hash_split_counts": q_hash_split_counts,
+        "ivf_topk": q_ivf_topk,
+        "json_roundtrip": q_json_roundtrip,
+        "lang_id": q_lang_id,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "minhash_signature": q_minhash_signature,
+        "quality_filter": q_quality_filter,
+        "sessionize": q_sessionize_batch,
+        "simhash": q_simhash,
+        "text_metrics": q_text_metrics,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "token_frequency": q_token_frequency,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+        "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "dedup_minhash": q_dedup_minhash,
+        "agg_ops": q_agg_ops,
+        "percentiles": q_percentiles,
+        "funnel": q_funnel,
+        "gaps_islands": q_gaps_islands,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
@@ -3143,14 +3197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q4_order_priority": q_q4_order_priority,
         "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q12_priority_class": q_q12_priority_class,
         "q14_promo_ratio": q_q14_promo_ratio,
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_filter": q_q19_disjunctive_filter,
         "q22_idle_customers": q_q22_idle_customers,
-        "agg_ops": q_agg_ops,
         "agg_global": q_agg_global,
-        "percentiles": q_percentiles,
         "filter_rule_pass": _filter_port("pass"),
         "filter_rule_fail": _filter_port("fail"),
         "join_inner": _join_matrix("inner"),
@@ -3167,7 +3218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup,
         "grouping_sets": q_grouping_sets,
         "cube_lineitem": q_cube,
-        "dedup_minhash": q_dedup_minhash,
         "type_conversion": q_type_conversion,
         "cast_temporal": q_cast_temporal,
         "merge_union": q_merge_union,
@@ -3179,54 +3229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sliding_window": q_events_sliding_window,
         "mapping_rules": q_mapping_rules,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "interval_join": q_interval_join,
-        "funnel": q_funnel,
         "ntile_deciles": q_ntile_deciles,
-        "gaps_islands": q_gaps_islands,
-        "top_n_per_group": q_top_n_per_group,
-        "events_json_filter": q_events_json_filter,
-        "json_expand": q_json_expand,
-        "sessionize": q_sessionize_batch,
-        "attribution_join": q_attribution_join,
-        "zscore_outliers": q_zscore_outliers,
-        "densify_buckets": q_densify_buckets,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "cap_per_group": q_cap_per_group,
-        "hash_split_counts": q_hash_split_counts,
-        "dedup_exact": q_dedup_exact,
-        "text_metrics": q_text_metrics,
-        "clean_text": q_clean_text,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "lang_id": q_lang_id,
-        "lang_id_ngram": q_lang_id_ngram,
-        "minhash_signature": q_minhash_signature,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
-        "near_dup_clusters": q_near_dup_clusters,
-        "typo_pairs": q_typo_pairs,
-        "simhash": q_simhash,
-        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_numpy": q_ann_numpy,
-        "ivf_topk": q_ivf_topk,
-        "token_frequency": q_token_frequency,
-        "quality_filter": q_quality_filter,
-        "training_pipeline": q_training_pipeline,
-        "profile": q_profile,
-        "parquet_partitioned": q_parquet_partitioned,
-        "csv_roundtrip": q_csv_roundtrip,
-        "excel_roundtrip": q_excel_roundtrip,
-        "xml_roundtrip": q_xml_roundtrip,
-        "json_roundtrip": q_json_roundtrip,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        "cosine_near_dup": q_cosine_near_dup,
         "ann_lsh": q_ann_lsh,
-        "hll_distinct": q_hll_distinct,
         "multimodal_features": q_multimodal_features,
     }
 

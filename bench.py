@@ -71,18 +71,19 @@ def main() -> None:
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "reruns": reruns,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The round driver keeps only the TAIL of stdout, so the headline
+    # fields must survive truncation: emit them AFTER the (long)
+    # per-query dict, and repeat them on a short trailing line that is
+    # itself a complete JSON object.
+    summary = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "reruns": reruns,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps({"queries": timings, **summary}))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

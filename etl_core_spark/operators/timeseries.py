@@ -26,12 +26,20 @@ def zscore_outliers(
     value_col: str,
     group_cols: list[str] | None = None,
     threshold: float = 3.0,
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """Annotate rows with (mean, std, zscore, is_outlier) computed
     per group (or globally when ``group_cols`` is empty). std is the
     sample standard deviation (ddof=1, matching the aggregation
     operator and DuckDB's ``stddev``); groups with std 0/NULL (single
-    row or constant) get zscore 0 and are never outliers."""
+    row or constant) get zscore 0 and are never outliers.
+
+    ``broadcast_stats``: the stats relation is one row per group —
+    tiny for low-cardinality groups but O(|groups|) for per-user /
+    per-domain calls, so the broadcast hint is stats-gated like
+    ``funnel``'s (``None`` default: hint only when the optimizer
+    estimate fits 8 MB; ``True`` forces; ``False`` never — the join
+    then shuffles both sides on the group keys)."""
     group_cols = list(group_cols or [])
     stats_aggs = [
         F.avg(value_col).alias("__mean"),
@@ -39,8 +47,9 @@ def zscore_outliers(
     ]
     if group_cols:
         stats = df.groupBy(*group_cols).agg(*stats_aggs)
-        joined = df.join(F.broadcast(stats), on=group_cols)
+        joined = df.join(_maybe_broadcast(stats, broadcast_stats), on=group_cols)
     else:
+        # global stats: exactly one row — always broadcastable
         stats = df.agg(*stats_aggs)
         joined = df.crossJoin(F.broadcast(stats))
     z = F.when(
@@ -230,6 +239,7 @@ class ZscoreOutliersOperator(Operator):
                 self.config["value_col"],
                 list(self.config.get("group_cols") or []),
                 self.threshold,
+                self.config.get("broadcast_stats"),
             )
         }
 

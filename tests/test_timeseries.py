@@ -30,6 +30,29 @@ def test_zscore_global_and_plan_has_no_window(spark):
     assert "Broadcast" in plan
 
 
+def test_zscore_broadcast_modes(spark):
+    """The per-group stats broadcast is stats-gated like funnel's (a
+    high-cardinality group key makes the stats relation O(|groups|),
+    and an explicit hint bypasses autoBroadcastJoinThreshold): all
+    three modes give identical results; False suppresses the hint;
+    True forces it."""
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 12, 9, 100]] + [
+        ("b", 5.0), ("b", 5.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    want = {(r["g"], r["value"], r["zscore"], r["is_outlier"])
+            for r in zscore_outliers(df, "value", ["g"], 2.0).collect()}
+    for mode in (True, False, None):
+        got = {(r["g"], r["value"], r["zscore"], r["is_outlier"])
+               for r in zscore_outliers(df, "value", ["g"], 2.0,
+                                        broadcast_stats=mode).collect()}
+        assert got == want, mode
+    hinted = zscore_outliers(df, "value", ["g"], 2.0, broadcast_stats=True)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = zscore_outliers(df, "value", ["g"], 2.0, broadcast_stats=False)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
 def test_densify_fills_gaps_with_typed_zero(spark):
     base = dt.datetime(2026, 1, 1, 0, 0)
     rows = [
