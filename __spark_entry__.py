@@ -2064,7 +2064,7 @@ WITH t AS (
   SELECT doc_id, toks, unnest(range(0, n_starts)) AS chunk_idx FROM st
 )
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+       CAST(chunk_idx AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS chunk_id,
        array_to_string(list_slice(toks, chunk_idx * 12 + 1, chunk_idx * 12 + 16), ' ') AS chunk_text,
        CAST(len(list_slice(toks, chunk_idx * 12 + 1, chunk_idx * 12 + 16)) AS BIGINT) AS n_tokens
 FROM ex

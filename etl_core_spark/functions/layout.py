@@ -25,12 +25,12 @@ from pyspark.sql import functions as F
 _ZBITS = 16
 
 
-def _spread_bits(col: Column, ndims: int, offset: int) -> Column:
-    """Spread ``_ZBITS`` low bits of ``col`` so consecutive bits land
+def _spread_bits(col: Column, ndims: int, offset: int, bits: int = _ZBITS) -> Column:
+    """Spread ``bits`` low bits of ``col`` so consecutive bits land
     ``ndims`` apart, starting at ``offset`` (textbook Morton
     encoding, unrolled to a shift/mask sum the codegen inlines)."""
     out = F.lit(0).cast("long")
-    for b in range(_ZBITS):
+    for b in range(bits):
         bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
         out = out + F.shiftleft(bit, b * ndims + offset)
     return out
@@ -96,7 +96,12 @@ def zvalue(df: DataFrame, cols: list[str], method: str = "range") -> DataFrame:
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
     )
     with_stats = df.crossJoin(F.broadcast(stats))
-    max_bucket = (1 << _ZBITS) - 1
+    # total interleaved bits must stay under the long SIGN bit: with
+    # 4 dims x 16 bits the top bit of dim 4 would land at position 63,
+    # making the upper half of that dimension NEGATIVE and breaking
+    # z-curve monotonicity — so cap bits-per-dim at floor(63 / ndims)
+    zbits = min(_ZBITS, 63 // n)
+    max_bucket = (1 << zbits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
@@ -105,11 +110,11 @@ def zvalue(df: DataFrame, cols: list[str], method: str = "range") -> DataFrame:
             F.lit(0.0)
         )
         bucket = F.least(
-            F.floor(frac * (1 << _ZBITS)).cast("long"), F.lit(max_bucket)
+            F.floor(frac * (1 << zbits)).cast("long"), F.lit(max_bucket)
         )
         # NULLs sort first: bucket 0, same as the minimum
         bucket = F.coalesce(bucket, F.lit(0))
-        z = z + _spread_bits(bucket, n, i)
+        z = z + _spread_bits(bucket, n, i, zbits)
     return with_stats.withColumn("__z", z).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )

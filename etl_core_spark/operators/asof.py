@@ -204,13 +204,19 @@ def interval_join(
 
     Right-side columns that collide with left names get ``suffix``
     (pandas-merge convention, matching the schema_mapping operator).
+
+    Degenerate intervals (``hi <= lo``) are dropped from BOTH sides
+    before exploding: a half-open [x, x) is empty and overlaps
+    nothing, and an inverted interval would make ``sequence`` emit a
+    DESCENDING bucket range (Spark defaults the step to -1 when
+    start > stop), producing spurious candidate rows.
     """
     bw = float(bucket_width)
     if bw <= 0:
         raise OperatorConfigError("interval_join requires bucket_width > 0")
 
     def exploded(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
+        return df.where(F.col(hi) > F.col(lo)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(

@@ -198,8 +198,12 @@ def chunk_documents(
     return exploded.select(
         F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        # chunk_idx FIRST: it is digits-only, so the first ':' always
+        # splits unambiguously even when document ids themselves
+        # contain ':' (id-first would collide: doc 'a:1' chunk 2 and
+        # doc 'a' chunk 12 both give 'a:1:2')
         F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.col("chunk_idx").cast("string")
+            ":", F.col("chunk_idx").cast("string"), F.col(id_col).cast("string")
         ).alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),

@@ -220,6 +220,18 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check that works on ANY Hadoop filesystem (HDFS, S3A,
+    local) — ``os.path.exists`` only sees the local FS, so on a remote
+    store an existing table would look absent, the carry-over merge
+    would be skipped, and the dynamic partition overwrite would
+    silently drop unchanged groups' rows from touched windows."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def incremental_rollup(
     stream: DataFrame,
     table_path: str,
@@ -280,12 +292,10 @@ def incremental_rollup(
         # affected window partitions. The carried read is partition-
         # pruned to those windows, so per-batch I/O stays proportional
         # to the windows the batch touched, never the table.
-        import os
-
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # detach from streaming lineage
         merged = batch_df
-        if os.path.exists(table_path):
+        if _table_exists(spark, table_path):
             windows = [r["__window"] for r in batch_df.select("__window").distinct().collect()]
             if not windows:
                 return

@@ -137,6 +137,29 @@ def test_interval_join_matches_naive(spark, interval_sets):
     assert want == {(1, 1), (1, 2), (2, 2), (3, 1)}
 
 
+def test_interval_join_drops_degenerate_intervals(spark):
+    """Empty [x,x) and inverted [hi,lo) intervals overlap nothing:
+    they are filtered before exploding (an inverted pair would make
+    sequence() count DOWN — Spark's default step is -1 when
+    start > stop — emitting spurious bucket rows), and an empty
+    interval must not match an interval strictly containing its
+    point (half-open semantics)."""
+    from etl_core_spark.operators.asof import interval_join
+
+    a = spark.createDataFrame(
+        [(1, 5.0, 5.0),     # empty: inside b1's [0,10) but overlaps nothing
+         (2, 9.0, 2.0),     # inverted: would explode buckets 0..4 descending
+         (3, 4.0, 6.0)],    # real: overlaps b1 only
+        "a_id long, lo double, hi double",
+    )
+    b = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 5.0), (3, 8.0, 3.0)],
+        "b_id long, lo_r double, hi_r double",
+    )
+    out = interval_join(a, b, "lo", "hi", "lo_r", "hi_r", 2.0)
+    assert {(r["a_id"], r["b_id"]) for r in out.collect()} == {(3, 1)}
+
+
 def test_interval_join_emits_each_pair_exactly_once(spark, interval_sets):
     """The overlap-start-bucket trick replaces distinct: a pair whose
     intersection spans many buckets must still appear once."""

@@ -35,6 +35,23 @@ def test_zvalue_matches_python_interleave(spark):
     assert got[(65535.0, 65535.0)] == _py_interleave([m, m])
 
 
+def test_zvalue_4col_stays_nonnegative_and_monotone(spark):
+    """With 4 dims x 16 bits the 4th dimension's top bit would land on
+    the long sign bit (position 63): rows in that dimension's upper
+    half went NEGATIVE and sorted before everything else. Bits per dim
+    are capped at floor(63/ndims)=15 for 4 columns — __z must be
+    non-negative everywhere and monotone along each dimension."""
+    hi = 65535.0
+    rows = [(v, v, v, v) for v in [0.0, 1000.0, 30000.0, 40000.0, hi]]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {r["a"]: r["__z"] for r in zvalue(df, ["a", "b", "c", "d"]).collect()}
+    assert all(z >= 0 for z in got.values()), got
+    ordered = [got[k] for k in sorted(got)]
+    assert ordered == sorted(ordered)  # diagonal is monotone on the curve
+    # upper-half corner: all dims at max -> all 60 interleaved bits set
+    assert got[hi] == (1 << 60) - 1
+
+
 def test_zvalue_handles_constant_and_null(spark):
     df = spark.createDataFrame(
         [(1.0, None), (1.0, 5.0)], "x double, y double"

@@ -206,3 +206,19 @@ def test_chunk_documents_boundaries(spark):
     assert not any(d in (3, 4) for d, _ in rows)  # empty/null: no rows
     with _pytest.raises(OperatorConfigError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_id_unique_for_colon_bearing_ids(spark):
+    """chunk_id puts the digits-only chunk_idx BEFORE the delimiter:
+    doc 'a:1' chunk 2 and doc 'a' chunk 12 must not collide (the
+    id-first format gave both 'a:1:2')."""
+    from etl_core_spark.operators.text_analysis import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [("a:1", long_doc), ("a", long_doc)], "doc_id string, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=3, overlap=0)
+    ids = [r["chunk_id"] for r in out.collect()]
+    assert len(ids) == len(set(ids))
+    assert "2:a:1" in ids and "12:a" in ids
