@@ -2282,7 +2282,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_core_spark.operators.dedup import _shingle_table, minhash_sig_table
 
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingle_table(docs, "text", "doc_id", shingle_n=3)
+    # signature-only plan: the shingle table has ONE consumer, so no
+    # persist (the cache materialization cost the r5 bench 1.6x here)
+    sh = _shingle_table(docs, "text", "doc_id", shingle_n=3, persist=False)
     return minhash_sig_table(sh, "doc_id", num_hashes=2)
 
 

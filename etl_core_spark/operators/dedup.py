@@ -58,22 +58,30 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str | None = None) -> Da
     return df.join(s, cond, how="left_semi")
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int,
+    persist: bool = True,
+) -> DataFrame:
     """(id, distinct-shingle-array) — the one expensive narrow map
-    every MinHash stage derives from. Persisted because candidate
-    generation and Jaccard verification each consume it (a self-join
-    would otherwise recompute the tokenize+shingle+md5 subtree up to
-    4×; at 100 TB this is the difference between one corpus scan and
-    four). Tracked via ``persist_intermediate`` so long-lived sessions
-    can release the cache (session.release_intermediates)."""
+    every MinHash stage derives from. Persisted by default because
+    candidate generation and Jaccard verification each consume it (a
+    self-join would otherwise recompute the tokenize+shingle+md5
+    subtree up to 4×; at 100 TB this is the difference between one
+    corpus scan and four). Tracked via ``persist_intermediate`` so
+    long-lived sessions can release the cache
+    (session.release_intermediates).
+
+    ``persist=False`` for SINGLE-consumer plans (signature-only,
+    candidates-only): there the cache materialization is pure
+    overhead — measured ~1.4× on the signature query at sf0.1 —
+    with zero reuse to pay for it."""
     from etl_core_spark.session import ensure_parallelism, persist_intermediate
 
-    return persist_intermediate(
-        ensure_parallelism(df).select(
-            F.col(id_col),
-            F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
-        )
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.array_distinct(X.shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    return persist_intermediate(sh) if persist else sh
 
 
 def minhash_sig_table(sh_table: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -121,9 +129,12 @@ def minhash_candidates_from_shingles(
     identical-signature by construction.
     """
     rows = num_hashes // bands
-    sig = minhash_sig_table(sh_table, id_col, num_hashes).where(
-        F.col("m0").isNotNull()
-    )
+    # zero-shingle docs are excluded BEFORE the signature aggregate
+    # (size 0 <=> all-NULL signature, so this is the same doc set as
+    # the post-agg m0-IS-NOT-NULL filter, minus computing+shuffling
+    # signatures for docs that were about to be dropped — a crawl
+    # corpus's millions of empties never enter the explode at all)
+    sig = minhash_sig_table(sh_table.where(F.size("sh") > 0), id_col, num_hashes)
     # band key = xxhash64 long, not an md5 string: the key only ever
     # meets an equality join, so any collision-safe hash gives the
     # SAME candidate membership while shuffling 8 bytes instead of a
@@ -169,7 +180,9 @@ def minhash_candidates(
     shingle_n: int = 3,
     max_band_freq: int | None = None,
 ) -> DataFrame:
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    # single consumer of the shingle table -> no persist (see
+    # _shingle_table)
+    sh = _shingle_table(df, text_col, id_col, shingle_n, persist=False)
     return minhash_candidates_from_shingles(
         sh, id_col, num_hashes, bands, max_band_freq
     )
