@@ -626,20 +626,20 @@ def connected_components(
       whole Spark jobs; a million-edge union-find is milliseconds.
       This is NOT a driver-side loop over corpus data: only edges
       (two ids each) ever leave the executors.
-    - larger graphs: iterative min-label propagation — each round
-      every node takes the min of its own and its neighbors' labels;
-      converges in O(graph diameter) rounds (near-dup graphs are
-      shallow — dup clusters are cliques or short chains). One
-      shuffle per round (edge-label join + min-aggregate); the label
-      frontier is persisted per round and ``localCheckpoint``-ed
-      every ``checkpoint_every`` rounds so lineage (and per-round
-      analysis cost) stays bounded. On a real cluster prefer
-      ``setCheckpointDir`` + ``checkpoint()`` for executor-loss
-      resilience; for adversarial diameters the large-star/small-star
-      variant (Kiveris et al., "Connected Components in MapReduce")
-      converges in O(log n) rounds — the swap is confined to the
-      loop body. Raises after ``max_iters`` rather than returning
-      unconverged labels.
+    - larger graphs: alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond") — converges in O(log n) rounds on ANY graph shape,
+      including the long chains that defeat O(diameter) min-label
+      propagation. Each round is two groupBy+join passes over the
+      edge relation; the edge frontier is eagerly
+      ``localCheckpoint``-ed EVERY round — one round's plan
+      references the previous relation ~8x, so without per-round
+      truncation the logical plan (and Catalyst analysis time) grows
+      exponentially. ``checkpoint_every`` is kept for interface
+      stability but no longer spaces checkpoints out. On a real
+      cluster prefer ``setCheckpointDir`` + ``checkpoint()`` for
+      executor-loss resilience. Raises after ``max_iters`` rounds
+      rather than returning unconverged labels.
     """
     from etl_core_spark.session import persist_intermediate
 
@@ -660,50 +660,102 @@ def connected_components(
             )
             return spark.createDataFrame(sorted(labels.items()), schema)
 
-    edges = raw.union(
-        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t"))
-    ).distinct()
-    edges = persist_intermediate(edges)
-    labels = (
-        edges.select(F.col("s").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
+    # ---- large-star/small-star ------------------------------------
+    # Edges live oriented (u > v). Invariants per phase:
+    #   large-star: every node u connects its LARGER neighbors to the
+    #     min of its neighborhood (incl. itself) — emits (bigger, m)
+    #   small-star: every node u connects itself and its SMALLER
+    #     neighbors to the min of the smaller neighborhood
+    # Alternating the two halves the effective component height every
+    # round; at the fixed point every component is a star rooted at
+    # its minimum node.
+    nodes = persist_intermediate(
+        raw.select(F.col("s").alias("id"))
+        .union(raw.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    edges = (
+        raw.where(F.col("s") != F.col("t"))
+        .select(
+            F.greatest("s", "t").alias("u"), F.least("s", "t").alias("v")
+        )
+        .distinct()
         .persist()
     )
-    for i in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["t"] == labels["id"])
-            .select(F.col("s").alias("id"), F.col("comp"))
-            .groupBy("id")
-            .agg(F.min("comp").alias("__ncomp"))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        new_labels = (
-            labels.join(neigh, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("__ncomp"), F.col("comp"))).alias("comp"),
-            )
+        return (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.comp") != F.col("o.comp"))
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is oriented u > v, so the per-u rows ARE the smaller
+        # neighborhood; m = min(v) < u always
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return moved.where(F.col("u") != F.col("v")).distinct()
+
+    def _is_star_set(e: DataFrame) -> bool:
+        # A min-rooted star set IS the fixed point of both operations
+        # (large-star and small-star are identities on it), and every
+        # fixed point is such a star set — so this is an EXACT
+        # convergence test, no hash-signature collision risk:
+        #   (a) every member u appears exactly once, and
+        #   (b) no member ever appears as a root.
+        n, nd = e.agg(F.count(F.lit(1)), F.count_distinct("u")).first()
+        if n != nd:
+            return False
+        overlap = (
+            e.select("u").join(e.select(F.col("v").alias("u")), on="u")
+            .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            # re-registering with persist_intermediate is a no-op
-            # persist + adds the release path (release_intermediates)
-            persist_intermediate(labels)
-            return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
-    labels.unpersist()
+        return overlap == 0
+
+    for i in range(max_iters):
+        # EAGER localCheckpoint every round: one round's plan
+        # references the previous edge relation ~8x (sym union + two
+        # self-joins), so without truncation the LOGICAL plan grows
+        # exponentially and Catalyst re-analysis dominates (measured
+        # minutes by round 8 on a 60-edge chain). The checkpoint
+        # replaces the plan with a LogicalRDD — per-round analysis
+        # stays O(1) and the materialization doubles as the round's
+        # cache (persist would materialize anyway for the star test).
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        converged = _is_star_set(new_edges)
+        edges.unpersist()
+        edges = new_edges
+        if converged:
+            # fixed point: edges are (member, component-min-root)
+            persist_intermediate(edges)
+            stars = edges.select(
+                F.col("u").alias("id"), F.col("v").alias("__root")
+            )
+            return (
+                nodes.join(stars, on="id", how="left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("__root"), F.col("id")).alias("cluster_id"),
+                )
+            )
+    edges.unpersist()
     raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        "pathological graph diameter; raise max_iters or switch to the "
-        "large-star/small-star variant"
+        f"connected_components did not converge in {max_iters} "
+        "large-star/small-star rounds — rounds grow O(log n), so this "
+        "indicates a defect or an extraordinarily large graph; raise "
+        "max_iters"
     )
 
 

@@ -510,9 +510,22 @@ def test_cc_partitioning_independent(spark):
 def test_cc_nonconvergence_raises(spark):
     from etl_core_spark.operators.dedup import connected_components
 
-    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    # large-star/small-star needs ~log2(n) rounds; a 200-node chain
+    # cannot be a star set after ONE round
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iters=2, driver_max_edges=0)
+        connected_components(df, max_iters=1, driver_max_edges=0)
+
+
+def test_cc_deep_chain_converges_in_log_rounds(spark):
+    """The O(diameter) min-label loop RAISED on diameter > max_iters
+    (a 60-edge chain needs 60 propagation rounds against the default
+    cap of 50). Large-star/small-star converges in O(log n): the same
+    chain must finish within 8 rounds."""
+    edges = [(i, i + 1) for i in range(60)]
+    got = _cc(spark, edges, max_iters=8, checkpoint_every=4,
+              driver_max_edges=0)
+    assert got == {i: 0 for i in range(61)}
 
 
 def test_cc_operator_port(spark):
