@@ -2696,6 +2696,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2)
 
 
+def q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk with kmeans_iters > 0 (operators/similarity.py:
+    refine_centroids): deterministic Lloyd rounds rebalance the
+    seeded cells before assignment. Rows-only check by documented
+    contract — the refinement fixpoint is deterministic but not
+    tractably SQL-expressible; recall properties are pytest-pinned
+    (test_dedup_similarity_text.py::test_ivf_kmeans_refinement_*)."""
+    from etl_core_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2, kmeans_iters=3)
+
+
 _SQL_IVF_TOPK = """
 WITH cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
@@ -3164,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "q12_priority_class": q_q12_priority_class,
         "cosine_near_dup": q_cosine_near_dup,
+        "ivf_topk_refined": q_ivf_topk_refined,
         "ann_brute_force": q_ann_brute_force,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_exact": q_dedup_exact,

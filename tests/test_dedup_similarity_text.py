@@ -328,3 +328,41 @@ def test_simhash_long_matches_string_fingerprints(spark, tables):
     assert set(s) == set(l)
     for did, bits in s.items():
         assert int(bits, 2) == l[did]
+
+
+def test_ivf_topk_refined_on_testdata_embeddings(spark, tables):
+    """Refinement on the driver-generated embeddings table: the rows
+    contract holds (<= k rows per query, ranks 1..n contiguous) and
+    BOTH refined and unrefined recall vs exact brute force clear a
+    floor. Refinement is not pointwise-monotone on arbitrary data —
+    rebalancing cells can move one true neighbor outside the probed
+    set (measured 1.0 -> 0.967 here at nprobe=2); the guarantee that
+    refinement recovers recall on clustered data with adversarial
+    seeds is test_ivf_kmeans_refinement_recovers_clusters above."""
+    from etl_core_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = tables["embeddings"]
+    queries = (
+        emb.orderBy("vec_id").limit(6)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5, broadcast_corpus=True).collect()
+    }
+
+    def run(iters):
+        rows = ivf_topk(
+            emb, queries, k=5, num_centroids=6, nprobe=2, kmeans_iters=iters
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
+        got = {(r["query_id"], r["vec_id"]) for r in rows}
+        return len(exact & got) / len(exact)
+
+    r0, r3 = run(0), run(3)
+    assert r0 >= 0.9 and r3 >= 0.9

@@ -333,3 +333,88 @@ def test_incremental_rollup_partition_refresh(spark, tmp_path):
         ("2024-01-01-01-00", "view"): (1, 2.0),
     }
     assert got == want
+
+
+def test_transform_with_state_runtime_gate(tmp_path):
+    """This runtime's TransformWithStateInPySpark driver worker crashes
+    ('driver worker exited unexpectedly', RocksDB provider configured
+    — ROUND_NOTES session 2), which is WHY sessionize pins the older
+    applyInPandasWithState API. The canary runs a minimal
+    transformWithStateInPandas query in a SUBPROCESS (the crash must
+    not poison the shared test session). If a runtime upgrade makes
+    TWS start working, this test fails LOUDLY so the fallback choice
+    gets revisited instead of silently persisting."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        import pandas as pd
+        from pyspark.sql import SparkSession
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle,
+        )
+
+        class CountProc(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle):
+                self._c = handle.getValueState("c", "n long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = sum(len(p) for p in rows)
+                prev = self._c.get()[0] if self._c.exists() else 0
+                self._c.update((prev + n,))
+                yield pd.DataFrame({"k": [key[0]], "n": [prev + n]})
+
+            def close(self):
+                pass
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            .getOrCreate()
+        )
+        src, ckpt, out = sys.argv[1], sys.argv[2], sys.argv[3]
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        result = stream.groupBy("k").transformWithStateInPandas(
+            CountProc(), "k string, n long", "Update", "None"
+        )
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            print("TWS_FAIL:", q.exception())
+            sys.exit(0)
+        rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert rows == [("a", 2), ("b", 1)], rows
+        print("TWS_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script,
+         str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=400,
+    )
+    combined = proc.stdout + proc.stderr
+    if "TWS_OK" in combined:
+        pytest.fail(
+            "transformWithStateInPandas now WORKS on this runtime — "
+            "revisit the applyInPandasWithState fallback in "
+            "etl_core_spark/streaming/stream.py (sessionize) before "
+            "trusting this gate again"
+        )
+    assert "TWS_FAIL" in combined or proc.returncode != 0, combined[-2000:]
