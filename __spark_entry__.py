@@ -1034,6 +1034,500 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H analog batch 2 (q2/q8/q11/q13/q15/q16/q17/q20/q21) — the
+# correlated-subquery family, re-expressed as broadcast scalar
+# aggregates, min-per-group join-backs, and semi/anti steps. The
+# testdata has no partsupp table and no comment/commitdate columns, so
+# the partsupp-based originals are re-based on lineitem as the
+# part-supplier relation (documented per query).
+# ---------------------------------------------------------------------------
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp table: lineitem is the
+    part-supplier relation; unit price = extendedprice/quantity is the
+    supply cost). For small STANDARD parts, the supplier(s) offering
+    the minimum unit price. The correlated MIN subquery is a
+    min-per-group aggregate joined back on EQUALITY of the rounded
+    unit price — division of doubles is deterministic IEEE, and min
+    picks an existing value, so the equality join is exact across
+    engines (no accumulated float drift)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_partkey", "p_brand", "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("__unit"),
+        )
+    )
+    per_supp = get_operator("aggregation")(
+        group_by=["p_partkey", "p_brand", "l_suppkey"],
+        aggregations=[{"src": "__unit", "op": "min", "dest": "supply_cost"}],
+    ).apply({"in": offers})["out"]
+    best = get_operator("aggregation")(
+        group_by=["p_partkey"],
+        aggregations=[{"src": "supply_cost", "op": "min", "dest": "__best"}],
+    ).apply({"in": per_supp})["out"]
+    return (
+        per_supp.join(best, on="p_partkey")
+        .where(F.col("supply_cost") == F.col("__best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "supply_cost")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+_SQL_Q2 = """
+WITH offers AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS supply_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY p_partkey, p_brand, l_suppkey
+)
+SELECT o.p_partkey, o.p_brand, s.s_name, o.supply_cost
+FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE o.supply_cost = (SELECT min(supply_cost) FROM offers i
+                       WHERE i.p_partkey = o.p_partkey)
+ORDER BY o.p_partkey, s.s_name
+LIMIT 100
+"""
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_7's share of EUROPE's ECONOMY-part
+    revenue by order year. Fact side stays one pass: part / customer /
+    supplier / nation / region dims all broadcast onto lineitem x
+    orders, then ONE conditional-sum aggregation computes numerator
+    and denominator together (never two scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust_nat = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("__cn"))
+    sup_nat = nation.select(
+        F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("__sup_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cust_nat), cust["c_nationkey"] == F.col("__cn"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sup_nat), sup["s_nationkey"] == F.col("__sn"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("__rev"),
+            F.when(F.col("__sup_nation") == "NATION_7", rev)
+            .otherwise(F.lit(0.0)).alias("__nat_rev"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum("__nat_rev") / F.sum("__rev"), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (lineitem as the stock relation): parts whose
+    EUROPE-supplied value exceeds 0.1% of the total — the scalar
+    subquery in HAVING is a one-row aggregate broadcast-cross-joined
+    onto the per-part aggregate (no second scan of the fact: the
+    per-part relation feeds both sides)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(
+            nation.join(F.broadcast(region),
+                        nation["n_regionkey"] == region["r_regionkey"])
+            .select("n_nationkey")
+        ), sup["s_nationkey"] == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("__sk"))
+    )
+    eu_lines = li.join(F.broadcast(eu_sup), li["l_suppkey"] == F.col("__sk")).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val"),
+    )
+    per_part = get_operator("aggregation")(
+        group_by=["l_partkey"],
+        aggregations=[{"src": "__val", "op": "sum", "dest": "__value"}],
+    ).apply({"in": eu_lines})["out"]
+    total = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "__value", "op": "sum", "dest": "__total"}],
+    ).apply({"in": per_part})["out"]
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__value") > 0.001 * F.col("__total"))
+        .select("l_partkey", F.round("__value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+_SQL_Q11 = """
+WITH eu_lines AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), per_part AS (
+  SELECT l_partkey, sum(val) AS value FROM eu_lines GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2) AS value
+FROM per_part
+WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
+ORDER BY round(value, 2) DESC, l_partkey ASC
+"""
+
+
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (priority filter stands in for the comment
+    pattern): distribution of customers by order count, INCLUDING
+    zero-order customers — the left join keeps them and count(col)
+    (null-skipping, the engine's count semantics) scores them 0.
+    Double aggregation: per-customer count, then count per count."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    joined = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "cust", "right_port": "orders",
+                 "left_on": "c_custkey", "right_on": "o_custkey",
+                 "how": "left", "output_port": "out"},
+            ]
+        }
+    ).apply({"cust": cust, "orders": orders})["out"]
+    per_cust = get_operator("aggregation")(
+        group_by=["c_custkey"],
+        aggregations=[{"src": "o_orderkey", "op": "count", "dest": "c_count"}],
+    ).apply({"in": joined})["out"]
+    return (
+        get_operator("aggregation")(
+            group_by=["c_count"],
+            aggregations=[{"src": "*", "op": "count", "dest": "custdist"}],
+        )
+        .apply({"in": per_cust})["out"]
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the maximum 1998-Q1 revenue.
+    Revenue is rounded to cents BEFORE the max/equality — summation
+    order differs between engines by ~1 ulp, and the argmax must not
+    depend on it. The scalar max is a one-row broadcast, the argmax an
+    equality join against it (the Q15 view + subquery, one fact scan)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (
+        get_operator("aggregation")(
+            group_by=["l_suppkey"],
+            aggregations=[{"src": "__rev", "op": "sum", "dest": "__raw"}],
+        )
+        .apply({"in": li.select(
+            "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        )})["out"]
+        .select("l_suppkey", F.round("__raw", 2).alias("total_revenue"))
+    )
+    best = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "total_revenue", "op": "max", "dest": "__best"}],
+    ).apply({"in": revenue})["out"]
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("__best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (lineitem as the part-supplier relation):
+    distinct-supplier counts per (brand, type, size) for non-PROMO
+    small parts, excluding blacklisted suppliers. The NOT IN
+    subquery is an anti-join STEP (never a filter on a collected
+    list); the distinct count is the aggregation operator's nunique."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    pairs = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", "p_type", "p_size", "l_suppkey"
+    )
+    kept = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "pairs", "right_port": "bad",
+                 "left_on": "l_suppkey", "right_on": "s_suppkey",
+                 "how": "anti", "output_port": "out"},
+            ]
+        }
+    ).apply({"pairs": pairs, "bad": bad_sup})["out"]
+    return (
+        get_operator("aggregation")(
+            group_by=["p_brand", "p_type", "p_size"],
+            aggregations=[{"src": "l_suppkey", "op": "nunique",
+                           "dest": "supplier_cnt"}],
+        )
+        .apply({"in": kept})["out"]
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+_SQL_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size <= 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: weekly-ized revenue of below-half-average
+    quantity lines for one brand. The correlated AVG subquery is a
+    per-part aggregate broadcast back onto the same (brand-pruned)
+    lines. l_quantity is integral in this data, so the per-part sums
+    are EXACT doubles and the avg threshold is bit-identical across
+    engines — the predicate cannot flip on summation order."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    lines = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = get_operator("aggregation")(
+        group_by=["p_partkey"],
+        aggregations=[{"src": "l_quantity", "op": "mean", "dest": "__avg_qty"}],
+    ).apply({"in": lines})["out"]
+    small = lines.join(F.broadcast(avg_qty), on="p_partkey").where(
+        F.col("l_quantity") < 0.5 * F.col("__avg_qty")
+    )
+    out = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "l_extendedprice", "op": "sum", "dest": "__sum"}],
+    ).apply({"in": small})["out"]
+    return out.select(F.round(F.col("__sum") / 7.0, 2).alias("avg_weekly"))
+
+
+_SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem i
+                    WHERE i.l_partkey = p_partkey)
+"""
+
+
+def q_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (lineitem as availqty): suppliers whose
+    shipped PROMO-part quantity exceeds 1.1x the average supplier's —
+    the nested-IN chain becomes per-supplier aggregate -> scalar
+    broadcast threshold -> SEMI join into the supplier dim (names
+    only travel for qualifying keys)."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    per_supp = get_operator("aggregation")(
+        group_by=["l_suppkey"],
+        aggregations=[{"src": "l_quantity", "op": "sum", "dest": "__qty"}],
+    ).apply({"in": li.join(F.broadcast(part),
+                           li["l_partkey"] == part["p_partkey"])})["out"]
+    thresh = get_operator("aggregation")(
+        group_by=[],
+        aggregations=[{"src": "__qty", "op": "mean", "dest": "__avg"}],
+    ).apply({"in": per_supp})["out"]
+    heavy = (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .where(F.col("__qty") > 1.1 * F.col("__avg"))
+        .select("l_suppkey")
+    )
+    out = get_operator("schema_mapping")(
+        join_plan={
+            "steps": [
+                {"left_port": "sup", "right_port": "heavy",
+                 "left_on": "s_suppkey", "right_on": "l_suppkey",
+                 "how": "semi", "output_port": "out"},
+            ]
+        }
+    ).apply({"sup": sup, "heavy": heavy})["out"]
+    return out.select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+_SQL_Q20 = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_supp
+  WHERE qty > 1.1 * (SELECT avg(qty) FROM per_supp)
+)
+ORDER BY s_suppkey
+"""
+
+
+def q_q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (no commit/receipt dates in this data): for
+    finalized multi-supplier orders, count per supplier how often its
+    line shipped LAST. The EXISTS pair becomes one per-order
+    aggregate (max shipdate + distinct-supplier count) joined back —
+    max picks an existing timestamp, so the equality is exact. Ties
+    (two suppliers sharing the max shipdate) count for both, in both
+    engines."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    flines = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = get_operator("aggregation")(
+        group_by=["l_orderkey"],
+        aggregations=[
+            {"src": "l_shipdate", "op": "max", "dest": "__last"},
+            {"src": "l_suppkey", "op": "nunique", "dest": "__nsupp"},
+        ],
+    ).apply({"in": flines})["out"]
+    waiting = (
+        flines.join(per_order, on="l_orderkey")
+        .where((F.col("__nsupp") > 1) & (F.col("l_shipdate") == F.col("__last")))
+    )
+    counts = get_operator("aggregation")(
+        group_by=["l_suppkey"],
+        aggregations=[{"src": "*", "op": "count", "dest": "numwait"}],
+    ).apply({"in": waiting})["out"]
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        counts.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_SQL_Q21 = """
+WITH flines AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship,
+         count(DISTINCT l_suppkey) AS nsupp
+  FROM flines GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM flines f
+JOIN per_order p ON f.l_orderkey = p.l_orderkey
+JOIN supplier  ON f.l_suppkey = s_suppkey
+WHERE p.nsupp > 1 AND f.l_shipdate = p.last_ship
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """interval_join operator (operators/asof.py): interval×interval
     overlap join, bucketized on both sides with each pair emitted only
@@ -3181,6 +3675,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q_q12_priority_class,
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk_refined": q_ivf_topk_refined,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q8_market_share": q_q8_market_share,
+        "q11_important_parts": q_q11_important_parts,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_parts_supplier_cnt": q_q16_parts_supplier_cnt,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q20_heavy_suppliers": q_q20_heavy_suppliers,
+        "q21_last_shippers": q_q21_last_shippers,
         "ann_brute_force": q_ann_brute_force,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_exact": q_dedup_exact,
@@ -3195,12 +3698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "sessionize": q_sessionize_batch,
         "simhash": q_simhash,
+        "interval_join": q_interval_join,
         "text_metrics": q_text_metrics,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "token_frequency": q_token_frequency,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
-        "interval_join": q_interval_join,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_minhash": q_dedup_minhash,
@@ -3265,6 +3768,15 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": _SQL_Q4,
         "q6_forecast_revenue": _SQL_Q6,
         "q12_priority_class": _SQL_Q12,
+        "q2_min_cost_supplier": _SQL_Q2,
+        "q8_market_share": _SQL_Q8,
+        "q11_important_parts": _SQL_Q11,
+        "q13_customer_distribution": _SQL_Q13,
+        "q15_top_supplier": _SQL_Q15,
+        "q16_parts_supplier_cnt": _SQL_Q16,
+        "q17_small_qty_revenue": _SQL_Q17,
+        "q20_heavy_suppliers": _SQL_Q20,
+        "q21_last_shippers": _SQL_Q21,
         "q14_promo_ratio": _SQL_Q14,
         "q18_large_orders": _SQL_Q18,
         "q19_disjunctive_filter": _SQL_Q19,
