@@ -549,7 +549,20 @@ def test_cc_releases_its_caches(spark):
     out = connected_components(df, driver_max_edges=0)
     out.collect()
     release_intermediates()
-    # everything CC persisted (edges + converged labels) is released
+    # the per-round eager localCheckpoint RDDs are reclaimed by the
+    # ContextCleaner once unreferenced — drop the result (it pins the
+    # final round's RDD) and give the py4j-finalizer -> JVM-GC ->
+    # cleaner chain a bounded window to run
+    import gc
+    import time
+
+    del out
+    for _ in range(30):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if jsc.getPersistentRDDs().size() <= before:
+            break
+        time.sleep(1)
     assert jsc.getPersistentRDDs().size() <= before
 
 
