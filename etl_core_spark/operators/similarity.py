@@ -316,7 +316,17 @@ def refine_centroids(
 
     Expects ``corpus_unit`` as (__corpus_id, __cv) unit vectors and
     ``cent`` as (__cid, __cvec).
+
+    Per-round plan truncation: the centroid relation is
+    ``num_centroids`` rows, so each round ends by collecting it and
+    re-creating a literal DataFrame (bounded driver transfer, same
+    contract as the CC edge probe). Without this, round i+1's plan
+    chains through round i's join tree and both Catalyst analysis and
+    execution re-run every previous round — measured 6.1 s → ~2 s on
+    the sf0.1 bench query at 3 iterations.
     """
+    spark = cent.sparkSession
+    schema = cent.schema
     for _ in range(int(iters)):
         assigned = ivf_assign(corpus_unit, cent, "__corpus_id", "__cv", nprobe=1)
         means = (
@@ -338,6 +348,7 @@ def refine_centroids(
             cent.join(means, on="__cid", how="left")
             .select("__cid", F.coalesce("__new", "__cvec").alias("__cvec"))
         )
+        cent = spark.createDataFrame(cent.collect(), schema)
     return cent
 
 
@@ -379,6 +390,11 @@ def ivf_topk(
     )
     q_unit = V.select_unit(q_raw2, (F.col("__query_id"), "__query_id"), "__qv0", "__qv")
     if kmeans_iters > 0:
+        # the corpus unit-vector table is consumed once per Lloyd
+        # round plus the final assignment — shared subtree, persist
+        from etl_core_spark.session import persist_intermediate
+
+        c_unit = persist_intermediate(c_unit)
         cent = refine_centroids(c_unit, cent, kmeans_iters)
     c_assigned = ivf_assign(c_unit, cent, "__corpus_id", "__cv", nprobe=1)
     q_assigned = ivf_assign(q_unit, cent, "__query_id", "__qv", nprobe=nprobe)
