@@ -2933,6 +2933,38 @@ _SQL_MINHASH_PAIRS = f"""WITH {_MINHASH_PAIRS_CTES}
 {_MINHASH_PAIRS_SELECT}"""
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering
+    (operators/dedup.py jaccard_dedup_pairs) — complete, no LSH miss:
+    size filter + rarest-first prefix equi-join generate a provably
+    sufficient candidate set, exact Jaccard verifies. The oracle is
+    the quadratic comparison; the engine must reach the identical
+    pair set through the filtered candidates."""
+    from etl_core_spark.operators.dedup import jaccard_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_dedup_pairs(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
+
+
+_SQL_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_shingles_sql(3)} AS shingles FROM t
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM shl
+  WHERE len(list_distinct(shingles)) > 0
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       round(len(list_intersect(x.ds, y.ds))
+             / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6)
+         AS jaccard
+FROM dsh x JOIN dsh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.ds, y.ds))
+      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+"""
+
+
 def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 pairs over the distinct source labels via
     SymSpell-style deletion-neighborhood banding (operators/dedup.py
@@ -3675,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q_q12_priority_class,
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk_refined": q_ivf_topk_refined,
+        "jaccard_pairs": q_jaccard_pairs,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q8_market_share": q_q8_market_share,
         "q11_important_parts": q_q11_important_parts,
@@ -3838,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _lang_id_ngram_sql(),
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
+        "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
         "typo_pairs": _SQL_TYPO_PAIRS,
         "simhash": _SQL_SIMHASH,

@@ -213,6 +213,101 @@ def minhash_dedup_pairs(
     )
 
 
+def jaccard_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering
+    (PPJoin-style; Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection") — the COMPLETE alternative to MinHash LSH:
+    every pair with Jaccard >= threshold is found, no probabilistic
+    miss, at the cost of an exact-verify join driven by a provably
+    sufficient candidate set.
+
+    Filters, in order:
+
+    - **size filter**: |A| >= t|B| and |B| >= t|A| (Jaccard >= t
+      bounds the size ratio) — a predicate on sizes already in hand.
+    - **prefix filter**: order each doc's shingles globally by
+      (document frequency ASC, shingle ASC) — rarest first — and keep
+      the first ``|S| - ceil(t*|S|) + 1``. Two sets with
+      Jaccard >= t MUST share a token within these prefixes
+      (pigeonhole on the overlap bound), so an equi-join on prefix
+      tokens is a complete candidate generator. Prefix tokens are
+      each doc's RAREST shingles, so the join keys are
+      skew-resistant by construction; ``max_token_freq`` additionally
+      caps pathological tokens (same trade as minhash's
+      ``max_band_freq`` — pairs sharing ONLY ultra-hot shingles are
+      boilerplate better handled by exact dedup).
+
+    Scale shape: one doc-frequency aggregate, one shuffle to re-sort
+    shingles by rarity (the PPJoin preprocessing cost), one candidate
+    equi-join on prefix tokens, one verify join on the persisted
+    shingle table. Zero-shingle docs are excluded up front (Jaccard
+    over an empty set is 0)."""
+    if not 0 < threshold <= 1:
+        raise OperatorConfigError("jaccard threshold must be in (0, 1]")
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    nonempty = sh.where(F.size("sh") > 0)
+    ex = nonempty.select(F.col(id_col), F.explode("sh").alias("__s"))
+    freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_token_freq is not None:
+        freq = freq.where(F.col("__df") <= int(max_token_freq))
+    # rarest-first per-doc ordering; prefix = the tokens that MUST
+    # overlap for any partner above the threshold
+    ordered = (
+        ex.join(freq, on="__s")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
+        )
+    )
+    n = F.size("__os")
+    prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.explode(
+            F.transform(
+                F.slice("__os", 1, prefix_len), lambda s: s["__s"]
+            )
+        ).alias("__tok"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    t = float(threshold)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.__n") >= t * F.col("b.__n"))
+            & (F.col("b.__n") >= t * F.col("a.__n")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            on="id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            on="id_b",
+        )
+        .withColumn("jaccard", F.round(X.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 _SIMHASH_LANE_BITS = 20  # per-bit popcount lane width
 _SIMHASH_LANES_PER_LONG = 3  # 3 × 20-bit lanes per packed long
 
@@ -823,16 +918,19 @@ def _drop_dups(df: DataFrame, pairs: DataFrame, id_col: str, config: dict) -> Da
 
 @register_operator("dedup")
 class DedupOperator(Operator):
-    """Config: ``method`` ∈ {exact, minhash_lsh, simhash}; per-method
-    keys as in the functions above. Near-dup methods accept
-    ``survivor_policy`` ∈ {greedy, cluster} (see ``_drop_dups``)."""
+    """Config: ``method`` ∈ {exact, minhash_lsh, simhash, typo,
+    ngram_jaccard}; per-method keys as in the functions above.
+    Near-dup methods accept ``survivor_policy`` ∈ {greedy, cluster}
+    (see ``_drop_dups``)."""
 
     in_ports = ("in",)
     out_ports = ("out",)
 
     def validate_config(self) -> None:
         self.method = self.config.get("method", "exact")
-        if self.method not in ("exact", "minhash_lsh", "simhash", "typo"):
+        if self.method not in (
+            "exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard"
+        ):
             raise OperatorConfigError(f"unknown dedup method {self.method!r}")
 
     def apply(self, inputs: PortMap) -> PortMap:
@@ -850,6 +948,17 @@ class DedupOperator(Operator):
                 c.get("text_col", "text"),
                 c.get("id_col", "doc_id"),
                 int(c.get("max_len", 64)),
+            )
+            return {"out": _drop_dups(df, pairs, c.get("id_col", "doc_id"), c)}
+        if self.method == "ngram_jaccard":
+            mtf = c.get("max_token_freq")
+            pairs = jaccard_dedup_pairs(
+                df,
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                float(c.get("threshold", 0.7)),
+                int(c.get("shingle_n", 3)),
+                int(mtf) if mtf is not None else None,
             )
             return {"out": _drop_dups(df, pairs, c.get("id_col", "doc_id"), c)}
         if self.method == "minhash_lsh":

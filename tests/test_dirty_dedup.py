@@ -710,3 +710,76 @@ def test_typo_pairs_random_corpora_vs_quadratic(spark):
                 if lev(x, y) <= 1}
         assert got == want, f"seed {seed}"
         assert len(want) > 10  # the corpus is genuinely collision-dense
+
+
+# ------------------------------------------- exact n-gram Jaccard (PPJoin)
+
+def test_jaccard_pairs_complete_vs_quadratic(spark):
+    """Prefix filtering is COMPLETE: the pair set equals the quadratic
+    all-pairs comparison on a corpus with near-dups, disjoint docs,
+    borderline pairs, and dirty rows (empty/NULL text)."""
+    from etl_core_spark.functions import text as X
+    from etl_core_spark.operators.dedup import jaccard_dedup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words in this document here"),
+        (5, "the quick brown fox leaps over the lazy dog"),   # near-dup of 1/3
+        (6, ""), (7, None), (8, "   "),                       # dirty
+        (9, "short text"),                                    # < shingle_n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.9, 1.0):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_dedup_pairs(df, "text", "doc_id", t, 3).collect()
+        }
+        sh = df.select(
+            "doc_id", F.array_distinct(X.shingles(F.col("text"), 3)).alias("sh")
+        ).where(F.size("sh") > 0)
+        a = sh.selectExpr("doc_id as id_a", "sh as sh_a")
+        b = sh.selectExpr("doc_id as id_b", "sh as sh_b")
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("j", X.jaccard(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("j") >= t)
+            .collect()
+        }
+        assert got == want, f"threshold={t}"
+
+
+def test_jaccard_pairs_no_cartesian_plan(spark):
+    from etl_core_spark.operators.dedup import jaccard_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        jaccard_dedup_pairs(df, "text", "doc_id", 0.5, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_dedup_operator_method(spark):
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.dedup import jaccard_dedup_pairs
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    out = get_operator("dedup")(
+        method="ngram_jaccard", text_col="text", id_col="doc_id",
+        threshold=0.8, shingle_n=2,
+    ).apply({"in": df})["out"]
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}  # 2 deduped
+    with _pytest.raises(Exception, match="threshold"):
+        jaccard_dedup_pairs(df, "text", "doc_id", 1.5).collect()
