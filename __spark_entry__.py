@@ -1619,6 +1619,53 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_gaps_islands_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE gaps-and-islands form: maximal runs of consecutive
+    ACTIVE DAYS per user. Same island identity (day minus
+    row_number is constant within a run) but the window is
+    PARTITIONED BY user — no global sort anywhere, parallelism =
+    key cardinality. This is the shape the global-order variant's
+    docstring promises for 100 TB; registered so the partitioned
+    identity is oracle-certified too."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("__day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("__day")
+    grouped = days.select(
+        "user_id", "__day",
+        F.date_sub(F.col("__day"), F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        grouped.groupBy("user_id", "__grp")
+        .agg(
+            F.date_format(F.min("__day"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("__day"), "yyyy-MM-dd").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") >= 3)
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
+
+
+_SQL_GAPS_ISLANDS_PER_KEY = """
+SELECT user_id,
+       strftime(min(day), '%Y-%m-%d') AS start_day,
+       strftime(max(day), '%Y-%m-%d') AS end_day,
+       count(*) AS n_days
+FROM (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+)
+GROUP BY user_id, grp
+HAVING count(*) >= 3
+"""
+
+
 def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cap_per_group in metric mode (operators/sampling.py): top-3
     orders per priority by total price — WindowGroupLimit pre-cuts
@@ -3708,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk_refined": q_ivf_topk_refined,
         "jaccard_pairs": q_jaccard_pairs,
+        "gaps_islands_per_key": q_gaps_islands_per_key,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q8_market_share": q_q8_market_share,
         "q11_important_parts": q_q11_important_parts,
@@ -3851,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "ntile_deciles": _SQL_NTILE,
         "gaps_islands": _SQL_GAPS_ISLANDS,
+        "gaps_islands_per_key": _SQL_GAPS_ISLANDS_PER_KEY,
         "top_n_per_group": _SQL_TOP_N_PER_GROUP,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,
