@@ -56,11 +56,14 @@ _KEYWORDS = {
     "NOT", "AND", "WHERE",
 }
 
+# identifier quotes escape their closing character by DOUBLING
+# (`` inside backticks, ]] inside brackets, "" inside double quotes) —
+# the tokenizer consumes doubled closers and unescapes them
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        `(?P<bt>[^`]*)`            # backtick-quoted identifier
-      | \[(?P<br>[^\]\[]*)\]       # bracket-quoted identifier
-      | "(?P<dq>[^"]*)"           # double-quoted identifier
+        `(?P<bt>(?:[^`]|``)*)`       # backtick-quoted identifier
+      | \[(?P<br>(?:[^\]]|\]\])*)\]  # bracket-quoted identifier
+      | "(?P<dq>(?:[^"]|"")*)"      # double-quoted identifier
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<qmark>\?)
       | (?P<punct>[(),.;=])
@@ -84,15 +87,15 @@ def tokenize(sql: str, quote: str) -> list[Tok]:
         if m.group("bt") is not None:
             if quote != "backtick":
                 raise DmlParseError("backtick identifier in non-MySQL dialect")
-            toks.append(Tok("IDENT", m.group("bt")))
+            toks.append(Tok("IDENT", m.group("bt").replace("``", "`")))
         elif m.group("br") is not None:
             if quote != "bracket":
                 raise DmlParseError("bracket identifier in non-T-SQL dialect")
-            toks.append(Tok("IDENT", m.group("br")))
+            toks.append(Tok("IDENT", m.group("br").replace("]]", "]")))
         elif m.group("dq") is not None:
             if quote != "double":
                 raise DmlParseError("double-quoted identifier in this dialect")
-            toks.append(Tok("IDENT", m.group("dq")))
+            toks.append(Tok("IDENT", m.group("dq").replace('""', '"')))
         elif m.group("word") is not None:
             w = m.group("word")
             toks.append(

@@ -49,11 +49,16 @@ _DIALECT_DRIVERS = {
 
 
 def quote_ident(dialect: str, name: str) -> str:
+    """Dialect identifier quoting WITH escaping — a column literally
+    named ``a`b`` (or ``x]y``, ``v"w``) must not break out of its
+    quotes (that is an injection vector when schemas come from user
+    job configs). Each dialect escapes its closing character by
+    doubling, per its own grammar."""
     if dialect == "mariadb":
-        return f"`{name}`"
+        return "`" + name.replace("`", "``") + "`"
     if dialect == "sqlserver":
-        return f"[{name}]"
-    return f'"{name}"'
+        return "[" + name.replace("]", "]]") + "]"
+    return '"' + name.replace('"', '""') + '"'
 
 
 def build_upsert_sql(

@@ -266,3 +266,43 @@ def test_sqlglot_cross_check_when_available():
     for dialect, name in (("mariadb", "mysql"), ("sqlserver", "tsql")):
         sql = build_upsert_sql(dialect, "t", COLS, KEYS)
         assert sqlglot.parse_one(sql, read=name) is not None
+
+
+# -- 5. identifier-escaping round-trip (property-based) -------------------
+
+
+def test_quote_ident_escapes_quote_chars():
+    from etl_core_spark.sources.jdbc_io import quote_ident
+
+    assert quote_ident("mariadb", "a`b") == "`a``b`"
+    assert quote_ident("sqlserver", "x]y") == "[x]]y]"
+    assert quote_ident("postgresql", 'v"w') == '"v""w"'
+
+
+def test_upsert_roundtrip_hostile_identifiers():
+    """Identifiers containing the dialect's own quote characters must
+    round-trip build -> tokenize -> parse exactly (doubling escape);
+    before escaping, a column named a`b broke out of its quotes —
+    an injection vector for user-supplied schemas."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_core_spark.sources.dml_grammar import (
+        parse_mysql_upsert, parse_tsql_merge,
+    )
+
+    ident = st.text(alphabet='ab`]["_ .x', min_size=1, max_size=8)
+    idents = st.lists(ident, min_size=2, max_size=5, unique=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(cols=idents, table=ident)
+    def check(cols, table):
+        keys = cols[:1]  # >=1 non-key so both templates are complete
+        my = parse_mysql_upsert(build_upsert_sql("mariadb", table, cols, keys))
+        assert my["table"] == table and my["insert_cols"] == cols
+        assert my["updates"] == [(c, c) for c in cols[1:]]
+        ts = parse_tsql_merge(build_upsert_sql("sqlserver", table, cols, keys))
+        assert ts["table"] == table and ts["source_cols"] == cols
+        assert ts["insert_cols"] == cols
+
+    check()
