@@ -1061,7 +1061,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier")
     offers = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(
             "p_partkey", "p_brand", "l_suppkey",
             F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("__unit"),
@@ -1078,7 +1078,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(best, on="p_partkey")
         .where(F.col("supply_cost") == F.col("__best"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "supply_cost")
         .orderBy("p_partkey", "s_name")
         .limit(100)
@@ -1105,9 +1105,13 @@ LIMIT 100
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 analog: NATION_7's share of EUROPE's ECONOMY-part
     revenue by order year. Fact side stays one pass: part / customer /
-    supplier / nation / region dims all broadcast onto lineitem x
-    orders, then ONE conditional-sum aggregation computes numerator
-    and denominator together (never two scans)."""
+    supplier / nation / region dims join onto lineitem x orders with
+    NO explicit broadcast hints — the dims are parquet scans whose
+    sizes the optimizer knows, so it auto-broadcasts under the
+    threshold and degrades to shuffle joins gracefully when a dim
+    outgrows it at high SF (an explicit hint would bypass that gate).
+    ONE conditional-sum aggregation computes numerator and
+    denominator together (never two scans)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
@@ -1116,18 +1120,18 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     cust_nat = nation.join(
-        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        region, nation["n_regionkey"] == region["r_regionkey"]
     ).select(F.col("n_nationkey").alias("__cn"))
     sup_nat = nation.select(
         F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("__sup_nation")
     )
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(cust_nat), cust["c_nationkey"] == F.col("__cn"))
-        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
-        .join(F.broadcast(sup_nat), sup["s_nationkey"] == F.col("__sn"))
+        .join(cust_nat, cust["c_nationkey"] == F.col("__cn"))
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(sup_nat, sup["s_nationkey"] == F.col("__sn"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -1178,14 +1182,14 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     eu_sup = (
-        sup.join(F.broadcast(
-            nation.join(F.broadcast(region),
+        sup.join(
+            nation.join(region,
                         nation["n_regionkey"] == region["r_regionkey"])
-            .select("n_nationkey")
-        ), sup["s_nationkey"] == F.col("n_nationkey"))
+            .select("n_nationkey"),
+            sup["s_nationkey"] == F.col("n_nationkey"))
         .select(F.col("s_suppkey").alias("__sk"))
     )
-    eu_lines = li.join(F.broadcast(eu_sup), li["l_suppkey"] == F.col("__sk")).select(
+    eu_lines = li.join(eu_sup, li["l_suppkey"] == F.col("__sk")).select(
         "l_partkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val"),
     )
@@ -1301,7 +1305,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("__best"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
         )
@@ -1340,7 +1344,7 @@ def q_q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_sup = _t(spark, sf_dir, "supplier").where(
         F.col("s_name").endswith("7")
     ).select("s_suppkey")
-    pairs = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+    pairs = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
         "p_brand", "p_type", "p_size", "l_suppkey"
     )
     kept = get_operator("schema_mapping")(
@@ -1388,14 +1392,14 @@ def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
-    lines = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+    lines = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
         "p_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = get_operator("aggregation")(
         group_by=["p_partkey"],
         aggregations=[{"src": "l_quantity", "op": "mean", "dest": "__avg_qty"}],
     ).apply({"in": lines})["out"]
-    small = lines.join(F.broadcast(avg_qty), on="p_partkey").where(
+    small = lines.join(avg_qty, on="p_partkey").where(
         F.col("l_quantity") < 0.5 * F.col("__avg_qty")
     )
     out = get_operator("aggregation")(
@@ -1428,7 +1432,7 @@ def q_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = get_operator("aggregation")(
         group_by=["l_suppkey"],
         aggregations=[{"src": "l_quantity", "op": "sum", "dest": "__qty"}],
-    ).apply({"in": li.join(F.broadcast(part),
+    ).apply({"in": li.join(part,
                            li["l_partkey"] == part["p_partkey"])})["out"]
     thresh = get_operator("aggregation")(
         group_by=[],
@@ -1500,7 +1504,7 @@ def q_q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).apply({"in": waiting})["out"]
     sup = _t(spark, sf_dir, "supplier")
     return (
-        counts.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        counts.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
