@@ -65,8 +65,14 @@ def tf_idf_top_terms(
     (sklearn's smoothed variant — bounded, never zero). Classic
     keyword extraction / vocab-pruning pass for a training-data
     pipeline. Plan shape: explode → two hash aggregations (both
-    map-side combinable) → broadcast the tiny per-term df table back
-    → per-doc window top-k. Ties break on term asc so results are
+    map-side combinable) → join the per-term df table back → per-doc
+    window top-k. The df join carries NO explicit broadcast hint:
+    the relation is vocabulary-sized — small for one corpus, tens of
+    millions of n-gram rows on a crawl — so an unconditional hint
+    would bypass autoBroadcastJoinThreshold; AQE converts the join to
+    broadcast at runtime whenever the vocabulary actually is small
+    (both sides shuffle on ``term`` otherwise, which is the correct
+    100 TB shape). Ties break on term asc so results are
     engine-independent; scores rounded to 6dp for cross-engine float
     equality.
 
@@ -87,7 +93,7 @@ def tf_idf_top_terms(
     n_docs = df.select(F.countDistinct(id_col).alias("__n_docs"))
     idf = F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1
     scored = (
-        tf.join(F.broadcast(doc_freq), on="term")
+        tf.join(doc_freq, on="term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
