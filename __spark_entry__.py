@@ -2582,6 +2582,53 @@ ON d.doc_id = s.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate operator (operators/text_analysis.py):
+    GPT-3-style train-test contamination check — training docs
+    sharing token n-grams with a benchmark corpus get flagged. The
+    benchmark here is a deterministic slice of the documents table
+    (doc_id % 25 == 0) so the oracle can rebuild it; members of the
+    slice are contaminated with themselves by construction, making
+    the certification non-vacuous on every run."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0).select("text")
+    out = get_operator("decontaminate")(ngram_n=5).apply(
+        {"docs": docs, "benchmark": bench}
+    )["out"]
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "is_contaminated",
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), dg AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(5)})) AS g FROM t
+), bg AS (
+  SELECT DISTINCT unnest({_shingles_sql(5)}) AS g
+  FROM t WHERE doc_id % 25 = 0
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM dg GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM dg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chunk_documents operator (operators/text_analysis.py):
     overlapping token-window chunks for embedding/pretraining
@@ -3760,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_refined": q_ivf_topk_refined,
         "jaccard_pairs": q_jaccard_pairs,
         "gaps_islands_per_key": q_gaps_islands_per_key,
+        "decontaminate": q_decontaminate,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q8_market_share": q_q8_market_share,
         "q11_important_parts": q_q11_important_parts,
@@ -3904,6 +3952,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile_deciles": _SQL_NTILE,
         "gaps_islands": _SQL_GAPS_ISLANDS,
         "gaps_islands_per_key": _SQL_GAPS_ISLANDS_PER_KEY,
+        "decontaminate": _SQL_DECONTAMINATE,
         "top_n_per_group": _SQL_TOP_N_PER_GROUP,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,

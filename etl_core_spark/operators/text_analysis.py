@@ -216,6 +216,94 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    ngram_n: int = 8,
+    max_matches: int = 0,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Train-test decontamination: flag training documents sharing
+    token n-grams with a benchmark/eval corpus (the GPT-3-style
+    13-gram method; n defaults lower because the synthetic docs are
+    short). Output: every input doc annotated with
+    ``n_contaminated`` (distinct benchmark n-grams it contains),
+    ``n_ngrams`` (its distinct n-gram count) and ``is_contaminated``
+    (n_contaminated > ``max_matches``) — callers drop or quarantine
+    flagged docs.
+
+    Scale shape: both sides explode to distinct n-grams; the
+    benchmark side collapses to its distinct n-gram SET (eval suites
+    are millions of n-grams, not billions — but NOT broadcast: the
+    join shuffles on the n-gram key, and AQE converts to broadcast at
+    runtime when the benchmark really is small). One inner join +
+    per-doc count + one left join back onto the docs relation (clean
+    docs keep count 0). ``hash_keys=True`` joins on ``xxhash64``
+    of the n-gram instead of the string — ~6× narrower shuffle with a
+    ~2^-64 per-pair phantom-match probability, the right trade at
+    crawl scale but off by default so the exact form is what the
+    oracle certifies."""
+    if ngram_n < 1:
+        raise OperatorConfigError("decontaminate requires ngram_n >= 1")
+    from etl_core_spark.session import ensure_parallelism
+
+    bcol = bench_text_col or text_col
+    key = (lambda c: F.xxhash64(c)) if hash_keys else (lambda c: c)
+    bench_grams = (
+        ensure_parallelism(benchmark)
+        .select(F.explode(X.shingles(F.col(bcol), ngram_n)).alias("__g"))
+        .select(key(F.col("__g")).alias("__k"))
+        .distinct()
+    )
+    doc_grams = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(X.shingles(F.col(text_col), ngram_n))).alias("__g"),
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        doc_grams.select(F.col(id_col), key(F.col("__g")).alias("__k"))
+        .join(bench_grams, on="__k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.join(totals, on=id_col, how="left")
+        .join(hits, on=id_col, how="left")
+        .withColumn("n_ngrams", F.coalesce("n_ngrams", F.lit(0)))
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn("is_contaminated", F.col("n_contaminated") > int(max_matches))
+    )
+
+
+@register_operator("decontaminate")
+class DecontaminateOperator(Operator):
+    """Ports: ``docs`` (training corpus) + ``benchmark`` (eval
+    corpus); out: the docs relation annotated with contamination
+    counts and flag."""
+
+    in_ports = ("docs", "benchmark")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        self.ngram_n = int(self.config.get("ngram_n", 8))
+        if self.ngram_n < 1:
+            raise OperatorConfigError("decontaminate requires ngram_n >= 1")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": decontaminate(
+                inputs["docs"], inputs["benchmark"],
+                c.get("text_col", "text"), c.get("id_col", "doc_id"),
+                c.get("bench_text_col"), self.ngram_n,
+                int(c.get("max_matches", 0)), bool(c.get("hash_keys", False)),
+            )
+        }
+
+
 @register_operator("chunk_documents")
 class ChunkDocumentsOperator(Operator):
     in_ports = ("in",)

@@ -366,3 +366,54 @@ def test_ivf_topk_refined_on_testdata_embeddings(spark, tables):
 
     r0, r3 = run(0), run(3)
     assert r0 >= 0.9 and r3 >= 0.9
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """GPT-3-style n-gram decontamination: docs sharing an n-gram
+    with the benchmark are flagged, clean and empty docs are not,
+    counts are exact, hash_keys mode agrees with exact mode, and
+    max_matches raises the flagging bar."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.text_analysis import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench
+            (2, "a completely unrelated document body here"),
+            (3, ""),            # empty: 0 ngrams, never flagged
+            (4, None),          # null text
+            (5, "quick brown fox jumps over nothing else"),      # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy cat",)], "text string"
+    )
+    out = decontaminate(docs, bench, ngram_n=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] > 0
+    assert rows[5]["is_contaminated"]  # shares 'quick brown fox jumps' etc
+    assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
+    assert rows[3]["n_ngrams"] == 0 and not rows[3]["is_contaminated"]
+    assert rows[4]["n_ngrams"] == 0 and not rows[4]["is_contaminated"]
+    # hash-key mode: identical output on this corpus
+    hashed = {
+        r["doc_id"]: (r["n_contaminated"], r["is_contaminated"])
+        for r in decontaminate(docs, bench, ngram_n=4, hash_keys=True).collect()
+    }
+    assert hashed == {
+        k: (v["n_contaminated"], v["is_contaminated"]) for k, v in rows.items()
+    }
+    # raising max_matches unflags the partial-overlap doc
+    strict = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontaminate(
+            docs, bench, ngram_n=4, max_matches=rows[5]["n_contaminated"]
+        ).collect()
+    }
+    assert not strict[5] and strict[1] == (rows[1]["n_contaminated"] > rows[5]["n_contaminated"])
+    # operator port surface
+    out2 = get_operator("decontaminate")(ngram_n=4).apply(
+        {"docs": docs, "benchmark": bench}
+    )["out"]
+    assert out2.count() == 5
