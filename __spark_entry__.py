@@ -3828,12 +3828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "minhash_signature": q_minhash_signature,
+        "interval_join": q_interval_join,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
         "quality_filter": q_quality_filter,
         "sessionize": q_sessionize_batch,
         "simhash": q_simhash,
-        "interval_join": q_interval_join,
         "text_metrics": q_text_metrics,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
         "token_frequency": q_token_frequency,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
