@@ -15,12 +15,16 @@ JSON file; ``execution.py:15-30`` — start an execution by job id).
     python -m etl_core_spark schedule create JOB_ID --at 2026-09-01T03:00:00
     python -m etl_core_spark schedule list|pause|resume|run-now|delete ...
     python -m etl_core_spark schedule run-due
+    python -m etl_core_spark schedule daemon --interval 30
     python -m etl_core_spark contexts create|list|get|delete ...
     python -m etl_core_spark run path/to/job.json      # one-shot, no store
 
-The FastAPI server/scheduler daemon of the reference is intentionally
-out of scope for the engine core: the store + `run-due` provide the
-same capability driven by any external cron.
+The reference embeds its scheduler in the FastAPI app's lifespan
+(30 s APScheduler sync); here the equivalent is the explicit
+`schedule daemon` foreground loop (plans/store.run_scheduler) — or
+`run-due` driven by any external cron. Embedding it inside the API
+server process is intentionally avoided: the loop is owned by
+whatever supervises it (CLI, systemd, a sidecar thread).
 """
 
 from __future__ import annotations
@@ -78,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
         p = schedule.add_parser(name)
         p.add_argument("schedule_id")
     schedule.add_parser("run-due")
+    p = schedule.add_parser("daemon")
+    p.add_argument("--interval", type=float, default=30.0, help="sweep seconds")
+    p.add_argument("--max-sweeps", type=int, default=None,
+                   help="stop after N sweeps (default: run until SIGINT)")
 
     contexts = sub.add_parser("contexts").add_subparsers(dest="ctx_cmd", required=True)
     p = contexts.add_parser("create")
@@ -207,6 +215,20 @@ def main(argv: list[str] | None = None) -> int:
             elif args.sched_cmd == "run-due":
                 records = store.run_due(_spark())
                 print(json.dumps([r.__dict__ for r in records]))
+            elif args.sched_cmd == "daemon":
+                from etl_core_spark.plans.store import run_scheduler
+
+                def _report(sweep, records):
+                    print(json.dumps({
+                        "sweep": sweep,
+                        "executed": [r.__dict__ for r in records],
+                    }), flush=True)
+
+                sweeps = run_scheduler(
+                    store, _spark(), interval_s=args.interval,
+                    max_sweeps=args.max_sweeps, on_sweep=_report,
+                )
+                print(json.dumps({"sweeps": sweeps}))
         elif args.cmd == "contexts":
             if args.ctx_cmd == "create":
                 print(store.create_context(args.context_id, json.loads(args.mapping_json)))

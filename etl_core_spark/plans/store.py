@@ -470,3 +470,44 @@ class JobStore:
 
     def close(self) -> None:
         self._conn.close()
+
+
+def run_scheduler(
+    store: "JobStore",
+    spark,
+    interval_s: float = 30.0,
+    stop_event=None,
+    max_sweeps: int | None = None,
+    now_fn=time.time,
+    on_sweep=None,
+) -> int:
+    """Foreground scheduler daemon: sweep ``run_due`` every
+    ``interval_s`` seconds until ``stop_event`` is set (or
+    ``max_sweeps`` sweeps, for bounded runs/tests). Reference parity:
+    the FastAPI lifespan's 30 s APScheduler sync loop
+    (``src/etl_core/main.py:100-173``) — here a plain loop the caller
+    owns (CLI ``schedule daemon``, a systemd unit, or a thread beside
+    the API server) instead of an embedded background scheduler.
+
+    Fixed-rate: each sweep's own duration is subtracted from the
+    sleep, so drift does not accumulate; a sweep longer than the
+    interval triggers the next sweep immediately. ``stop_event.wait``
+    doubles as the sleep, so shutdown is responsive mid-interval.
+    Per-schedule failure isolation lives in ``run_due`` itself.
+    Returns the number of sweeps performed.
+    """
+    import threading
+
+    stop_event = stop_event if stop_event is not None else threading.Event()
+    sweeps = 0
+    while not stop_event.is_set():
+        started = now_fn()
+        records = store.run_due(spark, now=started)
+        sweeps += 1
+        if on_sweep is not None:
+            on_sweep(sweeps, records)
+        if max_sweeps is not None and sweeps >= max_sweeps:
+            break
+        delay = max(0.0, float(interval_s) - (now_fn() - started))
+        stop_event.wait(delay)
+    return sweeps

@@ -380,3 +380,40 @@ def test_cli_explain(spark, tmp_path, capsys):
                   if str(c.get("comp_type", "")).startswith("write_")]
     import os
     assert sink_paths and not any(os.path.exists(p) for p in sink_paths)
+
+
+def test_scheduler_daemon_loop(spark, tmp_path):
+    """run_scheduler: fixed-rate sweeps with an injectable clock, a
+    bounded max_sweeps exit, responsive stop_event shutdown, and
+    per-sweep reporting. A schedule due every sweep executes every
+    sweep (next_due advances through run_due)."""
+    import threading
+    import time
+
+    from etl_core_spark.plans.store import run_scheduler
+
+    store = JobStore(tmp_path / "jobs.db")
+    job_id = store.create_job(make_job_config(tmp_path))
+    store.create_schedule(job_id, interval_seconds=10.0)
+
+    clock = {"t": time.time() + 1}
+
+    def now_fn():
+        clock["t"] += 11  # each call advances past the 10 s interval
+        return clock["t"]
+
+    seen = []
+    sweeps = run_scheduler(
+        store, spark, interval_s=0.0, max_sweeps=3, now_fn=now_fn,
+        on_sweep=lambda s, recs: seen.append((s, [r.status for r in recs])),
+    )
+    assert sweeps == 3
+    assert [s for s, _ in seen] == [1, 2, 3]
+    # the schedule was due on every sweep (clock jumps past interval)
+    assert all(statuses == ["SUCCESS"] for _, statuses in seen)
+    assert len(store.list_executions(job_id)) >= 3
+
+    # stop_event set up-front: zero sweeps, immediate return
+    ev = threading.Event()
+    ev.set()
+    assert run_scheduler(store, spark, stop_event=ev) == 0
