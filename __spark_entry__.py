@@ -3023,8 +3023,8 @@ _MINHASH_PAIRS_SELECT = """SELECT id_a, id_b,
 FROM cand
 JOIN dsh x ON x.doc_id = id_a
 JOIN dsh y ON y.doc_id = id_b
-WHERE len(list_intersect(x.ds, y.ds))
-      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+WHERE round(len(list_intersect(x.ds, y.ds))
+      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6) >= 0.5
 """
 
 _SQL_MINHASH_PAIRS = f"""WITH {_MINHASH_PAIRS_CTES}
@@ -3058,8 +3058,8 @@ SELECT x.doc_id AS id_a, y.doc_id AS id_b,
              / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6)
          AS jaccard
 FROM dsh x JOIN dsh y ON x.doc_id < y.doc_id
-WHERE len(list_intersect(x.ds, y.ds))
-      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE) >= 0.5
+WHERE round(len(list_intersect(x.ds, y.ds))
+      / CAST(len(list_distinct(list_cat(x.ds, y.ds))) AS DOUBLE), 6) >= 0.5
 """
 
 

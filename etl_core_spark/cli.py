@@ -218,17 +218,25 @@ def main(argv: list[str] | None = None) -> int:
             elif args.sched_cmd == "daemon":
                 from etl_core_spark.plans.store import run_scheduler
 
+                state = {"sweeps": 0}
+
                 def _report(sweep, records):
+                    state["sweeps"] = sweep
                     print(json.dumps({
                         "sweep": sweep,
                         "executed": [r.__dict__ for r in records],
                     }), flush=True)
 
-                sweeps = run_scheduler(
-                    store, _spark(), interval_s=args.interval,
-                    max_sweeps=args.max_sweeps, on_sweep=_report,
-                )
-                print(json.dumps({"sweeps": sweeps}))
+                try:
+                    state["sweeps"] = run_scheduler(
+                        store, _spark(), interval_s=args.interval,
+                        max_sweeps=args.max_sweeps, on_sweep=_report,
+                    )
+                except KeyboardInterrupt:
+                    # Ctrl-C is the documented stop for the default
+                    # unbounded mode — clean summary, exit 0
+                    pass
+                print(json.dumps({"sweeps": state["sweeps"]}))
         elif args.cmd == "contexts":
             if args.ctx_cmd == "create":
                 print(store.create_context(args.context_id, json.loads(args.mapping_json)))

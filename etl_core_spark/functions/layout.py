@@ -86,7 +86,10 @@ def zvalue(df: DataFrame, cols: list[str], method: str = "range") -> DataFrame:
                 lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
             )
             bucket = F.coalesce(bucket, F.lit(0))  # NULL value -> first cell
-            z = z + _spread_bits(bucket, n, i)
+            # buckets are 8-bit here: spreading the default 16 would
+            # generate 8 always-zero terms per dimension (and put the
+            # top dead term on the sign bit at 4 dims)
+            z = z + _spread_bits(bucket, n, i, _QBITS)
         return with_stats.withColumn("__z", z).drop(
             *[f"__qs_{c}" for c in cols]
         )

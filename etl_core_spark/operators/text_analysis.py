@@ -204,10 +204,11 @@ def chunk_documents(
     return exploded.select(
         F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        # chunk_idx FIRST: it is digits-only, so the first ':' always
+        # chunk_idx FIRST: it is digits-only, so the FIRST ':' always
         # splits unambiguously even when document ids themselves
-        # contain ':' (id-first would collide: doc 'a:1' chunk 2 and
-        # doc 'a' chunk 12 both give 'a:1:2')
+        # contain ':'. (id-first is also injective, but only under a
+        # split-on-LAST-colon rule — consumers naturally split on the
+        # first, and that rule DID collide for colon-bearing ids)
         F.concat_ws(
             ":", F.col("chunk_idx").cast("string"), F.col(id_col).cast("string")
         ).alias("chunk_id"),

@@ -78,6 +78,8 @@ def tokenize(sql: str, quote: str) -> list[Tok]:
     rejected — a template that quotes with the wrong dialect's
     characters must not parse."""
     toks: list[Tok] = []
+    sql = sql.rstrip()  # \s* consumes leading/inter-token whitespace;
+    # a whitespace-only tail would otherwise fail the match below
     pos = 0
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
@@ -105,9 +107,6 @@ def tokenize(sql: str, quote: str) -> list[Tok]:
             toks.append(Tok("QMARK", "?"))
         else:
             toks.append(Tok("PUNCT", m.group("punct")))
-    # trailing whitespace check: _TOKEN_RE consumes leading spaces only
-    if sql[pos:].strip():
-        raise DmlParseError(f"trailing garbage: {sql[pos:]!r}")
     return toks
 
 

@@ -78,7 +78,11 @@ def main() -> int:
             elif base.endswith("[]"):
                 ok = st.startswith("array")
             else:
-                ok = any(st.startswith(p) for p in _OK.get(base, {st}))
+                # unknown DuckDB types FLAG (the stated contract) —
+                # a default-pass here would wave through exactly the
+                # q12-HUGEINT class of bug for e.g. UBIGINT
+                allowed = _OK.get(base)
+                ok = bool(allowed) and any(st.startswith(p) for p in allowed)
             if not ok:
                 bad.append((name, col, f"duckdb={dt} spark={st}"))
     for row in bad:
