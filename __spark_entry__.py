@@ -2582,6 +2582,71 @@ ON d.doc_id = s.doc_id
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style in-document repetition metrics
+    (operators/text_analysis.py annotate): duplicate-line fraction,
+    duplicate-line CHARACTER fraction, and the fraction of characters
+    covered by the most frequent word 2-gram. All three are per-row
+    array expressions (sort + adjacency / one fold) — zero shuffle;
+    the oracle recomputes them relationally (unnest + group by)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("text_analysis")(
+        metrics=["dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"],
+    ).apply({"in": docs})["out"]
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"
+    )
+
+
+_SQL_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> length(trim(x)) > 0) AS lines,
+         {_TOKS} AS toks
+  FROM documents
+), lf AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN round(1 - len(list_distinct(lines))
+                         / CAST(len(lines) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM t
+), lc AS (
+  SELECT doc_id,
+         round(COALESCE(sum(length(line) * c) FILTER (c > 1), 0)
+               / CAST(sum(length(line) * c) AS DOUBLE), 6) AS dup_line_char_frac
+  FROM (
+    SELECT doc_id, line, count(*) AS c
+    FROM (SELECT doc_id, unnest(lines) AS line FROM t)
+    GROUP BY doc_id, line
+  )
+  GROUP BY doc_id
+), gc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_shingles_sql(2)}) AS g FROM t)
+  GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, g ASC) AS rn
+  FROM gc
+)
+SELECT t.doc_id,
+       lf.dup_line_frac,
+       COALESCE(lc.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       COALESCE(round(top.c * length(top.g)
+                      / CAST(length(t.text) AS DOUBLE), 6), 0.0)
+         AS top_bigram_char_frac
+FROM t
+JOIN lf USING (doc_id)
+LEFT JOIN lc USING (doc_id)
+LEFT JOIN top ON top.doc_id = t.doc_id AND top.rn = 1
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decontaminate operator (operators/text_analysis.py):
     GPT-3-style train-test contamination check — training docs
@@ -3808,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "gaps_islands_per_key": q_gaps_islands_per_key,
         "decontaminate": q_decontaminate,
+        "repetition_metrics": q_repetition_metrics,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q8_market_share": q_q8_market_share,
         "q11_important_parts": q_q11_important_parts,
@@ -3953,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
         "gaps_islands": _SQL_GAPS_ISLANDS,
         "gaps_islands_per_key": _SQL_GAPS_ISLANDS_PER_KEY,
         "decontaminate": _SQL_DECONTAMINATE,
+        "repetition_metrics": _SQL_REPETITION,
         "top_n_per_group": _SQL_TOP_N_PER_GROUP,
         "events_json_filter": _SQL_EVENTS_JSON,
         "json_expand": _SQL_JSON_EXPAND,

@@ -395,3 +395,78 @@ def winnow_select(hashes: Column, window: int = 4) -> Column:
     return F.when(
         F.size(hashes) > 0, F.array_sort(F.array_distinct(mins))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Gopher-style repetition rule: fraction of (non-empty) LINES
+    that are duplicates of another line in the same document.
+    Pure per-row array expression — zero shuffle."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(lines)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Fraction of line CHARACTERS living in duplicated lines (a doc
+    where one short line repeats is less damaged than one where a long
+    paragraph does — Gopher weights by mass). A line is duplicated iff
+    it equals a neighbor in the SORTED line array, so the check is
+    per-row sort + adjacency, no per-doc grouping."""
+    lines = F.array_sort(_nonempty_lines(col))
+    n = F.size(lines)
+
+    def dup_len(x, i):
+        # two-parameter HOF lambdas are (element, index); index 0-based,
+        # element_at is 1-based
+        prev_eq = (i > 0) & (x == F.element_at(lines, i))
+        next_eq = (i < n - 1) & (x == F.element_at(lines, i + 2))
+        return F.when(prev_eq | next_eq, F.length(x)).otherwise(F.lit(0))
+
+    dup_chars = F.aggregate(
+        F.transform(lines, dup_len), F.lit(0), lambda a, b: a + b
+    )
+    total = F.aggregate(
+        F.transform(lines, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    return F.when(total > 0, dup_chars / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_bigram_char_frac(col: Column) -> Column:
+    """Fraction of document characters covered by the most frequent
+    word 2-gram (count x gram length / doc length) — the Gopher
+    'top n-gram' repetition rule. Run-length over the SORTED 2-gram
+    array via one fold (struct accumulator: previous gram, current
+    run, best run, best gram); ties break to the lexicographically
+    first gram (strict > keeps the earliest max in sorted order).
+    Interpreted HOF, but per-row and shuffle-free — the right shape
+    for a corpus-wide narrow map."""
+    grams = F.array_sort(shingles(col, 2))
+    n = F.size(grams)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    folded = F.aggregate(grams, init, step)
+    return F.when(
+        (n > 0) & (F.length(col) > 0),
+        folded["best"] * F.length(folded["bestg"]) / F.length(col).cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -25,6 +25,9 @@ AVAILABLE_METRICS = (
     "lang_pred",
     "lang_pred_ngram",
     "fingerprint",
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "top_bigram_char_frac",
 )
 
 
@@ -44,6 +47,9 @@ def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = A
         "lang_pred": lambda: X.lang_id(col),
         "lang_pred_ngram": lambda: X.lang_id_ngram(col),
         "fingerprint": lambda: F.md5(col),
+        "dup_line_frac": lambda: F.round(X.dup_line_frac(col), 6),
+        "dup_line_char_frac": lambda: F.round(X.dup_line_char_frac(col), 6),
+        "top_bigram_char_frac": lambda: F.round(X.top_bigram_char_frac(col), 6),
     }
     out = df
     for m in metrics:

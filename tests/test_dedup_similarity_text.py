@@ -417,3 +417,35 @@ def test_decontaminate_flags_benchmark_overlap(spark):
         {"docs": docs, "benchmark": bench}
     )["out"]
     assert out2.count() == 5
+
+
+def test_repetition_metrics_values(spark):
+    """Gopher repetition rules: exact fractions on hand-computed
+    docs; empty/null/whitespace docs are all-zero."""
+    from etl_core_spark.operators.text_analysis import annotate
+
+    rows = [
+        (1, "aaa\nbbb\naaa\nccc"),   # line 'aaa' repeats
+        (2, "x y x y x y"),          # 'x y' bigram dominates
+        (3, ""), (4, None), (5, "  \n \n"),
+        (6, "unique one\nunique two\nunique three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"],
+                      r["top_bigram_char_frac"])
+        for r in annotate(
+            df, metrics=("dup_line_frac", "dup_line_char_frac",
+                         "top_bigram_char_frac")
+        ).collect()
+    }
+    assert got[1] == (0.25, 0.5, pytest.approx(7 / 15, abs=1e-6))
+    assert got[2] == (0.0, 0.0, pytest.approx(9 / 11, abs=1e-6))
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0)
+    # newline-bearing whitespace-only text: trim() strips SPACES only
+    # (both engines), so tokenization yields empty-string tokens and
+    # the degenerate ' ' bigram scores 1/len — line metrics stay 0.
+    # Pinned because the oracle reproduces exactly this.
+    assert got[5] == (0.0, 0.0, 0.2)
+    assert got[6][0] == 0.0 and got[6][1] == 0.0
