@@ -45,12 +45,20 @@ def salted_join(
 
 def skewness_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Per-key row counts + share of total — the diagnostic to decide
-    between AQE, salting, and broadcast."""
-    total = df.count()
+    between AQE, salting, and broadcast.
+
+    The total rides the plan as a broadcast one-row aggregate (the
+    engine's lazy contract): an eager ``df.count()`` here scanned the
+    full relation at plan-BUILD time and again for the groupBy. The
+    total is summed from the per-key aggregate itself, so the two
+    subtrees share an IDENTICAL shuffle and ReuseExchange collapses
+    them — ONE corpus scan for the whole diagnostic."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("__total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("__total"), 6))
+        .drop("__total")
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )

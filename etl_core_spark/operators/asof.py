@@ -45,6 +45,12 @@ def as_of_join(
     Ties on the same timestamp: a right row at exactly ``left_ts``
     matches (non-strict), and among equal right timestamps the
     last-sorted one wins — matching DuckDB ASOF JOIN semantics.
+
+    All ``value_cols`` are carried as ONE struct so they always come
+    from the SAME right row. Carrying each column independently with
+    ``last(col, ignorenulls)`` would mix columns across rows whenever
+    the latest right row holds a NULL in one of them (v1 from an older
+    row, v2 from the newer — a row that never existed).
     """
     for c in value_cols:
         if c not in right.columns:
@@ -58,14 +64,14 @@ def as_of_join(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     l_cols = left.columns
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(left_tag).alias("__tag"),
-        *[F.lit(None).cast(r.schema[f"__v_{c}"].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(r.schema["__v"].dataType).alias("__v"),
         F.struct(*[F.col(c) for c in l_cols]).alias("__row"),
     )
     r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
@@ -79,14 +85,11 @@ def as_of_join(
     carried = unioned.select(
         "__tag",
         "__row",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
+        F.last("__v", ignorenulls=True).over(w).alias("__c"),
     )
     out = carried.filter(F.col("__tag") == left_tag).select(
         *[F.col("__row")[c].alias(c) for c in l_cols],
-        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+        *[F.col("__c")[c].alias(c) for c in value_cols],
     )
     return out
 
@@ -132,6 +135,16 @@ def range_join(
     if how not in ("inner", "left"):
         raise OperatorConfigError("range_join supports inner/left")
     bw = float(bucket_width)
+    # interval columns colliding with point columns get an _r suffix
+    # (interval_join's convention): the unsuffixed join produced
+    # ambiguous references that broke the `left` branch at analysis
+    renames = {
+        c: (c + "_r" if c in points.columns else c) for c in intervals.columns
+    }
+    intervals = intervals.select(
+        *[F.col(c).alias(renames[c]) for c in intervals.columns]
+    )
+    lo_col, hi_col = renames[lo_col], renames[hi_col]
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -142,9 +155,11 @@ def range_join(
         ),
     )
     if broadcast_intervals is None:
+        from etl_core_spark.session import estimated_size_bytes
+
         try:
-            size = int(str(intervals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-            if 0 <= size <= (8 << 20):
+            size = estimated_size_bytes(intervals)
+            if size is not None and size <= (8 << 20):
                 probe = intervals.select(
                     F.count(F.lit(1)).alias("n"),
                     F.sum(

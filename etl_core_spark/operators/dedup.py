@@ -128,6 +128,14 @@ def minhash_candidates_from_shingles(
     for identical content, and pairs within a dropped hot band are
     identical-signature by construction.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would give zero rows per band — every doc
+        # the SAME band keys and an O(n²) self-join; a non-dividing
+        # bands silently ignores trailing hashes. Both are config
+        # mistakes, not tunings: fail loudly.
+        raise OperatorConfigError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     # zero-shingle docs are excluded BEFORE the signature aggregate
     # (size 0 <=> all-NULL signature, so this is the same doc set as

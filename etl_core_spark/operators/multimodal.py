@@ -83,33 +83,42 @@ def extract_features(
     max_records_per_batch: int = 256,
 ) -> DataFrame:
     """Binary payloads → (id, n_bytes, sha256, feature[dim]) via
-    mapInPandas. Narrow map; batch size bounded for blob memory."""
+    mapInPandas, processing at most ``max_records_per_batch`` rows at
+    a time.
+
+    The cap is enforced by SLICING inside the UDF: the session conf
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is read at
+    EXECUTION time, so setting it around this (lazy) plan build and
+    restoring it in a ``finally`` reverted it before any action ran —
+    the cap never applied (a 32-row corpus arrived as one 32-row
+    batch). Slicing bounds the per-step working set regardless of the
+    session conf; for the Arrow TRANSFER batch itself, set the conf
+    session-wide when ingesting 100 MB-blob columns (see session.py
+    note)."""
+
+    cap = max(1, int(max_records_per_batch))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
-                    ),
-                    "feature": _decode_image_batch(payloads, feature_dim),
-                }
-            )
+        for whole in batches:
+            for start in range(0, len(whole), cap):
+                pdf = whole.iloc[start:start + cap]
+                payloads = pdf[payload_col]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col],
+                        "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
+                        "sha256": payloads.map(
+                            lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                        ),
+                        "feature": _decode_image_batch(payloads, feature_dim),
+                    }
+                )
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch))
-    try:
-        from etl_core_spark.session import ensure_parallelism
+    from etl_core_spark.session import ensure_parallelism
 
-        return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
-            op, FEATURE_SCHEMA
-        )
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, FEATURE_SCHEMA
+    )
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000, id_col: str = "media_id") -> DataFrame:

@@ -35,11 +35,10 @@ def _fits_broadcast(df: DataFrame, limit_bytes: int = 8 << 20) -> bool:
     unconditional hint is a guaranteed OOM — the guard keeps the hint
     a stats-backed promise (same policy as range_join,
     operators/asof.py)."""
-    try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        return 0 <= size <= limit_bytes
-    except Exception:
-        return False
+    from etl_core_spark.session import estimated_size_bytes
+
+    size = estimated_size_bytes(df)
+    return size is not None and size <= limit_bytes
 
 
 def brute_force_topk(
@@ -135,8 +134,13 @@ def brute_force_topk_numpy(
             f"scale to this corpus — use lsh_topk or ivf_topk (or "
             f"raise max_corpus_rows if the driver can hold it)"
         )
+    # id dtype follows the corpus schema ('Same contract as
+    # brute_force_topk', which handles any orderable id type) — a
+    # hardcoded int64 crashed on string ids at plan-build time
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[0] for r in rows])  # numeric or object dtype
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-300)
@@ -165,8 +169,10 @@ def brute_force_topk_numpy(
                 # rank by (-cosine, corpus id); c_ids already ascending
                 top = np.lexsort((c_ids, -sims[qi]))[:k_]
                 for rank, ci in enumerate(top, start=1):
+                    cid = c_ids[ci]
                     out_rows.append(
-                        (int(pdf[query_id_col].iloc[qi]), int(c_ids[ci]),
+                        (pdf[query_id_col].iloc[qi],
+                         cid.item() if hasattr(cid, "item") else cid,
                          float(sims[qi][ci]), rank)
                     )
             yield pd.DataFrame(
@@ -180,7 +186,10 @@ def brute_force_topk_numpy(
     )
     return q_in.mapInPandas(
         score,
-        schema=f"{query_id_col} long, {id_col} long, cosine double, rank long",
+        schema=(
+            f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+            "cosine double, rank long"
+        ),
     )
 
 
@@ -242,9 +251,14 @@ def lsh_topk(
     ``lsh_bucketed``), raise num_planes for precision / lower for
     recall within each table."""
     # hyperplane signs are scale-invariant → bucketing the unit
-    # vectors gives identical buckets and a dot-only rescoring stage
+    # vectors gives identical buckets and a dot-only rescoring stage.
+    # Zero-norm corpus vectors (failed-embedding-job output) all share
+    # one sign pattern — millions of them is one hot bucket scoring
+    # cosine 0.0 against every probing query — so they are dropped
+    # pre-bucketing, same guard as cosine_near_dup_pairs.
+    c_unit = V.select_unit(corpus, (F.col(id_col), "__corpus_id"), vec_col, "__cv")
     c = lsh_bucketed(
-        V.select_unit(corpus, (F.col(id_col), "__corpus_id"), vec_col, "__cv"),
+        c_unit.where(V.norm(F.col("__cv")) > 0),
         "__cv", dim, num_planes, seed, num_tables,
     )
     q = lsh_bucketed(

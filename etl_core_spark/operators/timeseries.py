@@ -47,7 +47,21 @@ def zscore_outliers(
     ]
     if group_cols:
         stats = df.groupBy(*group_cols).agg(*stats_aggs)
-        joined = df.join(_maybe_broadcast(stats, broadcast_stats), on=group_cols)
+        # eqNullSafe per key: groupBy KEEPS null-key groups (their
+        # stats exist), but a plain equi-join would silently DROP
+        # every null-key row on the way back — an annotate operator
+        # must never change the row count (same bug class as
+        # exact_dedup's survivor join)
+        stats_r = stats.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__mean", "__std"
+        )
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(
+            _maybe_broadcast(stats_r, broadcast_stats), on=cond
+        ).drop(*[f"__g_{c}" for c in group_cols])
     else:
         # global stats: exactly one row — always broadcastable
         stats = df.agg(*stats_aggs)
@@ -83,7 +97,10 @@ def densify_buckets(
 
     Plan shape: one aggregation to buckets; one tiny per-key span
     aggregate exploded via ``sequence`` (bounded by span/step rows
-    per key); a left join from the dense spine to the sparse buckets.
+    per key); a FULL OUTER join between the dense spine and the
+    sparse buckets — observed buckets that do not land on the
+    min+k*step grid (irregular data) keep their rows and aggregates
+    instead of being silently dropped by a spine-sided left join.
     The spine is proportional to the OUTPUT, never the input."""
     agg_cols = agg_cols or {"n": "count:*"}
     aggs = []
@@ -107,7 +124,7 @@ def densify_buckets(
             bucket_col
         ),
     )
-    out = spine.join(sparse, on=[*key_cols, bucket_col], how="left")
+    out = spine.join(sparse, on=[*key_cols, bucket_col], how="full")
     for out_name in agg_cols:
         # fill in the column's OWN dtype (a count stays long; 0.0
         # would silently widen it to double and break schema parity)
@@ -119,23 +136,11 @@ def densify_buckets(
 
 
 def _maybe_broadcast(df: DataFrame, force: bool | None, cap_bytes: int = 8 << 20):
-    """Stats-gated broadcast hint (the range_join policy): ``True``
-    forces, ``False`` never, ``None`` applies the hint only when the
-    optimizer's size estimate fits under ``cap_bytes`` — an explicit
-    hint bypasses autoBroadcastJoinThreshold, so an unconditional one
-    is an OOM promise at scale."""
-    if force is False:
-        return df
-    if force is None:
-        try:
-            size = int(
-                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            )
-        except Exception:
-            return df
-        if not 0 <= size <= cap_bytes:
-            return df
-    return F.broadcast(df)
+    """Stats-gated broadcast hint — delegates to the engine-wide
+    policy (session.maybe_broadcast) so all gates stay in sync."""
+    from etl_core_spark.session import maybe_broadcast
+
+    return maybe_broadcast(df, force, cap_bytes)
 
 
 def funnel(

@@ -166,3 +166,35 @@ def ensure_parallelism(
     if current > 2 * cap and cap < target:
         return df.coalesce(cap)
     return df
+
+
+def estimated_size_bytes(df) -> int | None:
+    """Optimizer size estimate for a relation, or None when unknown
+    (LogicalRDD from createDataFrame, huge sentinel values, any
+    introspection failure). The SINGLE source of truth for every
+    stats-gated broadcast decision in the engine — keep the policy in
+    one place so a cap or API change cannot diverge the gates."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        return size if size >= 0 else None
+    except Exception:  # noqa: BLE001 - introspection is best-effort
+        return None
+
+
+def maybe_broadcast(df, force: bool | None, cap_bytes: int = 8 << 20):
+    """Stats-gated broadcast hint: ``True`` forces, ``False`` never,
+    ``None`` hints only when the optimizer BOUNDS the relation under
+    ``cap_bytes``. Spark hard-caps broadcasts at 8 GB and an explicit
+    hint bypasses autoBroadcastJoinThreshold, so an unconditional hint
+    on an unbounded relation is an OOM promise at scale."""
+    from pyspark.sql import functions as F
+
+    if force is False:
+        return df
+    if force is None:
+        size = estimated_size_bytes(df)
+        if size is None or size > cap_bytes:
+            return df
+    return F.broadcast(df)

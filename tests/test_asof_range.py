@@ -217,3 +217,33 @@ def test_interval_join_null_bounds_never_match(spark):
     )
     out = interval_join(a, b, "lo", "hi", "lo_r", "hi_r", 4.0)
     assert {(r["a_id"], r["b_id"]) for r in out.collect()} == {(1, 1)}
+
+
+def test_asof_null_value_in_latest_right_row_not_mixed(spark):
+    """value_cols travel as one struct: when the LATEST right row has
+    v1=NULL, the output must be (NULL, 30) from that row — not v1
+    resurrected from an older row (a row that never existed)."""
+    from etl_core_spark.operators.asof import as_of_join
+
+    right = spark.createDataFrame(
+        [(1, 1.0, 10.0, 20.0), (1, 2.0, None, 30.0)],
+        "k long, ts double, v1 double, v2 double",
+    )
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    row = as_of_join(left, right, "k", "ts", "ts", ["v1", "v2"]).collect()[0]
+    assert row["v1"] is None and row["v2"] == 30.0
+
+
+def test_range_join_suffixes_colliding_columns(spark):
+    """Points and intervals sharing a column name ('id' is the natural
+    case) must not produce ambiguous references — interval columns get
+    the _r suffix, and the left branch works."""
+    points = spark.createDataFrame([(1, 10.0), (2, 999.0)], "id long, x double")
+    bands = spark.createDataFrame(
+        [(7, 0.0, 100.0)], "id long, lo double, hi double"
+    )
+    inner = range_join(points, bands, "x", "lo", "hi", bucket_width=50.0)
+    assert set(inner.columns) == {"id", "x", "id_r", "lo", "hi"}
+    assert [(r["id"], r["id_r"]) for r in inner.collect()] == [(1, 7)]
+    left = range_join(points, bands, "x", "lo", "hi", bucket_width=50.0, how="left")
+    assert left.count() == 2

@@ -449,3 +449,41 @@ def test_repetition_metrics_values(spark):
     # Pinned because the oracle reproduces exactly this.
     assert got[5] == (0.0, 0.0, 0.2)
     assert got[6][0] == 0.0 and got[6][1] == 0.0
+
+
+def test_numpy_topk_string_ids(spark):
+    """The numpy kernel advertises brute_force_topk's contract, which
+    includes non-integer id columns — the id dtype now follows the
+    corpus schema instead of a hardcoded int64."""
+    from etl_core_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_numpy,
+    )
+
+    emb = spark.createDataFrame(
+        [(f"doc-{i}", [float(i == j) for j in range(4)]) for i in range(6)],
+        "vec_id string, embedding array<double>",
+    )
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"], r["rank"])
+             for r in brute_force_topk(emb, queries, k=3,
+                                       broadcast_corpus=True).collect()}
+    kernel = {(r["query_id"], r["vec_id"], r["rank"])
+              for r in brute_force_topk_numpy(emb, queries, k=3).collect()}
+    assert kernel == exact
+
+
+def test_lsh_topk_drops_zero_norm_corpus_vectors(spark):
+    """Zero vectors (failed-embedding output) all share one hyperplane
+    sign pattern — a hot bucket of useless cosine-0 candidates — and
+    are dropped pre-bucketing (the cosine_near_dup guard)."""
+    from etl_core_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [0.0] * 8) for i in range(20)] + [
+        (100, [1.0] + [0.0] * 7), (101, [0.99, 0.1] + [0.0] * 6),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") == 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=8, k=10, num_planes=2, num_tables=4).collect()
+    assert all(r["vec_id"] in (100, 101) for r in out)

@@ -783,3 +783,16 @@ def test_jaccard_dedup_operator_method(spark):
     assert {r["doc_id"] for r in out.collect()} == {1, 3}  # 2 deduped
     with _pytest.raises(Exception, match="threshold"):
         jaccard_dedup_pairs(df, "text", "doc_id", 1.5).collect()
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    """bands > num_hashes would give every doc IDENTICAL band keys
+    (rows-per-band 0 -> one O(n^2) bucket); non-dividing bands would
+    silently drop trailing hashes. Both raise."""
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.dedup import minhash_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for nh, b in ((16, 32), (16, 3), (16, 0)):
+        with pytest.raises(OperatorConfigError, match="must divide"):
+            minhash_candidates(df, "text", "doc_id", num_hashes=nh, bands=b)

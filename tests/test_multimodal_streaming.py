@@ -91,3 +91,22 @@ def test_streaming_windowed_aggregate(spark, tmp_path, tables):
     result = spark.read.parquet(str(out_dir))
     n_days = tables["events"].select(F.date_trunc("day", "ts")).distinct().count()
     assert result.count() >= n_days - 1
+
+
+def test_extract_features_slices_batches_without_touching_session_conf(spark):
+    """The batch cap is enforced by slicing INSIDE the UDF — the old
+    set-conf/restore-in-finally pattern reverted the session conf
+    before any action ran, so the cap never applied. The session conf
+    must stay untouched and results must be identical at any cap."""
+    from etl_core_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=32)
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    tight = {tuple(r) for r in extract_features(media, max_records_per_batch=4)
+             .select("media_id", "sha256").collect()}
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    ) == before
+    loose = {tuple(r) for r in extract_features(media, max_records_per_batch=10_000)
+             .select("media_id", "sha256").collect()}
+    assert tight == loose and len(tight) == 32

@@ -211,3 +211,29 @@ def test_funnel_broadcast_modes(spark):
     hinted = funnel(df, "user_id", "ts", "event_type", ["view", "click"],
                     broadcast_stages=True)
     assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_zscore_keeps_null_group_rows(spark):
+    """Annotate operators must not change row count: a NULL group key
+    forms its own group (groupBy keeps it) and the stats join-back is
+    null-safe, so the row survives with its own group's stats."""
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = zscore_outliers(df, "value", ["g"], threshold=1.0)
+    assert out.count() == 4
+    nulls = out.where(F.col("g").isNull()).collect()
+    assert len(nulls) == 2
+    assert all(r["mean"] == 6.0 for r in nulls)  # stats from the NULL group
+
+
+def test_densify_keeps_off_grid_buckets(spark):
+    """Observed buckets that don't land on the min+k*step grid must
+    keep their rows and aggregates (full outer with the spine), not
+    vanish under a spine-sided left join."""
+    df = spark.createDataFrame(
+        [("x", 0), ("x", 5), ("x", 7)], "k string, bucket int"
+    )
+    out = densify_buckets(df, ["k"], "bucket", F.lit(2), {"n": "count:*"})
+    got = {r["bucket"]: r["n"] for r in out.collect()}
+    # grid 0,2,4,6 filled; observed off-grid 5 and 7 retained
+    assert got == {0: 1, 2: 0, 4: 0, 6: 0, 5: 1, 7: 1}
