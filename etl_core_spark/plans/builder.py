@@ -34,7 +34,7 @@ class PlanBuilder:
         self,
         spark: SparkSession,
         job: JobConfig,
-        strict_schemas: bool = True,
+        strict_schemas: bool = False,  # keep in sync with build_job
         observe_metrics: bool = True,
     ):
         self.spark = spark
@@ -195,6 +195,20 @@ class PlanBuilder:
                         f"{comp.name}.{port}: unexpected extra columns {extra} "
                         "(strict mode)"
                     )
+                # declared TYPES are part of the strict contract: a
+                # declared integer backed by a string column must fail
+                # at BUILD time, not deep inside a downstream
+                # aggregation (name-presence alone defeated the
+                # advertised build-time schema gate)
+                actual_types = {f.name: f.dataType for f in actual.fields}
+                for fld in expected.fields:
+                    got = actual_types[fld.name]
+                    if got.simpleString() != fld.dataType.simpleString():
+                        raise JobConfigError(
+                            f"{comp.name}.{port}.{fld.name}: declared "
+                            f"{fld.dataType.simpleString()} but the plan "
+                            f"produces {got.simpleString()} (strict mode)"
+                        )
 
 
 def build_job(

@@ -98,7 +98,7 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     # -- file / table sources & sinks ---------------------------------
     "read_csv": [
         _FILEPATH,
-        f("separator", "string", default=",", enum=[",", ";", "\t", "|"]),
+        f("separator", "string", default=",", enum=[",", ";", "\t"]),
         _SCHEMA_FIELD,
     ],
     "write_csv": [
@@ -132,7 +132,7 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     "read_excel": [
         _FILEPATH,
-        f("sheet_name", "string", default="0"),
+        f("sheet_name", "string", desc="sheet name, or omit for the first sheet"),
         f("npartitions", "integer", default=8, desc="partitions after the driver-side pandas bridge"),
         f("engine", "string", default="auto", desc="auto|pandas (openpyxl)|lite (stdlib zip+XML)"),
         _SCHEMA_FIELD,
@@ -284,6 +284,18 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("key_col", "string", required=True),
         f("rate", "number", default=0.1),
         f("salt", "string", default=""),
+    ],
+    "decontaminate": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("bench_text_col", "string",
+          desc="benchmark-side text column (defaults to text_col)"),
+        f("ngram_n", "integer", default=8,
+          desc="token n-gram size for overlap detection"),
+        f("max_matches", "integer", default=0,
+          desc="flag docs with MORE than this many benchmark n-grams"),
+        f("hash_keys", "boolean", default=False,
+          desc="join on xxhash64(ngram) (narrower shuffle, ~2^-64 phantom risk)"),
     ],
     "near_dup_clusters": [
         f("id_a", "string", default="id_a"),

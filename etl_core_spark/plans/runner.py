@@ -82,10 +82,10 @@ class JobRunner:
             observed: DataFrame = df.observe(obs, _count_expr())
             op.write(observed)
             metrics[sink_name] = {"lines_received": obs.get["count"]}
-        metrics.update(self._component_metrics())
+        metrics.update(self._component_metrics(metrics))
         return metrics
 
-    def _component_metrics(self) -> dict[str, Any]:
+    def _component_metrics(self, sink_metrics: dict[str, Any] | None = None) -> dict[str, Any]:
         """Reference-parity per-component counters
         (``component_metrics.py:4-31``: lines_received / forwarded /
         dismissed), read from the build-time observations — every
@@ -112,11 +112,18 @@ class JobRunner:
         for name, ports in port_counts.items():
             received = None
             inbound = self.builder.inbound_edges.get(name, [])
-            in_counts = [
-                port_counts[src][src_port]
-                for src, src_port, _ in inbound
-                if src in port_counts and src_port in port_counts[src]
-            ]
+            # an edge can also come from a SINK's pass-through out
+            # port (sinks are chainable); those ports are never
+            # observed, but a sink forwards its input unchanged, so
+            # its write-action lines_received IS the edge count —
+            # without this the downstream component read received=0
+            sink_metrics = sink_metrics or {}
+            in_counts = []
+            for src, src_port, _ in inbound:
+                if src in port_counts and src_port in port_counts[src]:
+                    in_counts.append(port_counts[src][src_port])
+                elif src in sink_metrics and "lines_received" in sink_metrics[src]:
+                    in_counts.append(sink_metrics[src]["lines_received"])
             if in_counts or inbound:
                 received = sum(in_counts)
             forwarded = sum(ports.values())

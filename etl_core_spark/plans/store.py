@@ -372,7 +372,15 @@ class JobStore:
                         ),
                     )
                 records.append(record)
-                if isinstance(exc, KeyError):
+                # disable ONLY when the job row is definitively gone.
+                # isinstance(exc, KeyError) also matched ContextError
+                # (a KeyError subclass raised for e.g. an unset secret
+                # env var) — a TRANSIENT failure that must keep
+                # retrying, not permanently kill the schedule.
+                job_gone = type(exc) is KeyError and not self._conn.execute(
+                    "SELECT 1 FROM jobs WHERE job_id = ?", (job_id,)
+                ).fetchone()
+                if job_gone:
                     # the job is gone: disable rather than re-fail forever
                     with self._lock:
                         self._conn.execute(

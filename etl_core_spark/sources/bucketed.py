@@ -30,7 +30,9 @@ class WriteBucketed(SinkOperator):
             raise OperatorConfigError("num_buckets must be positive")
 
     def write(self, df: DataFrame) -> None:
-        cols = list(self.config["bucket_by"])
+        spec = self.config["bucket_by"]
+        # a bare string must mean ONE column, not its characters
+        cols = [spec] if isinstance(spec, str) else list(spec)
         writer = (
             df.write.mode(self.config.get("mode", "overwrite"))
             .format(self.config.get("format", "parquet"))

@@ -15,7 +15,7 @@ installable in this container, so the subset grammar is vendored.
 
 Grammar (EBNF, uppercase = keyword token):
 
-  mysql_upsert   := INSERT INTO ident "(" ident ("," ident)* ")"
+  mysql_upsert   := INSERT [IGNORE] INTO ident "(" ident ("," ident)* ")"
                     VALUES "(" "?" ("," "?")* ")"
                     [ ON DUPLICATE KEY UPDATE assign ("," assign)* ]
   assign         := ident "=" VALUES "(" ident ")"
@@ -23,7 +23,7 @@ Grammar (EBNF, uppercase = keyword token):
   tsql_merge     := MERGE ident AS name USING
                     "(" SELECT sel ("," sel)* ")" AS name
                     ON eq ("AND" eq)*
-                    WHEN MATCHED THEN UPDATE SET set ("," set)*
+                    [ WHEN MATCHED THEN UPDATE SET set ("," set)* ]
                     WHEN NOT MATCHED THEN INSERT "(" ident ("," ident)* ")"
                     VALUES "(" qual ("," qual)* ")" ";"
   sel            := "?" AS ident
@@ -53,6 +53,7 @@ class Tok:
 _KEYWORDS = {
     "INSERT", "INTO", "VALUES", "ON", "DUPLICATE", "KEY", "UPDATE",
     "MERGE", "AS", "USING", "SELECT", "WHEN", "MATCHED", "THEN", "SET",
+    "IGNORE",
     "NOT", "AND", "WHERE",
 }
 
@@ -156,7 +157,11 @@ def parse_mysql_upsert(sql: str) -> dict:
     """Parse and return {table, insert_cols, placeholders, updates}
     where updates = [(target_col, values_col), ...]."""
     p = _Parser(tokenize(sql, "backtick"))
-    p.take("KW", "INSERT"); p.take("KW", "INTO")
+    p.take("KW", "INSERT")
+    ignore = p.at("KW", "IGNORE")
+    if ignore:
+        p.take("KW", "IGNORE")
+    p.take("KW", "INTO")
     table = p.take("IDENT").value
     p.take("PUNCT", "(")
     cols = p.ident_list()
@@ -184,7 +189,7 @@ def parse_mysql_upsert(sql: str) -> dict:
             p.take("PUNCT", ",")
     p.done()
     return {"table": table, "insert_cols": cols, "placeholders": n_ph,
-            "updates": updates}
+            "updates": updates, "ignore": ignore}
 
 
 def parse_tsql_merge(sql: str) -> dict:
@@ -218,13 +223,19 @@ def parse_tsql_merge(sql: str) -> dict:
     while p.at("KW", "AND"):
         p.take("KW", "AND")
         on.append(eq_pair())
-    p.take("KW", "WHEN"); p.take("KW", "MATCHED"); p.take("KW", "THEN")
-    p.take("KW", "UPDATE"); p.take("KW", "SET")
-    sets = [eq_pair()]
-    while p.at("PUNCT", ","):
-        p.take("PUNCT", ",")
-        sets.append(eq_pair())
-    p.take("KW", "WHEN"); p.take("KW", "NOT"); p.take("KW", "MATCHED")
+    # WHEN MATCHED is optional: an all-key link table has nothing to
+    # update, and the writer emits MERGE with only the INSERT branch
+    sets = []
+    p.take("KW", "WHEN")
+    if p.at("KW", "MATCHED"):
+        p.take("KW", "MATCHED"); p.take("KW", "THEN")
+        p.take("KW", "UPDATE"); p.take("KW", "SET")
+        sets = [eq_pair()]
+        while p.at("PUNCT", ","):
+            p.take("PUNCT", ",")
+            sets.append(eq_pair())
+        p.take("KW", "WHEN")
+    p.take("KW", "NOT"); p.take("KW", "MATCHED")
     p.take("KW", "THEN"); p.take("KW", "INSERT"); p.take("PUNCT", "(")
     ins_cols = p.ident_list()
     p.take("PUNCT", ")")

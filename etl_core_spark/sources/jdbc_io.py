@@ -64,19 +64,34 @@ def quote_ident(dialect: str, name: str) -> str:
 def build_upsert_sql(
     dialect: str, table: str, columns: Sequence[str], key_columns: Sequence[str]
 ) -> str:
-    """Per-dialect single-statement upsert with ? placeholders."""
+    """Per-dialect single-statement upsert with ? placeholders.
+
+    A pure link table (every column is a key) has nothing to update
+    on conflict: the empty-SET variants below (DO NOTHING / INSERT
+    IGNORE / MERGE without WHEN MATCHED) keep the statement valid —
+    a trailing empty SET clause is a syntax error in every dialect."""
     q = lambda n: quote_ident(dialect, n)  # noqa: E731
     collist = ", ".join(q(c) for c in columns)
     placeholders = ", ".join("?" for _ in columns)
     non_keys = [c for c in columns if c not in key_columns]
     if dialect == "postgresql":
         conflict = ", ".join(q(c) for c in key_columns)
+        if not non_keys:
+            return (
+                f"INSERT INTO {q(table)} ({collist}) VALUES ({placeholders}) "
+                f"ON CONFLICT ({conflict}) DO NOTHING"
+            )
         updates = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
         return (
             f"INSERT INTO {q(table)} ({collist}) VALUES ({placeholders}) "
             f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
         )
     if dialect == "mariadb":
+        if not non_keys:
+            return (
+                f"INSERT IGNORE INTO {q(table)} ({collist}) "
+                f"VALUES ({placeholders})"
+            )
         updates = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in non_keys)
         return (
             f"INSERT INTO {q(table)} ({collist}) VALUES ({placeholders}) "
@@ -84,13 +99,16 @@ def build_upsert_sql(
         )
     if dialect == "sqlserver":
         on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_columns)
-        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
         src_cols = ", ".join(f"? AS {q(c)}" for c in columns)
         ins_cols = ", ".join(q(c) for c in columns)
         ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+        matched = ""
+        if non_keys:
+            sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+            matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
         return (
             f"MERGE {q(table)} AS t USING (SELECT {src_cols}) AS s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals});"
         )
     raise OperatorConfigError(f"unknown dialect {dialect!r}")
@@ -144,6 +162,11 @@ def bind_named_params(
 def build_update_sql(
     dialect: str, table: str, set_columns: Sequence[str], where_columns: Sequence[str]
 ) -> str:
+    if not set_columns or not where_columns:
+        raise OperatorConfigError(
+            "update requires non-empty set_columns and where_columns "
+            "(an empty SET/WHERE clause is a syntax error)"
+        )
     q = lambda n: quote_ident(dialect, n)  # noqa: E731
     sets = ", ".join(f"{q(c)} = ?" for c in set_columns)
     where = " AND ".join(f"{q(c)} = ?" for c in where_columns)
@@ -182,9 +205,15 @@ def _make_jdbc_read(dialect: str):
             query = c.get("query") or f"SELECT * FROM {c['entity_name']}"
             query = bind_named_params(query, c.get("params"), c["dialect"])
             reader = spark.read.format("jdbc").options(**self._jdbc_options())
-            reader = reader.option("query", query)
             # partitioned parallel read — strict upgrade over the
-            # reference's full materialization
+            # reference's full materialization. Spark FORBIDS the
+            # 'query' option together with 'partitionColumn'
+            # (JDBCOptions raises), so the partitioned path wraps the
+            # query as a 'dbtable' subquery alias instead.
+            if c.get("partitionColumn") is not None:
+                reader = reader.option("dbtable", f"({query}) AS __part_sub")
+            else:
+                reader = reader.option("query", query)
             for k in ("partitionColumn", "lowerBound", "upperBound", "numPartitions", "fetchsize"):
                 if c.get(k) is not None:
                     reader = reader.option(k, str(c[k]))

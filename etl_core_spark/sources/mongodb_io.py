@@ -140,7 +140,16 @@ class ReadMongodb(SourceOperator):
         for d in docs:
             d.pop("_id", None)
         schema = self.declared_schema()
-        return spark.createDataFrame(docs, schema) if schema else spark.createDataFrame(docs)
+        if schema is not None:
+            return spark.createDataFrame(docs, schema)
+        if not docs:
+            # a legitimate empty source (empty collection / filter
+            # matching nothing) must yield an empty DataFrame, not a
+            # 'can not infer schema from empty dataset' crash
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType([]))
+        return spark.createDataFrame(docs)
 
 
 @register_operator("write_mongodb")

@@ -97,7 +97,13 @@ class WriteParquet(SinkOperator):
             if drop_z:
                 df = df.drop("__z")
         elif n:
-            df = df.coalesce(n) if n < (df.rdd.getNumPartitions() or 1) else df.repartition(n)
+            current = df.rdd.getNumPartitions() or 1
+            if n < current:
+                df = df.coalesce(n)
+            elif n > current:
+                df = df.repartition(n)
+            # n == current: a repartition here would be a pure-cost
+            # full shuffle to the same layout
         writer = df.write.mode(self.config.get("mode", "overwrite"))
         if self.config.get("partition_by"):
             writer = writer.partitionBy(*self.config["partition_by"])

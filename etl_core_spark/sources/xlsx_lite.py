@@ -230,7 +230,11 @@ def _sheet_part(zf: zipfile.ZipFile, sheet_name: Optional[object]) -> str:
     target = targets.get(rid)
     if target is None:
         raise ValueError(f"sheet {name!r} has no relationship target")
-    return target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+    # OPC permits ABSOLUTE part targets ('/xl/worksheets/sheet1.xml');
+    # normalize before deciding whether the 'xl/' prefix is needed —
+    # prefixing the un-normalized form produced 'xl/xl/...' KeyErrors
+    target = target.lstrip("/")
+    return target if target.startswith("xl/") else f"xl/{target}"
 
 
 def _cell_text(cell: ET.Element, shared: list[str]) -> Optional[str]:

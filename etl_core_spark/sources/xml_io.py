@@ -120,7 +120,31 @@ class ReadXml(SourceOperator):
             df = reader.load(path)
             df.schema  # force analysis to surface missing-format errors
             return df
-        except Exception:
+        except Exception as exc:
+            # fall back ONLY on format-absence signatures (the mongo
+            # reader's gating policy): a missing path, bad schema, or
+            # malformed rowTag on the native path must SURFACE, not be
+            # silently retried through a slower, semantically
+            # different parser that fails later with an unrelated
+            # error (or worse, succeeds differently)
+            msg = f"{type(exc).__name__}: {exc}"
+            absent = any(
+                sig in msg
+                for sig in (
+                    "DATA_SOURCE_NOT_FOUND",
+                    "Failed to find data source",
+                    "Failed to find the data source",
+                    "ClassNotFoundException",
+                )
+            )
+            if not absent:
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native XML data source unavailable; falling back to "
+                "distributed iterparse for %s", path,
+            )
             return self._fallback_read(spark, path)
 
     def _fallback_read(self, spark, path: str) -> DataFrame:

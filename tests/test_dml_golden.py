@@ -306,3 +306,32 @@ def test_upsert_roundtrip_hostile_identifiers():
         assert ts["insert_cols"] == cols
 
     check()
+
+
+def test_all_key_upserts_are_valid_and_parse():
+    """A pure link table (every column a key) has nothing to update:
+    the emitted variants (DO NOTHING / INSERT IGNORE / MERGE without
+    WHEN MATCHED) must be syntactically valid — the old empty SET
+    clause was a syntax error — and still parse under the grammar."""
+    from etl_core_spark.sources.dml_grammar import (
+        parse_mysql_upsert, parse_tsql_merge,
+    )
+
+    cols, keys = ["a", "b"], ["a", "b"]
+    pg = build_upsert_sql("postgresql", "t", cols, keys)
+    assert pg.endswith("DO NOTHING") and "SET" not in pg
+    my = parse_mysql_upsert(build_upsert_sql("mariadb", "t", cols, keys))
+    assert my["ignore"] and my["updates"] == [] and my["insert_cols"] == cols
+    ts = parse_tsql_merge(build_upsert_sql("sqlserver", "t", cols, keys))
+    assert ts["set"] == [] and ts["insert_cols"] == cols
+    # the executable path: postgres DO NOTHING works verbatim on sqlite
+    import sqlite3
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
+    con.execute(pg.replace('"', '"'), (1, 2))
+    con.execute(pg, (1, 2))  # duplicate: ignored, no error
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 1
+    # empty SET/WHERE on UPDATE raises instead of emitting bad SQL
+    from etl_core_spark.sources.jdbc_io import OperatorConfigError as _OCE
+    with pytest.raises(Exception, match="non-empty"):
+        build_update_sql("postgresql", "t", [], ["id"])
