@@ -537,33 +537,38 @@ def test_cc_operator_port(spark):
 
 
 def test_cc_releases_its_caches(spark):
+    """The leak CONTRACT is sub-linear growth: repeated CC runs must
+    not accumulate persisted RDDs per run. Asserting an exact return
+    to baseline races the py4j-finalizer -> JVM-GC -> ContextCleaner
+    chain (flaky under full-suite load), so instead run CC several
+    times — a per-run leak (edges/nodes persists, checkpoint refs held
+    by the release FIFO) would grow the set by ~3 per run — and allow
+    only a small constant of not-yet-collected checkpoint RDDs."""
+    import gc
+    import time
+
     from etl_core_spark.operators.dedup import connected_components
     from etl_core_spark.session import release_intermediates
 
-    # baseline may be non-zero: localCheckpoint RDDs from earlier
-    # tests stay cached until the ContextCleaner collects them
     jsc = spark.sparkContext._jsc.sc()
     release_intermediates()
     before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    out = connected_components(df, driver_max_edges=0)
-    out.collect()
-    release_intermediates()
-    # the per-round eager localCheckpoint RDDs are reclaimed by the
-    # ContextCleaner once unreferenced — drop the result (it pins the
-    # final round's RDD) and give the py4j-finalizer -> JVM-GC ->
-    # cleaner chain a bounded window to run
-    import gc
-    import time
-
-    del out
+    runs = 3
+    for _ in range(runs):
+        out = connected_components(df, driver_max_edges=0)
+        out.collect()
+        release_intermediates()
+        del out
     for _ in range(30):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if jsc.getPersistentRDDs().size() <= before:
             break
         time.sleep(1)
-    assert jsc.getPersistentRDDs().size() <= before
+    after = jsc.getPersistentRDDs().size()
+    # leak-free: bounded residue << ~3 * runs a per-run leak would give
+    assert after <= before + 2, (before, after)
 
 
 def test_dedup_cluster_policy_vs_greedy(spark):
