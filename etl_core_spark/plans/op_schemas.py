@@ -149,6 +149,13 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("partition_by", "array", items={"type": "string"}),
         f("compression", "string", enum=["snappy", "zstd", "gzip", "none"]),
     ],
+    "upsert_parquet": [
+        _FILEPATH,
+        f("keys", "array", required=True, items={"type": "string"},
+          desc="merge keys: matching rows replaced, new keys appended"),
+        f("partition_by", "array", items={"type": "string"},
+          desc="ONE partition column — the dynamic-overwrite pruning unit"),
+    ],
     "write_bucketed": [
         f("table", "string", required=True),
         f("bucket_by", "array", required=True, items={"type": "string"}),

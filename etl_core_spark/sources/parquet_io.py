@@ -110,3 +110,89 @@ class WriteParquet(SinkOperator):
         if self.config.get("compression"):
             writer = writer.option("compression", self.config["compression"])
         writer.parquet(str(self.config["filepath"]))
+
+
+def upsert_parquet(
+    updates: DataFrame,
+    table_path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Batch MERGE-INTO for a plain parquet table: rows in ``updates``
+    REPLACE existing rows with the same key; new keys append — the
+    standalone form of ``incremental_rollup``'s micro-batch merge
+    (streaming/stream.py), for batch table maintenance without a
+    table format.
+
+    I/O scales with the TOUCHED data, not the table, when
+    ``partition_col`` is set (it must be one of the table's
+    ``partitionBy`` columns): the carried read is pruned to the
+    partitions the batch touches, and dynamic partition overwrite
+    rewrites only those. Without a partition column the whole table
+    rewrites (documented: that is what keyed upsert over a heap of
+    parquet files costs — partition your tables).
+
+    Keys compare null-safely: a NULL key forms its own identity, it
+    does not silently duplicate (exact_dedup's eqNullSafe lesson).
+    Not transactional — a concurrent reader can observe a partition
+    mid-rewrite; use a table format (Delta/Iceberg) when you need
+    snapshot isolation. The write itself is all-or-nothing per
+    partition via the normal Spark commit protocol.
+    """
+    from etl_core_spark.streaming.stream import _table_exists
+
+    spark = updates.sparkSession
+    if not keys:
+        raise OperatorConfigError("upsert_parquet requires 'keys'")
+    updates = updates.localCheckpoint()  # detach from any streaming/
+    # source lineage; also read consistently while overwriting below
+    merged = updates
+    if _table_exists(spark, table_path):
+        existing = spark.read.parquet(table_path)
+        if partition_col is not None:
+            touched = [
+                r[0] for r in updates.select(partition_col).distinct().collect()
+            ]
+            if not touched:
+                return
+            existing = existing.where(F.col(partition_col).isin(touched))
+        cond = None
+        for k in keys:
+            eq = existing[k].eqNullSafe(updates[k])
+            cond = eq if cond is None else (cond & eq)
+        carried = existing.join(updates, on=cond, how="left_anti").localCheckpoint()
+        merged = updates.unionByName(carried)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if partition_col is not None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = merged.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@register_operator("upsert_parquet")
+class UpsertParquet(SinkOperator):
+    """Keyed parquet upsert sink: config ``filepath``, ``keys``,
+    optional ``partition_by`` (single column — the pruning unit)."""
+
+    def validate_config(self) -> None:
+        for key in ("filepath", "keys"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"upsert_parquet requires {key!r}")
+
+    def write(self, df: DataFrame) -> None:
+        pb = self.config.get("partition_by")
+        if isinstance(pb, (list, tuple)):
+            if len(pb) > 1:
+                raise OperatorConfigError(
+                    "upsert_parquet supports ONE partition column (the "
+                    "dynamic-overwrite pruning unit)"
+                )
+            pb = pb[0] if pb else None
+        upsert_parquet(
+            df, str(self.config["filepath"]), list(self.config["keys"]), pb
+        )

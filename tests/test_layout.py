@@ -173,3 +173,77 @@ def test_zorder_quantile_through_sink(spark, tmp_path, tables):
     back = spark.read.parquet(str(out))
     assert back.count() == tables["orders"].count()
     assert "__z" not in back.columns
+
+
+# ----------------------------------------------------------------------
+# upsert_parquet (batch MERGE-INTO over plain parquet)
+# ----------------------------------------------------------------------
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(base, path, ["id"], "part")  # creates the table
+    upd = spark.createDataFrame(
+        [(2, "a", 99.0), (4, "a", 40.0)], "id long, part string, v double"
+    )
+    upsert_parquet(upd, path, ["id"], "part")
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # id 2 replaced, id 4 appended, untouched partition 'b' intact
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)}
+
+
+def test_upsert_parquet_prunes_untouched_partitions(spark, tmp_path):
+    """Only touched partitions rewrite: the files of partition 'b'
+    must be byte-identical (same paths, same mtimes) after an upsert
+    that only touches partition 'a'."""
+    import os
+
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(base, path, ["id"], "part")
+
+    def snapshot(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_b = snapshot("b")
+    upd = spark.createDataFrame([(1, "a", 9.0)], "id long, part string, v double")
+    upsert_parquet(upd, path, ["id"], "part")
+    assert snapshot("b") == before_b  # partition b never rewritten
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 9.0), (2, 2.0)}
+
+
+def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
+    """NULL keys merge null-safely (replace, not duplicate); the
+    registered sink validates its config."""
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(None, 1.0), (1, 2.0)], "id long, v double")
+    upsert_parquet(base, path, ["id"])
+    upsert_parquet(
+        spark.createDataFrame([(None, 9.0)], "id long, v double"), path, ["id"]
+    )
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(None, 9.0), (1, 2.0)}
+    op = get_operator("upsert_parquet")
+    with _pytest.raises(OperatorConfigError, match="keys"):
+        op(filepath=path)
+    with _pytest.raises(OperatorConfigError, match="ONE partition column"):
+        op(filepath=path, keys=["id"], partition_by=["a", "b"]).write(base)
