@@ -43,6 +43,10 @@ from typing import Any, Callable, Optional
 from urllib.parse import parse_qs, urlparse
 
 
+class _BadRequest(Exception):
+    """Malformed client request (maps to HTTP 400)."""
+
+
 class ApiServer:
     def __init__(self, spark, store, host: str = "127.0.0.1", port: int = 8343):
         self.spark = spark
@@ -59,6 +63,14 @@ class ApiServer:
 
         from etl_core_spark.operators.base import get_operator, operator_names
         from etl_core_spark.plans import op_schemas
+
+        def field(name):
+            # a missing request-body field is the CLIENT's error (400),
+            # not a missing resource — a bare body[name] KeyError was
+            # conflated with the store's not-found KeyError (404)
+            if not isinstance(body, dict) or name not in body:
+                raise _BadRequest(f"request body requires {name!r}")
+            return body[name]
 
         routes: list[tuple[str, str, Callable]] = [
             # reference api/routers/setup.py: GUI setup-key check (the
@@ -92,7 +104,7 @@ class ApiServer:
             # pause/resume/run-now, interval/cron/date triggers)
             ("POST", r"^/schedules$",
              lambda m: (201, {"schedule_id": self.store.create_schedule(
-                 body["job_id"],
+                 field("job_id"),
                  trigger_type=body.get("trigger_type", "interval"),
                  trigger_args=body.get("trigger_args"))})),
             ("GET", r"^/schedules$", lambda m: (200, self.store.list_schedules())),
@@ -115,7 +127,7 @@ class ApiServer:
             # literal secret values masked on read)
             ("POST", r"^/contexts$",
              lambda m: (201, {"context_id": self.store.create_context(
-                 body["context_id"], body["mapping"])})),
+                 field("context_id"), field("mapping"))})),
             ("GET", r"^/contexts$", lambda m: (200, self.store.list_contexts())),
             ("GET", r"^/contexts/([^/]+)$",
              lambda m: (200, {"context_id": m.group(1),
@@ -129,6 +141,8 @@ class ApiServer:
                 if match:
                     try:
                         return handler(match)
+                    except _BadRequest as exc:
+                        return 400, {"error": str(exc)}
                     except KeyError as exc:
                         return 404, {"error": str(exc)}
                     except Exception as exc:  # noqa: BLE001 - API boundary
@@ -149,7 +163,19 @@ class ApiServer:
                 body = None
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:
-                    body = json.loads(self.rfile.read(length))
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+                        # malformed body must yield a 400 payload, not
+                        # an uncaught traceback + dropped connection
+                        status, payload = 400, {"error": f"invalid JSON body: {exc}"}
+                        data = json.dumps(payload).encode()
+                        self.send_response(status)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return
                 status, payload = api.dispatch(
                     self.command, parsed.path, parse_qs(parsed.query), body
                 )

@@ -134,35 +134,42 @@ def main(argv: list[str] | None = None) -> int:
             server.stop()
         return 0
 
-    if args.cmd == "operators":
-        import inspect
+    # the same clean error mapping the store-backed commands get:
+    # an unknown operator / missing config path / bad JSON is an
+    # expected user error (exit 2, one line), not a traceback
+    try:
+        if args.cmd == "operators":
+            import inspect
 
-        from etl_core_spark.operators.base import get_operator, operator_names
+            from etl_core_spark.operators.base import get_operator, operator_names
 
-        if args.name:
-            cls = get_operator(args.name)
-            print(f"{args.name}: {inspect.getdoc(cls) or inspect.getdoc(inspect.getmodule(cls))}")
-        else:
-            print(json.dumps(operator_names(), indent=2))
-        return 0
+            if args.name:
+                cls = get_operator(args.name)
+                print(f"{args.name}: {inspect.getdoc(cls) or inspect.getdoc(inspect.getmodule(cls))}")
+            else:
+                print(json.dumps(operator_names(), indent=2))
+            return 0
 
-    if args.cmd == "run":
-        from etl_core_spark.plans import JobRunner, build_job
+        if args.cmd == "run":
+            from etl_core_spark.plans import JobRunner, build_job
 
-        config = json.loads(Path(args.config_path).read_text())
-        result = JobRunner(build_job(_spark(), config)).run()
-        print(json.dumps(result.__dict__))
-        return 0 if result.status == "SUCCESS" else 1
+            config = json.loads(Path(args.config_path).read_text())
+            result = JobRunner(build_job(_spark(), config)).run()
+            print(json.dumps(result.__dict__))
+            return 0 if result.status == "SUCCESS" else 1
 
-    if args.cmd == "explain":
-        from etl_core_spark.plans import build_job
+        if args.cmd == "explain":
+            from etl_core_spark.plans import build_job
 
-        config = json.loads(Path(args.config_path).read_text())
-        builder = build_job(_spark(), config)
-        for sink_name in builder.sinks:
-            print(f"== sink: {sink_name} ==")
-            builder.sink_inputs[sink_name].explain("formatted")
-        return 0
+            config = json.loads(Path(args.config_path).read_text())
+            builder = build_job(_spark(), config)
+            for sink_name in builder.sinks:
+                print(f"== sink: {sink_name} ==")
+                builder.sink_inputs[sink_name].explain("formatted")
+            return 0
+    except (KeyError, ValueError, OSError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
 
     store = _store(args)
     try:

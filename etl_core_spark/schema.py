@@ -84,6 +84,14 @@ class FieldDef:
             raise SchemaError(f"ARRAY field '{self.name}' requires item")
         if self.data_type == DataType.ENUM and not self.enum_values:
             raise SchemaError(f"ENUM field '{self.name}' requires enum_values")
+        if self.data_type == DataType.MAP:
+            if self.item is None:
+                raise SchemaError(f"MAP field '{self.name}' requires item")
+            if self.key_type is not None and self.key_type not in _SIMPLE_SPARK_TYPES:
+                raise SchemaError(
+                    f"MAP field '{self.name}' key_type must be a simple "
+                    f"type, got {self.key_type}"
+                )
 
     def to_spark_type(self) -> T.DataType:
         dt = self.data_type
@@ -101,7 +109,6 @@ class FieldDef:
             return T.ArrayType(self.item.to_spark_type(), containsNull=self.item.nullable)
         if dt == DataType.MAP:
             key = _SIMPLE_SPARK_TYPES[self.key_type or DataType.STRING]
-            assert self.item is not None
             return T.MapType(key, self.item.to_spark_type(), valueContainsNull=self.item.nullable)
         raise SchemaError(f"unsupported data_type: {dt}")
 
@@ -118,7 +125,7 @@ class FieldDef:
             children=[cls.from_dict(c) for c in d["children"]] if d.get("children") else None,
             item=cls.from_dict(d["item"]) if d.get("item") else None,
             enum_values=d.get("enum_values"),
-            key_type=DataType(d["key_type"]) if d.get("key_type") else None,
+            key_type=DataType(str(d["key_type"]).lower()) if d.get("key_type") else None,
             precision=int(d.get("precision", 38)),
             scale=int(d.get("scale", 9)),
         )
@@ -203,10 +210,17 @@ def _spark_type_to_fielddef(name: str, dt: T.DataType, nullable: bool) -> FieldD
             item=_spark_type_to_fielddef("item", dt.elementType, dt.containsNull),
         )
     if isinstance(dt, T.MapType):
+        # carry the KEY type: dropping it round-tripped every map to
+        # string keys and broke declared-vs-actual schema parity
+        key_dt = next(
+            (k for k, v in _SIMPLE_SPARK_TYPES.items() if v == dt.keyType),
+            DataType.STRING,
+        )
         return FieldDef(
             name=name,
             data_type=DataType.MAP,
             nullable=nullable,
+            key_type=key_dt,
             item=_spark_type_to_fielddef("value", dt.valueType, dt.valueContainsNull),
         )
     if isinstance(dt, T.DecimalType):

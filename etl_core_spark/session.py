@@ -11,6 +11,7 @@ splits skewed ones at high SF.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -68,6 +69,7 @@ def stop_spark() -> None:
 #: ``persist_intermediate``). Process-local, driver-side only.
 _CACHED_INTERMEDIATES: list = []
 _MAX_CACHED_INTERMEDIATES = 8
+_CACHE_LOCK = threading.Lock()
 
 
 def persist_intermediate(df):
@@ -86,9 +88,12 @@ def persist_intermediate(df):
     recomputes it from lineage.
     """
     df.persist()
-    _CACHED_INTERMEDIATES.append(df)
-    while len(_CACHED_INTERMEDIATES) > _MAX_CACHED_INTERMEDIATES:
-        old = _CACHED_INTERMEDIATES.pop(0)
+    evicted = []
+    with _CACHE_LOCK:
+        _CACHED_INTERMEDIATES.append(df)
+        while len(_CACHED_INTERMEDIATES) > _MAX_CACHED_INTERMEDIATES:
+            evicted.append(_CACHED_INTERMEDIATES.pop(0))
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:
@@ -99,10 +104,16 @@ def persist_intermediate(df):
 def release_intermediates() -> int:
     """Unpersist every tracked operator intermediate; returns how many
     were released. Call after the consuming action (end of a job, a
-    test, or an API request) to leave zero cached partitions behind."""
+    test, or an API request) to leave zero cached partitions behind.
+    Thread-safe: the threaded HTTP API server can run jobs
+    concurrently, and an unlocked check-then-pop raced (unpersist is
+    always correctness-safe — consumers recompute from lineage)."""
     n = 0
-    while _CACHED_INTERMEDIATES:
-        df = _CACHED_INTERMEDIATES.pop()
+    while True:
+        with _CACHE_LOCK:
+            if not _CACHED_INTERMEDIATES:
+                break
+            df = _CACHED_INTERMEDIATES.pop()
         try:
             df.unpersist()
             n += 1
@@ -178,7 +189,9 @@ def estimated_size_bytes(df) -> int | None:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-        return size if size >= 0 else None
+        # Spark's "unknown" is defaultSizeInBytes = Long.MaxValue —
+        # that sentinel must surface as None, not a 9-EB estimate
+        return size if 0 <= size < (1 << 60) else None
     except Exception:  # noqa: BLE001 - introspection is best-effort
         return None
 

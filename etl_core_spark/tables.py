@@ -38,13 +38,24 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # any ltz→ntz cast below renders wall time in the SESSION
         # timezone; pin UTC so the rebuild is correct under any
-        # caller-provided session (the stored values are UTC instants)
+        # caller-provided session (the stored values are UTC instants).
+        # The UTC pin is deliberately session-wide and NOT restored —
+        # it is this loader's documented contract (the oracle compares
+        # UTC wall times).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type != "bigint":
+            # MICROS-generation file: the legacy conf was never
+            # exercised, so restore it — leaving it set would make any
+            # OTHER table's TIMESTAMP(NANOS) column silently surface
+            # as bigint in subsequent reads. (For a NANOS file the
+            # conf must stay set: the scan re-reads it at execution.)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
         if ts_type == "bigint":
             # TIMESTAMP(NANOS) file surfaced as nanos-since-epoch
             return df.withColumn(
