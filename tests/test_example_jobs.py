@@ -205,3 +205,32 @@ def test_parquet_chunk_pack(spark, tmp_path):
     m = result.metrics
     assert m["chunker"]["lines_received"] == 42
     assert m["packer"]["lines_received"] == m["chunker"]["lines_forwarded"]
+
+
+def test_parquet_decontaminate_upsert(spark, tmp_path, tables):
+    """The decontamination pipeline: docs sharing n-grams with the
+    benchmark slice are filtered out, the clean corpus upserts into a
+    partitioned table — run TWICE to exercise the merge path (second
+    run replaces, never duplicates)."""
+    bench = tables["documents"].where("doc_id % 25 = 0").select("text")
+
+    def inputs(d):
+        tables["documents"].write.parquet(str(d / "documents.parquet"))
+        bench.write.parquet(str(d / "benchmark.parquet"))
+
+    out, res = run_example(
+        spark, tmp_path, "parquet_decontaminate_upsert.json", inputs
+    )
+    back = spark.read.parquet(str(out / "clean_corpus"))
+    n1 = back.count()
+    assert 0 < n1 < tables["documents"].count()  # something was flagged
+    # the sink's pass-through metrics still flow
+    assert res.metrics["sink"]["lines_received"] == n1
+    # idempotent re-run: same keys replace, no duplicates
+    raw = (EXAMPLES / "parquet_decontaminate_upsert.json").read_text()
+    config = json.loads(
+        raw.replace("__IN__", str(tmp_path / "in")).replace("__OUT__", str(out))
+    )
+    res2 = JobRunner(build_job(spark, config)).run()
+    assert res2.status == "SUCCESS"
+    assert spark.read.parquet(str(out / "clean_corpus")).count() == n1
