@@ -144,6 +144,13 @@ class ApiServer:
                     except _BadRequest as exc:
                         return 400, {"error": str(exc)}
                     except KeyError as exc:
+                        # only an EXACT KeyError is "resource not found".
+                        # KeyError SUBCLASSES (ContextError: e.g. an unset
+                        # secret env var while starting an execution) are
+                        # server-side configuration failures, not a missing
+                        # resource — surface them as 500.
+                        if type(exc) is not KeyError:
+                            return 500, {"error": f"{type(exc).__name__}: {exc}"}
                         return 404, {"error": str(exc)}
                     except Exception as exc:  # noqa: BLE001 - API boundary
                         return 400, {"error": f"{type(exc).__name__}: {exc}"}

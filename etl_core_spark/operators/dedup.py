@@ -250,7 +250,12 @@ def jaccard_dedup_pairs(
       skew-resistant by construction; ``max_token_freq`` additionally
       caps pathological tokens (same trade as minhash's
       ``max_band_freq`` — pairs sharing ONLY ultra-hot shingles are
-      boilerplate better handled by exact dedup).
+      boilerplate better handled by exact dedup). Sizes (``__n``) and
+      the prefix length are always computed on the FULL shingle set —
+      the same set the verify stage measures Jaccard on — so under
+      ``max_token_freq`` the ONLY miss mode is a pair whose shared
+      prefix tokens are all hot-filtered, never a size-filter
+      mismatch.
 
     Scale shape: one doc-frequency aggregate, one shuffle to re-sort
     shingles by rarity (the PPJoin preprocessing cost), one candidate
@@ -261,7 +266,13 @@ def jaccard_dedup_pairs(
         raise OperatorConfigError("jaccard threshold must be in (0, 1]")
     sh = _shingle_table(df, text_col, id_col, shingle_n)
     nonempty = sh.where(F.size("sh") > 0)
-    ex = nonempty.select(F.col(id_col), F.explode("sh").alias("__s"))
+    # carry the FULL distinct-shingle size: the size filter and prefix
+    # length must be computed on the same set the verify stage measures
+    # Jaccard on, or max_token_freq's frequency filtering would shrink
+    # __n and wrongly size-reject pairs that share rare tokens
+    ex = nonempty.select(
+        F.col(id_col), F.size("sh").alias("__n"), F.explode("sh").alias("__s")
+    )
     freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_token_freq is not None:
         freq = freq.where(F.col("__df") <= int(max_token_freq))
@@ -272,9 +283,10 @@ def jaccard_dedup_pairs(
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
+            F.first("__n").alias("__n"),
         )
     )
-    n = F.size("__os")
+    n = F.col("__n")
     prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
     prefixes = ordered.select(
         F.col(id_col),

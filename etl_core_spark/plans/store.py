@@ -377,18 +377,25 @@ class JobStore:
                 # (a KeyError subclass raised for e.g. an unset secret
                 # env var) — a TRANSIENT failure that must keep
                 # retrying, not permanently kill the schedule.
-                job_gone = type(exc) is KeyError and not self._conn.execute(
-                    "SELECT 1 FROM jobs WHERE job_id = ?", (job_id,)
-                ).fetchone()
-                if job_gone:
-                    # the job is gone: disable rather than re-fail forever
+                if type(exc) is KeyError:
+                    # probe + update under ONE lock acquisition: the
+                    # connection is check_same_thread=False and shared
+                    # with API threads, so an unlocked read can
+                    # interleave with a concurrent write mid-cursor
                     with self._lock:
-                        self._conn.execute(
-                            "UPDATE schedules SET enabled = 0 WHERE schedule_id = ?",
-                            (schedule_id,),
-                        )
-                        self._conn.commit()
-                    continue
+                        job_gone = not self._conn.execute(
+                            "SELECT 1 FROM jobs WHERE job_id = ?", (job_id,)
+                        ).fetchone()
+                        if job_gone:
+                            # job is gone: disable rather than re-fail forever
+                            self._conn.execute(
+                                "UPDATE schedules SET enabled = 0 "
+                                "WHERE schedule_id = ?",
+                                (schedule_id,),
+                            )
+                            self._conn.commit()
+                    if job_gone:
+                        continue
             nxt = next_due_after_run(trigger_type, json.loads(args_json), now)
             with self._lock:
                 self._conn.execute(

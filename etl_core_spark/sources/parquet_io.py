@@ -155,7 +155,16 @@ def upsert_parquet(
             ]
             if not touched:
                 return
-            existing = existing.where(F.col(partition_col).isin(touched))
+            # NULL-safe partition pruning: isin() never matches NULL, but
+            # dynamic overwrite DOES rewrite the NULL partition
+            # (__HIVE_DEFAULT_PARTITION__) when the batch touches it — so a
+            # plain isin would drop every existing NULL-partition row whose
+            # key isn't in the batch.
+            non_null = [t for t in touched if t is not None]
+            pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            if any(t is None for t in touched):
+                pred = pred | F.col(partition_col).isNull()
+            existing = existing.where(pred)
         cond = None
         for k in keys:
             eq = existing[k].eqNullSafe(updates[k])

@@ -74,6 +74,41 @@ def test_api_operators_and_errors(api):
     assert http("POST", f"{base}/jobs", {"name": "bad", "components": [{"name": "x"}]})[0] == 400
 
 
+def test_api_context_error_is_500_not_404(api, tmp_path, monkeypatch):
+    """A ContextError raised while STARTING an execution (unset secret
+    env var) is a server-side configuration failure — it must surface
+    as 500, not be conflated with the store's not-found KeyError
+    (ContextError subclasses KeyError)."""
+    server, tmp_path = api
+    base = f"http://127.0.0.1:{server.port}"
+    monkeypatch.delenv("NOPE_SECRET_ENV", raising=False)
+
+    status, _ = http("POST", f"{base}/contexts", {
+        "context_id": "broken_ctx",
+        "mapping": {"password_env": "NOPE_SECRET_ENV"},
+    })
+    assert status == 201
+    src = tmp_path / "ctx.csv"
+    src.write_text("id\n1\n")
+    config = {
+        "name": "ctx_job",
+        "components": [
+            {"name": "r", "comp_type": "read_csv", "filepath": str(src),
+             "context_id": "broken_ctx",
+             "routes": {"out": [{"to": "w", "in_port": "in"}]}},
+            {"name": "w", "comp_type": "write_csv",
+             "filepath": str(tmp_path / "ctx_out")},
+        ],
+    }
+    status, created = http("POST", f"{base}/jobs", config)
+    assert status == 201
+    status, body = http("POST", f"{base}/execution/{created['job_id']}")
+    assert status == 500, body
+    assert "NOPE_SECRET_ENV" in body["error"]
+    # a genuinely missing resource stays 404
+    assert http("POST", f"{base}/execution/no_such_job")[0] == 404
+
+
 def test_api_setup_key(api):
     server, _ = api
     base = f"http://127.0.0.1:{server.port}"

@@ -757,6 +757,35 @@ def test_jaccard_pairs_complete_vs_quadratic(spark):
         assert got == want, f"threshold={t}"
 
 
+def test_jaccard_max_token_freq_size_filter_uses_full_sets(spark):
+    """Under max_token_freq the size filter (and prefix length) must be
+    computed on the FULL shingle set — the set the verify stage measures
+    Jaccard on. Pre-fix, filtered sizes diverging past the ratio wrongly
+    dropped a pair that shares a rare token and verifies on full sets."""
+    from etl_core_spark.operators.dedup import jaccard_dedup_pairs
+
+    hot = " ".join(f"hot{i}" for i in range(10))  # df=5 > cap once C1-3 added
+    rows = [
+        (1, f"{hot} zeta"),                       # A: 10 hot + 1 rare shared
+        (2, f"{hot} zeta ua ub uc ud ue"),        # B: + 5 rare uniques
+        (3, hot), (4, hot), (5, hot),             # boilerplate raising hot df
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # full sets: |A|=11, |B|=16, shared=11 -> J = 11/16 = 0.6875 >= 0.5.
+    # filtered sets (cap 4): A={zeta} size 1, B size 6 -> old size
+    # filter 1 >= 0.5*6 FAILS; full sizes 11 >= 8 pass.
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_dedup_pairs(
+            df, "text", "doc_id", 0.5, shingle_n=1, max_token_freq=4
+        ).collect()
+    }
+    assert (1, 2) in got
+    # the documented trade still holds: pairs sharing ONLY hot tokens
+    # (the boilerplate triplet) are forfeited under the cap
+    assert (3, 4) not in got
+
+
 def test_jaccard_pairs_no_cartesian_plan(spark):
     from etl_core_spark.operators.dedup import jaccard_dedup_pairs
 

@@ -226,6 +226,35 @@ def test_upsert_parquet_prunes_untouched_partitions(spark, tmp_path):
     assert got == {(1, 9.0), (2, 2.0)}
 
 
+def test_upsert_parquet_null_partition_values(spark, tmp_path):
+    """An update batch touching the NULL partition must NOT delete
+    existing NULL-partition rows with other keys: isin(touched) never
+    matches NULL, but dynamic overwrite still rewrites the NULL
+    partition (__HIVE_DEFAULT_PARTITION__) — the carry predicate has
+    to be null-safe."""
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(base, path, ["id"], "part")
+    # update touches ONLY the NULL partition, only key 1
+    upd = spark.createDataFrame([(1, None, 9.0)], "id long, part string, v double")
+    upsert_parquet(upd, path, ["id"], "part")
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # id 2 (NULL partition, unmatched key) must survive the rewrite
+    assert got == {(1, 9.0), (2, 2.0), (3, 3.0)}
+    # and a mixed batch (NULL + non-NULL partitions) carries both sides
+    upd2 = spark.createDataFrame(
+        [(2, None, 20.0), (4, "a", 40.0)], "id long, part string, v double"
+    )
+    upsert_parquet(upd2, path, ["id"], "part")
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 9.0), (2, 20.0), (3, 3.0), (4, 40.0)}
+
+
 def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
     """NULL keys merge null-safely (replace, not duplicate); the
     registered sink validates its config."""
