@@ -3814,16 +3814,69 @@ WHERE CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets. The bucket
-    assignment depends on seeded driver-side hyperplanes, so there is
-    no SQL oracle — the driver records a rows-only check."""
+    """Approximate ANN via random-hyperplane LSH buckets. The seeded
+    hyperplanes are driver-side LITERAL floats, so the oracle SQL
+    embeds the SAME literals and recomputes the bucket sign pattern in
+    DuckDB (the lang_id_ngram shared-profile pattern) — full
+    hash-match, not rows-only. Output cosine at 4dp / rank on the 6dp
+    value, the ann_brute_force ulp-absorption convention."""
     from etl_core_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
+    out = lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_lsh() -> str:
+    """Oracle for q_ann_lsh, generated from the SAME seeded plane
+    literals the Spark plan embeds (operators/similarity.py
+    _seeded_planes(64, 4, 42)). Bucket sign is scale-invariant, so the
+    oracle dots the RAW embedding against each plane where Spark dots
+    the unit vector — identical sign pattern; zero-norm corpus vectors
+    are excluded on both sides."""
+    from etl_core_spark.operators.similarity import _seeded_planes
+
+    planes = _seeded_planes(64, 4, 42)
+
+    def bucket(v: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+            )
+        return "(" + "\n   + ".join(terms) + ")"
+
+    return f"""
+WITH c AS (
+  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+         {bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.corpus_id,
+         list_cosine_similarity(q.qv, c.cv) AS cs
+  FROM q JOIN c USING (bucket)
+)
+SELECT query_id, corpus_id AS vec_id, round(round(cs, 6), 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cs, 6) DESC, corpus_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3843,14 +3896,32 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
-    mapInPandas (decode stubbed — no media libs in container). Uses a
-    deterministic synthetic media table; rows-only check."""
+    mapInPandas (decode stubbed — no media libs in container). The
+    synthetic media table uses the ASCII-safe payload mode (a real
+    binary column whose bytes happen to be a repeated hex digest), so
+    DuckDB — whose sha256 only accepts VARCHAR — can rebuild the exact
+    payload with repeat(sha256(i)) and hash-match n_bytes + sha256."""
     from etl_core_spark.operators.multimodal import extract_features, synthetic_media
 
-    media = synthetic_media(spark, n=64, payload_bytes=256)
+    media = synthetic_media(spark, n=64, payload_bytes=256, ascii_payload=True)
     return extract_features(media, feature_dim=8).select(
         "media_id", "n_bytes", "sha256"
     )
+
+
+# payload_bytes=256 over a 64-char hex seed -> exactly 4 repeats;
+# the UDF hashes the raw payload BYTES, DuckDB the identical ASCII text
+_SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         repeat(sha256(CAST(i AS VARCHAR)), 4) AS payload
+  FROM generate_series(0, 63) AS t(i)
+)
+SELECT media_id,
+       CAST(length(payload) AS BIGINT) AS n_bytes,
+       sha256(payload) AS sha256
+FROM m
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3862,12 +3933,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_q1_pricing_summary(spark, SF_SMOKE)
 
 
+# Ordering contract: the driver correctness-checks the FIRST 50 registry
+# keys each round. r7 policy (VERDICT r6 task #4): queries whose operator
+# code changed THIS round lead, then rows by ascending certification
+# vintage — the seven r04-vintage rows, then the oldest 38 of the 48
+# r05-vintage rows (the 10 left over are exactly 2 rounds old at r7 and
+# lead the r8 window). The three r5→r6 bench-regression watch items
+# (join_right, cube_lineitem, cast_temporal) are all inside the window.
+_R07_WINDOW = [
+    # operator code changed this round (oracle conversions + fixes)
+    "ann_lsh", "multimodal_features", "jaccard_pairs",
+    "near_dup_clusters", "parquet_partitioned",
+    # r04-vintage certifications
+    "quality_filter", "sessionize", "simhash", "text_metrics",
+    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
+    # r05-vintage certifications, oldest-first registry order
+    "asof_join", "range_join", "dedup_minhash", "agg_ops", "percentiles",
+    "funnel", "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
+    "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
+    "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_filter",
+    "q22_idle_customers", "agg_global", "filter_rule_pass",
+    "filter_rule_fail", "join_inner", "join_left", "join_right",
+    "join_outer", "join_multi_step", "join_semi", "join_anti",
+    "set_intersect", "set_except", "pivot_event_counts",
+    "unpivot_measures", "rollup_orders", "grouping_sets", "cube_lineitem",
+    "type_conversion", "cast_temporal",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Ordering contract: the driver correctness-checks the FIRST 50
-        # registry keys each round. Never-driver-checked queries lead,
-        # followed by rows fixed/rewritten this round, then rows whose
-        # r04 certification rotated out, then this round's touched ops.
+    base = {
         "top_n_per_group": q_top_n_per_group,
         "json_expand": q_json_expand,
         "attribution_join": q_attribution_join,
@@ -3976,6 +4072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
     }
+    assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
+    return {
+        **{k: base[k] for k in _R07_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R07_WINDOW)},
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4083,6 +4184,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup_pairs": _SQL_WINNOW_PAIRS,
         "tf_idf_top_terms": _SQL_TF_IDF,
         "cosine_near_dup": _SQL_COSINE_NEAR_DUP,
-        # ann_lsh / multimodal_features: seeded-RNG buckets & synthetic
-        # binary payloads — no SQL equivalent; rows-only checks.
+        # r7: both former rows-only entries converted — the LSH planes
+        # are literal floats the oracle embeds; the multimodal payload
+        # is ASCII-safe so DuckDB's VARCHAR sha256 recomputes it.
+        "ann_lsh": _sql_ann_lsh(),
+        "multimodal_features": _SQL_MULTIMODAL,
     }

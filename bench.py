@@ -98,18 +98,30 @@ def main() -> None:
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
-    # The round driver keeps only the TAIL of stdout, so the headline
-    # fields must survive truncation: emit them AFTER the (long)
-    # per-query dict, and repeat them on a short trailing line that is
-    # itself a complete JSON object.
+    # The round driver keeps only the TAIL of stdout and parses it as
+    # JSON — a multi-kB per-query dict on stdout starts the captured
+    # window MID-JSON (BENCH_r06 recorded parsed:null). stdout carries
+    # ONLY the one short summary line; the per-query timings go to
+    # stderr and a sidecar file next to this script for the judge.
     summary = {
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        "n_queries": len(timings),
         "reruns": reruns,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_file": "bench_queries.json",
     }
-    print(json.dumps({"queries": timings, **summary}))
+    detail = {"queries": timings, **summary}
+    print(json.dumps(detail), file=sys.stderr)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: stderr copy stands
+        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
     print(json.dumps(summary))
 
 

@@ -137,12 +137,22 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, id_col: str = "media_id") 
     )
 
 
-def synthetic_media(spark, n: int = 64, payload_bytes: int = 128) -> DataFrame:
+def synthetic_media(
+    spark, n: int = 64, payload_bytes: int = 128, ascii_payload: bool = False
+) -> DataFrame:
     """Deterministic fake media table for tests (no media libs in the
-    container): payload = sha-seeded pseudo-random bytes."""
+    container): payload = sha-seeded pseudo-random bytes.
+
+    ``ascii_payload=True`` seeds the payload from the hex DIGEST
+    string instead of the raw digest bytes — still a genuine binary
+    column through the Arrow path, but one whose sha256 a
+    VARCHAR-only SQL engine (DuckDB's ``sha256(VARCHAR)``) can
+    recompute, which is what makes the driver's oracle row for
+    ``multimodal_features`` hash-checkable."""
     rows = []
     for i in range(n):
-        seed = hashlib.sha256(str(i).encode()).digest()
+        h = hashlib.sha256(str(i).encode())
+        seed = h.hexdigest().encode("ascii") if ascii_payload else h.digest()
         payload = (seed * (payload_bytes // len(seed) + 1))[:payload_bytes]
         rows.append(
             (i, payload, ("image/png", 64, 64, None) if i % 2 == 0 else ("audio/wav", None, None, 2000))
