@@ -716,6 +716,18 @@ def _union_find_labels(edges: list) -> dict:
     return {x: find(x) for x in parent}
 
 
+def _star_overlap_probe(e: DataFrame) -> bool:
+    """True when no star member (u) ever appears as a root (v) — the
+    join-shaped half of the CC convergence test. Module-level so tests
+    can count how often the expensive probe actually runs."""
+    overlap = (
+        e.select("u").join(e.select(F.col("v").alias("u")), on="u")
+        .limit(1)
+        .count()
+    )
+    return overlap == 0
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -822,23 +834,7 @@ def connected_components(
         )
         return moved.where(F.col("u") != F.col("v")).distinct()
 
-    def _is_star_set(e: DataFrame) -> bool:
-        # A min-rooted star set IS the fixed point of both operations
-        # (large-star and small-star are identities on it), and every
-        # fixed point is such a star set — so this is an EXACT
-        # convergence test, no hash-signature collision risk:
-        #   (a) every member u appears exactly once, and
-        #   (b) no member ever appears as a root.
-        n, nd = e.agg(F.count(F.lit(1)), F.count_distinct("u")).first()
-        if n != nd:
-            return False
-        overlap = (
-            e.select("u").join(e.select(F.col("v").alias("u")), on="u")
-            .limit(1)
-            .count()
-        )
-        return overlap == 0
-
+    prev_sig = None
     for i in range(max_iters):
         # EAGER localCheckpoint every round: one round's plan
         # references the previous edge relation ~8x (sym union + two
@@ -849,7 +845,41 @@ def connected_components(
         # stays O(1) and the materialization doubles as the round's
         # cache (persist would materialize anyway for the star test).
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        converged = _is_star_set(new_edges)
+        # Exact convergence test, staged so the expensive half only
+        # runs at the fixed point. A min-rooted star set IS the fixed
+        # point of both operations (large-star and small-star are
+        # identities on it) and every fixed point is such a star set,
+        # characterized by:
+        #   (a) every member u appears exactly once, and
+        #   (b) no member ever appears as a root.
+        # The O(|edges|) self-join probe for (b) is gated on a cheap
+        # per-round SIGNATURE plateau — (count, distinct u,
+        # sum(xxhash64(u,v))) from one map-side aggregate over the
+        # checkpointed edges. Count alone can't gate: on a chain every
+        # round keeps n = nodes - roots constant while labels still
+        # move; the content hash changes until roots stop moving. A
+        # stable signature almost surely means an unchanged edge set
+        # (= fixed point); the probe then verifies EXACTLY, so a
+        # signature collision costs one wasted probe, never a wrong
+        # answer. Detection lands one identity round after the true
+        # fixed point — two joins once, in exchange for dropping a
+        # join-shaped action from every one of the O(log n) rounds.
+        # xxhash64 handles any id type (string doc ids included); the
+        # decimal sum is exact, overflow-free and order-independent —
+        # a double sum would be order-dependent across rounds, so two
+        # identical edge sets could compare unequal and stall
+        # detection behind max_iters
+        sig = tuple(
+            new_edges.agg(
+                F.count(F.lit(1)),
+                F.count_distinct("u"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+        converged = (
+            sig == prev_sig and sig[0] == sig[1] and _star_overlap_probe(new_edges)
+        )
+        prev_sig = sig
         edges.unpersist()
         edges = new_edges
         if converged:

@@ -117,6 +117,7 @@ def upsert_parquet(
     table_path: str,
     keys: list[str],
     partition_col: str | None = None,
+    staged: bool = False,
 ) -> None:
     """Batch MERGE-INTO for a plain parquet table: rows in ``updates``
     REPLACE existing rows with the same key; new keys append — the
@@ -134,20 +135,36 @@ def upsert_parquet(
 
     Keys compare null-safely: a NULL key forms its own identity, it
     does not silently duplicate (exact_dedup's eqNullSafe lesson).
-    Not transactional — a concurrent reader can observe a partition
-    mid-rewrite; use a table format (Delta/Iceberg) when you need
-    snapshot isolation. The write itself is all-or-nothing per
-    partition via the normal Spark commit protocol.
+
+    Consistency: not transactional — use a table format
+    (Delta/Iceberg) when you need snapshot isolation. With the
+    default in-place dynamic overwrite, a concurrent reader can
+    observe a touched partition for the full duration of its rewrite.
+    ``staged=True`` (requires ``partition_col``) narrows that window
+    to two directory renames: the merged data is first written under
+    a dot-prefixed staging directory INSIDE the table path (hidden
+    from Spark's file listing, so concurrent readers never see it),
+    then each touched partition directory is swapped in via rename —
+    microseconds on a POSIX/HDFS filesystem instead of the whole
+    write. Renames are not atomic on object stores (S3): keep the
+    default there. Untouched partitions are never listed, rewritten,
+    or renamed in either mode.
     """
     from etl_core_spark.streaming.stream import _table_exists
 
     spark = updates.sparkSession
     if not keys:
         raise OperatorConfigError("upsert_parquet requires 'keys'")
+    if staged and partition_col is None:
+        raise OperatorConfigError(
+            "upsert_parquet staged=True requires partition_col (the "
+            "rename/swap unit is the partition directory)"
+        )
     updates = updates.localCheckpoint()  # detach from any streaming/
     # source lineage; also read consistently while overwriting below
     merged = updates
-    if _table_exists(spark, table_path):
+    existed = _table_exists(spark, table_path)
+    if existed:
         existing = spark.read.parquet(table_path)
         if partition_col is not None:
             touched = [
@@ -171,6 +188,9 @@ def upsert_parquet(
             cond = eq if cond is None else (cond & eq)
         carried = existing.join(updates, on=cond, how="left_anti").localCheckpoint()
         merged = updates.unionByName(carried)
+    if staged and existed:
+        _staged_partition_swap(spark, merged, table_path, partition_col)
+        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     if partition_col is not None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -181,6 +201,47 @@ def upsert_parquet(
         writer.parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _staged_partition_swap(
+    spark, merged: DataFrame, table_path: str, partition_col: str
+) -> None:
+    """Write the merged (touched-partition) data under a dot-prefixed
+    staging directory inside the table path — invisible to Spark's
+    file listing — then swap each touched partition directory into
+    place with two FileSystem renames. Uses the Hadoop FileSystem API,
+    so local paths and HDFS both work; renames are NOT atomic on
+    object stores (callers keep ``staged=False`` there). A crash
+    between the two renames of one partition leaves its old data in
+    the ``.upsert_trash_*`` directory for manual recovery — the
+    documented residual risk, versus the default mode's
+    whole-rewrite-duration inconsistency window."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(table_path)
+    fs = root.getFileSystem(hconf)
+    staging = HPath(root, f".upsert_staging_{token}")
+    trash = HPath(root, f".upsert_trash_{token}")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        f"{table_path}/.upsert_staging_{token}"
+    )
+    try:
+        fs.mkdirs(trash)
+        for st in fs.listStatus(staging):
+            name = st.getPath().getName()
+            if not name.startswith(f"{partition_col}="):
+                continue  # _SUCCESS and friends stay in staging
+            final = HPath(root, name)
+            if fs.exists(final):
+                fs.rename(final, HPath(trash, name))
+            fs.rename(st.getPath(), final)
+    finally:
+        fs.delete(trash, True)
+        fs.delete(staging, True)
 
 
 @register_operator("upsert_parquet")
@@ -203,5 +264,6 @@ class UpsertParquet(SinkOperator):
                 )
             pb = pb[0] if pb else None
         upsert_parquet(
-            df, str(self.config["filepath"]), list(self.config["keys"]), pb
+            df, str(self.config["filepath"]), list(self.config["keys"]), pb,
+            staged=bool(self.config.get("staged", False)),
         )

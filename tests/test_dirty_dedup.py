@@ -528,6 +528,31 @@ def test_cc_deep_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_cc_overlap_probe_gated_to_near_convergence(spark, monkeypatch):
+    """The join-shaped half of the convergence test (the overlap
+    probe) must run only when the cheap count==count_distinct gate
+    holds — NOT once per round. On the 60-edge chain (8 large/small-
+    star rounds) the probe fires at most a couple of times, and
+    convergence is detected in the same round as before (max_iters=8
+    still suffices — the gate must not delay detection)."""
+    from etl_core_spark.operators import dedup as dd
+
+    calls = {"n": 0}
+    real = dd._star_overlap_probe
+
+    def counting(e):
+        calls["n"] += 1
+        return real(e)
+
+    monkeypatch.setattr(dd, "_star_overlap_probe", counting)
+    edges = [(i, i + 1) for i in range(60)]
+    got = _cc(spark, edges, max_iters=8, driver_max_edges=0)
+    assert got == {i: 0 for i in range(61)}
+    # ungated behavior would be 1 probe per round (= rounds taken);
+    # gated, the uniqueness precondition only holds near the fixed point
+    assert 1 <= calls["n"] <= 3, calls["n"]
+
+
 def test_cc_operator_port(spark):
     from etl_core_spark.operators.base import get_operator
 

@@ -226,6 +226,42 @@ def test_upsert_parquet_prunes_untouched_partitions(spark, tmp_path):
     assert got == {(1, 9.0), (2, 2.0)}
 
 
+def test_upsert_parquet_staged_swap(spark, tmp_path):
+    """staged=True: identical merge semantics, but touched partitions
+    are swapped in by directory rename — no staging/trash residue, the
+    untouched partition's files stay byte-identical, and NULL
+    partitions (__HIVE_DEFAULT_PARTITION__) swap correctly too."""
+    import os
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(base, path, ["id"], "part", staged=True)  # creates
+    def snapshot(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+    before_b = snapshot("b")
+    upd = spark.createDataFrame(
+        [(1, "a", 9.0), (4, None, 4.0)], "id long, part string, v double"
+    )
+    upsert_parquet(upd, path, ["id"], "part", staged=True)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 9.0), (2, 2.0), (3, 3.0), (4, 4.0)}
+    assert snapshot("b") == before_b  # untouched partition: same files
+    leftovers = [d for d in os.listdir(path) if d.startswith(".upsert_")]
+    assert leftovers == []
+    with pytest.raises(OperatorConfigError, match="partition_col"):
+        upsert_parquet(upd, path, ["id"], None, staged=True)
+
+
 def test_upsert_parquet_null_partition_values(spark, tmp_path):
     """An update batch touching the NULL partition must NOT delete
     existing NULL-partition rows with other keys: isin(touched) never
