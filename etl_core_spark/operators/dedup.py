@@ -221,6 +221,97 @@ def minhash_dedup_pairs(
     )
 
 
+def jaccard_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_token_freq: int | None = None,
+    positional: bool = True,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs for ``jaccard_dedup_pairs``
+    — exposed separately so the positional filter's pruning is
+    directly measurable. See jaccard_dedup_pairs for the filter
+    derivations; ``positional=False`` disables the positional filter
+    (size + prefix only). ``sh`` lets the caller pass an
+    already-persisted shingle table (the pairs operator shares one
+    between candidate generation and verification)."""
+    if not 0 < threshold <= 1:
+        raise OperatorConfigError("jaccard threshold must be in (0, 1]")
+    if sh is None:
+        sh = _shingle_table(df, text_col, id_col, shingle_n, persist=False)
+    nonempty = sh.where(F.size("sh") > 0)
+    # carry the FULL distinct-shingle size: the size filter and prefix
+    # length must be computed on the same set the verify stage measures
+    # Jaccard on, or max_token_freq's frequency filtering would shrink
+    # __n and wrongly size-reject pairs that share rare tokens
+    ex = nonempty.select(
+        F.col(id_col), F.size("sh").alias("__n"), F.explode("sh").alias("__s")
+    )
+    freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_token_freq is not None:
+        freq = freq.where(F.col("__df") <= int(max_token_freq))
+    # rarest-first per-doc ordering; prefix = the tokens that MUST
+    # overlap for any partner above the threshold
+    ordered = (
+        ex.join(freq, on="__s")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    n = F.col("__n")
+    prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(
+            F.transform(
+                F.slice("__os", 1, prefix_len), lambda s: s["__s"]
+            )
+        ).alias("__pos", "__tok"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    t = float(threshold)
+    cond = (
+        (F.col("a.__tok") == F.col("b.__tok"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.__n") >= t * F.col("b.__n"))
+        & (F.col("b.__n") >= t * F.col("a.__n"))
+    )
+    if positional:
+        # positional filter (Xiao et al. §3.2): a match at 0-based
+        # rarity positions (i, j) bounds the overlap by
+        #   O <= 1 + min(|A|-i-1, |B|-j-1)
+        # (every shared token is >= the first shared token in the
+        # global rarity order), while Jaccard >= t needs
+        #   O >= t/(1+t) * (|A|+|B|).
+        # Kill the candidate ROW when the bound can't reach the
+        # requirement; the PAIR always survives via its first shared
+        # prefix token, for which the bound is valid-and-sufficient,
+        # so completeness is preserved. Under max_token_freq, __pos is
+        # the position in the frequency-FILTERED order <= the full
+        # position, so the bound only loosens — still complete.
+        ubound = 1 + F.least(
+            F.col("a.__n") - F.col("a.__pos") - 1,
+            F.col("b.__n") - F.col("b.__pos") - 1,
+        )
+        cond = cond & (
+            ubound >= F.lit(t / (1.0 + t)) * (F.col("a.__n") + F.col("b.__n"))
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def jaccard_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -256,62 +347,22 @@ def jaccard_dedup_pairs(
       ``max_token_freq`` the ONLY miss mode is a pair whose shared
       prefix tokens are all hot-filtered, never a size-filter
       mismatch.
+    - **positional filter**: a prefix-token match at rarity positions
+      (i, j) bounds the achievable overlap by the tokens remaining
+      AFTER the match; candidate rows whose bound can't reach the
+      Jaccard-implied overlap requirement are killed inside the join
+      condition (derivation in ``jaccard_candidates``). At crawl
+      scale this materially shrinks the verify join's input.
 
     Scale shape: one doc-frequency aggregate, one shuffle to re-sort
     shingles by rarity (the PPJoin preprocessing cost), one candidate
-    equi-join on prefix tokens, one verify join on the persisted
-    shingle table. Zero-shingle docs are excluded up front (Jaccard
-    over an empty set is 0)."""
-    if not 0 < threshold <= 1:
-        raise OperatorConfigError("jaccard threshold must be in (0, 1]")
+    equi-join on prefix tokens (with the positional filter pruning
+    candidate rows in the join condition), one verify join on the
+    persisted shingle table. Zero-shingle docs are excluded up front
+    (Jaccard over an empty set is 0)."""
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    nonempty = sh.where(F.size("sh") > 0)
-    # carry the FULL distinct-shingle size: the size filter and prefix
-    # length must be computed on the same set the verify stage measures
-    # Jaccard on, or max_token_freq's frequency filtering would shrink
-    # __n and wrongly size-reject pairs that share rare tokens
-    ex = nonempty.select(
-        F.col(id_col), F.size("sh").alias("__n"), F.explode("sh").alias("__s")
-    )
-    freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    if max_token_freq is not None:
-        freq = freq.where(F.col("__df") <= int(max_token_freq))
-    # rarest-first per-doc ordering; prefix = the tokens that MUST
-    # overlap for any partner above the threshold
-    ordered = (
-        ex.join(freq, on="__s")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
-            F.first("__n").alias("__n"),
-        )
-    )
-    n = F.col("__n")
-    prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
-    prefixes = ordered.select(
-        F.col(id_col),
-        n.alias("__n"),
-        F.explode(
-            F.transform(
-                F.slice("__os", 1, prefix_len), lambda s: s["__s"]
-            )
-        ).alias("__tok"),
-    )
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
-    t = float(threshold)
-    cands = (
-        a.join(
-            b,
-            (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.__n") >= t * F.col("b.__n"))
-            & (F.col("b.__n") >= t * F.col("a.__n")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    cands = jaccard_candidates(
+        df, text_col, id_col, threshold, shingle_n, max_token_freq, sh=sh
     )
     return (
         cands.join(

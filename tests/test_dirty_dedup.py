@@ -811,6 +811,49 @@ def test_jaccard_max_token_freq_size_filter_uses_full_sets(spark):
     assert (3, 4) not in got
 
 
+def test_jaccard_positional_filter_prunes_candidates(spark, tables):
+    """The positional filter must STRICTLY reduce the candidate set on
+    the real documents table while the verified pair set (and the
+    quadratic reference in test_jaccard_pairs_complete_vs_quadratic)
+    stays identical — pruning only rows the overlap bound proves
+    can't verify."""
+    from etl_core_spark.operators.dedup import (
+        jaccard_candidates,
+        jaccard_dedup_pairs,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    kw = dict(threshold=0.5, shingle_n=3)
+    with_pos = jaccard_candidates(docs, "text", "doc_id", **kw).count()
+    without = jaccard_candidates(
+        docs, "text", "doc_id", positional=False, **kw
+    ).count()
+    assert with_pos < without, (with_pos, without)
+    # completeness: the verified pairs equal the unfiltered candidates'
+    # verified pairs (positional pruning never kills a true pair)
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_dedup_pairs(docs, "text", "doc_id", **kw).collect()
+    }
+    from pyspark.sql import functions as F
+    from etl_core_spark.functions import text as X
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(X.shingles(F.col("text"), 3)).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.selectExpr("doc_id as id_a", "sh as sh_a")
+    b = sh.selectExpr("doc_id as id_b", "sh as sh_b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", X.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert verified == want
+
+
 def test_jaccard_pairs_no_cartesian_plan(spark):
     from etl_core_spark.operators.dedup import jaccard_dedup_pairs
 
