@@ -1,0 +1,141 @@
+"""Scale soak: time the expensive dedup/CC/decontaminate families at
+sf0.1 (1×) and at a ~K×-replicated copy (scripts/gen_scaled.py), and
+check the per-row cost stays ≈linear (ratio ≤ 1.5× by default).
+
+This is the empirical certification of the 100 TB shapes (VERDICT r6
+task #6): banded/bucketed candidate generation, prefix/positional
+filtering, large-star/small-star CC on the FORCED distributed path,
+and the AQE-sized decontamination join must all scale with the data,
+not with its square. A quadratic default path shows up here as a
+per-row cost ratio near K, not 1.
+
+Usage: python scripts/scale_soak.py [K] [--ratio 1.5]
+Exits non-zero if any family exceeds the ratio bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALED = "/tmp/spark_graft_scaled"
+
+
+def families(docs, spark):
+    """name -> thunk building the family's DataFrame (lazily)."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.dedup import (
+        connected_components,
+        jaccard_dedup_pairs,
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+        winnow_near_dup_pairs,
+    )
+    from etl_core_spark.operators.text_analysis import decontaminate
+
+    bench = docs.limit(200).select("text")
+
+    def cc_distributed():
+        pairs = minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, num_hashes=16, bands=8
+        )
+        return connected_components(pairs, driver_max_edges=0)
+
+    fams = {
+        "minhash_pairs": lambda: minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, num_hashes=16, bands=8
+        ),
+        "simhash_pairs": lambda: simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=6
+        ),
+        "winnow_pairs": lambda: winnow_near_dup_pairs(docs, "text", "doc_id"),
+        "ppjoin_pairs": lambda: jaccard_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ),
+        "decontaminate": lambda: decontaminate(docs, bench),
+        "cc_distributed": cc_distributed,
+    }
+    if "skew_key" in docs.columns:
+        fams["groupby_skew"] = lambda: docs.groupBy("skew_key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("text")).alias("avg_len"),
+        )
+    return fams
+
+
+def time_family(fn) -> float:
+    from etl_core_spark.session import release_intermediates
+
+    start = time.monotonic()
+    fn().write.format("noop").mode("overwrite").save()
+    elapsed = time.monotonic() - start
+    release_intermediates()
+    return elapsed
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    bound = 1.5
+    if "--ratio" in sys.argv:
+        bound = float(sys.argv[sys.argv.index("--ratio") + 1])
+
+    from etl_core_spark.session import get_spark
+    from etl_core_spark.tables import load_table
+
+    spark = get_spark(app_name="scale_soak")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    scaled_path = os.path.join(SCALED, "documents.parquet")
+    if not os.path.exists(scaled_path):
+        from scripts.gen_scaled import build_scaled_documents
+
+        build_scaled_documents(spark, SF_DIR, k).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(scaled_path)
+
+    base = load_table(spark, SF_DIR, "documents")
+    scaled = spark.read.parquet(scaled_path)
+    n_base, n_scaled = base.count(), scaled.count()
+    print(f"base rows={n_base}, scaled rows={n_scaled} ({n_scaled / n_base:.1f}x)")
+
+    results = {}
+    failures = []
+    base_fams, scaled_fams = families(base, spark), families(scaled, spark)
+    for name in scaled_fams:
+        if name in base_fams:
+            t1 = min(time_family(base_fams[name]) for _ in range(2))
+        else:
+            t1 = None
+        tk = time_family(scaled_fams[name])
+        if t1:
+            per_row_ratio = (tk / n_scaled) / (t1 / n_base)
+            ok = per_row_ratio <= bound
+            if not ok:
+                failures.append(name)
+        else:
+            per_row_ratio, ok = None, True
+        results[name] = {
+            "t_base_s": round(t1, 3) if t1 else None,
+            "t_scaled_s": round(tk, 3),
+            "per_row_cost_ratio": round(per_row_ratio, 3) if per_row_ratio else None,
+            "linear_ok": ok,
+        }
+        print(f"{name}: base={t1 and round(t1, 2)}s scaled={tk:.2f}s "
+              f"per-row ratio={per_row_ratio and round(per_row_ratio, 2)} "
+              f"{'OK' if ok else 'EXCEEDS ' + str(bound)}")
+
+    print(json.dumps({"k": k, "bound": bound, "families": results}))
+    if failures:
+        print(f"FAILED: {failures}", file=sys.stderr)
+        sys.exit(1)
+    print("ALL FAMILIES ~LINEAR")
+
+
+if __name__ == "__main__":
+    main()
