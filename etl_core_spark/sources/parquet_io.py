@@ -162,6 +162,13 @@ def upsert_parquet(
         )
     updates = updates.localCheckpoint()  # detach from any streaming/
     # source lineage; also read consistently while overwriting below
+    if updates.isEmpty():
+        # creating a table from an empty batch would leave a directory
+        # with a _SUCCESS marker and no parquet files — every later
+        # read/merge dies on UNABLE_TO_INFER_SCHEMA (same failure the
+        # streaming rate soak exposed in incremental_rollup); and on
+        # an existing table an empty upsert is a pointless rewrite
+        return
     merged = updates
     existed = _table_exists(spark, table_path)
     if existed:

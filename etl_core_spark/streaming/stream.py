@@ -240,7 +240,7 @@ def incremental_rollup(
     window: str,
     group_cols: list[str],
     agg_cols: dict[str, str],
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     trigger_once: bool = True,
 ):
     """Maintain a queryable rollup TABLE from an unbounded stream —
@@ -260,7 +260,10 @@ def incremental_rollup(
     ``agg_cols`` maps output name → "sum:col" | "count:*" (the
     densify_buckets spec). The parquet table is partitioned by
     ``__window`` (the window start, formatted) so the overwrite unit
-    = the window.
+    = the window. ``watermark=None`` means the input stream ALREADY
+    carries its event-time watermark (e.g. it went through
+    ``dropDuplicatesWithinWatermark`` upstream) — Spark disallows
+    redefining one on the same chain.
     """
     aggs = []
     for out_name, spec in agg_cols.items():
@@ -272,9 +275,10 @@ def incremental_rollup(
         else:
             raise ValueError(f"unknown rollup agg {spec!r}")
 
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     agg = (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("__w"), *group_cols)
+        stream.groupBy(F.window(ts_col, window).alias("__w"), *group_cols)
         .agg(*aggs)
         .select(
             F.date_format("__w.start", "yyyy-MM-dd-HH-mm").alias("__window"),
@@ -294,6 +298,14 @@ def incremental_rollup(
         # to the windows the batch touched, never the table.
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # detach from streaming lineage
+        if batch_df.isEmpty():
+            # Update mode emits NOTHING until the watermark first
+            # advances — a live source's first micro-batches are
+            # empty. Writing an empty overwrite here would create a
+            # directory with a _SUCCESS marker and zero parquet
+            # files; every later batch's carried read then dies on
+            # UNABLE_TO_INFER_SCHEMA (found by the rate soak).
+            return
         merged = batch_df
         if _table_exists(spark, table_path):
             windows = [r["__window"] for r in batch_df.select("__window").distinct().collect()]
