@@ -3820,12 +3820,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (the lang_id_ngram shared-profile pattern) — full
     hash-match, not rows-only. Output cosine at 4dp / rank on the 6dp
     value, the ann_brute_force ulp-absorption convention."""
+    from etl_core_spark.functions import vectors as V
     from etl_core_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # zero-norm queries are dropped on BOTH sides: Spark scores a
+    # zero query at cosine 0.0 while DuckDB's list_cosine_similarity
+    # yields NaN — a latent hash mismatch if the testdata ever ships
+    # a failed-embedding row in the query range (corpus-side zero
+    # vectors are already dropped inside lsh_topk)
+    queries = emb.filter(
+        (F.col("vec_id") < 10) & (V.norm(F.col("embedding")) > 0)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
     return out.select(
         "query_id",
@@ -3865,7 +3871,9 @@ WITH c AS (
 ), q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          {bucket("embedding::DOUBLE[]")} AS bucket
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings
+  WHERE vec_id < 10
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.query_id, c.corpus_id,
          list_cosine_similarity(q.qv, c.cv) AS cs

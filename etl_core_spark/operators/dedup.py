@@ -927,8 +927,15 @@ def connected_components(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
             ).first()
         )
+        # the probe also runs on the LAST allowed iteration regardless
+        # of plateau: a graph that reaches the fixed point exactly at
+        # round max_iters-1 (e.g. max_iters=1 on an already-star
+        # input) must be detected there, not raise — the plateau gate
+        # may only delay detection where spare rounds exist
         converged = (
-            sig == prev_sig and sig[0] == sig[1] and _star_overlap_probe(new_edges)
+            (sig == prev_sig or i == max_iters - 1)
+            and sig[0] == sig[1]
+            and _star_overlap_probe(new_edges)
         )
         prev_sig = sig
         edges.unpersist()

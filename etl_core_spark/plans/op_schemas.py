@@ -155,6 +155,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="merge keys: matching rows replaced, new keys appended"),
         f("partition_by", "array", items={"type": "string"},
           desc="ONE partition column — the dynamic-overwrite pruning unit"),
+        f("staged", "boolean",
+          desc="write-then-rename partition swap: shrinks the reader "
+               "inconsistency window to two renames (POSIX/HDFS only)"),
     ],
     "write_bucketed": [
         f("table", "string", required=True),

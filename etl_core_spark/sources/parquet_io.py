@@ -218,11 +218,17 @@ def _staged_partition_swap(
     file listing — then swap each touched partition directory into
     place with two FileSystem renames. Uses the Hadoop FileSystem API,
     so local paths and HDFS both work; renames are NOT atomic on
-    object stores (callers keep ``staged=False`` there). A crash
-    between the two renames of one partition leaves its old data in
-    the ``.upsert_trash_*`` directory for manual recovery — the
-    documented residual risk, versus the default mode's
-    whole-rewrite-duration inconsistency window."""
+    object stores (callers keep ``staged=False`` there). A crash OR
+    error between the two renames of one partition leaves its old
+    data in the ``.upsert_trash_*`` directory for manual recovery
+    (trash and staging are only cleaned up after EVERY swap
+    succeeded) — the documented residual risk, versus the default
+    mode's whole-rewrite-duration inconsistency window.
+    ``FileSystem.rename`` reports failure by returning false, not by
+    raising — every return value is checked and a false aborts loudly
+    (a silently-false rename would either leave stale data while the
+    caller believes the upsert committed, or nest the source inside
+    an existing destination directory)."""
     import uuid
 
     token = uuid.uuid4().hex[:12]
@@ -236,19 +242,28 @@ def _staged_partition_swap(
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(
         f"{table_path}/.upsert_staging_{token}"
     )
-    try:
-        fs.mkdirs(trash)
-        for st in fs.listStatus(staging):
-            name = st.getPath().getName()
-            if not name.startswith(f"{partition_col}="):
-                continue  # _SUCCESS and friends stay in staging
-            final = HPath(root, name)
-            if fs.exists(final):
-                fs.rename(final, HPath(trash, name))
-            fs.rename(st.getPath(), final)
-    finally:
-        fs.delete(trash, True)
-        fs.delete(staging, True)
+
+    def rename_or_raise(src, dst):
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"staged upsert: rename {src} -> {dst} failed (returned "
+                f"false); old partition data is preserved under {trash}"
+            )
+
+    fs.mkdirs(trash)
+    for st in fs.listStatus(staging):
+        name = st.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue  # _SUCCESS and friends stay in staging
+        final = HPath(root, name)
+        if fs.exists(final):
+            rename_or_raise(final, HPath(trash, name))
+        rename_or_raise(st.getPath(), final)
+    # cleanup ONLY after every swap succeeded — an exception above
+    # leaves trash (old data) and staging (new data) intact for
+    # recovery instead of destroying both in a finally block
+    fs.delete(trash, True)
+    fs.delete(staging, True)
 
 
 @register_operator("upsert_parquet")

@@ -113,21 +113,26 @@ def main() -> None:
         else:
             t1 = None
         tk = time_family(scaled_fams[name])
-        if t1:
-            per_row_ratio = (tk / n_scaled) / (t1 / n_base)
+        # `is not None`, never truthiness: a 0.0 base timing (coarse
+        # clock) must not silently skip the linearity assertion
+        if t1 is not None:
+            per_row_ratio = (tk / n_scaled) / (max(t1, 1e-3) / n_base)
             ok = per_row_ratio <= bound
             if not ok:
                 failures.append(name)
         else:
             per_row_ratio, ok = None, True
         results[name] = {
-            "t_base_s": round(t1, 3) if t1 else None,
+            "t_base_s": round(t1, 3) if t1 is not None else None,
             "t_scaled_s": round(tk, 3),
-            "per_row_cost_ratio": round(per_row_ratio, 3) if per_row_ratio else None,
+            "per_row_cost_ratio": (
+                round(per_row_ratio, 3) if per_row_ratio is not None else None
+            ),
             "linear_ok": ok,
         }
-        print(f"{name}: base={t1 and round(t1, 2)}s scaled={tk:.2f}s "
-              f"per-row ratio={per_row_ratio and round(per_row_ratio, 2)} "
+        print(f"{name}: base={None if t1 is None else round(t1, 2)}s "
+              f"scaled={tk:.2f}s per-row ratio="
+              f"{None if per_row_ratio is None else round(per_row_ratio, 2)} "
               f"{'OK' if ok else 'EXCEEDS ' + str(bound)}")
 
     print(json.dumps({"k": k, "bound": bound, "families": results}))

@@ -528,6 +528,15 @@ def test_cc_deep_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_cc_already_star_converges_within_max_iters_one(spark):
+    """An already-star input must be detected at round 0 even with
+    max_iters=1 — the plateau gate may only delay detection where
+    spare rounds exist, never turn a previously-converging call into
+    a RuntimeError (the probe also runs on the last allowed round)."""
+    got = _cc(spark, [(1, 2)], max_iters=1, driver_max_edges=0)
+    assert got == {1: 1, 2: 1}
+
+
 def test_cc_overlap_probe_gated_to_near_convergence(spark, monkeypatch):
     """The join-shaped half of the convergence test (the overlap
     probe) must run only when the cheap count==count_distinct gate
