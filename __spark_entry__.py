@@ -3130,6 +3130,72 @@ _SQL_MINHASH_PAIRS = f"""WITH {_MINHASH_PAIRS_CTES}
 {_MINHASH_PAIRS_SELECT}"""
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a PERSISTENT MinHash index
+    (operators/dedup.py minhash_index_update /
+    incremental_near_dup_pairs): even-id docs are indexed once
+    (signatures only — plain parquet), then the odd-id batch computes
+    its own signatures, band-joins the stored index and estimates
+    Jaccard from signature agreement. The daily-crawl shape: per-batch
+    cost is one index scan + a broadcast band join, never a
+    corpus-wide shingle recompute. The oracle recomputes the identical
+    md5 signatures, band values and agreement estimate for both
+    halves."""
+    from etl_core_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_index_update,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = _scratch_dir("mh_idx")
+    minhash_index_update(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id", idx,
+        num_hashes=8, bands=4,
+    )
+    return incremental_near_dup_pairs(
+        docs.where(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    nh, bands = 8, 4
+    rows = nh // bands
+    mins = ",\n         ".join(
+        f"min(md5('{j}:' || s)) AS s{j}" for j in range(nh)
+    )
+    band_sel = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, md5('{b}|' || s{lo} || '|' || s{hi}) AS bv FROM sig"
+        .format(b=b, lo=b * rows, hi=b * rows + 1)
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)" for j in range(nh)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, {_shingles_sql(3)} AS shingles FROM t
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+), bandv AS (
+{band_sel}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_corpus
+  FROM bandv b JOIN bandv c ON b.bv = c.bv
+  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+)
+SELECT id_new, id_corpus, round(({agree}) / {nh}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig x ON x.doc_id = id_new
+JOIN sig y ON y.doc_id = id_corpus
+WHERE round(({agree}) / {nh}.0, 6) >= 0.5
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering
     (operators/dedup.py jaccard_dedup_pairs) — complete, no LSH miss:
@@ -3949,6 +4015,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lead the r8 window). The three r5→r6 bench-regression watch items
 # (join_right, cube_lineitem, cast_temporal) are all inside the window.
 _R07_WINDOW = [
+    # never driver-checked (new this round)
+    "incremental_dedup",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
     "near_dup_clusters", "parquet_partitioned",
@@ -3966,7 +4034,7 @@ _R07_WINDOW = [
     "join_outer", "join_multi_step", "join_semi", "join_anti",
     "set_intersect", "set_except", "pivot_event_counts",
     "unpivot_measures", "rollup_orders", "grouping_sets", "cube_lineitem",
-    "type_conversion", "cast_temporal",
+    "cast_temporal",
 ]
 
 
@@ -4079,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "incremental_dedup": q_incremental_dedup,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4197,4 +4266,5 @@ def oracle_sql() -> dict[str, str]:
         # is ASCII-safe so DuckDB's VARCHAR sha256 recomputes it.
         "ann_lsh": _sql_ann_lsh(),
         "multimodal_features": _SQL_MULTIMODAL,
+        "incremental_dedup": _sql_incremental_dedup(),
     }

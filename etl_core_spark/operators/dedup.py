@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_core_spark.functions import text as X
 from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+from etl_core_spark.sources.base_io import SinkOperator
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str | None = None) -> DataFrame:
@@ -218,6 +219,190 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", F.round(X.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------- incremental MinHash index
+#
+# A daily-crawl pipeline can't re-run pairwise dedup over the whole
+# historical corpus for every new batch. The index persists each doc's
+# MinHash SIGNATURE once (plain parquet); a new batch then computes
+# signatures only for ITSELF, equi-joins band keys against the stored
+# index, and estimates Jaccard from signature agreement — per-batch
+# cost is one index scan + a (typically broadcast) band join, never a
+# corpus-wide shingle recompute. Signatures are md5-derived (the
+# cross-engine oracle surface) and band keys are md5 strings derived
+# from the stored columns at read time, so the index holds ONLY the
+# num_hashes signature columns.
+
+_INDEX_META = "_index_meta.json"
+
+
+def _index_meta_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(str(index_path), _INDEX_META)
+
+
+def read_index_meta(index_path: str) -> dict | None:
+    import json
+    import os
+
+    p = _index_meta_path(index_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _band_val_cols(num_hashes: int, bands: int) -> list:
+    """md5 band-key columns over signature columns m0..m{n-1}. The
+    band index is embedded in the hashed string, so a flat explode +
+    equi-join on the VALUE can never match band b of one doc against
+    band b' of another. md5 strings (not xxhash64 longs) because the
+    stored index must be recomputable by any engine — including the
+    DuckDB oracle."""
+    rows = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"m{b * rows + r}") for r in range(rows)]
+            )
+        )
+        for b in range(bands)
+    ]
+
+
+def minhash_index_update(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mode: str = "append",
+) -> None:
+    """Create or extend the persistent signature index at
+    ``index_path``. Zero-shingle docs are excluded (they can never
+    verify against anything). ``mode``:
+
+    - ``append`` (default): new doc ids appended — the steady-state
+      crawl case, I/O ∝ the batch;
+    - ``upsert``: re-crawled ids REPLACE their stored signatures via
+      ``upsert_parquet`` keyed on the id — documented full-table
+      rewrite cost on an unpartitioned index; run it at re-crawl
+      cadence, not per batch.
+
+    The index parameters are pinned in ``_index_meta.json`` at
+    creation; a later update with different parameters raises instead
+    of silently mixing incompatible signatures."""
+    import json
+    import os
+
+    if bands < 1 or num_hashes % bands != 0:
+        raise OperatorConfigError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if mode not in ("append", "upsert"):
+        raise OperatorConfigError(f"unknown index update mode {mode!r}")
+    meta = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "id_col": id_col,
+    }
+    existing = read_index_meta(index_path)
+    if existing is not None and existing != meta:
+        raise OperatorConfigError(
+            f"index at {index_path!r} was built with {existing}; "
+            f"refusing update with {meta}"
+        )
+    sh = _shingle_table(df, text_col, id_col, shingle_n, persist=False)
+    sig = minhash_sig_table(sh.where(F.size("sh") > 0), id_col, num_hashes)
+    table = os.path.join(str(index_path), "sigs")
+    if mode == "append":
+        sig.write.mode("append").parquet(table)
+    else:
+        from etl_core_spark.sources.parquet_io import upsert_parquet
+
+        upsert_parquet(sig, table, keys=[id_col])
+    if existing is None:
+        os.makedirs(str(index_path), exist_ok=True)
+        with open(_index_meta_path(index_path), "w") as fh:
+            json.dump(meta, fh)
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(id_new, id_corpus, est_jaccard) pairs between a NEW batch and
+    the indexed corpus, ``est_jaccard`` = fraction of agreeing MinHash
+    components (the standard unbiased Jaccard estimator — the index
+    stores signatures, not shingle sets, so verification is
+    signature-level by design; at 16 hashes the estimate is coarse
+    but monotone, and the band join already requires a full-band
+    agreement).
+
+    Scale shape: the batch's signatures are computed once (persisted —
+    consumed by the band explode AND the estimate join); the index
+    side is a narrow column scan + band derivation, equi-joined on the
+    band value. AQE broadcasts the (small) batch side, so the corpus
+    signatures never shuffle. Docs whose id already exists in the
+    index don't pair with themselves."""
+    meta = read_index_meta(index_path)
+    if meta is None:
+        raise OperatorConfigError(f"no index meta at {index_path!r}")
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    shingle_n = int(meta["shingle_n"])
+    idx_id = meta["id_col"]
+    from etl_core_spark.session import persist_intermediate
+
+    import os
+
+    spark = new_docs.sparkSession
+    sig_old = spark.read.parquet(os.path.join(str(index_path), "sigs"))
+    sh = _shingle_table(new_docs, text_col, id_col, shingle_n, persist=False)
+    sig_new = persist_intermediate(
+        minhash_sig_table(sh.where(F.size("sh") > 0), id_col, num_hashes)
+    )
+    bvals = F.array(*_band_val_cols(num_hashes, bands))
+    bn = sig_new.select(
+        F.col(id_col).alias("id_new"), F.explode(bvals).alias("__bv")
+    )
+    bo = sig_old.select(
+        F.col(idx_id).alias("id_corpus"), F.explode(bvals).alias("__bv")
+    )
+    cand = (
+        bn.join(bo, on="__bv")
+        .where(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    a = sig_new.select(
+        F.col(id_col).alias("id_new"),
+        *[F.col(f"m{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    b = sig_old.select(
+        F.col(idx_id).alias("id_corpus"),
+        *[F.col(f"m{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(a, on="id_new")
+        .join(b, on="id_corpus")
+        .withColumn(
+            "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6)
+        )
+        .where(F.col("est_jaccard") >= float(threshold))
+        .select("id_new", "id_corpus", "est_jaccard")
     )
 
 
@@ -1097,3 +1282,81 @@ class DedupOperator(Operator):
         fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
         keep = fp.groupBy("simhash").agg(F.min(id_col).alias(id_col))
         return {"out": df.join(keep, on=id_col, how="left_semi")}
+
+
+@register_operator("incremental_dedup")
+class IncrementalDedupOperator(Operator):
+    """New-batch near-dup against a persistent MinHash index
+    (``minhash_index_update`` / the ``minhash_index`` sink). Config:
+    ``index_path`` (required), ``threshold``, ``text_col``,
+    ``id_col``, ``action`` ∈ {annotate, drop}. ``annotate`` adds
+    ``n_corpus_matches`` / ``is_corpus_dup`` to every batch row;
+    ``drop`` anti-joins the matched rows out. Writing survivors back
+    into the index is the ``minhash_index`` SINK's job — this
+    operator stays a pure transform."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("index_path"):
+            raise OperatorConfigError("incremental_dedup requires 'index_path'")
+        self.action = self.config.get("action", "annotate")
+        if self.action not in ("annotate", "drop"):
+            raise OperatorConfigError(f"unknown action {self.action!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        df = self.single_input(inputs)
+        c = self.config
+        id_col = c.get("id_col", "doc_id")
+        pairs = incremental_near_dup_pairs(
+            df,
+            str(c["index_path"]),
+            c.get("text_col", "text"),
+            id_col,
+            float(c.get("threshold", 0.7)),
+        )
+        matched = pairs.groupBy("id_new").agg(
+            F.count(F.lit(1)).alias("n_corpus_matches")
+        )
+        if self.action == "drop":
+            dups = matched.select(F.col("id_new").alias(id_col))
+            return {"out": df.join(dups, on=id_col, how="left_anti")}
+        joined = df.join(
+            matched.withColumnRenamed("id_new", id_col), on=id_col, how="left"
+        )
+        return {
+            "out": joined.select(
+                *df.columns,
+                F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+                (F.coalesce("n_corpus_matches", F.lit(0)) > 0).alias(
+                    "is_corpus_dup"
+                ),
+            )
+        }
+
+
+@register_operator("minhash_index")
+class MinHashIndexSink(SinkOperator):
+    """Sink: write a batch's MinHash signatures into the persistent
+    index. Config: ``index_path`` (required), ``text_col``,
+    ``id_col``, ``num_hashes``, ``bands``, ``shingle_n``, ``mode`` ∈
+    {append, upsert}. Compose after ``incremental_dedup`` with
+    ``action=drop`` so only surviving docs enter the index."""
+
+    def validate_config(self) -> None:
+        if not self.config.get("index_path"):
+            raise OperatorConfigError("minhash_index requires 'index_path'")
+
+    def write(self, df: DataFrame) -> None:
+        c = self.config
+        minhash_index_update(
+            df,
+            c.get("text_col", "text"),
+            c.get("id_col", "doc_id"),
+            str(c["index_path"]),
+            int(c.get("num_hashes", 16)),
+            int(c.get("bands", 8)),
+            int(c.get("shingle_n", 3)),
+            str(c.get("mode", "append")),
+        )

@@ -236,7 +236,11 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     # -- LLM-pipeline operators ---------------------------------------
     "dedup": [
-        f("method", "string", default="exact", enum=["exact", "minhash_lsh", "simhash", "typo"]),
+        f("method", "string", default="exact",
+          enum=["exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard"]),
+        f("max_token_freq", "integer",
+          desc="ngram_jaccard: ignore shingles in more docs than this "
+               "(hot-token guard; completeness trade documented)"),
         f("max_len", "integer", default=64, desc="typo method: strings longer than this are excluded"),
         f("keys", "array", items={"type": "string"}, desc="dedup keys (exact)"),
         f("id_col", "string", default="doc_id", desc="survivor = min(id)"),
@@ -251,6 +255,26 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="drop LSH band keys hotter than this (mass-duplicate guard; minhash_lsh)"),
         f("max_hamming", "integer",
           desc="simhash: dedup within this hamming distance (banded) instead of exact-fingerprint only"),
+    ],
+    "incremental_dedup": [
+        f("index_path", "string", required=True,
+          desc="persistent MinHash signature index (minhash_index sink)"),
+        f("threshold", "number", default=0.7,
+          desc="signature-agreement Jaccard estimate threshold"),
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("action", "string", default="annotate", enum=["annotate", "drop"],
+          desc="annotate adds n_corpus_matches/is_corpus_dup; drop anti-joins matches out"),
+    ],
+    "minhash_index": [
+        f("index_path", "string", required=True),
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_hashes", "integer", default=16),
+        f("bands", "integer", default=8),
+        f("shingle_n", "integer", default=3),
+        f("mode", "string", default="append", enum=["append", "upsert"],
+          desc="append new ids; upsert replaces re-crawled ids (full-rewrite cost)"),
     ],
     "similarity_search": [
         f("method", "string", default="brute_force", enum=["brute_force", "lsh"]),
