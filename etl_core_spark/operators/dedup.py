@@ -320,6 +320,13 @@ def minhash_index_update(
         )
     sh = _shingle_table(df, text_col, id_col, shingle_n, persist=False)
     sig = minhash_sig_table(sh.where(F.size("sh") > 0), id_col, num_hashes)
+    sig = sig.localCheckpoint()
+    if sig.isEmpty():
+        # a batch of only zero-shingle docs must not CREATE a sigs
+        # directory with no parquet files (meta-without-data or a
+        # schema-less dir would break every later read — the same
+        # failure class the streaming rate soak exposed)
+        return
     table = os.path.join(str(index_path), "sigs")
     if mode == "append":
         sig.write.mode("append").parquet(table)

@@ -338,6 +338,86 @@ def incremental_rollup(
     return writer.start()
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    trigger_once: bool = True,
+):
+    """Continuous crawl dedup over the persistent MinHash index
+    (operators/dedup.py): each micro-batch
+
+    1. near-dup dedups WITHIN itself (exact-Jaccard verify, min-id
+       survivor — the batch operator unchanged),
+    2. drops survivors that near-dup the ALREADY-INDEXED corpus
+       (signature-agreement estimate ≥ ``threshold``),
+    3. appends the remaining docs' signatures to the index, and
+    4. appends those docs to the ``out_path`` parquet table.
+
+    So every doc is compared against everything that arrived before
+    it — across batches, restarts included (the index IS the state,
+    no streaming state store involved) — while per-batch cost stays
+    batch-sized: one index scan + broadcast band join, never a corpus
+    recompute.
+
+    Exactly-once caveat (documented, not hidden): foreachBatch gives
+    at-least-once for EXTERNAL writes — a batch retried after a crash
+    between steps 3 and 4 can append its signatures (and rows) twice.
+    Re-runs are idempotent at the QUERY level (a doc that re-arrives
+    matches its own indexed signature at estimate 1.0 and is dropped
+    in step 2 — self-pairs are excluded by id, so only true re-runs
+    with the same ids pass through), and a periodic exact_dedup
+    compaction of the index/out tables by id restores exactness; use
+    a transactional table format when you need it guaranteed."""
+    from etl_core_spark.operators.dedup import (
+        _drop_dups,
+        incremental_near_dup_pairs,
+        minhash_dedup_pairs,
+        minhash_index_update,
+        read_index_meta,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        pairs_in = minhash_dedup_pairs(
+            batch_df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+        )
+        survivors = _drop_dups(batch_df, pairs_in, id_col, {})
+        if read_index_meta(index_path) is not None:
+            matched = (
+                incremental_near_dup_pairs(
+                    survivors, index_path, text_col, id_col, threshold
+                )
+                .select(F.col("id_new").alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(matched, on=id_col, how="left_anti")
+        survivors = survivors.localCheckpoint()  # one computation feeds
+        # both writes below (and detaches from the index being appended)
+        minhash_index_update(
+            survivors, text_col, id_col, index_path, num_hashes, bands, shingle_n
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def attribution_join(
     views: DataFrame,
     purchases: DataFrame,

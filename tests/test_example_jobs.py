@@ -234,3 +234,50 @@ def test_parquet_decontaminate_upsert(spark, tmp_path, tables):
     res2 = JobRunner(build_job(spark, config)).run()
     assert res2.status == "SUCCESS"
     assert spark.read.parquet(str(out / "clean_corpus")).count() == n1
+
+
+def test_parquet_incremental_dedup(spark, tmp_path):
+    """The crawl-increment pipeline: batch docs near-dup'ing the
+    pre-seeded index are dropped, survivors append their signatures
+    to the index (sink pass-through chaining) and land in the output
+    table — and a SECOND batch sees the first batch's survivors
+    through the index."""
+    from etl_core_spark.operators.dedup import minhash_index_update
+    from etl_core_spark.session import release_intermediates
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "an indexed document about database engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog"),
+         (103, "a fresh survivor document with no corpus match")],
+        "doc_id long, text string",
+    )
+
+    def inputs(d):
+        minhash_index_update(
+            corpus, "text", "doc_id", str(d / "index"), num_hashes=8, bands=4
+        )
+        batch.write.parquet(str(d / "batch.parquet"))
+
+    out, res = run_example(spark, tmp_path, "parquet_incremental_dedup.json", inputs)
+    release_intermediates()
+    back = spark.read.parquet(str(out / "survivors"))
+    assert {r["doc_id"] for r in back.collect()} == {103}
+    assert res.metrics["out_sink"]["lines_received"] == 1
+    # the index grew by the survivor: a re-sent 103 now drops too
+    batch2 = spark.createDataFrame(
+        [(201, "a fresh survivor document with no corpus match")],
+        "doc_id long, text string",
+    )
+    batch2.write.mode("overwrite").parquet(str(tmp_path / "in" / "batch.parquet"))
+    raw = (EXAMPLES / "parquet_incremental_dedup.json").read_text()
+    config = json.loads(
+        raw.replace("__IN__", str(tmp_path / "in")).replace("__OUT__", str(out))
+    )
+    res2 = JobRunner(build_job(spark, config)).run()
+    release_intermediates()
+    assert res2.status == "SUCCESS"
+    assert res2.metrics["out_sink"]["lines_received"] == 0  # 201 matched 103

@@ -134,6 +134,71 @@ def test_minhash_index_sink_roundtrip(spark, tmp_path):
     assert got == {(201, 103)}  # survivor 103 is now part of the corpus
 
 
+def test_streaming_incremental_dedup_end_to_end(spark, tmp_path):
+    """The continuous crawl pipeline: per micro-batch, dedup within
+    the batch, drop docs matching the already-indexed corpus, append
+    survivors to index and output. Driven with one file per
+    micro-batch so batch 2 provably sees batch 1's survivors through
+    the index (the index IS the cross-batch state)."""
+    import os
+    import time as _time
+
+    from etl_core_spark.streaming.stream import streaming_incremental_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = _df(spark, rows)
+        p = str(src / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _d, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    # batch 1: 1~2 near-dups (min id 1 survives), 3 unique
+    write_file("f1", [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated text about parquet file layouts"),
+    ], t0)
+    # batch 2: 11 dups batch 1's survivor, 12 is new, 13 zero-shingle
+    write_file("f2", [
+        (11, "the quick brown fox jumps over the lazy dog"),
+        (12, "another brand new document nothing has ever matched"),
+        (13, ""),
+    ], t0 + 10)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = streaming_incremental_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5, num_hashes=8, bands=4,
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert q.exception() is None
+    release_intermediates()
+
+    out = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # 2 deduped within batch 1; 11 dropped against the index; 13
+    # (zero-shingle) passes through — it can never verify as a dup
+    assert out == {1, 3, 12, 13}
+    sigs = spark.read.parquet(str(tmp_path / "idx" / "sigs"))
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 3, 12}
+
+
 def test_incremental_pairs_no_cartesian_plan(spark, index):
     plan = (
         incremental_near_dup_pairs(_df(spark, BATCH), index, threshold=0.5)
