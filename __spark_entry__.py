@@ -3535,6 +3535,30 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the PERSISTENT IVF index (operators/similarity.py
+    ivf_index_update / ivf_index_topk): corpus cell assignments are
+    built once into a cell-partitioned parquet table; the query batch
+    assigns itself against the tiny stored centroid table and scans
+    ONLY its probed cells' partition directories (plan-asserted in
+    tests/test_ivf_index.py). Same parameters as ivf_topk's oracle
+    (8 seed centroids, nprobe=2, k=5, no refinement), so the identical
+    SQL certifies the persisted path returns exactly what the direct
+    path returns."""
+    from etl_core_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_index_update,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivf_idx")
+    ivf_index_update(emb, idx, num_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(queries, idx, k=5, nprobe=2)
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile operator (operators/profile.py) in exact-NDV mode:
     melted per-column statistics over orders. The approx default is
@@ -4016,7 +4040,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (join_right, cube_lineitem, cast_temporal) are all inside the window.
 _R07_WINDOW = [
     # never driver-checked (new this round)
-    "incremental_dedup",
+    "incremental_dedup", "ivf_index_topk",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
     "near_dup_clusters", "parquet_partitioned",
@@ -4033,7 +4057,7 @@ _R07_WINDOW = [
     "filter_rule_fail", "join_inner", "join_left", "join_right",
     "join_outer", "join_multi_step", "join_semi", "join_anti",
     "set_intersect", "set_except", "pivot_event_counts",
-    "unpivot_measures", "rollup_orders", "grouping_sets", "cube_lineitem",
+    "unpivot_measures", "rollup_orders", "cube_lineitem",
     "cast_temporal",
 ]
 
@@ -4148,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "incremental_dedup": q_incremental_dedup,
+        "ivf_index_topk": q_ivf_index_topk,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4267,4 +4292,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann_lsh(),
         "multimodal_features": _SQL_MULTIMODAL,
         "incremental_dedup": _sql_incremental_dedup(),
+        # the persisted-index path must return exactly what the direct
+        # IVF path returns -> the same oracle certifies both
+        "ivf_index_topk": _SQL_IVF_TOPK,
     }

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_core_spark.functions import vectors as V
 from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+from etl_core_spark.sources.base_io import SinkOperator
 
 
 def _fits_broadcast(df: DataFrame, limit_bytes: int = 8 << 20) -> bool:
@@ -432,6 +433,160 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------ persistent IVF index
+#
+# The embedding-side analog of the persistent MinHash index
+# (operators/dedup.py): corpus vectors are assigned to centroid cells
+# ONCE and stored as a parquet table PARTITIONED BY CELL, so a query
+# batch (a) assigns itself against the tiny stored centroid table and
+# (b) scans only its nprobe cells' partition directories — per-batch
+# I/O ∝ probed cells, never the corpus, and the corpus assignment is
+# never recomputed.
+
+_IVF_META = "_ivf_meta.json"
+
+
+def read_ivf_meta(index_path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(str(index_path), _IVF_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def ivf_index_update(
+    corpus: DataFrame,
+    index_path: str,
+    num_centroids: int = 8,
+    kmeans_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Create or extend the persistent IVF index.
+
+    Creation: centroids seed from the ``num_centroids`` lowest-id
+    vectors (unit-normalized; optional deterministic Lloyd rounds),
+    stored in ``centroids``; every corpus vector's nearest cell +
+    unit vector lands in ``cells`` partitioned by ``__cid``.
+    Extension (meta already pinned): NEW vectors are assigned to the
+    EXISTING centroids and appended — standard IVF practice
+    (centroids stay fixed between rebuilds, so earlier assignments
+    remain valid; rebuild the index when distribution drift matters).
+    Zero-norm vectors are dropped (same guard as lsh_topk). Parameter
+    mismatch against the pinned meta raises."""
+    import json
+    import os
+
+    meta = {
+        "num_centroids": int(num_centroids),
+        "kmeans_iters": int(kmeans_iters),
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    existing = read_ivf_meta(index_path)
+    if existing is not None and existing != meta:
+        raise OperatorConfigError(
+            f"IVF index at {index_path!r} was built with {existing}; "
+            f"refusing update with {meta}"
+        )
+    from etl_core_spark.session import ensure_parallelism
+
+    spark = corpus.sparkSession
+    cent_path = os.path.join(str(index_path), "centroids")
+    cells_path = os.path.join(str(index_path), "cells")
+    c_raw = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv0"))
+    )
+    c_unit = V.select_unit(
+        c_raw, (F.col("__corpus_id"), "__corpus_id"), "__cv0", "__cv"
+    ).where(V.norm(F.col("__cv")) > 0)
+    if existing is None:
+        cent = V.select_unit(
+            corpus.orderBy(F.col(id_col).asc()).limit(num_centroids),
+            (F.col(id_col), "__cid"), vec_col, "__cvec",
+        )
+        if kmeans_iters > 0:
+            from etl_core_spark.session import persist_intermediate
+
+            c_unit = persist_intermediate(c_unit)
+            cent = refine_centroids(c_unit, cent, kmeans_iters)
+        cent.coalesce(1).write.mode("overwrite").parquet(cent_path)
+    cent = spark.read.parquet(cent_path)
+    assigned = ivf_assign(c_unit, cent, "__corpus_id", "__cv", nprobe=1)
+    assigned = assigned.localCheckpoint()
+    if assigned.isEmpty():
+        return  # all-zero-norm batch: never create a file-less table
+    assigned.write.mode("append").partitionBy("__cid").parquet(cells_path)
+    if existing is None:
+        os.makedirs(str(index_path), exist_ok=True)
+        with open(os.path.join(str(index_path), _IVF_META), "w") as fh:
+            json.dump(meta, fh)
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against the persistent IVF index: the query
+    batch unit-normalizes and assigns itself to its ``nprobe``
+    nearest stored centroids (broadcast narrow map), then scans ONLY
+    the probed cells — the probed-cell list is collected (bounded by
+    ``num_centroids``) and applied as a partition filter, so the scan
+    reads only those partition directories. Output contract matches
+    ``ivf_topk``: (query_id, id, cosine@6dp, rank)."""
+    import os
+
+    meta = read_ivf_meta(index_path)
+    if meta is None:
+        raise OperatorConfigError(f"no IVF index meta at {index_path!r}")
+    id_col = meta["id_col"]
+    spark = queries.sparkSession
+    cent = spark.read.parquet(os.path.join(str(index_path), "centroids"))
+    from etl_core_spark.session import ensure_parallelism
+
+    q_raw = ensure_parallelism(
+        queries.select(
+            F.col(query_id_col).alias("__query_id"), F.col(vec_col).alias("__qv0")
+        )
+    )
+    q_unit = V.select_unit(q_raw, (F.col("__query_id"), "__query_id"), "__qv0", "__qv")
+    q_assigned = ivf_assign(q_unit, cent, "__query_id", "__qv", nprobe=nprobe)
+    # bounded collect: at most num_centroids distinct cells
+    probed = [r[0] for r in q_assigned.select("__cid").distinct().collect()]
+    if not probed:
+        return q_assigned.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double, rank long"
+        )
+    cells = spark.read.parquet(os.path.join(str(index_path), "cells")).where(
+        F.col("__cid").isin(probed)
+    )
+    scored = q_assigned.join(cells, on="__cid").select(
+        "__query_id",
+        "__corpus_id",
+        F.round(V.dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("__query_id").orderBy(
+        F.col("cosine").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__query_id").alias(query_id_col),
+            F.col("__corpus_id").alias(id_col),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -489,15 +644,34 @@ class SimilaritySearchOperator(Operator):
 
     def validate_config(self) -> None:
         self.method = self.config.get("method", "brute_force")
-        if self.method not in ("brute_force", "lsh"):
+        if self.method not in ("brute_force", "lsh", "ivf_index"):
             raise OperatorConfigError(f"unknown similarity method {self.method!r}")
+        if self.method == "ivf_index" and not self.config.get("index_path"):
+            raise OperatorConfigError("ivf_index method requires 'index_path'")
 
     def apply(self, inputs: PortMap) -> PortMap:
         corpus = inputs.get("corpus")
         queries = inputs.get("queries", corpus)
+        c = self.config
+        if self.method == "ivf_index":
+            # corpus lives in the persistent index (ivf_index sink);
+            # only the query batch flows through the job
+            if queries is None:
+                raise OperatorConfigError(
+                    "similarity_search(ivf_index) requires a 'queries' input"
+                )
+            return {
+                "out": ivf_index_topk(
+                    queries,
+                    str(c["index_path"]),
+                    k=int(c.get("k", 10)),
+                    nprobe=int(c.get("nprobe", 1)),
+                    vec_col=c.get("vec_col", "embedding"),
+                    query_id_col=c.get("query_id_col", "query_id"),
+                )
+            }
         if corpus is None:
             raise OperatorConfigError("similarity_search requires a 'corpus' input")
-        c = self.config
         kwargs = dict(
             k=int(c.get("k", 10)),
             vec_col=c.get("vec_col", "embedding"),
@@ -513,3 +687,27 @@ class SimilaritySearchOperator(Operator):
                 num_tables=int(c.get("num_tables", 1)), **kwargs,
             )
         return {"out": out}
+
+
+@register_operator("ivf_index")
+class IVFIndexSink(SinkOperator):
+    """Sink: assign a corpus batch to the persistent IVF index's
+    centroid cells and append (``ivf_index_update`` — creates the
+    index with deterministic seed centroids on first write). Config:
+    ``index_path`` (required), ``num_centroids``, ``kmeans_iters``,
+    ``vec_col``, ``id_col``."""
+
+    def validate_config(self) -> None:
+        if not self.config.get("index_path"):
+            raise OperatorConfigError("ivf_index requires 'index_path'")
+
+    def write(self, df: DataFrame) -> None:
+        c = self.config
+        ivf_index_update(
+            df,
+            str(c["index_path"]),
+            num_centroids=int(c.get("num_centroids", 8)),
+            kmeans_iters=int(c.get("kmeans_iters", 0)),
+            vec_col=c.get("vec_col", "embedding"),
+            id_col=c.get("id_col", "vec_id"),
+        )

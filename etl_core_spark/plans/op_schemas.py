@@ -276,8 +276,22 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("mode", "string", default="append", enum=["append", "upsert"],
           desc="append new ids; upsert replaces re-crawled ids (full-rewrite cost)"),
     ],
+    "ivf_index": [
+        f("index_path", "string", required=True,
+          desc="persistent IVF index (centroids + cell-partitioned assignments)"),
+        f("num_centroids", "integer", default=8),
+        f("kmeans_iters", "integer", default=0,
+          desc="deterministic Lloyd refinement rounds at index creation"),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+    ],
     "similarity_search": [
-        f("method", "string", default="brute_force", enum=["brute_force", "lsh"]),
+        f("method", "string", default="brute_force",
+          enum=["brute_force", "lsh", "ivf_index"]),
+        f("index_path", "string",
+          desc="ivf_index method: the persistent index to probe"),
+        f("nprobe", "integer", default=1,
+          desc="ivf_index method: centroid cells probed per query"),
         f("k", "integer", default=10),
         f("vec_col", "string", default="embedding"),
         f("id_col", "string", default="vec_id"),
