@@ -340,6 +340,47 @@ def minhash_index_update(
             json.dump(meta, fh)
 
 
+def minhash_index_compact(spark, index_path: str, by: str = "row") -> int:
+    """Compact the signature table: ``by="row"`` removes exact
+    duplicate ROWS — the artifact an at-least-once re-run of an
+    append batch leaves (identical rows by construction), and the
+    escape hatch ``streaming_incremental_dedup`` documents;
+    ``by="id"`` keeps ONE row per id (min signature tuple — an
+    arbitrary-but-deterministic pick for ids re-appended with
+    different content; prefer ``mode="upsert"`` updates when which
+    version wins matters). Rewrites the table compacted; returns the
+    number of rows removed."""
+    import os
+
+    meta = read_index_meta(index_path)
+    if meta is None:
+        raise OperatorConfigError(f"no index meta at {index_path!r}")
+    table = os.path.join(str(index_path), "sigs")
+    sigs = spark.read.parquet(table)
+    before = sigs.count()
+    if by == "row":
+        compacted = sigs.dropDuplicates()
+    elif by == "id":
+        id_col = meta["id_col"]
+        others = [c for c in sigs.columns if c != id_col]
+        # min over the WHOLE tuple as one struct: per-column mins
+        # would splice two different signatures into a chimera that
+        # matches neither document (the as_of_join carry-atomically
+        # lesson)
+        compacted = (
+            sigs.groupBy(id_col)
+            .agg(F.min(F.struct(*others)).alias("__t"))
+            .select(id_col, *[F.col(f"__t.{c}").alias(c) for c in others])
+        )
+    else:
+        raise OperatorConfigError(f"unknown compact mode {by!r}")
+    compacted = compacted.localCheckpoint()  # detach from the files
+    # about to be overwritten
+    after = compacted.count()
+    compacted.write.mode("overwrite").parquet(table)
+    return before - after
+
+
 def incremental_near_dup_pairs(
     new_docs: DataFrame,
     index_path: str,

@@ -199,6 +199,67 @@ def test_streaming_incremental_dedup_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 3, 12}
 
 
+def test_minhash_index_compact(spark, index):
+    """by='row' removes re-run duplicate rows; by='id' keeps one
+    whole-tuple signature per id (never a per-column chimera)."""
+    import os
+
+    from etl_core_spark.operators.dedup import (
+        minhash_index_compact,
+        minhash_index_update,
+    )
+
+    # simulate an at-least-once re-run: append the same corpus again
+    minhash_index_update(_df(spark, CORPUS), "text", "doc_id", index,
+                         num_hashes=8, bands=4)
+    table = os.path.join(index, "sigs")
+    assert spark.read.parquet(table).count() == 6  # 3 non-empty docs x2
+    removed = minhash_index_compact(spark, index, by="row")
+    assert removed == 3
+    sigs = spark.read.parquet(table)
+    assert sigs.count() == 3
+    # re-crawl id 0 with different content, then compact by id
+    minhash_index_update(
+        _df(spark, [(0, "totally different recrawled body text")]),
+        "text", "doc_id", index, num_hashes=8, bands=4,
+    )
+    assert spark.read.parquet(table).count() == 4
+    removed = minhash_index_compact(spark, index, by="id")
+    assert removed == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert kept == {0, 2, 4}
+    # the kept signature for id 0 is ONE of the two real tuples, not a
+    # per-column mixture: it must exactly equal one of the candidates
+    both = [tuple(r) for r in minhash_sig_rows(spark, index)]
+    assert len(both) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="compact mode"):
+        minhash_index_compact(spark, index, by="bogus")
+
+
+def minhash_sig_rows(spark, index):
+    """Rows for doc 0 in the index, checked against freshly-computed
+    signatures of both historical contents of doc 0."""
+    import os
+
+    from etl_core_spark.operators.dedup import _shingle_table, minhash_sig_table
+
+    stored = (
+        spark.read.parquet(os.path.join(index, "sigs"))
+        .where("doc_id = 0")
+        .collect()
+    )
+    candidates = set()
+    for text in (CORPUS[0][1], "totally different recrawled body text"):
+        df = _df(spark, [(0, text)])
+        sh = _shingle_table(df, "text", "doc_id", 3, persist=False)
+        row = minhash_sig_table(sh, "doc_id", 8).collect()[0]
+        candidates.add(tuple(row))
+    assert all(tuple(r) in candidates for r in stored)
+    return stored
+
+
 def test_incremental_pairs_no_cartesian_plan(spark, index):
     plan = (
         incremental_near_dup_pairs(_df(spark, BATCH), index, threshold=0.5)
