@@ -3163,9 +3163,15 @@ def _sql_incremental_dedup() -> str:
     mins = ",\n         ".join(
         f"min(md5('{j}:' || s)) AS s{j}" for j in range(nh)
     )
+    # concat over range(rows), not a hardcoded pair: if nh/bands are
+    # ever retuned, a two-column assumption would silently hash only
+    # the first two of rows signature columns and mismatch the Spark
+    # side's _band_val_cols
     band_sel = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, md5('{b}|' || s{lo} || '|' || s{hi}) AS bv FROM sig"
-        .format(b=b, lo=b * rows, hi=b * rows + 1)
+        "  SELECT doc_id, md5('{b}|' || {cat}) AS bv FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"s{b * rows + r}" for r in range(rows)),
+        )
         for b in range(bands)
     )
     agree = " + ".join(

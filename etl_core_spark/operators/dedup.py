@@ -239,20 +239,24 @@ _INDEX_META = "_index_meta.json"
 
 
 def _index_meta_path(index_path: str) -> str:
-    import os
-
-    return os.path.join(str(index_path), _INDEX_META)
+    return f"{str(index_path).rstrip('/')}/{_INDEX_META}"
 
 
-def read_index_meta(index_path: str) -> dict | None:
+def read_index_meta(index_path: str, spark=None) -> dict | None:
+    """Index meta, read THROUGH the Hadoop FileSystem (sources/
+    hadoop_fs.py) so a remote (HDFS/S3A) index is visible from any
+    driver host — os.path would only see the local disk."""
     import json
-    import os
 
-    p = _index_meta_path(index_path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as fh:
-        return json.load(fh)
+    from pyspark.sql import SparkSession
+
+    from etl_core_spark.sources.hadoop_fs import fs_read_text
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise OperatorConfigError("no active SparkSession for index meta I/O")
+    raw = fs_read_text(spark, _index_meta_path(index_path))
+    return None if raw is None else json.loads(raw)
 
 
 def _band_val_cols(num_hashes: int, bands: int) -> list:
@@ -298,7 +302,6 @@ def minhash_index_update(
     creation; a later update with different parameters raises instead
     of silently mixing incompatible signatures."""
     import json
-    import os
 
     if bands < 1 or num_hashes % bands != 0:
         raise OperatorConfigError(
@@ -312,7 +315,8 @@ def minhash_index_update(
         "shingle_n": int(shingle_n),
         "id_col": id_col,
     }
-    existing = read_index_meta(index_path)
+    spark = df.sparkSession
+    existing = read_index_meta(index_path, spark)
     if existing is not None and existing != meta:
         raise OperatorConfigError(
             f"index at {index_path!r} was built with {existing}; "
@@ -327,7 +331,7 @@ def minhash_index_update(
         # schema-less dir would break every later read — the same
         # failure class the streaming rate soak exposed)
         return
-    table = os.path.join(str(index_path), "sigs")
+    table = f"{str(index_path).rstrip('/')}/sigs"
     if mode == "append":
         sig.write.mode("append").parquet(table)
     else:
@@ -335,9 +339,9 @@ def minhash_index_update(
 
         upsert_parquet(sig, table, keys=[id_col])
     if existing is None:
-        os.makedirs(str(index_path), exist_ok=True)
-        with open(_index_meta_path(index_path), "w") as fh:
-            json.dump(meta, fh)
+        from etl_core_spark.sources.hadoop_fs import fs_write_text
+
+        fs_write_text(spark, _index_meta_path(index_path), json.dumps(meta))
 
 
 def minhash_index_compact(spark, index_path: str, by: str = "row") -> int:
@@ -352,7 +356,7 @@ def minhash_index_compact(spark, index_path: str, by: str = "row") -> int:
     number of rows removed."""
     import os
 
-    meta = read_index_meta(index_path)
+    meta = read_index_meta(index_path, spark)
     if meta is None:
         raise OperatorConfigError(f"no index meta at {index_path!r}")
     table = os.path.join(str(index_path), "sigs")
@@ -402,7 +406,8 @@ def incremental_near_dup_pairs(
     band value. AQE broadcasts the (small) batch side, so the corpus
     signatures never shuffle. Docs whose id already exists in the
     index don't pair with themselves."""
-    meta = read_index_meta(index_path)
+    spark = new_docs.sparkSession
+    meta = read_index_meta(index_path, spark)
     if meta is None:
         raise OperatorConfigError(f"no index meta at {index_path!r}")
     num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
@@ -411,8 +416,6 @@ def incremental_near_dup_pairs(
     from etl_core_spark.session import persist_intermediate
 
     import os
-
-    spark = new_docs.sparkSession
     sig_old = spark.read.parquet(os.path.join(str(index_path), "sigs"))
     sh = _shingle_table(new_docs, text_col, id_col, shingle_n, persist=False)
     sig_new = persist_intermediate(

@@ -446,15 +446,21 @@ def ivf_topk(
 _IVF_META = "_ivf_meta.json"
 
 
-def read_ivf_meta(index_path: str) -> dict | None:
+def read_ivf_meta(index_path: str, spark=None) -> dict | None:
+    """IVF index meta, read THROUGH the Hadoop FileSystem (sources/
+    hadoop_fs.py) so a remote (HDFS/S3A) index is visible from any
+    driver host — os.path would only see the local disk."""
     import json
-    import os
 
-    p = os.path.join(str(index_path), _IVF_META)
-    if not os.path.exists(p):
-        return None
-    with open(p) as fh:
-        return json.load(fh)
+    from pyspark.sql import SparkSession
+
+    from etl_core_spark.sources.hadoop_fs import fs_read_text
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise OperatorConfigError("no active SparkSession for index meta I/O")
+    raw = fs_read_text(spark, f"{str(index_path).rstrip('/')}/{_IVF_META}")
+    return None if raw is None else json.loads(raw)
 
 
 def ivf_index_update(
@@ -486,7 +492,8 @@ def ivf_index_update(
         "vec_col": vec_col,
         "id_col": id_col,
     }
-    existing = read_ivf_meta(index_path)
+    spark = corpus.sparkSession
+    existing = read_ivf_meta(index_path, spark)
     if existing is not None and existing != meta:
         raise OperatorConfigError(
             f"IVF index at {index_path!r} was built with {existing}; "
@@ -494,15 +501,21 @@ def ivf_index_update(
         )
     from etl_core_spark.session import ensure_parallelism
 
-    spark = corpus.sparkSession
     cent_path = os.path.join(str(index_path), "centroids")
     cells_path = os.path.join(str(index_path), "cells")
     c_raw = ensure_parallelism(
         corpus.select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv0"))
     )
+    # NO zero-norm filter here: the direct ivf_topk path keeps zero
+    # vectors (unit() preserves them; they score cosine 0.0) and the
+    # persisted path's contract is returning EXACTLY what the direct
+    # path returns — the shared oracle certifies both. A corpus with
+    # masses of failed-embedding zero vectors concentrates them in one
+    # cell (all-ties -> lowest centroid id): drop them upstream before
+    # indexing, same advice as lsh_topk gives for bucketing.
     c_unit = V.select_unit(
         c_raw, (F.col("__corpus_id"), "__corpus_id"), "__cv0", "__cv"
-    ).where(V.norm(F.col("__cv")) > 0)
+    )
     if existing is None:
         cent = V.select_unit(
             corpus.orderBy(F.col(id_col).asc()).limit(num_centroids),
@@ -521,9 +534,11 @@ def ivf_index_update(
         return  # all-zero-norm batch: never create a file-less table
     assigned.write.mode("append").partitionBy("__cid").parquet(cells_path)
     if existing is None:
-        os.makedirs(str(index_path), exist_ok=True)
-        with open(os.path.join(str(index_path), _IVF_META), "w") as fh:
-            json.dump(meta, fh)
+        from etl_core_spark.sources.hadoop_fs import fs_write_text
+
+        fs_write_text(
+            spark, f"{str(index_path).rstrip('/')}/{_IVF_META}", json.dumps(meta)
+        )
 
 
 def ivf_index_topk(
@@ -543,11 +558,11 @@ def ivf_index_topk(
     ``ivf_topk``: (query_id, id, cosine@6dp, rank)."""
     import os
 
-    meta = read_ivf_meta(index_path)
+    spark = queries.sparkSession
+    meta = read_ivf_meta(index_path, spark)
     if meta is None:
         raise OperatorConfigError(f"no IVF index meta at {index_path!r}")
     id_col = meta["id_col"]
-    spark = queries.sparkSession
     cent = spark.read.parquet(os.path.join(str(index_path), "centroids"))
     from etl_core_spark.session import ensure_parallelism
 
@@ -557,13 +572,28 @@ def ivf_index_topk(
         )
     )
     q_unit = V.select_unit(q_raw, (F.col("__query_id"), "__query_id"), "__qv0", "__qv")
-    q_assigned = ivf_assign(q_unit, cent, "__query_id", "__qv", nprobe=nprobe)
+    # checkpoint: the assignment subtree (crossJoin + window rank —
+    # the dominant narrow-map cost) feeds BOTH the probed-cell collect
+    # and the final join; without it the batch is assigned twice
+    q_assigned = ivf_assign(
+        q_unit, cent, "__query_id", "__qv", nprobe=nprobe
+    ).localCheckpoint()
     # bounded collect: at most num_centroids distinct cells
     probed = [r[0] for r in q_assigned.select("__cid").distinct().collect()]
+    cells_schema = spark.read.parquet(os.path.join(str(index_path), "cells")).schema
     if not probed:
-        return q_assigned.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cosine double, rank long"
-        )
+        # schema-typed empty result: id/query-id types come from the
+        # index and the query batch, never hardcoded (a 'long' guess
+        # breaks unions/appends for string-id tables)
+        from pyspark.sql import types as T
+
+        empty = T.StructType([
+            T.StructField(query_id_col, q_assigned.schema["__query_id"].dataType),
+            T.StructField(id_col, cells_schema["__corpus_id"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ])
+        return spark.createDataFrame([], empty)
     cells = spark.read.parquet(os.path.join(str(index_path), "cells")).where(
         F.col("__cid").isin(probed)
     )

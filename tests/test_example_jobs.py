@@ -281,3 +281,6 @@ def test_parquet_incremental_dedup(spark, tmp_path):
     release_intermediates()
     assert res2.status == "SUCCESS"
     assert res2.metrics["out_sink"]["lines_received"] == 0  # 201 matched 103
+    # append-mode sink: a zero-survivor run must neither clobber the
+    # accumulated table nor leave it unreadable (_SUCCESS-only dir)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out / "survivors")).collect()} == {103}
