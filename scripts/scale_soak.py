@@ -28,18 +28,33 @@ SCALED = "/tmp/spark_graft_scaled"
 
 def families(docs, spark):
     """name -> thunk building the family's DataFrame (lazily)."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from etl_core_spark.operators.dedup import (
         connected_components,
+        incremental_near_dup_pairs,
         jaccard_dedup_pairs,
         minhash_dedup_pairs,
+        minhash_index_update,
         simhash_near_dup_pairs,
         winnow_near_dup_pairs,
     )
     from etl_core_spark.operators.text_analysis import decontaminate
 
     bench = docs.limit(200).select("text")
+
+    def incremental_index():
+        # index the WHOLE corpus (the part that scales), then query a
+        # FIXED-size batch against it — per-row cost is the index
+        # side's build + scan, the claim under test
+        idx = tempfile.mkdtemp(prefix="soak_mh_idx_") + "/idx"
+        minhash_index_update(docs, "text", "doc_id", idx, num_hashes=8, bands=4)
+        batch = docs.limit(500).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        )
+        return incremental_near_dup_pairs(batch, idx, threshold=0.5)
 
     def cc_distributed():
         pairs = minhash_dedup_pairs(
@@ -60,6 +75,7 @@ def families(docs, spark):
         ),
         "decontaminate": lambda: decontaminate(docs, bench),
         "cc_distributed": cc_distributed,
+        "incremental_index": incremental_index,
     }
     if "skew_key" in docs.columns:
         fams["groupby_skew"] = lambda: docs.groupBy("skew_key").agg(
@@ -112,7 +128,11 @@ def main() -> None:
             t1 = min(time_family(base_fams[name]) for _ in range(2))
         else:
             t1 = None
-        tk = time_family(scaled_fams[name])
+        # min-of-2 on the scaled side too: this host's load spikes are
+        # routine and a single-shot 5x outlier fails the ratio gate
+        # spuriously (observed on decontaminate: 25.9 s one-shot vs
+        # 3.8-4.1 s on every rerun)
+        tk = min(time_family(scaled_fams[name]) for _ in range(2))
         # `is not None`, never truthiness: a 0.0 base timing (coarse
         # clock) must not silently skip the linearity assertion
         if t1 is not None:
