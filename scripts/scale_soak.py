@@ -78,10 +78,20 @@ def families(docs, spark):
         "incremental_index": incremental_index,
     }
     if "skew_key" in docs.columns:
-        fams["groupby_skew"] = lambda: docs.groupBy("skew_key").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.length("text")).alias("avg_len"),
+        skewed = docs
+    else:
+        # base side: derive the identical skew shape on the fly so the
+        # family gets a 1x-vs-10x ratio like every other family
+        skewed = docs.withColumn(
+            "skew_key",
+            F.when(F.xxhash64("doc_id") % 2 == 0, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1000))
+            ),
         )
+    fams["groupby_skew"] = lambda: skewed.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("text")).alias("avg_len"),
+    )
     return fams
 
 
