@@ -158,6 +158,10 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("staged", "boolean",
           desc="write-then-rename partition swap: shrinks the reader "
                "inconsistency window to two renames (POSIX/HDFS only)"),
+        f("allow_schema_evolution", "boolean",
+          desc="accept added/removed batch columns (NULL-filled); "
+               "rewrites the whole table that run so files share one "
+               "schema"),
     ],
     "write_bucketed": [
         f("table", "string", required=True),

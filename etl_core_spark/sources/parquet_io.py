@@ -118,6 +118,7 @@ def upsert_parquet(
     keys: list[str],
     partition_col: str | None = None,
     staged: bool = False,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Batch MERGE-INTO for a plain parquet table: rows in ``updates``
     REPLACE existing rows with the same key; new keys append — the
@@ -135,6 +136,17 @@ def upsert_parquet(
 
     Keys compare null-safely: a NULL key forms its own identity, it
     does not silently duplicate (exact_dedup's eqNullSafe lesson).
+
+    Schema evolution: by default a column-set mismatch between the
+    batch and the table raises (a typo'd column must not silently
+    rewrite the table). ``allow_schema_evolution=True`` accepts
+    added/removed columns — the missing side fills with NULLs — and
+    REWRITES THE WHOLE TABLE that run (the partition-pruned carry is
+    bypassed) so every parquet file carries the union schema: mixed
+    per-file schemas would require ``mergeSchema`` on every future
+    read, and a reader who forgets it silently loses the new column.
+    One full rewrite per schema change is the price of plain parquet;
+    a table format does this with metadata only.
 
     Consistency: not transactional — use a table format
     (Delta/Iceberg) when you need snapshot isolation. With the
@@ -171,9 +183,32 @@ def upsert_parquet(
         return
     merged = updates
     existed = _table_exists(spark, table_path)
+    schema_changed = False
     if existed:
         existing = spark.read.parquet(table_path)
-        if partition_col is not None:
+        schema_changed = set(existing.columns) != set(updates.columns)
+        if schema_changed:
+            if not allow_schema_evolution:
+                raise OperatorConfigError(
+                    "upsert_parquet: batch columns "
+                    f"{sorted(set(updates.columns) - set(existing.columns))} "
+                    "added / "
+                    f"{sorted(set(existing.columns) - set(updates.columns))} "
+                    "missing vs the table; pass allow_schema_evolution=True "
+                    "to accept (full-table rewrite) or fix the batch"
+                )
+            missing_keys = [k for k in keys if k not in updates.columns
+                            or k not in existing.columns]
+            if missing_keys or (
+                partition_col is not None
+                and (partition_col not in updates.columns
+                     or partition_col not in existing.columns)
+            ):
+                raise OperatorConfigError(
+                    "upsert_parquet: schema evolution cannot add or remove "
+                    "key/partition columns"
+                )
+        if partition_col is not None and not schema_changed:
             touched = [
                 r[0] for r in updates.select(partition_col).distinct().collect()
             ]
@@ -194,7 +229,9 @@ def upsert_parquet(
             eq = existing[k].eqNullSafe(updates[k])
             cond = eq if cond is None else (cond & eq)
         carried = existing.join(updates, on=cond, how="left_anti").localCheckpoint()
-        merged = updates.unionByName(carried)
+        merged = updates.unionByName(carried, allowMissingColumns=schema_changed)
+    # staged + schema evolution still works: the full carry puts every
+    # partition into staging, so the swap loop replaces them all
     if staged and existed:
         _staged_partition_swap(spark, merged, table_path, partition_col)
         return
@@ -288,4 +325,7 @@ class UpsertParquet(SinkOperator):
         upsert_parquet(
             df, str(self.config["filepath"]), list(self.config["keys"]), pb,
             staged=bool(self.config.get("staged", False)),
+            allow_schema_evolution=bool(
+                self.config.get("allow_schema_evolution", False)
+            ),
         )

@@ -291,6 +291,44 @@ def test_upsert_parquet_null_partition_values(spark, tmp_path):
     assert got == {(1, 9.0), (2, 20.0), (3, 3.0), (4, 40.0)}
 
 
+def test_upsert_parquet_schema_evolution(spark, tmp_path):
+    """Added/removed batch columns: refused by default; with
+    allow_schema_evolution=True the whole table rewrites on the union
+    schema (no mergeSchema needed afterwards) with NULL fills on the
+    missing side; key/partition columns can never evolve away."""
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(base, path, ["id"], "part")
+    widened = spark.createDataFrame(
+        [(1, "a", 9.0, "x")], "id long, part string, v double, tag string"
+    )
+    with pytest.raises(OperatorConfigError, match="schema_evolution"):
+        upsert_parquet(widened, path, ["id"], "part")
+    upsert_parquet(widened, path, ["id"], "part", allow_schema_evolution=True)
+    back = spark.read.parquet(path)  # NO mergeSchema option needed
+    assert set(back.columns) == {"id", "part", "v", "tag"}
+    got = {(r["id"], r["v"], r["tag"]) for r in back.collect()}
+    assert got == {(1, 9.0, "x"), (2, 2.0, None)}
+    # removed column: old rows keep values, batch rows get NULL
+    narrowed = spark.createDataFrame([(3, "b", None)], "id long, part string, v double")
+    upsert_parquet(
+        narrowed.drop("v"), path, ["id"], "part", allow_schema_evolution=True
+    )
+    got = {(r["id"], r["v"], r["tag"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 9.0, "x"), (2, 2.0, None), (3, None, None)}
+    # keys/partition columns must not evolve away
+    keyless = spark.createDataFrame([("a", 5.0)], "part string, v double")
+    with pytest.raises(OperatorConfigError, match="key/partition"):
+        upsert_parquet(keyless, path, ["id"], "part",
+                       allow_schema_evolution=True)
+
+
 def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
     """NULL keys merge null-safely (replace, not duplicate); the
     registered sink validates its config."""
