@@ -154,7 +154,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("keys", "array", required=True, items={"type": "string"},
           desc="merge keys: matching rows replaced, new keys appended"),
         f("partition_by", "array", items={"type": "string"},
-          desc="ONE partition column — the dynamic-overwrite pruning unit"),
+          desc="partition columns — the dynamic-overwrite leaf pruning "
+               "unit (staged mode requires exactly one)"),
         f("staged", "boolean",
           desc="write-then-rename partition swap: shrinks the reader "
                "inconsistency window to two renames (POSIX/HDFS only)"),

@@ -127,12 +127,14 @@ def upsert_parquet(
     table format.
 
     I/O scales with the TOUCHED data, not the table, when
-    ``partition_col`` is set (it must be one of the table's
-    ``partitionBy`` columns): the carried read is pruned to the
-    partitions the batch touches, and dynamic partition overwrite
-    rewrites only those. Without a partition column the whole table
-    rewrites (documented: that is what keyed upsert over a heap of
-    parquet files costs — partition your tables).
+    ``partition_col`` is set (a single column or a LIST — the table's
+    ``partitionBy`` columns, e.g. ``["ds", "lang"]``): the carried
+    read is pruned to the leaf partitions the batch touches (an
+    OR-of-ANDs predicate over the touched tuples, null-safe per
+    column), and dynamic partition overwrite rewrites only those
+    leaves. Without partition columns the whole table rewrites
+    (documented: that is what keyed upsert over a heap of parquet
+    files costs — partition your tables).
 
     Keys compare null-safely: a NULL key forms its own identity, it
     does not silently duplicate (exact_dedup's eqNullSafe lesson).
@@ -167,10 +169,16 @@ def upsert_parquet(
     spark = updates.sparkSession
     if not keys:
         raise OperatorConfigError("upsert_parquet requires 'keys'")
-    if staged and partition_col is None:
+    pcols: list[str] = (
+        [] if partition_col is None
+        else [partition_col] if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    if staged and len(pcols) != 1:
         raise OperatorConfigError(
-            "upsert_parquet staged=True requires partition_col (the "
-            "rename/swap unit is the partition directory)"
+            "upsert_parquet staged=True requires exactly ONE partition "
+            "column (the rename/swap unit is the top-level partition "
+            "directory; nested-level swaps are not implemented)"
         )
     updates = updates.localCheckpoint()  # detach from any streaming/
     # source lineage; also read consistently while overwriting below
@@ -199,30 +207,33 @@ def upsert_parquet(
                 )
             missing_keys = [k for k in keys if k not in updates.columns
                             or k not in existing.columns]
-            if missing_keys or (
-                partition_col is not None
-                and (partition_col not in updates.columns
-                     or partition_col not in existing.columns)
+            if missing_keys or any(
+                c not in updates.columns or c not in existing.columns
+                for c in pcols
             ):
                 raise OperatorConfigError(
                     "upsert_parquet: schema evolution cannot add or remove "
                     "key/partition columns"
                 )
-        if partition_col is not None and not schema_changed:
-            touched = [
-                r[0] for r in updates.select(partition_col).distinct().collect()
-            ]
+        if pcols and not schema_changed:
+            # bounded collect: distinct touched partition TUPLES
+            touched = updates.select(*pcols).distinct().collect()
             if not touched:
                 return
-            # NULL-safe partition pruning: isin() never matches NULL, but
-            # dynamic overwrite DOES rewrite the NULL partition
-            # (__HIVE_DEFAULT_PARTITION__) when the batch touches it — so a
-            # plain isin would drop every existing NULL-partition row whose
-            # key isn't in the batch.
-            non_null = [t for t in touched if t is not None]
-            pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-            if any(t is None for t in touched):
-                pred = pred | F.col(partition_col).isNull()
+            # NULL-safe leaf pruning as OR-of-ANDs over the touched
+            # tuples: isin()/== never match NULL, but dynamic overwrite
+            # DOES rewrite the NULL leaf (__HIVE_DEFAULT_PARTITION__)
+            # when the batch touches it — a non-null-safe predicate
+            # would drop every existing NULL-leaf row whose key isn't
+            # in the batch.
+            pred = None
+            for row in touched:
+                term = None
+                for c in pcols:
+                    v = row[c]
+                    t = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                    term = t if term is None else (term & t)
+                pred = term if pred is None else (pred | term)
             existing = existing.where(pred)
         cond = None
         for k in keys:
@@ -233,15 +244,15 @@ def upsert_parquet(
     # staged + schema evolution still works: the full carry puts every
     # partition into staging, so the swap loop replaces them all
     if staged and existed:
-        _staged_partition_swap(spark, merged, table_path, partition_col)
+        _staged_partition_swap(spark, merged, table_path, pcols[0])
         return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if partition_col is not None:
+    if pcols:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         writer = merged.write.mode("overwrite")
-        if partition_col is not None:
-            writer = writer.partitionBy(partition_col)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -306,7 +317,8 @@ def _staged_partition_swap(
 @register_operator("upsert_parquet")
 class UpsertParquet(SinkOperator):
     """Keyed parquet upsert sink: config ``filepath``, ``keys``,
-    optional ``partition_by`` (single column — the pruning unit)."""
+    optional ``partition_by`` (one or more columns — the
+    leaf-partition pruning unit; ``staged`` requires exactly one)."""
 
     def validate_config(self) -> None:
         for key in ("filepath", "keys"):
@@ -316,12 +328,7 @@ class UpsertParquet(SinkOperator):
     def write(self, df: DataFrame) -> None:
         pb = self.config.get("partition_by")
         if isinstance(pb, (list, tuple)):
-            if len(pb) > 1:
-                raise OperatorConfigError(
-                    "upsert_parquet supports ONE partition column (the "
-                    "dynamic-overwrite pruning unit)"
-                )
-            pb = pb[0] if pb else None
+            pb = list(pb) or None
         upsert_parquet(
             df, str(self.config["filepath"]), list(self.config["keys"]), pb,
             staged=bool(self.config.get("staged", False)),

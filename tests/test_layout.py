@@ -258,7 +258,7 @@ def test_upsert_parquet_staged_swap(spark, tmp_path):
     assert snapshot("b") == before_b  # untouched partition: same files
     leftovers = [d for d in os.listdir(path) if d.startswith(".upsert_")]
     assert leftovers == []
-    with pytest.raises(OperatorConfigError, match="partition_col"):
+    with pytest.raises(OperatorConfigError, match="exactly ONE partition"):
         upsert_parquet(upd, path, ["id"], None, staged=True)
 
 
@@ -348,5 +348,45 @@ def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
     op = get_operator("upsert_parquet")
     with _pytest.raises(OperatorConfigError, match="keys"):
         op(filepath=path)
-    with _pytest.raises(OperatorConfigError, match="ONE partition column"):
-        op(filepath=path, keys=["id"], partition_by=["a", "b"]).write(base)
+    with _pytest.raises(OperatorConfigError, match="exactly ONE"):
+        op(filepath=path, keys=["id"], partition_by=["a", "b"],
+           staged=True).write(base)
+
+
+def test_upsert_parquet_multi_column_partitions(spark, tmp_path):
+    """Multi-column partitioning: only touched (ds, lang) LEAVES
+    rewrite; sibling leaves under a touched top-level dir stay
+    byte-identical; NULL leaf tuples carry null-safely."""
+    import os
+
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", "en", 1.0), (2, "d1", "de", 2.0),
+         (3, "d2", "en", 3.0), (4, "d1", None, 4.0)],
+        "id long, ds string, lang string, v double",
+    )
+    upsert_parquet(base, path, ["id"], ["ds", "lang"])
+
+    def snapshot(ds, lang):
+        d = os.path.join(path, f"ds={ds}", f"lang={lang}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_d1_de = snapshot("d1", "de")
+    before_d2_en = snapshot("d2", "en")
+    # touch only (d1, en) and the NULL-lang leaf of d1
+    upd = spark.createDataFrame(
+        [(1, "d1", "en", 9.0), (5, "d1", None, 5.0)],
+        "id long, ds string, lang string, v double",
+    )
+    upsert_parquet(upd, path, ["id"], ["ds", "lang"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # 1 replaced, 5 appended; 4 (NULL-lang leaf, unmatched key) carried
+    assert got == {(1, 9.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0)}
+    # sibling leaf (d1, de) under the touched ds=d1 dir: untouched
+    assert snapshot("d1", "de") == before_d1_de
+    assert snapshot("d2", "en") == before_d2_en
