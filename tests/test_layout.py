@@ -329,6 +329,31 @@ def test_upsert_parquet_schema_evolution(spark, tmp_path):
                        allow_schema_evolution=True)
 
 
+def test_upsert_parquet_staged_schema_evolution(spark, tmp_path):
+    """staged + allow_schema_evolution: the full carry puts EVERY
+    partition into staging, so the swap replaces them all and the
+    table ends uniformly on the union schema with no residue."""
+    import os
+
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(base, path, ["id"], "part", staged=True)
+    widened = spark.createDataFrame(
+        [(1, "a", 9.0, "x")], "id long, part string, v double, tag string"
+    )
+    upsert_parquet(widened, path, ["id"], "part", staged=True,
+                   allow_schema_evolution=True)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"id", "part", "v", "tag"}
+    got = {(r["id"], r["v"], r["tag"]) for r in back.collect()}
+    assert got == {(1, 9.0, "x"), (2, 2.0, None)}
+    assert [d for d in os.listdir(path) if d.startswith(".upsert_")] == []
+
+
 def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
     """NULL keys merge null-safely (replace, not duplicate); the
     registered sink validates its config."""
