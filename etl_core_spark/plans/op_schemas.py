@@ -163,6 +163,10 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="accept added/removed batch columns (NULL-filled); "
                "rewrites the whole table that run so files share one "
                "schema"),
+        f("stable_partitions", "boolean", default=True,
+          desc="pruning contract: keys never move between partitions; "
+               "set false (full-table carry) when a batch can move a "
+               "key, or its old-partition row would silently survive"),
     ],
     "write_bucketed": [
         f("table", "string", required=True),

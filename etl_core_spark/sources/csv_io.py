@@ -43,14 +43,11 @@ class ReadCsv(SourceOperator):
         if schema is not None:
             reader = reader.schema(schema)
         else:
-            # all-string parity with the reference's dtype=str read
-            header = (
-                spark.read.option("header", True)
-                .option("delimiter", self.config.get("separator", ","))
-                .option("inferSchema", False)
-                .csv(str(self.config["filepath"]))
-            )
-            reader = reader.schema(header.schema)  # all strings by default
+            # all-string parity with the reference's dtype=str read:
+            # inferSchema=False (Spark's default, pinned explicitly)
+            # already yields all-StringType columns from the header —
+            # no separate schema-probe read needed
+            reader = reader.option("inferSchema", False)
         return reader.csv(str(self.config["filepath"]))
 
 

@@ -73,6 +73,12 @@ class ReadExcel(SourceOperator):
                 sheet_name=sheet,
                 dtype=str if schema is None else None,
             )
+            # dtype=str keeps BLANK cells as float NaN, and
+            # createDataFrame stringifies those to the literal 'nan' —
+            # a real string downstream filters/joins would match.
+            # Restore them to NULL (the lite engine already returns
+            # None for empty cells, so the engines agree).
+            pdf = pdf.where(pd.notna(pdf), None)
             df = (
                 spark.createDataFrame(pdf, schema)
                 if schema is not None
@@ -85,7 +91,11 @@ class ReadExcel(SourceOperator):
             raise OperatorConfigError(
                 f"workbook sheet has no header row: {self.config['filepath']}"
             )
-        string_schema = ", ".join(f"`{c}` string" for c in header)
+        # backticks in header names double-escape (the quote_ident
+        # convention) or the DDL string fails to parse
+        string_schema = ", ".join(
+            "`{}` string".format(str(c).replace("`", "``")) for c in header
+        )
         df = spark.createDataFrame(rows, schema=string_schema)
         if schema is not None:
             # all-string parse → declared types, same cast surface as read_csv

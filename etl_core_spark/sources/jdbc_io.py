@@ -156,7 +156,22 @@ def bind_named_params(
             )
         return render(params[name])
 
-    return _re.sub(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)", sub, query)
+    # substitute ONLY outside quoted spans: a ':word' inside a string
+    # literal ('skip:this') or quoted identifier is content, not a
+    # placeholder — scanning the whole text either raised on valid SQL
+    # or rewrote the literal. Spans use the SQL doubled-quote escape
+    # model ('it''s'); that also covers the identifiers quote_ident
+    # emits.
+    placeholder = r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)"
+    span = _re.compile(r"('(?:[^']|'')*')|(\"(?:[^\"]|\"\")*\")")
+    out: list[str] = []
+    last = 0
+    for m in span.finditer(query):
+        out.append(_re.sub(placeholder, sub, query[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(_re.sub(placeholder, sub, query[last:]))
+    return "".join(out)
 
 
 def build_update_sql(
@@ -278,6 +293,32 @@ def _make_jdbc_write(dialect: str):
     return WriteJdbc
 
 
+def _qmark_to_pyformat(sql: str) -> str:
+    """Rewrite ``?`` placeholders to ``%s`` OUTSIDE quoted spans only:
+    a blanket str.replace also rewrote a ``?`` inside a quoted
+    identifier or string literal (the exact user-named-column threat
+    ``quote_ident`` hardens against), mangling the name and
+    misaligning executemany parameters. ``%`` in literals is escaped
+    to ``%%`` so pyformat drivers don't parse it as a format spec."""
+    out = []
+    quote: str | None = None
+    for ch in sql:
+        if quote is not None:
+            out.append("%%" if ch == "%" else ch)
+            if ch == quote:
+                quote = None  # doubled quotes re-enter on the next char
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+        elif ch == "?":
+            out.append("%s")
+        elif ch == "%":
+            out.append("%%")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _execute_dml_partition(rows, sql, param_cols, url, user, password, batch_size):
     """Executed on executors: batch DML via a DBAPI driver resolved
     from the JDBC url scheme. Import-gated — raises a clear error if
@@ -288,7 +329,7 @@ def _execute_dml_partition(rows, sql, param_cols, url, user, password, batch_siz
     conn, paramstyle = _dbapi_connect(url, user, password)
     try:
         cur = conn.cursor()
-        stmt = sql if paramstyle == "qmark" else sql.replace("?", "%s")
+        stmt = sql if paramstyle == "qmark" else _qmark_to_pyformat(sql)
         for i in range(0, len(rows), batch_size):
             batch = [[r[c] for c in param_cols] for r in rows[i : i + batch_size]]
             cur.executemany(stmt, batch)

@@ -163,6 +163,12 @@ class WriteMongodb(SinkOperator):
             raise OperatorConfigError(f"unknown mongo operation {op!r}")
         if op == "upsert" and not self.config.get("key_fields"):
             raise OperatorConfigError("mongo upsert requires 'key_fields'")
+        if op == "update" and not self.config.get("match_filter"):
+            # an absent filter would make EVERY row issue
+            # UpdateOne({}, $set) — each one silently rewriting the
+            # first arbitrary document Mongo matches (the JDBC twin
+            # requires where_columns for the same reason)
+            raise OperatorConfigError("mongo update requires 'match_filter'")
 
     def write(self, df: DataFrame) -> None:
         c = self.config

@@ -119,6 +119,7 @@ def upsert_parquet(
     partition_col: str | None = None,
     staged: bool = False,
     allow_schema_evolution: bool = False,
+    stable_partitions: bool = True,
 ) -> None:
     """Batch MERGE-INTO for a plain parquet table: rows in ``updates``
     REPLACE existing rows with the same key; new keys append — the
@@ -135,6 +136,18 @@ def upsert_parquet(
     leaves. Without partition columns the whole table rewrites
     (documented: that is what keyed upsert over a heap of parquet
     files costs — partition your tables).
+
+    ``stable_partitions`` (default True) is the pruning CONTRACT: a
+    key never changes its partition values between upserts. If a
+    batch CAN move keys across partitions (e.g. a mutable ``status``
+    partition column that is not part of the key), pass
+    ``stable_partitions=False`` — the carry then scans the WHOLE
+    table so the key's old row in its former partition is deleted
+    too; with the default pruned carry that stale row would survive
+    invisibly (the old partition is never read or rewritten) and the
+    key would be silently duplicated. Keys that INCLUDE every
+    partition column are immune by construction (a moved row is a
+    different key).
 
     Keys compare null-safely: a NULL key forms its own identity, it
     does not silently duplicate (exact_dedup's eqNullSafe lesson).
@@ -164,7 +177,7 @@ def upsert_parquet(
     default there. Untouched partitions are never listed, rewritten,
     or renamed in either mode.
     """
-    from etl_core_spark.streaming.stream import _table_exists
+    from etl_core_spark.sources.hadoop_fs import fs_exists as _table_exists
 
     spark = updates.sparkSession
     if not keys:
@@ -180,6 +193,12 @@ def upsert_parquet(
             "column (the rename/swap unit is the top-level partition "
             "directory; nested-level swaps are not implemented)"
         )
+    if staged and not stable_partitions:
+        raise OperatorConfigError(
+            "upsert_parquet staged=True requires stable_partitions: the "
+            "swap only replaces directories present in the merged batch, "
+            "so it cannot delete a partition a moved key vacated"
+        )
     updates = updates.localCheckpoint()  # detach from any streaming/
     # source lineage; also read consistently while overwriting below
     if updates.isEmpty():
@@ -192,6 +211,7 @@ def upsert_parquet(
     merged = updates
     existed = _table_exists(spark, table_path)
     schema_changed = False
+    pruned = False
     if existed:
         existing = spark.read.parquet(table_path)
         schema_changed = set(existing.columns) != set(updates.columns)
@@ -215,7 +235,8 @@ def upsert_parquet(
                     "upsert_parquet: schema evolution cannot add or remove "
                     "key/partition columns"
                 )
-        if pcols and not schema_changed:
+        pruned = bool(pcols) and not schema_changed and stable_partitions
+        if pruned:
             # bounded collect: distinct touched partition TUPLES
             touched = updates.select(*pcols).distinct().collect()
             if not touched:
@@ -246,16 +267,19 @@ def upsert_parquet(
     if staged and existed:
         _staged_partition_swap(spark, merged, table_path, pcols[0])
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    writer = merged.write.mode("overwrite")
     if pcols:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        writer = merged.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(table_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        writer = writer.partitionBy(*pcols)
+        if pruned or not existed:
+            # per-WRITE dynamic overwrite (not the session conf — a
+            # concurrent writer on the same SparkSession must not
+            # inherit or clobber it): only touched leaves rewrite.
+            # Full carries (schema evolution, stable_partitions=False)
+            # deliberately stay STATIC: the whole table is replaced,
+            # so a partition a moved key vacated is deleted instead of
+            # surviving as a stale directory dynamic mode never lists.
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(table_path)
 
 
 def _staged_partition_swap(
@@ -279,12 +303,11 @@ def _staged_partition_swap(
     an existing destination directory)."""
     import uuid
 
+    from etl_core_spark.sources.hadoop_fs import _fs
+
     token = uuid.uuid4().hex[:12]
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    fs, root, jvm = _fs(spark, table_path)
     HPath = jvm.org.apache.hadoop.fs.Path
-    root = HPath(table_path)
-    fs = root.getFileSystem(hconf)
     staging = HPath(root, f".upsert_staging_{token}")
     trash = HPath(root, f".upsert_trash_{token}")
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(
@@ -334,5 +357,8 @@ class UpsertParquet(SinkOperator):
             staged=bool(self.config.get("staged", False)),
             allow_schema_evolution=bool(
                 self.config.get("allow_schema_evolution", False)
+            ),
+            stable_partitions=bool(
+                self.config.get("stable_partitions", True)
             ),
         )

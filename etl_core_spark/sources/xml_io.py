@@ -165,8 +165,18 @@ def append_records_in_place(
 ) -> None:
     """Append records into one existing XML document in place
     (reference ``xml_helper.py:300-359``): locate the closing root
-    tag at the file tail, truncate it, stream the new record bytes,
-    re-close. Creates the document if absent/empty."""
+    tag at the file tail, truncate it, write the new record bytes,
+    re-close. Creates the document if absent/empty.
+
+    The row iterator is FULLY serialized to a bytes buffer BEFORE the
+    truncate: rows stream off executors (toLocalIterator), and a row
+    that fails mid-iteration — a serialization error, an executor
+    task failure — must not destroy the only copy of the document
+    after its closing tag is already gone. Post-buffering, the
+    mutation is one truncate + one write; a hard crash inside that
+    narrow window can still leave an unterminated file (in-place
+    append is the reference's semantic — write a new document when
+    you need atomicity)."""
     closing = f"</{root_tag}>".encode(encoding)
     if not os.path.exists(path) or os.path.getsize(path) == 0:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -198,11 +208,13 @@ def append_records_in_place(
             raise OperatorConfigError(
                 f"append to {path!r}: closing tag </{root_tag}> not found"
             )
+        payload = b"".join(
+            ET.tostring(dict_to_element(record_tag, row), encoding=encoding)
+            for row in rows
+        )  # fully materialized BEFORE the truncate (see docstring)
         fh.seek(closing_pos)
         fh.truncate(closing_pos)
-        for row in rows:
-            fh.write(ET.tostring(dict_to_element(record_tag, row), encoding=encoding))
-        fh.write(closing)
+        fh.write(payload + closing)
 
 
 @register_operator("write_xml")

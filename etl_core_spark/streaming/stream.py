@@ -225,11 +225,12 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     local) — ``os.path.exists`` only sees the local FS, so on a remote
     store an existing table would look absent, the carry-over merge
     would be skipped, and the dynamic partition overwrite would
-    silently drop unchanged groups' rows from touched windows."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    silently drop unchanged groups' rows from touched windows.
+    Delegates to the one shared helper so URI/encoding fixes land in
+    one place."""
+    from etl_core_spark.sources.hadoop_fs import fs_exists
+
+    return fs_exists(spark, path)
 
 
 def incremental_rollup(
@@ -321,12 +322,15 @@ def incremental_rollup(
             ).localCheckpoint()  # detach lineage from table_path: the
             # write below overwrites the very partitions being read
             merged = batch_df.unionByName(carried)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("__window").parquet(table_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite: mutating the session conf here
+        # raced with any concurrent write on the same SparkSession
+        # (another stream's batch, a parallel batch job)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__window")
+            .parquet(table_path)
+        )
 
     writer = (
         agg.writeStream.outputMode("update")

@@ -267,3 +267,25 @@ def test_lite_roundtrip_property():
             assert out == rows
 
     check()
+
+
+def test_pandas_engine_blank_cells_are_null(spark, tmp_path, monkeypatch):
+    """The pandas engine (openpyxl deployments) must map blank cells
+    to NULL, not the literal string 'nan' that dtype=str + NaN +
+    createDataFrame produces. openpyxl is absent in this container,
+    so the engine gate and pd.read_excel are faked — the code under
+    test (the NaN restoration in ReadExcel.read) is real."""
+    import pandas as pd
+
+    from etl_core_spark.sources import excel_io
+
+    monkeypatch.setattr(excel_io, "_have_openpyxl", lambda: True)
+    monkeypatch.setattr(
+        pd, "read_excel",
+        lambda *a, **k: pd.DataFrame({"a": ["x", float("nan")], "b": ["1", "2"]}),
+    )
+    df = excel_io.ReadExcel(
+        spark=spark, filepath=str(tmp_path / "fake.xlsx"), engine="pandas"
+    ).read()
+    rows = {(r["a"], r["b"]) for r in df.collect()}
+    assert rows == {("x", "1"), (None, "2")}

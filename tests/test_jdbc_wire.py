@@ -198,3 +198,37 @@ def test_bind_params_sqlite_roundtrip(sqlite_db):
         assert con.execute(sql).fetchone()[0] == val
     finally:
         con.close()
+
+
+def test_bind_params_skip_quoted_spans():
+    """A ':word' inside a string literal or quoted identifier is
+    content, not a placeholder — it must neither raise as unknown nor
+    be substituted; real placeholders outside quotes still bind."""
+    from etl_core_spark.sources.jdbc_io import bind_named_params
+
+    out = bind_named_params(
+        "SELECT * FROM t WHERE label = 'skip:this' AND ts > :since",
+        {"since": 5},
+    )
+    assert out == "SELECT * FROM t WHERE label = 'skip:this' AND ts > 5"
+    # even when params HAS the name, the literal stays untouched
+    out = bind_named_params(
+        "SELECT \"a:b\" FROM t WHERE x = 'it''s :v here' AND y = :v", {"v": 1}
+    )
+    assert out == "SELECT \"a:b\" FROM t WHERE x = 'it''s :v here' AND y = 1"
+
+
+def test_qmark_to_pyformat_respects_quotes():
+    """? inside quoted identifiers/literals is NOT a placeholder; % in
+    literals escapes to %% for pyformat drivers."""
+    from etl_core_spark.sources.jdbc_io import _qmark_to_pyformat
+
+    assert _qmark_to_pyformat('INSERT INTO "ok?" VALUES (?, ?)') == (
+        'INSERT INTO "ok?" VALUES (%s, %s)'
+    )
+    assert _qmark_to_pyformat("UPDATE t SET a = ? WHERE b LIKE '10%?'") == (
+        "UPDATE t SET a = %s WHERE b LIKE '10%%?'"
+    )
+    assert _qmark_to_pyformat("SELECT `q?` FROM t WHERE x = ?") == (
+        "SELECT `q?` FROM t WHERE x = %s"
+    )

@@ -329,6 +329,33 @@ def test_upsert_parquet_schema_evolution(spark, tmp_path):
                        allow_schema_evolution=True)
 
 
+def test_upsert_parquet_moved_key_across_partitions(spark, tmp_path):
+    """A batch that moves a key to a different partition: the default
+    pruned carry documents the stable-partitions contract (the stale
+    old-partition row survives); stable_partitions=False scans the
+    full table, deletes the vacated row AND the vacated partition
+    directory (static full rewrite, not dynamic), leaving exactly one
+    row per key; staged mode refuses the combination."""
+    import os
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "p1", 1.0), (2, "p2", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(base, path, ["id"], "part")
+    move = spark.createDataFrame([(1, "p2", 9.0)], "id long, part string, v double")
+    upsert_parquet(move, path, ["id"], "part", stable_partitions=False)
+    got = {(r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "p2", 9.0), (2, "p2", 2.0)}  # no duplicate id 1
+    assert not os.path.exists(os.path.join(path, "part=p1"))  # vacated dir gone
+    with pytest.raises(OperatorConfigError, match="stable_partitions"):
+        upsert_parquet(move, path, ["id"], "part", staged=True,
+                       stable_partitions=False)
+
+
 def test_upsert_parquet_staged_schema_evolution(spark, tmp_path):
     """staged + allow_schema_evolution: the full carry puts EVERY
     partition into staging, so the swap replaces them all and the

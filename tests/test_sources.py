@@ -292,3 +292,22 @@ def test_mongo_read_falls_back_when_connector_absent(spark, monkeypatch):
     monkeypatch.setattr(op, "_connector_read", no_connector)
     monkeypatch.setattr(op, "_fallback_read", lambda _spark: sentinel)
     assert op.read() is sentinel
+
+
+def test_mongo_update_requires_match_filter():
+    """operation='update' without match_filter would issue
+    UpdateOne({}, $set) per row — each silently rewriting an
+    arbitrary document; the config must refuse it up front."""
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+    with _pytest.raises(OperatorConfigError, match="match_filter"):
+        get_operator("write_mongodb")(
+            database="db", collection="c", operation="update"
+        )
+    # with a filter the config is accepted
+    get_operator("write_mongodb")(
+        database="db", collection="c", operation="update",
+        match_filter={"k": 1},
+    )
