@@ -416,8 +416,9 @@ WITH s AS (
 SELECT event_id, e.event_type,
        round(CASE WHEN sd IS NOT NULL AND sd > 0
                   THEN (value - m) / sd ELSE 0.0 END, 6) AS zscore,
-       abs(round(CASE WHEN sd IS NOT NULL AND sd > 0
-                      THEN (value - m) / sd ELSE 0.0 END, 6)) > 2.5 AS is_outlier,
+       COALESCE(abs(round(CASE WHEN sd IS NOT NULL AND sd > 0
+                      THEN (value - m) / sd ELSE 0.0 END, 6)) > 2.5,
+                FALSE) AS is_outlier,
        round(m, 6) AS mean, round(sd, 6) AS std
 FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
 """

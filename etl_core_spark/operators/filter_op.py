@@ -44,7 +44,14 @@ class FilterOperator(Operator):
     def apply(self, inputs: PortMap) -> PortMap:
         df = self.single_input(inputs)
         if self.cache:
-            df = df.persist()
+            # tracked persist, not a bare .persist(): in a long-lived
+            # session (the HTTP API) an ownerless cache accumulates
+            # until executor eviction; persist_intermediate registers
+            # it with session.release_intermediates like every other
+            # operator-persisted subtree
+            from etl_core_spark.session import persist_intermediate
+
+            df = persist_intermediate(df)
         cond = compile_rule(self.rule)
         # pass: a bare filter treats NULL as false already, and the
         # un-wrapped predicate stays pushdown-eligible (a top-level

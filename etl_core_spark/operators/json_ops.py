@@ -33,10 +33,14 @@ def json_expand(
     struct = Schema.from_dict({"fields": fields}).to_struct_type()
     tmp = f"__jx_{json_col}"
     out = df.withColumn(tmp, F.from_json(F.col(json_col), struct))
+    replaces_source = any(f.name == json_col for f in struct.fields)
     for f in struct.fields:
         out = out.withColumn(f.name, F.col(f"{tmp}.{f.name}"))
     out = out.drop(tmp)
-    return out.drop(json_col) if drop_source else out
+    # when an extracted field is NAMED like the source column, the
+    # withColumn above already replaced the source — dropping the name
+    # now would delete the freshly extracted field, not the raw JSON
+    return out.drop(json_col) if drop_source and not replaces_source else out
 
 
 @register_operator("json_expand")

@@ -24,9 +24,17 @@ _HASH_SPACE = 16 ** 8  # first 8 md5 hex chars
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Uniform integer in [0, 16^8) derived from md5(salt || key)."""
+    """Uniform integer in [0, 16^8) derived from md5(salt || key).
+
+    NULL keys hash as a distinct sentinel instead of propagating NULL:
+    md5(concat(..NULL..)) is NULL, every range predicate on a NULL
+    bucket is false, and a corpus's NULL-id rows would silently vanish
+    from EVERY split/sample — the same NULL-key loss class exact_dedup
+    and zscore guard against. The sentinel contains a NUL byte no real
+    stringified key produces, so it cannot collide."""
+    rendered = F.coalesce(key.cast("string"), F.lit("\x00__NULL_KEY__"))
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(salt), rendered)), 1, 8), 16, 10
     ).cast("long")
 
 

@@ -77,10 +77,13 @@ def _suffix_collisions(
     """Emulate pandas-merge naming: same-named key columns collapse,
     other same-named columns get _x/_y suffixes."""
     shared = set(left.columns) & set(right.columns)
-    same_key = [
-        l for l, r in zip(left_on, right_on) if l == r
-    ]
-    collide = shared - set(same_key)
+    # keys escape collision renaming ONLY when the key lists match in
+    # full (the pandas `on=` collapse case). A PARTIAL overlap
+    # (left_on=['k','a'], right_on=['k','b']) must suffix 'k' like any
+    # collision — keeping both sides' bare 'k' makes every later
+    # reference to it AMBIGUOUS_REFERENCE (pandas suffixes here too).
+    collapse = bool(left_on) and left_on == right_on
+    collide = shared - (set(left_on) if collapse else set())
     l_renames = {c: f"{c}_x" for c in collide}
     r_renames = {c: f"{c}_y" for c in collide}
     new_left = left
@@ -91,7 +94,6 @@ def _suffix_collisions(
         new_right = new_right.withColumnRenamed(old, new)
     lo = [l_renames.get(c, c) for c in left_on]
     ro = [r_renames.get(c, c) for c in right_on]
-    collapse = bool(same_key) and lo == ro
     return new_left, new_right, lo, ro, collapse
 
 
@@ -152,6 +154,13 @@ def _build_nested_projection(rules: dict[str, tuple[str, str]], inputs: PortMap)
                 raise OperatorConfigError(
                     f"mapping destination conflict at {dst_path!r}"
                 )
+        if parts[-1] in node:
+            # both directions of the conflict must raise: assigning a
+            # leaf over an existing subtree (rules 'a.b' then 'a')
+            # silently clobbered the whole mapped subtree
+            raise OperatorConfigError(
+                f"mapping destination conflict at {dst_path!r}"
+            )
         node[parts[-1]] = (src_port, src_path)
 
     ports = {pair[0] for pair in rules.values()}

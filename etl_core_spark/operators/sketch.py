@@ -113,7 +113,18 @@ def approx_quantiles(
         value_col, probs, int(accuracy)
     ).alias("__qs")
     g = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
-    names = [f"q_{int(round(p * 100)):02d}" for p in probs]
+
+    def qname(p: float) -> str:
+        # enough precision that distinct probabilities get distinct
+        # names: int(p*100) folded 0.999 and 1.0 both into q_100
+        s = f"{p * 100:.4f}".rstrip("0").rstrip(".").replace(".", "_")
+        return f"q_{s}"
+
+    names = [qname(p) for p in probs]
+    if len(set(names)) != len(names):
+        raise OperatorConfigError(
+            f"duplicate probabilities produce duplicate columns: {names}"
+        )
     return g.select(
         *(group_cols or []),
         *[F.col("__qs")[i].alias(names[i]) for i in range(len(probs))],

@@ -21,6 +21,11 @@ class SplitOperator(Operator):
         branches = self.config.get("branches") or ["out_1", "out_2"]
         if not isinstance(branches, (list, tuple)) or not branches:
             raise OperatorConfigError("split requires a non-empty 'branches' list")
+        if len(set(branches)) != len(branches):
+            # duplicates silently collapse into one out-port while
+            # out_ports advertises two — a consumer wired to the
+            # "second" branch would dangle
+            raise OperatorConfigError(f"duplicate split branches: {branches}")
         self.branches = list(branches)
         self.out_ports = tuple(self.branches)
 

@@ -72,7 +72,14 @@ def zscore_outliers(
     ).otherwise(F.lit(0.0))
     return (
         joined.withColumn("zscore", F.round(z, 6))
-        .withColumn("is_outlier", F.abs(F.col("zscore")) > threshold)
+        # a NULL value has no zscore (kept NULL — honest), but the
+        # FLAG must be a real boolean: a NULL is_outlier row vanishes
+        # from BOTH branches of a filter(is_outlier)/filter(~is_outlier)
+        # split, breaking the row-preserving annotate contract
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+        )
         .withColumn("mean", F.round("__mean", 6))
         .withColumn("std", F.round("__std", 6))
         .drop("__mean", "__std")
@@ -124,7 +131,26 @@ def densify_buckets(
             bucket_col
         ),
     )
-    out = spine.join(sparse, on=[*key_cols, bucket_col], how="full")
+    # NULL-SAFE full outer join: groupBy keeps NULL-key groups and the
+    # spine generates their buckets, but plain key equality never
+    # matches NULL = NULL — each observed NULL-key bucket would come
+    # out TWICE (real aggregate + fill row). Same eqNullSafe treatment
+    # as zscore's join-back above.
+    join_cols = [*key_cols, bucket_col]
+    spine_r = spine.select(
+        *[F.col(c).alias(f"__sp_{c}") for c in join_cols]
+    )
+    cond = None
+    for c in join_cols:
+        eq = F.col(f"__sp_{c}").eqNullSafe(F.col(c))
+        cond = eq if cond is None else (cond & eq)
+    out = spine_r.join(sparse, on=cond, how="full").select(
+        *[
+            F.coalesce(F.col(c), F.col(f"__sp_{c}")).alias(c)
+            for c in join_cols
+        ],
+        *[F.col(n) for n in agg_cols],
+    )
     for out_name in agg_cols:
         # fill in the column's OWN dtype (a count stays long; 0.0
         # would silently widen it to double and break schema parity)

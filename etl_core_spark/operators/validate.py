@@ -26,13 +26,27 @@ class ValidationError(ValueError):
     pass
 
 
-def _field_checks(fd: FieldDef, path_prefix: str = "") -> list[tuple[str, Column]]:
-    """(description, is_valid_column) pairs for one field subtree."""
+def _field_checks(
+    fd: FieldDef, path_prefix: str = "", parent: Column | None = None
+) -> list[tuple[str, Column]]:
+    """(description, is_valid_column) pairs for one field subtree.
+
+    Checks on NESTED children are gated on the parent struct being
+    present: with a NULLABLE parent p and a non-nullable child p.c, a
+    row with p = NULL is VALID (the schema explicitly allows the
+    whole struct to be absent) — ungated, ``p.c IS NOT NULL``
+    evaluates false through the NULL parent and misroutes the row to
+    the invalid port. An immediate-parent gate covers deeper
+    ancestors too (a NULL grandparent nulls the parent)."""
     path = f"{path_prefix}{fd.name}"
     col = F.col(path)
+
+    def gate(check: Column) -> Column:
+        return check if parent is None else (parent.isNull() | check)
+
     checks: list[tuple[str, Column]] = []
     if not fd.nullable:
-        checks.append((f"{path} not null", col.isNotNull()))
+        checks.append((f"{path} not null", gate(col.isNotNull())))
     if fd.data_type == DataType.ENUM:
         assert fd.enum_values is not None
         checks.append(
@@ -40,7 +54,9 @@ def _field_checks(fd: FieldDef, path_prefix: str = "") -> list[tuple[str, Column
         )
     if fd.data_type == DataType.OBJECT and fd.children:
         for child in fd.children:
-            checks.extend(_field_checks(child, path_prefix=f"{path}."))
+            checks.extend(
+                _field_checks(child, path_prefix=f"{path}.", parent=col)
+            )
     return checks
 
 
