@@ -4030,6 +4030,336 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# round-7 additions: line-level dedup, bigram-LM scoring, PII scan,
+# corpus mixing, URL decomposition, ORC source
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup operator (operators/text_analysis.py): CCNet-style
+    boilerplate-line removal at WORD granularity on the synthetic
+    word-soup documents (delimiter=' '): words appearing in more than
+    80% of documents are the corpus's "navigation bars" and are
+    removed from every document's rewritten text. Fractional
+    threshold → hot set is corpus-size-independent → broadcast
+    one-row hot array + pure narrow rewrite (the 100 TB path)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("line_dedup")(
+        text_col="text", id_col="doc_id", delimiter=" ", join_sep=" ",
+        max_doc_frac=0.8,
+    )
+    return op.apply({"in": docs})["out"].select(
+        "doc_id", "text_dedup", "n_lines_kept", "n_lines_dropped"
+    )
+
+
+_SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     x -> length(trim(x)) >= 1) AS flt
+  FROM documents
+), l AS (
+  SELECT doc_id, unnest(flt) AS line FROM base
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), dfq AS (
+  SELECT lower(trim(line)) AS k, count(DISTINCT doc_id) AS ldf
+  FROM l GROUP BY 1
+), hot AS (
+  SELECT k FROM dfq, nd WHERE CAST(ldf AS DOUBLE) > 0.8 * n
+), hotl AS (
+  SELECT coalesce(list(k), []) AS hl FROM hot
+), k2 AS (
+  SELECT doc_id, flt,
+         list_filter(flt, x -> NOT list_contains(hl, lower(trim(x)))) AS kept
+  FROM base, hotl
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_dedup,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(flt) - len(kept) AS BIGINT) AS n_lines_dropped
+FROM k2
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_score operator (operators/text_analysis.py): self-trained
+    bigram LM with interpolated absolute discounting (Ney et al.
+    1994) — the engine-native analog of CCNet's KenLM perplexity
+    quality filter."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("lm_score")(text_col="text", id_col="doc_id")
+    return op.apply({"in": docs})["out"].select(
+        "doc_id", "n_bigrams", "avg_logprob"
+    )
+
+
+_SQL_LM_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), u AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+), tv AS (
+  SELECT sum(cu) AS t, count(*) AS v FROM u
+), b AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in range(1, len(toks))]) AS p
+    FROM tok
+  )
+), cbg AS (
+  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+), cw1 AS (
+  SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1p FROM b GROUP BY 1
+), tf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3
+), j AS (
+  SELECT tf.doc_id, tf.tf,
+         greatest(cbg.c2 - 0.75, 0.0) / cw1.c1
+         + (0.75 * cw1.n1p / cw1.c1)
+           * ((u.cu + 1) / CAST(tv.t + tv.v AS DOUBLE)) AS p
+  FROM tf
+  JOIN cbg USING (w1, w2)
+  JOIN cw1 USING (w1)
+  JOIN u ON u.w = tf.w2
+  CROSS JOIN tv
+), s AS (
+  SELECT doc_id, sum(tf) AS nb, sum(tf * ln(p)) AS sl FROM j GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       round(s.sl / s.nb, 6) AS avg_logprob
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _pii_planted_expr() -> "F.Column":
+    """Deterministic PII planted per doc_id — the synthetic documents
+    contain none, so the oracle row would otherwise exercise nothing.
+    Both engines build the identical string from doc_id."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com card 1234-5678-9012-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+_SQL_PII_PLANTED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com card 1234-5678-9012-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.1 call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii_scan operator (operators/text_analysis.py): per-kind PII
+    counts + placeholder redaction over text with planted
+    email/card/ssn/ip/phone identifiers. Counts run per-pattern on
+    the RAW text (density signal); redaction applies the fixed
+    PII_PATTERNS order."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_planted_expr().alias("text")
+    )
+    op = get_operator("pii_scan")(text_col="text", redact=True)
+    out = op.apply({"in": docs})["out"]
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_credit_card", "n_pii_ssn",
+        "n_pii_ipv4", "n_pii_phone", "n_pii_total",
+        F.col("text_redacted"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from etl_core_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_pii_{kind}"
+        for kind, (pat, _tok) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))"
+        for kind, (pat, _tok) in PII_PATTERNS.items()
+    )
+    redacted = "t"
+    for _kind, (pat, tok) in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id, {_SQL_PII_PLANTED} AS t FROM documents
+)
+SELECT doc_id,
+       {counts},
+       CAST({total} AS BIGINT) AS n_pii_total,
+       {redacted} AS text_redacted
+FROM p
+"""
+
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
+_MIX_TARGET = 3000
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mix_corpora operator (operators/sampling.py): weighted
+    token-budget mixture sampling across sources — deterministic
+    md5-threshold keep set, sources outside the weight whitelist
+    dropped."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("mix_corpora")(
+        key_col="doc_id", group_col="source",
+        weights=_MIX_WEIGHTS, target_tokens=_MIX_TARGET,
+    )
+    return op.apply({"in": docs})["out"].select("doc_id", "source")
+
+
+def _sql_mix_corpora() -> str:
+    wsum = sum(_MIX_WEIGHTS.values())
+    values = ", ".join(
+        f"('{g}', CAST({w / wsum * _MIX_TARGET!r} AS DOUBLE))"
+        for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM documents
+), g AS (
+  SELECT source, sum(tok) AS gtok FROM tk GROUP BY source
+), w AS (
+  SELECT * FROM (VALUES {values}) AS w(source, tgt)
+), f AS (
+  SELECT g.source,
+         CASE WHEN g.gtok > 0
+              THEN least(CAST(1.0 AS DOUBLE), w.tgt / CAST(g.gtok AS DOUBLE))
+              ELSE CAST(1.0 AS DOUBLE) END AS frac
+  FROM g JOIN w USING (source)
+)
+SELECT tk.doc_id, tk.source
+FROM tk JOIN f USING (source)
+WHERE CAST(('0x' || substr(md5('mix' || CAST(tk.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT)
+      < f.frac * CAST({16 ** 8} AS DOUBLE)
+"""
+
+
+def _url_built_expr() -> "F.Column":
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("sub"), (did % 5).cast("string"),
+        F.lit(".example"), (did % 3).cast("string"),
+        F.lit(".com/p/"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
+    )
+
+
+_SQL_URL_BUILT = (
+    "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
+    " || 'sub' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.com/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END"
+)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url_parts operator (operators/text_analysis.py): URL
+    decomposition (regex-only, oracle-mirrorable) rolled up to
+    per-registered-domain crawl stats."""
+    from etl_core_spark.operators.text_analysis import extract_url_parts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_built_expr().alias("url")
+    )
+    parts = extract_url_parts(docs, "url")
+    return (
+        parts.groupBy("url_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("url_host").alias("n_hosts"),
+            F.count_distinct("url_path").alias("n_paths"),
+            F.sum(F.when(F.col("url_query").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_query"),
+        )
+        .orderBy("url_domain")
+    )
+
+
+def _sql_domain_stats() -> str:
+    from etl_core_spark.functions import text as _TX
+
+    def ext(pattern: str) -> str:
+        return f"nullif(regexp_extract(url, '{pattern}', 1), '')"
+
+    host = ext(_TX.URL_HOST_RE)
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_SQL_URL_BUILT} AS url FROM documents
+), parts AS (
+  SELECT doc_id,
+         {host} AS url_host,
+         nullif(regexp_extract({host}, '{_TX.REGISTERED_DOMAIN_RE}', 1), '')
+           AS url_domain,
+         {ext(_TX.URL_PATH_RE)} AS url_path,
+         {ext(_TX.URL_QUERY_RE)} AS url_query
+  FROM u
+)
+SELECT url_domain,
+       count(*) AS n_urls,
+       count(DISTINCT url_host) AS n_hosts,
+       count(DISTINCT url_path) AS n_paths,
+       CAST(sum(CASE WHEN url_query IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_query
+FROM parts GROUP BY url_domain ORDER BY url_domain
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_orc / write_orc (sources/orc_io.py), oracle-checked
+    end-to-end: nation → write_orc → read_orc. ORC preserves types
+    (unlike the all-string CSV parity contract), so the oracle is the
+    typed table itself."""
+    from etl_core_spark.operators.base import get_operator
+
+    nat = _t(spark, sf_dir, "nation")
+    path = f"{_scratch_dir('orc_rt')}/nation_orc"
+    get_operator("write_orc")(filepath=path, compression="zlib").apply({"in": nat})
+    return get_operator("read_orc")(spark=spark, filepath=path).read()
+
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -4047,6 +4377,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (join_right, cube_lineitem, cast_temporal) are all inside the window.
 _R07_WINDOW = [
     # never driver-checked (new this round)
+    "line_dedup", "lm_score", "pii_redact", "mix_corpora",
+    "domain_stats", "orc_roundtrip",
     "incremental_dedup", "ivf_index_topk",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
@@ -4054,17 +4386,18 @@ _R07_WINDOW = [
     # r04-vintage certifications
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    # r05-vintage certifications, oldest-first registry order
+    # r05-vintage certifications, oldest-first registry order (the six
+    # displaced by the new queries — set ops, pivot/unpivot, rollup,
+    # q22 — lead the r8 window instead)
     "asof_join", "range_join", "dedup_minhash", "agg_ops", "percentiles",
     "funnel", "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
     "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
     "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_filter",
-    "q22_idle_customers", "agg_global", "filter_rule_pass",
+    "agg_global", "filter_rule_pass",
     "filter_rule_fail", "join_inner", "join_left", "join_right",
     "join_outer", "join_multi_step", "join_semi", "join_anti",
-    "set_intersect", "set_except", "pivot_event_counts",
-    "unpivot_measures", "rollup_orders", "cube_lineitem",
+    "cube_lineitem",
     "cast_temporal",
 ]
 
@@ -4180,6 +4513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "incremental_dedup": q_incremental_dedup,
         "ivf_index_topk": q_ivf_index_topk,
+        "line_dedup": q_line_dedup,
+        "lm_score": q_lm_score,
+        "pii_redact": q_pii_redact,
+        "mix_corpora": q_mix_corpora,
+        "domain_stats": q_domain_stats,
+        "orc_roundtrip": q_orc_roundtrip,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4302,4 +4641,10 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-index path must return exactly what the direct
         # IVF path returns -> the same oracle certifies both
         "ivf_index_topk": _SQL_IVF_TOPK,
+        "line_dedup": _SQL_LINE_DEDUP,
+        "lm_score": _SQL_LM_SCORE,
+        "pii_redact": _sql_pii_redact(),
+        "mix_corpora": _sql_mix_corpora(),
+        "domain_stats": _sql_domain_stats(),
+        "orc_roundtrip": _SQL_ORC_ROUNDTRIP,
     }

@@ -201,6 +201,59 @@ EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"
 PHONE_TOKEN = "<PHONE>"
 
+# Structured-identifier PII. SSN before phone (a dashed SSN is
+# phone-shaped); credit cards before both (a 16-digit run contains
+# SSN/phone-shaped substrings once partially consumed). \b anchors
+# keep a 4-4-4-4 card from matching inside longer digit runs.
+SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+CC_RE = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
+SSN_TOKEN = "<SSN>"
+CC_TOKEN = "<CC>"
+
+#: kind -> (pattern, placeholder), in the REQUIRED application order:
+#: emails (their dots/digits are unambiguous), then cards (longest
+#: digit shape), then SSNs, then IPs, then the catch-all phone run.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (EMAIL_RE, EMAIL_TOKEN),
+    "credit_card": (CC_RE, CC_TOKEN),
+    "ssn": (SSN_RE, SSN_TOKEN),
+    "ipv4": (IPV4_RE, IP_TOKEN),
+    "phone": (PHONE_RE, PHONE_TOKEN),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of ``kind`` PII matches in the RAW text (long).
+
+    Counts are taken per-pattern on the unredacted input — a density
+    signal for filtering (drop docs with heavy PII load) rather than
+    a redaction audit, so overlapping kinds (an SSN inside what the
+    phone pattern would also match) are counted by each pattern that
+    sees them. size(regexp_extract_all(...)) keeps it a codegen'd
+    narrow map; DuckDB's len(regexp_extract_all(...)) mirrors it."""
+    try:
+        pattern = PII_PATTERNS[kind][0]
+    except KeyError:
+        raise ValueError(
+            f"unknown pii kind {kind!r}; have {sorted(PII_PATTERNS)}"
+        ) from None
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def redact_all_pii(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace every PII kind with its typed placeholder, in the
+    fixed PII_PATTERNS order (see the ordering comment there).
+    ``kinds`` filters WHICH kinds redact; order stays fixed
+    regardless of the order given."""
+    wanted = set(PII_PATTERNS if kinds is None else kinds)
+    unknown = wanted - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown pii kinds {sorted(unknown)}")
+    for kind, (pattern, token) in PII_PATTERNS.items():
+        if kind in wanted:
+            col = F.regexp_replace(col, pattern, token)
+    return col
+
 
 def strip_html(col: Column) -> Column:
     """Remove every <...> tag. Run BEFORE pii redaction — the
@@ -239,13 +292,25 @@ CLEAN_STEPS = (
     "strip_html",
     "unescape_entities",
     "redact_emails",
+    "redact_credit_cards",
+    "redact_ssns",
     "redact_ips",
     "redact_phones",
     "normalize_whitespace",
     "lowercase",
 )
 
-DEFAULT_CLEAN_STEPS = CLEAN_STEPS[:-1]  # lowercase is opt-in
+# lowercase is opt-in; ssn/credit-card redaction is opt-in too (added
+# after the clean_text oracle row was certified — the DEFAULT chain's
+# output is pinned, new steps extend the menu without changing it)
+DEFAULT_CLEAN_STEPS = (
+    "strip_html",
+    "unescape_entities",
+    "redact_emails",
+    "redact_ips",
+    "redact_phones",
+    "normalize_whitespace",
+)
 
 
 def clean_text(col: Column, steps: tuple[str, ...] = DEFAULT_CLEAN_STEPS) -> Column:
@@ -255,6 +320,8 @@ def clean_text(col: Column, steps: tuple[str, ...] = DEFAULT_CLEAN_STEPS) -> Col
         "strip_html": strip_html,
         "unescape_entities": unescape_entities,
         "redact_emails": lambda c: redact_pii(c, ips=False, phones=False),
+        "redact_credit_cards": lambda c: redact_all_pii(c, ("credit_card",)),
+        "redact_ssns": lambda c: redact_all_pii(c, ("ssn",)),
         "redact_ips": lambda c: redact_pii(c, emails=False, phones=False),
         "redact_phones": lambda c: redact_pii(c, emails=False, ips=False),
         "normalize_whitespace": normalize_whitespace,
@@ -265,6 +332,51 @@ def clean_text(col: Column, steps: tuple[str, ...] = DEFAULT_CLEAN_STEPS) -> Col
             raise ValueError(f"unknown clean_text step {step!r}; have {CLEAN_STEPS}")
         col = fns[step](col)
     return col
+
+
+# URL decomposition for crawl pipelines (per-domain caps, domain
+# stats, URL-keyed dedup). Same Java-regex ∩ RE2 discipline as the
+# PII patterns, so the DuckDB oracle extracts identical parts —
+# deliberately NOT Spark's parse_url (its java.net.URI edge handling
+# has no cross-engine mirror). No-match extracts are normalized to
+# NULL (both engines return '' from regexp_extract; nullif keeps
+# "absent" distinct from "empty path").
+
+URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+URL_QUERY_RE = "\\?([^#]*)"
+REGISTERED_DOMAIN_RE = "([^.]+\\.[^.]+)$"
+
+
+def _extract_or_null(col: Column, pattern: str) -> Column:
+    return F.nullif(F.regexp_extract(col, pattern, 1), F.lit(""))
+
+
+def url_scheme(col: Column) -> Column:
+    return _extract_or_null(col, URL_SCHEME_RE)
+
+
+def url_host(col: Column) -> Column:
+    """Hostname: authority minus userinfo and port."""
+    return _extract_or_null(col, URL_HOST_RE)
+
+
+def url_path(col: Column) -> Column:
+    return _extract_or_null(col, URL_PATH_RE)
+
+
+def url_query(col: Column) -> Column:
+    return _extract_or_null(col, URL_QUERY_RE)
+
+
+def url_domain(col: Column) -> Column:
+    """Registered-domain APPROXIMATION: last two dot-labels of the
+    host (example.com from www.example.com). Correct for generic
+    TLDs; two-level public suffixes (co.uk) need a suffix list this
+    engine deliberately does not vendor — per-domain grouping at
+    crawl scale tolerates that coarseness."""
+    return _extract_or_null(url_host(col), REGISTERED_DOMAIN_RE)
 
 
 def shingles(col: Column, n: int = 3) -> Column:

@@ -310,3 +310,114 @@ class PackSequencesOperator(Operator):
                 str(c.get("salt", "")),
             )
         }
+
+
+def mix_corpora(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    target_tokens: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-data mixture sampling: downsample each source/domain
+    group toward a TARGET TOKEN BUDGET split by ``weights`` — the
+    "data mixing" step of every LLM pre-training pipeline (The Pile /
+    Gopher style mixture weights), expressed as deterministic
+    hash sampling so reruns, engines, and partitionings agree on the
+    exact kept set.
+
+    For group g: target_g = normalized_weight(g) * target_tokens;
+    keep_fraction_g = min(1, target_g / current_tokens_g); a row
+    survives iff hash_bucket(key, salt) < fraction_g * 16^8. Groups
+    absent from ``weights`` are DROPPED (mixture weights are a
+    whitelist; pass weight 0.0 explicitly if you want that read
+    loudly). Fractions cap at 1 — this operator only downsamples;
+    upsampling (epoch repetition) is a training-loader concern, not a
+    data-engine rewrite.
+
+    Token counts come from ``token_col`` when given (pre-computed,
+    e.g. real tokenizer counts) else whitespace token_count(text).
+    Scale shape: one group-sized aggregate (map-side combinable),
+    joined back stats-gated broadcast (group cardinality ~ sources,
+    tiny); the keep decision is then a narrow filter. Weights are
+    normalized config-side in exact float arithmetic and embedded as
+    literals, so the oracle can embed the SAME literals.
+    """
+    from etl_core_spark.functions.text import token_count
+    from etl_core_spark.session import maybe_broadcast
+
+    if not weights:
+        raise OperatorConfigError("mix_corpora requires non-empty weights")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise OperatorConfigError("mixture weights must be >=0 with a positive sum")
+    if target_tokens <= 0:
+        raise OperatorConfigError("target_tokens must be positive")
+    wsum = sum(weights.values())
+    norm = {g: w / wsum for g, w in weights.items()}
+
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    with_tok = df.withColumn("__tok", tok)
+    totals = with_tok.groupBy(group_col).agg(F.sum("__tok").alias("__gtok"))
+
+    target_expr = None
+    for g, w in norm.items():
+        t = F.lit(float(w * target_tokens))
+        target_expr = (
+            F.when(F.col(group_col) == g, t)
+            if target_expr is None
+            else target_expr.when(F.col(group_col) == g, t)
+        )
+    # zero-token groups keep everything: there is nothing to
+    # downsample, and the guard keeps the division out of ANSI-mode's
+    # divide-by-zero error path. The target_expr.isNotNull() gate must
+    # come FIRST: least(1.0, NULL) SKIPS the null (Spark least ignores
+    # nulls), which would silently keep unlisted groups at fraction 1
+    # instead of dropping them.
+    frac = F.when(
+        target_expr.isNotNull() & (F.col("__gtok") > 0),
+        F.least(F.lit(1.0), target_expr / F.col("__gtok").cast("double")),
+    ).when(target_expr.isNotNull(), F.lit(1.0))
+    kept = (
+        with_tok.join(maybe_broadcast(totals, None), on=group_col)
+        .withColumn("__frac", frac)
+        .where(F.col("__frac").isNotNull())
+        .where(
+            hash_bucket(F.col(key_col), salt)
+            < F.col("__frac") * F.lit(float(_HASH_SPACE))
+        )
+    )
+    return kept.drop("__tok", "__gtok", "__frac")
+
+
+@register_operator("mix_corpora")
+class MixCorporaOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        c = self.config
+        for key in ("key_col", "group_col", "weights", "target_tokens"):
+            if not c.get(key):
+                raise OperatorConfigError(f"mix_corpora requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": mix_corpora(
+                self.single_input(inputs),
+                c["key_col"],
+                c["group_col"],
+                dict(c["weights"]),
+                int(c["target_tokens"]),
+                c.get("token_col"),
+                c.get("text_col", "text"),
+                c.get("salt", "mix"),
+            )
+        }

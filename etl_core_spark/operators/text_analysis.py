@@ -329,3 +329,403 @@ class ChunkDocumentsOperator(Operator):
                 int(c.get("chunk_tokens", 256)), int(c.get("overlap", 32)),
             )
         }
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\\n",
+    join_sep: str = "\n",
+    max_doc_frac: float | None = None,
+    max_doc_freq: int | None = None,
+    min_line_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Crawl
+    Data"): split each document into lines, measure each distinct
+    line's document frequency across the corpus, and REWRITE every
+    document with its over-frequent lines removed — navigation bars,
+    cookie banners, and license footers repeat across pages; body
+    text does not. Row-preserving annotate contract: every input row
+    comes back (a fully-boilerplate doc becomes the empty string),
+    with ``n_lines_kept`` / ``n_lines_dropped`` counters (long).
+
+    Exactly one of the thresholds must be set:
+
+    - ``max_doc_frac``: drop lines appearing in more than this
+      FRACTION of documents. The hot-line set is then bounded by
+      (mean lines per doc) / frac INDEPENDENT of corpus size — so
+      the rewrite runs as a pure narrow map: the hot set is gathered
+      into a one-row broadcast (never a driver collect) and each doc
+      filters its own line array in place. Zero shuffle touches the
+      document table; the only shuffles aggregate the line
+      doc-frequency table. This is the 100 TB default.
+    - ``max_doc_freq``: drop lines appearing in more than this many
+      documents ABSOLUTE. The hot set then grows with the corpus
+      (O(total_lines / k)), so broadcasting is not scale-safe: the
+      rewrite goes through an anti-join against the hot-line table
+      plus a per-doc reassembly shuffle instead.
+
+    ``normalize`` compares lines case-insensitively and
+    whitespace-trimmed (the emitted text keeps the ORIGINAL bytes);
+    lines shorter than ``min_line_chars`` after trim are dropped from
+    frequency counting and from the rewritten output both (split
+    artifacts).
+    """
+    from etl_core_spark.session import ensure_parallelism, maybe_broadcast
+
+    if (max_doc_frac is None) == (max_doc_freq is None):
+        raise OperatorConfigError(
+            "line_dedup requires exactly one of max_doc_frac / max_doc_freq"
+        )
+    if max_doc_frac is not None and not 0 < max_doc_frac <= 1:
+        raise OperatorConfigError("max_doc_frac must be in (0, 1]")
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+    min_chars = int(min_line_chars)
+
+    def norm(line):
+        t = F.trim(line)
+        return F.lower(t) if normalize else t
+
+    def line_array(col):
+        return F.filter(
+            F.split(col, delimiter),
+            lambda ln: F.length(F.trim(ln)) >= min_chars,
+        )
+
+    lines = df.select(
+        F.col(id_col), F.explode(line_array(text)).alias("__line")
+    ).select(F.col(id_col), F.xxhash64(norm(F.col("__line"))).alias("__lk"))
+    docfreq = lines.groupBy("__lk").agg(
+        F.count_distinct(id_col).alias("__ldf")
+    )
+
+    if max_doc_frac is not None:
+        # corpus size as a broadcast one-row aggregate (scalar-subquery
+        # discipline), never a collected literal
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        hot = (
+            docfreq.join(F.broadcast(n_docs))
+            .where(
+                F.col("__ldf").cast("double")
+                > F.lit(float(max_doc_frac)) * F.col("__n_docs")
+            )
+            .agg(F.collect_list("__lk").alias("__hot"))
+        )  # one row always (agg without groupBy), empty array when no hot lines
+        with_hot = df.join(F.broadcast(hot))
+        arr = line_array(text)
+        kept = F.filter(
+            arr,
+            lambda ln: ~F.array_contains(F.col("__hot"), F.xxhash64(norm(ln))),
+        )
+        return with_hot.select(
+            *df.columns,
+            F.array_join(kept, join_sep).alias(f"{text_col}_dedup"),
+            F.size(kept).cast("long").alias("n_lines_kept"),
+            (F.size(arr) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        )
+
+    # absolute-threshold path: hot set scales with the corpus — keep it
+    # distributed (anti-join + per-doc reassembly)
+    hot_tbl = docfreq.where(F.col("__ldf") > int(max_doc_freq)).select("__lk")
+    pos_lines = df.select(
+        F.col(id_col),
+        F.posexplode(line_array(text)).alias("__pos", "__line"),
+    ).withColumn("__lk", F.xxhash64(norm(F.col("__line"))))
+    kept_lines = pos_lines.join(
+        maybe_broadcast(hot_tbl, None), on="__lk", how="left_anti"
+    )
+    rebuilt = kept_lines.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            join_sep,
+        ).alias(f"{text_col}_dedup"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    total = F.size(line_array(text)).cast("long")
+    return (
+        df.withColumn("__total", total)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            *df.columns,
+            F.coalesce(F.col(f"{text_col}_dedup"), F.lit("")).alias(
+                f"{text_col}_dedup"
+            ),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+            (F.col("__total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+@register_operator("line_dedup")
+class LineDedupOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        c = self.config
+        if (c.get("max_doc_frac") is None) == (c.get("max_doc_freq") is None):
+            raise OperatorConfigError(
+                "line_dedup requires exactly one of max_doc_frac / max_doc_freq"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": line_dedup(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                c.get("delimiter", "\\n"),
+                c.get("join_sep", "\n"),
+                c.get("max_doc_frac"),
+                c.get("max_doc_freq"),
+                int(c.get("min_line_chars", 1)),
+                bool(c.get("normalize", True)),
+            )
+        }
+
+
+def _bigram_table(df: DataFrame, text_col: str, id_col: str, lowercase: bool) -> DataFrame:
+    """(id, __w1, __w2) bigram occurrences from a narrow zip_with over
+    the token array — no window shuffle to pair neighbors."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toked = df.select(F.col(id_col), X.tokens(text).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda a, b: F.struct(a.alias("__w1"), b.alias("__w2")),
+            )
+        ).alias("__p"),
+    ).select(F.col(id_col), F.col("__p.__w1").alias("__w1"), F.col("__p.__w2").alias("__w2"))
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
+    discount: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bigram language-model fluency score — the engine-native analog
+    of CCNet's KenLM perplexity filter (Wenzek et al. 2020): documents
+    whose word transitions are corpus-typical score near 0; gibberish
+    and outlier documents score strongly negative (filter on a
+    percentile of ``avg_logprob``).
+
+    Probabilities use interpolated ABSOLUTE DISCOUNTING (Ney,
+    Essen & Kneser 1994) with an add-one unigram backoff::
+
+        p_uni(w)     = (c(w) + 1) / (T + V)
+        p(w2 | w1)   = max(c(w1 w2) - D, 0) / c(w1 ·)
+                       + (D * N1+(w1) / c(w1 ·)) * p_uni(w2)
+        avg_logprob  = mean over the doc's bigrams of ln p(w2 | w1)
+
+    The discount D (default 0.75, the textbook value) is what makes a
+    SELF-trained model discriminative: raw MLE gives a singleton
+    transition from a singleton prefix probability 1, so gibberish
+    would score perfectly; discounting charges every rare transition
+    and routes the mass through the backoff, where rare WORDS pay
+    again via p_uni. Unseen prefixes (scoring new docs) fall back to
+    p_uni; add-one keeps unseen words finite.
+
+    ``model_df`` trains the counts on a DIFFERENT corpus (e.g. a
+    trusted reference crawl) and scores ``df`` against it — the
+    actual CCNet shape; default trains on ``df`` itself.
+
+    Scale: statistics aggregate per (doc, bigram) first, so model
+    joins touch distinct-bigram rows, not occurrences; all three
+    count tables are vocabulary-sized (AQE decides broadcast). Row-
+    preserving: docs with <2 tokens return n_bigrams=0, NULL score.
+    """
+    from etl_core_spark.session import ensure_parallelism
+
+    if not 0 <= discount < 1:
+        raise OperatorConfigError("lm_score discount must be in [0, 1)")
+    df = ensure_parallelism(df)
+    model = df if model_df is None else ensure_parallelism(model_df)
+
+    mtext = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    uni = (
+        model.select(F.explode(X.tokens(mtext)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    # T and V as a broadcast one-row aggregate (scalar-subquery
+    # discipline), never a collected literal
+    tv = uni.agg(
+        F.sum("__cu").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    mbg = _bigram_table(model, text_col, id_col, lowercase)
+    c_bg = mbg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c_w1 = mbg.groupBy("__w1").agg(
+        F.count(F.lit(1)).alias("__c1"),
+        F.count_distinct("__w2").alias("__n1p"),
+    )
+
+    tf = (
+        _bigram_table(df, text_col, id_col, lowercase)
+        .groupBy(id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    D = F.lit(float(discount))
+    joined = (
+        tf.join(c_bg, on=["__w1", "__w2"], how="left")
+        .join(c_w1, on="__w1", how="left")
+        .join(uni.withColumnRenamed("__w", "__w2"), on="__w2", how="left")
+        .join(F.broadcast(tv))
+    )
+    p_uni = (F.coalesce(F.col("__cu"), F.lit(0)) + 1) / (
+        F.col("__T") + F.col("__V")
+    ).cast("double")
+    p_cond = F.when(
+        F.col("__c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("__c2"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("__c1")
+        + (D * F.col("__n1p") / F.col("__c1")) * p_uni,
+    ).otherwise(p_uni)
+    scored = joined.groupBy(id_col).agg(
+        F.sum("__tf").alias("__nb"),
+        F.sum(F.col("__tf") * F.log(p_cond)).alias("__sl"),
+    )
+    return df.join(scored, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.col("__sl") / F.col("__nb"), 6).alias("avg_logprob"),
+    )
+
+
+@register_operator("lm_score")
+class LmScoreOperator(Operator):
+    """Optional second in-port ``model`` trains the counts on a
+    reference corpus instead of the scored input (the CCNet shape)."""
+
+    in_ports = ("in", "model")
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        extra = set(inputs) - {"in", "model"}
+        if "in" not in inputs or extra:
+            raise OperatorConfigError(
+                f"lm_score takes ports 'in' (+optional 'model'), got {sorted(inputs)}"
+            )
+        return {
+            "out": lm_score(
+                inputs["in"],
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                inputs.get("model"),
+                float(c.get("discount", 0.75)),
+                bool(c.get("lowercase", True)),
+            )
+        }
+
+
+def pii_annotate(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+    redact: bool = False,
+    redacted_col: str | None = None,
+) -> DataFrame:
+    """Per-document PII load: one ``n_pii_<kind>`` count column per
+    requested kind (functions/text.PII_PATTERNS: email, credit_card,
+    ssn, ipv4, phone) plus ``n_pii_total`` — the filter signal a
+    compliance pass runs BEFORE deciding between dropping a document
+    and redacting it. ``redact=True`` additionally emits the
+    placeholder-substituted text. Pure codegen'd regexp narrow map;
+    zero shuffle, zero Python."""
+    wanted = tuple(X.PII_PATTERNS) if kinds is None else tuple(kinds)
+    col = F.col(text_col)
+    out = df
+    total = None
+    for kind in wanted:
+        cnt = X.pii_count(col, kind)
+        out = out.withColumn(f"n_pii_{kind}", cnt)
+        total = cnt if total is None else (total + cnt)
+    out = out.withColumn("n_pii_total", total if total is not None else F.lit(0).cast("long"))
+    if redact:
+        out = out.withColumn(
+            redacted_col or f"{text_col}_redacted", X.redact_all_pii(col, wanted)
+        )
+    return out
+
+
+@register_operator("pii_scan")
+class PiiScanOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        kinds = self.config.get("kinds")
+        if kinds is not None:
+            unknown = set(kinds) - set(X.PII_PATTERNS)
+            if unknown:
+                raise OperatorConfigError(
+                    f"unknown pii kinds {sorted(unknown)}; "
+                    f"have {sorted(X.PII_PATTERNS)}"
+                )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": pii_annotate(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                tuple(c["kinds"]) if c.get("kinds") else None,
+                bool(c.get("redact", False)),
+                c.get("redacted_col"),
+            )
+        }
+
+
+def extract_url_parts(
+    df: DataFrame, url_col: str, prefix: str = "url_"
+) -> DataFrame:
+    """Decompose a URL column into scheme/host/domain/path/query
+    (functions/text URL_*_RE; regex-only so the oracle mirrors it).
+    Narrow map. Feed ``<prefix>domain`` into cap_per_group /
+    groupBy for the per-domain crawl policies (politeness caps,
+    domain mixing, URL-keyed dedup)."""
+    col = F.col(url_col)
+    return df.select(
+        *df.columns,
+        X.url_scheme(col).alias(f"{prefix}scheme"),
+        X.url_host(col).alias(f"{prefix}host"),
+        X.url_domain(col).alias(f"{prefix}domain"),
+        X.url_path(col).alias(f"{prefix}path"),
+        X.url_query(col).alias(f"{prefix}query"),
+    )
+
+
+@register_operator("url_parts")
+class UrlPartsOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("url_col"):
+            raise OperatorConfigError("url_parts requires 'url_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": extract_url_parts(
+                self.single_input(inputs), c["url_col"], c.get("prefix", "url_")
+            )
+        }

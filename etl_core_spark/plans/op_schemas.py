@@ -143,6 +143,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("engine", "string", default="auto", desc="auto|pandas (openpyxl)|lite (stdlib zip+XML)"),
     ],
     "read_parquet": [_FILEPATH, _SCHEMA_FIELD],
+    "read_orc": [_FILEPATH, _SCHEMA_FIELD],
+    "write_orc": [
+        _FILEPATH,
+        _WRITE_MODE,
+        f("partition_by", "array", items={"type": "string"}),
+        f("compression", "string", enum=["zlib", "snappy", "zstd", "lz4", "none"]),
+        f("num_files", "integer", desc="exact output file count"),
+    ],
     "write_parquet": [
         _FILEPATH,
         _WRITE_MODE,
@@ -341,6 +349,54 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("key_col", "string", required=True),
         f("rate", "number", default=0.1),
         f("salt", "string", default=""),
+    ],
+    "line_dedup": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("delimiter", "string", default="\\n",
+          desc="line-split regex (Java regex)"),
+        f("join_sep", "string", default="\n",
+          desc="literal separator for the rewritten text"),
+        f("max_doc_frac", "number",
+          desc="drop lines in > this FRACTION of docs (broadcast narrow "
+               "rewrite; exactly one of the two thresholds)"),
+        f("max_doc_freq", "integer",
+          desc="drop lines in > this many docs ABSOLUTE (anti-join path)"),
+        f("min_line_chars", "integer", default=1),
+        f("normalize", "boolean", default=True,
+          desc="compare lines lowercased+trimmed (output keeps original bytes)"),
+    ],
+    "lm_score": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("discount", "number", default=0.75,
+          desc="absolute-discount D in [0,1) (Ney et al. interpolated smoothing)"),
+        f("lowercase", "boolean", default=True),
+    ],
+    "pii_scan": [
+        f("text_col", "string", default="text"),
+        f("kinds", "array", items={"type": "string"},
+          desc="subset of email/credit_card/ssn/ipv4/phone (default all)"),
+        f("redact", "boolean", default=False,
+          desc="additionally emit placeholder-substituted text"),
+        f("redacted_col", "string",
+          desc="output column for redacted text (default <text_col>_redacted)"),
+    ],
+    "url_parts": [
+        f("url_col", "string", required=True),
+        f("prefix", "string", default="url_",
+          desc="output column prefix: scheme/host/domain/path/query"),
+    ],
+    "mix_corpora": [
+        f("key_col", "string", required=True),
+        f("group_col", "string", required=True),
+        f("weights", "object", required=True,
+          desc="group -> mixture weight (whitelist; normalized config-side)"),
+        f("target_tokens", "integer", required=True),
+        f("token_col", "string",
+          desc="pre-computed token counts (default whitespace token_count(text))"),
+        f("text_col", "string", default="text"),
+        f("salt", "string", default="mix"),
     ],
     "decontaminate": [
         f("text_col", "string", default="text"),

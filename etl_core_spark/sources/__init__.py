@@ -12,6 +12,7 @@ from etl_core_spark.sources import (  # noqa: F401
     xml_io,
     excel_io,
     parquet_io,
+    orc_io,
     jdbc_io,
     mongodb_io,
     generate,

@@ -1,0 +1,368 @@
+"""line_dedup / lm_score / pii_scan / url_parts / mix_corpora / ORC
+source — the round-7 training-data-pipeline additions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+from etl_core_spark.operators.sampling import _HASH_SPACE, mix_corpora
+from etl_core_spark.operators.text_analysis import (
+    extract_url_parts,
+    line_dedup,
+    lm_score,
+    pii_annotate,
+)
+
+
+# ---------------------------------------------------------------- line_dedup
+
+BOILER = "subscribe to our newsletter"
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    rows = [
+        (1, f"{BOILER}\nalpha body one\ncommon footer"),
+        (2, f"{BOILER}\nbeta body two\ncommon footer"),
+        (3, f"{BOILER}\ngamma body three\ncommon footer"),
+        (4, f"{BOILER}\ndelta body four"),
+        (5, "unique page entirely"),
+        (6, f"  {BOILER.upper()}  \nepsilon body"),  # normalized match
+        (7, BOILER),  # becomes empty after removal
+        (8, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _collect_dedup(df):
+    return {
+        r["doc_id"]: (r["text_dedup"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in df.collect()
+    }
+
+
+def test_line_dedup_frac_removes_boilerplate(spark, boiler_docs):
+    out = _collect_dedup(
+        line_dedup(boiler_docs, max_doc_frac=0.5, delimiter="\\n")
+    )
+    # BOILER appears in 6/8 docs (>0.5), footer in 3/8 (<=0.5): only
+    # BOILER drops; original bytes (case, padding) survive on kept lines
+    assert out[1] == ("alpha body one\ncommon footer", 2, 1)
+    assert out[5] == ("unique page entirely", 1, 0)
+    assert out[6] == ("epsilon body", 1, 1)
+    assert out[7] == ("", 0, 1)
+    assert out[8] == ("", 0, 0)
+    assert len(out) == 8  # row-preserving
+
+
+def test_line_dedup_absolute_path_matches_frac_path(spark, boiler_docs):
+    frac = _collect_dedup(
+        line_dedup(boiler_docs, max_doc_frac=0.5, delimiter="\\n")
+    )
+    # 0.5 * 8 docs = 4 -> same threshold as max_doc_freq=4
+    absolute = _collect_dedup(
+        line_dedup(boiler_docs, max_doc_freq=4, delimiter="\\n")
+    )
+    assert frac == absolute
+
+
+def test_line_dedup_threshold_validation(spark, boiler_docs):
+    with pytest.raises(OperatorConfigError):
+        line_dedup(boiler_docs)
+    with pytest.raises(OperatorConfigError):
+        line_dedup(boiler_docs, max_doc_frac=0.5, max_doc_freq=3)
+    with pytest.raises(OperatorConfigError):
+        line_dedup(boiler_docs, max_doc_frac=1.5)
+
+
+def test_line_dedup_operator_registered(spark, boiler_docs):
+    op = get_operator("line_dedup")(max_doc_frac=0.5, delimiter="\\n")
+    out = op.apply({"in": boiler_docs})["out"]
+    assert _collect_dedup(out)[1][0] == "alpha body one\ncommon footer"
+
+
+def test_line_dedup_no_normalize_keeps_case_variants(spark, boiler_docs):
+    out = _collect_dedup(
+        line_dedup(boiler_docs, max_doc_frac=0.5, delimiter="\\n",
+                   normalize=False)
+    )
+    # without normalization the upper-case variant in doc 6 no longer
+    # matches the 5 lower-case occurrences: 5/8 docs is still > 0.5,
+    # so lower-case BOILER drops but doc 6's variant survives
+    assert out[6][0].split("\n")[0].strip() == BOILER.upper()
+    assert out[1][0] == "alpha body one\ncommon footer"
+
+
+# ------------------------------------------------------------------ lm_score
+
+def _lm_reference(score_rows, model_rows, D=0.75):
+    """Pure-Python mirror of interpolated absolute discounting."""
+    from collections import Counter
+
+    uni, bg, c1, conts = Counter(), Counter(), Counter(), {}
+    for _i, text in model_rows:
+        toks = text.lower().split()
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+            c1[a] += 1
+            conts.setdefault(a, set()).add(b)
+    T, V = sum(uni.values()), len(uni)
+
+    def p_uni(w):
+        return (uni.get(w, 0) + 1) / (T + V)
+
+    out = {}
+    for i, text in score_rows:
+        toks = text.lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        total = 0.0
+        for a, b in pairs:
+            if a in c1:
+                p = max(bg.get((a, b), 0) - D, 0) / c1[a] + (
+                    D * len(conts[a]) / c1[a]
+                ) * p_uni(b)
+            else:
+                p = p_uni(b)
+            total += math.log(p)
+        out[i] = (len(pairs), round(total / len(pairs), 6))
+    return out
+
+
+def test_lm_score_matches_reference(spark):
+    rows = [
+        (1, "a b a b"),
+        (2, "a b c"),
+        (3, "z"),
+        (4, "the quick brown fox the quick red fox"),
+    ]
+    out = {r["doc_id"]: r for r in
+           lm_score(spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    want = _lm_reference(rows, rows)
+    for i, (nb, score) in want.items():
+        assert out[i]["n_bigrams"] == nb
+        if score is None:
+            assert out[i]["avg_logprob"] is None
+        else:
+            assert out[i]["avg_logprob"] == pytest.approx(score, abs=2e-6)
+
+
+def test_lm_score_flags_gibberish_lowest(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((99, "zxq qvw wqz vqx xqv"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ranked = lm_score(docs).orderBy("avg_logprob").collect()
+    # discounting charges every singleton transition + rare-word
+    # backoff: the gibberish doc must rank strictly lowest
+    assert ranked[0]["doc_id"] == 99
+    assert ranked[0]["avg_logprob"] < ranked[1]["avg_logprob"]
+
+
+def test_lm_score_external_model_and_unseen_words(spark):
+    model = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)], ["doc_id", "text"]
+    )
+    score_rows = [(1, "the cat sat"), (2, "quantum flux capacitor")]
+    docs = spark.createDataFrame(score_rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(docs, model_df=model).collect()}
+    want = _lm_reference(score_rows, [(i, "the cat sat on the mat") for i in range(5)])
+    for i, (nb, score) in want.items():
+        assert out[i]["n_bigrams"] == nb
+        assert out[i]["avg_logprob"] == pytest.approx(score, abs=2e-6)
+    # corpus-typical text scores far above fully-unseen text
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_lm_score_operator_two_ports(spark):
+    model = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(7, "a b")], ["doc_id", "text"])
+    op = get_operator("lm_score")()
+    got = op.apply({"in": docs, "model": model})["out"].first()
+    assert got["n_bigrams"] == 1 and got["avg_logprob"] is not None
+    with pytest.raises(OperatorConfigError):
+        op.apply({"model": model})
+
+
+# ------------------------------------------------------------------ pii_scan
+
+PII_TEXT = (
+    "mail me at jo.doe+x@corp.example.com, card 1234-5678-9012-3456, "
+    "ssn 123-45-6789, host 10.0.0.1, call +1 (415) 555-0100 now"
+)
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame([(1, PII_TEXT), (2, "clean text")], ["id", "t"])
+    out = {r["id"]: r for r in pii_annotate(df, "t", redact=True).collect()}
+    r = out[1]
+    assert r["n_pii_email"] == 1
+    assert r["n_pii_credit_card"] == 1
+    assert r["n_pii_ssn"] == 1
+    assert r["n_pii_ipv4"] == 1
+    assert r["n_pii_phone"] >= 1
+    assert r["n_pii_total"] == sum(
+        r[f"n_pii_{k}"] for k in ("email", "credit_card", "ssn", "ipv4", "phone")
+    )
+    red = r["t_redacted"]
+    for token in ("<EMAIL>", "<CC>", "<SSN>", "<IP>", "<PHONE>"):
+        assert token in red, red
+    # no digits of any identifier survive redaction
+    assert "3456" not in red and "6789" not in red and "0100" not in red
+    clean = out[2]
+    assert clean["n_pii_total"] == 0 and clean["t_redacted"] == "clean text"
+
+
+def test_pii_order_card_not_eaten_by_ssn_or_phone(spark):
+    df = spark.createDataFrame([(1, "card: 1111 2222 3333 4444.")], ["id", "t"])
+    red = pii_annotate(df, "t", redact=True).first()["t_redacted"]
+    assert red == "card: <CC>."
+
+
+def test_pii_scan_operator_kind_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("pii_scan")(kinds=["email", "dna"])
+
+
+# ----------------------------------------------------------------- url_parts
+
+def test_url_parts_extraction(spark):
+    urls = [
+        (1, "https://user:pw@www.example.co:8443/a/b?q=1&r=2#frag"),
+        (2, "http://example.com"),
+        (3, "ftp://files.internal.example.org/pub/x.tar"),
+        (4, "not a url at all"),
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    out = {r["id"]: r for r in extract_url_parts(df, "url").collect()}
+    assert out[1]["url_scheme"] == "https"
+    assert out[1]["url_host"] == "www.example.co"
+    assert out[1]["url_domain"] == "example.co"
+    assert out[1]["url_path"] == "/a/b"
+    assert out[1]["url_query"] == "q=1&r=2"
+    assert out[2]["url_host"] == "example.com"
+    assert out[2]["url_domain"] == "example.com"
+    assert out[2]["url_path"] is None  # no path segment at all
+    assert out[3]["url_scheme"] == "ftp"
+    assert out[3]["url_domain"] == "example.org"
+    assert out[4]["url_scheme"] is None and out[4]["url_host"] is None
+
+
+# --------------------------------------------------------------- mix_corpora
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # 3 sources x 200 docs x 10 tokens each = 2000 tokens per source
+    rows = [
+        (s * 1000 + i, f"s{s}", " ".join(f"w{j}" for j in range(10)))
+        for s in range(3)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_mix_corpora_hits_weighted_budget(spark, mix_docs):
+    out = mix_corpora(
+        mix_docs, "doc_id", "source",
+        weights={"s0": 0.5, "s1": 0.5}, target_tokens=2000,
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # s2 absent from weights -> dropped entirely
+    assert "s2" not in got
+    # each kept source targets 1000 of its 2000 tokens -> ~100 docs
+    for s in ("s0", "s1"):
+        assert 75 <= got[s] <= 125, got
+
+
+def test_mix_corpora_caps_fraction_at_one(spark, mix_docs):
+    out = mix_corpora(
+        mix_docs, "doc_id", "source",
+        weights={"s0": 1.0}, target_tokens=10_000_000,
+    )
+    assert out.count() == 200  # downsample only, never upsample
+
+
+def test_mix_corpora_deterministic_and_stable_under_repartition(spark, mix_docs):
+    a = sorted(r["doc_id"] for r in mix_corpora(
+        mix_docs, "doc_id", "source", {"s0": 1, "s1": 1}, 2000).collect())
+    b = sorted(r["doc_id"] for r in mix_corpora(
+        mix_docs.repartition(13), "doc_id", "source",
+        {"s0": 1, "s1": 1}, 2000).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mix_corpora_matches_md5_threshold_semantics(spark, mix_docs):
+    # the kept set is exactly the md5-bucket predicate at frac = 1000/2000
+    out = sorted(r["doc_id"] for r in mix_corpora(
+        mix_docs, "doc_id", "source", {"s0": 1.0}, 1000).collect())
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"mix{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16)
+
+    want = sorted(
+        d for d in range(0, 1000) if d < 200 and bucket(d) < 0.5 * _HASH_SPACE
+    )
+    assert out == want
+
+
+def test_mix_corpora_validation(spark, mix_docs):
+    with pytest.raises(OperatorConfigError):
+        mix_corpora(mix_docs, "doc_id", "source", {}, 100)
+    with pytest.raises(OperatorConfigError):
+        mix_corpora(mix_docs, "doc_id", "source", {"s0": -1.0}, 100)
+    with pytest.raises(OperatorConfigError):
+        mix_corpora(mix_docs, "doc_id", "source", {"s0": 1.0}, 0)
+
+
+def test_mix_corpora_zero_token_group_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "a", ""), (2, "a", ""), (3, "b", "x y z")],
+        ["id", "g", "text"],
+    )
+    out = mix_corpora(df, "id", "g", {"a": 1.0, "b": 1.0}, 2)
+    kept_a = [r["id"] for r in out.where(F.col("g") == "a").collect()]
+    assert sorted(kept_a) == [1, 2]  # nothing to downsample -> all kept
+
+
+# ----------------------------------------------------------------------- ORC
+
+def test_orc_roundtrip_operators(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5)],
+        ["id", "name", "score"],
+    )
+    path = str(tmp_path / "t.orc")
+    get_operator("write_orc")(
+        filepath=path, compression="zlib", num_files=1
+    ).apply({"in": src})
+    back = get_operator("read_orc")(filepath=path).read()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert back.schema == src.schema
+    import glob
+
+    assert len(glob.glob(f"{path}/*.orc")) == 1
+
+
+def test_orc_partitioned_write(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        ["id", "par"],
+    )
+    path = str(tmp_path / "p.orc")
+    get_operator("write_orc")(filepath=path, partition_by=["par"]).apply(
+        {"in": src}
+    )
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("par=")
+    ) == ["par=even", "par=odd"]
+    back = get_operator("read_orc")(filepath=path).read()
+    assert back.count() == 20
