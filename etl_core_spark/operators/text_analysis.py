@@ -570,18 +570,20 @@ def lm_score(
     tv = uni.agg(
         F.sum("__cu").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
-    mbg = _bigram_table(model, text_col, id_col, lowercase)
+    # self-scoring consumes the bigram table three times (c_bg, c_w1,
+    # per-doc tf) — persist it once instead of re-tokenizing the corpus
+    # per consumer; external-model scoring shares it twice (c_bg, c_w1)
+    from etl_core_spark.session import persist_intermediate
+
+    mbg = persist_intermediate(_bigram_table(model, text_col, id_col, lowercase))
     c_bg = mbg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
     c_w1 = mbg.groupBy("__w1").agg(
         F.count(F.lit(1)).alias("__c1"),
         F.count_distinct("__w2").alias("__n1p"),
     )
 
-    tf = (
-        _bigram_table(df, text_col, id_col, lowercase)
-        .groupBy(id_col, "__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
+    sbg = mbg if model_df is None else _bigram_table(df, text_col, id_col, lowercase)
+    tf = sbg.groupBy(id_col, "__w1", "__w2").agg(F.count(F.lit(1)).alias("__tf"))
     D = F.lit(float(discount))
     joined = (
         tf.join(c_bg, on=["__w1", "__w2"], how="left")
