@@ -62,7 +62,7 @@ _FILEPATH = f("filepath", "string", required=True)
 
 _RULE_DESC = (
     "rule tree: {column, operator, value} with operator in "
-    "(==, !=, >, <, >=, <=, contains) or {logical_operator: AND|OR|NOT, rules: [...]}"
+    "(==, !=, >, <, >=, <=, contains) or {operator: AND|OR|NOT, rules: [...]}"
 )
 
 _JDBC_READ = [

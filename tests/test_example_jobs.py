@@ -284,3 +284,35 @@ def test_parquet_incremental_dedup(spark, tmp_path):
     # append-mode sink: a zero-survivor run must neither clobber the
     # accumulated table nor leave it unreadable (_SUCCESS-only dir)
     assert {r["doc_id"] for r in spark.read.parquet(str(out / "survivors")).collect()} == {103}
+
+
+def test_parquet_scrub_score_mix_orc(spark, tmp_path):
+    """Round-7 compliance/quality shape through the runner: PII
+    redaction → boilerplate-line removal → bigram-LM scoring → rule
+    gate (pass/fail ports) → language-weighted mixture → ORC sink."""
+    from pyspark.sql import functions as F
+
+    def inputs(d):
+        rows = []
+        boiler = "all rights reserved contact admin@site.example.com"
+        for i in range(30):
+            lang = ["en", "de", "fr", "zh"][i % 4]
+            body = f"document {i} body text about topic {i % 7} with detail"
+            rows.append((i, f"{body}\n{boiler}", lang))
+        spark.createDataFrame(rows, ["doc_id", "text", "lang"]).coalesce(
+            1
+        ).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_scrub_score_mix_orc.json", inputs
+    )
+    train = spark.read.orc(str(out / "train_orc"))
+    assert 0 < train.count() <= 30
+    # zh absent from the mixture weights -> dropped by the mixer
+    assert train.where(F.col("lang") == "zh").count() == 0
+    first = train.first()
+    # the boilerplate line (present in 30/30 docs > 0.5) is gone and
+    # its email was redacted before line stats ran
+    assert "rights reserved" not in first["text_clean_dedup"]
+    assert first["n_pii_email"] >= 1 and "@site.example.com" not in first["text_clean"]
+    assert first["avg_logprob"] is not None and first["n_bigrams"] > 0
