@@ -391,8 +391,11 @@ def line_dedup(
         return F.lower(t) if normalize else t
 
     def line_array(col):
+        # NULL text behaves as an empty document (0 lines kept, 0
+        # dropped, '' rewrite) instead of poisoning the counters with
+        # size(NULL) and the rewrite with a NULL join
         return F.filter(
-            F.split(col, delimiter),
+            F.coalesce(F.split(col, delimiter), F.array().cast("array<string>")),
             lambda ln: F.length(F.trim(ln)) >= min_chars,
         )
 

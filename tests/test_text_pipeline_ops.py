@@ -366,3 +366,14 @@ def test_orc_partitioned_write(spark, tmp_path):
     ) == ["par=even", "par=odd"]
     back = get_operator("read_orc")(filepath=path).read()
     assert back.count() == 20
+
+
+def test_line_dedup_null_text_is_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "a\nc")],
+        "doc_id long, text string",
+    )
+    for kw in ({"max_doc_frac": 0.6}, {"max_doc_freq": 1}):
+        out = _collect_dedup(line_dedup(df, delimiter="\\n", **kw))
+        assert out[2] == ("", 0, 0), (kw, out)
+        assert len(out) == 3
