@@ -4341,6 +4341,25 @@ FROM parts GROUP BY url_domain ORDER BY url_domain
 """
 
 
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_filter operator (operators/sampling.py): percentile
+    gate on a scored column — keep the top quartile of documents by
+    n_chars. exact=True for the oracle surface (Spark percentile ==
+    DuckDB quantile_cont, the q_percentiles parity); production
+    default is the GK sketch."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("quantile_filter")(value_col="n_chars", q=0.75, exact=True)
+    return op.apply({"in": docs})["out"].select("doc_id", "n_chars")
+
+
+_SQL_QUANTILE_FILTER = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_orc / write_orc (sources/orc_io.py), oracle-checked
     end-to-end: nation → write_orc → read_orc. ORC preserves types
@@ -4378,7 +4397,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R07_WINDOW = [
     # never driver-checked (new this round)
     "line_dedup", "lm_score", "pii_redact", "mix_corpora",
-    "domain_stats", "orc_roundtrip",
+    "domain_stats", "orc_roundtrip", "quantile_filter",
     "incremental_dedup", "ivf_index_topk",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
@@ -4393,7 +4412,7 @@ _R07_WINDOW = [
     "funnel", "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
     "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
-    "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_filter",
+    "q14_promo_ratio", "q18_large_orders",
     "agg_global", "filter_rule_pass",
     "filter_rule_fail", "join_inner", "join_left", "join_right",
     "join_outer", "join_multi_step", "join_semi", "join_anti",
@@ -4519,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "domain_stats": q_domain_stats,
         "orc_roundtrip": q_orc_roundtrip,
+        "quantile_filter": q_quantile_filter,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4647,4 +4667,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpora": _sql_mix_corpora(),
         "domain_stats": _sql_domain_stats(),
         "orc_roundtrip": _SQL_ORC_ROUNDTRIP,
+        "quantile_filter": _SQL_QUANTILE_FILTER,
     }

@@ -421,3 +421,68 @@ class MixCorporaOperator(Operator):
                 c.get("salt", "mix"),
             )
         }
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    keep: str = "top",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep the rows above (``keep="top"``) or below (``"bottom"``)
+    the corpus's q-quantile of ``value_col`` — the percentile gate a
+    quality pipeline applies to a scored column ("drop the worst 10%
+    by LM score": q=0.1, keep="top").
+
+    The threshold rides the plan as a broadcast one-row aggregate
+    (scalar-subquery discipline — no collected literal, composes into
+    one job). Default ``exact=False`` computes it with
+    approx_percentile (GK sketch, mergeable map-side state — the
+    100 TB path); ``exact=True`` uses the exact interpolated
+    ``percentile`` (global sort-shaped aggregate, and the DuckDB
+    ``quantile_cont`` parity surface the oracle checks). Rows with
+    NULL ``value_col`` are dropped either way (no rank, fails the
+    threshold comparison) — score before you gate.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise OperatorConfigError("quantile_filter q must be in [0, 1]")
+    if keep not in ("top", "bottom"):
+        raise OperatorConfigError("quantile_filter keep must be 'top' or 'bottom'")
+    fn = (
+        f"percentile({value_col}, {q!r})"
+        if exact
+        else f"approx_percentile({value_col}, {q!r}, {int(accuracy)})"
+    )
+    thr = df.agg(F.expr(fn).alias("__thr"))
+    cond = (
+        F.col(value_col) >= F.col("__thr")
+        if keep == "top"
+        else F.col(value_col) <= F.col("__thr")
+    )
+    return df.join(F.broadcast(thr)).where(cond).drop("__thr")
+
+
+@register_operator("quantile_filter")
+class QuantileFilterOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        c = self.config
+        if not c.get("value_col") or c.get("q") is None:
+            raise OperatorConfigError("quantile_filter requires value_col and q")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": quantile_filter(
+                self.single_input(inputs),
+                c["value_col"],
+                float(c["q"]),
+                c.get("keep", "top"),
+                bool(c.get("exact", False)),
+                int(c.get("accuracy", 10000)),
+            )
+        }

@@ -345,6 +345,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),
         f("salt", "string", default=""),
     ],
+    "quantile_filter": [
+        f("value_col", "string", required=True),
+        f("q", "number", required=True, desc="quantile threshold in [0,1]"),
+        f("keep", "string", default="top", enum=["top", "bottom"]),
+        f("exact", "boolean", default=False,
+          desc="exact interpolated percentile (sort-shaped) vs GK sketch"),
+        f("accuracy", "integer", default=10000,
+          desc="approx_percentile accuracy (exact=false)"),
+    ],
     "hash_sample": [
         f("key_col", "string", required=True),
         f("rate", "number", default=0.1),

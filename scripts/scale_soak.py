@@ -41,7 +41,11 @@ def families(docs, spark):
         simhash_near_dup_pairs,
         winnow_near_dup_pairs,
     )
-    from etl_core_spark.operators.text_analysis import decontaminate
+    from etl_core_spark.operators.text_analysis import (
+        decontaminate,
+        line_dedup,
+        lm_score,
+    )
 
     bench = docs.limit(200).select("text")
 
@@ -76,6 +80,14 @@ def families(docs, spark):
         "decontaminate": lambda: decontaminate(docs, bench),
         "cc_distributed": cc_distributed,
         "incremental_index": incremental_index,
+        # r7 corpus-statistics ops: word-granularity line dedup on the
+        # broadcast-hot-set narrow path, and the self-trained bigram LM
+        # (vocabulary grows with the scaled corpus's disjoint token
+        # suffixes, so the count joins scale too — the claim under test)
+        "line_dedup": lambda: line_dedup(
+            docs, delimiter=" ", join_sep=" ", max_doc_frac=0.8
+        ),
+        "lm_score": lambda: lm_score(docs),
     }
     if "skew_key" in docs.columns:
         skewed = docs

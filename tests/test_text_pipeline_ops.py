@@ -377,3 +377,45 @@ def test_line_dedup_null_text_is_empty_doc(spark):
         out = _collect_dedup(line_dedup(df, delimiter="\\n", **kw))
         assert out[2] == ("", 0, 0), (kw, out)
         assert len(out) == 3
+
+
+# ----------------------------------------------------------- quantile_filter
+
+def test_quantile_filter_exact_top_and_bottom(spark):
+    from etl_core_spark.operators.sampling import quantile_filter
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["id", "v"])
+    top = quantile_filter(df, "v", 0.9, keep="top", exact=True)
+    assert sorted(r["id"] for r in top.collect()) == list(range(91, 101))
+    bottom = quantile_filter(df, "v", 0.1, keep="bottom", exact=True)
+    # exact interpolated p10 of 1..100 is 10.9 -> ids 1..10
+    assert sorted(r["id"] for r in bottom.collect()) == list(range(1, 11))
+
+
+def test_quantile_filter_approx_close_to_exact(spark):
+    from etl_core_spark.operators.sampling import quantile_filter
+
+    df = spark.createDataFrame([(i, float(i % 997)) for i in range(5000)], ["id", "v"])
+    n_exact = quantile_filter(df, "v", 0.8, exact=True).count()
+    n_approx = quantile_filter(df, "v", 0.8, exact=False).count()
+    assert abs(n_exact - n_approx) / n_exact < 0.05
+
+
+def test_quantile_filter_null_scores_dropped_and_validation(spark):
+    from etl_core_spark.operators.sampling import quantile_filter
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"
+    )
+    kept = quantile_filter(df, "v", 0.0, keep="top", exact=True)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+    with pytest.raises(OperatorConfigError):
+        quantile_filter(df, "v", 1.5)
+    with pytest.raises(OperatorConfigError):
+        quantile_filter(df, "v", 0.5, keep="middle")
+
+
+def test_quantile_filter_operator_registered(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
+    op = get_operator("quantile_filter")(value_col="v", q=0.5, exact=True)
+    assert op.apply({"in": df})["out"].count() == 5
