@@ -419,3 +419,46 @@ def test_quantile_filter_operator_registered(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
     op = get_operator("quantile_filter")(value_col="v", q=0.5, exact=True)
     assert op.apply({"in": df})["out"].count() == 5
+
+
+# -------------------------------------------- plan shapes & streaming compose
+
+def test_line_dedup_frac_mode_rewrite_is_narrow(spark, boiler_docs):
+    """The 100 TB claim, plan-asserted: fractional-threshold mode
+    rewrites documents via a one-row broadcast + per-row array filter
+    — no window, no sort-merge join, no per-doc reassembly shuffle."""
+    plan = (
+        line_dedup(boiler_docs, max_doc_frac=0.5, delimiter="\\n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row hot set
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_pii_scan_and_url_parts_compose_with_streaming(spark, tmp_path):
+    """pii_scan / url_parts are pure narrow maps, so they must apply
+    unchanged to a streaming DataFrame (operators are plan rewrites,
+    not actions)."""
+    src = tmp_path / "pii_stream_src"
+    spark.createDataFrame(
+        [(1, "mail a@b.com visit https://www.ex.example.com/x")],
+        ["id", "t"],
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    annotated = pii_annotate(stream, "t", redact=True)
+    assert annotated.isStreaming
+    out = extract_url_parts(annotated, "t", prefix="u_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    row = spark.sql("SELECT * FROM pii_stream_t").first()
+    assert row["n_pii_email"] == 1 and "<EMAIL>" in row["t_redacted"]
