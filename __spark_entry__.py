@@ -4341,6 +4341,95 @@ FROM parts GROUP BY url_domain ORDER BY url_domain
 """
 
 
+_TOKS_RAW = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_duplicate_spans operator (operators/text_analysis.py):
+    Lee et al. exact-substring dedup via n-gram tiling — every token
+    covered by a corpus-duplicated 8-gram is removed from the
+    rewritten text."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("strip_duplicate_spans")(span_tokens=8)
+    return op.apply({"in": docs})["out"].select(
+        "doc_id", "text_dedup", "n_tokens_kept", "n_tokens_dropped",
+        "dup_span_frac",
+    )
+
+
+_SQL_STRIP_SPANS = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+), ge AS (
+  SELECT doc_id, p['s'] AS s, p['g'] AS g
+  FROM (
+    SELECT doc_id,
+           unnest([{{'s': i - 1, 'g': array_to_string(toks[i:i+7], ' ')}}
+                   for i in range(1, len(toks) - 6)]) AS p
+    FROM tok
+  )
+), d AS (
+  SELECT g FROM ge GROUP BY g HAVING count(*) >= 2
+), ds AS (
+  SELECT doc_id, s FROM ge JOIN d USING (g)
+), cov AS (
+  SELECT DISTINCT doc_id, s + off AS pos
+  FROM ds, generate_series(0, 7) AS t(off)
+), pos AS (
+  SELECT doc_id, unnest(toks) AS tokn,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+), kept AS (
+  SELECT * FROM pos ANTI JOIN cov USING (doc_id, pos)
+), agg AS (
+  SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS td, count(*) AS nk
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, len(toks) AS nt FROM tok
+)
+SELECT t.doc_id,
+       coalesce(a.td, '') AS text_dedup,
+       CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(t.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_dropped,
+       round(CASE WHEN t.nt > 0
+                  THEN (t.nt - coalesce(a.nk, 0)) / CAST(t.nt AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_span_frac
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assemble_docs operator (operators/text_analysis.py): ordered
+    part concatenation — here the INVERSE of chunk_documents, so the
+    oracle is the identity: zero-overlap chunking partitions the token
+    stream exactly and assembly must reproduce the (whitespace-
+    normalized) corpus."""
+    from etl_core_spark.operators.text_analysis import assemble_docs, chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=16, overlap=0)
+    return assemble_docs(chunks, "doc_id", "chunk_text", "chunk_idx", sep=" ")
+
+
+_SQL_ASSEMBLE_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       array_to_string(toks, ' ') AS chunk_text_doc,
+       CAST(CASE WHEN len(toks) > 16
+                 THEN ceil(len(toks) / CAST(16 AS DOUBLE))
+                 ELSE 1 END AS BIGINT) AS n_parts
+FROM t
+"""
+
+
 def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantile_filter operator (operators/sampling.py): percentile
     gate on a scored column — keep the top quartile of documents by
@@ -4398,6 +4487,7 @@ _R07_WINDOW = [
     # never driver-checked (new this round)
     "line_dedup", "lm_score", "pii_redact", "mix_corpora",
     "domain_stats", "orc_roundtrip", "quantile_filter",
+    "strip_duplicate_spans", "assemble_docs",
     "incremental_dedup", "ivf_index_topk",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
@@ -4412,10 +4502,10 @@ _R07_WINDOW = [
     "funnel", "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
     "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
-    "q14_promo_ratio", "q18_large_orders",
+    "q14_promo_ratio",
     "agg_global", "filter_rule_pass",
     "filter_rule_fail", "join_inner", "join_left", "join_right",
-    "join_outer", "join_multi_step", "join_semi", "join_anti",
+    "join_outer", "join_multi_step", "join_semi",
     "cube_lineitem",
     "cast_temporal",
 ]
@@ -4539,6 +4629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "orc_roundtrip": q_orc_roundtrip,
         "quantile_filter": q_quantile_filter,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
+        "assemble_docs": q_assemble_docs,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4668,4 +4760,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "orc_roundtrip": _SQL_ORC_ROUNDTRIP,
         "quantile_filter": _SQL_QUANTILE_FILTER,
+        "strip_duplicate_spans": _SQL_STRIP_SPANS,
+        "assemble_docs": _SQL_ASSEMBLE_DOCS,
     }

@@ -734,3 +734,165 @@ class UrlPartsOperator(Operator):
                 self.single_input(inputs), c["url_col"], c.get("prefix", "url_")
             )
         }
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication, n-gram-tiling approximation of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", §3: remove every substring of >= 50 tokens that
+    appears more than once in the corpus — they use suffix arrays; a
+    distributed engine gets the same coverage guarantee from token
+    n-grams: every duplicated span of >= span_tokens tokens contains
+    a duplicated span_tokens-gram, so tiling duplicated grams covers
+    exactly the tokens inside maximal duplicated spans).
+
+    A token is removed when ANY corpus-duplicated span_tokens-gram
+    (total occurrences >= min_count, within- and cross-document both,
+    per the paper) covers its position. Row-preserving: emits
+    ``<text_col>_dedup`` (kept tokens joined by ' ' — whitespace is
+    normalized, this operates on the token stream), ``n_tokens_kept``,
+    ``n_tokens_dropped``, and ``dup_span_frac``.
+
+    Scale shape: gram table = one narrow posexplode (xxhash64 keys,
+    8-byte shuffle); duplicated-gram detection is a map-side-combinable
+    count; the only joins are gram-keyed equi-joins and one id-keyed
+    join back; per-doc coverage is a narrow nested-HOF filter over the
+    token array (no per-position explode). Gram collisions under
+    xxhash64 are the usual ~2^-64 phantom-coverage risk.
+    """
+    from etl_core_spark.session import ensure_parallelism, persist_intermediate
+
+    n = int(span_tokens)
+    if n < 2:
+        raise OperatorConfigError("span_tokens must be >= 2")
+    if int(min_count) < 2:
+        raise OperatorConfigError("min_count must be >= 2")
+    df = ensure_parallelism(df)
+    toks = X.tokens(F.col(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    starts_expr = F.when(
+        F.size("__toks") >= n, F.sequence(F.lit(0), F.size("__toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = persist_intermediate(  # consumed twice: dup counts + start lookup
+        toked.select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.transform(
+                    starts_expr,
+                    lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
+                )
+            ).alias("__s", "__gh"),
+        ).where(F.col("__gh").isNotNull())
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("__gh")
+    )
+    doc_starts = (
+        grams.join(dup, on="__gh")
+        .groupBy(id_col)
+        .agg(F.collect_list("__s").alias("__starts"))
+    )
+    joined = df.join(doc_starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__starts"), lambda s: (s <= i) & (i < s + n)
+        ),
+    )
+    total = F.size(toks).cast("long")
+    n_kept = F.size(kept).cast("long")
+    return joined.select(
+        *df.columns,
+        F.array_join(kept, " ").alias(f"{text_col}_dedup"),
+        n_kept.alias("n_tokens_kept"),
+        (total - n_kept).alias("n_tokens_dropped"),
+        F.round(
+            F.when(total > 0, (total - n_kept) / total.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_span_frac"),
+    )
+
+
+@register_operator("strip_duplicate_spans")
+class StripDuplicateSpansOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": strip_duplicate_spans(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("span_tokens", 50)),
+                int(c.get("min_count", 2)),
+            )
+        }
+
+
+def assemble_docs(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+    order_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Reassemble sharded documents: concatenate ``part_col`` pieces
+    per ``key_col`` in ``order_col`` order (ties broken by the part
+    text so the result is total-ordered and engine-independent) —
+    the page/chunk → document assembly step of a crawl pipeline, and
+    the inverse of chunk_documents. NULL parts are skipped; emits
+    ``n_parts`` and the assembled ``<part_col>_doc``.
+
+    One groupBy shuffle; the in-group ordering happens inside the
+    aggregate via array_sort over (order, part) structs — no window,
+    no secondary sort pass."""
+    parts = df.where(F.col(part_col).isNotNull())
+    return parts.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.col(part_col)))
+                ),
+                lambda s: s[part_col],
+            ),
+            sep,
+        ).alias(f"{part_col}_doc"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register_operator("assemble_docs")
+class AssembleDocsOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_col", "part_col", "order_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"assemble_docs requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": assemble_docs(
+                self.single_input(inputs),
+                c["key_col"],
+                c["part_col"],
+                c["order_col"],
+                c.get("sep", "\n"),
+            )
+        }

@@ -345,6 +345,20 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),
         f("salt", "string", default=""),
     ],
+    "strip_duplicate_spans": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("span_tokens", "integer", default=50,
+          desc="minimum duplicated-span length in tokens (Lee et al. use 50)"),
+        f("min_count", "integer", default=2,
+          desc="corpus occurrence threshold for a span to count as duplicated"),
+    ],
+    "assemble_docs": [
+        f("key_col", "string", required=True),
+        f("part_col", "string", required=True),
+        f("order_col", "string", required=True),
+        f("sep", "string", default="\n"),
+    ],
     "quantile_filter": [
         f("value_col", "string", required=True),
         f("q", "number", required=True, desc="quantile threshold in [0,1]"),

@@ -462,3 +462,101 @@ def test_pii_scan_and_url_parts_compose_with_streaming(spark, tmp_path):
     q.awaitTermination(60)
     row = spark.sql("SELECT * FROM pii_stream_t").first()
     assert row["n_pii_email"] == 1 and "<EMAIL>" in row["t_redacted"]
+
+
+# ------------------------------------------------------ strip_duplicate_spans
+
+SPAN = "one two three four five six seven eight"
+
+
+def test_strip_duplicate_spans_cross_doc(spark):
+    from etl_core_spark.operators.text_analysis import strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {SPAN} tailA"),
+            (2, f"other {SPAN} tailB"),
+            (3, "a completely unique document body here"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(docs, span_tokens=4).collect()}
+    # the shared 8-token span is covered in both docs; boundary grams
+    # (spanning intro/tail) occur once and cover nothing
+    assert out[1]["text_dedup"] == "intro tailA"
+    assert out[2]["text_dedup"] == "other tailB"
+    assert out[1]["n_tokens_dropped"] == 8 and out[1]["n_tokens_kept"] == 2
+    assert out[3]["text_dedup"] == "a completely unique document body here"
+    assert out[3]["dup_span_frac"] == 0.0
+    # shorter than one span: no grams, fully kept
+    assert out[4] ["text_dedup"] == "tiny" and out[4]["n_tokens_dropped"] == 0
+    assert len(out) == 4  # row-preserving
+
+
+def test_strip_duplicate_spans_within_doc_repeat(spark):
+    from etl_core_spark.operators.text_analysis import strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, f"{SPAN} {SPAN}"), (2, "unrelated words entirely different here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(docs, span_tokens=4).collect()}
+    # a span repeated WITHIN one doc counts (Lee et al. semantics):
+    # every token of both occurrences is covered
+    assert out[1]["text_dedup"] == "" and out[1]["dup_span_frac"] == 1.0
+    assert out[2]["n_tokens_dropped"] == 0
+
+
+def test_strip_duplicate_spans_validation(spark):
+    from etl_core_spark.operators.text_analysis import strip_duplicate_spans
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(OperatorConfigError):
+        strip_duplicate_spans(df, span_tokens=1)
+    with pytest.raises(OperatorConfigError):
+        strip_duplicate_spans(df, min_count=1)
+
+
+# --------------------------------------------------------------- assemble_docs
+
+def test_assemble_docs_ordered_concat(spark):
+    from etl_core_spark.operators.text_analysis import assemble_docs
+
+    parts = spark.createDataFrame(
+        [
+            (1, 2, "world"),
+            (1, 1, "hello"),
+            (2, 1, "solo"),
+            (2, 2, None),  # NULL part skipped
+        ],
+        "key long, ord long, part string",
+    )
+    out = {r["key"]: r for r in
+           assemble_docs(parts, "key", "part", "ord", sep=" ").collect()}
+    assert out[1]["part_doc"] == "hello world" and out[1]["n_parts"] == 2
+    assert out[2]["part_doc"] == "solo" and out[2]["n_parts"] == 1
+
+
+def test_assemble_docs_inverts_chunking(spark, tables):
+    """assemble(chunk(docs)) round-trips the whitespace-normalized
+    text — chunk boundaries are pure token arithmetic, so zero-overlap
+    chunking partitions the token stream exactly."""
+    from etl_core_spark.operators.text_analysis import assemble_docs, chunk_documents
+
+    docs = tables["documents"].limit(200)
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=16, overlap=0)
+    back = assemble_docs(chunks, "doc_id", "chunk_text", "chunk_idx", sep=" ")
+    from etl_core_spark.functions.text import tokens
+
+    want = docs.select(
+        "doc_id", F.array_join(tokens(F.col("text")), " ").alias("norm")
+    )
+    diff = (
+        back.join(want, on="doc_id")
+        .where(F.col("chunk_text_doc") != F.col("norm"))
+        .count()
+    )
+    assert diff == 0
