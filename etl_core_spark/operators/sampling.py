@@ -450,12 +450,16 @@ def quantile_filter(
         raise OperatorConfigError("quantile_filter q must be in [0, 1]")
     if keep not in ("top", "bottom"):
         raise OperatorConfigError("quantile_filter keep must be 'top' or 'bottom'")
-    fn = (
-        f"percentile({value_col}, {q!r})"
+    # Column-based aggregates, not an F.expr SQL string: interpolating
+    # value_col into SQL breaks on any name that needs quoting
+    # ("lm score", reserved words) — F.col handles them like every
+    # other operator here
+    agg = (
+        F.percentile(F.col(value_col), F.lit(float(q)))
         if exact
-        else f"approx_percentile({value_col}, {q!r}, {int(accuracy)})"
+        else F.percentile_approx(F.col(value_col), F.lit(float(q)), F.lit(int(accuracy)))
     )
-    thr = df.agg(F.expr(fn).alias("__thr"))
+    thr = df.agg(agg.alias("__thr"))
     cond = (
         F.col(value_col) >= F.col("__thr")
         if keep == "top"

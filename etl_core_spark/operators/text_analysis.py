@@ -399,11 +399,24 @@ def line_dedup(
             lambda ln: F.length(F.trim(ln)) >= min_chars,
         )
 
-    lines = df.select(
-        F.col(id_col), F.explode(line_array(text)).alias("__line")
-    ).select(F.col(id_col), F.xxhash64(norm(F.col("__line"))).alias("__lk"))
+    # The document identity for BOTH frequency counting and (absolute
+    # mode) reassembly is xxhash64(id, text), not id_col alone:
+    # count_distinct(id_col) IGNORES NULL ids, so every line of a
+    # NULL-id document would silently not count toward its document
+    # frequency (boilerplate in NULL-id docs under-drops), and a plain
+    # id join-back would wipe or merge those docs. Exact (id, text)
+    # duplicate rows count as one document for frequency — the
+    # conservative direction — with the usual ~2^-64 collision caveat.
+    row_key = F.xxhash64(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00__NULL_ID__")),
+        F.coalesce(text, F.lit("\x00__NULL_TEXT__")),
+    )
+    with_key = df.withColumn("__rid", row_key)
+    lines = with_key.select(
+        "__rid", F.explode(line_array(text)).alias("__line")
+    ).select("__rid", F.xxhash64(norm(F.col("__line"))).alias("__lk"))
     docfreq = lines.groupBy("__lk").agg(
-        F.count_distinct(id_col).alias("__ldf")
+        F.count_distinct("__rid").alias("__ldf")
     )
 
     if max_doc_frac is not None:
@@ -432,16 +445,19 @@ def line_dedup(
         )
 
     # absolute-threshold path: hot set scales with the corpus — keep it
-    # distributed (anti-join + per-doc reassembly)
+    # distributed (anti-join + per-doc reassembly). Reassembly also
+    # keys on __rid (see above): a plain id join-back never matches a
+    # NULL id (wiping those docs to ''), and a groupBy over NULL ids
+    # would merge every NULL-id document's lines into one.
     hot_tbl = docfreq.where(F.col("__ldf") > int(max_doc_freq)).select("__lk")
-    pos_lines = df.select(
-        F.col(id_col),
+    pos_lines = with_key.select(
+        "__rid",
         F.posexplode(line_array(text)).alias("__pos", "__line"),
     ).withColumn("__lk", F.xxhash64(norm(F.col("__line"))))
     kept_lines = pos_lines.join(
         maybe_broadcast(hot_tbl, None), on="__lk", how="left_anti"
     )
-    rebuilt = kept_lines.groupBy(id_col).agg(
+    rebuilt = kept_lines.groupBy("__rid").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
@@ -453,8 +469,8 @@ def line_dedup(
     )
     total = F.size(line_array(text)).cast("long")
     return (
-        df.withColumn("__total", total)
-        .join(rebuilt, on=id_col, how="left")
+        with_key.withColumn("__total", total)
+        .join(rebuilt, on="__rid", how="left")
         .select(
             *df.columns,
             F.coalesce(F.col(f"{text_col}_dedup"), F.lit("")).alias(
@@ -504,16 +520,24 @@ def _bigram_table(df: DataFrame, text_col: str, id_col: str, lowercase: bool) ->
     the token array — no window shuffle to pair neighbors."""
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toked = df.select(F.col(id_col), X.tokens(text).alias("__toks"))
-    return toked.select(
+    # the <2-token gate is load-bearing, not just an optimization:
+    # slice(toks, 1, size-1) RAISES on an empty token array (length -1
+    # is invalid), so an empty/whitespace-only document would abort
+    # the whole job instead of contributing zero bigrams. NULL text
+    # (NULL size) also routes through the otherwise-branch.
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+            lambda a, b: F.struct(a.alias("__w1"), b.alias("__w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<__w1:string,__w2:string>>"))
+    return toked.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
         F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
-                lambda a, b: F.struct(a.alias("__w1"), b.alias("__w2")),
-            )
-        ).alias("__p"),
-    ).select(F.col(id_col), F.col("__p.__w1").alias("__w1"), F.col("__p.__w2").alias("__w2"))
+        F.col("__p.__w1").alias("__w1"),
+        F.col("__p.__w2").alias("__w2"),
+    )
 
 
 def lm_score(
@@ -774,7 +798,10 @@ def strip_duplicate_spans(
     if int(min_count) < 2:
         raise OperatorConfigError("min_count must be >= 2")
     df = ensure_parallelism(df)
-    toks = X.tokens(F.col(text_col))
+    # NULL text behaves as an empty document (annotate contract: the
+    # row comes back with '' / 0 / 0 / 0.0, same as line_dedup) —
+    # tokens(NULL) is NULL and would otherwise null every counter
+    toks = F.coalesce(X.tokens(F.col(text_col)), F.array().cast("array<string>"))
     toked = df.select(F.col(id_col), toks.alias("__toks"))
     starts_expr = F.when(
         F.size("__toks") >= n, F.sequence(F.lit(0), F.size("__toks") - n)
@@ -782,13 +809,13 @@ def strip_duplicate_spans(
     grams = persist_intermediate(  # consumed twice: dup counts + start lookup
         toked.select(
             F.col(id_col),
-            F.posexplode_outer(
+            F.posexplode(
                 F.transform(
                     starts_expr,
                     lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
                 )
             ).alias("__s", "__gh"),
-        ).where(F.col("__gh").isNotNull())
+        )
     )
     dup = (
         grams.groupBy("__gh")

@@ -59,3 +59,30 @@ class SinkOperator(Operator):
 
     def write(self, df: DataFrame) -> None:  # pragma: no cover - abstract
         raise NotImplementedError
+
+
+def resize_partitions(df: DataFrame, n: int) -> DataFrame:
+    """coalesce/repartition to exactly ``n`` output partitions;
+    n == current skips the pure-cost same-layout shuffle."""
+    n = max(1, int(n))
+    current = df.rdd.getNumPartitions() or 1
+    if n < current:
+        return df.coalesce(n)
+    if n > current:
+        return df.repartition(n)
+    return df
+
+
+def plain_columnar_write(df: DataFrame, config: dict, fmt: str) -> None:
+    """The shared sink tail for plain columnar formats (orc, and the
+    no-sort path of parquet): optional ``num_files`` resize, write
+    ``mode``, ``partition_by``, ``compression``. One implementation so
+    sink knobs cannot drift between formats."""
+    if config.get("num_files"):
+        df = resize_partitions(df, int(config["num_files"]))
+    writer = df.write.mode(config.get("mode", "overwrite"))
+    if config.get("partition_by"):
+        writer = writer.partitionBy(*config["partition_by"])
+    if config.get("compression"):
+        writer = writer.option("compression", config["compression"])
+    writer.format(fmt).save(str(config["filepath"]))

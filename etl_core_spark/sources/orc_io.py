@@ -37,16 +37,6 @@ class WriteOrc(SinkOperator):
             raise OperatorConfigError("write_orc requires 'filepath'")
 
     def write(self, df: DataFrame) -> None:
-        if self.config.get("num_files"):
-            n = max(1, int(self.config["num_files"]))
-            current = df.rdd.getNumPartitions() or 1
-            if n < current:
-                df = df.coalesce(n)
-            elif n > current:
-                df = df.repartition(n)
-        writer = df.write.mode(self.config.get("mode", "overwrite"))
-        if self.config.get("partition_by"):
-            writer = writer.partitionBy(*self.config["partition_by"])
-        if self.config.get("compression"):
-            writer = writer.option("compression", self.config["compression"])
-        writer.orc(str(self.config["filepath"]))
+        from etl_core_spark.sources.base_io import plain_columnar_write
+
+        plain_columnar_write(df, self.config, "orc")

@@ -97,13 +97,9 @@ class WriteParquet(SinkOperator):
             if drop_z:
                 df = df.drop("__z")
         elif n:
-            current = df.rdd.getNumPartitions() or 1
-            if n < current:
-                df = df.coalesce(n)
-            elif n > current:
-                df = df.repartition(n)
-            # n == current: a repartition here would be a pure-cost
-            # full shuffle to the same layout
+            from etl_core_spark.sources.base_io import resize_partitions
+
+            df = resize_partitions(df, n)
         writer = df.write.mode(self.config.get("mode", "overwrite"))
         if self.config.get("partition_by"):
             writer = writer.partitionBy(*self.config["partition_by"])

@@ -560,3 +560,59 @@ def test_assemble_docs_inverts_chunking(spark, tables):
         .count()
     )
     assert diff == 0
+
+
+# ------------------------------------------------- review-fix regression pins
+
+def test_lm_score_survives_empty_and_whitespace_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert len(out) == 4
+    for i in (2, 3, 4):
+        assert out[i]["n_bigrams"] == 0 and out[i]["avg_logprob"] is None
+    assert out[1]["n_bigrams"] == 2
+
+
+def test_line_dedup_absolute_mode_null_ids_not_wiped(spark):
+    df = spark.createDataFrame(
+        [
+            (None, "boiler\nunique gamma text"),
+            (None, "boiler\nother delta body"),
+            (7, "boiler\nnormal row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["doc_id"], r["text_dedup"], r["n_lines_kept"])
+        for r in line_dedup(df, max_doc_freq=2, delimiter="\\n").collect()
+    ]
+    # NULL-id docs keep their own (distinct) kept lines — neither
+    # wiped to '' nor merged with each other
+    texts = sorted(t for i, t, k in out if i is None)
+    assert texts == ["other delta body", "unique gamma text"]
+    assert all(k == 1 for i, t, k in out)
+
+
+def test_strip_duplicate_spans_null_text_is_empty_doc(spark):
+    from etl_core_spark.operators.text_analysis import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, span_tokens=4).collect()}
+    assert out[2]["text_dedup"] == ""
+    assert out[2]["n_tokens_kept"] == 0 and out[2]["n_tokens_dropped"] == 0
+    assert out[2]["dup_span_frac"] == 0.0
+
+
+def test_quantile_filter_quoted_column_name(spark):
+    from etl_core_spark.operators.sampling import quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], ["id", "lm score"]
+    )
+    assert quantile_filter(df, "lm score", 0.5, exact=True).count() == 5
+    assert quantile_filter(df, "lm score", 0.5, exact=False).count() >= 4
