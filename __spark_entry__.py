@@ -4449,6 +4449,57 @@ WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_sample operator (operators/sampling.py): deterministic
+    importance sampling — keep probability proportional to a per-row
+    weight (here a length-derived score), md5-threshold decision."""
+    from etl_core_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(200.0)
+    )
+    return weighted_sample(docs, "doc_id", "w").select("doc_id", "w")
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars / CAST(200.0 AS DOUBLE) AS w FROM documents
+)
+SELECT doc_id, w FROM d
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < least(CAST(1.0 AS DOUBLE), greatest(w, CAST(0.0 AS DOUBLE)) * 1.0)
+        * CAST({16 ** 8} AS DOUBLE)
+"""
+
+
+def q_take_tokens_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take_tokens_per_group operator (operators/sampling.py): exact
+    per-language token budget, best-first by n_chars — the
+    deterministic counterpart to mix_corpora's fractions."""
+    from etl_core_spark.operators.sampling import take_tokens_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = take_tokens_per_group(
+        docs, "lang", 500, "doc_id", order_col="n_chars", descending=True
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_SQL_TAKE_TOKENS = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM d
+QUALIFY sum(tok) OVER (
+  PARTITION BY lang ORDER BY n_chars DESC, doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+) <= 500
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_orc / write_orc (sources/orc_io.py), oracle-checked
     end-to-end: nation → write_orc → read_orc. ORC preserves types
@@ -4487,7 +4538,8 @@ _R07_WINDOW = [
     # never driver-checked (new this round)
     "line_dedup", "lm_score", "pii_redact", "mix_corpora",
     "domain_stats", "orc_roundtrip", "quantile_filter",
-    "strip_duplicate_spans", "assemble_docs",
+    "strip_duplicate_spans", "assemble_docs", "weighted_sample",
+    "take_tokens_per_group",
     "incremental_dedup", "ivf_index_topk",
     # operator code changed this round (oracle conversions + fixes)
     "ann_lsh", "multimodal_features", "jaccard_pairs",
@@ -4498,8 +4550,8 @@ _R07_WINDOW = [
     # r05-vintage certifications, oldest-first registry order (the six
     # displaced by the new queries — set ops, pivot/unpivot, rollup,
     # q22 — lead the r8 window instead)
-    "asof_join", "range_join", "dedup_minhash", "agg_ops", "percentiles",
-    "funnel", "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
+    "asof_join", "range_join", "dedup_minhash", "agg_ops",
+    "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
     "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
     "q14_promo_ratio",
@@ -4631,6 +4683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "assemble_docs": q_assemble_docs,
+        "weighted_sample": q_weighted_sample,
+        "take_tokens_per_group": q_take_tokens_per_group,
     }
     assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
     return {
@@ -4762,4 +4816,6 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "take_tokens_per_group": _SQL_TAKE_TOKENS,
     }

@@ -490,3 +490,136 @@ class QuantileFilterOperator(Operator):
                 int(c.get("accuracy", 10000)),
             )
         }
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: each row survives with
+    probability min(1, weight * scale) — "keep documents proportional
+    to quality score" without an RNG. The decision is the usual
+    md5-threshold on the key, so the kept set is stable under reruns,
+    partitioning, and engines, and a row's fate only changes when its
+    OWN weight changes. NULL or negative weights drop the row
+    (no silent keep-everything). Pure narrow map."""
+    if scale <= 0:
+        raise OperatorConfigError("weighted_sample scale must be positive")
+    prob = F.least(
+        F.lit(1.0), F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)) * scale
+    )
+    return df.where(
+        hash_bucket(F.col(key_col), salt) < prob * F.lit(float(_HASH_SPACE))
+    )
+
+
+@register_operator("weighted_sample")
+class WeightedSampleOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("key_col") or not self.config.get("weight_col"):
+            raise OperatorConfigError(
+                "weighted_sample requires key_col and weight_col"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": weighted_sample(
+                self.single_input(inputs),
+                c["key_col"],
+                c["weight_col"],
+                float(c.get("scale", 1.0)),
+                c.get("salt", ""),
+            )
+        }
+
+
+def take_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    key_col: str,
+    token_col: str | None = None,
+    text_col: str = "text",
+    order_col: str | None = None,
+    descending: bool = True,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT per-group token budget: within each group, rows are taken
+    in order until the cumulative token count would exceed
+    ``budget_tokens`` — the deterministic counterpart to mix_corpora's
+    probabilistic fractions when the recipe says "exactly N tokens of
+    source X". Default order is hash-of-key (a uniform sample of the
+    group); with ``order_col`` it takes the best-first prefix ("the
+    highest-quality docs up to N tokens per domain"), tie-broken by
+    the key so the prefix is total-ordered and engine-independent.
+
+    Take-while semantics on the running sum INCLUDING the current row:
+    a row that would overflow the budget is dropped and, because the
+    running sum only grows, so is everything after it — the kept set
+    is a clean prefix, not a best-fit repack (deterministic beats
+    optimal here; bin-packing is pack_sequences' job).
+
+    One window shuffle (partition by group); same hot-group caveat as
+    cap_per_group — pre-sample pathological groups first. Emits
+    ``__cum_tokens`` dropped; adds nothing to the schema."""
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise OperatorConfigError("budget_tokens must be positive")
+    from etl_core_spark.functions.text import token_count
+
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    if order_col is not None:
+        metric = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        order = [metric, F.col(key_col)]
+    else:
+        order = [hash_bucket(F.col(key_col), salt), F.col(key_col)]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(tok).over(w))
+        .where(F.col("__cum_tokens") <= int(budget_tokens))
+        .drop("__cum_tokens")
+    )
+
+
+@register_operator("take_tokens_per_group")
+class TakeTokensPerGroupOperator(Operator):
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        c = self.config
+        for key in ("group_col", "budget_tokens", "key_col"):
+            if not c.get(key):
+                raise OperatorConfigError(f"take_tokens_per_group requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": take_tokens_per_group(
+                self.single_input(inputs),
+                c["group_col"],
+                int(c["budget_tokens"]),
+                c["key_col"],
+                c.get("token_col"),
+                c.get("text_col", "text"),
+                c.get("order_col"),
+                bool(c.get("descending", True)),
+                c.get("salt", ""),
+            )
+        }

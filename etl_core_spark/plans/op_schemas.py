@@ -373,6 +373,25 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("rate", "number", default=0.1),
         f("salt", "string", default=""),
     ],
+    "weighted_sample": [
+        f("key_col", "string", required=True),
+        f("weight_col", "string", required=True,
+          desc="per-row keep probability = min(1, weight * scale); NULL/negative drops"),
+        f("scale", "number", default=1.0),
+        f("salt", "string", default=""),
+    ],
+    "take_tokens_per_group": [
+        f("group_col", "string", required=True),
+        f("budget_tokens", "integer", required=True),
+        f("key_col", "string", required=True),
+        f("token_col", "string",
+          desc="pre-computed token counts (default whitespace token_count(text))"),
+        f("text_col", "string", default="text"),
+        f("order_col", "string",
+          desc="best-first prefix by this metric (default: hash order)"),
+        f("descending", "boolean", default=True),
+        f("salt", "string", default=""),
+    ],
     "line_dedup": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

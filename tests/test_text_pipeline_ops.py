@@ -616,3 +616,72 @@ def test_quantile_filter_quoted_column_name(spark):
     )
     assert quantile_filter(df, "lm score", 0.5, exact=True).count() == 5
     assert quantile_filter(df, "lm score", 0.5, exact=False).count() >= 4
+
+
+# --------------------------------------- weighted_sample / take_tokens_per_group
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from etl_core_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)]
+        + [(200 + i, 0.0) for i in range(50)]
+        + [(300, None), (301, -2.0)],
+        "id long, w double",
+    )
+    kept = sorted(r["id"] for r in weighted_sample(df, "id", "w").collect())
+    # weight 1 -> always kept; weight 0 / NULL / negative -> dropped
+    assert kept == list(range(100))
+    again = sorted(r["id"] for r in
+                   weighted_sample(df.repartition(7), "id", "w").collect())
+    assert kept == again
+
+
+def test_weighted_sample_proportional(spark):
+    from etl_core_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.2) for i in range(1000)] + [(2000 + i, 0.8) for i in range(1000)],
+        "id long, w double",
+    )
+    out = weighted_sample(df, "id", "w")
+    lo = out.where(F.col("w") == 0.2).count()
+    hi = out.where(F.col("w") == 0.8).count()
+    assert 140 <= lo <= 260 and 720 <= hi <= 880
+
+
+def test_take_tokens_per_group_best_first_prefix(spark):
+    from etl_core_spark.operators.sampling import take_tokens_per_group
+
+    rows = [
+        # group a: scores 5,4,3 with 4 tokens each; budget 8 -> top 2
+        (1, "a", 5.0, "w x y z"),
+        (2, "a", 4.0, "w x y z"),
+        (3, "a", 3.0, "w x y z"),
+        # group b: first (best) doc alone overflows budget -> empty
+        (4, "b", 9.0, " ".join(["t"] * 20)),
+        (5, "b", 1.0, "small doc"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "score", "text"])
+    out = sorted(
+        r["id"]
+        for r in take_tokens_per_group(
+            df, "g", 8, "id", order_col="score"
+        ).collect()
+    )
+    assert out == [1, 2]  # clean prefix; overflowing group-b head blocks its tail
+
+
+def test_take_tokens_per_group_token_col_and_determinism(spark):
+    from etl_core_spark.operators.sampling import take_tokens_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", 10) for i in range(100)], ["id", "g", "ntok"]
+    )
+    a = sorted(r["id"] for r in take_tokens_per_group(
+        df, "g", 250, "id", token_col="ntok").collect())
+    b = sorted(r["id"] for r in take_tokens_per_group(
+        df.repartition(9), "g", 250, "id", token_col="ntok").collect())
+    assert a == b and len(a) == 25
+    with pytest.raises(OperatorConfigError):
+        take_tokens_per_group(df, "g", 0, "id")
