@@ -161,3 +161,134 @@ def test_exact_dedup_matches_python_model_with_nulls(spark, rows):
         if k not in survivors or rid < survivors[k]:
             survivors[k] = rid
     assert got == sorted(survivors.values())
+
+
+# ---------------------------------------------------------------------------
+# round-7 text ops vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_ascii_word = st.text(
+    alphabet="abcdefghij", min_size=1, max_size=6
+)
+_pii_snippet = st.sampled_from([
+    "jo.doe+x@corp.example.com",
+    "1234-5678-9012-3456",
+    "123-45-6789",
+    "10.0.0.1",
+    "+1 (415) 555-0100",
+    "plain words only",
+])
+_pii_text = st.lists(
+    st.one_of(_ascii_word, _pii_snippet), min_size=0, max_size=8
+).map(" ".join)
+
+
+@given(texts=st.lists(_pii_text, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_pii_redaction_matches_python_re(spark, texts):
+    """Spark regexp_replace chain == Python re reference over the
+    shared PII_PATTERNS constants (ASCII inputs; the patterns are
+    written to the Java-regex ∩ RE2 ∩ Python-re subset)."""
+    import re
+
+    from etl_core_spark.functions.text import PII_PATTERNS
+    from etl_core_spark.operators.text_analysis import pii_annotate
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {r["id"]: r for r in pii_annotate(df, "t", redact=True).collect()}
+    for i, t in enumerate(texts):
+        red = t
+        for kind, (pat, tok) in PII_PATTERNS.items():
+            assert got[i][f"n_pii_{kind}"] == len(re.findall(pat, t)), (kind, t)
+            red = re.sub(pat, tok, red)
+        assert got[i]["t_redacted"] == red, t
+        # redaction is idempotent: placeholders contain no redactable shapes
+        for _kind, (pat, _tok) in PII_PATTERNS.items():
+            assert not re.search(pat, got[i]["t_redacted"])
+
+
+def _line_dedup_reference(texts, max_doc_frac):
+    """Python model: drop lines (normalized lower/trim) whose document
+    frequency exceeds frac * n_docs; rebuild preserving original bytes."""
+    from collections import Counter
+
+    docs = [[ln for ln in t.split("\n") if ln.strip()] for t in texts]
+    dfreq = Counter()
+    for lines in docs:
+        for k in {ln.strip().lower() for ln in lines}:
+            dfreq[k] += 1
+    hot = {k for k, c in dfreq.items() if c > max_doc_frac * len(texts)}
+    out = []
+    for lines in docs:
+        kept = [ln for ln in lines if ln.strip().lower() not in hot]
+        out.append(("\n".join(kept), len(kept), len(lines) - len(kept)))
+    return out
+
+
+_line = st.text(alphabet="ab cd", min_size=0, max_size=10)
+_doc = st.lists(_line, min_size=0, max_size=5).map("\n".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6),
+       frac=st.sampled_from([0.3, 0.5, 0.9]))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_python_reference(spark, texts, frac):
+    from etl_core_spark.operators.text_analysis import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _line_dedup_reference(texts, frac)
+    for kw in ({"max_doc_frac": frac},
+               {"max_doc_freq": int(frac * len(texts))}):
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in line_dedup(df, delimiter="\\n", **kw).collect()
+        }
+        for i in range(len(texts)):
+            assert got[i] == want[i], (kw, texts[i])
+
+
+def _strip_spans_reference(texts, n):
+    """Python model of n-gram-tiling substring dedup."""
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    grams = Counter()
+    for tk in toks:
+        for s in range(len(tk) - n + 1):
+            grams[" ".join(tk[s:s + n])] += 1
+    out = []
+    for tk in toks:
+        covered = set()
+        for s in range(len(tk) - n + 1):
+            if grams[" ".join(tk[s:s + n])] >= 2:
+                covered.update(range(s, s + n))
+        kept = [w for i, w in enumerate(tk) if i not in covered]
+        out.append((" ".join(kept), len(kept), len(tk) - len(kept)))
+    return out
+
+
+_span_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@given(texts=st.lists(_span_doc, min_size=1, max_size=5),
+       n=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_strip_duplicate_spans_matches_python_reference(spark, texts, n):
+    from etl_core_spark.operators.text_analysis import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_duplicate_spans(df, span_tokens=n).collect()
+    }
+    want = _strip_spans_reference(texts, n)
+    for i in range(len(texts)):
+        assert got[i] == want[i], (n, texts[i])
