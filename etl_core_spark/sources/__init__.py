@@ -13,6 +13,8 @@ from etl_core_spark.sources import (  # noqa: F401
     excel_io,
     parquet_io,
     orc_io,
+    text_io,
+    binary_io,
     jdbc_io,
     mongodb_io,
     generate,
