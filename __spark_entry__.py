@@ -4624,10 +4624,18 @@ def _sql_random_projection() -> str:
     scale = 1.0 / (8.0 ** 0.5)
     comps = []
     for j, p in enumerate(planes):
-        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        # explicit left-fold chain (((0.0 + e[1]*c1) + e[2]*c2) + ...)
+        # so DuckDB accumulates doubles in EXACTLY Spark's strict
+        # aggregate order (functions/vectors.py dot); quantization is
+        # floor(x*1e4)/1e4 on both sides — floor has no rounding
+        # ties, unlike round (Java HALF_UP on the shortest decimal
+        # string vs C rounding the binary double diverge on exact
+        # ...5 ties: the r7 4/500 miss)
+        acc = "0.0"
+        for i, x in enumerate(p, start=1):
+            acc = f"({acc} + embedding[{i}]::DOUBLE * {x!r})"
         comps.append(
-            f"round(round(list_dot_product(embedding::DOUBLE[], {lit})"
-            f" * {scale!r}, 6), 4) AS p{j}"
+            f"floor({acc} * {scale!r} * 10000.0) / 10000.0 AS p{j}"
         )
     cols = ",\n       ".join(comps)
     return f"SELECT vec_id,\n       {cols}\nFROM embeddings"

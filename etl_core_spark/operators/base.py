@@ -62,6 +62,14 @@ def register_operator(name: str) -> Callable[[Type[Operator]], Type[Operator]]:
     def deco(cls: Type[Operator]) -> Type[Operator]:
         if name in _REGISTRY:
             raise ValueError(f"operator {name!r} already registered")
+        # guard against the decorator landing on a bare function when code
+        # is inserted between @register_operator and its class (the r7
+        # similarity_search accident) — fail at import time, not job time
+        if not (isinstance(cls, type) and issubclass(cls, Operator)):
+            raise TypeError(
+                f"register_operator({name!r}) target must be an Operator "
+                f"subclass, got {cls!r}"
+            )
         _REGISTRY[name] = cls
         cls.registry_name = name  # type: ignore[attr-defined]
         return cls

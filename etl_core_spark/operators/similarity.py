@@ -667,7 +667,6 @@ def cosine_near_dup_pairs(
     )
 
 
-@register_operator("similarity_search")
 def random_projection(
     df: DataFrame,
     vec_col: str,
@@ -686,28 +685,30 @@ def random_projection(
     Scale shape: the directions are driver-side seeded literals
     (same policy as ``lsh_bucketed``), so the projection is a pure
     narrow map — zero shuffle, codegen'd higher-order-function dots,
-    no Python per row. Components are double-rounded (6dp then 4dp)
-    so results are reproducible across engines and summation orders.
-    Keep ``out_dim`` modest (≤ ~16): each component embeds ``dim``
-    literal floats in the plan, and giant literal expression trees
-    evaluate worse than a broadcast join (measured: ROUND_NOTES r7
-    IVF negative result)."""
+    no Python per row. Components are quantized to 4dp by
+    ``floor(x*1e4)/1e4`` rather than ``round``: floor has no rounding
+    ties, so two engines that fold the dot product in the same order
+    produce bit-identical output (Spark's ``round`` applies Java
+    HALF_UP to the double's shortest decimal string while DuckDB/C
+    round the binary value — on an exact ...5 tie they disagree,
+    measured 4/500 rows in r7). Keep ``out_dim`` modest (≤ ~16):
+    each component embeds ``dim`` literal floats in the plan, and
+    giant literal expression trees evaluate worse than a broadcast
+    join (measured: ROUND_NOTES r7 IVF negative result)."""
     if out_dim <= 0 or dim <= 0:
         raise OperatorConfigError("random_projection dims must be positive")
     planes = _seeded_planes(dim, out_dim, seed)
     scale = 1.0 / (float(out_dim) ** 0.5)
     comps = [
-        F.round(
-            F.round(
-                V.dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in p]),
-                )
-                * F.lit(scale),
-                6,
-            ),
-            4,
-        )
+        F.floor(
+            V.dot(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+            )
+            * F.lit(scale)
+            * F.lit(10000.0)
+        ).cast("double")
+        / F.lit(10000.0)
         for p in planes
     ]
     return df.withColumn(out_col, F.array(*comps))
@@ -898,6 +899,7 @@ class PCAOperator(Operator):
         }
 
 
+@register_operator("similarity_search")
 class SimilaritySearchOperator(Operator):
     in_ports = ("corpus", "queries")
     out_ports = ("out",)

@@ -318,6 +318,56 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1,
           desc="independent LSH tables unioned for recall (lsh)"),
     ],
+    "random_projection": [
+        f("dim", "integer", required=True, desc="input embedding width"),
+        f("out_dim", "integer", default=8,
+          desc="projected width (Johnson-Lindenstrauss; keep <=~16)"),
+        f("seed", "integer", default=42),
+        f("vec_col", "string", default="embedding"),
+        f("out_col", "string", default="proj"),
+    ],
+    "pca": [
+        f("dim", "integer", required=True, desc="input embedding width"),
+        f("k", "integer", default=4, desc="principal components kept"),
+        f("center", "boolean", default=True,
+          desc="subtract the column mean before the Gram accumulation"),
+        f("vec_col", "string", default="embedding"),
+        f("out_col", "string", default="pc"),
+    ],
+    "read_text": [
+        _FILEPATH,
+        f("wholetext", "boolean", default=False,
+          desc="one row PER FILE (one-file-per-document corpora)"),
+        f("line_sep", "string", desc="custom record separator (line mode)"),
+        f("path_glob", "string", desc="pathGlobFilter applied before any I/O"),
+        f("recursive", "boolean", default=False),
+        f("with_file_name", "boolean", default=False,
+          desc="prepend the _metadata.file_path provenance column"),
+    ],
+    "write_text": [
+        _FILEPATH,
+        _WRITE_MODE,
+        f("column", "string",
+          desc="string column to write (default: the single input column)"),
+        f("line_sep", "string"),
+        f("compression", "string", desc="gzip/bzip2/lz4/snappy/none"),
+        _SINGLE_FILE | {"default": False},
+        f("num_files", "integer", desc="repartition target for the output"),
+    ],
+    "read_binary_files": [
+        _FILEPATH,
+        f("path_glob", "string",
+          desc="extension/glob prune BEFORE any byte is read"),
+        f("recursive", "boolean", default=False),
+        f("file_name_only", "boolean", default=False,
+          desc="add file_name (basename) for deployment-stable joins"),
+    ],
+    "write_binary_files": [
+        _FILEPATH,
+        f("name_column", "string", default="file_name",
+          desc="relative output file name per row (no traversal, unique)"),
+        f("content_column", "string", default="content"),
+    ],
     "clean_text": [
         f("text_col", "string", default="text"),
         f("output_col", "string", default="text_clean"),

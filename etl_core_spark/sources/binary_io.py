@@ -90,7 +90,13 @@ def write_binary_files(
 
     target = str(directory)
 
-    def _write_partition(rows) -> None:
+    def _write_partition(rows):
+        # yields the per-partition file count so the job's single pass
+        # both writes and counts — a separate df.count() would re-read
+        # every binary payload (full lineage re-evaluation) and could
+        # disagree with the files actually written for a
+        # non-deterministic upstream
+        n = 0
         for row in rows:
             name = row[0]
             payload = row[1]
@@ -109,10 +115,11 @@ def write_binary_files(
                 os.makedirs(parent, exist_ok=True)
             with open(full, "wb") as fh:
                 fh.write(bytes(payload))
+            n += 1
+        yield n
 
     out = df.select(F.col(name_col), F.col(content_col))
-    out.foreachPartition(_write_partition)
-    return df.count()
+    return out.rdd.mapPartitions(_write_partition).sum()
 
 
 @register_operator("write_binary_files")

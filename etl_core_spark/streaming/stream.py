@@ -407,6 +407,13 @@ def streaming_incremental_dedup(
             survivors = survivors.join(matched, on=id_col, how="left_anti")
         survivors = survivors.localCheckpoint()  # one computation feeds
         # both writes below (and detaches from the index being appended)
+        if survivors.isEmpty():
+            # a batch whose docs ALL match the indexed corpus (e.g. an
+            # at-least-once re-run) has nothing to index or append;
+            # writing would leave a _SUCCESS-only directory that later
+            # reads of out_path fail on (UNABLE_TO_INFER_SCHEMA) —
+            # same guard as the top of process()
+            return
         minhash_index_update(
             survivors, text_col, id_col, index_path, num_hashes, bands, shingle_n
         )
