@@ -3409,13 +3409,18 @@ WHERE hamming <= 8
 
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.operators.similarity import brute_force_topk
+    """Exact cosine top-k via the REGISTRY operator
+    (similarity_search method=brute_force) — the JSON-config path a
+    registry break would surface here, not just in pytest."""
+    from etl_core_spark.operators.base import get_operator
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5)
+    out = get_operator("similarity_search")(method="brute_force", k=5).apply(
+        {"corpus": emb, "queries": queries}
+    )["out"]
     return out.select(
         "query_id",
         "vec_id",
@@ -3444,14 +3449,17 @@ def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/numpy BLAS ANN kernel (operators/similarity.py
     brute_force_topk_numpy) under the SAME oracle as the JVM
     expression path — identical contract (rank by 6dp-rounded cosine
-    desc, corpus id asc), so a single SQL certifies both kernels."""
-    from etl_core_spark.operators.similarity import brute_force_topk_numpy
+    desc, corpus id asc), so a single SQL certifies both kernels.
+    Routed through the registry (method=brute_force_numpy)."""
+    from etl_core_spark.operators.base import get_operator
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk_numpy(emb, queries, k=5)
+    out = get_operator("similarity_search")(
+        method="brute_force_numpy", k=5
+    ).apply({"corpus": emb, "queries": queries})["out"]
     return out.select(
         "query_id",
         "vec_id",
@@ -3461,14 +3469,16 @@ def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.operators.similarity import cosine_near_dup_pairs
+    from etl_core_spark.operators.base import get_operator
 
     # threshold 0.4 is data-reachable on the synthetic embeddings
     # (max pairwise cosine: 0.479 at sf0.001, 0.513 at sf0.01, 0.598
     # at sf0.1; 0.4 yields 66/59/246 pairs) — a 0.9 threshold never
     # fires and certifies nothing
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return cosine_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return get_operator("cosine_near_dup")(threshold=0.4, exact=True).apply(
+        {"in": emb}
+    )["out"]
 
 
 _SQL_COSINE_NEAR_DUP = """
@@ -3552,18 +3562,19 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 seed centroids, nprobe=2, k=5, no refinement), so the identical
     SQL certifies the persisted path returns exactly what the direct
     path returns."""
-    from etl_core_spark.operators.similarity import (
-        ivf_index_topk,
-        ivf_index_update,
-    )
+    from etl_core_spark.operators.base import get_operator
 
     emb = _t(spark, sf_dir, "embeddings")
     idx = _scratch_dir("ivf_idx")
-    ivf_index_update(emb, idx, num_centroids=8)
+    # registry path end-to-end: the ivf_index SINK builds the
+    # persistent index, similarity_search(method=ivf_index) probes it
+    get_operator("ivf_index")(index_path=idx, num_centroids=8).write(emb)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_index_topk(queries, idx, k=5, nprobe=2)
+    return get_operator("similarity_search")(
+        method="ivf_index", index_path=idx, k=5, nprobe=2
+    ).apply({"queries": queries})["out"]
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3916,9 +3927,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeds the SAME literals and recomputes the bucket sign pattern in
     DuckDB (the lang_id_ngram shared-profile pattern) — full
     hash-match, not rows-only. Output cosine at 4dp / rank on the 6dp
-    value, the ann_brute_force ulp-absorption convention."""
+    value, the ann_brute_force ulp-absorption convention. Routed
+    through the registry (method=lsh)."""
     from etl_core_spark.functions import vectors as V
-    from etl_core_spark.operators.similarity import lsh_topk
+    from etl_core_spark.operators.base import get_operator
 
     emb = _t(spark, sf_dir, "embeddings")
     # zero-norm queries are dropped on BOTH sides: Spark scores a
@@ -3929,7 +3941,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") < 10) & (V.norm(F.col("embedding")) > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = lsh_topk(emb, queries, dim=64, k=5, num_planes=4)
+    out = get_operator("similarity_search")(
+        method="lsh", dim=64, k=5, num_planes=4
+    ).apply({"corpus": emb, "queries": queries})["out"]
     return out.select(
         "query_id",
         "vec_id",

@@ -1263,9 +1263,9 @@ def _drop_dups(df: DataFrame, pairs: DataFrame, id_col: str, config: dict) -> Da
 @register_operator("dedup")
 class DedupOperator(Operator):
     """Config: ``method`` ∈ {exact, minhash_lsh, simhash, typo,
-    ngram_jaccard}; per-method keys as in the functions above.
-    Near-dup methods accept ``survivor_policy`` ∈ {greedy, cluster}
-    (see ``_drop_dups``)."""
+    ngram_jaccard, embedding_cosine}; per-method keys as in the
+    functions above. Near-dup methods accept ``survivor_policy`` ∈
+    {greedy, cluster} (see ``_drop_dups``)."""
 
     in_ports = ("in",)
     out_ports = ("out",)
@@ -1273,7 +1273,8 @@ class DedupOperator(Operator):
     def validate_config(self) -> None:
         self.method = self.config.get("method", "exact")
         if self.method not in (
-            "exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard"
+            "exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard",
+            "embedding_cosine",
         ):
             raise OperatorConfigError(f"unknown dedup method {self.method!r}")
 
@@ -1305,6 +1306,26 @@ class DedupOperator(Operator):
                 int(mtf) if mtf is not None else None,
             )
             return {"out": _drop_dups(df, pairs, c.get("id_col", "doc_id"), c)}
+        if self.method == "embedding_cosine":
+            # near-dup over an embedding column (LSH-bucketed pair
+            # mining by default; exact=True for small oracle runs)
+            from etl_core_spark.operators.similarity import (
+                cosine_near_dup_pairs,
+            )
+
+            id_col = c.get("id_col", "vec_id")
+            pairs = cosine_near_dup_pairs(
+                df,
+                threshold=float(c.get("threshold", 0.95)),
+                vec_col=c.get("vec_col", "embedding"),
+                id_col=id_col,
+                dim=int(c.get("dim", 64)),
+                num_planes=int(c.get("num_planes", 6)),
+                seed=int(c.get("seed", 42)),
+                exact=bool(c.get("exact", False)),
+                num_tables=int(c.get("num_tables", 1)),
+            )
+            return {"out": _drop_dups(df, pairs, id_col, c)}
         if self.method == "minhash_lsh":
             mbf = c.get("max_band_freq")
             pairs = minhash_dedup_pairs(

@@ -906,7 +906,9 @@ class SimilaritySearchOperator(Operator):
 
     def validate_config(self) -> None:
         self.method = self.config.get("method", "brute_force")
-        if self.method not in ("brute_force", "lsh", "ivf_index"):
+        if self.method not in (
+            "brute_force", "brute_force_numpy", "lsh", "ivf_index"
+        ):
             raise OperatorConfigError(f"unknown similarity method {self.method!r}")
         if self.method == "ivf_index" and not self.config.get("index_path"):
             raise OperatorConfigError("ivf_index method requires 'index_path'")
@@ -942,6 +944,8 @@ class SimilaritySearchOperator(Operator):
         )
         if self.method == "brute_force":
             out = brute_force_topk(corpus, queries, **kwargs)
+        elif self.method == "brute_force_numpy":
+            out = brute_force_topk_numpy(corpus, queries, **kwargs)
         else:
             out = lsh_topk(
                 corpus, queries, dim=int(c.get("dim", 64)),
@@ -949,6 +953,43 @@ class SimilaritySearchOperator(Operator):
                 num_tables=int(c.get("num_tables", 1)), **kwargs,
             )
         return {"out": out}
+
+
+@register_operator("cosine_near_dup")
+class CosineNearDupPairsOperator(Operator):
+    """Embedding-space near-duplicate PAIR mining
+    (``cosine_near_dup_pairs``): emits (id_a < id_b, cosine >=
+    threshold). Config: ``threshold``, ``vec_col``, ``id_col``,
+    ``exact`` (full cross product, oracle-checkable — default False =
+    LSH-bucketed, the 100 TB path), ``dim``/``num_planes``/``seed``/
+    ``num_tables`` for the bucketing. The full drop-the-duplicate
+    path is ``dedup`` with ``method=embedding_cosine``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        t = float(self.config.get("threshold", 0.95))
+        if not (0.0 < t <= 1.0):
+            raise OperatorConfigError(
+                f"cosine_near_dup threshold must be in (0, 1], got {t}"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": cosine_near_dup_pairs(
+                self.single_input(inputs),
+                threshold=float(c.get("threshold", 0.95)),
+                vec_col=c.get("vec_col", "embedding"),
+                id_col=c.get("id_col", "vec_id"),
+                dim=int(c.get("dim", 64)),
+                num_planes=int(c.get("num_planes", 6)),
+                seed=int(c.get("seed", 42)),
+                exact=bool(c.get("exact", False)),
+                num_tables=int(c.get("num_tables", 1)),
+            )
+        }
 
 
 @register_operator("ivf_index")

@@ -254,7 +254,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     # -- LLM-pipeline operators ---------------------------------------
     "dedup": [
         f("method", "string", default="exact",
-          enum=["exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard"]),
+          enum=["exact", "minhash_lsh", "simhash", "typo", "ngram_jaccard",
+                "embedding_cosine"]),
+        f("vec_col", "string", default="embedding",
+          desc="embedding_cosine: vector column"),
+        f("exact", "boolean", default=False,
+          desc="embedding_cosine: full cross product instead of LSH buckets"),
         f("max_token_freq", "integer",
           desc="ngram_jaccard: ignore shingles in more docs than this "
                "(hot-token guard; completeness trade documented)"),
@@ -304,7 +309,7 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     "similarity_search": [
         f("method", "string", default="brute_force",
-          enum=["brute_force", "lsh", "ivf_index"]),
+          enum=["brute_force", "brute_force_numpy", "lsh", "ivf_index"]),
         f("index_path", "string",
           desc="ivf_index method: the persistent index to probe"),
         f("nprobe", "integer", default=1,
@@ -367,6 +372,18 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("name_column", "string", default="file_name",
           desc="relative output file name per row (no traversal, unique)"),
         f("content_column", "string", default="content"),
+    ],
+    "cosine_near_dup": [
+        f("threshold", "number", default=0.95),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+        f("exact", "boolean", default=False,
+          desc="full cross product (oracle-checkable) instead of LSH buckets"),
+        f("dim", "integer", default=64),
+        f("num_planes", "integer", default=6),
+        f("seed", "integer", default=42),
+        f("num_tables", "integer", default=1,
+          desc="independent LSH tables unioned for recall"),
     ],
     "clean_text": [
         f("text_col", "string", default="text"),

@@ -316,3 +316,33 @@ def test_parquet_scrub_score_mix_orc(spark, tmp_path):
     assert "rights reserved" not in first["text_clean_dedup"]
     assert first["n_pii_email"] >= 1 and "@site.example.com" not in first["text_clean"]
     assert first["avg_logprob"] is not None and first["n_bigrams"] > 0
+
+
+def test_parquet_ann_topk(spark, tmp_path, tables):
+    """ANN search through the REGISTRY/JSON-config path (the r7 break
+    class: similarity_search worked via direct function imports while
+    its registry binding was severed — this e2e pins the config
+    route)."""
+    from pyspark.sql import functions as F
+
+    def inputs(d):
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        emb.write.parquet(str(d / "embeddings.parquet"))
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).write.parquet(str(d / "queries.parquet"))
+
+    out, result = run_example(spark, tmp_path, "parquet_ann_topk.json", inputs)
+    back = spark.read.parquet(str(out / "topk"))
+    n_queries = back.select("query_id").distinct().count()
+    assert n_queries == 5
+    # exactly k=3 neighbors per query, ranks 1..3, self always rank 1
+    # (a query IS a corpus vector, cosine 1.0 with itself)
+    assert back.count() == 15
+    ranks = {r["rank"] for r in back.select("rank").distinct().collect()}
+    assert ranks == {1, 2, 3}
+    self_hits = back.where(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == 5
+    assert result.metrics["ann"]["lines_received"] > 0
