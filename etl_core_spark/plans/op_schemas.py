@@ -163,7 +163,7 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="merge keys: matching rows replaced, new keys appended"),
         f("partition_by", "array", items={"type": "string"},
           desc="partition columns — the dynamic-overwrite leaf pruning "
-               "unit (staged mode requires exactly one)"),
+               "unit (staged mode swaps leaf directories)"),
         f("staged", "boolean",
           desc="write-then-rename partition swap: shrinks the reader "
                "inconsistency window to two renames (POSIX/HDFS only)"),
@@ -250,6 +250,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("right_ts", "string", required=True),
         f("value_cols", "array", required=True, items={"type": "string"}),
         f("strict", "boolean", default=False, desc="strictly-before match"),
+    ],
+    "range_join": [
+        f("point_col", "string", required=True),
+        f("lo_col", "string", required=True),
+        f("hi_col", "string", required=True),
+        f("bucket_width", "number", required=True,
+          desc="candidate bucket width; pick near the median interval width"),
+        f("how", "string", default="inner", enum=["inner", "left"]),
+        f("broadcast_intervals", "boolean",
+          desc="force/forbid broadcasting the exploded interval side "
+               "(absent = stats-gated auto)"),
     ],
     # -- LLM-pipeline operators ---------------------------------------
     "dedup": [

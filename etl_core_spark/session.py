@@ -18,10 +18,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Spark's bundled RocksDB streaming state store (Spark 3.2+)
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "etl_core_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    use_rocksdb_state_store: bool | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults.
 
@@ -51,6 +59,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if use_rocksdb_state_store or (
+        use_rocksdb_state_store is None
+        and os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1"
+    ):
+        # Streaming state off-heap: the default HDFSBackedStateStore
+        # keeps every key's state in executor JVM heap — fine for the
+        # bounded watermarked states this engine builds, but a large
+        # keyspace (per-user sessions over 100 TB of events) wants
+        # RocksDB's disk-spilling store. Ships inside Spark 3.2+; no
+        # extra jars.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_STATE_STORE_PROVIDER,
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -183,11 +183,10 @@ def upsert_parquet(
         else [partition_col] if isinstance(partition_col, str)
         else list(partition_col)
     )
-    if staged and len(pcols) != 1:
+    if staged and not pcols:
         raise OperatorConfigError(
-            "upsert_parquet staged=True requires exactly ONE partition "
-            "column (the rename/swap unit is the top-level partition "
-            "directory; nested-level swaps are not implemented)"
+            "upsert_parquet staged=True requires partition columns "
+            "(the rename/swap unit is the leaf partition directory)"
         )
     if staged and not stable_partitions:
         raise OperatorConfigError(
@@ -261,7 +260,7 @@ def upsert_parquet(
     # staged + schema evolution still works: the full carry puts every
     # partition into staging, so the swap loop replaces them all
     if staged and existed:
-        _staged_partition_swap(spark, merged, table_path, pcols[0])
+        _staged_partition_swap(spark, merged, table_path, pcols)
         return
     writer = merged.write.mode("overwrite")
     if pcols:
@@ -279,12 +278,17 @@ def upsert_parquet(
 
 
 def _staged_partition_swap(
-    spark, merged: DataFrame, table_path: str, partition_col: str
+    spark, merged: DataFrame, table_path: str, pcols: list[str]
 ) -> None:
     """Write the merged (touched-partition) data under a dot-prefixed
     staging directory inside the table path — invisible to Spark's
-    file listing — then swap each touched partition directory into
-    place with two FileSystem renames. Uses the Hadoop FileSystem API,
+    file listing — then swap each touched LEAF partition directory
+    into place with two FileSystem renames. With multiple partition
+    columns the swap unit is the leaf of the concatenated partition
+    path (``ds=.../lang=...``): intermediate levels are plain parent
+    directories that are created as needed and never renamed, so two
+    batches touching sibling leaves under the same first-level value
+    cannot interfere. Uses the Hadoop FileSystem API,
     so local paths and HDFS both work; renames are NOT atomic on
     object stores (callers keep ``staged=False`` there). A crash OR
     error between the two renames of one partition leaves its old
@@ -306,7 +310,7 @@ def _staged_partition_swap(
     HPath = jvm.org.apache.hadoop.fs.Path
     staging = HPath(root, f".upsert_staging_{token}")
     trash = HPath(root, f".upsert_trash_{token}")
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+    merged.write.mode("overwrite").partitionBy(*pcols).parquet(
         f"{table_path}/.upsert_staging_{token}"
     )
 
@@ -317,15 +321,31 @@ def _staged_partition_swap(
                 f"false); old partition data is preserved under {trash}"
             )
 
+    def leaf_dirs(base, cols):
+        # descend the staging tree level by level; only directories
+        # named <col>=<value> for the expected level are partition
+        # dirs (_SUCCESS and friends stay in staging)
+        prefix = f"{cols[0]}="
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
+            if len(cols) == 1:
+                yield st.getPath(), name
+            else:
+                for path, rel in leaf_dirs(st.getPath(), cols[1:]):
+                    yield path, f"{name}/{rel}"
+
     fs.mkdirs(trash)
-    for st in fs.listStatus(staging):
-        name = st.getPath().getName()
-        if not name.startswith(f"{partition_col}="):
-            continue  # _SUCCESS and friends stay in staging
-        final = HPath(root, name)
+    for src, rel in leaf_dirs(staging, pcols):
+        final = HPath(root, rel)
         if fs.exists(final):
-            rename_or_raise(final, HPath(trash, name))
-        rename_or_raise(st.getPath(), final)
+            trashed = HPath(trash, rel)
+            fs.mkdirs(trashed.getParent())
+            rename_or_raise(final, trashed)
+        else:
+            fs.mkdirs(final.getParent())
+        rename_or_raise(src, final)
     # cleanup ONLY after every swap succeeded — an exception above
     # leaves trash (old data) and staging (new data) intact for
     # recovery instead of destroying both in a finally block
@@ -337,7 +357,8 @@ def _staged_partition_swap(
 class UpsertParquet(SinkOperator):
     """Keyed parquet upsert sink: config ``filepath``, ``keys``,
     optional ``partition_by`` (one or more columns — the
-    leaf-partition pruning unit; ``staged`` requires exactly one)."""
+    leaf-partition pruning unit; ``staged`` swaps leaf directories
+    and works with any number of partition columns)."""
 
     def validate_config(self) -> None:
         for key in ("filepath", "keys"):

@@ -258,8 +258,60 @@ def test_upsert_parquet_staged_swap(spark, tmp_path):
     assert snapshot("b") == before_b  # untouched partition: same files
     leftovers = [d for d in os.listdir(path) if d.startswith(".upsert_")]
     assert leftovers == []
-    with pytest.raises(OperatorConfigError, match="exactly ONE partition"):
+    with pytest.raises(OperatorConfigError, match="requires partition"):
         upsert_parquet(upd, path, ["id"], None, staged=True)
+
+
+def test_upsert_parquet_staged_swap_multi_column(spark, tmp_path):
+    """staged=True with TWO partition columns: the swap unit is the
+    leaf directory of the concatenated partition path (ds=/lang=) —
+    untouched sibling leaves under the same first-level value keep
+    byte-identical files, touched leaves are replaced, new leaves
+    appear, and no staging/trash residue survives."""
+    import os
+
+    from etl_core_spark.sources.parquet_io import upsert_parquet
+
+    path = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [
+            (1, "d1", "en", 1.0),
+            (2, "d1", "de", 2.0),
+            (3, "d2", "en", 3.0),
+            (4, "d1", None, 4.0),
+        ],
+        "id long, ds string, lang string, v double",
+    )
+    upsert_parquet(base, path, ["id"], ["ds", "lang"], staged=True)
+
+    def snapshot(ds, lang):
+        d = os.path.join(path, f"ds={ds}", f"lang={lang}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_de = snapshot("d1", "de")
+    before_d2 = snapshot("d2", "en")
+    upd = spark.createDataFrame(
+        [
+            (1, "d1", "en", 9.0),   # replace in touched leaf
+            (5, "d1", None, 5.0),   # NULL leaf swap
+            (6, "d3", "fr", 6.0),   # brand-new first-level dir
+        ],
+        "id long, ds string, lang string, v double",
+    )
+    upsert_parquet(upd, path, ["id"], ["ds", "lang"], staged=True)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, 9.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0), (6, 6.0)
+    }
+    # untouched sibling leaf under the SAME touched first-level value,
+    # and an untouched leaf elsewhere: files byte-identical
+    assert snapshot("d1", "de") == before_de
+    assert snapshot("d2", "en") == before_d2
+    leftovers = [d for d in os.listdir(path) if d.startswith(".upsert_")]
+    assert leftovers == []
 
 
 def test_upsert_parquet_null_partition_values(spark, tmp_path):
@@ -400,9 +452,11 @@ def test_upsert_parquet_null_keys_and_operator(spark, tmp_path):
     op = get_operator("upsert_parquet")
     with _pytest.raises(OperatorConfigError, match="keys"):
         op(filepath=path)
-    with _pytest.raises(OperatorConfigError, match="exactly ONE"):
-        op(filepath=path, keys=["id"], partition_by=["a", "b"],
-           staged=True).write(base)
+    with _pytest.raises(OperatorConfigError, match="requires partition"):
+        op(filepath=path, keys=["id"], staged=True).write(base)
+    with _pytest.raises(OperatorConfigError, match="stable_partitions"):
+        op(filepath=path, keys=["id"], partition_by=["v"], staged=True,
+           stable_partitions=False).write(base)
 
 
 def test_upsert_parquet_multi_column_partitions(spark, tmp_path):
