@@ -4675,6 +4675,115 @@ def _sql_random_projection() -> str:
     return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semdedup, Abbas et al. 2023):
+    embedding k-means cells (the ivf_topk 8-lowest-id seeding), exact
+    within-cell cosine pairs at 6dp, greedy min-id survivors. The
+    oracle recomputes the identical assignment (raw-vector cosine —
+    scale-invariant, the _SQL_IVF_TOPK discipline) and the identical
+    pair set; threshold 0.4 is data-reachable on the synthetic
+    embeddings (the cosine_near_dup calibration)."""
+    from etl_core_spark.operators.base import get_operator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = get_operator("semdedup")(
+        threshold=0.4, num_centroids=8, keep="min_id"
+    ).apply({"in": emb})["out"]
+    return out.select("vec_id")
+
+
+_SQL_SEMDEDUP = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), az AS (
+  SELECT e.vec_id AS sid, e.embedding::DOUBLE[] AS v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+  QUALIFY rn = 1
+), dropped AS (
+  SELECT DISTINCT b.sid AS vec_id
+  FROM az a JOIN az b ON a.cid = b.cid AND a.sid < b.sid
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle (operators/sampling.py
+    shuffle_rows): every document gets a stable global position in
+    the md5-permutation. Spark computes ranks per hash-bucket in
+    parallel plus broadcast offsets; the oracle runs the equivalent
+    naive global row_number over (bucket, hash, key) — identical by
+    construction because bucket is the leading sort key."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("shuffle_rows")(
+        key_col="doc_id", salt="epoch1", n_buckets=16
+    ).apply({"in": docs})["out"]
+    return out.select("doc_id", "shuffle_pos")
+
+
+_SQL_SHUFFLE_ROWS = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('epoch1' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv % 16, hv, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+FROM h
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation join (operators/skew.py salted_join): lineitem
+    (probe) salt-joined to supplier (build, replicated salt_factor×),
+    rolled up per supplier — semantics pinned IDENTICAL to the plain
+    equi-join, which is exactly what the oracle runs. The salt is
+    hashed from the probe row (never rand()), so retries and
+    speculative tasks agree."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    joined = get_operator("salted_join")(
+        on=["l_suppkey"], salt_factor=4
+    ).apply({"left": li, "right": supp})["out"]
+    return (
+        joined.where(F.col("s_nationkey") < 5)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT s_name,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 5
+GROUP BY s_name
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + project (operators/similarity.py pca_fit /
     pca_project): distributed d×d moment pass (Arrow-batched partial
@@ -4719,6 +4828,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows. The remaining 30 r06 rows are exactly 2 rounds old and lead the
 # r9 window.
 _R08_WINDOW = [
+    # never driver-checked (new this round)
+    "semdedup", "shuffle_rows", "salted_join",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -4736,7 +4847,9 @@ _R08_WINDOW = [
     "zscore_outliers", "densify_buckets", "stratified_sample",
     "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
     "lang_id_ngram", "typo_pairs", "simhash_near_dup_pairs",
-    "training_pipeline", "profile", "excel_roundtrip", "xml_roundtrip",
+    "training_pipeline",
+    # (profile / excel_roundtrip / xml_roundtrip displaced by the
+    # three new queries — they lead the r9 window)
 ]
 
 
@@ -4866,6 +4979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_ingest": q_binary_ingest,
         "random_projection": q_random_projection,
         "pca_project": q_pca_project,
+        "semdedup": q_semdedup,
+        "shuffle_rows": q_shuffle_rows,
+        "salted_join": q_salted_join,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -4997,6 +5113,9 @@ def oracle_sql() -> dict[str, str]:
         "text_roundtrip": _SQL_TEXT_ROUNDTRIP,
         "binary_ingest": _SQL_BINARY_INGEST,
         "random_projection": _sql_random_projection(),
+        "semdedup": _SQL_SEMDEDUP,
+        "shuffle_rows": _SQL_SHUFFLE_ROWS,
+        "salted_join": _SQL_SALTED_JOIN,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

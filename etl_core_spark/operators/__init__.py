@@ -28,6 +28,7 @@ from etl_core_spark.operators import (  # noqa: F401
     profile,
     reshape,
     multimodal,
+    skew,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -623,3 +623,82 @@ class TakeTokensPerGroupOperator(Operator):
                 c.get("salt", ""),
             )
         }
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    n_buckets: int = 256,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle for training-data export:
+    assigns every row a stable 0-based position ``pos_col`` equal to
+    its rank in the permutation ordered by
+    ``(bucket, md5(salt||key), key)`` — reproducible across reruns,
+    partitionings, and engines (epoch reshuffles = new ``salt``).
+
+    100 TB shape: a naive ``row_number() OVER (ORDER BY hash)`` is a
+    single-reducer global sort. Instead the hash's top bits pick one
+    of ``n_buckets`` DATA-DERIVED buckets (no spark_partition_id /
+    monotonically_increasing_id — both are physical-layout-dependent
+    and move under AQE), ranks are computed per bucket in parallel
+    (one keyed window shuffle), and each bucket's global offset (the
+    running count of smaller buckets) joins back as a broadcast of
+    ``n_buckets`` rows. The result is IDENTICAL to the naive global
+    row_number over (bucket, hash, key) — which is exactly what the
+    DuckDB oracle runs — because bucket is the leading sort key.
+    Collect is bounded by ``n_buckets`` (one count per bucket).
+
+    Position ties are impossible when ``key_col`` is unique (the
+    contract); duplicate keys get arbitrary-but-stable order within
+    their identical (bucket, hash, key) run.
+    """
+    from pyspark.sql import Window
+
+    if int(n_buckets) < 1:
+        raise OperatorConfigError("shuffle_rows n_buckets must be >= 1")
+    h = hash_bucket(F.col(key_col), salt)
+    bucket = (h % int(n_buckets)).cast("long")
+    with_h = df.withColumn("__h", h).withColumn("__b", bucket)
+    counts = with_h.groupBy("__b").count().collect()  # bounded:
+    # one row per bucket (n_buckets total), never data-sized
+    by_bucket = sorted((r["__b"], r["count"]) for r in counts)
+    offsets, acc = [], 0
+    for b, n in by_bucket:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__b long, __off long")
+    w = Window.partitionBy("__b").orderBy("__h", F.col(key_col))
+    return (
+        with_h.withColumn("__rnk", F.row_number().over(w))
+        .join(F.broadcast(off_df), on="__b")
+        .withColumn(pos_col, (F.col("__off") + F.col("__rnk") - 1).cast("long"))
+        .drop("__h", "__b", "__rnk", "__off")
+    )
+
+
+@register_operator("shuffle_rows")
+class ShuffleRowsOperator(Operator):
+    """Config: ``key_col`` (required), ``salt`` (epoch seed),
+    ``n_buckets``, ``pos_col``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("key_col"):
+            raise OperatorConfigError("shuffle_rows requires 'key_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": shuffle_rows(
+                self.single_input(inputs),
+                c["key_col"],
+                c.get("salt", ""),
+                int(c.get("n_buckets", 256)),
+                c.get("pos_col", "shuffle_pos"),
+            )
+        }

@@ -955,6 +955,140 @@ class SimilaritySearchOperator(Operator):
         return {"out": out}
 
 
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    kmeans_iters: int = 0,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping near-identical
+    pairs WITHIN each cluster — the published recipe for pruning
+    web-scale corpora (LAION/C4) by embedding similarity without an
+    all-pairs pass.
+
+    Pipeline: deterministic centroid seeding (the ``num_centroids``
+    lowest-id vectors, unit-normalized — the ivf_topk convention;
+    ``kmeans_iters`` > 0 adds Lloyd rounds), assign every vector to
+    its nearest centroid, self-join WITHIN cells on 6dp-rounded
+    cosine ≥ ``threshold``, then greedy survivor selection:
+
+    - ``keep="min_id"``: drop the higher id of each pair (the
+      engine-wide dedup convention, fully oracle-checkable);
+    - ``keep="far_from_centroid"``: the paper's policy — within a
+      duplicate pair keep the example LESS similar to its centroid
+      (more atypical ⇒ more diverse corpus); ties fall back to id.
+
+    Returns the surviving rows of ``df`` unchanged.
+
+    100 TB shape: the cluster step is exactly IVF assignment — one
+    broadcast of ``num_centroids`` unit vectors + a keyed window —
+    and the pair join is an equi-join on cell id, so the quadratic
+    term is bounded by the largest CELL, not the corpus (the paper
+    runs k large for precisely this reason; size num_centroids ≈
+    corpus/expected_cell). Zero-norm vectors cosine 0 with everything
+    and can never cross a positive threshold: excluded from pairing
+    up front (the cosine_near_dup_pairs guard).
+    """
+    if not (0.0 < float(threshold) <= 1.0):
+        raise OperatorConfigError(
+            f"semdedup threshold must be in (0, 1], got {threshold}"
+        )
+    if keep not in ("min_id", "far_from_centroid"):
+        raise OperatorConfigError(f"unknown semdedup keep policy {keep!r}")
+    from etl_core_spark.session import ensure_parallelism
+
+    cent = V.select_unit(
+        df.orderBy(F.col(id_col).asc()).limit(int(num_centroids)),
+        (F.col(id_col), "__cid"), vec_col, "__cvec",
+    )
+    raw = ensure_parallelism(
+        df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v0"))
+    )
+    unit = V.select_unit(raw, (F.col("__sid"), "__sid"), "__v0", "__v")
+    if int(kmeans_iters) > 0:
+        from etl_core_spark.session import persist_intermediate
+
+        unit = persist_intermediate(unit)
+        cent = refine_centroids(
+            unit.select(F.col("__sid").alias("__corpus_id"),
+                        F.col("__v").alias("__cv")),
+            cent, int(kmeans_iters),
+        )
+    nonzero = unit.where(V.norm(F.col("__v")) > 0)
+    assigned = ivf_assign(nonzero, cent, "__sid", "__v", nprobe=1)
+    if keep == "far_from_centroid":
+        # carry each member's similarity to its OWN centroid so the
+        # pair step can keep the atypical one (paper policy); a
+        # broadcast join-back recomputes it only for the assigned cell
+        assigned = (
+            assigned.join(F.broadcast(cent), on="__cid")
+            .withColumn("__csim", F.round(V.dot("__v", "__cvec"), 6))
+            .select("__sid", "__v", "__cid", "__csim")
+        )
+    a = assigned.select(
+        F.col("__sid").alias("__ida"), F.col("__v").alias("__va"),
+        "__cid",
+        *([F.col("__csim").alias("__csa")] if keep == "far_from_centroid" else []),
+    )
+    b = assigned.select(
+        F.col("__sid").alias("__idb"), F.col("__v").alias("__vb"),
+        "__cid",
+        *([F.col("__csim").alias("__csb")] if keep == "far_from_centroid" else []),
+    )
+    pairs = (
+        a.join(b, on="__cid")
+        .where(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", F.round(V.dot("__va", "__vb"), 6))
+        .where(F.col("__cos") >= float(threshold))
+    )
+    if keep == "min_id":
+        dropped = pairs.select(F.col("__idb").alias(id_col)).distinct()
+    else:
+        # drop the member MORE similar to the centroid (keep the
+        # atypical one); exact tie → drop the higher id
+        dropped = pairs.select(
+            F.when(
+                F.col("__csa") > F.col("__csb"), F.col("__ida")
+            ).when(
+                F.col("__csb") > F.col("__csa"), F.col("__idb")
+            ).otherwise(F.col("__idb")).alias(id_col)
+        ).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+@register_operator("semdedup")
+class SemDedupOperator(Operator):
+    """Config: ``threshold``, ``num_centroids``, ``vec_col``,
+    ``id_col``, ``kmeans_iters``, ``keep`` ∈ {min_id,
+    far_from_centroid}."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        keep = self.config.get("keep", "min_id")
+        if keep not in ("min_id", "far_from_centroid"):
+            raise OperatorConfigError(f"unknown semdedup keep policy {keep!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": semdedup(
+                self.single_input(inputs),
+                threshold=float(c.get("threshold", 0.95)),
+                num_centroids=int(c.get("num_centroids", 8)),
+                vec_col=c.get("vec_col", "embedding"),
+                id_col=c.get("id_col", "vec_id"),
+                kmeans_iters=int(c.get("kmeans_iters", 0)),
+                keep=c.get("keep", "min_id"),
+            )
+        }
+
+
 @register_operator("cosine_near_dup")
 class CosineNearDupPairsOperator(Operator):
     """Embedding-space near-duplicate PAIR mining

@@ -251,6 +251,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("value_cols", "array", required=True, items={"type": "string"}),
         f("strict", "boolean", default=False, desc="strictly-before match"),
     ],
+    "salted_join": [
+        f("on", "array", required=True, items={"type": "string"},
+          desc="equi-join keys"),
+        f("how", "string", default="inner", enum=["inner", "left"]),
+        f("salt_factor", "integer", default=8,
+          desc="reducers a hot probe key spreads over; build side "
+               "replicates this many times"),
+    ],
     "range_join": [
         f("point_col", "string", required=True),
         f("lo_col", "string", required=True),
@@ -384,6 +392,20 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="relative output file name per row (no traversal, unique)"),
         f("content_column", "string", default="content"),
     ],
+    "semdedup": [
+        f("threshold", "number", default=0.95,
+          desc="within-cluster cosine above this = semantic duplicate"),
+        f("num_centroids", "integer", default=8,
+          desc="k-means cells; size ~ corpus/expected_cell at scale"),
+        f("kmeans_iters", "integer", default=0,
+          desc="deterministic Lloyd refinement rounds"),
+        f("keep", "string", default="min_id",
+          enum=["min_id", "far_from_centroid"],
+          desc="survivor policy; far_from_centroid = the SemDeDup "
+               "paper's keep-the-atypical rule"),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+    ],
     "cosine_near_dup": [
         f("threshold", "number", default=0.95),
         f("vec_col", "string", default="embedding"),
@@ -445,6 +467,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="exact interpolated percentile (sort-shaped) vs GK sketch"),
         f("accuracy", "integer", default=10000,
           desc="approx_percentile accuracy (exact=false)"),
+    ],
+    "shuffle_rows": [
+        f("key_col", "string", required=True,
+          desc="unique row key the permutation hashes"),
+        f("salt", "string", default="",
+          desc="epoch seed — new salt = new deterministic permutation"),
+        f("n_buckets", "integer", default=256,
+          desc="parallel rank groups; offsets collect is one row per bucket"),
+        f("pos_col", "string", default="shuffle_pos"),
     ],
     "hash_sample": [
         f("key_col", "string", required=True),

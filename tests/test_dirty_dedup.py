@@ -907,3 +907,62 @@ def test_minhash_rejects_bad_band_config(spark):
     for nh, b in ((16, 32), (16, 3), (16, 0)):
         with pytest.raises(OperatorConfigError, match="must divide"):
             minhash_candidates(df, "text", "doc_id", num_hashes=nh, bands=b)
+
+
+def test_semdedup_min_id_drops_within_cluster_dups(spark):
+    """Two near-identical vectors land in the same cell and the
+    higher id drops; a distinct vector in another cell survives; a
+    zero vector can never cross a positive threshold and survives."""
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        # ids 0 and 1 seed the two centroids (lowest-id convention)
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.98, 0.05, 0.0, 0.0]),   # cell 0
+        (3, [0.97, 0.06, 0.0, 0.0]),   # near-dup of 2, same cell
+        (4, [0.6, 0.8, 0.0, 0.0]),     # cell 1 (cos 0.8 with its
+                                        # centroid — below threshold)
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = get_operator("semdedup")(
+        threshold=0.95, num_centroids=2
+    ).apply({"in": df})["out"]
+    # cell 0 holds the dup chain {0, 2, 3} (all pairwise cos > 0.95):
+    # greedy drops the higher id of every pair -> 2 and 3 go, 0 stays;
+    # 4 has no in-cell dup; the zero vector survives by contract
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == {0, 1, 4, 5}
+
+
+def test_semdedup_far_from_centroid_keeps_atypical(spark):
+    """Paper policy: within a duplicate pair the member MORE similar
+    to the centroid drops. Centroid seeding takes the 2 lowest ids
+    (0 and 1); vec 0 IS centroid 0 (csim 1.0), vec 2 is a rotated
+    near-dup of 0 — min_id would keep 0, far_from_centroid keeps 2."""
+    from etl_core_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.98, 0.199, 0.0, 0.0]),  # cos with 0 ~= 0.98 -> dup pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    keep_min = semdedup(df, threshold=0.9, num_centroids=2, keep="min_id")
+    assert {r["vec_id"] for r in keep_min.collect()} == {0, 1}
+    keep_far = semdedup(
+        df, threshold=0.9, num_centroids=2, keep="far_from_centroid"
+    )
+    assert {r["vec_id"] for r in keep_far.collect()} == {1, 2}
+
+
+def test_semdedup_config_validation():
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.similarity import semdedup
+
+    with pytest.raises(OperatorConfigError, match="keep policy"):
+        get_operator("semdedup")(keep="random")
+    with pytest.raises(OperatorConfigError, match="threshold"):
+        semdedup(None, threshold=0.0)

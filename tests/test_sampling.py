@@ -222,3 +222,47 @@ def test_chunk_id_unique_for_colon_bearing_ids(spark):
     ids = [r["chunk_id"] for r in out.collect()]
     assert len(ids) == len(set(ids))
     assert "2:a:1" in ids and "12:a" in ids
+
+
+def test_shuffle_rows_is_a_stable_permutation(spark):
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.sampling import shuffle_rows
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(97)], "doc_id long, text string"
+    )
+    out = shuffle_rows(df, "doc_id", salt="e1", n_buckets=8)
+    rows = out.collect()
+    # exact permutation: every position 0..n-1 exactly once
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(97))
+    # stable under physical layout changes
+    again = shuffle_rows(df.repartition(13), "doc_id", salt="e1", n_buckets=8)
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in again.collect()} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in rows
+    }
+    # a different salt is a different permutation (epoch reshuffle)
+    other = shuffle_rows(df, "doc_id", salt="e2", n_buckets=8)
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in other.collect()} != {
+        (r["doc_id"], r["shuffle_pos"]) for r in rows
+    }
+    # not the identity / not sorted-by-key order
+    byid = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    assert [byid[i] for i in range(97)] != list(range(97))
+    # registry path + validation
+    op = get_operator("shuffle_rows")
+    assert op(key_col="doc_id").config["key_col"] == "doc_id"
+    with pytest.raises(OperatorConfigError):
+        op()
+
+
+def test_shuffle_rows_null_key_kept(spark):
+    """A NULL key must not vanish (hash_bucket's sentinel contract) —
+    it gets a real position like everyone else."""
+    from etl_core_spark.operators.sampling import shuffle_rows
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = shuffle_rows(df, "doc_id", n_buckets=4).collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == [0, 1, 2]
+    assert any(r["doc_id"] is None for r in rows)
