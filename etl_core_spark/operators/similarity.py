@@ -1020,6 +1020,12 @@ def semdedup(
         )
     nonzero = unit.where(V.norm(F.col("__v")) > 0)
     assigned = ivf_assign(nonzero, cent, "__sid", "__v", nprobe=1)
+    # both sides of the within-cell self-join read this subtree —
+    # persist so assignment (broadcast dot + keyed window) runs once,
+    # not twice (the minhash shingle-table discipline)
+    from etl_core_spark.session import persist_intermediate
+
+    assigned = persist_intermediate(assigned)
     if keep == "far_from_centroid":
         # carry each member's similarity to its OWN centroid so the
         # pair step can keep the atypical one (paper policy); a

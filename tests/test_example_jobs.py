@@ -346,3 +346,39 @@ def test_parquet_ann_topk(spark, tmp_path, tables):
     ).count()
     assert self_hits == 5
     assert result.metrics["ann"]["lines_received"] > 0
+
+
+def test_parquet_semdedup_shuffle_export(spark, tmp_path):
+    """Training-export shape through the runner: semantic dedup over
+    embeddings (semdedup) -> join text back -> deterministic epoch
+    shuffle (shuffle_rows) -> parquet."""
+    from pyspark.sql import functions as F
+
+    def inputs(d):
+        emb = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.02, 0.0, 0.0]),   # semantic dup of 0
+            (3, [0.05, 0.99, 0.0, 0.0]),   # semantic dup of 1
+            (4, [0.7, 0.7, 0.0, 0.0]),     # genuinely between cells
+        ]
+        spark.createDataFrame(
+            emb, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        docs = [(i, f"document {i}") for i in range(5)]
+        spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_semdedup_shuffle_export.json", inputs
+    )
+    back = spark.read.parquet(str(out / "export"))
+    rows = back.collect()
+    ids = {r["vec_id"] for r in rows}
+    # dups 2 and 3 dropped, survivors joined to their text
+    assert 2 not in ids and 3 not in ids
+    assert {0, 1} <= ids
+    # shuffle positions are a 0-based permutation of the survivors
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(len(rows)))
+    assert all(r["text"] == f"document {r['vec_id']}" for r in rows)

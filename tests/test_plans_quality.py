@@ -242,3 +242,51 @@ def test_partitioned_read_prunes_partitions(spark, tables, tmp_path):
     plan = plan_of(back.where(F.col("o_orderstatus") == "O"))
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_semdedup_assignment_shared_and_no_unbounded_cartesian(spark, tables):
+    from etl_core_spark.operators.similarity import semdedup
+
+    plan = plan_of(semdedup(tables["embeddings"], threshold=0.4, num_centroids=8))
+    # never a data×data cartesian: the only nested-loop allowed is the
+    # centroid broadcast cross, bounded by num_centroids rows
+    assert "CartesianProduct" not in plan
+    # assignment subtree is persisted: both sides of the within-cell
+    # self-join read InMemoryTableScans of ONE cached relation, so the
+    # centroid cross (the only nested-loop, bounded by num_centroids)
+    # and its keyed window execute once. explain re-prints the cached
+    # subtree per reference — count scans, not subtree nodes.
+    assert plan.count("InMemoryTableScan") >= 2
+    # the pair step is an equi-join on cell id (hash/merge, salt-able)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_shuffle_rows_no_single_partition_sort(spark, tables):
+    from etl_core_spark.operators.sampling import shuffle_rows
+
+    plan = plan_of(shuffle_rows(tables["documents"], "doc_id", n_buckets=32))
+    # the scale hazard this operator exists to avoid: a GLOBAL sort
+    # (range exchange) feeding one row_number window over everything.
+    # ranks must come from a hash-partitioned window keyed by bucket
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(__b" in plan
+    # offsets ride a broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_stays_hash_join_no_bnlj(spark, tables):
+    from etl_core_spark.operators.skew import salted_join
+
+    li = tables["lineitem"].select("l_suppkey", "l_quantity")
+    supp = tables["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plan = plan_of(salted_join(li, supp, ["l_suppkey"], salt_factor=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the whole point: the join key includes the salt column
+    assert "__salt" in plan
