@@ -4784,6 +4784,34 @@ GROUP BY s_name
 """
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training export round-trip (sources/export_io.py):
+    documents → export_shards sink (deterministic md5 shard
+    assignment, _manifest.json) → read the export back. The oracle
+    recomputes the shard arithmetic (md5-prefix % n, the hash_sample
+    convention), so the certified surface is write + assignment +
+    read-back, not just the expression."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out_dir = _scratch_dir("export_shards")
+    get_operator("export_shards")(
+        filepath=out_dir, key_col="doc_id", n_shards=8
+    ).write(docs)
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        "doc_id", "lang", F.col("shard").cast("long").alias("shard")
+    )
+
+
+_SQL_EXPORT_SHARDS = f"""
+SELECT doc_id, lang,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 8 AS BIGINT) AS shard
+FROM documents
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + project (operators/similarity.py pca_fit /
     pca_project): distributed d×d moment pass (Arrow-batched partial
@@ -4829,7 +4857,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r9 window.
 _R08_WINDOW = [
     # never driver-checked (new this round)
-    "semdedup", "shuffle_rows", "salted_join",
+    "semdedup", "shuffle_rows", "salted_join", "export_shards",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -4847,9 +4875,8 @@ _R08_WINDOW = [
     "zscore_outliers", "densify_buckets", "stratified_sample",
     "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
     "lang_id_ngram", "typo_pairs", "simhash_near_dup_pairs",
-    "training_pipeline",
-    # (profile / excel_roundtrip / xml_roundtrip displaced by the
-    # three new queries — they lead the r9 window)
+    # (training_pipeline / profile / excel_roundtrip / xml_roundtrip
+    # displaced by the four new queries — they lead the r9 window)
 ]
 
 
@@ -4982,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "shuffle_rows": q_shuffle_rows,
         "salted_join": q_salted_join,
+        "export_shards": q_export_shards,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -5116,6 +5144,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _SQL_SEMDEDUP,
         "shuffle_rows": _SQL_SHUFFLE_ROWS,
         "salted_join": _SQL_SALTED_JOIN,
+        "export_shards": _SQL_EXPORT_SHARDS,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -30,17 +30,19 @@ def salted_join(
     """Equi-join with the large side's hot keys spread over `salt`
     buckets. `on` must name the key column in BOTH frames. The small
     side is replicated ×salt (explode), so keep it genuinely small
-    or let AQE handle it instead."""
+    or let AQE handle it instead.
+
+    Thin compatibility wrapper over the registered ``salted_join``
+    operator (operators/skew.py), which replaced this module's
+    original ``F.rand(seed=...)`` salt with a DATA-DERIVED xxhash64
+    salt: seeded rand is only per-partition-deterministic, so a retry
+    or repartition re-dealt the hot key's rows — the operator's salt
+    is a pure function of the row and survives both."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join preserves semantics for inner/left only")
-    salted_large = large.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
-    )
-    salted_small = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    )
-    out = salted_large.join(salted_small, on=[on, "__salt"], how=how)
-    return out.drop("__salt")
+    from etl_core_spark.operators.skew import salted_join as _op
+
+    return _op(large, small, [on], how, salt)
 
 
 def skewness_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:

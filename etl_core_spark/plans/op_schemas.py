@@ -378,6 +378,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         _SINGLE_FILE | {"default": False},
         f("num_files", "integer", desc="repartition target for the output"),
     ],
+    "export_shards": [
+        _FILEPATH,
+        f("key_col", "string", required=True,
+          desc="row key hashed into the deterministic shard assignment"),
+        f("n_shards", "integer", default=16),
+        f("format", "string", default="parquet",
+          enum=["parquet", "json", "orc"]),
+        f("salt", "string", default=""),
+        _WRITE_MODE,
+    ],
     "read_binary_files": [
         _FILEPATH,
         f("path_glob", "string",

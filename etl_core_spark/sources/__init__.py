@@ -15,6 +15,7 @@ from etl_core_spark.sources import (  # noqa: F401
     orc_io,
     text_io,
     binary_io,
+    export_io,
     jdbc_io,
     mongodb_io,
     generate,

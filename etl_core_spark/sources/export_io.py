@@ -1,0 +1,178 @@
+"""Sharded training-data export with a manifest (beyond-reference).
+
+Trainers consume corpora as N fixed shards with a manifest (shard
+paths + row counts + a fingerprint) so data loaders can seek, stripe
+across workers, and verify integrity without listing the store. This
+sink writes exactly that:
+
+- shard assignment is DETERMINISTIC by key hash (``hash_bucket``,
+  the engine-wide md5 convention) — re-exports of the same corpus
+  produce identical shard membership regardless of partitioning, so
+  resumed jobs and incremental verifications agree;
+- the data lands under ``<dir>/shard=<i>/`` via one
+  ``partitionBy`` write (a single shuffle-free pass when upstream is
+  already hash-clustered; Spark's dynamic file assignment otherwise);
+- ``_manifest.json`` (underscore-prefixed so Spark's file listing
+  skips it, the _SUCCESS convention) records per-shard row counts and an
+  order-insensitive content fingerprint (xor-free: sum of per-row
+  xxhash64 of the key, mod 2^63) — computed in the SAME aggregation
+  pass as the counts (one job, bounded n_shards-row collect).
+
+The manifest is written AFTER the data write succeeds, so a reader
+that requires the manifest never sees a half-written export (the
+staged-upsert visibility principle, one rename cheaper).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import OperatorConfigError, register_operator
+from etl_core_spark.sources.base_io import SinkOperator
+
+_FORMATS = ("parquet", "json", "orc")
+
+
+def export_shards(
+    df: DataFrame,
+    directory: str,
+    key_col: str,
+    n_shards: int = 16,
+    fmt: str = "parquet",
+    salt: str = "",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic shards plus a
+    ``_manifest.json``; returns the manifest dict."""
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    n = int(n_shards)
+    if n < 1:
+        raise OperatorConfigError("export_shards n_shards must be >= 1")
+    if fmt not in _FORMATS:
+        raise OperatorConfigError(
+            f"export_shards format must be one of {_FORMATS}, got {fmt!r}"
+        )
+    if key_col not in df.columns:
+        raise OperatorConfigError(
+            f"export_shards key {key_col!r} not in input {df.columns}"
+        )
+    shard = F.pmod(hash_bucket(F.col(key_col), salt), F.lit(n)).cast("int")
+    with_shard = df.withColumn("shard", shard)
+    # one pass for the data; shard dirs come from partitionBy
+    (
+        with_shard.write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(directory)
+    )
+    # one aggregation job for counts + content fingerprint — bounded
+    # collect (n_shards rows), never row-sized on the driver
+    stats = (
+        with_shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
+                    F.lit(2 ** 61 - 1),
+                ).cast("decimal(38,0)")  # long sum of 2^61-sized terms
+                # overflows after a handful of rows under ANSI mode
+            ).alias("fp_sum"),
+        )
+        .collect()
+    )
+    by_shard = {int(r["shard"]): r for r in stats}
+    shards = []
+    for i in range(n):
+        r = by_shard.get(i)
+        shards.append(
+            {
+                "shard": i,
+                "path": f"shard={i}",
+                "rows": int(r["rows"]) if r is not None else 0,
+                "fingerprint": (
+                    int(r["fp_sum"]) % (2 ** 61 - 1) if r is not None else 0
+                ),
+            }
+        )
+    manifest = {
+        "format": fmt,
+        "n_shards": n,
+        "key_col": key_col,
+        "salt": salt,
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    # manifest last: its presence certifies a complete export
+    with open(os.path.join(directory, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_manifest(directory: str) -> dict:
+    with open(os.path.join(directory, "_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def verify_export(spark, directory: str) -> dict:
+    """Recompute every shard's row count + fingerprint from the data
+    and diff against the manifest. Returns {shard: 'ok'|'MISMATCH'};
+    raises if the manifest is missing (incomplete export)."""
+    m = read_manifest(directory)
+    df = spark.read.format(m["format"]).load(directory)
+    from etl_core_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    stats = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        F.col(m["key_col"]).cast("string"), F.lit(m["salt"])
+                    ),
+                    F.lit(2 ** 61 - 1),
+                ).cast("decimal(38,0)")
+            ).alias("fp_sum"),
+        )
+        .collect()
+    )
+    got = {
+        int(r["shard"]): (int(r["rows"]), int(r["fp_sum"]) % (2 ** 61 - 1))
+        for r in stats
+    }
+    out = {}
+    for s in m["shards"]:
+        actual = got.get(s["shard"], (0, 0))
+        ok = actual == (s["rows"], s["fingerprint"])
+        out[s["shard"]] = "ok" if ok else "MISMATCH"
+    return out
+
+
+@register_operator("export_shards")
+class ExportShardsSink(SinkOperator):
+    """Config: ``filepath`` (required), ``key_col`` (required),
+    ``n_shards``, ``format`` ∈ {parquet, json, orc}, ``salt``,
+    ``mode``."""
+
+    def validate_config(self) -> None:
+        for key in ("filepath", "key_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"export_shards requires {key!r}")
+
+    def write(self, df: DataFrame) -> None:
+        c = self.config
+        self.manifest = export_shards(
+            df,
+            str(c["filepath"]),
+            c["key_col"],
+            int(c.get("n_shards", 16)),
+            c.get("format", "parquet"),
+            c.get("salt", ""),
+            c.get("mode", "overwrite"),
+        )

@@ -55,6 +55,40 @@ def build_scaled_documents(spark, src_dir: str, k: int):
     )
 
 
+def build_scaled_embeddings(spark, src_dir: str, k: int):
+    """K×-replicated embeddings with per-replica CIRCULAR ROTATION of
+    the vector (shift by the replica index). Within each replica the
+    pairwise-cosine structure is preserved exactly (rotation is an
+    isometry); across replicas the cosine of two unit gaussians
+    rotated differently is ~N(0, 1/d) — at d=64 a 0.4 threshold is a
+    3.2σ event, so cross-replica near-dup pairs stay negligible and
+    the soak's linear-work assertion is meaningful (the embedding
+    analog of the token-suffix disjoint-shingle rule above)."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.tables import load_table
+
+    emb = load_table(spark, src_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    reps = None
+    for i in range(k):
+        shift = i % dim
+        vec = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift),
+            )
+        )
+        r = emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            vec.alias("embedding"),
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    return reps
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"

@@ -104,7 +104,41 @@ def families(docs, spark):
         F.count(F.lit(1)).alias("n"),
         F.avg(F.length("text")).alias("avg_len"),
     )
+    # r8 ops: the deterministic epoch shuffle (bucketed ranks +
+    # broadcast offsets — the single-reducer global sort it avoids
+    # would fail this ratio immediately), and the skew-salted join
+    # against a 1000-row dim on the deliberately hot key
+    from etl_core_spark.operators.sampling import shuffle_rows
+    from etl_core_spark.operators.skew import salted_join
+
+    fams["shuffle_rows"] = lambda: shuffle_rows(
+        skewed.select("doc_id"), "doc_id", n_buckets=256
+    )
+    dim_df = spark.range(1000).select(
+        F.col("id").alias("skew_key"),
+        F.concat(F.lit("bucket_"), F.col("id")).alias("label"),
+    )
+    fams["salted_join_skew"] = lambda: salted_join(
+        skewed.select("skew_key", "doc_id"), dim_df, ["skew_key"],
+        salt_factor=8,
+    )
     return fams
+
+
+def emb_families(emb):
+    """Embedding-table families (scaled via build_scaled_embeddings)."""
+    from etl_core_spark.operators.similarity import semdedup
+
+    # num_centroids scales with the corpus (the paper's k ∝ n rule):
+    # cells stay ~constant-sized, so the within-cell quadratic term is
+    # bounded and per-row cost stays flat
+    n = emb.count()
+    k_cells = max(8, n // 4000)
+    return {
+        "semdedup": lambda: semdedup(
+            emb, threshold=0.4, num_centroids=k_cells
+        ),
+    }
 
 
 def time_family(fn) -> float:
@@ -142,9 +176,21 @@ def main() -> None:
     n_base, n_scaled = base.count(), scaled.count()
     print(f"base rows={n_base}, scaled rows={n_scaled} ({n_scaled / n_base:.1f}x)")
 
+    scaled_emb_path = os.path.join(SCALED, "embeddings.parquet")
+    if not os.path.exists(scaled_emb_path):
+        from scripts.gen_scaled import build_scaled_embeddings
+
+        build_scaled_embeddings(spark, SF_DIR, k).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(scaled_emb_path)
+    emb_base = load_table(spark, SF_DIR, "embeddings")
+    emb_scaled = spark.read.parquet(scaled_emb_path)
+
     results = {}
     failures = []
     base_fams, scaled_fams = families(base, spark), families(scaled, spark)
+    base_fams.update(emb_families(emb_base))
+    scaled_fams.update(emb_families(emb_scaled))
     for name in scaled_fams:
         if name in base_fams:
             t1 = min(time_family(base_fams[name]) for _ in range(2))
