@@ -110,3 +110,35 @@ def test_empty_input_through_pipeline(spark, tmp_path):
         aggregations=[{"src": "*", "op": "count", "dest": "n"}],
     ).apply({"in": df})["out"].collect()
     assert glob[0]["n"] == 0
+
+
+def test_semdedup_null_embedding_rows_survive(spark):
+    """NULL-embedding rows (failed embedding jobs) can't participate
+    in cosine pairing — they must SURVIVE dedup untouched, never be
+    silently dropped (the engine-wide NULL-loss guard)."""
+    from etl_core_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.05]),   # near-dup of 0
+        (2, None),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in semdedup(df, 0.9, num_centroids=1).collect()}
+    assert got == {0, 2, 3}
+
+
+def test_export_shards_null_key_not_lost(spark, tmp_path):
+    """A NULL shard key hashes to the sentinel bucket, lands in a real
+    shard, and is counted in the manifest — never dropped."""
+    from etl_core_spark.sources.export_io import export_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id long, text string"
+    )
+    m = export_shards(df, str(tmp_path / "e"), "doc_id", n_shards=4)
+    assert m["total_rows"] == 3
+    back = spark.read.parquet(str(tmp_path / "e"))
+    assert back.count() == 3
+    assert back.where(back["doc_id"].isNull()).count() == 1

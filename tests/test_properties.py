@@ -292,3 +292,71 @@ def test_strip_duplicate_spans_matches_python_reference(spark, texts, n):
     want = _strip_spans_reference(texts, n)
     for i in range(len(texts)):
         assert got[i] == want[i], (n, texts[i])
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-10_000, 10_000), st.none()),
+        min_size=1, max_size=40, unique=True,
+    ),
+    salt=st.sampled_from(["", "e1", "x"]),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+@settings(**_SETTINGS)
+def test_shuffle_rows_matches_python_permutation_model(spark, keys, salt, n_buckets):
+    """shuffle_rows vs a pure-Python model of the same permutation:
+    md5-derived hash (NULL sentinel included), bucket = hash % n,
+    global order (bucket, hash, key)."""
+    import hashlib
+
+    from etl_core_spark.operators.sampling import shuffle_rows
+
+    def py_hash(k):
+        rendered = "\x00__NULL_KEY__" if k is None else str(k)
+        return int(hashlib.md5((salt + rendered).encode()).hexdigest()[:8], 16)
+
+    order = sorted(
+        keys,
+        key=lambda k: (py_hash(k) % n_buckets, py_hash(k),
+                       (k is None, k if k is not None else 0)),
+    )
+    # NULL sorts: Spark window orderBy puts NULL FIRST (asc default)
+    # within equal (bucket, hash) prefixes — but hash is unique per
+    # rendered key here (md5 collisions impossible at this scale), so
+    # the key tiebreak never fires and the model is exact
+    want = {k: i for i, k in enumerate(order)}
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_rows(df, "doc_id", salt, n_buckets).collect()
+    }
+    assert got == want
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=0, max_size=40,
+    ),
+    right_keys=st.lists(st.integers(0, 7), min_size=0, max_size=8, unique=True),
+    how=st.sampled_from(["inner", "left"]),
+    factor=st.sampled_from([1, 3, 5]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join_property(
+    spark, left_rows, right_keys, how, factor
+):
+    from etl_core_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        left_rows or [(None, None)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(k, f"d{k}") for k in right_keys] or [(None, None)],
+        "k long, name string",
+    )
+    plain = left.join(right, on="k", how=how)
+    salted = salted_join(left, right, ["k"], how, factor)
+    assert sorted(
+        tuple(r) for r in salted.select(*plain.columns).collect()
+    ) == sorted(tuple(r) for r in plain.collect())
