@@ -4784,6 +4784,87 @@ GROUP BY s_name
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher web-corpus quality gates (functions/text.py, Rae et al.
+    2021 A1.1): alpha-token fraction, bullet/ellipsis line fractions,
+    symbol-to-word ratio, mean word length, and the combined
+    repetition-independent pass boolean. All narrow codegen column
+    expressions; the oracle recomputes each with DuckDB list lambdas
+    over the identical whitespace tokenization."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("text_analysis")(
+        metrics=(
+            "mean_token_length", "alpha_token_frac", "bullet_line_frac",
+            "ellipsis_line_frac", "symbol_token_ratio", "gopher_rules_pass",
+        ),
+    ).apply({"in": docs})["out"]
+    return out.select(
+        "doc_id", "mean_token_length", "alpha_token_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "symbol_token_ratio",
+        "gopher_rules_pass",
+    )
+
+
+# raw-case tokens (Gopher metrics don't lowercase; _TOKS does)
+_TOKS_CASED = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+_SQL_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_CASED} AS toks,
+         list_filter(string_split(text, chr(10)),
+                     ln -> length(trim(ln)) > 0) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, tk -> length(tk)))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                        tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                        ln -> substr(ltrim(ln), 1, 1) IN ('-', '*', '•')))
+                        AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS bullet_frac,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                        ln -> ends_with(rtrim(ln), '...')
+                              OR ends_with(rtrim(ln), '…'))) AS DOUBLE)
+                   / len(lines)
+              ELSE 0.0 END AS ellipsis_frac,
+         CASE WHEN len(toks) > 0
+              THEN CAST((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3
+                   + (length(text) - length(replace(text, '…', '')))
+                   AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS symbol_ratio,
+         len(toks) AS n_tok
+  FROM t
+)
+SELECT doc_id,
+       round(mwl, 6) AS mean_token_length,
+       round(alpha_frac, 6) AS alpha_token_frac,
+       round(bullet_frac, 6) AS bullet_line_frac,
+       round(ellipsis_frac, 6) AS ellipsis_line_frac,
+       round(symbol_ratio, 6) AS symbol_token_ratio,
+       (n_tok >= 50 AND n_tok <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND alpha_frac >= 0.80 AND symbol_ratio <= 0.10
+        AND bullet_frac <= 0.90 AND ellipsis_frac <= 0.30)
+           AS gopher_rules_pass
+FROM m
+"""
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded training export round-trip (sources/export_io.py):
     documents → export_shards sink (deterministic md5 shard
@@ -4858,6 +4939,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R08_WINDOW = [
     # never driver-checked (new this round)
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
+    "gopher_quality",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -4874,9 +4956,10 @@ _R08_WINDOW = [
     "top_n_per_group", "json_expand", "attribution_join",
     "zscore_outliers", "densify_buckets", "stratified_sample",
     "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
-    "lang_id_ngram", "typo_pairs", "simhash_near_dup_pairs",
-    # (training_pipeline / profile / excel_roundtrip / xml_roundtrip
-    # displaced by the four new queries — they lead the r9 window)
+    "lang_id_ngram", "typo_pairs",
+    # (simhash_near_dup_pairs / training_pipeline / profile /
+    # excel_roundtrip / xml_roundtrip displaced by the five new
+    # queries — they lead the r9 window)
 ]
 
 
@@ -5010,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rows": q_shuffle_rows,
         "salted_join": q_salted_join,
         "export_shards": q_export_shards,
+        "gopher_quality": q_gopher_quality,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -5145,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rows": _SQL_SHUFFLE_ROWS,
         "salted_join": _SQL_SALTED_JOIN,
         "export_shards": _SQL_EXPORT_SHARDS,
+        "gopher_quality": _SQL_GOPHER,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

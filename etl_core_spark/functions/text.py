@@ -98,6 +98,99 @@ def quality_score(col: Column) -> Column:
     return F.round((len_score + punct_pen + sw_score) / 3.0, 6)
 
 
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(
+        F.split(col, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+
+
+def alpha_token_frac(col: Column) -> Column:
+    """Fraction of tokens containing at least one A-Za-z character
+    (Gopher rule: >= 80% of words must). ASCII class only — the
+    cross-engine regex subset (Java ∩ RE2) the PII family pinned."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_frac(col: Column) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker
+    (-, *, or the Unicode bullet) — Gopher drops docs over 90%."""
+    lines = _nonempty_lines(col)
+    first = lambda ln: F.substring(F.ltrim(ln), 1, 1)  # noqa: E731
+    bullets = F.size(
+        F.filter(lines, lambda ln: first(ln).isin("-", "*", "•"))
+    )
+    return F.when(
+        F.size(lines) > 0, bullets.cast("double") / F.size(lines)
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    """Fraction of non-empty lines ending in an ellipsis ('...' or
+    the single-char form) — Gopher drops docs over 30%."""
+    lines = _nonempty_lines(col)
+    ends = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"),
+        )
+    )
+    return F.when(
+        F.size(lines) > 0, ends.cast("double") / F.size(lines)
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_token_ratio(col: Column) -> Column:
+    """(# count + ellipsis count) / token count — the Gopher
+    symbol-to-word ratio (rule: <= 0.1). '...' occurrences counted by
+    length arithmetic so both engines agree on overlaps."""
+    hashes = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    dots = (
+        F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))
+    ) / 3
+    uni = F.length(col) - F.length(F.regexp_replace(col, "…", ""))
+    n_tok = token_count(col)
+    return F.when(
+        n_tok > 0, (hashes + dots + uni).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+
+
+#: Gopher rule thresholds (Rae et al. 2021, appendix A1.1 —
+#: the published web-corpus quality gates this engine mirrors)
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MAX_BULLET_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30
+
+
+def gopher_rules_pass(col: Column) -> Column:
+    """Boolean: document passes all Gopher repetition-independent
+    quality gates (token count, mean word length, alpha-token
+    fraction, symbol ratio, bullet/ellipsis line fractions). The
+    repetition gates live separately (dup_line_frac /
+    top_bigram_char_frac metrics) so callers can tune them."""
+    n_tok = token_count(col)
+    mwl = mean_token_length(col)
+    return (
+        (n_tok >= GOPHER_MIN_TOKENS)
+        & (n_tok <= GOPHER_MAX_TOKENS)
+        & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_token_frac(col) >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_token_ratio(col) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_frac(col) <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_frac(col) <= GOPHER_MAX_ELLIPSIS_FRAC)
+    )
+
+
 def lang_scores(col: Column) -> Column:
     """Map of language → stopword-hit count over the token set."""
     toks = F.array_distinct(tokens(F.lower(col)))

@@ -28,6 +28,11 @@ AVAILABLE_METRICS = (
     "dup_line_frac",
     "dup_line_char_frac",
     "top_bigram_char_frac",
+    "alpha_token_frac",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "symbol_token_ratio",
+    "gopher_rules_pass",
 )
 
 
@@ -50,6 +55,12 @@ def annotate(df: DataFrame, text_col: str = "text", metrics: tuple[str, ...] = A
         "dup_line_frac": lambda: F.round(X.dup_line_frac(col), 6),
         "dup_line_char_frac": lambda: F.round(X.dup_line_char_frac(col), 6),
         "top_bigram_char_frac": lambda: F.round(X.top_bigram_char_frac(col), 6),
+        # Gopher web-corpus quality gates (Rae et al. 2021, A1.1)
+        "alpha_token_frac": lambda: F.round(X.alpha_token_frac(col), 6),
+        "bullet_line_frac": lambda: F.round(X.bullet_line_frac(col), 6),
+        "ellipsis_line_frac": lambda: F.round(X.ellipsis_line_frac(col), 6),
+        "symbol_token_ratio": lambda: F.round(X.symbol_token_ratio(col), 6),
+        "gopher_rules_pass": lambda: X.gopher_rules_pass(col),
     }
     out = df
     for m in metrics:

@@ -413,6 +413,11 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           enum=["min_id", "far_from_centroid"],
           desc="survivor policy; far_from_centroid = the SemDeDup "
                "paper's keep-the-atypical rule"),
+        f("assign_method", "string", default="auto",
+          enum=["auto", "expr", "numpy"],
+          desc="centroid assignment kernel: expr = bit-stable JVM fold; "
+               "numpy = BLAS matmul per Arrow batch (faster at large k); "
+               "auto switches to numpy above 32 centroids"),
         f("vec_col", "string", default="embedding"),
         f("id_col", "string", default="vec_id"),
     ],
@@ -441,7 +446,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("text_col", "string", default="text"),
         f(
             "metrics", "array", items={"type": "string"},
-            desc="subset of (n_chars,n_tokens,punct_ratio,stopword_ratio,quality_score,lang)",
+            desc="subset of (n_chars,n_tokens,n_tokens_bpe,punct_ratio,"
+                 "stopword_ratio,mean_token_length,quality_score,lang_pred,"
+                 "lang_pred_ngram,fingerprint,dup_line_frac,"
+                 "dup_line_char_frac,top_bigram_char_frac,alpha_token_frac,"
+                 "bullet_line_frac,ellipsis_line_frac,symbol_token_ratio,"
+                 "gopher_rules_pass)",
         ),
     ],
     "multimodal_features": [

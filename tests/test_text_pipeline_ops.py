@@ -685,3 +685,63 @@ def test_take_tokens_per_group_token_col_and_determinism(spark):
     assert a == b and len(a) == 25
     with pytest.raises(OperatorConfigError):
         take_tokens_per_group(df, "g", 0, "id")
+
+
+def test_gopher_metrics_hand_computed(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        # 4 lines: 2 bullets, 1 ellipsis-terminated, 1 plain
+        (0, "- item one\n* item two\nwait for it...\nplain line here"),
+        # symbol-heavy: 2 hashes + one '...' over 5 tokens
+        # (the '...' is itself a whitespace token)
+        (1, "ok ## then ... four"),
+        (2, ""),        # empty
+        (3, None),      # NULL
+        (4, "12 34 56"),  # numeric-only tokens -> alpha_frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = get_operator("text_analysis")(
+        metrics=("alpha_token_frac", "bullet_line_frac",
+                 "ellipsis_line_frac", "symbol_token_ratio",
+                 "gopher_rules_pass"),
+    ).apply({"in": df})["out"]
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["bullet_line_frac"] == pytest.approx(0.5)
+    assert got[0]["ellipsis_line_frac"] == pytest.approx(0.25)
+    assert got[0]["alpha_token_frac"] == pytest.approx(10 / 12)
+    # doc 1: '##' = 2 hash chars, one literal '...' = 1; 5 tokens
+    assert got[1]["symbol_token_ratio"] == pytest.approx(3 / 5)
+    assert got[2]["alpha_token_frac"] == 0.0
+    assert got[2]["gopher_rules_pass"] is False
+    assert got[3]["symbol_token_ratio"] == 0.0
+    assert got[3]["gopher_rules_pass"] is False
+    assert got[4]["alpha_token_frac"] == 0.0
+
+
+def test_gopher_rules_pass_thresholds(spark):
+    """A healthy 60-token English-like doc passes; the same doc at 10
+    tokens fails the min-length gate; a symbol-stuffed one fails the
+    symbol gate. Thresholds are the published Gopher A1.1 values."""
+    from etl_core_spark.functions.text import (
+        GOPHER_MIN_TOKENS,
+        gopher_rules_pass,
+    )
+    from pyspark.sql import functions as F
+
+    good = " ".join(f"word{i}" for i in range(60))
+    short = " ".join(f"word{i}" for i in range(10))
+    symbols = " ".join("w#" for _ in range(60))
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", gopher_rules_pass(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert GOPHER_MIN_TOKENS == 50
+    assert got[0] is True
+    assert got[1] is False
+    assert got[2] is False
