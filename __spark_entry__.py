@@ -4695,7 +4695,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEMDEDUP = """
 WITH cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+  ORDER BY vec_id LIMIT 8
 ), az AS (
   SELECT e.vec_id AS sid, e.embedding::DOUBLE[] AS v, c.cid,
          row_number() OVER (PARTITION BY e.vec_id

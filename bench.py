@@ -121,7 +121,21 @@ def main() -> None:
     # keeps every regression diffable round-over-round). Stamped only
     # for the gate scale so sf0.001 smoke runs don't clobber it.
     if str(summary["sf"]) == "0.1":
-        bench_round = os.environ.get("SPARK_GRAFT_ROUND", "r08")
+        bench_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if not bench_round:
+            # infer the CURRENT round: the driver writes
+            # CORRECTNESS_r{N}.json at the END of round N, so during
+            # round N the latest file is N-1. A hard-coded fallback
+            # would silently clobber a past round's committed artifact.
+            import glob
+            import re as _re
+
+            prev = [
+                int(m.group(1))
+                for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                if (m := _re.search(r"_r(\d+)\.json$", p))
+            ]
+            bench_round = f"r{(max(prev) + 1 if prev else 1):02d}"
         sidecars.append(os.path.join(here, f"BENCH_DETAIL_{bench_round}.json"))
     for sidecar in sidecars:
         try:

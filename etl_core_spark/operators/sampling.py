@@ -658,9 +658,19 @@ def shuffle_rows(
 
     if int(n_buckets) < 1:
         raise OperatorConfigError("shuffle_rows n_buckets must be >= 1")
+    from etl_core_spark.session import persist_intermediate
+
     h = hash_bucket(F.col(key_col), salt)
     bucket = (h % int(n_buckets)).cast("long")
-    with_h = df.withColumn("__h", h).withColumn("__b", bucket)
+    # persisted: the bucket counts collected below and the ranked
+    # plan returned to the caller must see the SAME evaluation — a
+    # non-deterministic upstream (sample, limit without order) would
+    # otherwise produce offsets that disagree with the ranks and
+    # break the 0..n-1 permutation contract (and every caller would
+    # pay a duplicate full scan)
+    with_h = persist_intermediate(
+        df.withColumn("__h", h).withColumn("__b", bucket)
+    )
     counts = with_h.groupBy("__b").count().collect()  # bounded:
     # one row per bucket (n_buckets total), never data-sized
     by_bucket = sorted((r["__b"], r["count"]) for r in counts)

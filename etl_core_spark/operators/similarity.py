@@ -335,6 +335,12 @@ def ivf_assign_numpy(
     import numpy as np
 
     cent_rows = centroids.select("__cid", "__cvec").collect()
+    bad = [r["__cid"] for r in cent_rows if r["__cvec"] is None]
+    if bad:
+        raise OperatorConfigError(
+            f"ivf_assign_numpy: centroids {bad} have NULL vectors — "
+            "seed centroids from non-null embeddings"
+        )
     cent_rows.sort(key=lambda r: r["__cid"])
     cids = np.array([r["__cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["__cvec"]) for r in cent_rows], dtype=np.float64)
@@ -1063,10 +1069,31 @@ def semdedup(
         raise OperatorConfigError(
             f"unknown semdedup assign_method {assign_method!r}"
         )
+    if int(num_centroids) < 1:
+        raise OperatorConfigError(
+            "semdedup num_centroids must be >= 1 (0 would silently "
+            "dedup nothing: no cells, no pairs)"
+        )
     from etl_core_spark.session import ensure_parallelism
 
+    # centroid seeds must be usable directions: a NULL embedding in
+    # the lowest-id rows (failed embedding job) crashed the numpy
+    # kernel on the driver and a zero vector is no direction at all —
+    # seed from the lowest-id NON-degenerate vectors (the oracle SQL
+    # applies the identical filter)
+    seedable = df.where(
+        F.col(vec_col).isNotNull()
+        & (
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            > 0
+        )
+    )
     cent = V.select_unit(
-        df.orderBy(F.col(id_col).asc()).limit(int(num_centroids)),
+        seedable.orderBy(F.col(id_col).asc()).limit(int(num_centroids)),
         (F.col(id_col), "__cid"), vec_col, "__cvec",
     )
     raw = ensure_parallelism(

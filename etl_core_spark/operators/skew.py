@@ -34,6 +34,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt_factor: int = 8,
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """Equi-join with the probe side's hot keys spread over
     ``salt_factor`` shuffle partitions.
@@ -53,6 +54,18 @@ def salted_join(
     salt replica; unmatched left rows survive a left join unchanged).
     Right/full-outer would need the unmatched BUILD rows deduped
     across replicas — use the plain join there.
+
+    LIMITATION of the row-hash salt: probe rows that are IDENTICAL
+    tuples (common after projecting down to the join key) all hash to
+    the same salt and do not spread. Layout-dependent salts (rand(),
+    partition ids) would spread them but corrupt results under
+    shuffle-retry recomputation — the reason the hash salt replaced
+    them. The deterministic answer is ``collapse_duplicates=True``:
+    identical probe rows pre-aggregate to one row + count (map-side
+    combine — each mapper ships ONE partial per distinct row, so the
+    hot row never travels in volume), the now-distinct rows join
+    salted, and the count re-expands after. Exact bag semantics for
+    inner AND left.
     """
     r = int(salt_factor)
     if r < 1:
@@ -66,6 +79,19 @@ def salted_join(
         raise OperatorConfigError(
             f"salted_join keys {missing} missing from an input"
         )
+    if collapse_duplicates:
+        cols = list(left.columns)
+        collapsed = left.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("__dup_n")
+        )
+        joined = salted_join(collapsed, right, list(on), how, r)
+        return (
+            joined.withColumn(
+                "__dup_i",
+                F.explode(F.sequence(F.lit(1), F.col("__dup_n"))),
+            )
+            .drop("__dup_n", "__dup_i")
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(r))
     l2 = left.withColumn("__salt", salt.cast("int"))
     r2 = right.withColumn(
@@ -77,7 +103,7 @@ def salted_join(
 @register_operator("salted_join")
 class SaltedJoinOperator(Operator):
     """Config: ``on`` (required list), ``how`` ∈ {inner, left},
-    ``salt_factor``."""
+    ``salt_factor``, ``collapse_duplicates``."""
 
     in_ports = ("left", "right")
     out_ports = ("out",)
@@ -92,5 +118,6 @@ class SaltedJoinOperator(Operator):
             "out": salted_join(
                 inputs["left"], inputs["right"], list(c["on"]),
                 c.get("how", "inner"), int(c.get("salt_factor", 8)),
+                bool(c.get("collapse_duplicates", False)),
             )
         }

@@ -258,6 +258,11 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("salt_factor", "integer", default=8,
           desc="reducers a hot probe key spreads over; build side "
                "replicates this many times"),
+        f("collapse_duplicates", "boolean", default=False,
+          desc="pre-aggregate IDENTICAL probe rows to one row + count "
+               "(map-side combine) and re-expand after the join — the "
+               "deterministic spread for hot keys made of identical "
+               "tuples, which the row-hash salt cannot scatter"),
     ],
     "range_join": [
         f("point_col", "string", required=True),
@@ -279,14 +284,23 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="embedding_cosine: vector column"),
         f("exact", "boolean", default=False,
           desc="embedding_cosine: full cross product instead of LSH buckets"),
+        f("dim", "integer", default=64, desc="embedding_cosine: vector width"),
+        f("num_planes", "integer", default=6,
+          desc="embedding_cosine: LSH hyperplanes per bucket code"),
+        f("seed", "integer", default=42, desc="embedding_cosine: LSH seed"),
+        f("num_tables", "integer", default=1,
+          desc="embedding_cosine: independent LSH tables unioned for recall"),
         f("max_token_freq", "integer",
           desc="ngram_jaccard: ignore shingles in more docs than this "
                "(hot-token guard; completeness trade documented)"),
         f("max_len", "integer", default=64, desc="typo method: strings longer than this are excluded"),
         f("keys", "array", items={"type": "string"}, desc="dedup keys (exact)"),
-        f("id_col", "string", default="doc_id", desc="survivor = min(id)"),
+        f("id_col", "string", default="doc_id",
+          desc="survivor = min(id); embedding_cosine defaults to 'vec_id'"),
         f("text_col", "string", default="text"),
-        f("threshold", "number", default=0.7, desc="Jaccard verify threshold (minhash_lsh)"),
+        f("threshold", "number", default=0.7,
+          desc="similarity threshold; per-method default: 0.7 Jaccard "
+               "(minhash_lsh/ngram_jaccard), 0.95 cosine (embedding_cosine)"),
         f("survivor_policy", "string", default="greedy", enum=["greedy", "cluster"],
           desc="greedy=drop higher id per pair; cluster=one survivor per connected component"),
         f("num_hashes", "integer", default=16),

@@ -26,7 +26,7 @@ staged-upsert visibility principle, one rename cheaper).
 from __future__ import annotations
 
 import json
-import os
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -71,9 +71,19 @@ def export_shards(
         .save(directory)
     )
     # one aggregation job for counts + content fingerprint — bounded
-    # collect (n_shards rows), never row-sized on the driver
+    # collect (n_shards rows), never row-sized on the driver. In
+    # append mode the manifest must describe the DIRECTORY (old
+    # batches + this one), not just this batch — aggregating the
+    # input would record a manifest that misdescribes the export and
+    # fails its own verify_export; read the written data back instead
+    # (overwrite mode keeps the no-reread single-pass shape).
+    stats_src = (
+        with_shard
+        if mode == "overwrite"
+        else df.sparkSession.read.format(fmt).load(directory)
+    )
     stats = (
-        with_shard.groupBy("shard")
+        stats_src.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(
@@ -108,24 +118,38 @@ def export_shards(
         "total_rows": sum(s["rows"] for s in shards),
         "shards": shards,
     }
-    # manifest last: its presence certifies a complete export
-    with open(os.path.join(directory, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    # manifest last: its presence certifies a complete export.
+    # Hadoop FileSystem API, not builtin open(): the data just went
+    # through Spark writers, so the directory may be hdfs://-style —
+    # a driver-local open() would crash or strand the manifest on
+    # the driver's disk (the _staged_partition_swap policy).
+    from etl_core_spark.sources.hadoop_fs import fs_write_text
+
+    fs_write_text(
+        df.sparkSession,
+        f"{directory}/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
-def read_manifest(directory: str) -> dict:
-    with open(os.path.join(directory, "_manifest.json")) as fh:
-        return json.load(fh)
+def read_manifest(spark, directory: str) -> dict:
+    from etl_core_spark.sources.hadoop_fs import fs_read_text
+
+    text = fs_read_text(spark, f"{directory}/_manifest.json")
+    if text is None:
+        raise FileNotFoundError(
+            f"{directory}/_manifest.json missing — incomplete export"
+        )
+    return json.loads(text)
 
 
 def verify_export(spark, directory: str) -> dict:
     """Recompute every shard's row count + fingerprint from the data
     and diff against the manifest. Returns {shard: 'ok'|'MISMATCH'};
     raises if the manifest is missing (incomplete export)."""
-    m = read_manifest(directory)
+    m = read_manifest(spark, directory)
     df = spark.read.format(m["format"]).load(directory)
-    from etl_core_spark.operators.sampling import hash_bucket  # noqa: F401
 
     stats = (
         df.groupBy("shard")

@@ -73,3 +73,27 @@ def test_salted_join_validation(spark, skewed):
         salted_join(left, right, ["nope"])
     with pytest.raises(OperatorConfigError, match="'on'"):
         get_operator("salted_join")()
+
+
+def test_salted_join_collapse_duplicates_exact_bag_semantics(spark):
+    """Identical probe tuples (the case the row-hash salt cannot
+    scatter): collapse_duplicates pre-aggregates them map-side,
+    joins the distinct rows salted, and re-expands — the multiset
+    result must equal the plain join exactly, for inner AND left."""
+    left = spark.createDataFrame(
+        [(1,)] * 500 + [(2,)] * 3 + [(99,)] * 2, "k long"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, on="k", how=how).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                left, right, ["k"], how, 4, collapse_duplicates=True
+            ).select("k", "name").collect()
+        )
+        assert got == plain

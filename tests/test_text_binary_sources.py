@@ -136,7 +136,7 @@ def test_export_shards_manifest_and_determinism(spark, tmp_path):
     assert len(m["shards"]) == 8
     assert sum(s["rows"] for s in m["shards"]) == 200
     # manifest on disk matches the returned dict
-    assert read_manifest(out) == m
+    assert read_manifest(spark, out) == m
     # shard membership is deterministic: re-export under a different
     # physical layout gives identical counts AND fingerprints
     out2 = str(tmp_path / "export2")
@@ -169,10 +169,35 @@ def test_export_shards_detects_tamper(spark, tmp_path):
     )
     out = str(tmp_path / "exp")
     m = export_shards(df, out, "doc_id", n_shards=4)
-    # tamper: doctor one shard's manifest fingerprint
+    # tamper: doctor one shard's manifest fingerprint (rewrite via
+    # the Hadoop FS helper — builtin open() would leave a stale .crc
+    # sidecar and the next read fails on ChecksumException)
+    from etl_core_spark.sources.hadoop_fs import fs_write_text
+
     m["shards"][2]["fingerprint"] += 1
-    with open(os.path.join(out, "_manifest.json"), "w") as fh:
-        _json.dump(m, fh)
+    fs_write_text(spark, out + "/_manifest.json", _json.dumps(m))
     got = verify_export(spark, out)
     assert got[2] == "MISMATCH"
     assert all(v == "ok" for k, v in got.items() if k != 2)
+
+
+def test_export_shards_append_manifest_describes_directory(spark, tmp_path):
+    """Append-mode manifest must describe the WHOLE directory, not
+    just the appended batch — verify_export is the contract."""
+    from etl_core_spark.sources.export_io import (
+        export_shards,
+        verify_export,
+    )
+
+    out = str(tmp_path / "appended")
+    df1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    df2 = spark.createDataFrame(
+        [(100 + i, f"doc {100+i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    export_shards(df1, out, "doc_id", n_shards=4)
+    m = export_shards(df2, out, "doc_id", n_shards=4, mode="append")
+    assert m["total_rows"] == 100
+    assert set(verify_export(spark, out).values()) == {"ok"}
