@@ -382,3 +382,30 @@ def test_parquet_semdedup_shuffle_export(spark, tmp_path):
     # shuffle positions are a 0-based permutation of the survivors
     assert sorted(r["shuffle_pos"] for r in rows) == list(range(len(rows)))
     assert all(r["text"] == f"document {r['vec_id']}" for r in rows)
+
+
+def test_parquet_corpus_to_shards(spark, tmp_path):
+    """The full make-a-training-corpus shape through the runner:
+    Gopher quality gate -> deterministic epoch shuffle -> sharded
+    export with manifest."""
+    from etl_core_spark.sources.export_io import read_manifest, verify_export
+
+    def inputs(d):
+        rows = []
+        for i in range(20):
+            # 60 alpha words — passes every Gopher gate
+            rows.append((i, " ".join(f"word{j}now" for j in range(60))))
+        for i in range(20, 30):
+            rows.append((i, "too short"))  # fails min-token gate
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(d / "documents.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_corpus_to_shards.json", inputs
+    )
+    m = read_manifest(spark, str(out / "corpus"))
+    assert m["total_rows"] == 20  # the 10 short docs were gated out
+    assert set(verify_export(spark, str(out / "corpus")).values()) == {"ok"}
+    back = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r["shuffle_pos"] for r in back.collect()) == list(range(20))
