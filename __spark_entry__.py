@@ -4717,6 +4717,50 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def q_semdedup_atypical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup keep=far_from_centroid — the SemDeDup paper's
+    keep-the-atypical survivor rule: within a duplicate pair the
+    member MORE similar to its centroid drops (exact tie → higher
+    id). Fully SQL-expressible, so the paper policy gets its own
+    hash-matched row rather than riding on pytest alone."""
+    from etl_core_spark.operators.base import get_operator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = get_operator("semdedup")(
+        threshold=0.4, num_centroids=8, keep="far_from_centroid"
+    ).apply({"in": emb})["out"]
+    return out.select("vec_id")
+
+
+_SQL_SEMDEDUP_ATYPICAL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+  ORDER BY vec_id LIMIT 8
+), az AS (
+  SELECT e.vec_id AS sid, e.embedding::DOUBLE[] AS v, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+             AS csim,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+  QUALIFY rn = 1
+), dropped AS (
+  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.sid
+                       WHEN b.csim > a.csim THEN b.sid
+                       ELSE b.sid END AS vec_id
+  FROM az a JOIN az b ON a.cid = b.cid AND a.sid < b.sid
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -4942,7 +4986,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R08_WINDOW = [
     # never driver-checked (new this round)
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
-    "gopher_quality",
+    "gopher_quality", "semdedup_atypical",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -4959,10 +5003,10 @@ _R08_WINDOW = [
     "top_n_per_group", "json_expand", "attribution_join",
     "zscore_outliers", "densify_buckets", "stratified_sample",
     "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
-    "lang_id_ngram", "typo_pairs",
-    # (simhash_near_dup_pairs / training_pipeline / profile /
-    # excel_roundtrip / xml_roundtrip displaced by the five new
-    # queries — they lead the r9 window)
+    "lang_id_ngram",
+    # (typo_pairs / simhash_near_dup_pairs / training_pipeline /
+    # profile / excel_roundtrip / xml_roundtrip displaced by the six
+    # new queries — they lead the r9 window)
 ]
 
 
@@ -5097,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "export_shards": q_export_shards,
         "gopher_quality": q_gopher_quality,
+        "semdedup_atypical": q_semdedup_atypical,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -5233,6 +5278,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _SQL_SALTED_JOIN,
         "export_shards": _SQL_EXPORT_SHARDS,
         "gopher_quality": _SQL_GOPHER,
+        "semdedup_atypical": _SQL_SEMDEDUP_ATYPICAL,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -3,6 +3,7 @@ from etl_core_spark.streaming.stream import (
     streaming_dedup,
     windowed_aggregate,
     sessionize,
+    streaming_export_shards,
     write_stream_foreach_batch,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "streaming_dedup",
     "windowed_aggregate",
     "sessionize",
+    "streaming_export_shards",
     "write_stream_foreach_batch",
 ]

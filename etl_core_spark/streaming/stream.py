@@ -429,6 +429,51 @@ def streaming_incremental_dedup(
     return writer.start()
 
 
+def streaming_export_shards(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    n_shards: int = 16,
+    fmt: str = "parquet",
+    salt: str = "",
+    trigger_once: bool = True,
+):
+    """Continuous sharded export: every micro-batch appends its rows
+    into the deterministic shard layout (sources/export_io.py) and
+    refreshes ``_manifest.json`` from the DIRECTORY, so the manifest
+    always describes the full export regardless of how many batches
+    produced it. Shard membership is key-hashed — a document lands in
+    the same shard whichever batch delivers it, so downstream loaders
+    can stripe before the stream finishes.
+
+    At-least-once caveat (the foreachBatch contract, same as
+    streaming_incremental_dedup): a crash-retried batch appends its
+    rows twice; the manifest stays CONSISTENT with the directory
+    (it is recomputed from the data, never incremented), and a
+    periodic exact_dedup compaction by key restores exactness."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty micro-batch must not churn the manifest (or
+            # create an empty export on the first trigger)
+            return
+        from etl_core_spark.sources.export_io import export_shards
+
+        export_shards(
+            batch_df, out_dir, key_col, n_shards, fmt, salt, mode="append"
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def attribution_join(
     views: DataFrame,
     purchases: DataFrame,

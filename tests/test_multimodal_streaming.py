@@ -110,3 +110,47 @@ def test_extract_features_slices_batches_without_touching_session_conf(spark):
     loose = {tuple(r) for r in extract_features(media, max_records_per_batch=10_000)
              .select("media_id", "sha256").collect()}
     assert tight == loose and len(tight) == 32
+
+
+def test_streaming_export_shards(spark, tmp_path):
+    """Micro-batched sharded export: two file-source batches append
+    into the same shard layout; the manifest always describes the
+    whole directory and shard membership is batch-independent."""
+    from etl_core_spark.sources.export_io import read_manifest, verify_export
+    from etl_core_spark.streaming.stream import streaming_export_shards
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    df1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    out = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(df1.schema).parquet(str(src) + "/*")
+    q = streaming_export_shards(
+        stream, out, ckpt, key_col="doc_id", n_shards=4
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    m1 = read_manifest(spark, out)
+    assert m1["total_rows"] == 30
+
+    # second batch arrives; restart (availableNow drains new files)
+    spark.createDataFrame(
+        [(100 + i, f"doc {100+i}") for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    q2 = streaming_export_shards(
+        spark.readStream.schema(df1.schema).parquet(str(src) + "/*"),
+        out, ckpt, key_col="doc_id", n_shards=4,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    m2 = read_manifest(spark, out)
+    assert m2["total_rows"] == 50
+    assert set(verify_export(spark, out).values()) == {"ok"}
+    # same key -> same shard across batches: recompute membership
+    back = spark.read.parquet(out)
+    assert back.count() == 50
