@@ -4761,6 +4761,70 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def q_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 aggregation additions (operators/aggregation.py): var /
+    skewness / kurtosis (Spark computes POPULATION moments — the
+    oracle recomputes them from explicit central sums; DuckDB's own
+    skewness/kurtosis apply sample-bias correction and would
+    mismatch), any/all as max/min over a boolean cast, mode over a
+    constructed tie-free column, and sorted collect_set."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "big", F.col("o_totalprice") > 100000
+    ).withColumn(
+        "bucket",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("a")).otherwise("b"),
+    )
+    out = get_operator("aggregation")(
+        group_by=["o_orderstatus"],
+        aggregations=[
+            {"src": "o_totalprice", "op": "var", "dest": "var_price"},
+            {"src": "o_totalprice", "op": "skewness", "dest": "skew_price"},
+            {"src": "o_totalprice", "op": "kurtosis", "dest": "kurt_price"},
+            {"src": "big", "op": "any", "dest": "any_big"},
+            {"src": "big", "op": "all", "dest": "all_big"},
+            {"src": "bucket", "op": "mode", "dest": "mode_bucket"},
+            {"src": "o_orderpriority", "op": "collect_set",
+             "dest": "priorities"},
+        ],
+    ).apply({"in": orders})["out"]
+    return out.select(
+        "o_orderstatus",
+        F.round("var_price", 4).alias("var_price"),
+        F.round("skew_price", 6).alias("skew_price"),
+        F.round("kurt_price", 6).alias("kurt_price"),
+        "any_big", "all_big", "mode_bucket", "priorities",
+    )
+
+
+_SQL_AGG_EXTENDED = """
+WITH o AS (
+  SELECT o_orderstatus, o_totalprice,
+         o_totalprice > 100000 AS big,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'a' ELSE 'b' END AS bucket,
+         o_orderpriority
+  FROM orders
+), m AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS mu FROM o GROUP BY 1
+)
+SELECT o.o_orderstatus,
+       round(var_samp(o_totalprice), 4) AS var_price,
+       round((sum(pow(o_totalprice - mu, 3)) / count(*))
+             / pow(sum(pow(o_totalprice - mu, 2)) / count(*), 1.5), 6)
+           AS skew_price,
+       round((sum(pow(o_totalprice - mu, 4)) / count(*))
+             / pow(sum(pow(o_totalprice - mu, 2)) / count(*), 2) - 3, 6)
+           AS kurt_price,
+       bool_or(big) AS any_big,
+       bool_and(big) AS all_big,
+       mode(bucket) AS mode_bucket,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+FROM o JOIN m USING (o_orderstatus)
+GROUP BY 1, mu
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -4986,7 +5050,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R08_WINDOW = [
     # never driver-checked (new this round)
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
-    "gopher_quality", "semdedup_atypical",
+    "gopher_quality", "semdedup_atypical", "agg_extended",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5003,10 +5067,9 @@ _R08_WINDOW = [
     "top_n_per_group", "json_expand", "attribution_join",
     "zscore_outliers", "densify_buckets", "stratified_sample",
     "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
-    "lang_id_ngram",
-    # (typo_pairs / simhash_near_dup_pairs / training_pipeline /
-    # profile / excel_roundtrip / xml_roundtrip displaced by the six
-    # new queries — they lead the r9 window)
+    # (lang_id_ngram / typo_pairs / simhash_near_dup_pairs /
+    # training_pipeline / profile / excel_roundtrip / xml_roundtrip
+    # displaced by the seven new queries — they lead the r9 window)
 ]
 
 
@@ -5142,6 +5205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "gopher_quality": q_gopher_quality,
         "semdedup_atypical": q_semdedup_atypical,
+        "agg_extended": q_agg_extended,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -5279,6 +5343,7 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": _SQL_EXPORT_SHARDS,
         "gopher_quality": _SQL_GOPHER,
         "semdedup_atypical": _SQL_SEMDEDUP_ATYPICAL,
+        "agg_extended": _SQL_AGG_EXTENDED,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -45,6 +45,17 @@ _AGG_FUNCS: dict[str, Callable[[str], Column]] = {
     # beyond-reference: sketch-based variants for the 100 TB path
     "approx_median": lambda src: F.percentile_approx(src, 0.5),
     "approx_nunique": lambda src: F.approx_count_distinct(src),
+    # beyond-reference: the rest of the SQL-standard set (all
+    # map-side-combinable except collect_set, whose state is
+    # value-set-sized — bounded-domain columns only at scale)
+    "var": lambda src: F.var_samp(src),
+    "skewness": lambda src: F.skewness(src),
+    "kurtosis": lambda src: F.kurtosis(src),
+    "any": lambda src: F.max(F.col(src).cast("boolean")),
+    "all": lambda src: F.min(F.col(src).cast("boolean")),
+    "mode": lambda src: F.mode(src),  # tie winner is engine-chosen —
+    # certified only on tie-free columns (documented)
+    "collect_set": lambda src: F.array_sort(F.collect_set(src)),
 }
 
 

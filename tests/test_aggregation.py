@@ -88,3 +88,37 @@ def test_config_validation(tables):
     op = agg(group_by=["nope"], aggregations=[{"src": "*", "op": "count", "dest": "n"}])
     with pytest.raises(OperatorConfigError):
         op.apply({"in": tables["orders"]})
+
+
+def test_extended_agg_ops(spark):
+    """r8 additions: var/skewness/kurtosis (population moments — the
+    Spark convention), any/all over boolean casts, mode, sorted
+    collect_set; numpy differential for the moments."""
+    import numpy as np
+
+    from etl_core_spark.operators.base import get_operator
+
+    vals = [1.0, 2.0, 2.5, 7.0, 9.5, 3.25, 7.0]
+    rows = [("g", v, v > 3, "x" if i % 3 == 0 else "y")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, v double, b boolean, c string")
+    out = get_operator("aggregation")(
+        group_by=["k"],
+        aggregations=[
+            {"src": "v", "op": "var", "dest": "var_v"},
+            {"src": "v", "op": "skewness", "dest": "skew_v"},
+            {"src": "v", "op": "kurtosis", "dest": "kurt_v"},
+            {"src": "b", "op": "any", "dest": "any_b"},
+            {"src": "b", "op": "all", "dest": "all_b"},
+            {"src": "v", "op": "mode", "dest": "mode_v"},
+            {"src": "c", "op": "collect_set", "dest": "cs"},
+        ],
+    ).apply({"in": df})["out"].collect()[0]
+    x = np.array(vals)
+    m2 = ((x - x.mean()) ** 2).mean()
+    assert out["var_v"] == pytest.approx(x.var(ddof=1))
+    assert out["skew_v"] == pytest.approx(((x - x.mean()) ** 3).mean() / m2 ** 1.5)
+    assert out["kurt_v"] == pytest.approx(((x - x.mean()) ** 4).mean() / m2 ** 2 - 3)
+    assert out["any_b"] is True and out["all_b"] is False
+    assert out["mode_v"] == 7.0  # the only duplicated value
+    assert out["cs"] == ["x", "y"]
