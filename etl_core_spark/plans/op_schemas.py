@@ -219,7 +219,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f(
             "aggregations", "array", required=True,
             items={"type": "object"},
-            desc="[{src, func in (min,max,sum,avg,count,median,std,var,nunique), dest}]",
+            desc="[{src, op in (count,sum,min,max,mean,median,std,var,"
+                 "nunique,skewness,kurtosis,any,all,mode,collect_set,"
+                 "approx_median,approx_nunique), dest}]",
         ),
     ],
     "schema_mapping": [

@@ -360,3 +360,105 @@ def test_salted_join_equals_plain_join_property(
     assert sorted(
         tuple(r) for r in salted.select(*plain.columns).collect()
     ) == sorted(tuple(r) for r in plain.collect())
+
+
+def _spark_round(x: float, nd: int) -> float:
+    """Spark's round = Java BigDecimal.valueOf(x).setScale(nd,
+    HALF_UP); BigDecimal.valueOf goes through Double.toString — the
+    SHORTEST decimal repr, which Python's repr() also produces."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _py_semdedup(rows, threshold, num_centroids):
+    """Pure-Python reference of operators/similarity.semdedup
+    (keep=min_id, expr assignment) replicating the EXACT float op
+    order: strict left folds for norm/dot, unit = x/norm, best
+    centroid by (sim desc, cid asc) on raw doubles, pair cosine
+    rounded 6dp Spark-style."""
+    import math
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def unit(v):
+        n = norm(v)
+        if n > 0:
+            return [float(x) / n for x in v]
+        return [float(x) for x in v]
+
+    seedable = sorted(
+        (i, v) for i, v in rows if v is not None and norm(v) > 0
+    )[:num_centroids]
+    cents = [(i, unit(v)) for i, v in seedable]
+    units = {
+        i: unit(v) for i, v in rows if v is not None and norm(v) > 0
+    }
+    assigned = {}
+    for i, u in units.items():
+        best = None
+        for cid, cu in cents:
+            s = dot(u, cu)
+            if best is None or s > best[0] or (s == best[0] and cid < best[1]):
+                best = (s, cid)
+        if best is not None:
+            assigned[i] = best[1]
+    dropped = set()
+    ids = sorted(assigned)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if assigned[a] != assigned[b]:
+                continue
+            if _spark_round(dot(units[a], units[b]), 6) >= threshold:
+                dropped.add(b)
+    return {i for i, _ in rows} - dropped
+
+
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        ),
+        min_size=1, max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.8, 0.95]),
+    k=st.sampled_from([1, 2, 3]),
+)
+@settings(**_SETTINGS)
+def test_semdedup_matches_python_reference(spark, vecs, threshold, k):
+    from etl_core_spark.operators.similarity import semdedup
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v] if v is not None else None)
+         for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]
+        for r in semdedup(
+            df, threshold, num_centroids=k, assign_method="expr"
+        ).collect()
+    }
+    want = _py_semdedup(
+        [(i, [float(x) for x in v] if v is not None else None)
+         for i, v in rows],
+        threshold, k,
+    )
+    assert got == want
