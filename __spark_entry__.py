@@ -4825,6 +4825,46 @@ GROUP BY 1, mu
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-shingle overlap between document sources
+    (operators/text_analysis.py corpus_overlap): intersection counts,
+    per-source distinct sizes, Jaccard. The corpus-level mixing
+    diagnostic; oracle recomputes with the shared shingle fragment."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("corpus_overlap")(
+        group_col="source", shingle_n=3
+    ).apply({"in": docs})["out"]
+    return out.orderBy("group_a", "group_b")
+
+
+def _sql_corpus_overlap() -> str:
+    sh = _shingles_sql(3)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT coalesce(CAST(source AS VARCHAR), '__null__') AS g, sh
+  FROM (
+    SELECT source, unnest({sh}) AS sh
+    FROM (SELECT source, {_TOKS} AS toks FROM documents)
+  )
+  WHERE length(sh) > 0
+), sizes AS (
+  SELECT g, count(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5051,6 +5091,7 @@ _R08_WINDOW = [
     # never driver-checked (new this round)
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
     "gopher_quality", "semdedup_atypical", "agg_extended",
+    "corpus_overlap",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5066,10 +5107,11 @@ _R08_WINDOW = [
     # oldest 17 r06-vintage rows (registry order)
     "top_n_per_group", "json_expand", "attribution_join",
     "zscore_outliers", "densify_buckets", "stratified_sample",
-    "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
-    # (lang_id_ngram / typo_pairs / simhash_near_dup_pairs /
-    # training_pipeline / profile / excel_roundtrip / xml_roundtrip
-    # displaced by the seven new queries — they lead the r9 window)
+    "cap_per_group", "clean_text", "chunk_documents",
+    # (pack_sequences / lang_id_ngram / typo_pairs /
+    # simhash_near_dup_pairs / training_pipeline / profile /
+    # excel_roundtrip / xml_roundtrip displaced by the eight new
+    # queries — they lead the r9 window)
 ]
 
 
@@ -5206,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "semdedup_atypical": q_semdedup_atypical,
         "agg_extended": q_agg_extended,
+        "corpus_overlap": q_corpus_overlap,
     }
     assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
     return {
@@ -5344,6 +5387,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER,
         "semdedup_atypical": _SQL_SEMDEDUP_ATYPICAL,
         "agg_extended": _SQL_AGG_EXTENDED,
+        "corpus_overlap": _sql_corpus_overlap(),
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

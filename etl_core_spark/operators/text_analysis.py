@@ -934,3 +934,91 @@ class AssembleDocsOperator(Operator):
                 c.get("sep", "\n"),
             )
         }
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus slices (sources,
+    languages, crawl snapshots): for every group pair, the distinct
+    token-shingle intersection, per-group distinct counts, and the
+    Jaccard similarity — the dataset-curation diagnostic for "how
+    much of source B is already in source A" before mixing
+    (the corpus-level face of ``decontaminate``, which answers the
+    same question per document).
+
+    Scale shape: one distinct over (group, shingle) — map-side
+    combinable — then a self-equi-join on the shingle. Per-shingle
+    join fan-out is bounded by the number of GROUPS sharing it
+    (≤ groups², and group counts are small by construction: sources,
+    languages), never by document counts; per-group sizes ride a
+    broadcast join-back. NULL groups form their own slice (the
+    engine-wide NULL-keeps rule); zero-shingle docs contribute
+    nothing.
+    """
+    from etl_core_spark.functions.text import shingles
+
+    grams = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("__g"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        )
+        .where(F.length("__sh") > 0)
+        .distinct()
+    )
+    from etl_core_spark.session import persist_intermediate
+
+    grams = persist_intermediate(grams)  # sizes + both join sides
+    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__g").alias("group_a"), "__sh")
+    b = grams.select(F.col("__g").alias("group_b"), "__sh")
+    inter = (
+        a.join(b, on="__sh")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_a"),
+                                     F.col("__n").alias("n_a"))),
+            on="group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_b"),
+                                     F.col("__n").alias("n_b"))),
+            on="group_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("group_a", "group_b", "n_a", "n_b", "n_common", "jaccard")
+    )
+
+
+@register_operator("corpus_overlap")
+class CorpusOverlapOperator(Operator):
+    """Config: ``group_col``, ``text_col``, ``shingle_n``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": corpus_overlap(
+                self.single_input(inputs),
+                c.get("group_col", "source"),
+                c.get("text_col", "text"),
+                int(c.get("shingle_n", 3)),
+            )
+        }

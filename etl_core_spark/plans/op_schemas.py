@@ -569,6 +569,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("redacted_col", "string",
           desc="output column for redacted text (default <text_col>_redacted)"),
     ],
+    "corpus_overlap": [
+        f("group_col", "string", default="source",
+          desc="corpus slice key (source, lang, crawl snapshot)"),
+        f("text_col", "string", default="text"),
+        f("shingle_n", "integer", default=3),
+    ],
     "url_parts": [
         f("url_col", "string", required=True),
         f("prefix", "string", default="url_",

@@ -745,3 +745,25 @@ def test_gopher_rules_pass_thresholds(spark):
     assert got[0] is True
     assert got[1] is False
     assert got[2] is False
+
+
+def test_corpus_overlap_hand_computed(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        (1, "a", "alpha beta gamma delta"),   # shingles: ab g, b g d -> n=2
+        (2, "a", "alpha beta gamma"),          # duplicate shingle within a
+        (3, "b", "alpha beta gamma epsilon"),
+        (4, None, "zeta eta theta"),           # NULL group = own slice
+        (5, "c", ""),                          # empty doc: contributes none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = get_operator("corpus_overlap")(shingle_n=3).apply({"in": df})["out"]
+    got = {(r["group_a"], r["group_b"]): r for r in out.collect()}
+    # a: {"alpha beta gamma", "beta gamma delta"}; b: {"alpha beta
+    # gamma", "beta gamma epsilon"}; intersection 1, union 3
+    r = got[("a", "b")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 2, 1)
+    assert r["jaccard"] == pytest.approx(1 / 3)
+    # NULL slice appears under the sentinel with zero overlap pairs
+    assert not any("__null__" in k for k in got), got.keys()
