@@ -4865,6 +4865,140 @@ JOIN sizes sb ON sb.g = group_b
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations by LIFT (operators/text_analysis.py
+    collocations): observed/expected adjacent-pair ratio over exact
+    integer counts — PMI's exponential, chosen over ln(pmi) because
+    the ratio is one fixed IEEE expression tree over integers and so
+    cross-engine bit-identical before the floor-quantization (ln is
+    not correctly rounded in either engine)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("collocations")(min_count=5, top_k=50).apply(
+        {"in": docs}
+    )["out"]
+    return out
+
+
+_SQL_COLLOCATIONS = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+), u AS (
+  SELECT unnest(toks) AS w FROM t
+), uc AS (
+  SELECT w, count(*) AS n FROM u GROUP BY w
+), tot AS (
+  SELECT count(*) AS U FROM u
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+  FROM t WHERE len(toks) >= 2
+), bc AS (
+  SELECT (b).w1 AS w1, (b).w2 AS w2, count(*) AS n12
+  FROM bg GROUP BY 1, 2
+), btot AS (
+  SELECT count(*) AS B FROM bg
+)
+SELECT w1, w2, n12, ua.n AS n1, ub.n AS n2,
+       floor((CAST(n12 AS DOUBLE) * U * U)
+             / (CAST(B AS DOUBLE) * ua.n * ub.n) * 1e6) / 1e6 AS lift
+FROM bc, tot, btot
+JOIN uc ua ON ua.w = bc.w1
+JOIN uc ub ON ub.w = bc.w2
+WHERE n12 >= 5
+ORDER BY (CAST(n12 AS DOUBLE) * U * U)
+         / (CAST(B AS DOUBLE) * ua.n * ub.n) DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of l_extendedprice with
+    data-derived bounds (operators/profile.py histogram): all bins
+    present (empty ones at n=0), inclusive-exclusive edges, top bin
+    closed. Edge arithmetic is one fixed IEEE expression tree over
+    the exact min/max doubles, so the oracle matches bit-for-bit."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = get_operator("histogram")(
+        value_col="l_extendedprice", bins=20
+    ).apply({"in": li})["out"]
+    return out
+
+
+_SQL_HISTOGRAM = """
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+), b AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM v
+), binned AS (
+  SELECT CASE WHEN (hi - lo) / 20 = 0 THEN 0
+              ELSE least(CAST(floor((x - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+         END AS bin
+  FROM v, b WHERE x >= lo AND x <= hi
+), c AS (
+  SELECT bin, count(*) AS n FROM binned GROUP BY bin
+), spine AS (
+  SELECT r.range AS bin, lo, hi FROM range(20) r, b
+)
+SELECT spine.bin AS bin,
+       lo + spine.bin * ((hi - lo) / 20) AS lo_edge,
+       lo + (spine.bin + 1) * ((hi - lo) / 20) AS hi_edge,
+       coalesce(c.n, 0) AS n
+FROM spine LEFT JOIN c ON c.bin = spine.bin
+ORDER BY bin
+"""
+
+
+def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day per-customer order totals
+    (operators/timeseries.py rolling_aggregate): RANGE-frame window
+    (equal order dates are peers), sums through exact fixed-point
+    cents because Spark and DuckDB accumulate windowed double sums in
+    different orders (incremental vs segment tree); one division back
+    to double is bit-identical."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    out = get_operator("rolling_aggregate")(
+        time_col="o_orderdate",
+        value_col="o_totalprice",
+        window_seconds=30 * 86400,
+        partition_cols=["o_custkey"],
+        aggs=["sum", "count", "mean"],
+    ).apply({"in": orders})["out"]
+    return out.select(
+        "o_orderkey", "o_custkey", "rolling_sum", "rolling_count",
+        "rolling_mean",
+    )
+
+
+_SQL_ROLLING = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ok AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS rolling_sum,
+         count(o_totalprice) OVER w AS rolling_count,
+         CAST(sum(cents) OVER w AS DOUBLE)
+             / (count(o_totalprice) OVER w * 100) AS rolling_mean
+  FROM t WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM ok
+UNION ALL
+SELECT o_orderkey, o_custkey, NULL, NULL, NULL
+FROM t WHERE ts IS NULL
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5091,7 +5225,7 @@ _R08_WINDOW = [
     # never driver-checked (new this round)
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
     "gopher_quality", "semdedup_atypical", "agg_extended",
-    "corpus_overlap",
+    "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5249,8 +5383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_atypical": q_semdedup_atypical,
         "agg_extended": q_agg_extended,
         "corpus_overlap": q_corpus_overlap,
+        "collocations": q_collocations,
+        "histogram": q_histogram,
+        "rolling_aggregate": q_rolling_aggregate,
     }
-    assert len(_R08_WINDOW) == 50 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 53 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -5388,6 +5525,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_atypical": _SQL_SEMDEDUP_ATYPICAL,
         "agg_extended": _SQL_AGG_EXTENDED,
         "corpus_overlap": _sql_corpus_overlap(),
+        "collocations": _SQL_COLLOCATIONS,
+        "histogram": _SQL_HISTOGRAM,
+        "rolling_aggregate": _SQL_ROLLING,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -330,6 +330,9 @@ def minhash_index_update(
         # directory with no parquet files (meta-without-data or a
         # schema-less dir would break every later read — the same
         # failure class the streaming rate soak exposed)
+        from etl_core_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(sig)
         return
     table = f"{str(index_path).rstrip('/')}/sigs"
     if mode == "append":
@@ -342,6 +345,9 @@ def minhash_index_update(
         from etl_core_spark.sources.hadoop_fs import fs_write_text
 
         fs_write_text(spark, _index_meta_path(index_path), json.dumps(meta))
+    from etl_core_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(sig)  # written out; blocks no longer needed
 
 
 def minhash_index_compact(spark, index_path: str, by: str = "row") -> int:
@@ -382,6 +388,9 @@ def minhash_index_compact(spark, index_path: str, by: str = "row") -> int:
     # about to be overwritten
     after = compacted.count()
     compacted.write.mode("overwrite").parquet(table)
+    from etl_core_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(compacted)  # rewritten; blocks not needed
     return before - after
 
 
@@ -632,7 +641,10 @@ def winnow_fingerprint_table(
     from etl_core_spark.session import ensure_parallelism
 
     hashed = ensure_parallelism(df).select(
-        F.col(id_col), X.winnow_gram_hashes(F.col(text_col), k).alias("__gh")
+        F.col(id_col), X.winnow_normalize(F.col(text_col)).alias("__norm")
+    ).select(
+        F.col(id_col),
+        X.winnow_gram_hashes(F.col("__norm"), k, normalized=True).alias("__gh"),
     )
     fps = hashed.select(
         F.col(id_col), X.winnow_select(F.col("__gh"), window).alias("fingerprints")
@@ -1055,7 +1067,11 @@ def connected_components(
       executor-loss resilience. Raises after ``max_iters`` rounds
       rather than returning unconverged labels.
     """
-    from etl_core_spark.session import persist_intermediate
+    from etl_core_spark.session import (
+        persist_intermediate,
+        release_local_checkpoint,
+        track_local_checkpoint,
+    )
 
     raw = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
     if driver_max_edges > 0:
@@ -1174,11 +1190,21 @@ def connected_components(
             and _star_overlap_probe(new_edges)
         )
         prev_sig = sig
-        edges.unpersist()
+        # free the superseded round NOW: new_edges is already
+        # materialized (eager localCheckpoint), so nothing references
+        # the previous relation — waiting for JVM GC instead pins
+        # O(rounds x |edges|) of executor storage across the run
+        if i == 0:
+            edges.unpersist()  # the initial persisted edge set
+        else:
+            release_local_checkpoint(edges)
         edges = new_edges
         if converged:
-            # fixed point: edges are (member, component-min-root)
-            persist_intermediate(edges)
+            # fixed point: edges are (member, component-min-root);
+            # the checkpoint blocks ARE the cache (no extra persist)
+            # and the returned plan reads them — released only by
+            # release_intermediates() after the consuming action
+            track_local_checkpoint(edges)
             stars = edges.select(
                 F.col("u").alias("id"), F.col("v").alias("__root")
             )
@@ -1190,6 +1216,7 @@ def connected_components(
                 )
             )
     edges.unpersist()
+    release_local_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} "
         "large-star/small-star rounds — rounds grow O(log n), so this "

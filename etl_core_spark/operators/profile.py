@@ -128,3 +128,100 @@ class ProfileOperator(Operator):
                 bool(self.config.get("approx_ndv", True)),
             )
         }
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one row per bin
+    (ALL bins, empty ones included — a dashboard histogram with holes
+    is a different chart) with inclusive-exclusive edges
+    ``[lo_edge, hi_edge)``; the top bin additionally includes ``hi``
+    so the maximum lands in-range.
+
+    Bounds: explicit ``lo``/``hi`` clip NOTHING — out-of-range rows
+    are dropped (documented; count them upstream with a filter if
+    they matter). Omitted bounds come from the data via one min/max
+    aggregate that rides the plan as a broadcast one-row cross join —
+    no driver collect, no second scan scheduling barrier. NULL and
+    NaN values are dropped. A constant column (lo == hi) degenerates
+    to a single occupied bin 0 of zero width.
+
+    Scale shape: bin assignment is a narrow codegen projection; the
+    count is one map-side-combinable groupBy over ≤ ``bins`` keys;
+    the bin spine (``spark.range(bins)``) left-joins the counts with
+    the COUNTS side broadcast (≤ bins rows by construction). Edge
+    arithmetic (``lo + i·width``, ``width = (hi−lo)/bins``) is a
+    fixed IEEE expression tree, bit-identical in the SQL oracle.
+    """
+    if int(bins) < 1:
+        raise OperatorConfigError("histogram bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    vals = df.select(v.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan("__v")
+    )
+    if lo is None or hi is None:
+        bounds = vals.agg(
+            F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+        )
+    else:
+        bounds = vals.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(int(bins))
+    raw_bin = F.floor((F.col("__v") - F.col("__lo")) / width)
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .where((F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi")))
+        .select(
+            F.when(width == 0, F.lit(0))
+            .otherwise(F.least(raw_bin, F.lit(int(bins) - 1)))
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        df.sparkSession.range(int(bins))
+        .select(F.col("id").alias("bin"))
+        .crossJoin(F.broadcast(bounds))
+    )
+    return (
+        spine.join(F.broadcast(counts), on="bin", how="left")
+        .select(
+            "bin",
+            (F.col("__lo") + F.col("bin") * width).alias("lo_edge"),
+            (F.col("__lo") + (F.col("bin") + 1) * width).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register_operator("histogram")
+class HistogramOperator(Operator):
+    """Config: ``value_col`` (required), ``bins``, ``lo``, ``hi``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("histogram requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        lo, hi = c.get("lo"), c.get("hi")
+        return {
+            "out": histogram(
+                self.single_input(inputs),
+                c["value_col"],
+                int(c.get("bins", 20)),
+                None if lo is None else float(lo),
+                None if hi is None else float(hi),
+            )
+        }

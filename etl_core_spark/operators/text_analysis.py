@@ -950,36 +950,49 @@ def corpus_overlap(
     (the corpus-level face of ``decontaminate``, which answers the
     same question per document).
 
-    Scale shape: one distinct over (group, shingle) — map-side
-    combinable — then a self-equi-join on the shingle. Per-shingle
-    join fan-out is bounded by the number of GROUPS sharing it
-    (≤ groups², and group counts are small by construction: sources,
-    languages), never by document counts; per-group sizes ride a
-    broadcast join-back. NULL groups form their own slice (the
-    engine-wide NULL-keeps rule); zero-shingle docs contribute
-    nothing.
+    Scale shape: ONE map-side-combinable aggregation — per shingle,
+    ``collect_set`` of the groups containing it (the set is bounded
+    by the GROUP count, small by construction: sources, languages —
+    so partial-aggregate state stays tiny no matter the corpus) —
+    then pair counts come from exploding the per-shingle group
+    combinations and per-group sizes from exploding the same arrays.
+    No shingle self-join: the raw exploded grams are shuffled exactly
+    once, and everything downstream is per-shingle-array (≪ gram
+    volume). NULL groups form their own slice (the engine-wide
+    NULL-keeps rule); zero-shingle docs contribute nothing.
     """
     from etl_core_spark.functions.text import shingles
 
-    grams = (
-        df.select(
-            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-            .alias("__g"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-        )
-        .where(F.length("__sh") > 0)
-        .distinct()
+    grams = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("__g"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).where(F.length("__sh") > 0)
+    per_sh = grams.groupBy("__sh").agg(
+        F.array_sort(F.collect_set("__g")).alias("__gs")
     )
     from etl_core_spark.session import persist_intermediate
 
-    grams = persist_intermediate(grams)  # sizes + both join sides
-    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    a = grams.select(F.col("__g").alias("group_a"), "__sh")
-    b = grams.select(F.col("__g").alias("group_b"), "__sh")
+    per_sh = persist_intermediate(per_sh)  # sizes + pair combos
+    sizes = (
+        per_sh.select(F.explode("__gs").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     inter = (
-        a.join(b, on="__sh")
-        .where(F.col("group_a") < F.col("group_b"))
-        .groupBy("group_a", "group_b")
+        per_sh.where(F.size("__gs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__gs, (x, i) -> "
+                    "transform(slice(__gs, i + 2, size(__gs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(
+            F.col("__p.a").alias("group_a"), F.col("__p.b").alias("group_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -1020,5 +1033,87 @@ class CorpusOverlapOperator(Operator):
                 c.get("group_col", "source"),
                 c.get("text_col", "text"),
                 int(c.get("shingle_n", 3)),
+            )
+        }
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level bigram association mining (collocation / phrase
+    detection): for every adjacent token pair, its corpus count and
+    LIFT — the observed-over-expected co-occurrence ratio
+    ``p(w1,w2) / (p(w1)·p(w2))``. PMI is ``ln(lift)``; the ratio is
+    returned instead of the log because it carries the same ranking
+    while staying cross-engine bit-reproducible (``ln`` is not
+    correctly-rounded in either engine, a 1-ulp divergence the
+    rounding step would amplify — the random_projection lesson).
+    The top-lift pairs are the merge candidates a tokenizer/vocab
+    builder or phrase-aware dedup wants.
+
+    Scale shape: bigram and unigram counts are both map-side
+    combinable explode→groupBy aggregates; the two count joins are
+    VOCABULARY-sized (AQE sizes them, never document-sized); corpus
+    totals ride a one-row broadcast cross join; top-k is
+    TakeOrdered — no global sort. Lift arithmetic is a fixed
+    left-associated expression tree of IEEE ops over exact integer
+    counts, so Spark and the SQL oracle produce identical doubles
+    BEFORE the floor-quantization (floor has no rounding ties).
+    """
+    if int(min_count) < 1:
+        raise OperatorConfigError("collocations min_count must be >= 1")
+    toks = df.select(X.tokens(F.lower(F.col(text_col))).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    totals = uni.agg(F.count(F.lit(1)).alias("U"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b")
+    )
+    btot = bg.agg(F.count(F.lit(1)).alias("B"))
+    bc = (
+        bg.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= int(min_count))
+    )
+    lift = (
+        F.col("n12").cast("double") * F.col("U") * F.col("U")
+    ) / (F.col("B").cast("double") * F.col("n1") * F.col("n2"))
+    return (
+        bc.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .join(uc.select(F.col("w").alias("w1"), F.col("n").alias("n1")), on="w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("n").alias("n2")), on="w2")
+        .orderBy(lift.desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_k))
+        .select(
+            "w1", "w2", "n12", "n1", "n2",
+            (F.floor(lift * F.lit(1e6)) / F.lit(1e6)).alias("lift"),
+        )
+    )
+
+
+@register_operator("collocations")
+class CollocationsOperator(Operator):
+    """Config: ``text_col``, ``min_count``, ``top_k``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": collocations(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                int(c.get("min_count", 5)),
+                int(c.get("top_k", 50)),
             )
         }

@@ -296,3 +296,112 @@ class DensifyBucketsOperator(Operator):
                 float(self.config.get("fill", 0.0)),
             )
         }
+
+
+_ROLLING_AGGS = ("sum", "count", "mean", "min", "max")
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_seconds: int,
+    partition_cols: list[str] | None = None,
+    aggs: tuple[str, ...] = ("sum", "count"),
+    value_decimals: int = 2,
+    out_prefix: str = "rolling_",
+) -> DataFrame:
+    """Per-row trailing time-window aggregates (moving sum / count /
+    mean / min / max over the last ``window_seconds``, bounds
+    inclusive — SQL ``RANGE BETWEEN x PRECEDING AND CURRENT ROW``
+    semantics, so equal timestamps are peers and share a frame).
+
+    Cross-engine float discipline: sums and means go through
+    fixed-point cents (``round(value·10^d)`` as BIGINT — exact,
+    order-independent addition) and come back to double via ONE
+    division, because engines disagree on windowed double-sum
+    accumulation order (Spark incremental, DuckDB segment tree).
+    ``min``/``max`` are order-free and stay double. Rows whose time
+    is NULL get NULL rolling columns (engines disagree on NULL
+    ORDER-BY peer groups; a contract beats a quirk).
+
+    Scale shape: ONE keyed shuffle (the window partition), no joins,
+    no second scan. Empty ``partition_cols`` means a single global
+    ordered partition — one reducer; only for small inputs
+    (validated loudly at the operator surface).
+    """
+    from pyspark.sql import Window
+
+    bad = [a for a in aggs if a not in _ROLLING_AGGS]
+    if bad:
+        raise OperatorConfigError(
+            f"unknown rolling aggs {bad!r}; have {_ROLLING_AGGS}"
+        )
+    scale = 10 ** int(value_decimals)
+    base = df.withColumn(
+        "__ts", F.col(time_col).cast("timestamp").cast("long")
+    )
+    ok = base.where(F.col("__ts").isNotNull())
+    nul = base.where(F.col("__ts").isNull())
+    w = (
+        Window.partitionBy(*(partition_cols or []))
+        .orderBy("__ts")
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    cents = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast(
+        "long"
+    )
+    sum_cents = F.sum(cents).over(w)
+    cnt = F.count(F.col(value_col)).over(w)
+    out_exprs = {
+        "sum": lambda: sum_cents.cast("double") / F.lit(float(scale)),
+        "count": lambda: cnt,
+        "mean": lambda: sum_cents.cast("double") / (cnt * F.lit(scale)),
+        "min": lambda: F.min(F.col(value_col).cast("double")).over(w),
+        "max": lambda: F.max(F.col(value_col).cast("double")).over(w),
+    }
+    for a in aggs:
+        ok = ok.withColumn(out_prefix + a, out_exprs[a]())
+        nul = nul.withColumn(
+            out_prefix + a,
+            F.lit(None).cast("long" if a == "count" else "double"),
+        )
+    return ok.unionByName(nul).drop("__ts")
+
+
+@register_operator("rolling_aggregate")
+class RollingAggregateOperator(Operator):
+    """Config: ``time_col``, ``value_col``, ``window_seconds``
+    (required); ``partition_cols``, ``aggs``, ``value_decimals``,
+    ``out_prefix``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("time_col", "value_col", "window_seconds"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"rolling_aggregate requires {key!r}")
+        if not self.config.get("partition_cols") and not self.config.get(
+            "allow_global_window"
+        ):
+            raise OperatorConfigError(
+                "rolling_aggregate without partition_cols runs on ONE "
+                "reducer; pass allow_global_window=true to accept that "
+                "on a small input"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": rolling_aggregate(
+                self.single_input(inputs),
+                c["time_col"],
+                c["value_col"],
+                int(c["window_seconds"]),
+                list(c.get("partition_cols") or []),
+                tuple(c.get("aggs") or ("sum", "count")),
+                int(c.get("value_decimals", 2)),
+                c.get("out_prefix", "rolling_"),
+            )
+        }

@@ -575,6 +575,32 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("text_col", "string", default="text"),
         f("shingle_n", "integer", default=3),
     ],
+    "collocations": [
+        f("text_col", "string", default="text"),
+        f("min_count", "integer", default=5,
+          desc="minimum bigram corpus count"),
+        f("top_k", "integer", default=50, desc="pairs returned, by lift"),
+    ],
+    "histogram": [
+        f("value_col", "string", required=True),
+        f("bins", "integer", default=20),
+        f("lo", "number", desc="lower bound; omitted = data min"),
+        f("hi", "number", desc="upper bound; omitted = data max"),
+    ],
+    "rolling_aggregate": [
+        f("time_col", "string", required=True),
+        f("value_col", "string", required=True),
+        f("window_seconds", "integer", required=True,
+          desc="trailing window size, inclusive bounds"),
+        f("partition_cols", "array", items={"type": "string"},
+          desc="window keys; empty = single-reducer global window"),
+        f("aggs", "array", items={"type": "string"},
+          desc="subset of sum/count/mean/min/max"),
+        f("value_decimals", "integer", default=2,
+          desc="fixed-point digits for exact windowed sums"),
+        f("out_prefix", "string", default="rolling_"),
+        f("allow_global_window", "boolean", default=False),
+    ],
     "url_parts": [
         f("url_col", "string", required=True),
         f("prefix", "string", default="url_",

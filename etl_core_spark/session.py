@@ -123,6 +123,55 @@ def persist_intermediate(df):
     return df
 
 
+def release_local_checkpoint(df) -> None:
+    """Free the executor blocks behind a ``localCheckpoint``-ed
+    DataFrame NOW instead of at JVM garbage-collection time.
+
+    ``DataFrame.unpersist`` only talks to the cache manager; the
+    checkpoint's materialized RDD (persisted MEMORY_AND_DISK by
+    ``localCheckpoint``) stays pinned until the JVM object happens to
+    be collected. In an iterative operator (``connected_components``
+    runs O(log n) rounds, each checkpointing the full edge relation)
+    that lag pins rounds × |edges| of executor storage on a
+    long-lived driver. The checkpointed plan is a ``LogicalRDD``;
+    unpersisting its RDD releases the blocks immediately. Only call
+    on checkpoints nothing references anymore: a local checkpoint has
+    NO lineage, so a released one cannot be recomputed.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan or session already gone
+
+
+class _LocalCheckpointHandle:
+    """Duck-types ``unpersist`` so the release bookkeeping can free
+    checkpoint blocks the same way it frees plan caches."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def unpersist(self):
+        self._df.unpersist()
+        release_local_checkpoint(self._df)
+
+
+#: checkpoints still referenced by a returned result — released ONLY
+#: by ``release_intermediates()`` (no FIFO eviction: a released local
+#: checkpoint cannot be recomputed, so evicting one under load would
+#: corrupt a still-running plan, unlike the always-safe persist FIFO)
+_TRACKED_CHECKPOINTS: list = []
+
+
+def track_local_checkpoint(df):
+    """Register a ``localCheckpoint``-ed DataFrame whose blocks back a
+    returned result, so ``release_intermediates()`` frees them once
+    the consuming action is done. Returns ``df``."""
+    with _CACHE_LOCK:
+        _TRACKED_CHECKPOINTS.append(_LocalCheckpointHandle(df))
+    return df
+
+
 def release_intermediates() -> int:
     """Unpersist every tracked operator intermediate; returns how many
     were released. Call after the consuming action (end of a job, a
@@ -133,9 +182,12 @@ def release_intermediates() -> int:
     n = 0
     while True:
         with _CACHE_LOCK:
-            if not _CACHED_INTERMEDIATES:
+            if _CACHED_INTERMEDIATES:
+                df = _CACHED_INTERMEDIATES.pop()
+            elif _TRACKED_CHECKPOINTS:
+                df = _TRACKED_CHECKPOINTS.pop()
+            else:
                 break
-            df = _CACHED_INTERMEDIATES.pop()
         try:
             df.unpersist()
             n += 1

@@ -290,3 +290,52 @@ def test_salted_join_stays_hash_join_no_bnlj(spark, tables):
     assert "BroadcastNestedLoopJoin" not in plan
     # the whole point: the join key includes the salt column
     assert "__salt" in plan
+
+
+def test_corpus_overlap_no_shingle_self_join(spark, tables):
+    from etl_core_spark.operators.text_analysis import corpus_overlap
+
+    plan = plan_of(corpus_overlap(tables["documents"]))
+    # the r8 reshape: grams aggregate per shingle (collect_set) and
+    # pairs come from array combos — no SortMergeJoin on the raw
+    # shingle stream (size joins on ≤groups rows may broadcast)
+    assert "SortMergeJoin" not in plan
+    # gram agg + the tiny pair/size aggregates — and nothing more
+    import re
+
+    shuffles = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(shuffles) <= 4, plan
+
+
+def test_histogram_counts_side_is_broadcast(spark, tables):
+    from etl_core_spark.operators.profile import histogram
+
+    plan = plan_of(histogram(tables["lineitem"], "l_extendedprice", bins=20))
+    # the spine-counts join must broadcast the ≤bins-row counts side,
+    # never shuffle the scan twice for it
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_aggregate_single_window_shuffle(spark, tables):
+    from etl_core_spark.operators.timeseries import rolling_aggregate
+
+    out = rolling_aggregate(
+        tables["orders"], "o_orderdate", "o_totalprice", 30 * 86400,
+        ["o_custkey"], ("sum", "count", "mean"),
+    )
+    plan = plan_of(out)
+    # all three aggs ride ONE window over one hash partitioning —
+    # hashpartitioning on the key appears once
+    assert plan.count("hashpartitioning(o_custkey") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_collocations_totals_are_broadcast(spark, tables):
+    from etl_core_spark.operators.text_analysis import collocations
+
+    plan = plan_of(collocations(tables["documents"], min_count=5, top_k=50))
+    # corpus totals (U, B) must ride broadcast one-row cross joins;
+    # top-k must be TakeOrdered, not a global Sort+Limit
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
