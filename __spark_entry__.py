@@ -4999,6 +4999,261 @@ FROM t WHERE ts IS NULL
 """
 
 
+def q_diff_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed A/B dataset comparison (operators/compare.py
+    diff_datasets): yesterday's orders export vs today's — dropped
+    keys, new keys, and value changes with the per-row list of
+    changed columns. One full-outer null-safe join; status decided by
+    presence markers."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderkey") % 7 != 0)
+    right = orders.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return get_operator("diff_datasets")(
+        key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    ).apply({"left": left, "right": right})["out"]
+
+
+_SQL_DIFF_DATASETS = """
+WITH l AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 7 <> 0
+), r AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50.0
+              ELSE o_totalprice END AS p,
+         o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(l.k, r.k) AS o_orderkey,
+       CASE WHEN l.k IS NULL THEN 'added'
+            WHEN r.k IS NULL THEN 'removed'
+            WHEN (l.p IS DISTINCT FROM r.p) OR (l.s IS DISTINCT FROM r.s)
+              THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       CASE WHEN l.k IS NULL OR r.k IS NULL THEN CAST([] AS VARCHAR[])
+            ELSE list_sort(list_filter(
+                   [CASE WHEN l.p IS DISTINCT FROM r.p
+                         THEN 'o_totalprice' END,
+                    CASE WHEN l.s IS DISTINCT FROM r.s
+                         THEN 'o_orderstatus' END],
+                   x -> x IS NOT NULL)) END AS changed_cols
+FROM l FULL OUTER JOIN r ON l.k = r.k
+"""
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD type-2 dimension merge (operators/compare.py
+    scd2_merge): a customer dimension with history takes a batch of
+    balance updates plus brand-new keys — changed versions close at
+    the effective date, new open versions begin there, no-op updates
+    are ignored, history passes through. Single full-outer join;
+    every output row emitted from ONE pass via array-explode."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    open_rows = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2023-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    hist_rows = cust.where(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("c_acctbal") - 500.0).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2022-01-01")).alias("valid_from"),
+        F.to_date(F.lit("2023-01-01")).alias("valid_to"),
+    )
+    current = open_rows.unionByName(hist_rows)
+    updates = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_acctbal") + 100.0).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.lit("2024-06-01")).alias("eff"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("custkey"),
+                F.lit(0.0).alias("acctbal"),
+                F.lit("NEW").alias("segment"),
+                F.to_date(F.lit("2024-06-01")).alias("eff"),
+            )
+        )
+    )
+    return get_operator("scd2_merge")(
+        key_cols=["custkey"],
+        tracked_cols=["acctbal", "segment"],
+        effective_col="eff",
+    ).apply({"current": current, "updates": updates})["out"]
+
+
+_SQL_SCD2_MERGE = """
+WITH open_ AS (
+  SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+         c_mktsegment AS segment, DATE '2023-01-01' AS valid_from
+  FROM customer
+), hist AS (
+  SELECT c_custkey AS custkey, c_acctbal - 500.0 AS acctbal,
+         c_mktsegment AS segment, DATE '2022-01-01' AS valid_from,
+         DATE '2023-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 13 = 0
+), upd AS (
+  SELECT c_custkey AS custkey, c_acctbal + 100.0 AS acctbal,
+         c_mktsegment AS segment, DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0, 'NEW', DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 17 = 0
+), j AS (
+  SELECT o.custkey AS ok, o.acctbal AS oa, o.segment AS os,
+         o.valid_from AS ofr, u.custkey AS uk, u.acctbal AS ua,
+         u.segment AS us, u.eff AS eff
+  FROM open_ o FULL OUTER JOIN upd u ON o.custkey = u.custkey
+)
+SELECT custkey, acctbal, segment, valid_from, valid_to FROM hist
+UNION ALL
+-- open version with no update, or a no-op update: stays open
+SELECT ok, oa, os, ofr, CAST(NULL AS DATE) FROM j
+WHERE ok IS NOT NULL
+  AND (uk IS NULL OR (oa IS NOT DISTINCT FROM ua
+                      AND os IS NOT DISTINCT FROM us))
+UNION ALL
+-- changed: the superseded version closes at the effective date
+SELECT ok, oa, os, ofr, eff FROM j
+WHERE ok IS NOT NULL AND uk IS NOT NULL
+  AND (oa IS DISTINCT FROM ua OR os IS DISTINCT FROM us)
+UNION ALL
+-- changed or brand-new key: a new open version begins
+SELECT uk, ua, us, eff, CAST(NULL AS DATE) FROM j
+WHERE uk IS NOT NULL
+  AND (ok IS NULL OR oa IS DISTINCT FROM ua OR os IS DISTINCT FROM us)
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers by modified z-score (operators/
+    timeseries.py mad_outliers, Iglewicz-Hoaglin 0.6745*(x-med)/MAD):
+    exact median + MAD via the certified percentile/quantile_cont
+    interpolation parity; two broadcast stats join-backs, big side
+    narrow."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("mad_outliers")(
+        value_col="value",
+        group_cols=["event_type"],
+        threshold=3.5,
+        # event_type cardinality is known-tiny; the combined stats
+        # table's size estimate is opaque post-join, so force the hint
+        broadcast_stats=True,
+    ).apply({"in": ev})["out"]
+    return out.select(
+        "event_id", "event_type", "value", "median", "mad",
+        "robust_z", "is_outlier",
+    )
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, med.m
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type,
+         quantile_cont(abs(CAST(value AS DOUBLE) - m), 0.5) AS md
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.m, 6) AS median, round(mad.md, 6) AS mad,
+       round(CASE WHEN mad.md IS NOT NULL AND mad.md > 0
+                  THEN 0.6744897501960817 * (CAST(d.value AS DOUBLE) - d.m)
+                       / mad.md
+                  WHEN d.value IS NOT NULL THEN 0.0 END, 6) AS robust_z,
+       coalesce(abs(CASE WHEN mad.md IS NOT NULL AND mad.md > 0
+                         THEN 0.6744897501960817
+                              * (CAST(d.value AS DOUBLE) - d.m) / mad.md
+                    END) > 3.5, FALSE) AS is_outlier
+FROM d JOIN mad USING (event_type)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/timeseries.py
+    retention_cohorts): users cohorted by first-seen ISO week,
+    distinct actives per (cohort, week-offset) cell. First-seen is a
+    map-side-combinable min; join-back AQE-sized on the user key."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    return get_operator("retention_cohorts")(
+        user_col="user_id", time_col="ts", granularity="week"
+    ).apply({"in": ev})["out"]
+
+
+_SQL_RETENTION_COHORTS = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS b
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), f AS (
+  SELECT u, min(b) AS cohort FROM ev GROUP BY u
+)
+SELECT f.cohort AS cohort,
+       CAST(date_diff('day', f.cohort, ev.b) / 7 AS INT) AS period_offset,
+       count(DISTINCT ev.u) AS n_users
+FROM ev JOIN f USING (u)
+GROUP BY 1, 2
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys (operators/timeseries.py markov_transitions): adjacent
+    (state -> next) counts and conditional probabilities; ordering is
+    (ts, event_id) — total, so lead() is deterministic in both
+    engines. p is ONE division of exact integers: bit-identical
+    before the 6dp round."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    return get_operator("markov_transitions")(
+        user_col="user_id",
+        time_col="ts",
+        event_col="event_type",
+        order_cols=["event_id"],
+    ).apply({"in": ev})["out"]
+
+
+_SQL_MARKOV_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_event
+  FROM events
+), t AS (
+  SELECT from_event, to_event, count(*) AS n
+  FROM s WHERE to_event IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_event, sum(n) AS total FROM t GROUP BY 1
+)
+SELECT t.from_event, t.to_event, t.n,
+       round(CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS p
+FROM t JOIN tot USING (from_event)
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5226,6 +5481,8 @@ _R08_WINDOW = [
     "semdedup", "shuffle_rows", "salted_join", "export_shards",
     "gopher_quality", "semdedup_atypical", "agg_extended",
     "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
+    "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
+    "markov_transitions",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5386,8 +5643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "histogram": q_histogram,
         "rolling_aggregate": q_rolling_aggregate,
+        "diff_datasets": q_diff_datasets,
+        "scd2_merge": q_scd2_merge,
+        "mad_outliers": q_mad_outliers,
+        "retention_cohorts": q_retention_cohorts,
+        "markov_transitions": q_markov_transitions,
     }
-    assert len(_R08_WINDOW) == 53 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 58 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -5528,6 +5790,11 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _SQL_COLLOCATIONS,
         "histogram": _SQL_HISTOGRAM,
         "rolling_aggregate": _SQL_ROLLING,
+        "diff_datasets": _SQL_DIFF_DATASETS,
+        "scd2_merge": _SQL_SCD2_MERGE,
+        "mad_outliers": _SQL_MAD_OUTLIERS,
+        "retention_cohorts": _SQL_RETENTION_COHORTS,
+        "markov_transitions": _SQL_MARKOV_TRANSITIONS,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

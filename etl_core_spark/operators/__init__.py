@@ -29,6 +29,7 @@ from etl_core_spark.operators import (  # noqa: F401
     reshape,
     multimodal,
     skew,
+    compare,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

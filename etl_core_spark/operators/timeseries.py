@@ -405,3 +405,289 @@ class RollingAggregateOperator(Operator):
                 c.get("out_prefix", "rolling_"),
             )
         }
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+    broadcast_stats: bool | None = None,
+) -> DataFrame:
+    """Robust outlier annotation via the modified z-score (Iglewicz &
+    Hoaglin 1993): ``0.6745 * (x - median) / MAD`` with the exact
+    per-group median and median-absolute-deviation, flagged beyond
+    ``threshold`` (their recommended 3.5). Survives the failure mode
+    that breaks ``zscore_outliers`` — a few huge values inflate the
+    mean and std until nothing is an outlier; median and MAD have a
+    50% breakdown point. Groups with MAD 0/NULL (constant or
+    single-row) get robust_z 0 and are never outliers; NULL values
+    keep NULL robust_z but a real ``false`` flag (the annotate
+    contract: a NULL flag would vanish from both filter branches).
+
+    Cross-engine: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition (the
+    certified ``percentiles`` discipline) and the consistency
+    constant is one shared literal, so robust_z matches bit-for-bit
+    before its 6dp round.
+
+    Scale shape: the median and the MAD are both tiny per-group
+    percentile aggregates; the deviation pass joins the (broadcast)
+    median table onto the data ONLY inside the MAD aggregate's
+    lineage, and the annotated output is built from a SINGLE
+    stats-gated broadcast join-back of the combined (median, MAD)
+    table — the big side is joined once, never sorted or windowed.
+    (A naive two-stage join-back re-shuffles the annotated relation
+    for the second stats join because the optimizer has no size
+    estimate for a post-join aggregate — measured as an extra
+    SortMergeJoin of the full input; this shape avoids it
+    structurally.) Exact percentile sorts values WITHIN the aggregate
+    at 100 TB; the sketch alternative is ``approx_quantiles``.
+    """
+    group_cols = list(group_cols or [])
+    # Iglewicz-Hoaglin consistency constant 1/1.4826 = qnorm(0.75):
+    # one literal shared with the SQL oracle so the product is the
+    # same IEEE expression tree in both engines
+    c = F.lit(0.6744897501960817)
+    v = F.col(value_col).cast("double")
+    if group_cols:
+        med = df.groupBy(*group_cols).agg(
+            F.percentile(v, F.lit(0.5)).alias("__med")
+        )
+        med_r = med.select(
+            *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__med"
+        )
+        cond = None
+        for g in group_cols:
+            eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = eq if cond is None else (cond & eq)
+        # the median table comes straight off a scan aggregate, so the
+        # optimizer CAN estimate it — the gated broadcast fires here
+        dev = df.join(_maybe_broadcast(med_r, broadcast_stats), on=cond)
+        mad = dev.groupBy(*[F.col(f"__g_{g}") for g in group_cols]).agg(
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
+        )
+        # tiny x tiny (both <= |groups| rows by construction): always
+        # broadcastable regardless of the opaque post-join estimate
+        stats = med_r.join(
+            F.broadcast(mad), on=[f"__g_{g}" for g in group_cols], how="left"
+        )
+        with_mad = df.join(
+            _maybe_broadcast(stats, broadcast_stats), on=cond
+        ).drop(*[f"__g_{g}" for g in group_cols])
+    else:
+        med = df.agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+        mad = (
+            df.crossJoin(F.broadcast(med))
+            .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad"))
+        )
+        with_mad = df.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad").isNotNull() & (F.col("__mad") > 0),
+        c * (v - F.col("__med")) / F.col("__mad"),
+    ).otherwise(F.when(v.isNotNull(), F.lit(0.0)))
+    return (
+        with_mad.withColumn("robust_z", F.round(z, 6))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(
+                    F.when(
+                        F.col("__mad").isNotNull() & (F.col("__mad") > 0),
+                        c * (v - F.col("__med")) / F.col("__mad"),
+                    )
+                )
+                > F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+        .withColumn("median", F.round(F.col("__med"), 6))
+        .withColumn("mad", F.round(F.col("__mad"), 6))
+        .drop("__med", "__mad")
+    )
+
+
+@register_operator("mad_outliers")
+class MadOutliersOperator(Operator):
+    """Config: ``value_col`` (required), ``group_cols``,
+    ``threshold``, ``broadcast_stats``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("mad_outliers requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": mad_outliers(
+                self.single_input(inputs),
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                float(c.get("threshold", 3.5)),
+                c.get("broadcast_stats"),
+            )
+        }
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the truncated
+    bucket of their FIRST event; every (cohort, period-offset) cell
+    counts the distinct users from that cohort active in that later
+    period — the product-analytics retention triangle. Granularities:
+    ``week`` (ISO Monday start — Spark and DuckDB agree) / ``day`` /
+    ``month``. Offsets are exact bucket distances (weeks: day-diff/7,
+    always integral since both ends are week starts; months: 12*year
+    + month deltas).
+
+    Scale shape: first-seen is one map-side-combinable min-aggregate
+    per user; the join-back is a keyed AQE-sized equi-join (user
+    cardinality is large — no broadcast assumption); the cell count
+    is a distinct-per-cell aggregate. Integer counts → bit-exact
+    cross-engine.
+    """
+    if granularity not in ("day", "week", "month"):
+        raise OperatorConfigError(
+            f"retention_cohorts granularity must be day/week/month, "
+            f"got {granularity!r}"
+        )
+    ts = F.col(time_col).cast("timestamp")
+    bucket = F.date_trunc(granularity, ts).cast("date")
+    ev = df.where(ts.isNotNull() & F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"), bucket.alias("__b")
+    )
+    first = ev.groupBy("__u").agg(F.min("__b").alias("cohort"))
+    joined = ev.join(first, on="__u")
+    if granularity == "month":
+        off = (
+            (F.year("__b") - F.year("cohort")) * 12
+            + (F.month("__b") - F.month("cohort"))
+        ).cast("int")
+    elif granularity == "week":
+        off = (F.datediff(F.col("__b"), F.col("cohort")) / 7).cast("int")
+    else:
+        off = F.datediff(F.col("__b"), F.col("cohort")).cast("int")
+    return (
+        joined.select("cohort", off.alias("period_offset"), "__u")
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )
+
+
+@register_operator("retention_cohorts")
+class RetentionCohortsOperator(Operator):
+    """Config: ``user_col``, ``time_col`` (required),
+    ``granularity`` (day/week/month)."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("user_col", "time_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"retention_cohorts requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": retention_cohorts(
+                self.single_input(inputs),
+                c["user_col"],
+                c["time_col"],
+                c.get("granularity", "week"),
+            )
+        }
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    event_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every adjacent (state → next state) hop, its
+    count and conditional probability ``p = n / Σ n(from, ·)`` — the
+    user-journey / clickstream-model primitive. Ordering within an
+    entity is (time, *order_cols*): pass a unique tiebreaker (an
+    event id) so equal timestamps order deterministically — the
+    operator is only as reproducible as its sort key is total.
+
+    Cross-engine: counts are integers and the probability is ONE
+    IEEE division of exact integers — bit-identical in the SQL
+    oracle before its 6dp round.
+
+    Scale shape: one keyed window shuffle (partition by entity —
+    sequences are per-user short) for the ``lead``; transition and
+    row-total counts are map-side-combinable aggregates over the
+    (small) state-pair vocabulary; the totals join is
+    vocabulary-sized and AQE handles it. The pair-count table is
+    PERSISTED before fanning into its two consumers (counts + totals)
+    — without it each branch re-runs the full window shuffle and
+    scan (Spark shares no common subplans across DataFrame
+    references; measured as a doubled ``hashpartitioning(user)``
+    exchange).
+    """
+    from pyspark.sql import Window
+
+    from etl_core_spark.session import persist_intermediate
+
+    order = [F.col(time_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = df.select(
+        F.col(event_col).alias("from_event"),
+        F.lead(F.col(event_col)).over(w).alias("to_event"),
+    ).where(F.col("to_event").isNotNull())
+    t = persist_intermediate(
+        seq.groupBy("from_event", "to_event").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    tot = t.groupBy("from_event").agg(F.sum("n").alias("__total"))
+    return (
+        t.join(tot, on="from_event")
+        .select(
+            "from_event",
+            "to_event",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
+@register_operator("markov_transitions")
+class MarkovTransitionsOperator(Operator):
+    """Config: ``user_col``, ``time_col``, ``event_col`` (required),
+    ``order_cols`` (deterministic tiebreak, strongly recommended)."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("user_col", "time_col", "event_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"markov_transitions requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": markov_transitions(
+                self.single_input(inputs),
+                c["user_col"],
+                c["time_col"],
+                c["event_col"],
+                list(c.get("order_cols") or []),
+            )
+        }

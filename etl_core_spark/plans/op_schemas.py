@@ -587,6 +587,41 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("lo", "number", desc="lower bound; omitted = data min"),
         f("hi", "number", desc="upper bound; omitted = data max"),
     ],
+    "diff_datasets": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("compare_cols", "array", items={"type": "string"},
+          desc="columns compared null-safely; default: shared non-keys"),
+        f("status_col", "string", default="diff_status"),
+    ],
+    "scd2_merge": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("tracked_cols", "array", required=True, items={"type": "string"},
+          desc="attributes whose change opens a new version"),
+        f("effective_col", "string", default="effective_at"),
+        f("from_col", "string", default="valid_from"),
+        f("to_col", "string", default="valid_to"),
+    ],
+    "mad_outliers": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("threshold", "number", default=3.5,
+          desc="|modified z-score| beyond which a row is an outlier"),
+        f("broadcast_stats", "boolean",
+          desc="force/forbid broadcasting the per-group stats"),
+    ],
+    "retention_cohorts": [
+        f("user_col", "string", required=True),
+        f("time_col", "string", required=True),
+        f("granularity", "string", default="week",
+          enum=["day", "week", "month"]),
+    ],
+    "markov_transitions": [
+        f("user_col", "string", required=True),
+        f("time_col", "string", required=True),
+        f("event_col", "string", required=True),
+        f("order_cols", "array", items={"type": "string"},
+          desc="extra sort keys for a total, deterministic order"),
+    ],
     "rolling_aggregate": [
         f("time_col", "string", required=True),
         f("value_col", "string", required=True),

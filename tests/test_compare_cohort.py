@@ -1,0 +1,249 @@
+"""Hand-computed pins for the dataset-comparison and behavioral-
+analytics operators: diff_datasets, scd2_merge, mad_outliers,
+retention_cohorts, markov_transitions."""
+
+import datetime
+
+import pytest
+
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+
+def _diff(spark, left_rows, right_rows, **cfg):
+    left = spark.createDataFrame(left_rows, "k long, a string, b double")
+    right = spark.createDataFrame(right_rows, "k long, a string, b double")
+    return {
+        r["k"]: (r["diff_status"], r["changed_cols"])
+        for r in get_operator("diff_datasets")(key_cols=["k"], **cfg)
+        .apply({"left": left, "right": right})["out"]
+        .collect()
+    }
+
+
+def test_diff_datasets_hand_computed(spark):
+    out = _diff(
+        spark,
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, "w", 4.0)],
+        [(1, "x", 1.0), (2, "Y", 2.0), (4, "w", 9.0), (5, "n", 5.0)],
+    )
+    assert out == {
+        1: ("unchanged", []),
+        2: ("changed", ["a"]),
+        3: ("removed", []),
+        4: ("changed", ["b"]),
+        5: ("added", []),
+    }
+
+
+def test_diff_datasets_null_safe_values_and_keys(spark):
+    # NULL vs value is a change; NULL vs NULL is not; NULL keys PAIR
+    # (null-safe join) instead of landing in both added and removed
+    out = _diff(
+        spark,
+        [(None, "x", None), (7, None, 1.0)],
+        [(None, "x", 5.0), (7, None, 1.0)],
+    )
+    assert out == {None: ("changed", ["b"]), 7: ("unchanged", [])}
+
+
+def test_diff_datasets_multi_change_sorted(spark):
+    out = _diff(spark, [(1, "x", 1.0)], [(1, "q", 2.0)])
+    assert out == {1: ("changed", ["a", "b"])}  # sorted col names
+
+
+def test_diff_datasets_default_compare_cols(spark):
+    # default = shared non-key columns: right lacks 'b', so only 'a'
+    # is compared
+    left = spark.createDataFrame([(1, "x", 1.0)], "k long, a string, b double")
+    right = spark.createDataFrame([(1, "x")], "k long, a string")
+    rows = (
+        get_operator("diff_datasets")(key_cols=["k"])
+        .apply({"left": left, "right": right})["out"]
+        .collect()
+    )
+    assert [(r["diff_status"], r["changed_cols"]) for r in rows] == [
+        ("unchanged", [])
+    ]
+
+
+def test_diff_datasets_requires_keys():
+    with pytest.raises(OperatorConfigError):
+        get_operator("diff_datasets")(key_cols=[])
+
+
+D = datetime.date
+
+
+def _scd2(spark, current_rows, update_rows):
+    cur = spark.createDataFrame(
+        current_rows, "k long, v string, valid_from date, valid_to date"
+    )
+    upd = spark.createDataFrame(update_rows, "k long, v string, eff date")
+    out = (
+        get_operator("scd2_merge")(
+            key_cols=["k"], tracked_cols=["v"], effective_col="eff"
+        )
+        .apply({"current": cur, "updates": upd})["out"]
+        .collect()
+    )
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in out
+    )
+
+
+def test_scd2_merge_hand_computed(spark):
+    eff = D(2024, 6, 1)
+    out = _scd2(
+        spark,
+        [
+            (1, "a", D(2023, 1, 1), None),       # will change
+            (2, "b", D(2023, 1, 1), None),       # no-op update
+            (3, "c", D(2023, 1, 1), None),       # no update at all
+            (1, "a0", D(2022, 1, 1), D(2023, 1, 1)),  # history
+        ],
+        [(1, "a2", eff), (2, "b", eff), (9, "new", eff)],
+    )
+    assert out == sorted(
+        [
+            (1, "a0", D(2022, 1, 1), D(2023, 1, 1)),  # history untouched
+            (1, "a", D(2023, 1, 1), eff),             # closed
+            (1, "a2", eff, None),                     # new open version
+            (2, "b", D(2023, 1, 1), None),            # no-op: stays open
+            (3, "c", D(2023, 1, 1), None),            # untouched open
+            (9, "new", eff, None),                    # brand-new key
+        ]
+    )
+
+
+def test_scd2_merge_latest_update_wins_in_batch(spark):
+    # two updates for one key in a batch: only the latest effective
+    # time materializes (intermediate version is NOT created)
+    out = _scd2(
+        spark,
+        [(1, "a", D(2023, 1, 1), None)],
+        [(1, "mid", D(2024, 3, 1)), (1, "late", D(2024, 6, 1))],
+    )
+    assert out == sorted(
+        [
+            (1, "a", D(2023, 1, 1), D(2024, 6, 1)),
+            (1, "late", D(2024, 6, 1), None),
+        ]
+    )
+
+
+def test_scd2_merge_idempotent_redelivery(spark):
+    # applying the same batch twice: second application is a no-op
+    cur = [(1, "a", D(2023, 1, 1), None)]
+    upd = [(1, "b", D(2024, 6, 1))]
+    once = _scd2(spark, cur, upd)
+    twice = _scd2(spark, [(k, v, f, t) for k, v, f, t in once], upd)
+    assert once == twice
+
+
+def test_mad_outliers_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 100)]
+        + [("const", 5.0), ("const", 5.0), ("g", None)],
+        "grp string, v double",
+    )
+    rows = {
+        (r["grp"], r["v"]): (
+            r["median"], r["mad"], r["robust_z"], r["is_outlier"]
+        )
+        for r in get_operator("mad_outliers")(
+            value_col="v", group_cols=["grp"]
+        )
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    # g: median 3, |dev| = [2,1,0,1,97] -> MAD 1; z(100) = .6745*97
+    med, mad, z, flag = rows[("g", 100.0)]
+    assert (med, mad) == (3.0, 1.0)
+    assert abs(z - 0.6744897501960817 * 97) < 1e-6 and flag is True
+    assert rows[("g", 3.0)][2:] == (0.0, False)
+    # constant group: MAD 0 -> z 0, never an outlier
+    assert rows[("const", 5.0)] == (5.0, 0.0, 0.0, False)
+    # NULL value: NULL z, REAL false flag (annotate contract)
+    assert rows[("g", None)][2:] == (None, False)
+
+
+def test_retention_cohorts_hand_computed(spark):
+    # u1 first seen wk of Mon 2024-01-01; active again wk of 01-15
+    # u2 first seen wk of 01-08; active 01-08 twice (counted once)
+    rows = [
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        (2, "2024-01-08 09:00:00"),
+        (2, "2024-01-09 23:00:00"),
+        (None, "2024-01-01 00:00:00"),  # NULL user dropped
+        (3, None),                      # NULL time dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in get_operator("retention_cohorts")(
+            user_col="user_id", time_col="ts", granularity="week"
+        )
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    assert out == {
+        (D(2024, 1, 1), 0): 1,
+        (D(2024, 1, 1), 2): 1,
+        (D(2024, 1, 8), 0): 1,
+    }
+
+
+def test_retention_cohorts_month_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, "2023-11-15 00:00:00"), (1, "2024-02-01 00:00:00")],
+        "user_id long, ts string",
+    )
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in get_operator("retention_cohorts")(
+            user_col="user_id", time_col="ts", granularity="month"
+        )
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    # Nov 2023 -> Feb 2024 = 3 months across the year boundary
+    assert out == {(D(2023, 11, 1), 0): 1, (D(2023, 11, 1), 3): 1}
+
+
+def test_markov_transitions_hand_computed(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {
+        (r["from_event"], r["to_event"]): (r["n"], r["p"])
+        for r in get_operator("markov_transitions")(
+            user_col="u", time_col="t", event_col="e", order_cols=[]
+        )
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    # from a: ->b twice, ->c once; from b: ->a once (user 2 ends at b)
+    assert out == {
+        ("a", "b"): (2, 0.666667),
+        ("a", "c"): (1, 0.333333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_markov_transitions_tiebreak_is_deterministic(spark):
+    # equal timestamps: order_cols breaks the tie the same way every
+    # run (without it the lead() would be nondeterministic)
+    rows = [(1, 1, 10, "a"), (1, 1, 11, "b"), (1, 2, 12, "c")]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, e string")
+    out = {
+        (r["from_event"], r["to_event"]): r["n"]
+        for r in get_operator("markov_transitions")(
+            user_col="u", time_col="t", event_col="e", order_cols=["eid"]
+        )
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "c"): 1}

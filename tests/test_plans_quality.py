@@ -339,3 +339,99 @@ def test_collocations_totals_are_broadcast(spark, tables):
     # top-k must be TakeOrdered, not a global Sort+Limit
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_diff_datasets_single_join_no_bnlj(spark, tables):
+    from etl_core_spark.operators.compare import diff_datasets
+
+    orders = tables["orders"]
+    plan = plan_of(
+        diff_datasets(
+            orders, orders, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+        )
+    )
+    # null-safe key equality must stay an equi-join (knownfloatingpoint
+    # normalized eqNullSafe compiles to a hash-joinable key), never a
+    # BroadcastNestedLoopJoin over the whole pair space
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 1
+
+
+def test_scd2_merge_one_pass_explode(spark, tables):
+    from etl_core_spark.operators.compare import scd2_merge
+    from pyspark.sql import functions as F
+
+    cust = tables["customer"]
+    cur = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("v"),
+        F.to_date(F.lit("2023-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 1).alias("v"),
+        F.to_date(F.lit("2024-06-01")).alias("eff"),
+    )
+    plan = plan_of(scd2_merge(cur, upd, ["k"], ["v"], "eff"))
+    # the three output branches come from ONE pass over the join via
+    # array-explode: exactly one Generate node (formatted explain
+    # names each node twice: tree + detail), one full-outer join, no
+    # three-branch re-scan (which would show three joins)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_stats_ride_broadcast(spark, tables):
+    from etl_core_spark.operators.timeseries import mad_outliers
+
+    plan = plan_of(
+        mad_outliers(
+            tables["events"], "value", ["event_type"], broadcast_stats=True
+        )
+    )
+    # ONE broadcast join-back of the combined (median, MAD) table on
+    # the output path (+ the broadcast median join inside the MAD
+    # aggregate's lineage); the big side never sorts, windows, or
+    # shuffle-joins — the two-stage naive shape SMJ'd the full input
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_retention_cohorts_no_bnlj(spark, tables):
+    from etl_core_spark.operators.timeseries import retention_cohorts
+
+    plan = plan_of(retention_cohorts(tables["events"], "user_id", "ts"))
+    # first-seen join-back is a keyed equi-join (AQE-sized), and the
+    # cell count is a partial-aggregated distinct
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count(distinct" in plan.lower() or "HashAggregate" in plan
+
+
+def test_markov_transitions_single_window_shuffle(spark, tables):
+    from etl_core_spark.operators.timeseries import markov_transitions
+
+    plan = plan_of(
+        markov_transitions(
+            tables["events"], "user_id", "ts", "event_type", ["event_id"]
+        )
+    )
+    # ONE window shuffle on the entity key: the persisted pair-count
+    # table feeds both the counts and totals branches, so the
+    # user-keyed exchange appears once (unpersisted it appears twice)
+    import re
+
+    user_exchanges = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nArguments: hashpartitioning\(user_id", plan
+        )
+    }
+    assert len(user_exchanges) <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
