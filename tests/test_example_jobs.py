@@ -409,3 +409,52 @@ def test_parquet_corpus_to_shards(spark, tmp_path):
     assert set(verify_export(spark, str(out / "corpus")).values()) == {"ok"}
     back = spark.read.parquet(str(out / "corpus"))
     assert sorted(r["shuffle_pos"] for r in back.collect()) == list(range(20))
+
+
+def test_parquet_scd2_diff(spark, tmp_path):
+    import datetime
+
+    D = datetime.date
+
+    def inputs(d):
+        dim = spark.createDataFrame(
+            [
+                (1, "a", D(2023, 1, 1), None),
+                (2, "b", D(2023, 1, 1), None),
+                (1, "a0", D(2022, 1, 1), D(2023, 1, 1)),
+            ],
+            "k long, v string, valid_from date, valid_to date",
+        )
+        dim.coalesce(1).write.parquet(str(d / "dim.parquet"))
+        upd = spark.createDataFrame(
+            [(1, "a2", D(2024, 6, 1)), (9, "new", D(2024, 6, 1))],
+            "k long, v string, eff date",
+        )
+        upd.coalesce(1).write.parquet(str(d / "updates.parquet"))
+
+    out, result = run_example(spark, tmp_path, "parquet_scd2_diff.json", inputs)
+    dim2 = spark.read.parquet(str(out / "dim_v2"))
+    got = sorted(
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in dim2.collect()
+    )
+    assert got == sorted(
+        [
+            (1, "a0", "2022-01-01", "2023-01-01"),
+            (1, "a", "2023-01-01", "2024-06-01"),
+            (1, "a2", "2024-06-01", "None"),
+            (2, "b", "2023-01-01", "None"),
+            (9, "new", "2024-06-01", "None"),
+        ]
+    )
+    changes = spark.read.json(str(out / "changes"))
+    diff = {
+        r["k"]: (r["diff_status"], list(r["changed_cols"] or []))
+        for r in changes.collect()
+    }
+    # old open set {1:a, 2:b} vs new open set {1:a2, 2:b, 9:new}
+    assert diff == {
+        1: ("changed", ["v"]),
+        2: ("unchanged", []),
+        9: ("added", []),
+    }
