@@ -5254,6 +5254,188 @@ FROM t JOIN tot USING (from_event)
 """
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys (operators/timeseries.py event_paths): each
+    user's first-8-event chronological path as a>b>c, counted, top-20
+    (count desc, path asc). In-group order comes from array_sort over
+    (ts, event_id, event) structs INSIDE the aggregate — no window;
+    top-k is TakeOrdered. Strings + integer counts: bit-exact."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    return get_operator("event_paths")(
+        user_col="user_id",
+        time_col="ts",
+        event_col="event_type",
+        order_cols=["event_id"],
+        max_len=8,
+        top_k=20,
+    ).apply({"in": ev})["out"]
+
+
+_SQL_EVENT_PATHS = """
+WITH p AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+           '>') AS path
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n FROM p
+GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (operators/sketch.py approx_topk,
+    Misra-Gries per partition + exact candidate recount): top-50
+    corpus tokens. capacity is sized above the corpus vocabulary here,
+    so the MG guarantee bar (k-th frequency > n/capacity) is met and
+    the result equals the exact top-50 — which is exactly what the
+    oracle computes; the eviction path is pytest-certified separately
+    on a forced-small capacity."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.functions.text import tokens
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("tok")
+    )
+    return get_operator("approx_topk")(
+        col="tok", k=50, capacity=65536
+    ).apply({"in": toks})["out"]
+
+
+_SQL_APPROX_TOPK = f"""
+WITH u AS (
+  SELECT unnest({_TOKS}) AS v FROM documents
+), c AS (
+  SELECT v, count(*) AS n FROM u GROUP BY v
+)
+SELECT v AS value, n FROM c ORDER BY n DESC, value ASC LIMIT 50
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document to a 3-term probe
+    (operators/text_analysis.py bm25_score, Lucene idf variant) —
+    the retrieval primitive for decontamination triage and targeted
+    corpus slicing. Row-preserving mode: n_matched + floor-quantized
+    score for all docs, 0.0 when nothing matches. N/avgdl ride as a
+    broadcast one-row aggregate; the exploded relation holds only
+    query-term occurrences."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("bm25")(query=["hash", "join", "vector"]).apply(
+        {"in": docs}
+    )["out"]
+
+
+_SQL_BM25 = f"""
+WITH d AS (
+  SELECT doc_id,
+         greatest(coalesce(len({_TOKS}), 0), 0) AS dl,
+         {_TOKS} AS toks
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf, max(dl) AS dl
+  FROM (
+    SELECT doc_id, dl,
+           unnest(list_filter(coalesce(toks, CAST([] AS VARCHAR[])),
+                              x -> list_contains(['hash','join','vector'], x))) AS t
+    FROM d
+  ) u
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, count(*) AS n_matched,
+         sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(scored.n_matched, 0) AS n_matched,
+       floor(coalesce(scored.s, 0.0) * 1e6) / 1e6 AS score
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (operators/timeseries.py interpolate):
+    per-user hourly max(value) buckets densified onto each user's
+    observed span and interior gaps LINEARLY interpolated between the
+    surrounding observations; is_filled marks synthesized rows.
+    Observed values pass through bit-unchanged (max is order-
+    independent); interpolated values are a single arithmetic
+    expression over exact hour epochs, bit-identical in DuckDB, then
+    floor-quantized at 6dp."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bucketed = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.max("value").alias("v"))
+    return get_operator("interpolate")(
+        key_cols=["user_id"],
+        time_col="bucket",
+        value_col="v",
+        step="INTERVAL 1 HOUR",
+        method="linear",
+    ).apply({"in": bucketed})["out"]
+
+
+_SQL_INTERPOLATE = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, max(value) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), sp AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL 1 HOUR)) AS bucket
+  FROM b GROUP BY user_id
+), d AS (
+  SELECT sp.user_id, sp.bucket, b.v
+  FROM sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket
+), wv AS (
+  SELECT user_id, bucket, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM d
+)
+SELECT user_id, bucket,
+  coalesce(v,
+    CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      floor((pv + (nv - pv) * ((epoch(bucket) - epoch(pt))
+                               / (epoch(nt) - epoch(pt)))) * 1e6) / 1e6
+    END) AS v,
+  (v IS NULL) AS is_filled
+FROM wv
+"""
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5482,7 +5664,8 @@ _R08_WINDOW = [
     "gopher_quality", "semdedup_atypical", "agg_extended",
     "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
-    "markov_transitions",
+    "markov_transitions", "event_paths", "approx_topk",
+    "bm25_search", "interpolate_gaps",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5648,8 +5831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
+        "event_paths": q_event_paths,
+        "approx_topk": q_approx_topk,
+        "bm25_search": q_bm25_search,
+        "interpolate_gaps": q_interpolate_gaps,
     }
-    assert len(_R08_WINDOW) == 58 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 62 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -5795,6 +5982,10 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,
+        "event_paths": _SQL_EVENT_PATHS,
+        "approx_topk": _SQL_APPROX_TOPK,
+        "bm25_search": _SQL_BM25,
+        "interpolate_gaps": _SQL_INTERPOLATE,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

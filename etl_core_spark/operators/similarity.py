@@ -1117,12 +1117,8 @@ def semdedup(
         assigned = ivf_assign_numpy(nonzero, cent, "__sid", "__v")
     else:
         assigned = ivf_assign(nonzero, cent, "__sid", "__v", nprobe=1)
-    # both sides of the within-cell self-join read this subtree —
-    # persist so assignment (broadcast dot + keyed window) runs once,
-    # not twice (the minhash shingle-table discipline)
     from etl_core_spark.session import persist_intermediate
 
-    assigned = persist_intermediate(assigned)
     if keep == "far_from_centroid":
         # carry each member's similarity to its OWN centroid so the
         # pair step can keep the atypical one (paper policy); a
@@ -1132,6 +1128,12 @@ def semdedup(
             .withColumn("__csim", F.round(V.dot("__v", "__cvec"), 6))
             .select("__sid", "__v", "__cid", "__csim")
         )
+    # both sides of the within-cell self-join read this subtree —
+    # persist AFTER any csim augmentation so assignment (broadcast
+    # dot + keyed window) and the join-back run once, not twice (the
+    # minhash shingle-table discipline; persisting before the
+    # augmentation left the atypical path re-assigning per side)
+    assigned = persist_intermediate(assigned)
     a = assigned.select(
         F.col("__sid").alias("__ida"), F.col("__v").alias("__va"),
         "__cid",

@@ -208,3 +208,101 @@ class ApproxQuantilesOperator(Operator):
                 int(c.get("accuracy", 10000)),
             )
         }
+
+
+def approx_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 50,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Heavy hitters (top-k most frequent values) with BOUNDED memory:
+    Misra-Gries summaries per partition, then an EXACT recount of the
+    surviving candidate set.
+
+    Guarantee (the classical MG bound + an averaging argument across
+    partitions): every value with global frequency > n/capacity
+    appears in some partition with local frequency > n_p/capacity and
+    so survives that partition's summary — the candidate union is a
+    SUPERSET of the true heavy hitters. The second pass recounts
+    candidates exactly (semi-join + plain count), so returned counts
+    are exact and the top-k is the true top-k whenever the k-th true
+    frequency exceeds n/capacity (size capacity accordingly; below
+    that bar membership — not counts — may miss). Ties rank
+    deterministically (count desc, value asc). NULLs are ignored
+    (count them with a plain aggregate if they matter).
+
+    Scale shape: pass 1 is an Arrow-batched ``mapInPandas`` keeping at
+    most ``capacity`` counters per PARTITION — this is the justified
+    Python case (a streaming decrement sketch has no Catalyst
+    expression form) and its output is ≤ capacity rows per partition,
+    never the data; the candidate table (≤ capacity x partitions) is
+    distinct-folded and broadcast into the exact recount, which is a
+    map-side-combinable count over candidate cardinality. Top-k is
+    TakeOrdered. Two scans total, no full-column shuffle of raw
+    values (the exact-top-k alternative shuffles every distinct value;
+    at 100 TB with a web-scale vocabulary that IS the cost this
+    operator removes).
+    """
+    if int(k) < 1 or int(capacity) < int(k):
+        raise OperatorConfigError(
+            "approx_topk needs k >= 1 and capacity >= k"
+        )
+    cap = int(capacity)
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+
+    def mg_partition(batches):
+        # batched Misra-Gries: merge each Arrow batch's value_counts
+        # (C speed, never a per-row Python loop), then when over
+        # capacity subtract the (cap+1)-th largest count from ALL
+        # counters and drop the non-positive — equivalent to running
+        # that many classic decrement-all steps at once, so the
+        # total-decrement bound (<= n_p/cap per partition) and with
+        # it the superset guarantee are preserved
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["__v"].value_counts(), fill_value=0)
+            if len(counters) > cap:
+                t = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - t
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"__v": counters.index.astype(str)})
+
+    candidates = vals.mapInPandas(mg_partition, "__v string").distinct()
+    exact = (
+        vals.join(F.broadcast(candidates), on="__v", how="left_semi")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.orderBy(F.col("n").desc(), F.col("__v").asc())
+        .limit(int(k))
+        .select(F.col("__v").alias("value"), "n")
+    )
+
+
+@register_operator("approx_topk")
+class ApproxTopKOperator(Operator):
+    """Config: ``col`` (required), ``k``, ``capacity``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("col"):
+            raise OperatorConfigError("approx_topk requires 'col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": approx_topk(
+                self.single_input(inputs),
+                c["col"],
+                int(c.get("k", 50)),
+                int(c.get("capacity", 4096)),
+            )
+        }

@@ -1117,3 +1117,146 @@ class CollocationsOperator(Operator):
                 int(c.get("top_k", 50)),
             )
         }
+
+
+def bm25_score(
+    df: DataFrame,
+    query: list[str] | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a term query
+    (Robertson & Walker 1994; the idf variant is Lucene's
+    non-negative ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the
+    retrieval primitive behind "find the corpus documents most
+    relevant to this probe" (decontamination triage, targeted
+    corpus slicing, eval-set mining)::
+
+        score(d) = sum over query terms t of
+                   idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Row-preserving: every document comes back with ``n_matched``
+    (query terms present) and ``score`` (0.0 when none match, the
+    BM25 zero element — NULL/empty text scores 0.0 too). ``top_k``
+    switches to retrieval mode: best-k docs, ties (score desc,
+    id asc) deterministic.
+
+    Scale shape: tokenize once, keep ONLY tokens in the literal
+    query-term set before the (doc, term) aggregate — the exploded
+    relation is proportional to query-term OCCURRENCES, never the
+    corpus token count; df-per-term is at most |query| rows and N /
+    avgdl ride as a broadcast one-row aggregate (scalar-subquery
+    discipline, zero driver collects); the join-back to the full doc
+    list is keyed on id with the scored side AQE-broadcastable. No
+    window; ``top_k`` is TakeOrdered. Scores floor-quantized at 6dp
+    (the Java-vs-C rounding-tie lesson: floor has no ties).
+    """
+    terms = (
+        [t for t in query.split() if t] if isinstance(query, str) else list(query)
+    )
+    if lowercase:
+        terms = [t.lower() for t in terms]
+    terms = sorted(set(terms))
+    if not terms:
+        raise OperatorConfigError("bm25_score requires at least one query term")
+    if float(k1) < 0 or not 0 <= float(b) <= 1:
+        raise OperatorConfigError("bm25_score needs k1 >= 0 and b in [0, 1]")
+    from etl_core_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    base = df.select(
+        F.col(id_col), F.size(X.tokens(text)).alias("__dl"),
+        X.tokens(text).alias("__toks"),
+    )
+    # N and avgdl over ALL docs (NULL text -> size -1 from NULL array;
+    # normalize to 0 so empty and NULL docs weigh the same)
+    base = base.withColumn(
+        "__dl", F.greatest(F.coalesce(F.col("__dl"), F.lit(0)), F.lit(0))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qlit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            F.col(id_col), "__dl",
+            F.explode(
+                F.filter(
+                    F.coalesce(
+                        F.col("__toks"), F.array().cast("array<string>")
+                    ),
+                    lambda t: F.array_contains(qlit, t),
+                )
+            ).alias("__t"),
+        )
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    K1, B = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("__tf") * (K1 + 1)
+        / (F.col("__tf") + K1 * (1 - B + B * F.col("__dl") / F.col("__avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="__t")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(contrib).alias("__s"),
+        )
+    )
+    # join-back needs only the id list — a column-pruned scan, not a
+    # third tokenization pass over the text column
+    out = df.select(id_col).join(scored, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        (
+            F.floor(F.coalesce(F.col("__s"), F.lit(0.0)) * F.lit(1e6)) / F.lit(1e6)
+        ).alias("score"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(
+            int(top_k)
+        )
+    return out
+
+
+@register_operator("bm25")
+class Bm25Operator(Operator):
+    """Config: ``query`` (list or whitespace string, required);
+    ``text_col``, ``id_col``, ``k1``, ``b``, ``top_k``, ``lowercase``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("query"):
+            raise OperatorConfigError("bm25 requires 'query'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        top_k = c.get("top_k")
+        return {
+            "out": bm25_score(
+                self.single_input(inputs),
+                c["query"],
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                float(c.get("k1", 1.2)),
+                float(c.get("b", 0.75)),
+                int(top_k) if top_k is not None else None,
+                bool(c.get("lowercase", True)),
+            )
+        }

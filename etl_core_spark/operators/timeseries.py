@@ -691,3 +691,229 @@ class MarkovTransitionsOperator(Operator):
                 list(c.get("order_cols") or []),
             )
         }
+
+
+def event_paths(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    event_col: str,
+    order_cols: list[str] | None = None,
+    max_len: int = 8,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top user journeys: each entity's chronologically ordered event
+    sequence (capped at its first ``max_len`` events) rendered as a
+    ``a>b>c`` path string, counted across entities, top-k by
+    frequency — the "most common paths" view every product-analytics
+    tool ships next to the funnel. Ties rank deterministically
+    (count desc, path asc). Rows with NULL entity/time/event are
+    dropped (a journey needs all three). Pass a unique tiebreaker in
+    ``order_cols`` so equal timestamps order totally.
+
+    Scale shape: one groupBy-entity aggregate whose in-group order
+    comes from ``array_sort`` over (time, tiebreak, event) structs
+    INSIDE the aggregate — no window, no per-entity sort of the
+    relation (the assemble_docs discipline); per-group state is
+    bounded by ``max_len`` only after the slice, so journeys of
+    pathological users still cap the OUTPUT (cap input upstream with
+    cap_per_group if per-user event counts are unbounded). The path
+    count is a map-side-combinable aggregate over path-string
+    cardinality; top-k is TakeOrdered, never a global sort.
+
+    Cross-engine: path strings and integer counts — bit-exact.
+    """
+    if int(max_len) < 1 or int(top_k) < 1:
+        raise OperatorConfigError("event_paths max_len/top_k must be >= 1")
+    extra = [F.col(c) for c in (order_cols or [])]
+    ev = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    )
+    seq = ev.groupBy(user_col).agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(time_col).alias("__t"),
+                                *[
+                                    c.alias(f"__o{i}")
+                                    for i, c in enumerate(extra)
+                                ],
+                                F.col(event_col).alias("__e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__e"],
+                ),
+                1,
+                int(max_len),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(int(top_k))
+    )
+
+
+@register_operator("event_paths")
+class EventPathsOperator(Operator):
+    """Config: ``user_col``, ``time_col``, ``event_col`` (required);
+    ``order_cols``, ``max_len``, ``top_k``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("user_col", "time_col", "event_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"event_paths requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": event_paths(
+                self.single_input(inputs),
+                c["user_col"],
+                c["time_col"],
+                c["event_col"],
+                list(c.get("order_cols") or []),
+                int(c.get("max_len", 8)),
+                int(c.get("top_k", 50)),
+            )
+        }
+
+
+def interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    step: Column | str,
+    method: str = "linear",
+) -> DataFrame:
+    """Resample each key's series onto a dense time grid and fill the
+    gaps: ``linear`` interpolates interior NULL buckets between the
+    surrounding observations (pandas ``interpolate`` semantics);
+    ``ffill`` carries the last observation forward. The missing-value
+    repair step between bucketing and any rolling/seasonal analysis.
+
+    Contract: duplicate (key, time) rows collapse by mean first
+    (pre-aggregate upstream for anything else); observed values pass
+    through BIT-UNCHANGED; filled values are floor-quantized at 6dp
+    (division is involved — the Java-vs-C rounding-tie lesson);
+    ``is_filled`` marks synthesized rows. Leading gaps stay NULL
+    under both methods, trailing gaps stay NULL under ``linear``
+    (no extrapolation). ``step`` is an INTERVAL string for timestamp
+    grids or a Column/long for numeric grids; linear ratios use the
+    time cast to double (epoch seconds for timestamps), identical in
+    DuckDB's ``epoch``.
+
+    Scale shape: the spine explode is bounded by span/step rows per
+    key (proportional to OUTPUT, never input — the densify_buckets
+    discipline) with a null-safe FULL OUTER join so off-grid
+    observations survive; prev/next neighbor lookup is four framed
+    window expressions over ONE (key, time) sort — Spark plans all
+    four into a single Window exchange, no self-join, per-row state
+    O(1). No driver collects.
+    """
+    if method not in ("linear", "ffill"):
+        raise OperatorConfigError("interpolate method must be linear|ffill")
+    if not key_cols:
+        raise OperatorConfigError("interpolate requires key_cols")
+    from pyspark.sql import Window
+
+    obs = df.groupBy(*key_cols, time_col).agg(
+        F.avg(value_col).alias("__v")
+    )
+    step_expr = F.expr(step) if isinstance(step, str) else step
+    spans = obs.groupBy(*key_cols).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    spine = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), step_expr)
+        ).alias(time_col),
+    )
+    join_cols = [*key_cols, time_col]
+    spine_r = spine.select(
+        *[F.col(c).alias(f"__sp_{c}") for c in join_cols]
+    )
+    cond = None
+    for c in join_cols:
+        eq = F.col(f"__sp_{c}").eqNullSafe(F.col(c))
+        cond = eq if cond is None else (cond & eq)
+    dense = spine_r.join(obs, on=cond, how="full").select(
+        *[
+            F.coalesce(F.col(c), F.col(f"__sp_{c}")).alias(c)
+            for c in join_cols
+        ],
+        "__v",
+    )
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t_obs = F.when(F.col("__v").isNotNull(), F.col(time_col))
+    dense = dense.select(
+        *join_cols,
+        "__v",
+        F.last("__v", ignorenulls=True).over(prev).alias("__pv"),
+        F.last(t_obs, ignorenulls=True).over(prev).alias("__pt"),
+        F.first("__v", ignorenulls=True).over(nxt).alias("__nv"),
+        F.first(t_obs, ignorenulls=True).over(nxt).alias("__nt"),
+    )
+    tnum = F.col(time_col).cast("double")
+    if method == "ffill":
+        filled = F.col("__pv")
+    else:
+        ratio = (tnum - F.col("__pt").cast("double")) / (
+            F.col("__nt").cast("double") - F.col("__pt").cast("double")
+        )
+        filled = F.when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.floor(
+                (F.col("__pv") + (F.col("__nv") - F.col("__pv")) * ratio)
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        )
+    return dense.select(
+        *join_cols,
+        F.coalesce(F.col("__v"), filled).alias(value_col),
+        F.col("__v").isNull().alias("is_filled"),
+    )
+
+
+@register_operator("interpolate")
+class InterpolateOperator(Operator):
+    """Config: ``key_cols``, ``time_col``, ``value_col``, ``step``
+    (required); ``method`` (linear|ffill)."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "time_col", "value_col", "step"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"interpolate requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": interpolate(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                c["time_col"],
+                c["value_col"],
+                c["step"],
+                c.get("method", "linear"),
+            )
+        }

@@ -622,6 +622,43 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("order_cols", "array", items={"type": "string"},
           desc="extra sort keys for a total, deterministic order"),
     ],
+    "event_paths": [
+        f("user_col", "string", required=True),
+        f("time_col", "string", required=True),
+        f("event_col", "string", required=True),
+        f("order_cols", "array", items={"type": "string"},
+          desc="extra sort keys for a total, deterministic order"),
+        f("max_len", "integer", default=8,
+          desc="journey cap: first N events per entity"),
+        f("top_k", "integer", default=50),
+    ],
+    "approx_topk": [
+        f("col", "string", required=True),
+        f("k", "integer", default=50),
+        f("capacity", "integer", default=4096,
+          desc="Misra-Gries counters per partition; exact top-k when "
+               "the k-th frequency exceeds n/capacity"),
+    ],
+    "bm25": [
+        f("query", "array", items={"type": "string"}, required=True,
+          desc="query terms (or one whitespace-separated string)"),
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("k1", "number", default=1.2),
+        f("b", "number", default=0.75),
+        f("top_k", "integer",
+          desc="retrieval mode: return only the best-k documents"),
+        f("lowercase", "boolean", default=True),
+    ],
+    "interpolate": [
+        f("key_cols", "array", items={"type": "string"}, required=True),
+        f("time_col", "string", required=True),
+        f("value_col", "string", required=True),
+        f("step", "string", required=True,
+          desc="grid stride: INTERVAL string for timestamps, "
+               "integer for numeric time"),
+        f("method", "string", default="linear", enum=["linear", "ffill"]),
+    ],
     "rolling_aggregate": [
         f("time_col", "string", required=True),
         f("value_col", "string", required=True),

@@ -458,3 +458,45 @@ def test_parquet_scd2_diff(spark, tmp_path):
         2: ("unchanged", []),
         9: ("added", []),
     }
+
+
+def test_parquet_bm25_triage(spark, tmp_path, tables):
+    """BM25 retrieval triage through the JSON-config path: rank the
+    documents table against a probe query, keep the best 25."""
+
+    def inputs(d):
+        tables["documents"].select("doc_id", "text").write.parquet(
+            str(d / "docs.parquet")
+        )
+
+    out, result = run_example(spark, tmp_path, "parquet_bm25_triage.json", inputs)
+    back = spark.read.json(str(out / "ranked"))
+    rows = back.collect()
+    assert len(rows) == 25
+    assert all(r["n_matched"] >= 1 and r["score"] > 0 for r in rows)
+    assert result.metrics["sink_ranked"]["lines_received"] == 25
+
+
+def test_parquet_interpolate_series(spark, tmp_path):
+    """Gap-fill through the JSON-config path: sparse sensor series in,
+    dense linearly-interpolated grid out."""
+
+    def inputs(d):
+        spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 4, 20.0), ("b", 2, 1.0)],
+            "sensor string, t long, v double",
+        ).write.parquet(str(d / "series.parquet"))
+
+    out, _ = run_example(
+        spark, tmp_path, "parquet_interpolate_series.json", inputs
+    )
+    back = spark.read.parquet(str(out / "dense"))
+    got = {(r["sensor"], r["t"]): (r["v"], r["is_filled"]) for r in back.collect()}
+    assert got == {
+        ("a", 0): (10.0, False),
+        ("a", 1): (12.5, True),
+        ("a", 2): (15.0, True),
+        ("a", 3): (17.5, True),
+        ("a", 4): (20.0, False),
+        ("b", 2): (1.0, False),
+    }
