@@ -5436,6 +5436,66 @@ FROM wv
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (operators/graph.py pagerank) over the
+    bipartite part-supplier graph mined from lineitem (parts at even
+    node ids, suppliers at odd) — the web-graph quality signal crawl
+    pipelines attach to URLs. Undirected + fixed 10 iterations: the
+    dangling term is exactly zero and the result is a pure function
+    of the graph, so the DuckDB oracle is the SAME power iteration
+    UNROLLED into 10 generated CTEs and the row hash-matches — an
+    iterative distributed algorithm certified at full value level,
+    not rows-only."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("pagerank")(
+        src="src", dst="dst", undirected=True, iterations=10
+    ).apply({"in": edges})["out"]
+
+
+def _sql_pagerank(n_iter: int = 10, d: str = "0.85") -> str:
+    """Unrolled power-iteration oracle: same node encoding, same
+    float expression association as the operator (base + d*(c+0.0),
+    x+0.0 == x bitwise), full precision between rounds, final floor
+    quantization at 9dp."""
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 0)",
+        "ed AS MATERIALIZED (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e)",
+        "deg AS MATERIALIZED (SELECT s, count(*) AS dd FROM ed GROUP BY s)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT s AS node, 1.0/nn.n AS r FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT ed.t AS node, sum({p}.r / deg.dd) AS c "
+            f"FROM ed JOIN {p} ON ed.s = {p}.node "
+            f"JOIN deg ON deg.s = ed.s GROUP BY ed.t)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT {p}.node, "
+            f"(1-{d})/nn.n + {d}*coalesce(c{i}.c, 0.0) AS r "
+            f"FROM {p} CROSS JOIN nn "
+            f"LEFT JOIN c{i} ON c{i}.node = {p}.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, floor(r*1e9)/1e9 AS pagerank FROM r{n_iter}"
+    )
+
+
+_SQL_PAGERANK = _sql_pagerank()
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5665,7 +5725,7 @@ _R08_WINDOW = [
     "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
     "markov_transitions", "event_paths", "approx_topk",
-    "bm25_search", "interpolate_gaps",
+    "bm25_search", "interpolate_gaps", "pagerank",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5835,8 +5895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": q_approx_topk,
         "bm25_search": q_bm25_search,
         "interpolate_gaps": q_interpolate_gaps,
+        "pagerank": q_pagerank,
     }
-    assert len(_R08_WINDOW) == 62 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 63 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -5986,6 +6047,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_topk": _SQL_APPROX_TOPK,
         "bm25_search": _SQL_BM25,
         "interpolate_gaps": _SQL_INTERPOLATE,
+        "pagerank": _SQL_PAGERANK,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

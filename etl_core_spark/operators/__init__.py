@@ -30,6 +30,7 @@ from etl_core_spark.operators import (  # noqa: F401
     multimodal,
     skew,
     compare,
+    graph,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -1,0 +1,234 @@
+"""Graph analytics beyond connected components: PageRank.
+
+The web-graph quality signal crawl-based training-data pipelines use
+for URL-level filtering (OPIC/Harmonic/PageRank centrality is a
+standard CommonCrawl curation feature; see Page et al. 1999). The
+reference engine has no counterpart; connected components (the other
+graph op this engine ships) lives in operators/dedup.py next to its
+near-dup consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import (
+    Operator,
+    OperatorConfigError,
+    PortMap,
+    register_operator,
+)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    undirected: bool = False,
+    quantize: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list → ``(node,
+    pagerank)``. Power iteration with the standard dangling-mass
+    redistribution::
+
+        r'(v) = (1-d)/N + d * (sum over in-nbrs u of r(u)/outdeg(u)
+                               + dangling_mass / N)
+
+    ``iterations`` is FIXED (no convergence gate) so results are a
+    pure function of the graph — reproducible across engines and
+    runs; 10 rounds is the classical transient-decay budget for
+    d=0.85. ``undirected=True`` symmetrizes the edge list first
+    (every node then has out-edges, so the dangling term is exactly
+    zero). Parallel duplicate edges collapse (``distinct``) —
+    pre-aggregate into a weighted formulation upstream if
+    multiplicity matters; self-loops are kept (they damp their own
+    node, the Page et al. formulation). NULL endpoints are dropped.
+
+    Cross-engine contract: final ranks floor-quantized at
+    ``quantize`` dp (floor has no rounding ties — the Java-vs-C
+    lesson); intermediates stay full-precision because per-iteration
+    quantization would MULTIPLY boundary-straddle opportunities
+    while the engines' group-sum order differences stay ~100 ulp.
+
+    Scale shape: the degree-annotated edge relation and the node
+    list are persisted once; each iteration is ONE keyed equi-join
+    (ranks x edges on src, AQE-sized) + one map-side-combinable
+    group aggregate on dst — no window, no cartesian, nothing
+    driver-sized. Two execution modes:
+
+    - ``undirected=True`` (no dangling nodes structurally, so each
+      iteration references the previous ranks exactly ONCE): the
+      whole power iteration is ONE LAZY chained plan — zero actions
+      at build time (the engine's lazy-operator contract), linear
+      lineage, and Catalyst reuses the edge relation's shuffle
+      across all rounds (ReusedExchange) instead of paying a
+      per-round Python-driver materialization round-trip. N rides
+      as a broadcast one-row aggregate.
+    - directed: the dangling anti-join makes each round reference
+      the previous ranks TWICE, so the lazy plan would grow 2^k —
+      this mode runs the eager loop with a per-round
+      ``localCheckpoint`` (the connected-components discipline) and
+      a one-time structural dangling probe; on a real cluster
+      prefer ``setCheckpointDir`` + ``checkpoint()`` for
+      executor-loss resilience. Driver-side values: N (one long)
+      and the loop counter, nothing row-sized.
+    """
+    if not 0 < float(damping) < 1:
+        raise OperatorConfigError("pagerank damping must be in (0, 1)")
+    if int(iterations) < 1:
+        raise OperatorConfigError("pagerank iterations must be >= 1")
+    from etl_core_spark.session import (
+        persist_intermediate,
+        release_local_checkpoint,
+        track_local_checkpoint,
+    )
+
+    d = F.lit(float(damping))
+    raw = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__t")
+    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    if undirected:
+        raw = raw.union(
+            raw.select(F.col("__t").alias("__s"), F.col("__s").alias("__t"))
+        )
+    e = raw.distinct()
+    nodes = persist_intermediate(
+        e.select(F.col("__s").alias("__id"))
+        .union(e.select(F.col("__t").alias("__id")))
+        .distinct()
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+    # degree rides on every edge so the per-iteration join is a
+    # single (ranks x edged) equi-join, not a three-way
+    edged = persist_intermediate(e.join(deg, on="__s"))
+    # N is ONE long off a persisted distinct-node relation — the
+    # bounded-driver-collect class this repo allows (loop shape and
+    # the initial rank literal both need it driver-side)
+    q = F.lit(float(10 ** int(quantize)))
+    base_of = lambda n_col: (F.lit(1.0) - d) / n_col  # noqa: E731
+
+    if undirected:
+        # ---- fully lazy linear chain (no dangling structurally) ----
+        # N as a broadcast one-row aggregate; (1-d)/N and 1/N are
+        # engine-side doubles, bit-identical to the unrolled oracle
+        nn = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        ranks = nodes.crossJoin(F.broadcast(nn)).select(
+            "__id", (F.lit(1.0) / F.col("__n")).alias("__r")
+        )
+        for _ in range(int(iterations)):
+            contrib = (
+                ranks.join(edged, ranks["__id"] == edged["__s"])
+                .groupBy("__t")
+                .agg(F.sum(F.col("__r") / F.col("__d")).alias("__c"))
+            )
+            # x + 0.0 == x bitwise: dropping the dangling term here
+            # is value-identical to the directed form with dm = 0
+            ranks = (
+                nodes.join(contrib, nodes["__id"] == contrib["__t"], "left")
+                .crossJoin(F.broadcast(nn))
+                .select(
+                    "__id",
+                    (
+                        base_of(F.col("__n"))
+                        + d * F.coalesce(F.col("__c"), F.lit(0.0))
+                    ).alias("__r"),
+                )
+            )
+        return ranks.select(
+            F.col("__id").alias("node"),
+            (F.floor(F.col("__r") * q) / q).alias("pagerank"),
+        )
+
+    # ---- directed: eager checkpointed loop (dangling possible) ----
+    # N is ONE long off a persisted distinct-node relation — the
+    # bounded-driver-collect class this repo allows
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("__id").alias("node"), F.lit(0.0).alias("pagerank")
+        )
+    # ONE structural probe: a directed graph may still have no
+    # dangling nodes; dropping the term removes a broadcast-exchange
+    # job from every round, and the sequential-round fixed cost IS
+    # this mode's runtime
+    has_dangling = (
+        nodes.join(deg, nodes["__id"] == deg["__s"], "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    base = F.lit((1.0 - float(damping)) / n)
+    ranks = nodes.select("__id", F.lit(1.0 / n).alias("__r"))
+    ranks = ranks.localCheckpoint()
+    track_local_checkpoint(ranks)
+    for _ in range(int(iterations)):
+        contrib = (
+            ranks.join(edged, ranks["__id"] == edged["__s"])
+            .groupBy("__t")
+            .agg(F.sum(F.col("__r") / F.col("__d")).alias("__c"))
+        )
+        new_ranks = nodes.join(
+            contrib, nodes["__id"] == contrib["__t"], "left"
+        )
+        if has_dangling:
+            dangling = (
+                ranks.join(deg, ranks["__id"] == deg["__s"], "left_anti")
+                .agg((F.sum("__r") / F.lit(float(n))).alias("__dm"))
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
+                "__id",
+                (
+                    base
+                    + d
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.coalesce(F.col("__dm"), F.lit(0.0))
+                    )
+                ).alias("__r"),
+            )
+        else:
+            new_ranks = new_ranks.select(
+                "__id",
+                (base + d * F.coalesce(F.col("__c"), F.lit(0.0))).alias(
+                    "__r"
+                ),
+            )
+        new_ranks = new_ranks.localCheckpoint()
+        track_local_checkpoint(new_ranks)
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+    return ranks.select(
+        F.col("__id").alias("node"),
+        (F.floor(F.col("__r") * q) / q).alias("pagerank"),
+    )
+
+
+@register_operator("pagerank")
+class PageRankOperator(Operator):
+    """Config: ``src``, ``dst`` (required); ``damping``,
+    ``iterations``, ``undirected``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"pagerank requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": pagerank(
+                self.single_input(inputs),
+                c["src"],
+                c["dst"],
+                float(c.get("damping", 0.85)),
+                int(c.get("iterations", 10)),
+                bool(c.get("undirected", False)),
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -650,6 +650,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="retrieval mode: return only the best-k documents"),
         f("lowercase", "boolean", default=True),
     ],
+    "pagerank": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("damping", "number", default=0.85),
+        f("iterations", "integer", default=10,
+          desc="fixed power-iteration count (reproducible by design)"),
+        f("undirected", "boolean", default=False,
+          desc="symmetrize edges first (dangling mass becomes zero)"),
+        f("quantize", "integer", default=9,
+          desc="floor-quantize final ranks at this many decimals"),
+    ],
     "interpolate": [
         f("key_cols", "array", items={"type": "string"}, required=True),
         f("time_col", "string", required=True),

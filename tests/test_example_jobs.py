@@ -500,3 +500,20 @@ def test_parquet_interpolate_series(spark, tmp_path):
         ("a", 4): (20.0, False),
         ("b", 2): (1.0, False),
     }
+
+
+def test_parquet_pagerank(spark, tmp_path):
+    """Graph centrality through the JSON-config path: undirected
+    PageRank over an edge list, ranks out as parquet."""
+
+    def inputs(d):
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+        ).write.parquet(str(d / "edges.parquet"))
+
+    out, _ = run_example(spark, tmp_path, "parquet_pagerank.json", inputs)
+    back = {r["node"]: r["pagerank"] for r in spark.read.parquet(str(out / "ranks")).collect()}
+    assert set(back) == {0, 1, 2, 3}
+    assert abs(sum(back.values()) - 1.0) < 1e-6
+    # degree-3 hub outranks the leaf
+    assert back[2] > back[3]
