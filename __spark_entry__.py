@@ -5496,6 +5496,61 @@ def _sql_pagerank(n_iter: int = 10, d: str = "0.85") -> str:
 _SQL_PAGERANK = _sql_pagerank()
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py label_propagation,
+    Raghavan et al. 2007) on the part-supplier bipartite graph —
+    synchronous neighbor-majority voting, ties to the smallest
+    label, fixed 5 rounds. All-integer arithmetic, so the unrolled
+    5-CTE DuckDB oracle hash-matches exactly (no quantization at
+    all — the second iterative algorithm certified at value level,
+    this one bit-exact by construction)."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 1)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("label_propagation")(
+        src="src", dst="dst", iterations=5
+    ).apply({"in": edges})["out"]
+
+
+def _sql_label_propagation(n_iter: int = 5) -> str:
+    """Unrolled synchronous LPA oracle: neighbor-vote counts, then
+    struct-min over (-count, label) — the same argmax-with-smallest-
+    label tiebreak the Spark expression computes. Integer-exact."""
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 1)",
+        "ed AS MATERIALIZED (SELECT s, t FROM e "
+        "UNION SELECT t AS s, s AS t FROM e)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM ed)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"l{i-1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT ed.t AS node, {p}.label, "
+            f"count(*) AS n FROM ed JOIN {p} ON ed.s = {p}.node "
+            f"GROUP BY ed.t, {p}.label)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT node, "
+            f"(min(struct_pack(c := -n, l := label))).l AS label "
+            f"FROM c{i} GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{n_iter}"
+    )
+
+
+_SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle (operators/sampling.py
     shuffle_rows): every document gets a stable global position in
@@ -5725,7 +5780,7 @@ _R08_WINDOW = [
     "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
     "markov_transitions", "event_paths", "approx_topk",
-    "bm25_search", "interpolate_gaps", "pagerank",
+    "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5896,8 +5951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
+        "label_propagation": q_label_propagation,
     }
-    assert len(_R08_WINDOW) == 63 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 64 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6048,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
+        "label_propagation": _SQL_LABEL_PROPAGATION,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -661,6 +661,13 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("quantize", "integer", default=9,
           desc="floor-quantize final ranks at this many decimals"),
     ],
+    "label_propagation": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("iterations", "integer", default=5,
+          desc="fixed synchronous rounds; ties go to the smallest "
+               "label (deterministic)"),
+    ],
     "interpolate": [
         f("key_cols", "array", items={"type": "string"}, required=True),
         f("time_col", "string", required=True),

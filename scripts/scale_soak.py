@@ -122,6 +122,33 @@ def families(docs, spark):
         skewed.select("skew_key", "doc_id"), dim_df, ["skew_key"],
         salt_factor=8,
     )
+    # r8 session-4 ops: BM25 (explode bounded to query-term
+    # occurrences + broadcast stats), Misra-Gries heavy hitters
+    # (per-partition bounded counters + exact candidate recount),
+    # and lazy-chain undirected PageRank over a doc-derived graph
+    # whose node/edge count scales with the corpus (10 fixed rounds
+    # of keyed join + aggregate — the linearity claim under test)
+    from etl_core_spark.operators.graph import pagerank
+    from etl_core_spark.operators.sketch import approx_topk
+    from etl_core_spark.operators.text_analysis import bm25_score
+    from etl_core_spark.functions.text import tokens
+
+    fams["bm25"] = lambda: bm25_score(docs, ["hash", "join", "vector"])
+    fams["approx_topk"] = lambda: approx_topk(
+        docs.select(
+            F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("tok")
+        ),
+        "tok",
+        k=50,
+        capacity=4096,
+    )
+    graph = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("src"),
+        F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(1_000_000)).alias(
+            "dst"
+        ),
+    )
+    fams["pagerank"] = lambda: pagerank(graph, undirected=True, iterations=10)
     return fams
 
 

@@ -134,3 +134,79 @@ def test_pagerank_undirected_plan_is_lazy_and_reuses_exchange(spark):
     # final adaptive plan shows the edge relation's exchange reused
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "TableCacheQueryStage" in final
+
+
+def _lpa(spark, edges, **cfg):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = get_operator("label_propagation")(
+        **{"src": "src", "dst": "dst", **cfg}
+    ).apply({"in": df})["out"]
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    got = _lpa(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)])
+    # each triangle collapses to one label; the bridge does not merge
+    # the dense communities
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+
+
+def test_lpa_single_round_is_neighbor_min_majority(spark):
+    # star 0-1, 0-2, 0-3 with one round: center sees labels {1,2,3}
+    # all count 1 -> tie -> smallest (1); leaves see only {0} -> 0
+    got = _lpa(spark, [(0, 1), (0, 2), (0, 3)], iterations=1)
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _lpa(spark, edges, iterations=4)
+    assert set(got.values()) == {0}
+
+
+def test_lpa_null_and_duplicate_edges(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (None, 1), (0, None)],
+        "src long, dst long",
+    )
+    out = get_operator("label_propagation")(src="src", dst="dst").apply(
+        {"in": df}
+    )["out"]
+    got = {r["node"]: r["label"] for r in out.collect()}
+    # NULL-endpoint edges dropped, duplicates collapsed; the 2-cycle
+    # is the classic synchronous-LPA oscillator — after 5 (odd)
+    # rounds the two labels sit swapped, deterministically
+    assert got == {0: 1, 1: 0}
+    out2 = get_operator("label_propagation")(
+        src="src", dst="dst", iterations=4
+    ).apply({"in": df})["out"]
+    assert {r["node"]: r["label"] for r in out2.collect()} == {0: 0, 1: 1}
+
+
+def test_lpa_lazy_plan_zero_jobs(spark):
+    from etl_core_spark.operators.graph import label_propagation
+
+    df = spark.range(100).selectExpr("id AS src", "(id * 3) % 97 AS dst")
+    sc = spark.sparkContext
+    group = "lpa_lazy_probe"
+    sc.setJobGroup(group, "lpa plan construction must be lazy")
+    try:
+        out = label_propagation(df, iterations=3)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    assert out.count() > 0
+
+
+def test_lpa_config_errors(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(OperatorConfigError):
+        get_operator("label_propagation")(src="s", dst="")
+    from etl_core_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(OperatorConfigError):
+        label_propagation(df, iterations=0)
