@@ -5359,8 +5359,8 @@ WITH d AS (
 ), scored AS (
   SELECT tf.doc_id, count(*) AS n_matched,
          sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-             * tf.tf * (1.2 + 1)
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s
+             * ((tf.tf * (1.2e0 + 1))
+                / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * tf.dl / stats.avgdl)))) AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id
 )
@@ -5384,7 +5384,13 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.operators.base import get_operator
 
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    # ts IS NOT NULL on BOTH sides: the operator passes NULL-time
+    # observations through as their own rows (pytest-pinned), but the
+    # oracle's spine LEFT JOIN would drop them — certify the aligned
+    # contract, pin the divergent path in tests
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20) & F.col("ts").isNotNull()
+    )
     bucketed = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.max("value").alias("v"))
@@ -5400,7 +5406,7 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INTERPOLATE = """
 WITH b AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket, max(value) AS v
-  FROM events WHERE user_id < 20 GROUP BY 1, 2
+  FROM events WHERE user_id < 20 AND ts IS NOT NULL GROUP BY 1, 2
 ), sp AS (
   SELECT user_id,
          unnest(generate_series(min(bucket), max(bucket),
@@ -5460,7 +5466,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).apply({"in": edges})["out"]
 
 
-def _sql_pagerank(n_iter: int = 10, d: str = "0.85") -> str:
+def _sql_pagerank(n_iter: int = 10, d: str = "0.85e0") -> str:
     """Unrolled power-iteration oracle: same node encoding, same
     float expression association as the operator (base + d*(c+0.0),
     x+0.0 == x bitwise), full precision between rounds, final floor

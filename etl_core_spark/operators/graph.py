@@ -22,6 +22,23 @@ from etl_core_spark.operators.base import (
 )
 
 
+def _normalized_edges(
+    edges: DataFrame, src: str, dst: str, symmetrize: bool
+) -> DataFrame:
+    """(__s, __t) edge relation: NULL endpoints dropped, optionally
+    symmetrized (union with the swapped projection), duplicates
+    collapsed. Shared by pagerank and label_propagation so the edge
+    policy lives in exactly one place."""
+    raw = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__t")
+    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    if symmetrize:
+        raw = raw.union(
+            raw.select(F.col("__t").alias("__s"), F.col("__s").alias("__t"))
+        )
+    return raw.distinct()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -88,26 +105,29 @@ def pagerank(
     )
 
     d = F.lit(float(damping))
-    raw = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__t")
-    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    e = _normalized_edges(edges, src, dst, symmetrize=undirected)
     if undirected:
-        raw = raw.union(
-            raw.select(F.col("__t").alias("__s"), F.col("__s").alias("__t"))
+        # the symmetrized relation contains every node in BOTH
+        # projections — one is enough, no union-then-distinct over
+        # twice the edges
+        nodes = persist_intermediate(
+            e.select(F.col("__s").alias("__id")).distinct()
         )
-    e = raw.distinct()
-    nodes = persist_intermediate(
-        e.select(F.col("__s").alias("__id"))
-        .union(e.select(F.col("__t").alias("__id")))
-        .distinct()
+    else:
+        nodes = persist_intermediate(
+            e.select(F.col("__s").alias("__id"))
+            .union(e.select(F.col("__t").alias("__id")))
+            .distinct()
+        )
+    # deg is consumed by edged AND (directed mode) the per-round
+    # dangling aggregate — persist so the edge list isn't
+    # re-distinct-ed and re-counted every iteration
+    deg = persist_intermediate(
+        e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
     )
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
     # degree rides on every edge so the per-iteration join is a
     # single (ranks x edged) equi-join, not a three-way
     edged = persist_intermediate(e.join(deg, on="__s"))
-    # N is ONE long off a persisted distinct-node relation — the
-    # bounded-driver-collect class this repo allows (loop shape and
-    # the initial rank literal both need it driver-side)
     q = F.lit(float(10 ** int(quantize)))
     base_of = lambda n_col: (F.lit(1.0) - d) / n_col  # noqa: E731
 
@@ -151,16 +171,18 @@ def pagerank(
         return nodes.select(
             F.col("__id").alias("node"), F.lit(0.0).alias("pagerank")
         )
-    # ONE structural probe: a directed graph may still have no
-    # dangling nodes; dropping the term removes a broadcast-exchange
-    # job from every round, and the sequential-round fixed cost IS
-    # this mode's runtime
-    has_dangling = (
+    # the dangling node SET is structural (rank-independent):
+    # compute it once, persist it node-sized, and let every round's
+    # mass aggregate semi-join against it instead of re-deriving the
+    # anti-join from the raw edge list per iteration. The same
+    # relation doubles as the has-dangling probe — no dangling means
+    # the term (and its per-round broadcast-exchange job) disappears
+    # entirely, and the sequential-round fixed cost IS this mode's
+    # runtime
+    dang_nodes = persist_intermediate(
         nodes.join(deg, nodes["__id"] == deg["__s"], "left_anti")
-        .limit(1)
-        .count()
-        > 0
     )
+    has_dangling = dang_nodes.limit(1).count() > 0
     base = F.lit((1.0 - float(damping)) / n)
     ranks = nodes.select("__id", F.lit(1.0 / n).alias("__r"))
     ranks = ranks.localCheckpoint()
@@ -176,7 +198,7 @@ def pagerank(
         )
         if has_dangling:
             dangling = (
-                ranks.join(deg, ranks["__id"] == deg["__s"], "left_anti")
+                ranks.join(dang_nodes, on="__id", how="left_semi")
                 .agg((F.sum("__r") / F.lit(float(n))).alias("__dm"))
             )
             new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
@@ -273,15 +295,11 @@ def label_propagation(
         raise OperatorConfigError(
             "label_propagation iterations must be >= 1"
         )
-    raw = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__t")
-    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
-    e = raw.union(
-        raw.select(F.col("__t").alias("__s"), F.col("__s").alias("__t"))
-    ).distinct()
     from etl_core_spark.session import persist_intermediate
 
-    e = persist_intermediate(e)
+    e = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True)
+    )
     nodes = persist_intermediate(
         e.select(F.col("__s").alias("__id")).distinct()
     )

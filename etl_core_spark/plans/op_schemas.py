@@ -640,7 +640,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "the k-th frequency exceeds n/capacity"),
     ],
     "bm25": [
-        f("query", "array", items={"type": "string"}, required=True,
+        f("query", ["array", "string"], items={"type": "string"},
+          required=True,
           desc="query terms (or one whitespace-separated string)"),
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

@@ -179,3 +179,22 @@ def test_interpolate_single_window_node(spark):
     # all four framed neighbor lookups share one (key, time) sort:
     # exactly one Window node, no self-join for prev/next
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+
+
+def test_interpolate_null_time_observation_passes_through(spark):
+    # a NULL-time observed row survives as its own row (the spine has
+    # no NULL bucket to pair it with; min/max span ignores NULL) —
+    # the documented divergence from SQL spine-left-join oracles
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 2, 3.0), (1, None, 9.0)], "k long, t long, v double"
+    )
+    out = get_operator("interpolate")(
+        key_cols=["k"], time_col="t", value_col="v", step="1"
+    ).apply({"in": df})["out"]
+    got = {(r["k"], r["t"]): (r["v"], r["is_filled"]) for r in out.collect()}
+    assert got == {
+        (1, 0): (1.0, False),
+        (1, 1): (2.0, True),
+        (1, 2): (3.0, False),
+        (1, None): (9.0, False),
+    }
