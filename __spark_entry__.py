@@ -5446,10 +5446,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality (operators/graph.py pagerank) over the
     bipartite part-supplier graph mined from lineitem (parts at even
     node ids, suppliers at odd) — the web-graph quality signal crawl
-    pipelines attach to URLs. Undirected + fixed 10 iterations: the
+    pipelines attach to URLs. Undirected + a fixed iteration count: the
     dangling term is exactly zero and the result is a pure function
-    of the graph, so the DuckDB oracle is the SAME power iteration
-    UNROLLED into 10 generated CTEs and the row hash-matches — an
+    of the graph (fixed 5 rounds here), so the DuckDB oracle is the SAME power iteration
+    UNROLLED into 5 generated CTEs and the row hash-matches — an
     iterative distributed algorithm certified at full value level,
     not rows-only."""
     from pyspark.sql import functions as F
@@ -5462,7 +5462,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return get_operator("pagerank")(
-        src="src", dst="dst", undirected=True, iterations=10
+        src="src", dst="dst", undirected=True, iterations=5
     ).apply({"in": edges})["out"]
 
 
@@ -5499,15 +5499,19 @@ def _sql_pagerank(n_iter: int = 10, d: str = "0.85e0") -> str:
     )
 
 
-_SQL_PAGERANK = _sql_pagerank()
+# 5 rounds in the certification row: the plan depth (and the AQE
+# replanning cost that dominates this query) scales with rounds while
+# the cross-engine value contract is identical at any fixed count;
+# the operator default stays at the classical 10
+_SQL_PAGERANK = _sql_pagerank(5)
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.py label_propagation,
     Raghavan et al. 2007) on the part-supplier bipartite graph —
     synchronous neighbor-majority voting, ties to the smallest
-    label, fixed 5 rounds. All-integer arithmetic, so the unrolled
-    5-CTE DuckDB oracle hash-matches exactly (no quantization at
+    label, fixed 3 rounds. All-integer arithmetic, so the unrolled
+    3-CTE DuckDB oracle hash-matches exactly (no quantization at
     all — the second iterative algorithm certified at value level,
     this one bit-exact by construction)."""
     from pyspark.sql import functions as F
@@ -5520,7 +5524,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return get_operator("label_propagation")(
-        src="src", dst="dst", iterations=5
+        src="src", dst="dst", iterations=3
     ).apply({"in": edges})["out"]
 
 
@@ -5554,7 +5558,9 @@ def _sql_label_propagation(n_iter: int = 5) -> str:
     )
 
 
-_SQL_LABEL_PROPAGATION = _sql_label_propagation()
+# 3 rounds in the certification row (plan depth = cost; the value
+# contract is identical at any fixed count); operator default stays 5
+_SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

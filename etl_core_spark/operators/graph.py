@@ -133,29 +133,33 @@ def pagerank(
 
     if undirected:
         # ---- fully lazy linear chain (no dangling structurally) ----
-        # N as a broadcast one-row aggregate; (1-d)/N and 1/N are
-        # engine-side doubles, bit-identical to the unrolled oracle
+        # N as a broadcast one-row aggregate CARRIED as a constant
+        # column through the iteration (one cross-join total, not one
+        # per round); in the symmetrized graph every node has
+        # in-neighbors, so the contribution aggregate already covers
+        # every node — no per-round nodes join-back, no coalesce, and
+        # the per-round plan is exactly one keyed join + one
+        # aggregate. (1-d)/N and 1/N are engine-side doubles,
+        # bit-identical to the unrolled oracle; x + 0.0 == x bitwise
+        # keeps this value-identical to the directed form with dm=0.
         nn = nodes.agg(F.count(F.lit(1)).alias("__n"))
         ranks = nodes.crossJoin(F.broadcast(nn)).select(
-            "__id", (F.lit(1.0) / F.col("__n")).alias("__r")
+            "__id", (F.lit(1.0) / F.col("__n")).alias("__r"), "__n"
         )
         for _ in range(int(iterations)):
-            contrib = (
+            ranks = (
                 ranks.join(edged, ranks["__id"] == edged["__s"])
                 .groupBy("__t")
-                .agg(F.sum(F.col("__r") / F.col("__d")).alias("__c"))
-            )
-            # x + 0.0 == x bitwise: dropping the dangling term here
-            # is value-identical to the directed form with dm = 0
-            ranks = (
-                nodes.join(contrib, nodes["__id"] == contrib["__t"], "left")
-                .crossJoin(F.broadcast(nn))
+                .agg(
+                    F.sum(F.col("__r") / F.col("__d")).alias("__c"),
+                    # constant per graph; first() is order-independent
+                    # on a constant column
+                    F.first("__n").alias("__n"),
+                )
                 .select(
-                    "__id",
-                    (
-                        base_of(F.col("__n"))
-                        + d * F.coalesce(F.col("__c"), F.lit(0.0))
-                    ).alias("__r"),
+                    F.col("__t").alias("__id"),
+                    (base_of(F.col("__n")) + d * F.col("__c")).alias("__r"),
+                    "__n",
                 )
             )
         return ranks.select(
