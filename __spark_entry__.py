@@ -5506,6 +5506,57 @@ def _sql_pagerank(n_iter: int = 10, d: str = "0.85e0") -> str:
 _SQL_PAGERANK = _sql_pagerank(5)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (operators/similarity.py knn_graph,
+    method=brute_force): every embedding's 5 nearest OTHER vectors
+    as (src, dst, cosine, rank) edges — the construction step before
+    semantic community detection. Self-pairs excluded by id after a
+    k+1 search and ranks recomputed (a duplicate vector legitimately
+    outranks self). Same ranking contract as the ann family."""
+    from etl_core_spark.operators.base import get_operator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = get_operator("knn_graph")(k=5).apply({"in": emb})["out"]
+    # cosine stays at the kernel's 6dp — no 4dp re-round: double
+    # rounding manufactures exact .00005 ties where Java and C round
+    # semantics diverge (the r7 random_projection class)
+    return out.select("src", "dst", "cosine", "rank")
+
+
+def _sql_knn_graph(dim: int = 64, k: int = 5) -> str:
+    """Fold-exact oracle: DuckDB recomputes the cosine with EXACTLY
+    Spark's arithmetic — norm = sqrt of a left-fold of squares in
+    index order, unit components x/norm, dot = left-fold of unit
+    products (functions/vectors.py dot/norm/select_unit) — so both
+    engines rank bit-identical doubles. list_cosine_similarity
+    accumulates in a different order: 1-ulp off, 3/2500 rank flips
+    at sf0.001 (measured before this rewrite)."""
+    sq = "0.0"
+    for i in range(1, dim + 1):
+        sq = f"({sq} + e[{i}] * e[{i}])"
+    dot = "0.0"
+    for i in range(1, dim + 1):
+        dot = f"({dot} + (a.e[{i}] / a.nrm) * (b.e[{i}] / b.nrm))"
+    return f"""
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, sqrt({sq}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({dot}, 6) AS cs6
+  FROM u a JOIN u b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, cs6 AS cosine,
+       CAST(row_number() OVER (PARTITION BY src
+                               ORDER BY cs6 DESC, dst ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+_SQL_KNN_GRAPH = _sql_knn_graph()
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.py label_propagation,
     Raghavan et al. 2007) on the part-supplier bipartite graph —
@@ -5793,6 +5844,7 @@ _R08_WINDOW = [
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
     "markov_transitions", "event_paths", "approx_topk",
     "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
+    "knn_graph",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -5964,8 +6016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
+        "knn_graph": q_knn_graph,
     }
-    assert len(_R08_WINDOW) == 64 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 65 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6117,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,
+        "knn_graph": _SQL_KNN_GRAPH,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

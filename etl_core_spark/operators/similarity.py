@@ -1254,3 +1254,98 @@ class IVFIndexSink(SinkOperator):
             vec_col=c.get("vec_col", "embedding"),
             id_col=c.get("id_col", "vec_id"),
         )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    method: str = "brute_force",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    num_planes: int = 6,
+    num_tables: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """k-nearest-neighbor graph over one embedding table →
+    ``(src, dst, cosine, rank)`` — every vector's k most similar
+    OTHER vectors. The construction step before graph analytics on
+    semantic space: feed the edges straight into
+    ``label_propagation`` (semantic communities), ``pagerank``
+    (centrality-weighted curation) or ``connected_components``.
+
+    Self-pairs are excluded by id AFTER the k+1 search and ranks are
+    recomputed, because a duplicate vector with a smaller id
+    legitimately outranks self at cosine 1.0 — dropping "rank 1"
+    would silently drop a real duplicate edge instead of the self
+    edge. Ranking: 6dp-rounded cosine desc, neighbor id asc (the
+    shared similarity contract, engine-independent).
+
+    Methods: ``brute_force`` (exact, JVM expressions),
+    ``brute_force_numpy`` (exact, Arrow+BLAS — same contract),
+    ``lsh`` (approximate: hyperplane-bucket equi-join, recall < 1 by
+    construction; requires ``dim``). Scale shape is the underlying
+    kernel's — for the exact kernels that is the corpus×corpus pair
+    scoring (use ``lsh``/IVF above ~10^5 vectors); the re-rank
+    window sees at most k+1 rows per vector.
+    """
+    if int(k) < 1:
+        raise OperatorConfigError("knn_graph needs k >= 1")
+    queries = df.select(
+        F.col(id_col).alias("__knn_qid"), F.col(vec_col).alias(vec_col)
+    )
+    kk = int(k) + 1
+    if method == "brute_force":
+        base = brute_force_topk(df, queries, kk, vec_col, id_col, "__knn_qid")
+    elif method == "brute_force_numpy":
+        base = brute_force_topk_numpy(
+            df, queries, kk, vec_col, id_col, "__knn_qid"
+        )
+    elif method == "lsh":
+        if not dim:
+            raise OperatorConfigError("knn_graph method=lsh requires dim")
+        base = lsh_topk(
+            df, queries, int(dim), kk, num_planes, vec_col, id_col,
+            "__knn_qid", seed, num_tables,
+        )
+    else:
+        raise OperatorConfigError(f"unknown knn_graph method {method!r}")
+    w = Window.partitionBy("__knn_qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.where(F.col("__knn_qid") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("__knn_qid").alias("src"),
+            F.col(id_col).alias("dst"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+@register_operator("knn_graph")
+class KnnGraphOperator(Operator):
+    """Config: ``k``, ``method``, ``vec_col``, ``id_col``; lsh mode:
+    ``dim`` (required), ``num_planes``, ``num_tables``, ``seed``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": knn_graph(
+                self.single_input(inputs),
+                int(c.get("k", 10)),
+                c.get("method", "brute_force"),
+                c.get("vec_col", "embedding"),
+                c.get("id_col", "vec_id"),
+                c.get("dim"),
+                int(c.get("num_planes", 6)),
+                int(c.get("num_tables", 1)),
+                int(c.get("seed", 42)),
+            )
+        }

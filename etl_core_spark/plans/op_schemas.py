@@ -662,6 +662,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("quantize", "integer", default=9,
           desc="floor-quantize final ranks at this many decimals"),
     ],
+    "knn_graph": [
+        f("k", "integer", default=10),
+        f("method", "string", default="brute_force",
+          enum=["brute_force", "brute_force_numpy", "lsh"]),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+        f("dim", "integer", desc="required for method=lsh"),
+        f("num_planes", "integer", default=6),
+        f("num_tables", "integer", default=1),
+        f("seed", "integer", default=42),
+    ],
     "label_propagation": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

@@ -4,6 +4,7 @@ from etl_core_spark.streaming.stream import (
     windowed_aggregate,
     sessionize,
     streaming_export_shards,
+    streaming_topk,
     write_stream_foreach_batch,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "windowed_aggregate",
     "sessionize",
     "streaming_export_shards",
+    "streaming_topk",
     "write_stream_foreach_batch",
 ]

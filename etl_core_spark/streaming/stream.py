@@ -523,3 +523,76 @@ def attribution_join(
             ).cast("long").alias("lag_seconds"),
         )
     )
+
+
+_TOPK_OUT_SCHEMA = "shard int, value string, mg_count bigint"
+_TOPK_STATE_SCHEMA = "values array<string>, counts array<bigint>"
+
+
+def streaming_topk(
+    values: DataFrame,
+    col: str = "value",
+    capacity: int = 1024,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters: Misra-Gries counters maintained in
+    sharded stream state — the continuous analog of the batch
+    ``approx_topk`` (same batched-decrement merge, same superset
+    guarantee per shard: any value with frequency > n_shard/capacity
+    since stream start survives its shard). Emits the full counter
+    snapshot of every touched shard each micro-batch (``update``
+    semantics): ``(shard, value, mg_count)`` where mg_count is the
+    classical MG LOWER bound on the true count. For exact final
+    counts run the batch recount over the archived stream — a sketch
+    state cannot recount what it has already evicted.
+
+    Scale shape: values hash-shard across ``n_shards`` state
+    partitions (state parallelism without a global hot key); state
+    per shard is bounded by ``capacity`` counters FOREVER — no
+    watermark needed, nothing grows with the stream; each batch's
+    per-shard work is one pandas value_counts merge (C speed, never
+    a per-row Python loop). Snapshot emission is capacity-bounded,
+    not stream-bounded.
+    """
+    if int(capacity) < 1 or int(n_shards) < 1:
+        raise ValueError("streaming_topk needs capacity >= 1, n_shards >= 1")
+    cap = int(capacity)
+
+    def mg_merge(key: tuple, pdfs, state: GroupState):
+        counters = pd.Series(dtype="int64")
+        if state.exists:
+            vals, cnts = state.get
+            counters = pd.Series(cnts, index=vals, dtype="int64")
+        for pdf in pdfs:
+            counters = counters.add(
+                pdf["__v"].value_counts(), fill_value=0
+            ).astype("int64")
+            if len(counters) > cap:
+                t = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - t
+                counters = counters[counters > 0]
+        counters = counters.sort_index()
+        state.update(
+            (counters.index.tolist(), [int(x) for x in counters.tolist()])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(counters),
+                "value": counters.index.astype(str),
+                "mg_count": counters.values,
+            }
+        )
+
+    batch = values.select(
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("__shard"),
+        F.col(col).cast("string").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    return batch.groupBy("__shard").applyInPandasWithState(
+        mg_merge,
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

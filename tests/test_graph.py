@@ -210,3 +210,71 @@ def test_lpa_config_errors(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pytest.raises(OperatorConfigError):
         label_propagation(df, iterations=0)
+
+
+def test_knn_graph_excludes_self_keeps_duplicate(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    # vec 0 and 1 are identical; 2 is orthogonal-ish. The duplicate
+    # must survive as rank-1 neighbor (cosine 1.0), self never appears
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        get_operator("knn_graph")(k=2)
+        .apply({"in": df})["out"]
+        .collect()
+    )
+    edges = {(r["src"], r["dst"]): (r["cosine"], r["rank"]) for r in out}
+    assert all(s != d for s, d in edges)
+    assert edges[(0, 1)] == (1.0, 1) and edges[(1, 0)] == (1.0, 1)
+    assert edges[(0, 2)][1] == 2 and edges[(2, 0)][1] == 1  # id tiebreak
+
+
+def test_knn_graph_feeds_label_propagation(spark):
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.graph import label_propagation
+
+    # two tight clusters in embedding space -> knn edges -> LPA finds
+    # two communities (the composition the operator exists for)
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.99, 0.1, 0.0]), (2, [0.98, 0.15, 0.0]),
+        (10, [0.0, 0.0, 1.0]), (11, [0.0, 0.1, 0.99]), (12, [0.0, 0.15, 0.98]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = get_operator("knn_graph")(k=2).apply({"in": df})["out"]
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, "src", "dst", iterations=4).collect()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[0] != labels[10]
+
+
+def test_knn_graph_lsh_mode_and_errors(spark):
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.base import OperatorConfigError as E
+    from etl_core_spark.operators.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = get_operator("knn_graph")(k=2, method="lsh", dim=3).apply(
+        {"in": df}
+    )["out"]
+    rows = out.collect()
+    assert rows and all(r["src"] != r["dst"] for r in rows)
+    # identical-direction vectors land in one bucket: rank-1 cosine 1.0
+    assert all(r["cosine"] == 1.0 for r in rows if r["rank"] == 1)
+    with _pytest.raises(E):
+        knn_graph(df, k=0)
+    with _pytest.raises(E):
+        knn_graph(df, method="lsh")  # dim missing
+    with _pytest.raises(E):
+        knn_graph(df, method="annoy")

@@ -485,3 +485,70 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
     assert state.exists()
     zips = list(state.rglob("*.zip")) + list(state.rglob("*.sst"))
     assert zips, "RocksDB state store produced no snapshot artifacts"
+
+
+def test_streaming_topk_matches_mg_reference(spark, tmp_path):
+    """streaming_topk: two forced micro-batches, final snapshot equals
+    a pure-Python Misra-Gries reference run over the same batch split
+    (same batched decrement), and the guaranteed heavy hitter is
+    present with its exact lower-bound count."""
+    import time as _time
+    import os
+
+    src_dir = tmp_path / "vals"
+    src_dir.mkdir()
+    b1 = ["a"] * 6 + ["b", "c", "d"]          # cap=3 forces eviction
+    b2 = ["a"] * 6 + ["e", "f", "b", "b"]
+    t0 = _time.time()
+    for i, vals in enumerate([b1, b2]):
+        p = src_dir / f"f{i}"
+        spark.createDataFrame([(v,) for v in vals], "v string").coalesce(
+            1
+        ).write.parquet(str(p))
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    from etl_core_spark.streaming import streaming_topk
+
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    snapshots = {}
+
+    def capture(bdf, bid):
+        snapshots[bid] = {
+            r["value"]: r["mg_count"] for r in bdf.collect()
+        }
+
+    q = (
+        streaming_topk(stream, "v", capacity=3, n_shards=1)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert len(snapshots) >= 2
+
+    # pure-Python reference: identical batched-decrement MG
+    def mg(batches, cap=3):
+        import collections
+
+        c: dict = collections.Counter()
+        for vals in batches:
+            for v in vals:
+                c[v] += 1
+            if len(c) > cap:
+                t = sorted(c.values(), reverse=True)[cap]
+                c = collections.Counter(
+                    {k: n - t for k, n in c.items() if n - t > 0}
+                )
+        return dict(c)
+
+    final = snapshots[max(snapshots)]
+    assert final == mg([b1, b2])
+    # 'a' (freq 12 > n/capacity = 19/3) is guaranteed to survive
+    assert "a" in final and final["a"] <= 12
