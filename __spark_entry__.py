@@ -5557,6 +5557,54 @@ QUALIFY rank <= {k}
 _SQL_KNN_GRAPH = _sql_knn_graph()
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_count,
+    compact-forward (degree,id) orientation) on the part co-purchase
+    graph (parts sharing an order). The oracle enumerates triangles
+    under plain id order — orientation by ANY total order yields the
+    SAME triangle set, so degree-ordered Spark and id-ordered DuckDB
+    must agree exactly; all-integer, bit-exact."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 2 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return get_operator("triangle_count")(src="src", dst="dst").apply(
+        {"in": edges}
+    )["out"]
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH pe AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_orderkey % 2 = 0 AND a.l_partkey < b.l_partkey
+), n AS (
+  SELECT s AS node FROM pe UNION SELECT t FROM pe
+), tri AS (
+  SELECT x.s AS a, x.t AS b, y.t AS c
+  FROM pe x
+  JOIN pe y ON x.s = y.s AND x.t < y.t
+  JOIN pe z ON z.s = x.t AND z.t = y.t
+), m AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), c AS (
+  SELECT node, count(*) AS triangles FROM m GROUP BY node
+)
+SELECT n.node, coalesce(c.triangles, 0) AS triangles
+FROM n LEFT JOIN c USING (node)
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.py label_propagation,
     Raghavan et al. 2007) on the part-supplier bipartite graph —
@@ -5844,7 +5892,7 @@ _R08_WINDOW = [
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
     "markov_transitions", "event_paths", "approx_topk",
     "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
-    "knn_graph",
+    "knn_graph", "triangle_count",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -6017,8 +6065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
         "knn_graph": q_knn_graph,
+        "triangle_count": q_triangle_count,
     }
-    assert len(_R08_WINDOW) == 65 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 66 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6171,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,
         "knn_graph": _SQL_KNN_GRAPH,
+        "triangle_count": _SQL_TRIANGLE_COUNT,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

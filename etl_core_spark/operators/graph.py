@@ -1,5 +1,5 @@
-"""Graph analytics beyond connected components: PageRank and label
-propagation.
+"""Graph analytics beyond connected components: PageRank, label
+propagation, triangle counting.
 
 The web-graph quality signal crawl-based training-data pipelines use
 for URL-level filtering (OPIC/Harmonic/PageRank centrality is a
@@ -346,5 +346,112 @@ class LabelPropagationOperator(Operator):
                 c["src"],
                 c["dst"],
                 int(c.get("iterations", 5)),
+            )
+        }
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph →
+    ``(node, triangles)`` (nodes in no triangle report 0) — the
+    clustering-structure signal next to LPA: spam/link-farm detection
+    on web graphs and density scoring for near-dup neighborhoods.
+
+    Edges are symmetrized, de-duplicated; self-loops drop (a triangle
+    has three distinct nodes). Counting uses the compact-forward
+    orientation (Latapy 2008): orient every undirected edge from the
+    (degree, id)-SMALLER endpoint to the larger, then each triangle
+    is found exactly once as a wedge a→b, a→c (b before c) closed by
+    b→c. Orientation by ANY total order enumerates the same triangle
+    set — the oracle uses plain id order and must agree — but the
+    degree order is the scale lever: join fan-out per node is
+    bounded by its ORIENTED out-degree ≤ O(sqrt(E)) on any graph
+    (arboricity bound), so a celebrity node with 10^6 neighbors
+    contributes wedges only through its few higher-degree peers,
+    never 10^12 pairs. All-integer arithmetic: bit-exact
+    cross-engine.
+
+    Plan shape: degree aggregate + two keyed equi-joins over the
+    oriented edge relation (persisted once) + the closing edge
+    equi-join + one explode(3)-groupBy — no window over the full
+    relation, nothing driver-sized, fully lazy.
+    """
+    from etl_core_spark.session import persist_intermediate
+
+    e = _normalized_edges(edges, src, dst, symmetrize=True).where(
+        F.col("__s") != F.col("__t")
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+    nodes = persist_intermediate(
+        e.select(F.col("__s").alias("__id")).distinct()
+    )
+    # (degree, id) total order carried as a single struct per endpoint
+    ranked = e.join(deg, on="__s").select(
+        F.col("__s"),
+        F.col("__t"),
+        F.struct(F.col("__d"), F.col("__s")).alias("__os"),
+    )
+    deg_t = deg.select(
+        F.col("__s").alias("__t"), F.col("__d").alias("__dt")
+    )
+    oriented = persist_intermediate(
+        ranked.join(deg_t, on="__t")
+        .where(
+            F.col("__os") < F.struct(F.col("__dt"), F.col("__t"))
+        )
+        .select(
+            F.col("__s").alias("__a"),
+            F.col("__t").alias("__b"),
+            F.struct(F.col("__dt"), F.col("__t")).alias("__ob"),
+        )
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.__a") == F.col("y.__a"))
+        .where(F.col("x.__ob") < F.col("y.__ob"))
+        .select(
+            F.col("x.__a").alias("__a"),
+            F.col("x.__b").alias("__b"),
+            F.col("y.__b").alias("__c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("__a").alias("__b"), F.col("__b").alias("__c")
+    )
+    tris = wedges.join(closing, on=["__b", "__c"])
+    member = tris.select(
+        F.explode(F.array("__a", "__b", "__c")).alias("__id")
+    )
+    counts = member.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    return nodes.join(counts, on="__id", how="left").select(
+        F.col("__id").alias("node"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+            "triangles"
+        ),
+    )
+
+
+@register_operator("triangle_count")
+class TriangleCountOperator(Operator):
+    """Config: ``src``, ``dst`` (required)."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"triangle_count requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": triangle_count(
+                self.single_input(inputs), c["src"], c["dst"]
             )
         }

@@ -673,6 +673,10 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1),
         f("seed", "integer", default=42),
     ],
+    "triangle_count": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+    ],
     "label_propagation": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

@@ -278,3 +278,44 @@ def test_knn_graph_lsh_mode_and_errors(spark):
         knn_graph(df, method="lsh")  # dim missing
     with _pytest.raises(E):
         knn_graph(df, method="annoy")
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = get_operator("triangle_count")(src="src", dst="dst").apply(
+        {"in": df}
+    )["out"]
+    return {r["node"]: r["triangles"] for r in out.collect()}
+
+
+def test_triangle_count_k4_and_pendant(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri(spark, k4 + [(0, 9)])
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_triangle_count_dups_selfloops_direction_irrelevant(spark):
+    # duplicates, reversed copies and self-loops must not change counts
+    tri = [(0, 1), (1, 2), (2, 0)]
+    noisy = tri + [(1, 0), (2, 1), (0, 0), (1, 2), (2, 2)]
+    assert _tri(spark, noisy) == _tri(spark, tri) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_matches_python_reference(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)})
+    got = _tri(spark, [(a, b) for a, b in edges])
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {v: 0 for v in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            ref[a] += 1
+            ref[b] += 1
+            ref[c] += 1
+    assert got == ref
