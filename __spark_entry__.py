@@ -5557,6 +5557,73 @@ QUALIFY rank <= {k}
 _SQL_KNN_GRAPH = _sql_knn_graph()
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.py personalized_pagerank): restart
+    mass concentrated on a trusted seed set (suppliers with key < 20)
+    so rank measures link proximity to the whitelist — the
+    seed-expansion curation primitive. Same lazy-chain/unrolled-CTE
+    machinery as pagerank; the base term is (1-d)*p(v) with p = 1/|S|
+    on seeds, 0 elsewhere (e0 double literals throughout)."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 2)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return get_operator("personalized_pagerank")(
+        src="src", dst="dst", iterations=5
+    ).apply({"in": edges, "seeds": seeds})["out"]
+
+
+def _sql_personalized_pagerank(n_iter: int = 5, d: str = "0.85e0") -> str:
+    """Unrolled PPR oracle: p-vector CTE (1.0/ns on present seeds,
+    0.0e0 elsewhere), then r' = (1-d)*p + d*c per round — the same
+    double literals and association as the Spark expression."""
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 2)",
+        "ed AS MATERIALIZED (SELECT s, t FROM e "
+        "UNION SELECT t AS s, s AS t FROM e)",
+        "deg AS MATERIALIZED (SELECT s, count(*) AS dd FROM ed GROUP BY s)",
+        "sd AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier "
+        "WHERE s_suppkey < 20)",
+        "present AS (SELECT sd.node FROM sd JOIN deg ON deg.s = sd.node)",
+        "ns AS (SELECT count(*) AS n FROM present)",
+        "p0 AS MATERIALIZED (SELECT deg.s AS node, "
+        "CASE WHEN present.node IS NOT NULL THEN 1.0/ns.n ELSE 0.0e0 END AS pv "
+        "FROM deg CROSS JOIN ns LEFT JOIN present ON present.node = deg.s)",
+        "r0 AS (SELECT node, pv AS r FROM p0)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT ed.t AS node, sum({p}.r / deg.dd) AS c "
+            f"FROM ed JOIN {p} ON ed.s = {p}.node "
+            f"JOIN deg ON deg.s = ed.s GROUP BY ed.t)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT p0.node, "
+            f"(1-{d})*p0.pv + {d}*c{i}.c AS r "
+            f"FROM p0 JOIN c{i} ON c{i}.node = p0.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, floor(r*1e9)/1e9 AS pagerank FROM r{n_iter}"
+    )
+
+
+_SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_count,
     compact-forward (degree,id) orientation) on the part co-purchase
@@ -5892,7 +5959,7 @@ _R08_WINDOW = [
     "diff_datasets", "scd2_merge", "mad_outliers", "retention_cohorts",
     "markov_transitions", "event_paths", "approx_topk",
     "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
-    "knn_graph", "triangle_count",
+    "knn_graph", "triangle_count", "personalized_pagerank",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -6066,8 +6133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "knn_graph": q_knn_graph,
         "triangle_count": q_triangle_count,
+        "personalized_pagerank": q_personalized_pagerank,
     }
-    assert len(_R08_WINDOW) == 66 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 67 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6221,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _SQL_LABEL_PROPAGATION,
         "knn_graph": _SQL_KNN_GRAPH,
         "triangle_count": _SQL_TRIANGLE_COUNT,
+        "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

@@ -673,6 +673,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1),
         f("seed", "integer", default=42),
     ],
+    "personalized_pagerank": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("seed_col", "string", default="node",
+          desc="id column in the seeds input port"),
+        f("damping", "number", default=0.85),
+        f("iterations", "integer", default=10),
+        f("quantize", "integer", default=9),
+    ],
     "triangle_count": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

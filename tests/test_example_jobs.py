@@ -517,3 +517,28 @@ def test_parquet_pagerank(spark, tmp_path):
     assert abs(sum(back.values()) - 1.0) < 1e-6
     # degree-3 hub outranks the leaf
     assert back[2] > back[3]
+
+
+def test_parquet_semantic_communities(spark, tmp_path):
+    """Semantic clustering pipeline through the JSON-config path:
+    embeddings -> exact kNN graph -> label-propagation communities."""
+
+    def inputs(d):
+        rows = [
+            (0, [1.0, 0.0, 0.0]), (1, [0.98, 0.1, 0.0]), (2, [0.97, 0.2, 0.0]),
+            (10, [0.0, 0.0, 1.0]), (11, [0.0, 0.1, 0.98]), (12, [0.0, 0.2, 0.97]),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.parquet(str(d / "embeddings.parquet"))
+
+    out, _ = run_example(
+        spark, tmp_path, "parquet_semantic_communities.json", inputs
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in spark.read.parquet(str(out / "communities")).collect()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[0] != labels[10]

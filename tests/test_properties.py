@@ -462,3 +462,86 @@ def test_semdedup_matches_python_reference(spark, vecs, threshold, k):
         threshold, k,
     )
     assert got == want
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Pure-Python reference of operators/text_analysis.bm25_score
+    replicating the EXACT float op order: idf * ((tf*(k1+1)) / (tf +
+    k1*((1-b) + ((b*dl)/avgdl)))), floor quantization at 6dp. avgdl
+    uses Spark's sum/count over doc order (single partition in the
+    differential)."""
+    import math
+
+    def toks(t):
+        if t is None:
+            return None
+        s = t.strip().lower()
+        return [] if not s else __import__("re").split(r"\s+", s)
+
+    dls = []
+    per_doc = {}
+    for i, t in rows:
+        tk = toks(t)
+        dl = 0 if tk is None else len(tk)
+        dls.append(float(dl))
+        per_doc[i] = (dl, tk or [])
+    n = len(rows)
+    acc = 0.0
+    for x in dls:
+        acc = acc + x
+    avgdl = acc / n
+    tset = sorted(set(terms))
+    tf = {}
+    for i, (dl, tk) in per_doc.items():
+        for t in tk:
+            if t in tset:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    df = {}
+    for (i, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for i, (dl, _) in per_doc.items():
+        s = 0.0
+        m = 0
+        for t in tset:
+            c = tf.get((i, t))
+            if not c:
+                continue
+            m += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s = s + idf * (
+                (c * (k1 + 1)) / (c + k1 * ((1 - b) + ((b * dl) / avgdl)))
+            )
+        out[i] = (m, math.floor(s * 1e6) / 1e6)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab cd", min_size=0, max_size=24),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(
+        st.sampled_from(["a", "ab", "b", "cd", "zz"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_bm25_matches_pure_python_reference(spark, docs, terms):
+    from etl_core_spark.operators.text_analysis import bm25_score
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1)  # pin the avgdl fold order for bit-equality
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_score(df, terms).collect()
+    }
+    assert got == _py_bm25(rows, terms)
