@@ -5635,7 +5635,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.operators.base import get_operator
 
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 2 == 0)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 3)
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
     edges = (
@@ -5652,7 +5652,7 @@ _SQL_TRIANGLE_COUNT = """
 WITH pe AS (
   SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_orderkey % 2 = 0 AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 4 = 3 AND a.l_partkey < b.l_partkey
 ), n AS (
   SELECT s AS node FROM pe UNION SELECT t FROM pe
 ), tri AS (

@@ -381,13 +381,16 @@ def triangle_count(
     """
     from etl_core_spark.session import persist_intermediate
 
-    e = _normalized_edges(edges, src, dst, symmetrize=True).where(
-        F.col("__s") != F.col("__t")
-    )
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+    full = _normalized_edges(edges, src, dst, symmetrize=True)
+    # node list from the UNFILTERED relation: a node whose only
+    # incident edges are self-loops still reports triangles=0 (the
+    # documented contract, and the same node set the sibling graph
+    # ops emit); only the COUNTING relation drops self-loops
     nodes = persist_intermediate(
-        e.select(F.col("__s").alias("__id")).distinct()
+        full.select(F.col("__s").alias("__id")).distinct()
     )
+    e = full.where(F.col("__s") != F.col("__t"))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
     # (degree, id) total order carried as a single struct per endpoint
     ranked = e.join(deg, on="__s").select(
         F.col("__s"),

@@ -382,3 +382,10 @@ def test_ppr_seeds_outside_graph_ignored_empty_raises(spark):
     s = spark.createDataFrame([(999,)], "node long")
     with pytest.raises(OperatorConfigError):
         personalized_pagerank(e, s)
+
+
+def test_triangle_count_self_loop_only_node_reports_zero(spark):
+    # a node whose only incident edges are self-loops must still
+    # appear with triangles=0 — same node set as the sibling graph ops
+    got = _tri(spark, [(0, 1), (1, 2), (2, 0), (5, 5)])
+    assert got == {0: 1, 1: 1, 2: 1, 5: 0}

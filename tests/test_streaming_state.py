@@ -505,7 +505,15 @@ def test_streaming_topk_matches_mg_reference(spark, tmp_path):
         spark.createDataFrame([(v,) for v in vals], "v string").coalesce(
             1
         ).write.parquet(str(p))
-        os.utime(p, (t0 + i * 10, t0 + i * 10))
+        # FileStreamSource orders by the DATA FILES' mtimes — touch
+        # every file inside the dir, not the dir (the write_file
+        # pattern above); a dir-only utime leaves batch order to
+        # wall-clock luck
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f), (t0 + i * 10, t0 + i * 10)
+                )
 
     from etl_core_spark.streaming import streaming_topk
 
