@@ -5557,6 +5557,65 @@ QUALIFY rank <= {k}
 _SQL_KNN_GRAPH = _sql_knn_graph()
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (pagerank weight_col): the same
+    part-supplier graph as q_pagerank but with edge weight = lineitem
+    multiplicity, so frequently co-occurring pairs carry
+    proportionally more mass (r(u)*w/W(u) splits). Same lazy-chain /
+    unrolled-oracle machinery; floor-quantized at 9dp."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    edges = li.groupBy(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    return get_operator("pagerank")(
+        src="src", dst="dst", undirected=True, iterations=5, weight_col="w"
+    ).apply({"in": edges})["out"]
+
+
+def _sql_pagerank_weighted(n_iter: int = 5, d: str = "0.85e0") -> str:
+    """Weighted unrolled oracle: W(u)=sum of outgoing weights,
+    contribution sum(r * w / W) — left association matches the Spark
+    column expression; e0 double literals throughout."""
+    ctes = [
+        "e AS (SELECT l_partkey*2 AS s, l_suppkey*2+1 AS t, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        "WHERE l_orderkey % 4 = 0 GROUP BY 1, 2)",
+        "ed AS MATERIALIZED (SELECT s, t, sum(w) AS w FROM ("
+        "SELECT s, t, w FROM e UNION ALL SELECT t AS s, s AS t, w FROM e"
+        ") GROUP BY s, t)",
+        "deg AS MATERIALIZED (SELECT s, sum(w) AS dd FROM ed GROUP BY s)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT s AS node, 1.0/nn.n AS r FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT ed.t AS node, "
+            f"sum({p}.r * ed.w / deg.dd) AS c "
+            f"FROM ed JOIN {p} ON ed.s = {p}.node "
+            f"JOIN deg ON deg.s = ed.s GROUP BY ed.t)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT {p}.node, "
+            f"(1-{d})/nn.n + {d}*coalesce(c{i}.c, 0.0) AS r "
+            f"FROM {p} CROSS JOIN nn "
+            f"LEFT JOIN c{i} ON c{i}.node = {p}.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, floor(r*1e9)/1e9 AS pagerank FROM r{n_iter}"
+    )
+
+
+_SQL_PAGERANK_WEIGHTED = _sql_pagerank_weighted()
+
+
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (operators/graph.py personalized_pagerank): restart
     mass concentrated on a trusted seed set (suppliers with key < 20)
@@ -5960,6 +6019,7 @@ _R08_WINDOW = [
     "markov_transitions", "event_paths", "approx_topk",
     "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
     "knn_graph", "triangle_count", "personalized_pagerank",
+    "pagerank_weighted",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -6134,8 +6194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "triangle_count": q_triangle_count,
         "personalized_pagerank": q_personalized_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
     }
-    assert len(_R08_WINDOW) == 67 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 68 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6290,6 +6351,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _SQL_KNN_GRAPH,
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
+        "pagerank_weighted": _SQL_PAGERANK_WEIGHTED,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

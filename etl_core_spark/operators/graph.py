@@ -47,6 +47,7 @@ def pagerank(
     iterations: int = 10,
     undirected: bool = False,
     quantize: int = 9,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → ``(node,
     pagerank)``. Power iteration with the standard dangling-mass
@@ -64,6 +65,10 @@ def pagerank(
     pre-aggregate into a weighted formulation upstream if
     multiplicity matters; self-loops are kept (they damp their own
     node, the Page et al. formulation). NULL endpoints are dropped.
+    ``weight_col`` switches to weighted PageRank: neighbor mass
+    splits proportionally to edge weight (r(u) * w(u,v) / W(u),
+    W(u) = total outgoing weight); parallel weighted edges COMBINE
+    BY SUM instead of collapsing; NULL / non-positive weights drop.
 
     Cross-engine contract: final ranks floor-quantized at
     ``quantize`` dp (floor has no rounding ties — the Java-vs-C
@@ -105,7 +110,29 @@ def pagerank(
     )
 
     d = F.lit(float(damping))
-    e = _normalized_edges(edges, src, dst, symmetrize=undirected)
+    if weight_col is None:
+        e = _normalized_edges(edges, src, dst, symmetrize=undirected)
+    else:
+        raw = edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__t"),
+            F.col(weight_col).cast("double").alias("__w"),
+        ).where(
+            F.col("__s").isNotNull()
+            & F.col("__t").isNotNull()
+            & (F.col("__w") > 0)
+        )
+        if undirected:
+            raw = raw.union(
+                raw.select(
+                    F.col("__t").alias("__s"),
+                    F.col("__s").alias("__t"),
+                    "__w",
+                )
+            )
+        # parallel weighted edges combine by sum (the weighted
+        # analog of the unweighted path's distinct)
+        e = raw.groupBy("__s", "__t").agg(F.sum("__w").alias("__w"))
     if undirected:
         # the symmetrized relation contains every node in BOTH
         # projections — one is enough, no union-then-distinct over
@@ -122,9 +149,15 @@ def pagerank(
     # deg is consumed by edged AND (directed mode) the per-round
     # dangling aggregate — persist so the edge list isn't
     # re-distinct-ed and re-counted every iteration
-    deg = persist_intermediate(
-        e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
-    )
+    if weight_col is None:
+        deg = persist_intermediate(
+            e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+        )
+    else:
+        # W(u): total outgoing weight
+        deg = persist_intermediate(
+            e.groupBy("__s").agg(F.sum("__w").alias("__d"))
+        )
     # degree rides on every edge so the per-iteration join is a
     # single (ranks x edged) equi-join, not a three-way
     edged = persist_intermediate(e.join(deg, on="__s"))
@@ -151,7 +184,11 @@ def pagerank(
                 ranks.join(edged, ranks["__id"] == edged["__s"])
                 .groupBy("__t")
                 .agg(
-                    F.sum(F.col("__r") / F.col("__d")).alias("__c"),
+                    F.sum(
+                        F.col("__r") / F.col("__d")
+                        if weight_col is None
+                        else F.col("__r") * F.col("__w") / F.col("__d")
+                    ).alias("__c"),
                     # constant per graph; first() is order-independent
                     # on a constant column
                     F.first("__n").alias("__n"),
@@ -195,7 +232,13 @@ def pagerank(
         contrib = (
             ranks.join(edged, ranks["__id"] == edged["__s"])
             .groupBy("__t")
-            .agg(F.sum(F.col("__r") / F.col("__d")).alias("__c"))
+            .agg(
+                F.sum(
+                    F.col("__r") / F.col("__d")
+                    if weight_col is None
+                    else F.col("__r") * F.col("__w") / F.col("__d")
+                ).alias("__c")
+            )
         )
         new_ranks = nodes.join(
             contrib, nodes["__id"] == contrib["__t"], "left"
@@ -236,7 +279,7 @@ def pagerank(
 @register_operator("pagerank")
 class PageRankOperator(Operator):
     """Config: ``src``, ``dst`` (required); ``damping``,
-    ``iterations``, ``undirected``, ``quantize``."""
+    ``iterations``, ``undirected``, ``quantize``, ``weight_col``."""
 
     in_ports = ("in",)
     out_ports = ("out",)
@@ -257,6 +300,7 @@ class PageRankOperator(Operator):
                 int(c.get("iterations", 10)),
                 bool(c.get("undirected", False)),
                 int(c.get("quantize", 9)),
+                c.get("weight_col"),
             )
         }
 

@@ -661,6 +661,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="symmetrize edges first (dangling mass becomes zero)"),
         f("quantize", "integer", default=9,
           desc="floor-quantize final ranks at this many decimals"),
+        f("weight_col", "string",
+          desc="weighted mode: mass splits proportionally to this "
+               "edge weight; parallel edges combine by sum"),
     ],
     "knn_graph": [
         f("k", "integer", default=10),

@@ -389,3 +389,74 @@ def test_triangle_count_self_loop_only_node_reports_zero(spark):
     # appear with triangles=0 — same node set as the sibling graph ops
     got = _tri(spark, [(0, 1), (1, 2), (2, 0), (5, 5)])
     assert got == {0: 1, 1: 1, 2: 1, 5: 0}
+
+
+def _pr_w(spark, rows, **cfg):
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = get_operator("pagerank")(
+        **{"src": "src", "dst": "dst", "weight_col": "w", **cfg}
+    ).apply({"in": df})["out"]
+    return {r["node"]: r["pagerank"] for r in out.collect()}
+
+
+def _numpy_pr_w(rows, iterations=10, d=0.85, undirected=False, quantize=9):
+    import math
+
+    if undirected:
+        rows = rows + [(t, s, w) for s, t, w in rows]
+    agg: dict[tuple, float] = {}
+    for s, t, w in rows:
+        agg[(s, t)] = agg.get((s, t), 0.0) + w
+    nodes = sorted({s for s, _ in agg} | {t for _, t in agg})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W: dict[int, float] = {}
+    for (s, _), w in agg.items():
+        W[s] = W.get(s, 0.0) + w
+    r = [1.0 / n] * n
+    for _ in range(iterations):
+        dang = sum(r[idx[v]] for v in nodes if v not in W) / n
+        acc = [0.0] * n
+        for (s, t), w in agg.items():
+            acc[idx[t]] += r[idx[s]] * w / W[s]
+        r = [(1 - d) / n + d * (acc[i] + dang) for i in range(n)]
+    q = 10**quantize
+    return {v: math.floor(r[idx[v]] * q) / q for v in nodes}
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    rows = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (1, 3, 1.0)]
+    got = _pr_w(spark, rows)
+    ref = _numpy_pr_w(rows)
+    assert all(abs(got[v] - ref[v]) < 1e-9 for v in ref)
+    # node 1 receives 3/4 of node 0's mass, node 2 only 1/4
+    assert got[1] > got[3]
+
+
+def test_pagerank_weighted_all_ones_equals_unweighted(spark):
+    # NOTE: the edge set must be duplicate-free under symmetrization —
+    # with both (a,b) and (b,a) present the weighted path SUMS them to
+    # w=2 (documented combine-by-sum) while unweighted dedupes
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    unweighted = _pr(spark, edges, undirected=True)
+    weighted = _pr_w(
+        spark, [(s, t, 1.0) for s, t in edges], undirected=True
+    )
+    assert unweighted == weighted  # bit-exact: x*1.0 == x
+
+
+def test_pagerank_weighted_parallel_edges_combine_by_sum(spark):
+    a = _pr_w(spark, [(0, 1, 2.0), (1, 0, 1.0)], undirected=False)
+    b = _pr_w(spark, [(0, 1, 1.0), (0, 1, 1.0), (1, 0, 1.0)], undirected=False)
+    assert a == b
+
+
+def test_pagerank_weighted_bad_weights_drop(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 2, None), (0, 3, -5.0), (0, 4, 0.0)],
+        "src long, dst long, w double",
+    )
+    out = get_operator("pagerank")(src="src", dst="dst", weight_col="w").apply(
+        {"in": df}
+    )["out"]
+    assert {r["node"] for r in out.collect()} == {0, 1}
