@@ -5557,6 +5557,41 @@ QUALIFY rank <= {k}
 _SQL_KNN_GRAPH = _sql_knn_graph()
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone connected components (operators/graph.py
+    ConnectedComponentsOperator → the dedup family's certified CC
+    engine) over the part-supplier bipartite graph — component = min
+    node id, all-integer, bit-exact vs the DuckDB recursive-CTE
+    transitive closure."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 16 == 5)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("connected_components")(src="src", dst="dst").apply(
+        {"in": edges}
+    )["out"]
+
+
+_SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE pe AS (
+  SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t
+  FROM lineitem WHERE l_orderkey % 16 = 5
+), edges AS (
+  SELECT s, t FROM pe UNION SELECT t, s FROM pe
+), reach(src, dst) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s
+)
+SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (pagerank weight_col): the same
     part-supplier graph as q_pagerank but with edge weight = lineitem
@@ -6019,7 +6054,7 @@ _R08_WINDOW = [
     "markov_transitions", "event_paths", "approx_topk",
     "bm25_search", "interpolate_gaps", "pagerank", "label_propagation",
     "knn_graph", "triangle_count", "personalized_pagerank",
-    "pagerank_weighted",
+    "pagerank_weighted", "graph_components",
     # operator/oracle code changed this round
     "random_projection", "ann_lsh", "ann_brute_force", "ann_numpy",
     "cosine_near_dup", "ivf_index_topk",
@@ -6195,8 +6230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "personalized_pagerank": q_personalized_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
+        "graph_components": q_graph_components,
     }
-    assert len(_R08_WINDOW) == 68 and set(_R08_WINDOW) <= set(base)
+    assert len(_R08_WINDOW) == 69 and set(_R08_WINDOW) <= set(base)
     return {
         **{k: base[k] for k in _R08_WINDOW},
         **{k: v for k, v in base.items() if k not in set(_R08_WINDOW)},
@@ -6352,6 +6388,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
         "pagerank_weighted": _SQL_PAGERANK_WEIGHTED,
+        "graph_components": _SQL_GRAPH_COMPONENTS,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,

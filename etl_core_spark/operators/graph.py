@@ -640,3 +640,50 @@ class PersonalizedPageRankOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+@register_operator("connected_components")
+class ConnectedComponentsOperator(Operator):
+    """Standalone connected components over ANY edge list →
+    ``(node, component)`` with component = min node id — the same
+    certified engine the dedup family uses (union-find below
+    driver_max_edges, Kiveris large-star/small-star above;
+    operators/dedup.py connected_components), exposed as a
+    first-class graph operator so an edge table that never came from
+    near-dup pairs (co-purchase, citation, session transitions) can
+    be clustered through the JSON-config path.
+
+    Config: ``src``, ``dst`` (required); ``driver_max_edges``
+    (default 1,000,000 — 0 forces the distributed star algorithm),
+    ``max_iters``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(
+                    f"connected_components requires {key!r}"
+                )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        from etl_core_spark.operators.dedup import connected_components
+
+        c = self.config
+        edges = _normalized_edges(
+            self.single_input(inputs), c["src"], c["dst"], symmetrize=False
+        )
+        out = connected_components(
+            edges.select(
+                F.col("__s").alias("id_a"), F.col("__t").alias("id_b")
+            ),
+            max_iters=int(c.get("max_iters", 50)),
+            driver_max_edges=int(c.get("driver_max_edges", 1_000_000)),
+        )
+        return {
+            "out": out.select(
+                F.col("id").alias("node"),
+                F.col("cluster_id").alias("component"),
+            )
+        }

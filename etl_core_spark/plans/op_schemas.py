@@ -676,6 +676,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1),
         f("seed", "integer", default=42),
     ],
+    "connected_components": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("driver_max_edges", "integer", default=1000000,
+          desc="union-find on the driver below this edge count; "
+               "0 forces the distributed large-star/small-star path"),
+        f("max_iters", "integer", default=50),
+    ],
     "personalized_pagerank": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

@@ -460,3 +460,20 @@ def test_pagerank_weighted_bad_weights_drop(spark):
         {"in": df}
     )["out"]
     assert {r["node"] for r in out.collect()} == {0, 1}
+
+
+def test_connected_components_registry_operator(spark):
+    # two components + an isolated self-loop node; both execution
+    # paths (driver union-find and forced-distributed star rounds)
+    # agree — the same certified engine the dedup family uses
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8), (9, 9), (None, 1), (2, None)],
+        "src long, dst long",
+    )
+    expected = {0: 0, 1: 0, 2: 0, 7: 7, 8: 7, 9: 9}
+    for extra in ({}, {"driver_max_edges": 0}):
+        out = get_operator("connected_components")(
+            src="src", dst="dst", **extra
+        ).apply({"in": df})["out"]
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert got == expected, extra
