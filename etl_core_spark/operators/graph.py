@@ -1,12 +1,14 @@
 """Graph analytics beyond connected components: PageRank, label
 propagation, triangle counting.
 
-The web-graph quality signal crawl-based training-data pipelines use
-for URL-level filtering (OPIC/Harmonic/PageRank centrality is a
-standard CommonCrawl curation feature; see Page et al. 1999). The
-reference engine has no counterpart; connected components (the other
-graph op this engine ships) lives in operators/dedup.py next to its
-near-dup consumers.
+The web-graph quality signals crawl-based training-data pipelines
+use for URL-level filtering and seed expansion (OPIC/Harmonic/
+PageRank centrality is a standard CommonCrawl curation feature; see
+Page et al. 1999, Haveliwala 2002, Raghavan et al. 2007, Latapy
+2008). The reference engine has no counterpart. The connected-
+components ENGINE lives in operators/dedup.py next to its near-dup
+consumers; this module registers the standalone edge-list operator
+on top of it.
 """
 
 from __future__ import annotations
