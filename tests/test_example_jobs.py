@@ -542,3 +542,33 @@ def test_parquet_semantic_communities(spark, tmp_path):
     assert labels[0] == labels[1] == labels[2]
     assert labels[10] == labels[11] == labels[12]
     assert labels[0] != labels[10]
+
+
+def test_parquet_crawl_to_training_set(spark, tmp_path, tables):
+    """The full curation chain through the JSON runner: gopher
+    quality gate -> minhash near-dedup -> self-trained LM fluency
+    percentile gate -> deterministic epoch shuffle -> sharded export
+    with manifest. Asserts monotone filtering, shard integrity and
+    shuffle-position uniqueness."""
+    import json as _json
+
+    def inputs(d):
+        tables["documents"].select("doc_id", "text").write.parquet(
+            str(d / "crawl.parquet")
+        )
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_crawl_to_training_set.json", inputs
+    )
+    n_in = tables["documents"].count()
+    back = spark.read.parquet(str(out / "training" / "shard=*"))
+    n_out = back.count()
+    assert 0 < n_out < n_in  # every gate actually gated something
+    # deterministic shuffle positions are a bijection onto 0..n-1
+    pos = sorted(r["shuffle_pos"] for r in back.select("shuffle_pos").collect())
+    assert pos == list(range(n_out))
+    manifest = _json.loads(
+        (out / "training" / "_manifest.json").read_text()
+    )
+    assert sum(s["rows"] for s in manifest["shards"]) == n_out
+    assert result.metrics["sink_shards"]["lines_received"] == n_out
