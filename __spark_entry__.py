@@ -5341,6 +5341,75 @@ SELECT v AS value, n FROM c ORDER BY n DESC, value ASC LIMIT 50
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality certification for streaming_topk
+    (streaming/stream.py): a REAL availableNow file-stream over the
+    documents table runs the sharded Misra-Gries state operator; with
+    capacity sized above the corpus vocabulary no counter is ever
+    evicted, so each shard's final snapshot holds exact counts and
+    the cross-shard union ranked (n desc, value asc) must equal the
+    certified batch ``approx_topk`` answer — the oracle IS
+    ``_SQL_APPROX_TOPK``. Update-mode snapshots are folded per shard
+    (each touched shard re-emits its full counter set per
+    micro-batch, so the latest batch per shard wins); the driver-side
+    fold is capacity-bounded by construction — the documented
+    snapshot collect, never stream-sized."""
+    import shutil
+    import tempfile
+
+    from etl_core_spark.functions.text import tokens
+    from etl_core_spark.streaming import streaming_topk
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    # FileStreamSource requires a directory basePath; the glob keeps
+    # the listing pinned to the single documents file.
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parque*"
+    )
+    toks = stream.select(
+        F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("tok")
+    )
+    out = streaming_topk(toks, "tok", capacity=65536, n_shards=8)
+
+    shard_state: dict[int, dict[int, dict]] = {}
+
+    def capture(bdf, bid):
+        per_shard: dict = {}
+        for r in bdf.collect():  # capacity-bounded snapshot
+            per_shard.setdefault(r["shard"], {})[r["value"]] = int(
+                r["mg_count"]
+            )
+        for shard, counters in per_shard.items():
+            shard_state[shard] = {"bid": bid, "counters": counters}
+
+    ckpt = tempfile.mkdtemp(prefix="stream_topk_ckpt_")
+    try:
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    final = [
+        (v, n)
+        for s in shard_state.values()
+        for v, n in s["counters"].items()
+    ]
+    return (
+        spark.createDataFrame(final, "value string, n bigint")
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(50)
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document to a 3-term probe
     (operators/text_analysis.py bm25_score, Lucene idf variant) —
@@ -6063,10 +6132,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 5 deferred r06 rows (lang_id,
-# minhash_near_dup_pairs, minhash_signature, interval_join,
+# in registry order. The 6 deferred r06 rows (json_roundtrip,
+# lang_id, minhash_near_dup_pairs, minhash_signature, interval_join,
 # tf_idf_top_terms) lead the r10 window.
 _R09_WINDOW = [
+    # never driver-checked (new this round): the availableNow
+    # stream-equality certification of the streaming MG operator
+    "streaming_topk",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6087,7 +6159,7 @@ _R09_WINDOW = [
     "q16_parts_supplier_cnt", "q17_small_qty_revenue",
     "q20_heavy_suppliers", "q21_last_shippers", "csv_roundtrip",
     "dedup_exact", "events_json_filter", "hash_sample",
-    "hash_split_counts", "json_roundtrip",
+    "hash_split_counts",
 ]
 
 
@@ -6235,6 +6307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "event_paths": q_event_paths,
         "approx_topk": q_approx_topk,
+        "streaming_topk": q_streaming_topk,
         "bm25_search": q_bm25_search,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
@@ -6393,6 +6466,8 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,
         "event_paths": _SQL_EVENT_PATHS,
         "approx_topk": _SQL_APPROX_TOPK,
+        # the stream must reproduce the certified batch answer exactly
+        "streaming_topk": _SQL_APPROX_TOPK,
         "bm25_search": _SQL_BM25,
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
