@@ -233,9 +233,20 @@ def scd2_merge(
         )
 
     null_to = F.lit(None).cast(open_.schema[to_col].dataType)
+    # Late-arriving guard: an update whose effective time precedes
+    # the open version's valid_from would emit a closed row with
+    # valid_to < valid_from (an inverted interval). Clamp the
+    # close/open boundary to greatest(effective, valid_from): the
+    # late update is applied as a correction effective at the open
+    # version's start (zero-length closed row, never inverted).
+    # True late-arriving SCD2 backfill — splicing a version into
+    # CLOSED history — is a different operation and out of scope
+    # here. greatest() skips NULLs, so brand-new keys (no open row)
+    # still open at their own effective time.
+    boundary = F.greatest(F.col("__eff"), F.col(from_col))
     keep_open = _mk(False, False, F.col(from_col), null_to)
-    closed = _mk(False, False, F.col(from_col), F.col("__eff"))
-    opened = _mk(True, True, F.col("__eff"), null_to)
+    closed = _mk(False, False, F.col(from_col), boundary)
+    opened = _mk(True, True, boundary, null_to)
     rows = (
         # open version, no update for it (or a no-op update)
         F.when(

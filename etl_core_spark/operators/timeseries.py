@@ -379,9 +379,16 @@ class RollingAggregateOperator(Operator):
     out_ports = ("out",)
 
     def validate_config(self) -> None:
-        for key in ("time_col", "value_col", "window_seconds"):
+        for key in ("time_col", "value_col"):
             if not self.config.get(key):
                 raise OperatorConfigError(f"rolling_aggregate requires {key!r}")
+        # is-None check, not truthiness: window_seconds=0 is a legal
+        # frame (current row + equal-timestamp peers only) — the
+        # bucket_width pattern from RangeJoinOperator
+        if self.config.get("window_seconds") is None:
+            raise OperatorConfigError(
+                "rolling_aggregate requires 'window_seconds'"
+            )
         if not self.config.get("partition_cols") and not self.config.get(
             "allow_global_window"
         ):
@@ -805,7 +812,9 @@ def interpolate(
     ``ffill`` carries the last observation forward. The missing-value
     repair step between bucketing and any rolling/seasonal analysis.
 
-    Contract: duplicate (key, time) rows collapse by mean first
+    Contract: rows with NULL time are dropped (un-placeable on a
+    grid, and they must not leak into ffill's neighbor window);
+    duplicate (key, time) rows collapse by mean first
     (pre-aggregate upstream for anything else); observed values pass
     through BIT-UNCHANGED; filled values are floor-quantized at 6dp
     (division is involved — the Java-vs-C rounding-tie lesson);
@@ -830,8 +839,14 @@ def interpolate(
         raise OperatorConfigError("interpolate requires key_cols")
     from pyspark.sql import Window
 
-    obs = df.groupBy(*key_cols, time_col).agg(
-        F.avg(value_col).alias("__v")
+    # NULL-time observations are un-placeable on a grid AND would
+    # sort NULLS FIRST in the neighbor window, carrying their value
+    # into the earliest grid rows under ffill — violating the
+    # leading-gaps-stay-NULL contract. They are dropped here.
+    obs = (
+        df.where(F.col(time_col).isNotNull())
+        .groupBy(*key_cols, time_col)
+        .agg(F.avg(value_col).alias("__v"))
     )
     step_expr = F.expr(step) if isinstance(step, str) else step
     spans = obs.groupBy(*key_cols).agg(

@@ -36,6 +36,83 @@ from etl_core_spark.sources.base_io import SinkOperator
 
 _FORMATS = ("parquet", "json", "orc")
 
+_FP_MOD = 2 ** 61 - 1
+
+
+def shard_col(key_col: str, salt: str, n_shards: int):
+    """The engine-wide deterministic shard assignment expression."""
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    return F.pmod(hash_bucket(F.col(key_col), salt), F.lit(int(n_shards))).cast(
+        "int"
+    )
+
+
+def shard_stats(df_with_shard: DataFrame, key_col: str, salt: str) -> dict:
+    """Per-shard (rows, fingerprint-residue) from a DataFrame that
+    already carries ``shard``. Bounded collect: n_shards rows. The
+    residue is sum(xxhash64(key) mod 2^61-1); residues COMPOSE by
+    modular addition, so incremental callers can fold batch residues
+    into a running manifest without rescanning history."""
+    stats = (
+        df_with_shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
+                    F.lit(_FP_MOD),
+                ).cast("decimal(38,0)")  # long sum of 2^61-sized terms
+                # overflows after a handful of rows under ANSI mode
+            ).alias("fp_sum"),
+        )
+        .collect()
+    )
+    return {
+        int(r["shard"]): (int(r["rows"]), int(r["fp_sum"]) % _FP_MOD)
+        for r in stats
+    }
+
+
+def build_manifest(
+    n_shards: int, fmt: str, key_col: str, salt: str, by_shard: dict
+) -> dict:
+    """Manifest dict from {shard: (rows, fingerprint)}."""
+    shards = []
+    for i in range(int(n_shards)):
+        rows, fp = by_shard.get(i, (0, 0))
+        shards.append(
+            {
+                "shard": i,
+                "path": f"shard={i}",
+                "rows": int(rows),
+                "fingerprint": int(fp) % _FP_MOD,
+            }
+        )
+    return {
+        "format": fmt,
+        "n_shards": int(n_shards),
+        "key_col": key_col,
+        "salt": salt,
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+
+
+def write_manifest(spark, directory: str, manifest: dict) -> None:
+    """Manifest last: its presence certifies a complete export.
+    Hadoop FileSystem API, not builtin open(): the data just went
+    through Spark writers, so the directory may be hdfs://-style —
+    a driver-local open() would crash or strand the manifest on
+    the driver's disk (the _staged_partition_swap policy)."""
+    from etl_core_spark.sources.hadoop_fs import fs_write_text
+
+    fs_write_text(
+        spark,
+        f"{directory}/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+
 
 def export_shards(
     df: DataFrame,
@@ -48,8 +125,6 @@ def export_shards(
 ) -> dict:
     """Write ``df`` as ``n_shards`` deterministic shards plus a
     ``_manifest.json``; returns the manifest dict."""
-    from etl_core_spark.operators.sampling import hash_bucket
-
     n = int(n_shards)
     if n < 1:
         raise OperatorConfigError("export_shards n_shards must be >= 1")
@@ -61,8 +136,7 @@ def export_shards(
         raise OperatorConfigError(
             f"export_shards key {key_col!r} not in input {df.columns}"
         )
-    shard = F.pmod(hash_bucket(F.col(key_col), salt), F.lit(n)).cast("int")
-    with_shard = df.withColumn("shard", shard)
+    with_shard = df.withColumn("shard", shard_col(key_col, salt, n))
     # one pass for the data; shard dirs come from partitionBy
     (
         with_shard.write.mode(mode)
@@ -71,65 +145,20 @@ def export_shards(
         .save(directory)
     )
     # one aggregation job for counts + content fingerprint — bounded
-    # collect (n_shards rows), never row-sized on the driver. In
-    # append mode the manifest must describe the DIRECTORY (old
-    # batches + this one), not just this batch — aggregating the
-    # input would record a manifest that misdescribes the export and
-    # fails its own verify_export; read the written data back instead
-    # (overwrite mode keeps the no-reread single-pass shape).
-    stats_src = (
-        with_shard
-        if mode == "overwrite"
-        else df.sparkSession.read.format(fmt).load(directory)
-    )
-    stats = (
-        stats_src.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.pmod(
-                    F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
-                    F.lit(2 ** 61 - 1),
-                ).cast("decimal(38,0)")  # long sum of 2^61-sized terms
-                # overflows after a handful of rows under ANSI mode
-            ).alias("fp_sum"),
-        )
-        .collect()
-    )
-    by_shard = {int(r["shard"]): r for r in stats}
-    shards = []
-    for i in range(n):
-        r = by_shard.get(i)
-        shards.append(
-            {
-                "shard": i,
-                "path": f"shard={i}",
-                "rows": int(r["rows"]) if r is not None else 0,
-                "fingerprint": (
-                    int(r["fp_sum"]) % (2 ** 61 - 1) if r is not None else 0
-                ),
-            }
-        )
-    manifest = {
-        "format": fmt,
-        "n_shards": n,
-        "key_col": key_col,
-        "salt": salt,
-        "total_rows": sum(s["rows"] for s in shards),
-        "shards": shards,
-    }
-    # manifest last: its presence certifies a complete export.
-    # Hadoop FileSystem API, not builtin open(): the data just went
-    # through Spark writers, so the directory may be hdfs://-style —
-    # a driver-local open() would crash or strand the manifest on
-    # the driver's disk (the _staged_partition_swap policy).
-    from etl_core_spark.sources.hadoop_fs import fs_write_text
-
-    fs_write_text(
-        df.sparkSession,
-        f"{directory}/_manifest.json",
-        json.dumps(manifest, indent=1, sort_keys=True),
-    )
+    # collect (n_shards rows), never row-sized on the driver. The
+    # stats ALWAYS read the written directory back, in both modes:
+    # aggregating the input plan instead would re-evaluate it, and a
+    # non-deterministic upstream (sample, limit without order, a
+    # speculative retry) would then make the manifest disagree with
+    # the data and fail its own verify_export — the exact hazard
+    # shuffle_rows persists against. The read-back is column-pruned
+    # to (shard, key_col) for columnar formats, a fraction of the
+    # write's cost; in append mode it is additionally required so the
+    # manifest describes the whole directory, not just this batch.
+    stats_src = df.sparkSession.read.format(fmt).load(directory)
+    by_shard = shard_stats(stats_src, key_col, salt)
+    manifest = build_manifest(n, fmt, key_col, salt, by_shard)
+    write_manifest(df.sparkSession, directory, manifest)
     return manifest
 
 
@@ -150,26 +179,7 @@ def verify_export(spark, directory: str) -> dict:
     raises if the manifest is missing (incomplete export)."""
     m = read_manifest(spark, directory)
     df = spark.read.format(m["format"]).load(directory)
-
-    stats = (
-        df.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.pmod(
-                    F.xxhash64(
-                        F.col(m["key_col"]).cast("string"), F.lit(m["salt"])
-                    ),
-                    F.lit(2 ** 61 - 1),
-                ).cast("decimal(38,0)")
-            ).alias("fp_sum"),
-        )
-        .collect()
-    )
-    got = {
-        int(r["shard"]): (int(r["rows"]), int(r["fp_sum"]) % (2 ** 61 - 1))
-        for r in stats
-    }
+    got = shard_stats(df, m["key_col"], m["salt"])
     out = {}
     for s in m["shards"]:
         actual = got.get(s["shard"], (0, 0))

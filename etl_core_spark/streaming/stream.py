@@ -447,11 +447,34 @@ def streaming_export_shards(
     the same shard whichever batch delivers it, so downstream loaders
     can stripe before the stream finishes.
 
+    Manifest cost model: with ``trigger_once=True`` (the default)
+    the manifest is recomputed from the DIRECTORY — self-healing and
+    paid once. A CONTINUOUS stream doing that would re-scan the
+    whole export every micro-batch: O(total-exported) per batch,
+    quadratic over the stream's lifetime. So for
+    ``trigger_once=False`` the manifest is maintained
+    INCREMENTALLY: per-shard row counts and fingerprint residues
+    (modular sums — they compose by addition, see
+    export_io.shard_stats) are seeded once from the existing
+    manifest (or one directory scan when resuming a manifest-less
+    export) and folded forward with each batch's own bounded
+    n_shards-row stats. Per-batch work is then O(batch), and the
+    micro-batch DataFrame is offset-pinned by the source, so the
+    stats re-evaluation is deterministic.
+
     At-least-once caveat (the foreachBatch contract, same as
     streaming_incremental_dedup): a crash-retried batch appends its
-    rows twice; the manifest stays CONSISTENT with the directory
-    (it is recomputed from the data, never incremented), and a
-    periodic exact_dedup compaction by key restores exactness."""
+    rows twice. In rescan mode the manifest stays CONSISTENT with
+    the directory (recomputed from data). In incremental mode a
+    crash BETWEEN the data append and the manifest refresh leaves
+    the replayed rows' first copy uncounted — run
+    ``export_shards(..., mode="append")`` once (or any empty-batch
+    rescan) to resync; the periodic exact_dedup compaction that
+    at-least-once delivery already requires restores exactness."""
+
+    # driver-side running residues for the incremental (continuous)
+    # path; keyed state lives exactly as long as the query object
+    running: dict = {"by_shard": None}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -460,8 +483,57 @@ def streaming_export_shards(
             return
         from etl_core_spark.sources.export_io import export_shards
 
-        export_shards(
-            batch_df, out_dir, key_col, n_shards, fmt, salt, mode="append"
+        if trigger_once:
+            export_shards(
+                batch_df, out_dir, key_col, n_shards, fmt, salt, mode="append"
+            )
+            return
+
+        from etl_core_spark.sources.export_io import (
+            _FP_MOD,
+            build_manifest,
+            read_manifest,
+            shard_col,
+            shard_stats,
+            write_manifest,
+        )
+
+        spark = batch_df.sparkSession
+        if running["by_shard"] is None:
+            # seed once: prior manifest if present, else a one-time
+            # directory scan (resuming an export whose manifest was
+            # lost), else an empty export
+            try:
+                m = read_manifest(spark, out_dir)
+                running["by_shard"] = {
+                    s["shard"]: (s["rows"], s["fingerprint"])
+                    for s in m["shards"]
+                }
+            except FileNotFoundError:
+                try:
+                    prior = spark.read.format(fmt).load(out_dir)
+                    running["by_shard"] = shard_stats(prior, key_col, salt)
+                except Exception:  # noqa: BLE001 - empty/new export dir
+                    running["by_shard"] = {}
+        with_shard = batch_df.withColumn(
+            "shard", shard_col(key_col, salt, int(n_shards))
+        ).localCheckpoint()  # one computation feeds write AND stats
+        (
+            with_shard.write.mode("append")
+            .partitionBy("shard")
+            .format(fmt)
+            .save(out_dir)
+        )
+        acc = running["by_shard"]
+        for shard, (rows, fp) in shard_stats(
+            with_shard, key_col, salt
+        ).items():
+            r0, f0 = acc.get(shard, (0, 0))
+            acc[shard] = (r0 + rows, (f0 + fp) % _FP_MOD)
+        write_manifest(
+            spark,
+            out_dir,
+            build_manifest(int(n_shards), fmt, key_col, salt, acc),
         )
 
     writer = (

@@ -131,6 +131,25 @@ def test_scd2_merge_latest_update_wins_in_batch(spark):
     )
 
 
+def test_scd2_merge_late_update_never_inverts_interval(spark):
+    # an update effective BEFORE the open version's valid_from must
+    # not emit valid_to < valid_from; the boundary clamps to the open
+    # version's start (zero-length closed row, correction semantics)
+    out = _scd2(
+        spark,
+        [(1, "a", D(2024, 1, 1), None)],
+        [(1, "b", D(2023, 6, 1))],  # late: precedes valid_from
+    )
+    assert out == sorted(
+        [
+            (1, "a", D(2024, 1, 1), D(2024, 1, 1)),  # zero-length close
+            (1, "b", D(2024, 1, 1), None),           # opens at clamp
+        ]
+    )
+    for _k, _v, f, t in out:
+        assert t is None or t >= f, f"inverted interval: [{f}, {t})"
+
+
 def test_scd2_merge_idempotent_redelivery(spark):
     # applying the same batch twice: second application is a no-op
     cur = [(1, "a", D(2023, 1, 1), None)]

@@ -154,3 +154,60 @@ def test_streaming_export_shards(spark, tmp_path):
     # same key -> same shard across batches: recompute membership
     back = spark.read.parquet(out)
     assert back.count() == 50
+
+
+def test_streaming_export_shards_continuous_incremental(spark, tmp_path):
+    """Continuous mode (trigger_once=False) maintains the manifest
+    INCREMENTALLY — per-batch work is O(batch), no per-batch re-scan
+    of the whole export — yet the final manifest must still agree
+    exactly with the directory (verify_export), including across a
+    restart that seeds the residues from the prior manifest."""
+    from etl_core_spark.sources.export_io import read_manifest, verify_export
+    from etl_core_spark.streaming.stream import streaming_export_shards
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    spark.createDataFrame(
+        [(100 + i, f"doc {100+i}") for i in range(20)], schema
+    ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+
+    out = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+    # maxFilesPerTrigger=1 forces MULTIPLE micro-batches through the
+    # incremental fold
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = streaming_export_shards(
+        stream, out, ckpt, key_col="doc_id", n_shards=4, trigger_once=False
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert read_manifest(spark, out)["total_rows"] == 50
+    assert set(verify_export(spark, out).values()) == {"ok"}
+
+    # restart with a fresh query object: residues seed from the
+    # existing manifest, then fold the new batch
+    spark.createDataFrame(
+        [(200 + i, f"doc {200+i}") for i in range(10)], schema
+    ).coalesce(1).write.parquet(str(src / "b3.parquet"))
+    q2 = streaming_export_shards(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        out, ckpt, key_col="doc_id", n_shards=4, trigger_once=False,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_manifest(spark, out)["total_rows"] == 60
+    assert set(verify_export(spark, out).values()) == {"ok"}

@@ -201,3 +201,26 @@ def test_export_shards_append_manifest_describes_directory(spark, tmp_path):
     m = export_shards(df2, out, "doc_id", n_shards=4, mode="append")
     assert m["total_rows"] == 100
     assert set(verify_export(spark, out).values()) == {"ok"}
+
+
+def test_export_shards_nondeterministic_upstream_still_verifies(
+    spark, tmp_path
+):
+    """The manifest must describe the WRITTEN data even when the
+    input plan is non-deterministic (sample, limit without order,
+    speculative retry): stats are read back from the directory, never
+    re-evaluated from the input. An unseeded rand() key re-evaluates
+    differently per pass — under input-plan stats the manifest would
+    fingerprint rows that were never written and fail its own
+    verify_export."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.sources.export_io import export_shards, verify_export
+
+    df = spark.range(300).select(
+        (F.rand() * F.lit(1e12)).cast("long").cast("string").alias("k")
+    )
+    out = str(tmp_path / "nondet")
+    m = export_shards(df, out, "k", n_shards=4)
+    assert m["total_rows"] == 300
+    assert set(verify_export(spark, out).values()) == {"ok"}
