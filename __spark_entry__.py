@@ -5807,6 +5807,97 @@ def _sql_personalized_pagerank(n_iter: int = 5, d: str = "0.85e0") -> str:
 _SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
 
 
+def q_ppr_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank PROPER (operators/graph.py personalized_pagerank,
+    directed=True): trust flows only ALONG link direction and
+    dangling mass teleports back to the SEEDS (restart-vector
+    redistribution, Gyongyi et al. 2004 §4.1). Two-layer directed
+    graph from lineitem — odd line numbers link part→supplier, even
+    link supplier→part — so flow is asymmetric and one-sided nodes
+    are genuine dangling sinks exercising the teleport term. Seeds:
+    suppliers with key < 20. Eager checkpointed loop engine-side;
+    the oracle unrolls the same 5 rounds with an explicit per-round
+    dangling-mass scalar CTE."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 1)
+    fwd = li.where(F.col("l_linenumber") % 2 == 1).select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    back = li.where(F.col("l_linenumber") % 2 == 0).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return get_operator("personalized_pagerank")(
+        src="src", dst="dst", iterations=5, directed=True
+    ).apply({"in": fwd.unionByName(back), "seeds": seeds})["out"]
+
+
+def _sql_ppr_directed(n_iter: int = 5, d: str = "0.85e0") -> str:
+    """Unrolled directed-TrustRank oracle: out-degree on the DIRECTED
+    edges, nodes = src ∪ dst, a structural dangling set, and per
+    round a scalar dangling-mass CTE folded back through the restart
+    vector — r' = (1-d)*p + d*(coalesce(c,0) + dm*p), the same
+    double literals and association as the Spark expression."""
+    ctes = [
+        "e AS MATERIALIZED ("
+        "SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 1 AND l_linenumber % 2 = 1 "
+        "UNION "
+        "SELECT DISTINCT l_suppkey*2+1 AS s, l_partkey*2 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 1 AND l_linenumber % 2 = 0)",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e "
+        "UNION SELECT t AS node FROM e)",
+        "deg AS MATERIALIZED (SELECT s, count(*) AS dd FROM e GROUP BY s)",
+        "dang AS MATERIALIZED (SELECT node FROM nodes "
+        "WHERE node NOT IN (SELECT s FROM deg))",
+        "sd AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier "
+        "WHERE s_suppkey < 20)",
+        "present AS (SELECT sd.node FROM sd JOIN nodes USING (node))",
+        "ns AS (SELECT count(*) AS n FROM present)",
+        "p0 AS MATERIALIZED (SELECT nodes.node, "
+        "CASE WHEN present.node IS NOT NULL THEN 1.0/ns.n ELSE 0.0e0 END "
+        "AS pv FROM nodes CROSS JOIN ns "
+        "LEFT JOIN present ON present.node = nodes.node)",
+        "r0 AS (SELECT node, pv AS r FROM p0)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.t AS node, "
+            f"sum({p}.r / deg.dd) AS c "
+            f"FROM e JOIN {p} ON e.s = {p}.node "
+            f"JOIN deg ON deg.s = e.s GROUP BY e.t)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum({p}.r), 0.0e0) AS m "
+            f"FROM {p} JOIN dang USING (node))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT p0.node, "
+            f"(1-{d})*p0.pv + {d}*(coalesce(c{i}.c, 0.0e0) "
+            f"+ dm{i}.m * p0.pv) AS r "
+            f"FROM p0 CROSS JOIN dm{i} "
+            f"LEFT JOIN c{i} ON c{i}.node = p0.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, floor(r*1e9)/1e9 AS pagerank FROM r{n_iter}"
+    )
+
+
+_SQL_PPR_DIRECTED = _sql_ppr_directed()
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_count,
     compact-forward (degree,id) orientation) on the part co-purchase
@@ -6132,13 +6223,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 6 deferred r06 rows (json_roundtrip,
-# lang_id, minhash_near_dup_pairs, minhash_signature, interval_join,
-# tf_idf_top_terms) lead the r10 window.
+# in registry order. The 7 deferred r06 rows (hash_split_counts,
+# json_roundtrip, lang_id, minhash_near_dup_pairs,
+# minhash_signature, interval_join, tf_idf_top_terms) lead the r10
+# window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
-    # stream-equality certification of the streaming MG operator
-    "streaming_topk",
+    # stream-equality certification of the streaming MG operator,
+    # and directed TrustRank with the seed-teleport dangling term
+    "streaming_topk", "ppr_directed",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6159,7 +6252,6 @@ _R09_WINDOW = [
     "q16_parts_supplier_cnt", "q17_small_qty_revenue",
     "q20_heavy_suppliers", "q21_last_shippers", "csv_roundtrip",
     "dedup_exact", "events_json_filter", "hash_sample",
-    "hash_split_counts",
 ]
 
 
@@ -6315,6 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "triangle_count": q_triangle_count,
         "personalized_pagerank": q_personalized_pagerank,
+        "ppr_directed": q_ppr_directed,
         "pagerank_weighted": q_pagerank_weighted,
         "graph_components": q_graph_components,
     }
@@ -6475,6 +6568,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _SQL_KNN_GRAPH,
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
+        "ppr_directed": _SQL_PPR_DIRECTED,
         "pagerank_weighted": _SQL_PAGERANK_WEIGHTED,
         "graph_components": _SQL_GRAPH_COMPONENTS,
         "quantile_filter": _SQL_QUANTILE_FILTER,

@@ -515,6 +515,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     quantize: int = 9,
+    directed: bool = False,
 ) -> DataFrame:
     """Personalized PageRank / TrustRank (Haveliwala 2002; Gyongyi et
     al. 2004): the restart vector concentrates on a SEED set instead
@@ -522,23 +523,33 @@ def personalized_pagerank(
     — the curation primitive "score every page/domain/document by its
     link proximity to a hand-vetted whitelist"::
 
-        r'(v) = (1-d) * p(v) + d * sum over in-nbrs u of r(u)/deg(u)
+        r'(v) = (1-d) * p(v) + d * (sum over in-nbrs u of r(u)/deg(u)
+                                    + dangling_mass * p(v))
         p(v)  = 1/|S| for seed nodes, 0 otherwise
 
-    The graph is symmetrized (the no-dangling lazy-chain mode —
-    directed TrustRank would reintroduce the per-round checkpoint
-    loop; symmetrize-and-rank is the common curation shape). Seeds
-    not present in the graph are ignored; an empty intersection
-    raises loudly (a silent all-zero ranking helps nobody). Output
-    ``(node, pagerank)`` floor-quantized; non-seed components score
+    Default ``directed=False`` symmetrizes the graph (no dangling
+    structurally, the lazy-chain mode — the common curation shape).
+    ``directed=True`` is TrustRank proper: trust flows only ALONG
+    link direction (a spam page linking TO a trusted page gains
+    nothing), out-degree normalizes the directed edges, and dangling
+    mass teleports BY THE RESTART VECTOR (back to the seeds — the
+    personalized analog of the uniform 1/N redistribution; Gyongyi
+    et al. 2004 §4.1). Seeds not present in the graph are ignored;
+    an empty intersection raises loudly (a silent all-zero ranking
+    helps nobody). Output ``(node, pagerank)`` floor-quantized;
+    nodes unreachable from the seeds along edge direction score
     exactly 0.
 
-    Scale shape: identical to undirected ``pagerank`` — one lazy
-    chained plan, per round one keyed equi-join + one
+    Scale shape: undirected — identical to undirected ``pagerank``:
+    one lazy chained plan, per round one keyed equi-join + one
     map-side-combinable aggregate; the personalization vector rides
     pre-joined on the degree-annotated edge relation (``first()``
-    per group, no per-round join-back). One bounded driver probe
-    (seed-intersection emptiness), nothing row-sized.
+    per group, no per-round join-back). Directed — the dangling term
+    references the previous ranks twice, so it runs the eager
+    per-round ``localCheckpoint`` loop with a one-time structural
+    dangling probe (the directed-``pagerank`` machinery,
+    parameterized by the restart vector). Bounded driver probes
+    only, nothing row-sized.
     """
     if not 0 < float(damping) < 1:
         raise OperatorConfigError(
@@ -551,10 +562,17 @@ def personalized_pagerank(
     from etl_core_spark.session import persist_intermediate
 
     d = F.lit(float(damping))
-    e = _normalized_edges(edges, src, dst, symmetrize=True)
-    nodes = persist_intermediate(
-        e.select(F.col("__s").alias("__id")).distinct()
-    )
+    e = _normalized_edges(edges, src, dst, symmetrize=not directed)
+    if directed:
+        nodes = persist_intermediate(
+            e.select(F.col("__s").alias("__id"))
+            .union(e.select(F.col("__t").alias("__id")))
+            .distinct()
+        )
+    else:
+        nodes = persist_intermediate(
+            e.select(F.col("__s").alias("__id")).distinct()
+        )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
     seed_ids = persist_intermediate(
         seeds.select(F.col(seed_col).alias("__id"))
@@ -581,31 +599,94 @@ def personalized_pagerank(
             .alias("__p"),
         )
     )
-    edged = persist_intermediate(
-        e.join(deg, on="__s").join(
-            pvec.select(
-                F.col("__id").alias("__t"), F.col("__p").alias("__pt")
-            ),
-            on="__t",
+    q = F.lit(float(10 ** int(quantize)))
+    if not directed:
+        edged = persist_intermediate(
+            e.join(deg, on="__s").join(
+                pvec.select(
+                    F.col("__id").alias("__t"), F.col("__p").alias("__pt")
+                ),
+                on="__t",
+            )
         )
+        ranks = pvec.select("__id", F.col("__p").alias("__r"))
+        for _ in range(int(iterations)):
+            ranks = (
+                ranks.join(edged, ranks["__id"] == edged["__s"])
+                .groupBy("__t")
+                .agg(
+                    F.sum(F.col("__r") / F.col("__d")).alias("__c"),
+                    F.first("__pt").alias("__pt"),
+                )
+                .select(
+                    F.col("__t").alias("__id"),
+                    (
+                        (F.lit(1.0) - d) * F.col("__pt") + d * F.col("__c")
+                    ).alias("__r"),
+                )
+            )
+        return ranks.select(
+            F.col("__id").alias("node"),
+            (F.floor(F.col("__r") * q) / q).alias("pagerank"),
+        )
+
+    # ---- directed TrustRank: eager checkpointed loop ----
+    from etl_core_spark.session import (
+        release_local_checkpoint,
+        track_local_checkpoint,
     )
+
+    deg_p = persist_intermediate(deg)
+    edged = persist_intermediate(e.join(deg_p, on="__s"))
+    # structural (rank-independent) dangling node set, computed once;
+    # its emptiness probe decides whether the per-round mass
+    # aggregate exists at all (the directed-pagerank discipline)
+    dang_nodes = persist_intermediate(
+        nodes.join(deg_p, nodes["__id"] == deg_p["__s"], "left_anti")
+    )
+    has_dangling = dang_nodes.limit(1).count() > 0
     ranks = pvec.select("__id", F.col("__p").alias("__r"))
+    ranks = ranks.localCheckpoint()
+    track_local_checkpoint(ranks)
     for _ in range(int(iterations)):
-        ranks = (
+        contrib = (
             ranks.join(edged, ranks["__id"] == edged["__s"])
             .groupBy("__t")
-            .agg(
-                F.sum(F.col("__r") / F.col("__d")).alias("__c"),
-                F.first("__pt").alias("__pt"),
-            )
-            .select(
-                F.col("__t").alias("__id"),
-                ((F.lit(1.0) - d) * F.col("__pt") + d * F.col("__c")).alias(
-                    "__r"
-                ),
-            )
+            .agg(F.sum(F.col("__r") / F.col("__d")).alias("__c"))
         )
-    q = F.lit(float(10 ** int(quantize)))
+        new_ranks = pvec.join(
+            contrib, pvec["__id"] == contrib["__t"], "left"
+        )
+        if has_dangling:
+            # dangling mass teleports by the restart vector: the
+            # per-node share is dm * p(v), so seeds reabsorb it
+            dangling = ranks.join(
+                dang_nodes.select(nodes["__id"]), on="__id", how="left_semi"
+            ).agg(F.sum("__r").alias("__dm"))
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
+                pvec["__id"],
+                (
+                    (F.lit(1.0) - d) * F.col("__p")
+                    + d
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.coalesce(F.col("__dm"), F.lit(0.0))
+                        * F.col("__p")
+                    )
+                ).alias("__r"),
+            )
+        else:
+            new_ranks = new_ranks.select(
+                pvec["__id"],
+                (
+                    (F.lit(1.0) - d) * F.col("__p")
+                    + d * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("__r"),
+            )
+        new_ranks = new_ranks.localCheckpoint()
+        track_local_checkpoint(new_ranks)
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
     return ranks.select(
         F.col("__id").alias("node"),
         (F.floor(F.col("__r") * q) / q).alias("pagerank"),
@@ -615,7 +696,9 @@ def personalized_pagerank(
 @register_operator("personalized_pagerank")
 class PersonalizedPageRankOperator(Operator):
     """Config: ``src``, ``dst`` (required); ``seed_col``,
-    ``damping``, ``iterations``, ``quantize``. Ports: ``in`` (edges),
+    ``damping``, ``iterations``, ``quantize``, ``directed``
+    (TrustRank proper: trust flows only along link direction,
+    dangling mass teleports to the seeds). Ports: ``in`` (edges),
     ``seeds`` (seed node list)."""
 
     in_ports = ("in", "seeds")
@@ -640,6 +723,7 @@ class PersonalizedPageRankOperator(Operator):
                 float(c.get("damping", 0.85)),
                 int(c.get("iterations", 10)),
                 int(c.get("quantize", 9)),
+                bool(c.get("directed", False)),
             )
         }
 

@@ -692,6 +692,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("damping", "number", default=0.85),
         f("iterations", "integer", default=10),
         f("quantize", "integer", default=9),
+        f("directed", "boolean", default=False,
+          desc="TrustRank proper: trust flows only along link "
+               "direction; dangling mass teleports to the seeds"),
     ],
     "triangle_count": [
         f("src", "string", required=True),

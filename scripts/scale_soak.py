@@ -149,21 +149,45 @@ def families(docs, spark):
         ),
     )
     fams["pagerank"] = lambda: pagerank(graph, undirected=True, iterations=10)
+    # r9: the remaining graph family on the same doc-derived graph —
+    # LPA's lazy chained plan (one keyed join + one struct-min argmax
+    # aggregate per round) and triangle counting's compact-forward
+    # orientation (wedge fan-out bounded by oriented out-degree ≤
+    # O(sqrt E)); both must scale with E, not E^2
+    from etl_core_spark.operators.graph import (
+        label_propagation,
+        triangle_count,
+    )
+
+    fams["label_propagation"] = lambda: label_propagation(
+        graph, iterations=5
+    )
+    fams["triangle_count"] = lambda: triangle_count(graph)
     return fams
 
 
 def emb_families(emb):
     """Embedding-table families (scaled via build_scaled_embeddings)."""
-    from etl_core_spark.operators.similarity import semdedup
+    import math
+
+    from etl_core_spark.operators.similarity import knn_graph, semdedup
 
     # num_centroids scales with the corpus (the paper's k ∝ n rule):
     # cells stay ~constant-sized, so the within-cell quadratic term is
     # bounded and per-row cost stays flat
     n = emb.count()
     k_cells = max(8, n // 4000)
+    # kNN-graph scale path: LSH hyperplane buckets. Planes scale
+    # log2 with the corpus so expected bucket occupancy n/2^planes
+    # stays ~constant and the per-bucket quadratic term is bounded —
+    # the same k ∝ n discipline as semdedup's cells.
+    planes = max(6, int(math.log2(max(n, 2))) - 3)
     return {
         "semdedup": lambda: semdedup(
             emb, threshold=0.4, num_centroids=k_cells
+        ),
+        "knn_graph_lsh": lambda: knn_graph(
+            emb, k=10, method="lsh", dim=64, num_planes=planes
         ),
     }
 

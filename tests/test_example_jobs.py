@@ -544,6 +544,54 @@ def test_parquet_semantic_communities(spark, tmp_path):
     assert labels[0] != labels[10]
 
 
+def test_parquet_graph_communities(spark, tmp_path):
+    """The edge-list analog of the semantic-communities example:
+    connected_components + label_propagation over one fanned-out edge
+    read, joined into a per-node membership table that feeds BOTH
+    per-component metrics (node count, community count) and a
+    token-budgeted per-community document sample."""
+
+    def inputs(d):
+        # two disjoint components; the larger one is two dense
+        # triangles joined by a single bridge edge -> one component,
+        # two LPA communities
+        edges = [
+            (0, 1), (1, 2), (2, 0),        # triangle A
+            (3, 4), (4, 5), (5, 3),        # triangle B
+            (2, 3),                        # bridge A-B
+            # separate component: a triangle, not a 2-node pair —
+            # synchronous LPA oscillates with period 2 on bipartite
+            # structures (the documented caveat), a triangle converges
+            (10, 11), (11, 12), (12, 10),
+        ]
+        spark.createDataFrame(edges, "src long, dst long").write.parquet(
+            str(d / "edges.parquet")
+        )
+        docs = [(i, f"doc {i} " + "tok " * 10) for i in range(6)] + [
+            (10, "island doc ten"), (11, "island doc eleven"),
+            (12, "island doc twelve")
+        ]
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            str(d / "documents.parquet")
+        )
+
+    out, _ = run_example(
+        spark, tmp_path, "parquet_graph_communities.json", inputs
+    )
+    metrics = {
+        r["component"]: (r["n_nodes"], r["n_communities"])
+        for r in spark.read.parquet(str(out / "component_metrics")).collect()
+    }
+    # component ids are min node ids
+    assert set(metrics) == {0, 10}
+    assert metrics[0][0] == 6 and metrics[10] == (3, 1)
+    sample = spark.read.parquet(str(out / "community_sample"))
+    rows = sample.collect()
+    assert 0 < len(rows) <= 9
+    # every sampled doc carries its community label and text
+    assert {"label", "node", "text"} <= set(sample.columns)
+
+
 def test_parquet_crawl_to_training_set(spark, tmp_path, tables):
     """The full curation chain through the JSON runner: gopher
     quality gate -> minhash near-dedup -> self-trained LM fluency
