@@ -5410,6 +5410,103 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.py dsir_weights,
+    Xie et al. 2023): hashed unigram+bigram bucket features, target
+    distribution fit on the src0/src1 slice, raw on the whole
+    corpus; log_weight = Σ tf · (ln p_b − ln q_b) with additive
+    smoothing. md5-bucket arithmetic and e0 double literals shared
+    with the oracle; 6dp floor quantization (the lm_score ln
+    precedent)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    out = get_operator("dsir_weights")(num_buckets=8192).apply(
+        {"in": docs, "target": target}
+    )["out"]
+    return out.select("doc_id", "n_features", "log_weight")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (operators/selection.py
+    dsir_select): deterministic Gumbel perturbation from the md5
+    hash-bucket of the doc id (never rand() — the shuffle_rows
+    discipline), top-100 by perturbed weight. The oracle replays the
+    identical arithmetic; selection certified at full value level."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    out = get_operator("dsir_select")(k=100, num_buckets=8192).apply(
+        {"in": docs, "target": target}
+    )["out"]
+    return out.select("doc_id", "n_features", "log_weight", "gumbel_key")
+
+
+_DSIR_FEATS = (
+    "list_concat("
+    "list_transform(toks, w -> 'u:' || w), "
+    "list_transform(range(1, greatest(len(toks), 1)), "
+    "i -> 'b:' || toks[i] || ' ' || toks[i + 1]))"
+)
+
+_DSIR_CORE = f"""
+tok AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 8192 AS b
+  FROM (SELECT doc_id, source, unnest({_DSIR_FEATS}) AS f FROM tok)
+), ct AS (
+  SELECT b, count(*) AS cT FROM feat
+  WHERE source IN ('src0', 'src1') GROUP BY b
+), cr AS (
+  SELECT b, count(*) AS cR FROM feat GROUP BY b
+), tt AS (SELECT coalesce(sum(cT), 0) AS t FROM ct),
+tr AS (SELECT coalesce(sum(cR), 0) AS t FROM cr),
+ratio AS (
+  SELECT coalesce(ct.b, cr.b) AS b,
+         ln((coalesce(cT, 0) + 1.0e0) / (tt.t + 1.0e0 * 8192))
+         - ln((coalesce(cR, 0) + 1.0e0) / (tr.t + 1.0e0 * 8192)) AS lr
+  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b
+  CROSS JOIN tt CROSS JOIN tr
+), tf AS (
+  SELECT doc_id, b, count(*) AS tf FROM feat GROUP BY doc_id, b
+), s AS (
+  SELECT tf.doc_id, sum(tf.tf) AS nf, sum(tf.tf * ratio.lr) AS lw
+  FROM tf JOIN ratio USING (b) GROUP BY tf.doc_id
+)
+"""
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH {_DSIR_CORE}
+SELECT d.doc_id,
+       CAST(coalesce(s.nf, 0) AS BIGINT) AS n_features,
+       floor(s.lw * 1e6) / 1e6 AS log_weight
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+_SQL_DSIR_SELECT = f"""
+WITH {_DSIR_CORE},
+w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.nf, 0) AS BIGINT) AS n_features,
+         floor(s.lw * 1e6) / 1e6 AS log_weight
+  FROM documents d JOIN s USING (doc_id)
+), g AS (
+  SELECT *,
+         floor((log_weight + (
+           -ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967297.0e0))
+         )) * 1e6) / 1e6 AS gumbel_key
+  FROM w
+)
+SELECT doc_id, n_features, log_weight, gumbel_key
+FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document to a 3-term probe
     (operators/text_analysis.py bm25_score, Lucene idf variant) —
@@ -6223,15 +6320,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 7 deferred r06 rows (hash_split_counts,
-# json_roundtrip, lang_id, minhash_near_dup_pairs,
-# minhash_signature, interval_join, tf_idf_top_terms) lead the r10
-# window.
+# in registry order. The 9 deferred r06 rows (events_json_filter,
+# hash_sample, hash_split_counts, json_roundtrip, lang_id,
+# minhash_near_dup_pairs, minhash_signature, interval_join,
+# tf_idf_top_terms) lead the r10 window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
     # stream-equality certification of the streaming MG operator,
-    # and directed TrustRank with the seed-teleport dangling term
-    "streaming_topk", "ppr_directed",
+    # directed TrustRank with the seed-teleport dangling term, and
+    # the DSIR importance-resampling pair
+    "streaming_topk", "ppr_directed", "dsir_weights", "dsir_select",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6251,7 +6349,7 @@ _R09_WINDOW = [
     "q13_customer_distribution", "q15_top_supplier",
     "q16_parts_supplier_cnt", "q17_small_qty_revenue",
     "q20_heavy_suppliers", "q21_last_shippers", "csv_roundtrip",
-    "dedup_exact", "events_json_filter", "hash_sample",
+    "dedup_exact",
 ]
 
 
@@ -6401,6 +6499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": q_approx_topk,
         "streaming_topk": q_streaming_topk,
         "bm25_search": q_bm25_search,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -6562,6 +6662,8 @@ def oracle_sql() -> dict[str, str]:
         # the stream must reproduce the certified batch answer exactly
         "streaming_topk": _SQL_APPROX_TOPK,
         "bm25_search": _SQL_BM25,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "dsir_select": _SQL_DSIR_SELECT,
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,

@@ -31,6 +31,7 @@ from etl_core_spark.operators import (  # noqa: F401
     skew,
     compare,
     graph,
+    selection,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -1,0 +1,278 @@
+"""Importance-resampling data selection (beyond-reference).
+
+DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) — is the published recipe for "select raw-crawl
+documents that LOOK LIKE a trusted target corpus": featurize every
+document as a bag of hashed n-grams, fit two multinomial bucket
+distributions (target ``p`` and raw ``q``), weight each raw document
+by its log likelihood ratio, and resample with Gumbel top-k. It is
+the distribution-matching step between the Gopher-style rule gates
+and the LM-perplexity gates in a curation pipeline: rules kill
+garbage, perplexity kills gibberish, DSIR *aims* what survives at
+the domain you actually want to train on.
+
+Design notes (100 TB shape):
+
+- Features are hashed unigrams + bigrams in ``num_buckets`` buckets
+  (the paper's 10k default order) using the engine-wide md5
+  convention (``sampling.hash_bucket`` arithmetic), so Spark and any
+  SQL oracle agree bit-for-bit on bucket ids.
+- Both distributions are ONE map-side-combinable aggregate each over
+  the token stream; the log-ratio table is ``num_buckets`` rows —
+  broadcast, never shuffled against the corpus.
+- Per-document weights: distinct (doc, bucket, tf) rows join the
+  broadcast ratio table, then one group-by-doc sum. Occurrence
+  counts collapse BEFORE the join (tf), so the join touches
+  distinct-feature rows, not the raw token stream.
+- Selection is deterministic: the Gumbel perturbation derives from
+  ``hash_bucket(id, salt)`` instead of ``rand()`` — reruns, retries
+  and speculative tasks agree (the salted_join/shuffle_rows
+  discipline), and k-selection is orderBy+limit, which Spark plans
+  as TakeOrdered (per-partition top-k + bounded merge), not a full
+  sort.
+- Smoothing ``alpha`` is additive over buckets, so empty buckets on
+  either side stay finite; a bucket unseen in BOTH corpora has log
+  ratio exactly ln(alpha_p_scale) - ln(alpha_q_scale), never NULL.
+
+Reference counterpart: none (the reference engine has no selection
+family); the behavioral spec is the public DSIR paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import (
+    Operator,
+    OperatorConfigError,
+    PortMap,
+    register_operator,
+)
+
+_HASH_SPACE = 16 ** 8  # hash_bucket's range
+
+
+def _feature_stream(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+) -> DataFrame:
+    """(id, bucket) rows — one per unigram and bigram OCCURRENCE,
+    hashed into ``num_buckets`` via the engine-wide md5 arithmetic.
+    Unigrams and bigrams get distinct salts so 'a b' the bigram and
+    'a b'-ish unigram collisions stay independent."""
+    from etl_core_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.trim(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    uni = toks.select(
+        "__id", F.explode("__t").alias("__f")
+    ).withColumn("__f", F.concat(F.lit("u:"), F.col("__f")))
+    # bigrams via index zip: w[i] + ' ' + w[i+1]
+    bi = toks.select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+                "(w, i) -> concat('b:', w, ' ', element_at(__t, i + 2)))"
+            )
+        ).alias("__f"),
+    )
+    both = uni.unionByName(bi)
+    return both.select(
+        "__id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("__f")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(int(num_buckets)),
+        ).alias("__b"),
+    )
+
+
+def _bucket_dist(feat: DataFrame) -> DataFrame:
+    """bucket -> occurrence count (missing buckets implicit zero)."""
+    return feat.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    quantize: int = 6,
+) -> DataFrame:
+    """Row-preserving importance weights: every raw document gains
+    ``n_features`` (its hashed n-gram occurrence count) and
+    ``log_weight`` = sum over feature occurrences of
+    ln p(bucket) - ln q(bucket), with p fit on ``target`` and q on
+    ``raw`` (additive ``alpha`` smoothing over ``num_buckets``).
+    Documents with no features (empty text) keep log_weight NULL —
+    they carry no distribution evidence either way; gate them with
+    the rule filters, not here."""
+    if int(num_buckets) < 2:
+        raise OperatorConfigError("dsir num_buckets must be >= 2")
+    if float(alpha) <= 0:
+        raise OperatorConfigError("dsir alpha must be > 0")
+    b = int(num_buckets)
+    a = float(alpha)
+
+    feat_raw = _feature_stream(raw, text_col, id_col, b)
+    feat_tgt = _feature_stream(target, text_col, id_col, b)
+
+    # totals as broadcast one-row aggregates; the ratio table is
+    # B rows, built bucket-outer so unseen-on-one-side buckets get
+    # their smoothed mass. A full outer join of two B-bounded
+    # aggregates — nothing corpus-sized.
+    cr = _bucket_dist(feat_raw)
+    ct = _bucket_dist(feat_tgt)
+    tr = cr.agg(F.sum("__c").alias("__tr"))
+    tt = ct.agg(F.sum("__c").alias("__tt"))
+    ratio = (
+        ct.withColumnRenamed("__c", "__cT")
+        .join(cr.withColumnRenamed("__c", "__cR"), on="__b", how="full")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__cT"), F.lit(0)) + F.lit(a))
+                    / (F.col("__tt") + F.lit(a) * F.lit(float(b)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cR"), F.lit(0)) + F.lit(a))
+                    / (F.col("__tr") + F.lit(a) * F.lit(float(b)))
+                )
+            ).alias("__lr"),
+        )
+    )
+    # occurrences collapse to (doc, bucket, tf) BEFORE the join
+    tf = feat_raw.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    doc_w = (
+        tf.join(F.broadcast(ratio), on="__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__tf").alias("__nf"),
+            F.sum(F.col("__tf") * F.col("__lr")).alias("__lw"),
+        )
+    )
+    q = F.lit(float(10 ** int(quantize)))
+    return raw.join(
+        doc_w, raw[id_col] == doc_w["__id"], "left"
+    ).select(
+        *[raw[c] for c in raw.columns],
+        F.coalesce(F.col("__nf"), F.lit(0)).cast("long").alias("n_features"),
+        (F.floor(F.col("__lw") * q) / q).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: str = "",
+    quantize: int = 6,
+) -> DataFrame:
+    """Gumbel top-k importance resampling (the paper's sampler):
+    select ``k`` documents with the largest
+    ``log_weight + Gumbel(id)``, where the Gumbel perturbation is
+    deterministic — ``u = (hash_bucket(id, salt) + 1) / (16^8 + 1)``,
+    ``g = -ln(-ln(u))`` — so the draw is a pure function of
+    (corpus, salt). Featureless documents never enter the draw.
+    Ties (same perturbed key) break by id ascending."""
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    if int(k) < 1:
+        raise OperatorConfigError("dsir_select k must be >= 1")
+    w = dsir_weights(
+        raw, target, text_col, id_col, num_buckets, alpha, quantize
+    )
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(1)) / F.lit(
+        float(_HASH_SPACE + 1)
+    )
+    g = -F.log(-F.log(u))
+    q = F.lit(float(10 ** int(quantize)))
+    return (
+        w.where(F.col("log_weight").isNotNull())
+        .withColumn(
+            "gumbel_key",
+            F.floor((F.col("log_weight") + g) * q) / q,
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+@register_operator("dsir_weights")
+class DsirWeightsOperator(Operator):
+    """Config: ``text_col``, ``id_col``, ``num_buckets``, ``alpha``,
+    ``quantize``. Ports: ``in`` (raw corpus), ``target`` (trusted
+    in-domain sample)."""
+
+    in_ports = ("in", "target")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        pass
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "target"}:
+            raise OperatorConfigError(
+                f"dsir_weights takes ports in/target, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": dsir_weights(
+                inputs["in"],
+                inputs["target"],
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("num_buckets", 8192)),
+                float(c.get("alpha", 1.0)),
+                int(c.get("quantize", 6)),
+            )
+        }
+
+
+@register_operator("dsir_select")
+class DsirSelectOperator(Operator):
+    """Config: ``k`` (required); ``text_col``, ``id_col``,
+    ``num_buckets``, ``alpha``, ``salt``, ``quantize``. Ports:
+    ``in`` (raw corpus), ``target``."""
+
+    in_ports = ("in", "target")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("k") is None:
+            raise OperatorConfigError("dsir_select requires 'k'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "target"}:
+            raise OperatorConfigError(
+                f"dsir_select takes ports in/target, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": dsir_select(
+                inputs["in"],
+                inputs["target"],
+                int(c["k"]),
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("num_buckets", 8192)),
+                float(c.get("alpha", 1.0)),
+                c.get("salt", ""),
+                int(c.get("quantize", 6)),
+            )
+        }

@@ -676,6 +676,26 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_tables", "integer", default=1),
         f("seed", "integer", default=42),
     ],
+    "dsir_weights": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_buckets", "integer", default=8192,
+          desc="hashed n-gram feature buckets (paper default order)"),
+        f("alpha", "number", default=1.0,
+          desc="additive smoothing over buckets"),
+        f("quantize", "integer", default=6),
+    ],
+    "dsir_select": [
+        f("k", "integer", required=True,
+          desc="documents to select by Gumbel top-k"),
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_buckets", "integer", default=8192),
+        f("alpha", "number", default=1.0),
+        f("salt", "string", default="",
+          desc="varies the deterministic Gumbel draw"),
+        f("quantize", "integer", default=6),
+    ],
     "connected_components": [
         f("src", "string", required=True),
         f("dst", "string", required=True),
