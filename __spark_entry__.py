@@ -5507,6 +5507,105 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB quality classifier (operators/selection.py
+    nb_quality_score, the GPT-3 Appendix-A filter shape): positive =
+    src0/src1 slice, negative = src18/src19 slice, every document
+    scored by smoothed class-conditional hashed-n-gram log odds +
+    prior, squashed to (0,1). Same md5-bucket/e0-literal discipline
+    as dsir; 6dp floors."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.where(F.col("source").isin("src0", "src1"))
+    neg = docs.where(F.col("source").isin("src18", "src19"))
+    out = get_operator("quality_classifier")(num_buckets=8192).apply(
+        {"in": docs, "positive": pos, "negative": neg}
+    )["out"]
+    return out.select("doc_id", "n_features", "log_odds", "score")
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 Pareto soft gate (operators/selection.py
+    nb_quality_gate): keep iff deterministic pareto_draw > 1 - score
+    — high scorers nearly always survive, low scorers keep a
+    quality-proportional chance (tail diversity). The draw derives
+    from the md5 hash-bucket of the id (inverse-CDF Pareto), so the
+    oracle replays it exactly."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.where(F.col("source").isin("src0", "src1"))
+    neg = docs.where(F.col("source").isin("src18", "src19"))
+    out = get_operator("quality_gate")(num_buckets=8192).apply(
+        {"in": docs, "positive": pos, "negative": neg}
+    )["out"]
+    return out.select("doc_id", "score")
+
+
+_NBQ_CORE = f"""
+tok AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 8192 AS b
+  FROM (SELECT doc_id, source, unnest({_DSIR_FEATS}) AS f FROM tok)
+), cp AS (
+  SELECT b, count(*) AS cP FROM feat
+  WHERE source IN ('src0', 'src1') GROUP BY b
+), cn AS (
+  SELECT b, count(*) AS cN FROM feat
+  WHERE source IN ('src18', 'src19') GROUP BY b
+), tp AS (SELECT coalesce(sum(cP), 0) AS t FROM cp),
+tn AS (SELECT coalesce(sum(cN), 0) AS t FROM cn),
+np AS (SELECT count(*) AS n FROM documents WHERE source IN ('src0', 'src1')),
+nn AS (SELECT count(*) AS n FROM documents
+       WHERE source IN ('src18', 'src19')),
+ratio AS (
+  SELECT coalesce(cp.b, cn.b) AS b,
+         ln((coalesce(cP, 0) + 1.0e0) / (tp.t + 1.0e0 * 8192))
+         - ln((coalesce(cN, 0) + 1.0e0) / (tn.t + 1.0e0 * 8192)) AS lr
+  FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
+  CROSS JOIN tp CROSS JOIN tn
+), tf AS (
+  SELECT doc_id, b, count(*) AS tf FROM feat GROUP BY doc_id, b
+), s AS (
+  -- LEFT join + smoothed default: a doc bucket seen by NEITHER
+  -- class still contributes its nonzero smoothed log ratio
+  SELECT tf.doc_id, sum(tf.tf) AS nf,
+         sum(tf.tf * coalesce(ratio.lr,
+             ln(1.0e0 / (tp.t + 1.0e0 * 8192))
+             - ln(1.0e0 / (tn.t + 1.0e0 * 8192)))) AS sr
+  FROM tf LEFT JOIN ratio USING (b) CROSS JOIN tp CROSS JOIN tn
+  GROUP BY tf.doc_id
+), lo AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.nf, 0) AS BIGINT) AS n_features,
+         s.sr + ln(CAST(np.n AS DOUBLE) / nn.n) AS raw_lo
+  FROM documents d LEFT JOIN s USING (doc_id) CROSS JOIN np CROSS JOIN nn
+)
+"""
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH {_NBQ_CORE}
+SELECT doc_id, n_features,
+       floor(raw_lo * 1e6) / 1e6 AS log_odds,
+       floor((1.0e0 / (1.0e0 + exp(-raw_lo))) * 1e6) / 1e6 AS score
+FROM lo
+"""
+
+_SQL_QUALITY_GATE = f"""
+WITH {_NBQ_CORE}
+SELECT doc_id,
+       floor((1.0e0 / (1.0e0 + exp(-raw_lo))) * 1e6) / 1e6 AS score
+FROM lo
+WHERE raw_lo IS NOT NULL
+  AND pow(1.0e0 - (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0e0, -1.0e0 / 9.0e0) - 1.0e0
+      > 1.0e0 - floor((1.0e0 / (1.0e0 + exp(-raw_lo))) * 1e6) / 1e6
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document to a 3-term probe
     (operators/text_analysis.py bm25_score, Lucene idf variant) —
@@ -6320,16 +6419,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 9 deferred r06 rows (events_json_filter,
-# hash_sample, hash_split_counts, json_roundtrip, lang_id,
-# minhash_near_dup_pairs, minhash_signature, interval_join,
-# tf_idf_top_terms) lead the r10 window.
+# in registry order. The 11 deferred r06 rows (csv_roundtrip,
+# dedup_exact, events_json_filter, hash_sample, hash_split_counts,
+# json_roundtrip, lang_id, minhash_near_dup_pairs,
+# minhash_signature, interval_join, tf_idf_top_terms) lead the r10
+# window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
     # stream-equality certification of the streaming MG operator,
     # directed TrustRank with the seed-teleport dangling term, and
-    # the DSIR importance-resampling pair
+    # the DSIR importance-resampling pair and the NB quality
+    # classifier/gate pair
     "streaming_topk", "ppr_directed", "dsir_weights", "dsir_select",
+    "quality_classifier", "quality_gate",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6348,8 +6450,7 @@ _R09_WINDOW = [
     "q8_market_share", "q11_important_parts",
     "q13_customer_distribution", "q15_top_supplier",
     "q16_parts_supplier_cnt", "q17_small_qty_revenue",
-    "q20_heavy_suppliers", "q21_last_shippers", "csv_roundtrip",
-    "dedup_exact",
+    "q20_heavy_suppliers", "q21_last_shippers",
 ]
 
 
@@ -6501,6 +6602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
+        "quality_gate": q_quality_gate,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -6664,6 +6767,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
         "dsir_select": _SQL_DSIR_SELECT,
+        "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+        "quality_gate": _SQL_QUALITY_GATE,
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,

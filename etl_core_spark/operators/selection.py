@@ -213,6 +213,223 @@ def dsir_select(
     )
 
 
+def nb_quality_score(
+    df: DataFrame,
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    quantize: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier — the trainable
+    quality filter of the GPT-3/PaLM/CCNet lineage (Brown et al.
+    2020 Appendix A): fit class-conditional hashed-n-gram
+    distributions on a POSITIVE corpus (curated reference, e.g.
+    wiki/books sample) and a NEGATIVE corpus (raw crawl sample),
+    then score every document::
+
+        log_odds(x) = ln P(pos)/P(neg)
+                      + sum over features f of tf_f * (ln p_pos(b_f)
+                                                       - ln p_neg(b_f))
+        score(x)    = sigmoid(log_odds)   in (0, 1)
+
+    Row-preserving: adds ``n_features``, ``log_odds``, ``score``.
+    Featureless documents get NULL scores (no evidence).
+
+    Scale shape: identical to dsir_weights — two bounded bucket
+    aggregates, a broadcast B-row ratio table, (doc, bucket, tf)
+    collapse before the join, one group-by-doc sum. Priors are two
+    broadcast one-row counts. Nothing corpus-sized on the driver.
+    """
+    if int(num_buckets) < 2:
+        raise OperatorConfigError("quality_classifier num_buckets must be >= 2")
+    if float(alpha) <= 0:
+        raise OperatorConfigError("quality_classifier alpha must be > 0")
+    b = int(num_buckets)
+    a = float(alpha)
+
+    feat_pos = _feature_stream(positive, text_col, id_col, b)
+    feat_neg = _feature_stream(negative, text_col, id_col, b)
+    cp = _bucket_dist(feat_pos)
+    cn = _bucket_dist(feat_neg)
+    tp = cp.agg(F.sum("__c").alias("__tp"))
+    tn = cn.agg(F.sum("__c").alias("__tn"))
+    # class priors from document counts (one long each)
+    np_ = positive.agg(F.count(F.lit(1)).alias("__np"))
+    nn_ = negative.agg(F.count(F.lit(1)).alias("__nn"))
+    ratio = (
+        cp.withColumnRenamed("__c", "__cP")
+        .join(cn.withColumnRenamed("__c", "__cN"), on="__b", how="full")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__cP"), F.lit(0)) + F.lit(a))
+                    / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cN"), F.lit(0)) + F.lit(a))
+                    / (F.col("__tn") + F.lit(a) * F.lit(float(b)))
+                )
+            ).alias("__lr"),
+        )
+    )
+    feats = _feature_stream(df, text_col, id_col, b)
+    tf = feats.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__tf"))
+    # LEFT join + smoothed default: unlike dsir (where q is fit on
+    # the scored corpus itself, so every scored bucket exists in the
+    # ratio table), a document here can use a bucket seen by NEITHER
+    # training class; its smoothed contribution
+    # ln(a/(tp+aB)) - ln(a/(tn+aB)) is nonzero whenever tp != tn and
+    # an inner join would silently drop it (caught by the pure-Python
+    # differential). 0 + a == a bitwise, so the default is the exact
+    # ratio-table formula at zero counts.
+    lr_default = F.log(
+        F.lit(a) / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
+    ) - F.log(F.lit(a) / (F.col("__tn") + F.lit(a) * F.lit(float(b))))
+    doc_s = (
+        tf.join(F.broadcast(ratio), on="__b", how="left")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
+        .withColumn("__lr", F.coalesce(F.col("__lr"), lr_default))
+        .groupBy("__id")
+        .agg(
+            F.sum("__tf").alias("__nf"),
+            F.sum(F.col("__tf") * F.col("__lr")).alias("__s"),
+        )
+    )
+    prior = F.log(F.col("__np") / F.col("__nn"))
+    q = F.lit(float(10 ** int(quantize)))
+    lo = F.col("__s") + prior
+    return (
+        df.join(doc_s, df[id_col] == doc_s["__id"], "left")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nn_))
+        .select(
+            *[df[c] for c in df.columns],
+            F.coalesce(F.col("__nf"), F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            (F.floor(lo * q) / q).alias("log_odds"),
+            (
+                F.floor(
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-lo))) * q
+                )
+                / q
+            ).alias("score"),
+        )
+    )
+
+
+def nb_quality_gate(
+    df: DataFrame,
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    pareto_alpha: float = 9.0,
+    salt: str = "",
+    quantize: int = 6,
+) -> DataFrame:
+    """The GPT-3 Pareto soft gate (Brown et al. 2020 Appendix A):
+    keep a document iff ``pareto_draw > 1 - score``, so high-scoring
+    documents almost always survive while low scorers keep a small,
+    quality-proportional chance — preserving tail diversity a hard
+    threshold would destroy. The draw is DETERMINISTIC: uniform from
+    ``hash_bucket(id, salt)``, Pareto by inverse CDF
+    ``(1-u)^(-1/alpha) - 1`` — reruns and retries agree. Featureless
+    documents are dropped (no evidence of quality)."""
+    scored = nb_quality_score(
+        df, positive, negative, text_col, id_col, num_buckets, alpha, quantize
+    )
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(1)) / F.lit(
+        float(_HASH_SPACE + 1)
+    )
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(pareto_alpha))) - F.lit(
+        1.0
+    )
+    return scored.where(
+        F.col("score").isNotNull() & (draw > (F.lit(1.0) - F.col("score")))
+    )
+
+
+@register_operator("quality_classifier")
+class QualityClassifierOperator(Operator):
+    """Config: ``text_col``, ``id_col``, ``num_buckets``, ``alpha``,
+    ``quantize``. Ports: ``in`` (docs to score), ``positive``
+    (curated reference), ``negative`` (raw sample)."""
+
+    in_ports = ("in", "positive", "negative")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        pass
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "positive", "negative"}:
+            raise OperatorConfigError(
+                "quality_classifier takes ports in/positive/negative, "
+                f"got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": nb_quality_score(
+                inputs["in"],
+                inputs["positive"],
+                inputs["negative"],
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("num_buckets", 8192)),
+                float(c.get("alpha", 1.0)),
+                int(c.get("quantize", 6)),
+            )
+        }
+
+
+@register_operator("quality_gate")
+class QualityGateOperator(Operator):
+    """Config: ``text_col``, ``id_col``, ``num_buckets``, ``alpha``,
+    ``pareto_alpha``, ``salt``, ``quantize``. Ports: ``in``,
+    ``positive``, ``negative``."""
+
+    in_ports = ("in", "positive", "negative")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if float(self.config.get("pareto_alpha", 9.0)) <= 0:
+            raise OperatorConfigError("quality_gate pareto_alpha must be > 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "positive", "negative"}:
+            raise OperatorConfigError(
+                "quality_gate takes ports in/positive/negative, "
+                f"got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": nb_quality_gate(
+                inputs["in"],
+                inputs["positive"],
+                inputs["negative"],
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                int(c.get("num_buckets", 8192)),
+                float(c.get("alpha", 1.0)),
+                float(c.get("pareto_alpha", 9.0)),
+                c.get("salt", ""),
+                int(c.get("quantize", 6)),
+            )
+        }
+
+
 @register_operator("dsir_weights")
 class DsirWeightsOperator(Operator):
     """Config: ``text_col``, ``id_col``, ``num_buckets``, ``alpha``,

@@ -696,6 +696,23 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "quality_classifier": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_buckets", "integer", default=8192),
+        f("alpha", "number", default=1.0),
+        f("quantize", "integer", default=6),
+    ],
+    "quality_gate": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_buckets", "integer", default=8192),
+        f("alpha", "number", default=1.0),
+        f("pareto_alpha", "number", default=9.0,
+          desc="GPT-3 soft-gate shape: keep iff pareto_draw > 1-score"),
+        f("salt", "string", default=""),
+        f("quantize", "integer", default=6),
+    ],
     "connected_components": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

@@ -122,6 +122,99 @@ def test_dsir_select_deterministic_topk_and_salt_sensitivity(spark):
     assert c1 == c2
 
 
+def _py_nb(docs, pos, neg, b=B, alpha=1.0):
+    cp: dict = {}
+    cn: dict = {}
+    for _i, t in pos:
+        for f in _feats(t):
+            k = _bucket(f, b)
+            cp[k] = cp.get(k, 0) + 1
+    for _i, t in neg:
+        for f in _feats(t):
+            k = _bucket(f, b)
+            cn[k] = cn.get(k, 0) + 1
+    tp, tn = sum(cp.values()), sum(cn.values())
+    prior = math.log(len(pos) / len(neg))
+    out = {}
+    for i, t in docs:
+        fs = _feats(t)
+        if not fs:
+            out[i] = (0, None, None)
+            continue
+        lo = prior
+        tf: dict = {}
+        for f in fs:
+            k = _bucket(f, b)
+            tf[k] = tf.get(k, 0) + 1
+        s = 0.0
+        for k, n in tf.items():
+            s += n * (
+                math.log((cp.get(k, 0) + alpha) / (tp + alpha * b))
+                - math.log((cn.get(k, 0) + alpha) / (tn + alpha * b))
+            )
+        lo = s + prior
+        sc = 1.0 / (1.0 + math.exp(-lo))
+        out[i] = (
+            len(fs),
+            math.floor(lo * 1e6) / 1e6,
+            math.floor(sc * 1e6) / 1e6,
+        )
+    return out
+
+
+POS = [(200, "the cat sat quietly"), (201, "a cat on a mat")]
+NEG = [(300, "quantum flux capacitor"), (301, "flux array quantum")]
+
+
+def test_quality_classifier_matches_pure_python(spark):
+    out = get_operator("quality_classifier")(num_buckets=B).apply(
+        {
+            "in": _spark_df(spark, RAW),
+            "positive": _spark_df(spark, POS),
+            "negative": _spark_df(spark, NEG),
+        }
+    )["out"]
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_odds"], r["score"])
+        for r in out.collect()
+    }
+    ref = _py_nb(RAW, POS, NEG)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        if ref[k][1] is None:
+            assert got[k][1] is None and got[k][2] is None
+        else:
+            assert got[k][1] == pytest.approx(ref[k][1], abs=2e-6), k
+            assert got[k][2] == pytest.approx(ref[k][2], abs=2e-6), k
+    # cat-like docs outscore quantum-like docs (absolute 0.5 cuts
+    # are unreliable at B=64 — bucket collisions shift mass; the
+    # ORDER is the classifier contract)
+    assert min(got[1][2], got[4][2]) > max(got[2][2], got[6][2])
+    assert got[1][2] > 0.5  # clearly in-domain doc classifies positive
+
+
+def test_quality_gate_soft_threshold(spark):
+    """The Pareto gate keeps high scorers (score→1 ⇒ survival unless
+    the draw is ~0, probability ~(1-s)^alpha) and is deterministic."""
+    run = lambda: {  # noqa: E731
+        r["doc_id"]
+        for r in get_operator("quality_gate")(num_buckets=B)
+        .apply(
+            {
+                "in": _spark_df(spark, RAW),
+                "positive": _spark_df(spark, POS),
+                "negative": _spark_df(spark, NEG),
+            }
+        )["out"]
+        .collect()
+    }
+    a, b_ = run(), run()
+    assert a == b_
+    assert 5 not in a  # featureless doc dropped
+    assert a <= {1, 2, 3, 4, 6}
+
+
 def test_dsir_validation(spark):
     raw = _spark_df(spark, RAW)
     tgt = _spark_df(spark, TARGET)
