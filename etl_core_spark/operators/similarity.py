@@ -675,6 +675,214 @@ def ivf_index_topk(
     )
 
 
+def _pq_lloyd(X, k: int, iters: int):
+    """Deterministic Lloyd k-means for one PQ subspace. Seeds with
+    the first k rows (callers pass id-sorted samples — the IVF seed
+    convention); empty cells keep their previous codeword, so the
+    codebook never shrinks. Distances via the expanded form (one
+    matmul), never an (n, k, d) broadcast tensor."""
+    import numpy as np
+
+    C = X[: int(k)].copy()
+    x2 = (X ** 2).sum(1)[:, None]
+    for _ in range(int(iters)):
+        d2 = x2 + (C ** 2).sum(1)[None, :] - 2.0 * (X @ C.T)
+        a = d2.argmin(1)
+        for j in range(C.shape[0]):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    train_rows: int = 100_000,
+    kmeans_iters: int = 5,
+    refine_factor: int = 4,
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011): unit
+    vectors split into ``m`` subspaces, each subvector quantized to
+    one of ``k_codes`` codewords (per-subspace Lloyd k-means on a
+    bounded id-sorted sample), the corpus stored as ``m`` small codes
+    — d·8 bytes/vector becomes m bytes (64-dim float64 → 8 bytes at
+    m=8, a 64× memory cut, THE lever that fits a 100 TB embedding
+    corpus's index in executor memory. Queries score by ADC
+    (asymmetric distance computation): one (m × k_codes) inner-
+    product lookup table per query, approx_ip = Σ_j LUT[j, code_j].
+    Candidates (``refine_factor``·k per query) re-rank by EXACT
+    cosine, so the output contract matches the ann family: 6dp
+    cosine desc, corpus id asc.
+
+    Scale shape: codebooks train on a bounded driver sample
+    (``train_rows``, id-sorted TakeOrdered — deterministic) and ride
+    as a broadcast; the corpus is ENCODED and SCORED streaming
+    through Arrow-batched ``mapInPandas`` — per batch one
+    subspace-argmin matmul (encode) and one LUT gather (score), with
+    per-batch top-(refine_factor·k) emission, so shuffle volume is
+    batches × queries × refine_factor·k rows, never corpus-sized.
+    The exact re-rank joins the bounded candidate set back to corpus
+    vectors (keyed AQE join). Queries are driver-collected, bounded
+    by ``max_query_rows`` with a loud error. Recall < 1 by
+    construction (quantization); the recall floor is pytest-pinned,
+    exactness is certified on the refined contract.
+    """
+    import numpy as np
+
+    if int(m) < 1 or int(k_codes) < 2:
+        raise OperatorConfigError("pq_topk needs m >= 1, k_codes >= 2")
+    probe = queries.select(query_id_col).limit(int(max_query_rows) + 1).count()
+    if probe > int(max_query_rows):
+        raise OperatorConfigError(
+            f"pq_topk: query batch exceeds max_query_rows="
+            f"{max_query_rows}; split the batch (the LUT broadcast is "
+            "queries-sized by design)"
+        )
+    # ---- train codebooks on a bounded deterministic sample ----
+    sample = (
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(int(train_rows))
+        .collect()
+    )
+    if not sample:
+        raise OperatorConfigError("pq_topk: corpus has no non-null vectors")
+    S = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    dim = S.shape[1]
+    if dim % int(m) != 0:
+        raise OperatorConfigError(
+            f"pq_topk: dim {dim} not divisible by m={m}"
+        )
+    sub = dim // int(m)
+    kc = min(int(k_codes), len(S))
+    books = np.stack(
+        [
+            _pq_lloyd(S[:, j * sub : (j + 1) * sub], kc, kmeans_iters)
+            for j in range(int(m))
+        ]
+    )  # (m, kc, sub)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    qids = [r[0] for r in qrows]
+    # per-query ADC tables: (q, m, kc) inner products
+    lut = np.stack(
+        [
+            Q[:, j * sub : (j + 1) * sub] @ books[j].T
+            for j in range(int(m))
+        ],
+        axis=1,
+    )
+    sc = corpus.sparkSession.sparkContext
+    b_books, b_lut, b_qids = (
+        sc.broadcast(books),
+        sc.broadcast(lut),
+        sc.broadcast(qids),
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    cand_per_q = int(refine_factor) * int(k)
+    m_, sub_ = int(m), sub
+
+    def encode_score(batches):
+        import numpy as np
+        import pandas as pd
+
+        bk, lt, qs = b_books.value, b_lut.value, b_qids.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            X = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            # encode: per-subspace nearest codeword
+            codes = np.empty((X.shape[0], m_), dtype=np.int64)
+            for j in range(m_):
+                Xj = X[:, j * sub_ : (j + 1) * sub_]
+                d2 = (
+                    (Xj ** 2).sum(1)[:, None]
+                    + (bk[j] ** 2).sum(1)[None, :]
+                    - 2.0 * (Xj @ bk[j].T)
+                )
+                codes[:, j] = d2.argmin(1)
+            # ADC: scores (q, B) = sum over subspaces of LUT gathers
+            scores = np.zeros((lt.shape[0], X.shape[0]))
+            for j in range(m_):
+                scores += lt[:, j, codes[:, j]]
+            out = []
+            n_take = min(cand_per_q, X.shape[0])
+            ids_b = pdf[id_col].to_numpy()
+            for qi in range(scores.shape[0]):
+                top = np.lexsort((ids_b, -scores[qi]))[:n_take]
+                for ci in top:
+                    cid = ids_b[ci]
+                    out.append(
+                        (
+                            qs[qi],
+                            cid.item() if hasattr(cid, "item") else cid,
+                            float(scores[qi][ci]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[query_id_col, id_col, "approx_ip"]
+            )
+
+    from etl_core_spark.session import persist_intermediate
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        encode_score,
+        schema=(
+            f"{query_id_col} {qid_type}, `{id_col}` {id_type}, "
+            "approx_ip double"
+        ),
+    )
+    # global candidate cut per query, then exact re-rank
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        cand.withColumn("__arn", F.row_number().over(w))
+        .where(F.col("__arn") <= cand_per_q)
+        .select(query_id_col, id_col)
+    )
+    cvec = corpus.select(
+        F.col(id_col), V.unit(F.col(vec_col)).alias("__cv")
+    )
+    qvec_df = persist_intermediate(
+        queries.sparkSession.createDataFrame(
+            [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+            f"{query_id_col} {qid_type}, __qv array<double>",
+        )
+    )
+    exact = (
+        cand.join(cvec, on=id_col)
+        .join(qvec_df, on=query_id_col)
+        .withColumn(
+            "cosine", F.round(V.dot(F.col("__qv"), F.col("__cv")), 6)
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -965,7 +1173,7 @@ class SimilaritySearchOperator(Operator):
     def validate_config(self) -> None:
         self.method = self.config.get("method", "brute_force")
         if self.method not in (
-            "brute_force", "brute_force_numpy", "lsh", "ivf_index"
+            "brute_force", "brute_force_numpy", "lsh", "ivf_index", "pq"
         ):
             raise OperatorConfigError(f"unknown similarity method {self.method!r}")
         if self.method == "ivf_index" and not self.config.get("index_path"):
@@ -1004,6 +1212,16 @@ class SimilaritySearchOperator(Operator):
             out = brute_force_topk(corpus, queries, **kwargs)
         elif self.method == "brute_force_numpy":
             out = brute_force_topk_numpy(corpus, queries, **kwargs)
+        elif self.method == "pq":
+            out = pq_topk(
+                corpus, queries,
+                m=int(c.get("m", 8)),
+                k_codes=int(c.get("k_codes", 256)),
+                train_rows=int(c.get("train_rows", 100_000)),
+                kmeans_iters=int(c.get("kmeans_iters", 5)),
+                refine_factor=int(c.get("refine_factor", 4)),
+                **kwargs,
+            )
         else:
             out = lsh_topk(
                 corpus, queries, dim=int(c.get("dim", 64)),

@@ -344,7 +344,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
     ],
     "similarity_search": [
         f("method", "string", default="brute_force",
-          enum=["brute_force", "brute_force_numpy", "lsh", "ivf_index"]),
+          enum=["brute_force", "brute_force_numpy", "lsh", "ivf_index",
+                "pq"]),
         f("index_path", "string",
           desc="ivf_index method: the persistent index to probe"),
         f("nprobe", "integer", default=1,
@@ -357,6 +358,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("num_planes", "integer", default=6, desc="hyperplanes per bucket code (lsh)"),
         f("num_tables", "integer", default=1,
           desc="independent LSH tables unioned for recall (lsh)"),
+        f("m", "integer", default=8,
+          desc="pq: subspaces (dim must divide evenly; m bytes/vector)"),
+        f("k_codes", "integer", default=256,
+          desc="pq: codewords per subspace"),
+        f("train_rows", "integer", default=100000,
+          desc="pq: bounded id-sorted codebook training sample"),
+        f("kmeans_iters", "integer", default=5, desc="pq: Lloyd rounds"),
+        f("refine_factor", "integer", default=4,
+          desc="pq: candidates per query = refine_factor*k, exact-reranked"),
     ],
     "random_projection": [
         f("dim", "integer", required=True, desc="input embedding width"),

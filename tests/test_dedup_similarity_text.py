@@ -330,6 +330,64 @@ def test_simhash_long_matches_string_fingerprints(spark, tables):
         assert int(bits, 2) == l[did]
 
 
+def test_pq_topk_recall_contract_and_determinism(spark, tables):
+    """Product-quantization ANN (operators/similarity.py pq_topk):
+    rows contract (<= k per query, contiguous ranks, exact 6dp
+    cosine on the refined output), a recall floor vs exact brute
+    force on the uniform-random embeddings table (PQ's adversarial
+    case — no cluster structure to exploit), self-retrieval at rank
+    1 / cosine 1.0, and run-to-run determinism (codebook seeding is
+    id-sorted, no randomness anywhere)."""
+    from etl_core_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = tables["embeddings"]
+    queries = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            emb, queries, k=5, broadcast_corpus=True
+        ).collect()
+    }
+    rows = pq_topk(
+        emb, queries, k=5, m=8, k_codes=128, refine_factor=8
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # self-retrieval: refined exact cosine puts the query itself
+        # (present in the corpus) at rank 1 with cosine 1.0
+        top = min(rs, key=lambda x: x["rank"])
+        assert top["vec_id"] == q and top["cosine"] == 1.0
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"PQ recall {recall} below floor"
+    rows2 = pq_topk(
+        emb, queries, k=5, m=8, k_codes=128, refine_factor=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pq_topk_validation(spark, tables):
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.similarity import pq_topk
+
+    emb = tables["embeddings"]
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(OperatorConfigError):
+        pq_topk(emb, q, m=7)  # 64 % 7 != 0
+    with _pytest.raises(OperatorConfigError):
+        pq_topk(emb, emb.select(F.col("vec_id").alias("query_id"),
+                                "embedding"), max_query_rows=2)
+
+
 def test_ivf_topk_refined_on_testdata_embeddings(spark, tables):
     """Refinement on the driver-generated embeddings table: the rows
     contract holds (<= k rows per query, ranks 1..n contiguous) and
