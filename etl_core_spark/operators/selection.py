@@ -163,10 +163,15 @@ def dsir_weights(
         )
     )
     q = F.lit(float(10 ** int(quantize)))
+    # chained selection stages (quality_gate -> dsir) each append
+    # n_features; the count is featurizer-determined and identical,
+    # so replacing the stale column is lossless — and keeps the
+    # operators composable through the JSON runner
+    keep = [c for c in raw.columns if c not in ("n_features", "log_weight")]
     return raw.join(
         doc_w, raw[id_col] == doc_w["__id"], "left"
     ).select(
-        *[raw[c] for c in raw.columns],
+        *[raw[c] for c in keep],
         F.coalesce(F.col("__nf"), F.lit(0)).cast("long").alias("n_features"),
         (F.floor(F.col("__lw") * q) / q).alias("log_weight"),
     )
@@ -305,12 +310,17 @@ def nb_quality_score(
     prior = F.log(F.col("__np") / F.col("__nn"))
     q = F.lit(float(10 ** int(quantize)))
     lo = F.col("__s") + prior
+    # composability: replace stale same-named evidence columns from
+    # an earlier selection stage instead of colliding
+    keep = [
+        c for c in df.columns if c not in ("n_features", "log_odds", "score")
+    ]
     return (
         df.join(doc_s, df[id_col] == doc_s["__id"], "left")
         .crossJoin(F.broadcast(np_))
         .crossJoin(F.broadcast(nn_))
         .select(
-            *[df[c] for c in df.columns],
+            *[df[c] for c in keep],
             F.coalesce(F.col("__nf"), F.lit(0))
             .cast("long")
             .alias("n_features"),

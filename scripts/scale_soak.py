@@ -163,6 +163,16 @@ def families(docs, spark):
         graph, iterations=5
     )
     fams["triangle_count"] = lambda: triangle_count(graph)
+    # r9 selection family: DSIR importance weights (two bounded
+    # bucket aggregates + a broadcast B-row ratio join — the token
+    # stream is the only corpus-sized relation) against a FIXED-size
+    # target slice, so the scaling term is the raw side alone
+    from etl_core_spark.operators.selection import dsir_weights
+
+    target = docs.orderBy("doc_id").limit(200).select("doc_id", "text")
+    fams["dsir_weights"] = lambda: dsir_weights(
+        docs.select("doc_id", "text"), target
+    )
     return fams
 
 
@@ -189,7 +199,22 @@ def emb_families(emb):
         "knn_graph_lsh": lambda: knn_graph(
             emb, k=10, method="lsh", dim=64, num_planes=planes
         ),
+        # r9: PQ ANN — codebooks train on a BOUNDED sample, the
+        # corpus streams through one encode+ADC mapInPandas with
+        # per-batch candidate cuts; per-row cost must stay flat
+        "pq_topk": lambda: _pq(emb),
     }
+
+
+def _pq(emb):
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.similarity import pq_topk
+
+    q = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, q, k=10, m=8, k_codes=64, kmeans_iters=2)
 
 
 def time_family(fn) -> float:

@@ -592,6 +592,41 @@ def test_parquet_graph_communities(spark, tmp_path):
     assert {"label", "node", "text"} <= set(sample.columns)
 
 
+def test_parquet_targeted_selection(spark, tmp_path, tables):
+    """The r9 selection chain through the JSON runner: NB quality
+    soft gate (positive/negative slices fanned from one read) feeds
+    DSIR Gumbel top-k resampling toward the positive domain."""
+
+    def inputs(d):
+        tables["documents"].select(
+            "doc_id", "text", "source"
+        ).write.parquet(str(d / "crawl.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_targeted_selection.json", inputs
+    )
+    back = spark.read.parquet(str(out / "selected"))
+    rows = back.collect()
+    assert len(rows) == 50
+    # the chain preserves provenance columns and adds both stages'
+    # evidence: classifier score and DSIR weight/key
+    assert {"doc_id", "source", "score", "log_weight", "gumbel_key"} <= set(
+        back.columns
+    )
+    # monotone filtering: selected docs passed the gate (score kept)
+    assert all(r["score"] is not None for r in rows)
+    # deterministic end-to-end: rerun selects the identical set
+    rerun = tmp_path / "rerun"
+    rerun.mkdir()
+    out2, _ = run_example(
+        spark, rerun, "parquet_targeted_selection.json", inputs
+    )
+    back2 = spark.read.parquet(str(out2 / "selected"))
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in back2.collect()
+    }
+
+
 def test_parquet_crawl_to_training_set(spark, tmp_path, tables):
     """The full curation chain through the JSON runner: gopher
     quality gate -> minhash near-dedup -> self-trained LM fluency
