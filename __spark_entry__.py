@@ -5507,6 +5507,25 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained BPE tokenizer (operators/bpe.py, Sennrich et al.
+    2016): 100 merges learned from the corpus's bounded word-
+    frequency table (deterministic tie-breaks), applied via one
+    Arrow-batched mapInPandas with a per-batch word cache. ROWS-ONLY
+    by contract: merge training is an iterative fixpoint no SQL
+    engine reproduces — the value-level certification is the
+    independent pure-Python train+encode differential in
+    tests/test_bpe.py; training and encoding are deterministic, so
+    the driver's rows/schema check is stable."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("bpe_tokenize")(num_merges=100).apply({"in": docs})[
+        "out"
+    ]
+    return out.select("doc_id", "n_bpe_tokens")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NB quality classifier (operators/selection.py
     nb_quality_score, the GPT-3 Appendix-A filter shape): positive =
@@ -6441,9 +6460,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 12 deferred r06 rows (q21_last_shippers,
-# csv_roundtrip, dedup_exact, events_json_filter, hash_sample,
-# hash_split_counts, json_roundtrip, lang_id,
+# in registry order. The 13 deferred r06 rows (q20_heavy_suppliers,
+# q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
+# hash_sample, hash_split_counts, json_roundtrip, lang_id,
 # minhash_near_dup_pairs, minhash_signature, interval_join,
 # tf_idf_top_terms) lead the r10 window.
 _R09_WINDOW = [
@@ -6453,7 +6472,7 @@ _R09_WINDOW = [
     # the DSIR importance-resampling pair, the NB quality
     # classifier/gate pair, and PQ ANN (rows-only by contract)
     "streaming_topk", "ppr_directed", "dsir_weights", "dsir_select",
-    "quality_classifier", "quality_gate", "pq_topk",
+    "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6472,7 +6491,6 @@ _R09_WINDOW = [
     "q8_market_share", "q11_important_parts",
     "q13_customer_distribution", "q15_top_supplier",
     "q16_parts_supplier_cnt", "q17_small_qty_revenue",
-    "q20_heavy_suppliers",
 ]
 
 
@@ -6627,6 +6645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_gate": q_quality_gate,
         "pq_topk": q_pq_topk,
+        "bpe_tokenize": q_bpe_tokenize,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,

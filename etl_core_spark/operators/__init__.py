@@ -32,6 +32,7 @@ from etl_core_spark.operators import (  # noqa: F401
     compare,
     graph,
     selection,
+    bpe,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -706,6 +706,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "bpe_tokenize": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("num_merges", "integer", default=200,
+          desc="BPE merges to learn (vocab = chars + this)"),
+        f("max_train_words", "integer", default=100000,
+          desc="bounded word-frequency table for training"),
+        f("lowercase", "boolean", default=True),
+        f("emit_tokens", "boolean", default=False,
+          desc="also emit the space-joined subword string"),
+    ],
     "quality_classifier": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),
