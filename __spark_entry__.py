@@ -6135,6 +6135,68 @@ def _sql_ppr_directed(n_iter: int = 5, d: str = "0.85e0") -> str:
 _SQL_PPR_DIRECTED = _sql_ppr_directed()
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from a seed set (operators/graph.py
+    bfs_distances): undirected BFS over the part-supplier bipartite
+    graph, seeds = suppliers with key < 20, 4 hops. All-integer
+    frontier relaxation — the oracle unrolls the same rounds as
+    min-distance CTEs and the row set (reachable within max_hops)
+    matches exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 2)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return get_operator("bfs_distances")(
+        src="src", dst="dst", max_hops=4
+    ).apply({"in": edges, "seeds": seeds})["out"]
+
+
+def _sql_bfs_distances(max_hops: int = 4) -> str:
+    """Unrolled BFS oracle: d0 = present seeds; each round extends
+    by one hop over the symmetrized edges and keeps the MIN distance
+    per node — identical to frontier relaxation because a node's
+    first reach round IS its min distance."""
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 4 = 2)",
+        "ed AS MATERIALIZED (SELECT s, t FROM e "
+        "UNION SELECT t AS s, s AS t FROM e)",
+        "nodes AS (SELECT DISTINCT s AS node FROM ed)",
+        "sd AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier "
+        "WHERE s_suppkey < 20)",
+        "d0 AS MATERIALIZED (SELECT sd.node, 0 AS d "
+        "FROM sd JOIN nodes USING (node))",
+    ]
+    for i in range(1, max_hops + 1):
+        p = f"d{i-1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f"SELECT node, min(d) AS d FROM ("
+            f"SELECT node, d FROM {p} "
+            f"UNION ALL "
+            f"SELECT ed.t AS node, {p}.d + 1 AS d "
+            f"FROM {p} JOIN ed ON ed.s = {p}.node) GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(d AS BIGINT) AS distance FROM d{max_hops}"
+    )
+
+
+_SQL_BFS_DISTANCES = _sql_bfs_distances()
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_count,
     compact-forward (degree,id) orientation) on the part co-purchase
@@ -6460,10 +6522,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 13 deferred r06 rows (q20_heavy_suppliers,
-# q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
-# hash_sample, hash_split_counts, json_roundtrip, lang_id,
-# minhash_near_dup_pairs, minhash_signature, interval_join,
+# in registry order. The 14 deferred r06 rows (q17_small_qty_revenue,
+# q20_heavy_suppliers, q21_last_shippers, csv_roundtrip, dedup_exact,
+# events_json_filter, hash_sample, hash_split_counts, json_roundtrip,
+# lang_id, minhash_near_dup_pairs, minhash_signature, interval_join,
 # tf_idf_top_terms) lead the r10 window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
@@ -6471,8 +6533,9 @@ _R09_WINDOW = [
     # directed TrustRank with the seed-teleport dangling term, and
     # the DSIR importance-resampling pair, the NB quality
     # classifier/gate pair, and PQ ANN (rows-only by contract)
-    "streaming_topk", "ppr_directed", "dsir_weights", "dsir_select",
-    "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
+    "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
+    "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
+    "bpe_tokenize",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6490,7 +6553,7 @@ _R09_WINDOW = [
     "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
     "q8_market_share", "q11_important_parts",
     "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_cnt", "q17_small_qty_revenue",
+    "q16_parts_supplier_cnt",
 ]
 
 
@@ -6653,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "personalized_pagerank": q_personalized_pagerank,
         "ppr_directed": q_ppr_directed,
+        "bfs_distances": q_bfs_distances,
         "pagerank_weighted": q_pagerank_weighted,
         "graph_components": q_graph_components,
     }
@@ -6818,6 +6882,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
         "ppr_directed": _SQL_PPR_DIRECTED,
+        "bfs_distances": _SQL_BFS_DISTANCES,
         "pagerank_weighted": _SQL_PAGERANK_WEIGHTED,
         "graph_components": _SQL_GRAPH_COMPONENTS,
         "quantile_filter": _SQL_QUANTILE_FILTER,

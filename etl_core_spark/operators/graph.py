@@ -728,6 +728,123 @@ class PersonalizedPageRankOperator(Operator):
         }
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Hop distance from a seed set → ``(node, distance)`` for every
+    node within ``max_hops`` (seeds at 0; unreachable nodes omitted)
+    — the crawl-frontier / link-proximity primitive: "how many link
+    hops is this page from the vetted set", the integer companion to
+    ``personalized_pagerank``'s continuous trust score.
+
+    Frontier-relaxation rounds: each round joins the CURRENT frontier
+    (nodes first reached last round) against the edge relation and
+    anti-joins the visited set — classic parallel BFS. All-integer,
+    so the unrolled-CTE oracle is bit-exact. ``directed=True``
+    follows edges src→dst only.
+
+    Scale shape: per round ONE keyed equi-join (frontier × edges,
+    frontier side usually AQE-broadcast) + one anti-join against
+    visited + a distinct — all hash-partitioned, nothing
+    driver-sized. The loop is eager with per-round
+    ``localCheckpoint`` (the directed-pagerank discipline: the
+    visited set is referenced twice per round, a lazy chain would
+    grow 2^k). Early exit when a frontier empties — the probe is a
+    bounded limit(1) count. State is the visited set: O(reached
+    nodes), the BFS minimum.
+    """
+    if int(max_hops) < 0:
+        raise OperatorConfigError("bfs_distances max_hops must be >= 0")
+    from etl_core_spark.session import (
+        persist_intermediate,
+        release_local_checkpoint,
+        track_local_checkpoint,
+    )
+
+    e = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=not directed)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("__id"))
+        .union(e.select(F.col("__t").alias("__id")))
+        .distinct()
+    )
+    frontier = (
+        seeds.select(F.col(seed_col).alias("__id"))
+        .where(F.col("__id").isNotNull())
+        .distinct()
+        .join(nodes, on="__id", how="left_semi")
+        .select("__id", F.lit(0).alias("__d"))
+    )
+    if frontier.limit(1).count() == 0:
+        raise OperatorConfigError(
+            "bfs_distances: no seed node appears in the graph"
+        )
+    visited = frontier.localCheckpoint()
+    track_local_checkpoint(visited)
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["__id"] == e["__s"])
+            .select(F.col("__t").alias("__id"))
+            .distinct()
+            .join(visited, on="__id", how="left_anti")
+            .select("__id", F.lit(hop).alias("__d"))
+        )
+        nxt = nxt.localCheckpoint()
+        track_local_checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            release_local_checkpoint(nxt)
+            break
+        new_visited = visited.unionByName(nxt).localCheckpoint()
+        track_local_checkpoint(new_visited)
+        if frontier is not visited:
+            release_local_checkpoint(frontier)
+        release_local_checkpoint(visited)
+        visited, frontier = new_visited, nxt
+    return visited.select(
+        F.col("__id").alias("node"), F.col("__d").cast("long").alias("distance")
+    )
+
+
+@register_operator("bfs_distances")
+class BfsDistancesOperator(Operator):
+    """Config: ``src``, ``dst`` (required); ``seed_col``,
+    ``max_hops``, ``directed``. Ports: ``in`` (edges), ``seeds``."""
+
+    in_ports = ("in", "seeds")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"bfs_distances requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "seeds"}:
+            raise OperatorConfigError(
+                f"bfs_distances takes ports in/seeds, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": bfs_distances(
+                inputs["in"],
+                inputs["seeds"],
+                c["src"],
+                c["dst"],
+                c.get("seed_col", "node"),
+                int(c.get("max_hops", 6)),
+                bool(c.get("directed", False)),
+            )
+        }
+
+
 @register_operator("connected_components")
 class ConnectedComponentsOperator(Operator):
     """Standalone connected components over ANY edge list →

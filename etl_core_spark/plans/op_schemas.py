@@ -734,6 +734,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("salt", "string", default=""),
         f("quantize", "integer", default=6),
     ],
+    "bfs_distances": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("seed_col", "string", default="node",
+          desc="id column in the seeds input port"),
+        f("max_hops", "integer", default=6),
+        f("directed", "boolean", default=False,
+          desc="follow edges src->dst only"),
+    ],
     "connected_components": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

@@ -440,6 +440,39 @@ def test_ppr_directed_upstream_page_gains_nothing(spark):
     assert sym[7] > 0
 
 
+def _bfs(spark, edges, seeds, **cfg):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(v,) for v in seeds], "node long")
+    out = get_operator("bfs_distances")(
+        **{"src": "src", "dst": "dst", **cfg}
+    ).apply({"in": e, "seeds": s})["out"]
+    return {r["node"]: r["distance"] for r in out.collect()}
+
+
+def test_bfs_distances_hand_computed(spark):
+    # 0-1-2-3 chain + isolated pair 8-9; seed 0
+    got = _bfs(spark, [(0, 1), (1, 2), (2, 3), (8, 9)], [0])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # unreachable omitted
+    # max_hops truncates
+    got2 = _bfs(spark, [(0, 1), (1, 2), (2, 3)], [0], max_hops=2)
+    assert got2 == {0: 0, 1: 1, 2: 2}
+    # multi-seed: min distance over seeds wins
+    got3 = _bfs(spark, [(0, 1), (1, 2), (2, 3)], [0, 3])
+    assert got3 == {0: 0, 1: 1, 2: 1, 3: 0}
+
+
+def test_bfs_distances_directed_and_validation(spark):
+    # directed: 0->1->2, 2 cannot reach back
+    got = _bfs(spark, [(0, 1), (1, 2)], [2], directed=True)
+    assert got == {2: 0}
+    got2 = _bfs(spark, [(0, 1), (1, 2)], [0], directed=True)
+    assert got2 == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(OperatorConfigError):
+        _bfs(spark, [(0, 1)], [99])  # no seed in graph
+    with pytest.raises(OperatorConfigError):
+        _bfs(spark, [(0, 1)], [0], max_hops=-1)
+
+
 def test_triangle_count_self_loop_only_node_reports_zero(spark):
     # a node whose only incident edges are self-loops must still
     # appear with triangles=0 — same node set as the sibling graph ops
