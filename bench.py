@@ -56,6 +56,39 @@ def main() -> None:
         "explode(sequence(0, 3)) AS e",
         "from_json('{\"a\": 1}', 'a int') AS j",
     ).write.format("noop").mode("overwrite").save()
+    # streaming-engine warm-up: the FIRST stream of a session pays
+    # engine init + stateful-operator codegen (measured ~6 s, then
+    # ~1.5 s steady-state) — a one-time session cost that otherwise
+    # lands entirely on whichever streaming query runs first
+    try:
+        import shutil
+        import tempfile
+
+        from etl_core_spark.streaming import streaming_topk
+
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        wd = tempfile.mkdtemp(prefix="bench_stream_warm_", dir=root)
+        src = os.path.join(wd, "src")
+        spark.createDataFrame([("a",), ("b",)], "v string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, "f0"))
+        wq = (
+            streaming_topk(
+                spark.readStream.schema("v string").parquet(src + "/*"),
+                "v",
+                capacity=4,
+                n_shards=1,
+            )
+            .writeStream.foreachBatch(lambda b, i: None)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(wd, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(60)
+        shutil.rmtree(wd, ignore_errors=True)
+    except Exception:  # noqa: BLE001 - warm-up must never fail the bench
+        pass
 
     from etl_core_spark.session import release_intermediates
 

@@ -812,8 +812,9 @@ def interpolate(
     ``ffill`` carries the last observation forward. The missing-value
     repair step between bucketing and any rolling/seasonal analysis.
 
-    Contract: rows with NULL time are dropped (un-placeable on a
-    grid, and they must not leak into ffill's neighbor window);
+    Contract: rows with NULL time pass through as their own rows
+    (un-placeable on a grid) but are EXCLUDED from the neighbor
+    window — they must not leak into ffill's leading gaps;
     duplicate (key, time) rows collapse by mean first
     (pre-aggregate upstream for anything else); observed values pass
     through BIT-UNCHANGED; filled values are floor-quantized at 6dp
@@ -842,12 +843,14 @@ def interpolate(
     # NULL-time observations are un-placeable on a grid AND would
     # sort NULLS FIRST in the neighbor window, carrying their value
     # into the earliest grid rows under ffill — violating the
-    # leading-gaps-stay-NULL contract. They are dropped here.
-    obs = (
-        df.where(F.col(time_col).isNotNull())
-        .groupBy(*key_cols, time_col)
-        .agg(F.avg(value_col).alias("__v"))
+    # leading-gaps-stay-NULL contract. They route AROUND the spine/
+    # window pipeline (the rolling_aggregate nul-branch pattern) and
+    # union back as pass-through rows at the end.
+    all_obs = df.groupBy(*key_cols, time_col).agg(
+        F.avg(value_col).alias("__v")
     )
+    nul_obs = all_obs.where(F.col(time_col).isNull())
+    obs = all_obs.where(F.col(time_col).isNotNull())
     step_expr = F.expr(step) if isinstance(step, str) else step
     spans = obs.groupBy(*key_cols).agg(
         F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
@@ -900,10 +903,18 @@ def interpolate(
             )
             / F.lit(1e6),
         )
-    return dense.select(
+    gridded = dense.select(
         *join_cols,
         F.coalesce(F.col("__v"), filled).alias(value_col),
         F.col("__v").isNull().alias("is_filled"),
+    )
+    return gridded.unionByName(
+        nul_obs.select(
+            *key_cols,
+            F.col(time_col),
+            F.col("__v").alias(value_col),
+            F.lit(False).alias("is_filled"),
+        )
     )
 
 

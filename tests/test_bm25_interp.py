@@ -198,3 +198,25 @@ def test_interpolate_null_time_observation_passes_through(spark):
         (1, 2): (3.0, False),
         (1, None): (9.0, False),
     }
+
+
+def test_interpolate_null_time_never_leaks_into_ffill(spark):
+    # the NULL-time row sorts NULLS FIRST in the neighbor window; if
+    # it entered the window its value would carry into grid rows
+    # whose true leading state is NULL. It must pass through as its
+    # own row but be EXCLUDED from neighbor lookup.
+    df = spark.createDataFrame(
+        [(1, None, 9.0), (1, 0, None), (1, 2, 4.0)],
+        "k long, t long, v double",
+    )
+    out = get_operator("interpolate")(
+        key_cols=["k"], time_col="t", value_col="v", step="1",
+        method="ffill",
+    ).apply({"in": df})["out"]
+    got = {(r["k"], r["t"]): (r["v"], r["is_filled"]) for r in out.collect()}
+    assert got == {
+        (1, 0): (None, True),   # leading gap stays NULL — not 9.0
+        (1, 1): (None, True),
+        (1, 2): (4.0, False),
+        (1, None): (9.0, False),
+    }
