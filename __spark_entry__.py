@@ -5522,6 +5522,58 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_entropy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals (operators/text_analysis.py
+    entropy_metrics): char-unigram and whitespace-token entropy per
+    document with distinct counts. Both engines compute
+    H = ln(n) - Σ c·ln(c)/n in that exact arrangement (one
+    division); 6dp floors."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("entropy_metrics")().apply({"in": docs})["out"]
+    return out.select(
+        "doc_id", "distinct_chars", "char_entropy",
+        "distinct_tokens", "token_entropy",
+    )
+
+
+_SQL_ENTROPY_METRICS = f"""
+WITH t AS (
+  SELECT doc_id, trim(lower(text)) AS tt FROM documents
+), ch AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(tt, '')) AS s
+        FROM t WHERE length(tt) > 0)
+  GROUP BY doc_id, s
+), hc AS (
+  SELECT doc_id, count(*) AS dc,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM ch GROUP BY doc_id
+), tk AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN length(trim(tt)) = 0
+                           THEN CAST([] AS VARCHAR[])
+                           ELSE regexp_split_to_array(trim(tt), '\\s+')
+                      END) AS s
+        FROM t)
+  GROUP BY doc_id, s
+), ht AS (
+  SELECT doc_id, count(*) AS dt,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM tk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hc.dc, 0) AS BIGINT) AS distinct_chars,
+       floor(hc.h * 1e6) / 1e6 AS char_entropy,
+       CAST(coalesce(ht.dt, 0) AS BIGINT) AS distinct_tokens,
+       floor(ht.h * 1e6) / 1e6 AS token_entropy
+FROM documents d
+LEFT JOIN hc USING (doc_id) LEFT JOIN ht USING (doc_id)
+"""
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained BPE tokenizer (operators/bpe.py, Sennrich et al.
     2016): 100 merges learned from the corpus's bounded word-
@@ -6541,11 +6593,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 14 deferred r06 rows (q17_small_qty_revenue,
-# q20_heavy_suppliers, q21_last_shippers, csv_roundtrip, dedup_exact,
-# events_json_filter, hash_sample, hash_split_counts, json_roundtrip,
-# lang_id, minhash_near_dup_pairs, minhash_signature, interval_join,
-# tf_idf_top_terms) lead the r10 window.
+# in registry order. The 15 deferred r06 rows (q16_parts_supplier_cnt,
+# q17_small_qty_revenue, q20_heavy_suppliers, q21_last_shippers,
+# csv_roundtrip, dedup_exact, events_json_filter, hash_sample,
+# hash_split_counts, json_roundtrip, lang_id, minhash_near_dup_pairs,
+# minhash_signature, interval_join, tf_idf_top_terms) lead the r10
+# window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
     # stream-equality certification of the streaming MG operator,
@@ -6554,7 +6607,7 @@ _R09_WINDOW = [
     # classifier/gate pair, and PQ ANN (rows-only by contract)
     "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
     "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
-    "bpe_tokenize",
+    "bpe_tokenize", "entropy_metrics",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6572,7 +6625,6 @@ _R09_WINDOW = [
     "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
     "q8_market_share", "q11_important_parts",
     "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_cnt",
 ]
 
 
@@ -6728,6 +6780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "pq_topk": q_pq_topk,
         "bpe_tokenize": q_bpe_tokenize,
+        "entropy_metrics": q_entropy_metrics,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -6892,6 +6945,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
         "dsir_select": _SQL_DSIR_SELECT,
+        "entropy_metrics": _SQL_ENTROPY_METRICS,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "quality_gate": _SQL_QUALITY_GATE,
         "interpolate_gaps": _SQL_INTERPOLATE,

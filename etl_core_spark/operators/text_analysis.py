@@ -1260,3 +1260,106 @@ class Bm25Operator(Operator):
                 bool(c.get("lowercase", True)),
             )
         }
+
+
+def entropy_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    quantize: int = 6,
+) -> DataFrame:
+    """Shannon-entropy text-quality signals (the RefinedWeb /
+    CCNet-adjacent randomness diagnostics): per-document character
+    unigram entropy and whitespace-token entropy, plus the distinct
+    counts behind them. Low char entropy flags repetition padding
+    ("aaaa…", template spam); abnormally HIGH char entropy flags
+    base64/binary junk; low token entropy flags keyword stuffing —
+    the cheap complement to the Gopher rule gates and the bigram-LM
+    score.
+
+    H = ln(n) - Σ c·ln(c) / n  (algebraically -Σ (c/n)·ln(c/n),
+    arranged with ONE division so the oracle reproduces the exact
+    float sequence). Row-preserving; empty/NULL text yields NULL
+    entropies and zero counts. Values floor-quantized at
+    ``quantize`` dp.
+
+    Scale shape: one char explode + one token explode (each a
+    map-side-combinable (doc, sym) count), per-doc aggregate, one
+    keyed join-back — no windows, no driver state. The char explode
+    is the dominant relation (≈ doc bytes), the same order as any
+    full-text scan.
+    """
+    q = F.lit(float(10 ** int(quantize)))
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+
+    def _h(sym_df):
+        counts = sym_df.groupBy("__id", "__s").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        return counts.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("__distinct"),
+            (
+                F.log(F.sum("__c"))
+                - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+            ).alias("__h"),
+        )
+
+    base = df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+    chars = base.where(F.length("__t") > 0).select(
+        "__id", F.explode(F.split("__t", "")).alias("__s")
+    )
+    toks = base.select(
+        "__id", F.explode(X.tokens(F.col("__t"))).alias("__s")
+    )
+    hc = _h(chars)
+    ht = _h(toks)
+    joined = (
+        df.join(hc, df[id_col] == hc["__id"], "left")
+        .drop(hc["__id"])
+        .withColumnRenamed("__distinct", "distinct_chars")
+        .withColumnRenamed("__h", "__hc")
+    )
+    joined = (
+        joined.join(ht, joined[id_col] == ht["__id"], "left")
+        .drop(ht["__id"])
+        .withColumnRenamed("__distinct", "distinct_tokens")
+        .withColumnRenamed("__h", "__ht")
+    )
+    return joined.select(
+        *[c for c in df.columns],
+        F.coalesce(F.col("distinct_chars"), F.lit(0))
+        .cast("long")
+        .alias("distinct_chars"),
+        (F.floor(F.col("__hc") * q) / q).alias("char_entropy"),
+        F.coalesce(F.col("distinct_tokens"), F.lit(0))
+        .cast("long")
+        .alias("distinct_tokens"),
+        (F.floor(F.col("__ht") * q) / q).alias("token_entropy"),
+    )
+
+
+@register_operator("entropy_metrics")
+class EntropyMetricsOperator(Operator):
+    """Config: ``text_col``, ``id_col``, ``lowercase``,
+    ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        pass
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": entropy_metrics(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                bool(c.get("lowercase", True)),
+                int(c.get("quantize", 6)),
+            )
+        }

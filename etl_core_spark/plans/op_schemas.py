@@ -706,6 +706,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "entropy_metrics": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("lowercase", "boolean", default=True),
+        f("quantize", "integer", default=6),
+    ],
     "bpe_tokenize": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

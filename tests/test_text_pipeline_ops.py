@@ -767,3 +767,51 @@ def test_corpus_overlap_hand_computed(spark):
     assert r["jaccard"] == pytest.approx(1 / 3)
     # NULL slice appears under the sentinel with zero overlap pairs
     assert not any("__null__" in k for k in got), got.keys()
+
+
+def test_entropy_metrics_matches_pure_python(spark):
+    """Char/token Shannon entropy vs an independently computed
+    reference (Counter + math.log) with the operator's exact
+    arrangement H = ln(n) - sum(c*ln c)/n and 6dp floors."""
+    import math
+    from collections import Counter
+
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        (1, "aaaa"),                      # zero char entropy
+        (2, "ab ab ab"),                  # repeated token
+        (3, "the quick brown fox"),       # natural-ish
+        (4, ""),                          # empty -> NULL entropies
+        (5, None),                        # NULL text
+        (6, "AbBa"),                      # lowercase folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = get_operator("entropy_metrics")().apply({"in": df})["out"]
+    got = {
+        r["doc_id"]: (
+            r["distinct_chars"], r["char_entropy"],
+            r["distinct_tokens"], r["token_entropy"],
+        )
+        for r in out.collect()
+    }
+
+    def h(counter):
+        n = sum(counter.values())
+        if n == 0:
+            return None
+        v = math.log(n) - sum(c * math.log(c) for c in counter.values()) / n
+        return math.floor(v * 1e6) / 1e6
+
+    for i, t in rows:
+        if not t or not t.strip():
+            assert got[i] == (0, None, 0, None), i
+            continue
+        tt = t.strip().lower()
+        ch = Counter(tt)
+        tk = Counter(tt.split())
+        assert got[i] == (len(ch), h(ch), len(tk), h(tk)), i
+    # monotone sanity: uniform text has zero char entropy
+    assert got[1][1] == 0.0
+    # 'ab ab ab' has one distinct token -> zero token entropy
+    assert got[2][3] == 0.0
