@@ -592,6 +592,31 @@ def test_parquet_graph_communities(spark, tmp_path):
     assert {"label", "node", "text"} <= set(sample.columns)
 
 
+def test_parquet_tokenize_pack(spark, tmp_path, tables):
+    """Token-budget chain on REAL subword counts: self-trained BPE
+    counts feed a per-language token budget, then GPT-style sequence
+    packing — the n_bpe_tokens column is the currency through all
+    three stages."""
+
+    def inputs(d):
+        tables["documents"].select("doc_id", "text", "lang").write.parquet(
+            str(d / "docs.parquet")
+        )
+
+    out, _ = run_example(
+        spark, tmp_path, "parquet_tokenize_pack.json", inputs
+    )
+    back = spark.read.parquet(str(out / "packed"))
+    rows = back.collect()
+    assert rows
+    assert {"doc_id", "n_tokens", "bin_id", "offset_in_bin"} <= set(
+        back.columns
+    )
+    # packing contract: every doc fits its bin, offsets within capacity
+    assert all(0 <= r["offset_in_bin"] < 256 for r in rows)
+    assert all(0 < r["n_tokens"] for r in rows)
+
+
 def test_parquet_targeted_selection(spark, tmp_path, tables):
     """The r9 selection chain through the JSON runner: NB quality
     soft gate (positive/negative slices fanned from one read) feeds
