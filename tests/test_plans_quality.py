@@ -435,3 +435,51 @@ def test_markov_transitions_single_window_shuffle(spark, tables):
     }
     assert len(user_exchanges) <= 1, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weights_ratio_join_is_broadcast(spark):
+    """The B-row log-ratio table must reach the per-doc join as a
+    broadcast — a shuffle of the tf relation against it would be a
+    corpus-sized exchange for a bounded dimension."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["dsir_weights"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # no row-at-a-time Python anywhere in the selection family
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_topk_single_arrow_stage_no_row_python(spark):
+    """PQ's encode+ADC must be ONE fused Arrow stage over the corpus
+    (MapInPandas), never row-at-a-time Python; candidate cut +
+    re-rank stay JVM-side."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["pq_topk"](spark, "/root/testdata/sf0.001"))
+    # formatted explain names each node twice (tree + details):
+    # exactly one Arrow stage == exactly two mentions
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_entropy_metrics_no_window(spark):
+    """Entropy is two aggregates + join-back — a Window here would
+    mean a per-doc sort that the groupBy shape avoids."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["entropy_metrics"](spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bfs_round_join_keeps_aqe(spark, tables):
+    """The BFS frontier join must stay an equi-join (AQE decides
+    broadcast at runtime as the frontier shrinks) — no cartesian."""
+    from etl_core_spark.operators.graph import bfs_distances
+
+    e = tables["lineitem"].select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    s = tables["supplier"].select(F.col("s_suppkey").alias("node")).limit(5)
+    plan = plan_of(bfs_distances(e, s, max_hops=1))
+    assert "CartesianProduct" not in plan
