@@ -5522,6 +5522,66 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators/asof.py
+    temporal_join): a versioned customer dimension derived from the
+    even-keyed orders (each order starts a new version carrying its
+    totalprice; valid_to = next version's start, open version NULL)
+    joined to the odd-keyed orders as facts at their order date —
+    each fact picks the version valid THEN. One keyed equi-join with
+    the interval residual; left rows with no valid version
+    NULL-pad."""
+    from pyspark.sql import Window as W
+
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_totalprice").alias("ver_price"),
+            F.lead("o_orderdate").over(
+                W.partitionBy(F.col("o_custkey")).orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            ).alias("valid_to"),
+        )
+    )
+    facts = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("fact_key"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = get_operator("temporal_join")(
+        on=["custkey"], ts_col="ts", how="left"
+    ).apply({"facts": facts, "dim": dim})["out"]
+    return out.select(
+        "fact_key", "custkey", "ts", "valid_from", "ver_price"
+    )
+
+
+_SQL_TEMPORAL_JOIN = """
+WITH dim AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+         o_totalprice AS ver_price,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders WHERE o_orderkey % 2 = 0
+), facts AS (
+  SELECT o_orderkey AS fact_key, o_custkey AS custkey,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT f.fact_key, f.custkey, f.ts, d.valid_from, d.ver_price
+FROM facts f LEFT JOIN dim d
+  ON f.custkey = d.custkey
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
 def q_entropy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon-entropy quality signals (operators/text_analysis.py
     entropy_metrics): char-unigram and whitespace-token entropy per
@@ -6593,12 +6653,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 15 deferred r06 rows (q16_parts_supplier_cnt,
-# q17_small_qty_revenue, q20_heavy_suppliers, q21_last_shippers,
-# csv_roundtrip, dedup_exact, events_json_filter, hash_sample,
-# hash_split_counts, json_roundtrip, lang_id, minhash_near_dup_pairs,
-# minhash_signature, interval_join, tf_idf_top_terms) lead the r10
-# window.
+# in registry order. The 16 deferred r06 rows (q15_top_supplier,
+# q16_parts_supplier_cnt, q17_small_qty_revenue, q20_heavy_suppliers,
+# q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
+# hash_sample, hash_split_counts, json_roundtrip, lang_id,
+# minhash_near_dup_pairs, minhash_signature, interval_join,
+# tf_idf_top_terms) lead the r10 window.
 _R09_WINDOW = [
     # never driver-checked (new this round): the availableNow
     # stream-equality certification of the streaming MG operator,
@@ -6607,7 +6667,7 @@ _R09_WINDOW = [
     # classifier/gate pair, and PQ ANN (rows-only by contract)
     "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
     "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
-    "bpe_tokenize", "entropy_metrics",
+    "bpe_tokenize", "entropy_metrics", "temporal_join",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6624,7 +6684,7 @@ _R09_WINDOW = [
     "q12_priority_class", "ivf_topk", "gaps_islands_per_key",
     "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
     "q8_market_share", "q11_important_parts",
-    "q13_customer_distribution", "q15_top_supplier",
+    "q13_customer_distribution",
 ]
 
 
@@ -6781,6 +6841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "bpe_tokenize": q_bpe_tokenize,
         "entropy_metrics": q_entropy_metrics,
+        "temporal_join": q_temporal_join,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -6946,6 +7007,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _SQL_DSIR_WEIGHTS,
         "dsir_select": _SQL_DSIR_SELECT,
         "entropy_metrics": _SQL_ENTROPY_METRICS,
+        "temporal_join": _SQL_TEMPORAL_JOIN,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "quality_gate": _SQL_QUALITY_GATE,
         "interpolate_gaps": _SQL_INTERPOLATE,

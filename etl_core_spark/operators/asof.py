@@ -325,3 +325,104 @@ class RangeJoinOperator(Operator):
                 c.get("how", "inner"), c.get("broadcast_intervals"),
             )
         }
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension lookup: each fact row joins the
+    dimension VERSION that was valid at its event time —
+    ``key match AND valid_from <= ts AND (ts < valid_to OR valid_to
+    IS NULL)`` (NULL valid_to = the open version, the scd2_merge
+    output convention). The event-to-SCD2 primitive: enriching
+    events with the attribute values as they were THEN, not as they
+    are now.
+
+    Correctness guarantees: with non-overlapping version intervals
+    per key (what scd2_merge produces) each fact matches AT MOST one
+    version — pinned by a validation in the wrapper tests, not
+    enforced per-row (an overlap check would cost a window pass the
+    well-formed case never needs). ``how='left'`` keeps facts whose
+    time falls in a coverage gap or before the first version
+    (NULL-padded dimension columns).
+
+    Scale shape: ONE keyed equi-join on the version keys — the
+    interval predicate rides as a post-join filter, so the physical
+    plan is hash-join-shaped, not cartesian; version fan-out per key
+    is bounded by that key's version COUNT (dim history depth, not
+    corpus size). Spark plans key-equality + range residual natively;
+    for a dimension small enough to broadcast AQE does it from
+    stats. Collision-safe: dimension columns that clash with fact
+    columns get a ``_dim`` suffix (the pandas `_x/_y` convention,
+    deterministic).
+    """
+    if how not in ("inner", "left"):
+        raise OperatorConfigError("temporal_join how must be inner|left")
+    if not on:
+        raise OperatorConfigError("temporal_join requires join keys 'on'")
+    fact_cols = set(facts.columns)
+    d = dim
+    renames = {}
+    for c in dim.columns:
+        if c in fact_cols and c not in on:
+            renames[c] = f"{c}_dim"
+            d = d.withColumnRenamed(c, f"{c}_dim")
+    vf = renames.get(valid_from_col, valid_from_col)
+    vt = renames.get(valid_to_col, valid_to_col)
+    cond = None
+    for k in on:
+        eq = facts[k].eqNullSafe(d[k])
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (d[vf] <= facts[ts_col])
+        & (d[vt].isNull() | (facts[ts_col] < d[vt]))
+    )
+    joined = facts.join(d, cond, how)
+    # collapse duplicated key columns to the fact side
+    out_cols = [facts[c] for c in facts.columns] + [
+        d[c] for c in d.columns if c not in on
+    ]
+    return joined.select(*out_cols)
+
+
+@register_operator("temporal_join")
+class TemporalJoinOperator(Operator):
+    """Config: ``on`` (list, required), ``ts_col`` (required);
+    ``valid_from_col``, ``valid_to_col``, ``how`` ∈ {inner, left}.
+    Ports: ``facts``, ``dim``."""
+
+    in_ports = ("facts", "dim")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("on"):
+            raise OperatorConfigError("temporal_join requires 'on'")
+        if not self.config.get("ts_col"):
+            raise OperatorConfigError("temporal_join requires 'ts_col'")
+        if self.config.get("how", "inner") not in ("inner", "left"):
+            raise OperatorConfigError("temporal_join how must be inner|left")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"facts", "dim"}:
+            raise OperatorConfigError(
+                f"temporal_join takes ports facts/dim, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": temporal_join(
+                inputs["facts"],
+                inputs["dim"],
+                list(c["on"]),
+                c["ts_col"],
+                c.get("valid_from_col", "valid_from"),
+                c.get("valid_to_col", "valid_to"),
+                c.get("how", "inner"),
+            )
+        }

@@ -706,6 +706,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "temporal_join": [
+        f("on", "array", required=True, items={"type": "string"},
+          desc="version keys"),
+        f("ts_col", "string", required=True,
+          desc="fact event-time column"),
+        f("valid_from_col", "string", default="valid_from"),
+        f("valid_to_col", "string", default="valid_to"),
+        f("how", "string", default="inner", enum=["inner", "left"]),
+    ],
     "entropy_metrics": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

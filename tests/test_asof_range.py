@@ -247,3 +247,70 @@ def test_range_join_suffixes_colliding_columns(spark):
     assert [(r["id"], r["id_r"]) for r in inner.collect()] == [(1, 7)]
     left = range_join(points, bands, "x", "lo", "hi", bucket_width=50.0, how="left")
     assert left.count() == 2
+
+
+def test_temporal_join_point_in_time_semantics(spark):
+    """Each fact matches the version valid AT its time: half-open
+    [from, to) intervals, NULL valid_to = open version, coverage
+    gaps NULL-pad under left, at most one match per fact on
+    well-formed history."""
+    from etl_core_spark.operators.base import get_operator
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10, "v1", 20),
+            (1, 20, "v2", 40),
+            (1, 50, "v3", None),   # open version after a [40,50) gap
+            (2, 0, "w1", None),
+        ],
+        "k long, valid_from long, attr string, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 19), (102, 1, 20), (103, 1, 45),
+         (104, 1, 99), (105, 2, 5), (106, 3, 7), (107, 1, 5)],
+        "fid long, k long, ts long",
+    )
+    out = get_operator("temporal_join")(
+        on=["k"], ts_col="ts", how="left"
+    ).apply({"facts": facts, "dim": dim})["out"]
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {
+        100: "v1",   # inclusive lower bound
+        101: "v1",
+        102: "v2",   # exclusive upper bound
+        103: None,   # coverage gap
+        104: "v3",   # open version
+        105: "w1",
+        106: None,   # unknown key
+        107: None,   # before first version
+    }
+    assert out.count() == 8  # at most one version per fact
+    # inner drops the unmatched facts
+    inner = get_operator("temporal_join")(
+        on=["k"], ts_col="ts"
+    ).apply({"facts": facts, "dim": dim})["out"]
+    assert {r["fid"] for r in inner.collect()} == {100, 101, 102, 104, 105}
+
+
+def test_temporal_join_collision_suffix_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import (
+        OperatorConfigError,
+        get_operator,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 0, None, "x")],
+        "k long, valid_from long, valid_to long, ts string",
+    )
+    facts = spark.createDataFrame([(1, 1, 5)], "fid long, k long, ts long")
+    out = get_operator("temporal_join")(on=["k"], ts_col="ts").apply(
+        {"facts": facts, "dim": dim}
+    )["out"]
+    # the dim's clashing non-key column gets the _dim suffix
+    assert "ts_dim" in out.columns and out.count() == 1
+    with _pytest.raises(OperatorConfigError):
+        get_operator("temporal_join")(on=["k"], ts_col="ts", how="full")
+    with _pytest.raises(OperatorConfigError):
+        get_operator("temporal_join")(ts_col="ts")
