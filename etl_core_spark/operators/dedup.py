@@ -1272,17 +1272,56 @@ def _drop_dups(df: DataFrame, pairs: DataFrame, id_col: str, config: dict) -> Da
       one survivor (min id) per connected component, the standard
       training-corpus semantic. Eager (iterative convergence), one
       extra join.
+    - ``best``: transitive closure, but the survivor is the member
+      with the LARGEST ``survivor_order_col`` (NUMERIC — e.g. an
+      lm_score / quality_classifier score; NULL scores always lose),
+      ties by smallest id — "keep the highest-quality duplicate",
+      the curation-aware refinement of ``cluster``. Argmax via
+      struct-min per component (the LPA pattern), no window sort.
     """
     policy = config.get("survivor_policy", "greedy")
     if policy == "greedy":
         dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(dups, on=id_col, how="left_anti")
-    if policy == "cluster":
+    if policy in ("cluster", "best"):
         clusters = connected_components(pairs, max_iters=int(config.get("max_iters", 50)))
-        dups = (
-            clusters.where(F.col("id") != F.col("cluster_id"))
-            .select(F.col("id").alias(id_col))
+        if policy == "cluster":
+            dups = (
+                clusters.where(F.col("id") != F.col("cluster_id"))
+                .select(F.col("id").alias(id_col))
+            )
+            return df.join(dups, on=id_col, how="left_anti")
+        order_col = config.get("survivor_order_col")
+        if not order_col:
+            raise OperatorConfigError(
+                "survivor_policy='best' requires 'survivor_order_col'"
+            )
+        member = clusters.join(
+            df.select(
+                F.col(id_col).alias("id"),
+                # NULL scores must LOSE, not win the struct-min:
+                # coalesce to -inf before negating
+                (-F.coalesce(
+                    F.col(order_col).cast("double"),
+                    F.lit(float("-inf")),
+                )).alias("__neg"),
+            ),
+            on="id",
         )
+        best = (
+            member.groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("__neg").alias("s"), F.col("id").alias("i")
+                    )
+                ).alias("__b")
+            )
+            .select(F.col("__b.i").alias("__keep"))
+        )
+        dups = member.join(
+            best, member["id"] == best["__keep"], "left_anti"
+        ).select(F.col("id").alias(id_col))
         return df.join(dups, on=id_col, how="left_anti")
     raise OperatorConfigError(f"unknown survivor_policy {policy!r}")
 
@@ -1292,7 +1331,8 @@ class DedupOperator(Operator):
     """Config: ``method`` ∈ {exact, minhash_lsh, simhash, typo,
     ngram_jaccard, embedding_cosine}; per-method keys as in the
     functions above. Near-dup methods accept ``survivor_policy`` ∈
-    {greedy, cluster} (see ``_drop_dups``)."""
+    {greedy, cluster, best} (+ ``survivor_order_col`` for best; see
+    ``_drop_dups``)."""
 
     in_ports = ("in",)
     out_ports = ("out",)

@@ -303,8 +303,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("threshold", "number", default=0.7,
           desc="similarity threshold; per-method default: 0.7 Jaccard "
                "(minhash_lsh/ngram_jaccard), 0.95 cosine (embedding_cosine)"),
-        f("survivor_policy", "string", default="greedy", enum=["greedy", "cluster"],
-          desc="greedy=drop higher id per pair; cluster=one survivor per connected component"),
+        f("survivor_policy", "string", default="greedy",
+          enum=["greedy", "cluster", "best"],
+          desc="greedy=drop higher id per pair; cluster=one survivor "
+               "(min id) per connected component; best=survivor with "
+               "the largest survivor_order_col per component"),
+        f("survivor_order_col", "string",
+          desc="best policy: numeric quality column — the component "
+               "member with the largest value survives (NULLs lose, "
+               "ties to smallest id)"),
         f("num_hashes", "integer", default=16),
         f("bands", "integer", default=8),
         f("shingle_n", "integer", default=3),

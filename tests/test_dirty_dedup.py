@@ -624,6 +624,45 @@ def test_dedup_cluster_policy_vs_greedy(spark):
         assert 3 in g and 3 not in c
 
 
+def test_dedup_best_policy_keeps_highest_score(spark):
+    """survivor_policy='best': the component member with the largest
+    survivor_order_col survives — the curation-aware refinement of
+    'cluster' (keep the highest-QUALITY duplicate, not the lowest
+    id). NULL scores lose; ties break to the smallest id."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.base import OperatorConfigError as E
+
+    rows = [
+        (2, "alpha beta gamma delta epsilon zeta", 0.1),
+        (3, "alpha beta gamma delta epsilon eta", 0.9),
+        (5, "alpha beta gamma delta epsilon zeta eta", None),
+        (9, "completely different text with no overlap at all here", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    conf = dict(method="minhash_lsh", text_col="text", id_col="doc_id",
+                threshold=0.3, num_hashes=4, bands=4, shingle_n=2)
+    best = get_operator("dedup")(
+        **conf, survivor_policy="best", survivor_order_col="quality"
+    ).apply({"in": df})["out"]
+    b = {r["doc_id"] for r in best.collect()}
+    assert 9 in b                       # unrelated doc always survives
+    # if 2/3/5 form one component, the 0.9-quality doc 3 survives it
+    # — not min-id 2 (the 'cluster' answer), never NULL-score 5
+    from etl_core_spark.operators.dedup import minhash_dedup_pairs
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.3, num_hashes=4, bands=4,
+        shingle_n=2).collect()}
+    if (2, 5) in pairs and (3, 5) in pairs:
+        assert 3 in b and 2 not in b and 5 not in b
+    # missing order col raises loudly
+    with pytest.raises(E, match="survivor_order_col"):
+        get_operator("dedup")(
+            **conf, survivor_policy="best"
+        ).apply({"in": df})
+
+
 def test_dedup_bad_survivor_policy_raises(spark):
     from etl_core_spark.operators.base import get_operator
     from etl_core_spark.operators.base import OperatorConfigError as E
