@@ -163,6 +163,17 @@ def families(docs, spark):
         graph, iterations=5
     )
     fams["triangle_count"] = lambda: triangle_count(graph)
+    # r9: BFS frontier relaxation from a fixed seed set — the
+    # reached set (and so the per-round frontier joins) scales with
+    # the graph; per-row cost must stay flat
+    from etl_core_spark.operators.graph import bfs_distances
+
+    # 1000 candidate seed ids in the hashed dst space: enough that
+    # dozens exist in the graph at base scale (presence is hash luck)
+    seeds = spark.range(1000).select(F.col("id").alias("node"))
+    fams["bfs_distances"] = lambda: bfs_distances(
+        graph, seeds, max_hops=3
+    )
     # r9 selection family: DSIR importance weights (two bounded
     # bucket aggregates + a broadcast B-row ratio join — the token
     # stream is the only corpus-sized relation) against a FIXED-size
