@@ -5522,6 +5522,60 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources
+    (operators/text_analysis.py corpus_divergence): the drift metric
+    next to corpus_overlap's Jaccard. Exclusive-mass identity — one
+    shared-vocabulary inner join, ln2 closure for one-sided tokens —
+    replayed term-for-term in the oracle; 6dp floors. Restricted to
+    four sources so the certified pair spine stays readable."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    out = get_operator("corpus_divergence")().apply({"in": docs})["out"]
+    return out.orderBy("group_a", "group_b")
+
+
+_SQL_CORPUS_DIVERGENCE = f"""
+WITH d AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), cnt AS (
+  SELECT source AS g, w, count(*) AS c
+  FROM (SELECT source, unnest(toks) AS w FROM d) GROUP BY 1, 2
+), tot AS (
+  SELECT g, sum(c) AS n FROM cnt GROUP BY g
+), shared AS (
+  SELECT a.g AS ga, b.g AS gb,
+         sum((a.c / ta.n) * ln(2.0e0 * (a.c / ta.n)
+             / (a.c / ta.n + b.c / tb.n))) AS ka,
+         sum((b.c / tb.n) * ln(2.0e0 * (b.c / tb.n)
+             / (a.c / ta.n + b.c / tb.n))) AS kb,
+         sum(a.c / ta.n) AS sa,
+         sum(b.c / tb.n) AS sb,
+         count(*) AS sh
+  FROM cnt a JOIN cnt b ON a.w = b.w AND a.g < b.g
+  JOIN tot ta ON ta.g = a.g
+  JOIN tot tb ON tb.g = b.g
+  GROUP BY 1, 2
+), spine AS (
+  SELECT ta.g AS ga, tb.g AS gb FROM tot ta CROSS JOIN tot tb
+  WHERE ta.g < tb.g
+)
+SELECT spine.ga AS group_a, spine.gb AS group_b,
+       floor((0.5e0 * (coalesce(ka, 0.0e0)
+                       + (1.0e0 - coalesce(sa, 0.0e0)) * ln(2.0e0))
+            + 0.5e0 * (coalesce(kb, 0.0e0)
+                       + (1.0e0 - coalesce(sb, 0.0e0)) * ln(2.0e0)))
+             * 1e6) / 1e6 AS js_divergence,
+       CAST(coalesce(sh, 0) AS BIGINT) AS shared_tokens
+FROM spine LEFT JOIN shared ON shared.ga = spine.ga AND shared.gb = spine.gb
+ORDER BY group_a, group_b
+"""
+
+
 def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup (operators/asof.py
     temporal_join): a versioned customer dimension derived from the
@@ -6653,7 +6707,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 16 deferred r06 rows (q15_top_supplier,
+# in registry order. The 17 deferred r06 rows
+# (q13_customer_distribution, q15_top_supplier,
 # q16_parts_supplier_cnt, q17_small_qty_revenue, q20_heavy_suppliers,
 # q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
 # hash_sample, hash_split_counts, json_roundtrip, lang_id,
@@ -6668,6 +6723,7 @@ _R09_WINDOW = [
     "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
     "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
     "bpe_tokenize", "entropy_metrics", "temporal_join",
+    "corpus_divergence",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6684,7 +6740,6 @@ _R09_WINDOW = [
     "q12_priority_class", "ivf_topk", "gaps_islands_per_key",
     "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
     "q8_market_share", "q11_important_parts",
-    "q13_customer_distribution",
 ]
 
 
@@ -6842,6 +6897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "entropy_metrics": q_entropy_metrics,
         "temporal_join": q_temporal_join,
+        "corpus_divergence": q_corpus_divergence,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -7008,6 +7064,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _SQL_DSIR_SELECT,
         "entropy_metrics": _SQL_ENTROPY_METRICS,
         "temporal_join": _SQL_TEMPORAL_JOIN,
+        "corpus_divergence": _SQL_CORPUS_DIVERGENCE,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "quality_gate": _SQL_QUALITY_GATE,
         "interpolate_gaps": _SQL_INTERPOLATE,

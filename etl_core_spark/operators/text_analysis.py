@@ -1363,3 +1363,132 @@ class EntropyMetricsOperator(Operator):
                 int(c.get("quantize", 6)),
             )
         }
+
+
+def corpus_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+    quantize: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between corpus slices'
+    token distributions — the DRIFT metric next to
+    ``corpus_overlap``'s set Jaccard: overlap asks "how much of B is
+    literally in A", JS asks "how differently do A and B USE
+    language" (0 = identical distributions, ln 2 = disjoint). The
+    snapshot-over-snapshot monitoring number for crawl pipelines and
+    the source-distance input to mixture design.
+
+    Identity used (natural log; P, Q token frequencies; M=(P+Q)/2)::
+
+        JS = 0.5·[ Σ_{w∈A∩B} p·ln(2p/(p+q)) + (1-S_A)·ln 2 ]
+           + 0.5·[ Σ_{w∈A∩B} q·ln(2q/(p+q)) + (1-S_B)·ln 2 ]
+
+    where S_A = Σ_{w∈A∩B} p — tokens exclusive to one side
+    contribute exactly ln 2 of their mass, so ONE inner join on the
+    shared vocabulary suffices; no full-outer token union is ever
+    materialized. Disjoint pairs (no shared tokens) come out exactly
+    ln 2 via the pair spine.
+
+    Scale shape: one (group, token) count aggregate (map-side
+    combinable, vocabulary-sized), per-group totals as a G-row
+    broadcast, the shared-vocab inner self-join keyed on token, and
+    a G²-row pair spine from crossing the totals — G is the GROUP
+    count (sources/languages/snapshots), small by construction.
+    Output: (group_a, group_b, js_divergence, shared_tokens) for
+    every unordered pair, group_a < group_b.
+    """
+    from etl_core_spark.session import persist_intermediate
+
+    q = F.lit(float(10 ** int(quantize)))
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    grams = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("__g"),
+        F.explode(X.tokens(t)).alias("__w"),
+    )
+    counts = persist_intermediate(
+        grams.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    a = counts.select(
+        F.col("__g").alias("__ga"), F.col("__w"), F.col("__c").alias("__ca")
+    )
+    b = counts.select(
+        F.col("__g").alias("__gb"), F.col("__w"), F.col("__c").alias("__cb")
+    )
+    ta = totals.select(
+        F.col("__g").alias("__ga"), F.col("__n").alias("__na")
+    )
+    tb = totals.select(
+        F.col("__g").alias("__gb"), F.col("__n").alias("__nb")
+    )
+    shared = (
+        a.join(b, on="__w")
+        .where(F.col("__ga") < F.col("__gb"))
+        .join(F.broadcast(ta), on="__ga")
+        .join(F.broadcast(tb), on="__gb")
+    )
+    p = F.col("__ca") / F.col("__na")
+    qq = F.col("__cb") / F.col("__nb")
+    stats = shared.groupBy("__ga", "__gb").agg(
+        F.sum(p * F.log(F.lit(2.0) * p / (p + qq))).alias("__ka"),
+        F.sum(qq * F.log(F.lit(2.0) * qq / (p + qq))).alias("__kb"),
+        F.sum(p).alias("__sa"),
+        F.sum(qq).alias("__sb"),
+        F.count(F.lit(1)).alias("__shared"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    spine = (
+        ta.crossJoin(tb)
+        .where(F.col("__ga") < F.col("__gb"))
+        .select("__ga", "__gb")
+    )
+    out = spine.join(stats, on=["__ga", "__gb"], how="left")
+    js = (
+        F.lit(0.5)
+        * (
+            F.coalesce(F.col("__ka"), F.lit(0.0))
+            + (F.lit(1.0) - F.coalesce(F.col("__sa"), F.lit(0.0))) * ln2
+        )
+        + F.lit(0.5)
+        * (
+            F.coalesce(F.col("__kb"), F.lit(0.0))
+            + (F.lit(1.0) - F.coalesce(F.col("__sb"), F.lit(0.0))) * ln2
+        )
+    )
+    return out.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        (F.floor(js * q) / q).alias("js_divergence"),
+        F.coalesce(F.col("__shared"), F.lit(0))
+        .cast("long")
+        .alias("shared_tokens"),
+    )
+
+
+@register_operator("corpus_divergence")
+class CorpusDivergenceOperator(Operator):
+    """Config: ``group_col``, ``text_col``, ``lowercase``,
+    ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        pass
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": corpus_divergence(
+                self.single_input(inputs),
+                c.get("group_col", "source"),
+                c.get("text_col", "text"),
+                bool(c.get("lowercase", True)),
+                int(c.get("quantize", 6)),
+            )
+        }

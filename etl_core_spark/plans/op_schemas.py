@@ -713,6 +713,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "corpus_divergence": [
+        f("group_col", "string", default="source"),
+        f("text_col", "string", default="text"),
+        f("lowercase", "boolean", default=True),
+        f("quantize", "integer", default=6),
+    ],
     "temporal_join": [
         f("on", "array", required=True, items={"type": "string"},
           desc="version keys"),

@@ -815,3 +815,58 @@ def test_entropy_metrics_matches_pure_python(spark):
     assert got[1][1] == 0.0
     # 'ab ab ab' has one distinct token -> zero token entropy
     assert got[2][3] == 0.0
+
+
+def test_corpus_divergence_matches_pure_python(spark):
+    """Pairwise JS divergence vs a direct full-union reference
+    (explicit M=(P+Q)/2, no exclusive-mass shortcut) — proves the
+    shared-vocab + ln2-closure identity the operator uses, and pins
+    the disjoint-pair (exactly ln 2) and identical-pair (exactly 0)
+    poles."""
+    import math
+    from collections import Counter
+
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        (1, "a", "x y x z"),
+        (2, "a", "x y"),
+        (3, "b", "x x x y y z"),    # b == a distribution-wise (3:2:1)
+        (4, "c", "p q p q r"),      # c disjoint from a and b
+        (5, "d", "x p"),            # d overlaps both worlds
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = get_operator("corpus_divergence")().apply({"in": df})["out"]
+    got = {
+        (r["group_a"], r["group_b"]): (r["js_divergence"], r["shared_tokens"])
+        for r in out.collect()
+    }
+
+    dists = {}
+    for _i, g, t in rows:
+        dists.setdefault(g, Counter()).update(t.split())
+
+    def js(ca, cb):
+        na, nb = sum(ca.values()), sum(cb.values())
+        vocab = set(ca) | set(cb)
+        v = 0.0
+        for w in vocab:
+            p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+            m = (p + q) / 2
+            if p:
+                v += 0.5 * p * math.log(p / m)
+            if q:
+                v += 0.5 * q * math.log(q / m)
+        return v
+
+    groups = sorted(dists)
+    assert set(got) == {
+        (x, y) for i, x in enumerate(groups) for y in groups[i + 1:]
+    }
+    for (x, y), (jsv, sh) in got.items():
+        ref = js(dists[x], dists[y])
+        assert jsv == pytest.approx(math.floor(ref * 1e6) / 1e6, abs=2e-6), (x, y)
+        assert sh == len(set(dists[x]) & set(dists[y]))
+    # poles: identical distributions -> 0; disjoint -> exactly ln 2
+    assert got[("a", "b")][0] == 0.0
+    assert got[("a", "c")][0] == math.floor(math.log(2) * 1e6) / 1e6
