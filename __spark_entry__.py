@@ -5522,6 +5522,51 @@ FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event type
+    (operators/compare.py ks_drift): even-id events vs odd-id events
+    — a same-distribution split, so D should be small, but the
+    VALUE is certified exactly. Per-(group, value) tie collapse
+    before the running CDFs makes both engines walk identical step
+    functions; 6dp floors."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+    out = get_operator("ks_drift")(
+        value_col="value", group_cols=["event_type"]
+    ).apply({"left": left, "right": right})["out"]
+    return out.select("event_type", "n_left", "n_right", "ks_stat")
+
+
+_SQL_KS_DRIFT = """
+WITH u AS (
+  SELECT event_type, value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s1,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS s2
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, v, sum(s1) AS c1, sum(s2) AS c2
+  FROM u GROUP BY event_type, v
+), t AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+  FROM c GROUP BY event_type
+), r AS (
+  SELECT c.event_type, t.n1, t.n2,
+         sum(c1) OVER w / t.n1 - sum(c2) OVER w / t.n2 AS d
+  FROM c JOIN t USING (event_type)
+  WINDOW w AS (PARTITION BY c.event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_left,
+       CAST(n2 AS BIGINT) AS n_right,
+       floor(max(abs(d)) * 1e6) / 1e6 AS ks_stat
+FROM r GROUP BY event_type, n1, n2
+"""
+
+
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between sources
     (operators/text_analysis.py corpus_divergence): the drift metric
@@ -6707,8 +6752,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lloyd round), then the TEN r05-vintage rows that sat beyond the
 # driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
 # r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 17 deferred r06 rows
-# (q13_customer_distribution, q15_top_supplier,
+# in registry order. The 18 deferred r06 rows
+# (q11_important_parts, q13_customer_distribution, q15_top_supplier,
 # q16_parts_supplier_cnt, q17_small_qty_revenue, q20_heavy_suppliers,
 # q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
 # hash_sample, hash_split_counts, json_roundtrip, lang_id,
@@ -6723,7 +6768,7 @@ _R09_WINDOW = [
     "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
     "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
     "bpe_tokenize", "entropy_metrics", "temporal_join",
-    "corpus_divergence",
+    "corpus_divergence", "ks_drift",
     # entry code changed this round (ivf_topk_refined is rows-only
     # by contract — the driver records the weaker check)
     "agg_extended", "diff_datasets", "ivf_topk_refined",
@@ -6739,7 +6784,7 @@ _R09_WINDOW = [
     "training_pipeline", "profile", "excel_roundtrip", "xml_roundtrip",
     "q12_priority_class", "ivf_topk", "gaps_islands_per_key",
     "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
-    "q8_market_share", "q11_important_parts",
+    "q8_market_share",
 ]
 
 
@@ -6898,6 +6943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_metrics": q_entropy_metrics,
         "temporal_join": q_temporal_join,
         "corpus_divergence": q_corpus_divergence,
+        "ks_drift": q_ks_drift,
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
@@ -7065,6 +7111,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_metrics": _SQL_ENTROPY_METRICS,
         "temporal_join": _SQL_TEMPORAL_JOIN,
         "corpus_divergence": _SQL_CORPUS_DIVERGENCE,
+        "ks_drift": _SQL_KS_DRIFT,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "quality_gate": _SQL_QUALITY_GATE,
         "interpolate_gaps": _SQL_INTERPOLATE,

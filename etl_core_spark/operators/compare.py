@@ -297,3 +297,119 @@ class Scd2MergeOperator(Operator):
                 c.get("to_col", "valid_to"),
             )
         }
+
+
+def ks_drift(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantize: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group —
+    the numeric-feature drift monitor (training-vs-serving skew,
+    snapshot-over-snapshot shift): D = sup_x |F_left(x) -
+    F_right(x)| over the empirical CDFs. 0 = identical samples,
+    1 = fully separated ranges. NULL values drop (they have no place
+    on a CDF); a group present on only ONE side reports the absent
+    side's count as 0 and D = 1.0 by definition (all mass differs).
+
+    Tie handling is the textbook one: the CDF difference is
+    evaluated AFTER each distinct value absorbs all its ties —
+    achieved by aggregating to per-(group, value) counts BEFORE the
+    running sums, so both engines see identical step functions.
+
+    Scale shape: both sides collapse to (group, value, count) first
+    (map-side combinable — the window walks DISTINCT values, not
+    rows), totals ride as a per-group broadcastable aggregate, then
+    ONE ordered window per group computes running CDFs and one
+    group-max takes D. NULL group keys form their own group (engine
+    NULL-keeps rule).
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    lv = left.select(
+        *g, F.col(value_col).alias("__v")
+    ).where(F.col(value_col).isNotNull()).withColumn("__side", F.lit(0))
+    rv = right.select(
+        *g, F.col(value_col).alias("__v")
+    ).where(F.col(value_col).isNotNull()).withColumn("__side", F.lit(1))
+    both = lv.unionByName(rv)
+    counts = both.groupBy(*g, "__v").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__c1"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__c2"),
+    )
+    totals = counts.groupBy(*g).agg(
+        F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2")
+    )
+    on = g if g else None
+    if on:
+        joined = counts.join(totals, on=on)
+    else:
+        joined = counts.crossJoin(F.broadcast(totals))
+    w = (
+        Window.partitionBy(*g).orderBy("__v")
+        if g
+        else Window.partitionBy(F.lit(1)).orderBy("__v")
+    )
+    run = joined.select(
+        *g,
+        "__n1",
+        "__n2",
+        (
+            # try_divide: a one-sided group's absent side has n=0 —
+            # NULL here (not an ANSI divide-by-zero crash), resolved
+            # to the documented D=1.0 below
+            F.try_divide(F.sum("__c1").over(w), F.col("__n1"))
+            - F.try_divide(F.sum("__c2").over(w), F.col("__n2"))
+        ).alias("__d"),
+    )
+    q = F.lit(float(10 ** int(quantize)))
+    agg = run.groupBy(*g).agg(
+        F.first("__n1").alias("n_left"),
+        F.first("__n2").alias("n_right"),
+        (F.floor(F.max(F.abs(F.col("__d"))) * q) / q).alias("ks_stat"),
+    )
+    # empty-side groups: __d is NULL (x/0) for every row -> max NULL;
+    # the documented D for a one-sided group is 1.0
+    return agg.select(
+        *g,
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.coalesce(
+            F.col("ks_stat"),
+            F.when(
+                (F.col("n_left") == 0) | (F.col("n_right") == 0), F.lit(1.0)
+            ),
+        ).alias("ks_stat"),
+    )
+
+
+@register_operator("ks_drift")
+class KsDriftOperator(Operator):
+    """Config: ``value_col`` (required); ``group_cols``,
+    ``quantize``. Ports: ``left``, ``right``."""
+
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("ks_drift requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"left", "right"}:
+            raise OperatorConfigError(
+                f"ks_drift takes ports left/right, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": ks_drift(
+                inputs["left"],
+                inputs["right"],
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                int(c.get("quantize", 6)),
+            )
+        }

@@ -713,6 +713,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "ks_drift": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"},
+          desc="per-group KS (e.g. per feature/segment)"),
+        f("quantize", "integer", default=6),
+    ],
     "corpus_divergence": [
         f("group_col", "string", default="source"),
         f("text_col", "string", default="text"),

@@ -159,6 +159,67 @@ def test_scd2_merge_idempotent_redelivery(spark):
     assert once == twice
 
 
+def test_ks_drift_matches_reference(spark):
+    """Exact two-sample KS vs an independent reference (numpy
+    sort-based sup |F1-F2| with tie-correct evaluation), plus the
+    poles: identical samples D=0, disjoint ranges D=1, and the
+    one-sided-group contract."""
+    import math
+
+    import numpy as np
+
+    from etl_core_spark.operators.base import get_operator
+
+    rng_a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    rng_b = [1.0, 2.0, 4.0, 4.0, 6.0]
+
+    def ref_ks(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        d = 0.0
+        for v in vals:
+            f1 = sum(1 for x in a if x <= v) / na
+            f2 = sum(1 for x in b if x <= v) / nb
+            d = max(d, abs(f1 - f2))
+        return math.floor(d * 1e6) / 1e6
+
+    left = spark.createDataFrame(
+        [("g", v) for v in rng_a]
+        + [("same", float(v)) for v in (1, 2, 3)]
+        + [("disjoint", float(v)) for v in (1, 2)]
+        + [("only_left", 7.0)],
+        "grp string, v double",
+    )
+    right = spark.createDataFrame(
+        [("g", v) for v in rng_b]
+        + [("same", float(v)) for v in (1, 2, 3)]
+        + [("disjoint", float(v)) for v in (10, 11)],
+        "grp string, v double",
+    )
+    out = get_operator("ks_drift")(
+        value_col="v", group_cols=["grp"]
+    ).apply({"left": left, "right": right})["out"]
+    got = {
+        r["grp"]: (r["n_left"], r["n_right"], r["ks_stat"])
+        for r in out.collect()
+    }
+    assert got["g"] == (6, 5, ref_ks(rng_a, rng_b))
+    assert got["same"] == (3, 3, 0.0)
+    assert got["disjoint"] == (2, 2, 1.0)
+    assert got["only_left"] == (1, 0, 1.0)
+    # scipy cross-check when available (container has no scipy —
+    # guard, don't skip silently elsewhere)
+    try:
+        from scipy.stats import ks_2samp
+
+        assert got["g"][2] == pytest.approx(
+            math.floor(ks_2samp(np.array(rng_a), np.array(rng_b)).statistic * 1e6) / 1e6,
+            abs=1e-9,
+        )
+    except ImportError:
+        pass
+
+
 def test_mad_outliers_hand_computed(spark):
     df = spark.createDataFrame(
         [("g", float(v)) for v in (1, 2, 3, 4, 100)]
