@@ -4432,6 +4432,114 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dup_spans operator (operators/substring.py): Lee et
+    al. 2022 EXACTSUBSTR, cross-document form — maximal token spans
+    covered by 8-grams shared by >= 2 distinct documents, via a
+    sorted-k-gram hash join + per-document gaps-and-islands merge (no
+    suffix array, nothing driver-sized)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("substring_dup_spans")(span_tokens=8)
+    return op.apply({"in": docs})["out"]
+
+
+_SQL_SUBSTR_SPANS = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+), ge AS (
+  SELECT doc_id, p['s'] AS s, p['g'] AS g
+  FROM (
+    SELECT doc_id,
+           unnest([{{'s': i - 1, 'g': array_to_string(toks[i:i+7], ' ')}}
+                   for i in range(1, len(toks) - 6)]) AS p
+    FROM tok
+  )
+), d AS (
+  SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), h AS (
+  SELECT doc_id, s FROM ge JOIN d USING (g)
+), m AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s > lag(s) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+), isl AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+  FROM m
+)
+SELECT doc_id,
+       CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + 8 AS BIGINT) AS span_end,
+       CAST(max(s) + 8 - min(s) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, isl_id
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dedup operator (operators/substring.py): the
+    row-preserving EXACTSUBSTR rewrite with keep_one — each
+    cross-document duplicated 8-gram's canonical (smallest doc,
+    start) occurrence survives, every other copy is stripped from
+    the token stream."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("substring_dedup")(span_tokens=8)
+    return op.apply({"in": docs})["out"].select(
+        "doc_id", "text_dedup", "n_tokens_kept", "n_tokens_dropped",
+        "dup_span_frac",
+    )
+
+
+_SQL_SUBSTR_DEDUP = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+), ge AS (
+  SELECT doc_id, p['s'] AS s, p['g'] AS g
+  FROM (
+    SELECT doc_id,
+           unnest([{{'s': i - 1, 'g': array_to_string(toks[i:i+7], ' ')}}
+                   for i in range(1, len(toks) - 6)]) AS p
+    FROM tok
+  )
+), d AS (
+  SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), h AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+  FROM ge JOIN d USING (g)
+), strip AS (
+  SELECT doc_id, s FROM h WHERE rn >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, s + off AS pos
+  FROM strip, generate_series(0, 7) AS t(off)
+), pos AS (
+  SELECT doc_id, unnest(toks) AS tokn,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+), kept AS (
+  SELECT * FROM pos ANTI JOIN cov USING (doc_id, pos)
+), agg AS (
+  SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS td, count(*) AS nk
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, len(toks) AS nt FROM tok
+)
+SELECT t.doc_id,
+       coalesce(a.td, '') AS text_dedup,
+       CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(t.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_dropped,
+       round(CASE WHEN t.nt > 0
+                  THEN (t.nt - coalesce(a.nk, 0)) / CAST(t.nt AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_span_frac
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """assemble_docs operator (operators/text_analysis.py): ordered
     part concatenation — here the INVERSE of chunk_documents, so the
@@ -6907,6 +7015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "quantile_filter": q_quantile_filter,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup": q_substring_dedup,
         "assemble_docs": q_assemble_docs,
         "weighted_sample": q_weighted_sample,
         "take_tokens_per_group": q_take_tokens_per_group,
@@ -7126,6 +7236,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _SQL_GRAPH_COMPONENTS,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
+        "substring_dup_spans": _SQL_SUBSTR_SPANS,
+        "substring_dedup": _SQL_SUBSTR_DEDUP,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "take_tokens_per_group": _SQL_TAKE_TOKENS,

@@ -33,6 +33,7 @@ from etl_core_spark.operators import (  # noqa: F401
     graph,
     selection,
     bpe,
+    substring,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -371,8 +371,19 @@ def temporal_join(
     renames = {}
     for c in dim.columns:
         if c in fact_cols and c not in on:
-            renames[c] = f"{c}_dim"
-            d = d.withColumnRenamed(c, f"{c}_dim")
+            new = f"{c}_dim"
+            # the suffixed name must be FREE on both sides — a dim
+            # holding both 'price' and 'price_dim' (or a fact already
+            # holding 'price_dim') would otherwise yield two ambiguous
+            # 'price_dim' output columns
+            if new in fact_cols or new in dim.columns:
+                raise OperatorConfigError(
+                    f"temporal_join: cannot disambiguate column {c!r} — "
+                    f"the collision suffix name {new!r} already exists; "
+                    "rename it on one side first"
+                )
+            renames[c] = new
+            d = d.withColumnRenamed(c, new)
     vf = renames.get(valid_from_col, valid_from_col)
     vt = renames.get(valid_to_col, valid_to_col)
     cond = None

@@ -123,29 +123,41 @@ def dsir_weights(
     feat_raw = _feature_stream(raw, text_col, id_col, b)
     feat_tgt = _feature_stream(target, text_col, id_col, b)
 
-    # totals as broadcast one-row aggregates; the ratio table is
-    # B rows, built bucket-outer so unseen-on-one-side buckets get
-    # their smoothed mass. A full outer join of two B-bounded
-    # aggregates — nothing corpus-sized.
+    # totals are bounded one-row aggregates — collect them eagerly so
+    # an EMPTY corpus raises loudly here (all-NULL log_weights
+    # downstream would silently starve dsir_select) and the totals
+    # ride into the ratio expression as literals instead of two
+    # crossJoins. The ratio table is B rows, built bucket-outer so
+    # unseen-on-one-side buckets get their smoothed mass.
     cr = _bucket_dist(feat_raw)
     ct = _bucket_dist(feat_tgt)
-    tr = cr.agg(F.sum("__c").alias("__tr"))
-    tt = ct.agg(F.sum("__c").alias("__tt"))
+    tr_val = cr.agg(F.sum("__c")).first()[0]
+    tt_val = ct.agg(F.sum("__c")).first()[0]
+    if not tt_val:
+        raise OperatorConfigError(
+            "dsir: target corpus contributes no features (no rows or "
+            "all-empty text); every log_weight would be NULL"
+        )
+    if not tr_val:
+        raise OperatorConfigError(
+            "dsir: raw corpus contributes no features (no rows or "
+            "all-empty text); nothing to weight"
+        )
+    # F.log stays Spark-side so quantized values match the certified
+    # oracle arithmetic bit-for-bit (literal totals, same expressions)
     ratio = (
         ct.withColumnRenamed("__c", "__cT")
         .join(cr.withColumnRenamed("__c", "__cR"), on="__b", how="full")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
         .select(
             "__b",
             (
                 F.log(
                     (F.coalesce(F.col("__cT"), F.lit(0)) + F.lit(a))
-                    / (F.col("__tt") + F.lit(a) * F.lit(float(b)))
+                    / (F.lit(tt_val) + F.lit(a) * F.lit(float(b)))
                 )
                 - F.log(
                     (F.coalesce(F.col("__cR"), F.lit(0)) + F.lit(a))
-                    / (F.col("__tr") + F.lit(a) * F.lit(float(b)))
+                    / (F.lit(tr_val) + F.lit(a) * F.lit(float(b)))
                 )
             ).alias("__lr"),
         )
@@ -259,26 +271,40 @@ def nb_quality_score(
     feat_neg = _feature_stream(negative, text_col, id_col, b)
     cp = _bucket_dist(feat_pos)
     cn = _bucket_dist(feat_neg)
-    tp = cp.agg(F.sum("__c").alias("__tp"))
-    tn = cn.agg(F.sum("__c").alias("__tn"))
-    # class priors from document counts (one long each)
-    np_ = positive.agg(F.count(F.lit(1)).alias("__np"))
-    nn_ = negative.agg(F.count(F.lit(1)).alias("__nn"))
+    # bounded one-row totals and priors, collected eagerly: an empty
+    # (or all-empty-text) training class would otherwise make every
+    # log_odds NULL — and quality_gate then silently drops ALL rows
+    tp_val = cp.agg(F.sum("__c")).first()[0]
+    tn_val = cn.agg(F.sum("__c")).first()[0]
+    np_val = positive.count()
+    nn_val = negative.count()
+    if not np_val or not tp_val:
+        raise OperatorConfigError(
+            "quality_classifier: positive corpus contributes no "
+            f"documents/features (docs={np_val}, features={tp_val or 0}); "
+            "every score would be NULL"
+        )
+    if not nn_val or not tn_val:
+        raise OperatorConfigError(
+            "quality_classifier: negative corpus contributes no "
+            f"documents/features (docs={nn_val}, features={tn_val or 0}); "
+            "every score would be NULL"
+        )
+    # F.log stays Spark-side (literal totals) so the quantized values
+    # match the certified oracle arithmetic bit-for-bit
     ratio = (
         cp.withColumnRenamed("__c", "__cP")
         .join(cn.withColumnRenamed("__c", "__cN"), on="__b", how="full")
-        .crossJoin(F.broadcast(tp))
-        .crossJoin(F.broadcast(tn))
         .select(
             "__b",
             (
                 F.log(
                     (F.coalesce(F.col("__cP"), F.lit(0)) + F.lit(a))
-                    / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
+                    / (F.lit(tp_val) + F.lit(a) * F.lit(float(b)))
                 )
                 - F.log(
                     (F.coalesce(F.col("__cN"), F.lit(0)) + F.lit(a))
-                    / (F.col("__tn") + F.lit(a) * F.lit(float(b)))
+                    / (F.lit(tn_val) + F.lit(a) * F.lit(float(b)))
                 )
             ).alias("__lr"),
         )
@@ -294,12 +320,10 @@ def nb_quality_score(
     # differential). 0 + a == a bitwise, so the default is the exact
     # ratio-table formula at zero counts.
     lr_default = F.log(
-        F.lit(a) / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
-    ) - F.log(F.lit(a) / (F.col("__tn") + F.lit(a) * F.lit(float(b))))
+        F.lit(a) / (F.lit(tp_val) + F.lit(a) * F.lit(float(b)))
+    ) - F.log(F.lit(a) / (F.lit(tn_val) + F.lit(a) * F.lit(float(b))))
     doc_s = (
         tf.join(F.broadcast(ratio), on="__b", how="left")
-        .crossJoin(F.broadcast(tp))
-        .crossJoin(F.broadcast(tn))
         .withColumn("__lr", F.coalesce(F.col("__lr"), lr_default))
         .groupBy("__id")
         .agg(
@@ -307,7 +331,7 @@ def nb_quality_score(
             F.sum(F.col("__tf") * F.col("__lr")).alias("__s"),
         )
     )
-    prior = F.log(F.col("__np") / F.col("__nn"))
+    prior = F.log(F.lit(np_val) / F.lit(nn_val))
     q = F.lit(float(10 ** int(quantize)))
     lo = F.col("__s") + prior
     # composability: replace stale same-named evidence columns from
@@ -317,8 +341,6 @@ def nb_quality_score(
     ]
     return (
         df.join(doc_s, df[id_col] == doc_s["__id"], "left")
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nn_))
         .select(
             *[df[c] for c in keep],
             F.coalesce(F.col("__nf"), F.lit(0))

@@ -773,6 +773,13 @@ def pq_topk(
     )  # (m, kc, sub)
 
     qrows = queries.select(query_id_col, vec_col).collect()
+    null_q = [r[0] for r in qrows if r[1] is None]
+    if null_q:
+        raise OperatorConfigError(
+            f"pq_topk: {len(null_q)} query rows have NULL {vec_col!r} "
+            f"(e.g. {query_id_col}={null_q[0]!r}); drop or impute them "
+            "before searching"
+        )
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     qids = [r[0] for r in qrows]
@@ -841,7 +848,12 @@ def pq_topk(
 
     from etl_core_spark.session import persist_intermediate
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
+    # NULL embeddings would crash the Arrow batch (list(None)); match
+    # the brute_force/ivf convention of silently skipping them — a NULL
+    # vector can never be a neighbor.
+    cand = corpus.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull()
+    ).mapInPandas(
         encode_score,
         schema=(
             f"{query_id_col} {qid_type}, `{id_col}` {id_type}, "

@@ -506,6 +506,30 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("min_count", "integer", default=2,
           desc="corpus occurrence threshold for a span to count as duplicated"),
     ],
+    "substring_dup_spans": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("span_tokens", "integer", default=50,
+          desc="k-gram length (Lee et al. use 50 tokens)"),
+        f("min_docs", "integer", default=2,
+          desc="distinct-document threshold for a gram to count as "
+               "cross-document duplicated"),
+        f("max_doc_freq", "integer",
+          desc="optionally EXCLUDE grams in more than this many docs "
+               "(stopword/boilerplate trade; default no cap)"),
+    ],
+    "substring_dedup": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("span_tokens", "integer", default=50,
+          desc="k-gram length (Lee et al. use 50 tokens)"),
+        f("min_docs", "integer", default=2),
+        f("keep_one", "boolean", default=True,
+          desc="preserve each duplicated gram's canonical (smallest "
+               "doc, start) occurrence — the paper's remove-all-but-one"),
+        f("max_doc_freq", "integer",
+          desc="optionally EXCLUDE grams in more than this many docs"),
+    ],
     "assemble_docs": [
         f("key_col", "string", required=True),
         f("part_col", "string", required=True),

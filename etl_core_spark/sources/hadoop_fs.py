@@ -45,3 +45,22 @@ def fs_write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def fs_has_data_files(spark, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one NON-metadata
+    file (recursing into partition subdirectories). Metadata =
+    basenames starting with ``_`` or ``.`` (``_manifest.json``,
+    ``_SUCCESS``, checkpoints), matching Spark's own hidden-file
+    convention. Lets callers distinguish "fresh/empty export dir"
+    from "dir with data whose READ failed" without classifying reader
+    exceptions."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = str(it.next().getPath().getName())
+        if not name.startswith(("_", ".")):
+            return True
+    return False

@@ -510,10 +510,21 @@ def streaming_export_shards(
                     for s in m["shards"]
                 }
             except FileNotFoundError:
-                try:
+                # seed-from-directory only when the export dir truly
+                # holds data files. The former broad except here could
+                # swallow a TRANSIENT read failure on a directory that
+                # DOES hold data, permanently seeding {} and
+                # undercounting every shard in the manifest — so probe
+                # the FS directly (hidden/_metadata files ignored) and
+                # let any read failure on a data-bearing dir propagate.
+                from etl_core_spark.sources.hadoop_fs import (
+                    fs_has_data_files,
+                )
+
+                if fs_has_data_files(spark, out_dir):
                     prior = spark.read.format(fmt).load(out_dir)
                     running["by_shard"] = shard_stats(prior, key_col, salt)
-                except Exception:  # noqa: BLE001 - empty/new export dir
+                else:
                     running["by_shard"] = {}
         with_shard = batch_df.withColumn(
             "shard", shard_col(key_col, salt, int(n_shards))

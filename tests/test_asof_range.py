@@ -314,3 +314,34 @@ def test_temporal_join_collision_suffix_and_validation(spark):
         get_operator("temporal_join")(on=["k"], ts_col="ts", how="full")
     with _pytest.raises(OperatorConfigError):
         get_operator("temporal_join")(ts_col="ts")
+
+
+def test_temporal_join_dim_suffix_collision_raises(spark):
+    """ADVICE r9: if the computed ``_dim`` suffix name already exists
+    on either side, raise instead of emitting two ambiguous columns."""
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.asof import temporal_join
+
+    facts = spark.createDataFrame(
+        [(1, 1, 5)], "fid long, k long, ts long"
+    )
+    # dim has BOTH 'ts' (clashes with facts) and a pre-existing
+    # 'ts_dim' — the rename target is taken
+    dim = spark.createDataFrame(
+        [(1, 0, None, "x", "y")],
+        "k long, valid_from long, valid_to long, ts string, ts_dim string",
+    )
+    with _pytest.raises(OperatorConfigError, match="ts_dim"):
+        temporal_join(facts, dim, on=["k"], ts_col="ts")
+    # fact side already holding the suffixed name is equally ambiguous
+    facts2 = spark.createDataFrame(
+        [(1, 1, 5, "z")], "fid long, k long, ts long, ts_dim string"
+    )
+    dim2 = spark.createDataFrame(
+        [(1, 0, None, "x")],
+        "k long, valid_from long, valid_to long, ts string",
+    )
+    with _pytest.raises(OperatorConfigError, match="ts_dim"):
+        temporal_join(facts2, dim2, on=["k"], ts_col="ts")

@@ -545,3 +545,40 @@ def test_lsh_topk_drops_zero_norm_corpus_vectors(spark):
     )
     out = lsh_topk(emb, queries, dim=8, k=10, num_planes=2, num_tables=4).collect()
     assert all(r["vec_id"] in (100, 101) for r in out)
+
+
+def test_pq_topk_null_vectors(spark, tables):
+    """ADVICE r9: NULL corpus embeddings are skipped (never a
+    neighbor, must not crash the Arrow encode batch); NULL query
+    vectors raise loudly."""
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.similarity import pq_topk
+
+    emb = tables["embeddings"]
+    queries = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    null_row = emb.limit(1).select(
+        *[
+            F.lit(999_999).alias(c)
+            if c == "vec_id"
+            else F.lit(None).cast(emb.schema[c].dataType).alias(c)
+            for c in emb.columns
+        ]
+    )
+    dirty = emb.unionByName(null_row)
+    clean_rows = pq_topk(emb, queries, k=5, m=8, k_codes=64).collect()
+    dirty_rows = pq_topk(dirty, queries, k=5, m=8, k_codes=64).collect()
+    assert sorted(map(tuple, clean_rows)) == sorted(map(tuple, dirty_rows))
+    assert all(r["vec_id"] != 999_999 for r in dirty_rows)
+    null_q = queries.select(
+        "query_id",
+        F.when(F.col("query_id") % 2 == 0, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    with _pytest.raises(OperatorConfigError, match="NULL"):
+        pq_topk(emb, null_q, k=5, m=8, k_codes=64)

@@ -211,3 +211,43 @@ def test_streaming_export_shards_continuous_incremental(spark, tmp_path):
         q2.stop()
     assert read_manifest(spark, out)["total_rows"] == 60
     assert set(verify_export(spark, out).values()) == {"ok"}
+
+
+def test_streaming_export_seed_skips_dataless_dir_but_propagates_errors(
+    spark, tmp_path
+):
+    """ADVICE r9: incremental seeding treats an out_dir with NO data
+    files as a fresh export (UNABLE_TO_INFER_SCHEMA is expected there)
+    but must NOT swallow arbitrary read failures — a transient error on
+    a directory that holds data would otherwise seed {} and permanently
+    undercount the manifest."""
+    from etl_core_spark.sources.export_io import read_manifest, verify_export
+    from etl_core_spark.streaming.stream import streaming_export_shards
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    # out_dir EXISTS but holds only metadata-style files (stale
+    # tombstone; data lost): seeding must fall through to {} and the
+    # run must still produce a consistent manifest
+    out = tmp_path / "export"
+    out.mkdir()
+    (out / "_stale.json").write_text("{}")
+    q = streaming_export_shards(
+        spark.readStream.schema(schema).parquet(str(src) + "/*"),
+        str(out),
+        str(tmp_path / "ckpt"),
+        key_col="doc_id",
+        n_shards=2,
+        trigger_once=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert read_manifest(spark, str(out))["total_rows"] == 12
+    assert set(verify_export(spark, str(out)).values()) == {"ok"}

@@ -230,3 +230,32 @@ def test_dsir_validation(spark):
         )
     with pytest.raises(OperatorConfigError):
         get_operator("dsir_weights")().apply({"in": raw})
+
+
+def test_selection_empty_corpus_raises_loudly(spark):
+    """ADVICE r9: an empty (or all-empty-text) target/positive/negative
+    corpus must raise OperatorConfigError, not silently produce
+    all-NULL weights/scores that starve dsir_select / quality_gate."""
+    raw = _spark_df(spark, RAW)
+    tgt = _spark_df(spark, TARGET)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = _spark_df(spark, [(1, "   ")])  # rows but zero features
+    from etl_core_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+        nb_quality_gate,
+        nb_quality_score,
+    )
+
+    for bad in (empty, blank):
+        with pytest.raises(OperatorConfigError, match="target corpus"):
+            dsir_weights(raw, bad, num_buckets=B)
+        with pytest.raises(OperatorConfigError, match="target corpus"):
+            dsir_select(raw, bad, k=2, num_buckets=B)
+        with pytest.raises(OperatorConfigError, match="positive corpus"):
+            nb_quality_score(raw, bad, tgt, num_buckets=B)
+        with pytest.raises(OperatorConfigError, match="negative corpus"):
+            nb_quality_gate(raw, tgt, bad, num_buckets=B)
+    # empty RAW side of dsir also raises (nothing to weight)
+    with pytest.raises(OperatorConfigError, match="raw corpus"):
+        dsir_weights(empty, tgt, num_buckets=B)
