@@ -5860,6 +5860,116 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_bpe_tokens")
 
 
+# Pinned merge table for the FULL-VALUE certification of the
+# distributed BPE encode path (bpe_tokenize's training fixpoint stays
+# rows-only by contract; ENCODING with a fixed merge list is
+# deterministic and finite, so it gets a real oracle). The list is a
+# genuine bpe_train_merges output (sf0.001 documents, 16 merges) —
+# that matters for the oracle's correctness: in a trained list every
+# pair involving a created symbol ranks AFTER the merge that created
+# it, so greedy lowest-rank-first encoding (the engine) equals
+# sequential rank-order replace-to-fixpoint (the recursive-CTE
+# oracle). One constant feeds BOTH sides.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "▁"), ("n", "▁"), ("o", "r"), ("t", "▁"),
+    ("er", "▁"), ("o", "w"), ("ow", "▁"), ("l", "u"), ("i", "n"),
+    ("y", "▁"), ("a", "r"), ("p", "ar"), ("g", "▁"), ("a", "s"),
+    ("h", "▁"),
+]
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE with the pinned merge table
+    (operators/bpe.py bpe_encode): one Arrow-batched mapInPandas,
+    greedy lowest-rank merges, per-batch word cache — certified
+    full-value against a DuckDB recursive-CTE re-implementation of
+    rank-order merge application over the same pinned merges."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("bpe_tokenize")(
+        merges=_BPE_FIXED_MERGES, emit_tokens=True
+    ).apply({"in": docs})["out"]
+    return out.select("doc_id", "n_bpe_tokens", "bpe_tokens")
+
+
+def _sql_bpe_encode_fixed() -> str:
+    """Recursive-CTE oracle: each distinct word becomes a chr(31)-
+    sentineled symbol string ('␟h␟i␟▁␟'); every recursion step
+    applies ONE replace-all pass of the lowest-ranked merge present
+    (an unrolled CASE over the pinned table — no aggregates in the
+    recursive term); terminal rows are those no pattern touches.
+    Replace-to-fixpoint in rank order equals the engine's greedy
+    lowest-rank encode for a TRAINED merge list (see
+    _BPE_FIXED_MERGES note)."""
+    US = "chr(31)"
+
+    def pat(a: str, b: str) -> str:
+        return f"{US} || '{a}' || {US} || '{b}' || {US}"
+
+    def rep(a: str, b: str) -> str:
+        return f"{US} || '{a}{b}' || {US}"
+
+    case_arms = "\n    ".join(
+        f"WHEN contains(seq, {pat(a, b)}) "
+        f"THEN replace(seq, {pat(a, b)}, {rep(a, b)})"
+        for a, b in _BPE_FIXED_MERGES
+    )
+    any_pat = " OR ".join(
+        f"contains(seq, {pat(a, b)})" for a, b in _BPE_FIXED_MERGES
+    )
+    toks_lower = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+    )
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {toks_lower} AS toks FROM documents
+), words AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(toks) AS w FROM tok)
+  WHERE w != ''
+), enc AS (
+  SELECT w,
+         {US} || array_to_string([w[i] for i in range(1, len(w) + 1)],
+                                 {US})
+              || {US} || '▁' || {US} AS seq
+  FROM words
+  UNION ALL
+  SELECT w, CASE
+    {case_arms}
+  END AS seq
+  FROM enc
+  WHERE {any_pat}
+), final AS (
+  SELECT w, seq FROM enc WHERE NOT ({any_pat})
+), wenc AS (
+  SELECT w,
+         len(string_split(seq, {US})) - 2 AS n_sym,
+         array_to_string(
+           list_filter(string_split(seq, {US}), x -> x != ''), ' '
+         ) AS enc_str
+  FROM final
+), pos AS (
+  SELECT doc_id, unnest(toks) AS w,
+         generate_subscripts(toks, 1) AS p
+  FROM tok
+), agg AS (
+  SELECT doc_id, sum(n_sym) AS n,
+         string_agg(enc_str, ' ' ORDER BY p) AS toks_str
+  FROM pos JOIN wenc USING (w)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_bpe_tokens,
+       coalesce(a.toks_str, '') AS bpe_tokens
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_SQL_BPE_ENCODE_FIXED = _sql_bpe_encode_fixed()
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NB quality classifier (operators/selection.py
     nb_quality_score, the GPT-3 Appendix-A filter shape): positive =
@@ -6635,9 +6745,70 @@ def _sql_label_propagation(n_iter: int = 5) -> str:
     )
 
 
+def _sql_label_propagation_ctes(n_iter: int) -> str:
+    """The LPA oracle's CTE chain without the final SELECT — reused
+    by the modularity oracle, which scores l{n_iter} as the
+    community assignment."""
+    full = _sql_label_propagation(n_iter)
+    return full[len("WITH ") : full.rindex("\nSELECT ")]
+
+
 # 3 rounds in the certification row (plan depth = cost; the value
 # contract is identical at any fixed count); operator default stays 5
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (operators/graph.py modularity) of the
+    certified 3-round LPA assignment on the part-supplier bipartite
+    graph — the community-quality meter: per community
+    (n_nodes, internal_edges, degree_sum, q_contrib), total
+    modularity = sum(q_contrib). Two membership equi-joins + three
+    map-side aggregates; 9dp floors on q_contrib only."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 1)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    lpa = get_operator("label_propagation")(
+        src="src", dst="dst", iterations=3
+    ).apply({"in": edges})["out"]
+    return get_operator("modularity")(
+        src="src", dst="dst", node_col="node", community_col="label"
+    ).apply({"in": edges, "assignment": lpa})["out"]
+
+
+_SQL_MODULARITY = f"""
+WITH {_sql_label_propagation_ctes(3)},
+mem AS (SELECT node AS n, label AS community FROM l3),
+canon AS (SELECT s, t FROM ed WHERE s < t),
+mt AS (SELECT count(*) AS m FROM canon),
+deg AS (SELECT s AS n, count(*) AS d FROM ed GROUP BY s),
+lc AS (
+  SELECT ms.community, count(*) AS internal_edges
+  FROM canon
+  JOIN mem ms ON canon.s = ms.n
+  JOIN mem md ON canon.t = md.n
+  WHERE ms.community = md.community
+  GROUP BY ms.community
+),
+dc AS (
+  SELECT community, count(*) AS n_nodes,
+         sum(coalesce(deg.d, 0)) AS degree_sum
+  FROM mem LEFT JOIN deg USING (n)
+  GROUP BY community
+)
+SELECT dc.community,
+       CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(lc.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(dc.degree_sum AS BIGINT) AS degree_sum,
+       floor((coalesce(lc.internal_edges, 0) / mt.m
+              - power(dc.degree_sum / (2.0 * mt.m), 2.0)) * 1e9) / 1e9
+         AS q_contrib
+FROM dc LEFT JOIN lc USING (community) CROSS JOIN mt
+"""
 
 
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7050,6 +7221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "pq_topk": q_pq_topk,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
         "entropy_metrics": q_entropy_metrics,
         "temporal_join": q_temporal_join,
         "corpus_divergence": q_corpus_divergence,
@@ -7057,6 +7229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
+        "modularity": q_modularity,
         "knn_graph": q_knn_graph,
         "triangle_count": q_triangle_count,
         "personalized_pagerank": q_personalized_pagerank,
@@ -7227,6 +7400,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,
+        "modularity": _SQL_MODULARITY,
         "knn_graph": _SQL_KNN_GRAPH,
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "personalized_pagerank": _SQL_PERSONALIZED_PAGERANK,
@@ -7238,6 +7412,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "substring_dup_spans": _SQL_SUBSTR_SPANS,
         "substring_dedup": _SQL_SUBSTR_DEDUP,
+        "bpe_encode_fixed": _SQL_BPE_ENCODE_FIXED,
         "assemble_docs": _SQL_ASSEMBLE_DOCS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "take_tokens_per_group": _SQL_TAKE_TOKENS,

@@ -203,16 +203,27 @@ def bpe_tokenize(
     max_train_words: int = 100_000,
     lowercase: bool = True,
     emit_tokens: bool = False,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Train on ``train_df`` (default: ``df`` itself — the
-    self-trained shape) and encode ``df``."""
-    merges = bpe_train_merges(
-        train_df if train_df is not None else df,
-        text_col,
-        num_merges,
-        max_train_words,
-        lowercase,
-    )
+    self-trained shape) and encode ``df``. A pinned ``merges`` table
+    skips training entirely — the production shape once a tokenizer
+    is frozen (and the full-value-certifiable one: encoding with
+    fixed merges is deterministic)."""
+    if merges is None:
+        merges = bpe_train_merges(
+            train_df if train_df is not None else df,
+            text_col,
+            num_merges,
+            max_train_words,
+            lowercase,
+        )
+    else:
+        merges = [tuple(p) for p in merges]
+        if any(len(p) != 2 for p in merges):
+            raise OperatorConfigError(
+                "bpe merges must be (left, right) pairs"
+            )
     return bpe_encode(df, merges, text_col, id_col, lowercase, emit_tokens)
 
 
@@ -247,5 +258,6 @@ class BpeTokenizeOperator(Operator):
                 int(c.get("max_train_words", 100_000)),
                 bool(c.get("lowercase", True)),
                 bool(c.get("emit_tokens", False)),
+                c.get("merges"),
             )
         }

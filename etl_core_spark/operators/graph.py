@@ -890,3 +890,119 @@ class ConnectedComponentsOperator(Operator):
                 F.col("cluster_id").alias("component"),
             )
         }
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    quantize: int = 9,
+) -> DataFrame:
+    """Newman modularity of a (node, community) assignment —
+    ``Q = sum_c [ L_c/m - (D_c/(2m))^2 ]`` (Newman & Girvan 2004)
+    per community: ``(community, n_nodes, internal_edges,
+    degree_sum, q_contrib)``; total modularity = sum(q_contrib).
+    The quality meter for label_propagation / connected-components
+    output: LPA gives you communities, this says whether they are
+    denser than chance.
+
+    Edge policy: symmetrized, deduplicated, self-loops dropped; m
+    counts each undirected edge ONCE; degree(v) = #distinct
+    neighbors. Nodes missing from the assignment drop (inner join —
+    score the labeled subgraph); assigned nodes without edges count
+    in ``n_nodes`` with zero degree.
+
+    Scale shape: two membership equi-joins on the canonical edge
+    list + three map-side-combinable aggregates; the graph totals
+    (m) ride as a broadcast one-row crossJoin — nothing driver-sized,
+    no iteration. ``q_contrib`` floor-quantized (graph-family
+    convention)."""
+    sym = _normalized_edges(edges, src, dst, symmetrize=True).where(
+        F.col("__s") != F.col("__t")
+    )
+    canon = sym.where(F.col("__s") < F.col("__t"))  # each edge once
+    mem = assignment.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("community")
+    ).where(F.col("__n").isNotNull())
+    m_tot = canon.agg(F.count(F.lit(1)).alias("__m"))
+    # internal edges per community: both endpoints in the community
+    lc = (
+        canon.join(
+            mem.select(F.col("__n").alias("__s"), F.col("community").alias("__cs")),
+            on="__s",
+        )
+        .join(
+            mem.select(F.col("__n").alias("__t"), F.col("community").alias("__ct")),
+            on="__t",
+        )
+        .where(F.col("__cs") == F.col("__ct"))
+        .groupBy(F.col("__cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = sym.groupBy(F.col("__s").alias("__n")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    dc = (
+        mem.join(deg, on="__n", how="left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("__deg"), F.lit(0))).alias("degree_sum"),
+        )
+    )
+    q = F.lit(float(10 ** int(quantize)))
+    qc = (
+        F.coalesce(F.col("internal_edges"), F.lit(0)) / F.col("__m")
+        - F.pow(
+            F.col("degree_sum") / (F.lit(2.0) * F.col("__m")), F.lit(2.0)
+        )
+    )
+    return (
+        dc.join(lc, on="community", how="left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (F.floor(qc * q) / q).alias("q_contrib"),
+        )
+    )
+
+
+@register_operator("modularity")
+class ModularityOperator(Operator):
+    """Config: ``src``, ``dst``, ``node_col``, ``community_col``,
+    ``quantize``. Ports: ``in`` (edges), ``assignment``
+    (node -> community)."""
+
+    in_ports = ("in", "assignment")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"modularity requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "assignment"}:
+            raise OperatorConfigError(
+                f"modularity takes ports in/assignment, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": modularity(
+                inputs["in"],
+                inputs["assignment"],
+                c["src"],
+                c["dst"],
+                c.get("node_col", "node"),
+                c.get("community_col", "community"),
+                int(c.get("quantize", 9)),
+            )
+        }

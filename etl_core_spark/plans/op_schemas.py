@@ -774,6 +774,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("lowercase", "boolean", default=True),
         f("emit_tokens", "boolean", default=False,
           desc="also emit the space-joined subword string"),
+        f("merges", "array", items={"type": "array"},
+          desc="pinned merge table [[left, right], ...] — skips "
+               "training (the frozen-tokenizer shape)"),
     ],
     "quality_classifier": [
         f("text_col", "string", default="text"),
@@ -820,6 +823,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("directed", "boolean", default=False,
           desc="TrustRank proper: trust flows only along link "
                "direction; dangling mass teleports to the seeds"),
+    ],
+    "modularity": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("node_col", "string", default="node",
+          desc="id column in the assignment input port"),
+        f("community_col", "string", default="community"),
+        f("quantize", "integer", default=9),
     ],
     "triangle_count": [
         f("src", "string", required=True),

@@ -123,3 +123,32 @@ def test_bpe_train_port_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(OperatorConfigError):
         get_operator("bpe_tokenize")(num_merges=0)
+
+
+def test_bpe_pinned_merges_skip_training(spark):
+    """A pinned merge table bypasses training and encodes exactly as
+    bpe_encode with the same list (the frozen-tokenizer shape)."""
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    from etl_core_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "lower power tower"), (2, ""), (3, "owl owl")],
+        "doc_id long, text string",
+    )
+    merges = [("o", "w"), ("e", "r"), ("er", "▁"), ("ow", "er▁")]
+    via_op = get_operator("bpe_tokenize")(
+        merges=merges, emit_tokens=True
+    ).apply({"in": df})["out"]
+    direct = bpe_encode(df, merges, emit_tokens=True)
+    assert sorted(map(tuple, via_op.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = {r["doc_id"]: r for r in via_op.collect()}
+    # 'lower' -> l ower▁ ; 'power' -> p ower▁ ; 'tower' -> t ower▁
+    assert got[1]["bpe_tokens"] == "l ower▁ p ower▁ t ower▁"
+    assert got[1]["n_bpe_tokens"] == 6
+    assert got[2]["n_bpe_tokens"] == 0 and got[2]["bpe_tokens"] == ""
+    import pytest as _pytest
+
+    with _pytest.raises(OperatorConfigError):
+        get_operator("bpe_tokenize")(merges=[["a"]]).apply({"in": df})

@@ -566,3 +566,65 @@ def test_connected_components_registry_operator(spark):
         ).apply({"in": df})["out"]
         got = {r["node"]: r["component"] for r in out.collect()}
         assert got == expected, extra
+
+
+def test_modularity_two_cliques(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: textbook Newman numbers. m=7; each triangle has 3
+    internal edges; degrees: bridge endpoints 3, others 2 ->
+    D_c = 7 each. Q_c = 3/7 - (7/14)^2 = 0.178571428...; total
+    Q = 2*Q_c."""
+    from etl_core_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, community long",
+    )
+    rows = {r["community"]: r for r in modularity(edges, assign).collect()}
+    import math
+
+    expected = math.floor((3 / 7 - (7 / 14) ** 2) * 1e9) / 1e9
+    for c in (10, 20):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["internal_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert rows[c]["q_contrib"] == expected
+    # all nodes in ONE community: Q = m/m - (2m/2m)^2 = 0
+    one = spark.createDataFrame(
+        [(n, 1) for n in range(1, 7)], "node long, community long"
+    )
+    total = sum(
+        r["q_contrib"] for r in modularity(edges, one).collect()
+    )
+    assert total == 0.0
+
+
+def test_modularity_policies(spark):
+    """Self-loops and duplicate/reversed edges collapse; nodes
+    without assignment drop; assigned edgeless nodes count with zero
+    degree; empty-internal community floors correctly."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    assign = spark.createDataFrame(
+        # node 3 unassigned; node 9 assigned but edgeless
+        [(1, 1), (2, 1), (9, 2)],
+        "node long, community long",
+    )
+    rows = {r["community"]: r for r in modularity(edges, assign).collect()}
+    # m = 2 ({1,2},{2,3}); community 1: internal {1,2}; degrees 1:1,2:2
+    assert rows[1]["internal_edges"] == 1 and rows[1]["degree_sum"] == 3
+    assert rows[2]["n_nodes"] == 1
+    assert rows[2]["internal_edges"] == 0 and rows[2]["degree_sum"] == 0
+    assert rows[2]["q_contrib"] == 0.0
+    out = get_operator("modularity")(src="src", dst="dst").apply(
+        {"in": edges, "assignment": assign}
+    )["out"]
+    assert out.count() == 2
