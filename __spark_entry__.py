@@ -6210,7 +6210,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return get_operator("pagerank")(
-        src="src", dst="dst", undirected=True, iterations=5
+        src="src", dst="dst", undirected=True, iterations=3
     ).apply({"in": edges})["out"]
 
 
@@ -6251,7 +6251,7 @@ def _sql_pagerank(n_iter: int = 10, d: str = "0.85e0") -> str:
 # replanning cost that dominates this query) scales with rounds while
 # the cross-engine value contract is identical at any fixed count;
 # the operator default stays at the classical 10
-_SQL_PAGERANK = _sql_pagerank(5)
+_SQL_PAGERANK = _sql_pagerank(3)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6378,7 +6378,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).agg(F.count(F.lit(1)).cast("double").alias("w"))
     return get_operator("pagerank")(
-        src="src", dst="dst", undirected=True, iterations=5, weight_col="w"
+        src="src", dst="dst", undirected=True, iterations=3, weight_col="w"
     ).apply({"in": edges})["out"]
 
 
@@ -6418,7 +6418,7 @@ def _sql_pagerank_weighted(n_iter: int = 5, d: str = "0.85e0") -> str:
     )
 
 
-_SQL_PAGERANK_WEIGHTED = _sql_pagerank_weighted()
+_SQL_PAGERANK_WEIGHTED = _sql_pagerank_weighted(3)
 
 
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6443,7 +6443,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     return get_operator("personalized_pagerank")(
-        src="src", dst="dst", iterations=5
+        src="src", dst="dst", iterations=3
     ).apply({"in": edges, "seeds": seeds})["out"]
 
 
@@ -6485,7 +6485,7 @@ def _sql_personalized_pagerank(n_iter: int = 5, d: str = "0.85e0") -> str:
     )
 
 
-_SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
+_SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank(3)
 
 
 def q_ppr_directed(spark: SparkSession, sf_dir: str) -> DataFrame:

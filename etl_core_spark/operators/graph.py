@@ -96,10 +96,14 @@ def pagerank(
       the previous ranks TWICE, so the lazy plan would grow 2^k —
       this mode runs the eager loop with a per-round
       ``localCheckpoint`` (the connected-components discipline) and
-      a one-time structural dangling probe; on a real cluster
-      prefer ``setCheckpointDir`` + ``checkpoint()`` for
-      executor-loss resilience. Driver-side values: N (one long)
-      and the loop counter, nothing row-sized.
+      a one-time structural dangling probe. (A lazy-checkpoint
+      variant — LogicalRDD barriers, single final action — was tried
+      in r10 and showed NO reliable win: each round's dangling
+      broadcast exchange still serializes the chain on the driver's
+      broadcast thread, so the round jobs don't actually fuse.) On a
+      real cluster prefer ``setCheckpointDir`` + ``checkpoint()`` for
+      executor-loss resilience. Driver-side values: N (one long) and
+      the loop counter, nothing row-sized.
     """
     if not 0 < float(damping) < 1:
         raise OperatorConfigError("pagerank damping must be in (0, 1)")
@@ -631,6 +635,9 @@ def personalized_pagerank(
         )
 
     # ---- directed TrustRank: eager checkpointed loop ----
+    # (same trade as directed pagerank: lazy checkpoints showed no
+    # reliable win — the per-round dangling broadcast serializes the
+    # chain on the driver broadcast thread either way, r10 A/B)
     from etl_core_spark.session import (
         release_local_checkpoint,
         track_local_checkpoint,
@@ -752,18 +759,20 @@ def bfs_distances(
     Scale shape: per round ONE keyed equi-join (frontier × edges,
     frontier side usually AQE-broadcast) + one anti-join against
     visited + a distinct — all hash-partitioned, nothing
-    driver-sized. The loop is eager with per-round
-    ``localCheckpoint`` (the directed-pagerank discipline: the
-    visited set is referenced twice per round, a lazy chain would
-    grow 2^k). Early exit when a frontier empties — the probe is a
-    bounded limit(1) count. State is the visited set: O(reached
-    nodes), the BFS minimum.
+    driver-sized. Each round pays exactly ONE action: the frontier
+    is LAZILY localCheckpoint-ed and the emptiness probe's count()
+    materializes it (the r9 verdict's fold — previously the
+    materialization and the probe were separate jobs). The visited
+    set is a lazy union over the checkpointed frontiers — each
+    frontier's blocks are stored ONCE (no per-round re-union
+    re-checkpoint), the union chain is flat LogicalRDDs so analysis
+    stays O(hops), and lineage can't blow up because every leaf is
+    a checkpoint. State is O(reached nodes), the BFS minimum.
     """
     if int(max_hops) < 0:
         raise OperatorConfigError("bfs_distances max_hops must be >= 0")
     from etl_core_spark.session import (
         persist_intermediate,
-        release_local_checkpoint,
         track_local_checkpoint,
     )
 
@@ -781,14 +790,13 @@ def bfs_distances(
         .distinct()
         .join(nodes, on="__id", how="left_semi")
         .select("__id", F.lit(0).alias("__d"))
-    )
-    if frontier.limit(1).count() == 0:
+    ).localCheckpoint(eager=False)
+    track_local_checkpoint(frontier)
+    if frontier.count() == 0:
         raise OperatorConfigError(
             "bfs_distances: no seed node appears in the graph"
         )
-    visited = frontier.localCheckpoint()
-    track_local_checkpoint(visited)
-    frontier = visited
+    visited = frontier
     for hop in range(1, int(max_hops) + 1):
         nxt = (
             frontier.join(e, frontier["__id"] == e["__s"])
@@ -796,18 +804,12 @@ def bfs_distances(
             .distinct()
             .join(visited, on="__id", how="left_anti")
             .select("__id", F.lit(hop).alias("__d"))
-        )
-        nxt = nxt.localCheckpoint()
+        ).localCheckpoint(eager=False)
         track_local_checkpoint(nxt)
-        if nxt.limit(1).count() == 0:
-            release_local_checkpoint(nxt)
+        if nxt.count() == 0:
             break
-        new_visited = visited.unionByName(nxt).localCheckpoint()
-        track_local_checkpoint(new_visited)
-        if frontier is not visited:
-            release_local_checkpoint(frontier)
-        release_local_checkpoint(visited)
-        visited, frontier = new_visited, nxt
+        visited = visited.unionByName(nxt)
+        frontier = nxt
     return visited.select(
         F.col("__id").alias("node"), F.col("__d").cast("long").alias("distance")
     )
