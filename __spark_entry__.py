@@ -2778,7 +2778,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return get_operator("pack_sequences")(
         key_col="doc_id", token_count_col="n_chars", capacity=4096, shards=8,
-    ).apply({"in": docs})["out"]
+    ).apply({"in": docs})["out"].select(
+        "doc_id", "shard", "bin_id", "offset_in_bin", "n_tokens"
+    )
 
 
 _SQL_PACK_SEQUENCES = """
@@ -7025,45 +7027,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r9 window: the three rows whose entry code changed this round lead
-# (agg_extended / diff_datasets array columns projected to strings —
-# the r8 driver-canonicalizer fix; ivf_topk_refined trimmed to one
-# Lloyd round), then the TEN r05-vintage rows that sat beyond the
-# driver's 50-row cut in r8 (4 rounds stale — the exact list VERDICT
-# r8 "What's missing" #3 names), then 37 of the 42 r06-vintage rows
-# in registry order. The 18 deferred r06 rows
-# (q11_important_parts, q13_customer_distribution, q15_top_supplier,
-# q16_parts_supplier_cnt, q17_small_qty_revenue, q20_heavy_suppliers,
-# q21_last_shippers, csv_roundtrip, dedup_exact, events_json_filter,
-# hash_sample, hash_split_counts, json_roundtrip, lang_id,
-# minhash_near_dup_pairs, minhash_signature, interval_join,
-# tf_idf_top_terms) lead the r10 window.
-_R09_WINDOW = [
-    # never driver-checked (new this round): the availableNow
-    # stream-equality certification of the streaming MG operator,
-    # directed TrustRank with the seed-teleport dangling term, and
-    # the DSIR importance-resampling pair, the NB quality
-    # classifier/gate pair, and PQ ANN (rows-only by contract)
-    "streaming_topk", "ppr_directed", "bfs_distances", "dsir_weights",
-    "dsir_select", "quality_classifier", "quality_gate", "pq_topk",
-    "bpe_tokenize", "entropy_metrics", "temporal_join",
-    "corpus_divergence", "ks_drift",
-    # entry code changed this round (ivf_topk_refined is rows-only
-    # by contract — the driver records the weaker check)
-    "agg_extended", "diff_datasets", "ivf_topk_refined",
-    # r05-vintage, 4 rounds stale (missed r8's 50-row cut)
-    "merge_union", "split_aggregate", "top_k", "window_rank",
-    "window_lead_lag", "window_running_sum", "events_hourly",
-    "events_sliding_window", "mapping_rules", "ntile_deciles",
-    # r06-vintage (3 rounds stale), registry order
-    "top_n_per_group", "json_expand", "attribution_join",
-    "zscore_outliers", "densify_buckets", "stratified_sample",
-    "cap_per_group", "clean_text", "chunk_documents", "pack_sequences",
-    "lang_id_ngram", "typo_pairs", "simhash_near_dup_pairs",
-    "training_pipeline", "profile", "excel_roundtrip", "xml_roundtrip",
-    "q12_priority_class", "ivf_topk", "gaps_islands_per_key",
-    "decontaminate", "repetition_metrics", "q2_min_cost_supplier",
-    "q8_market_share",
+# r10 window: the four never-driver-checked rows lead (substring
+# dedup pair, the BPE fixed-merge encode certification, modularity),
+# then every row whose OPERATOR OR ENTRY CODE changed this round
+# (graph loop fold + 5→3 cert-depth trims; selection literal
+# refactor + empty-corpus guards; pq NULL filter; bpe merges param),
+# then the 19 r06-vintage rows VERDICT r9 "What's missing" #1 names
+# (4 rounds stale — the oldest cohort), then r07-vintage rows in
+# registry order to fill 50. Remaining r07 rows lead the r11 window:
+# q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
+# q9_product_profit, q10_returned_items, q4_order_priority,
+# q6_forecast_revenue, q14_promo_ratio, agg_global, filter_rule_*,
+# join_inner/left/right/outer, multimodal_features,
+# incremental_dedup, line_dedup, lm_score, pii_redact, mix_corpora,
+# domain_stats, orc_roundtrip, quantile_filter,
+# strip_duplicate_spans, assemble_docs, weighted_sample,
+# take_tokens_per_group, text_roundtrip, binary_ingest, pca_project.
+_R10_WINDOW = [
+    # never driver-checked (new this round)
+    "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
+    "modularity",
+    # operator/entry code changed this round
+    "pagerank", "pagerank_weighted", "personalized_pagerank",
+    "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
+    "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
+    # r06-vintage, 4 rounds stale (the VERDICT r9 item-1 list)
+    "q11_important_parts", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue", "q20_heavy_suppliers", "q21_last_shippers",
+    "csv_roundtrip", "json_roundtrip", "events_json_filter",
+    "dedup_exact", "hash_sample", "hash_split_counts",
+    "minhash_near_dup_pairs", "minhash_signature", "lang_id",
+    "interval_join", "tf_idf_top_terms", "hll_distinct",
+    # r07-vintage (3 rounds stale), registry order
+    "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
+    "quality_filter", "sessionize", "simhash", "text_metrics",
+    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
+    "asof_join", "range_join", "dedup_minhash", "agg_ops",
+    "gaps_islands", "q1_pricing_summary",
 ]
 
 
@@ -7238,10 +7239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "graph_components": q_graph_components,
     }
-    assert len(_R09_WINDOW) == 50 and set(_R09_WINDOW) <= set(base)
+    assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
     return {
-        **{k: base[k] for k in _R09_WINDOW},
-        **{k: v for k, v in base.items() if k not in set(_R09_WINDOW)},
+        **{k: base[k] for k in _R10_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R10_WINDOW)},
     }
 
 

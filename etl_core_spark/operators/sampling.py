@@ -251,6 +251,10 @@ def pack_sequences(
     gets (shard, bin_id, offset_in_bin): the sequence it STARTS in
     and where. Offsets are exact concatenation arithmetic, so the
     trainer can replay the identical layout from this table alone.
+    Row-preserving (r10): input columns ride through — the exported
+    layout keeps the payload/provenance columns a trainer actually
+    reads; stale same-named layout columns from an earlier pack are
+    replaced (the selection-stage composability convention).
 
     Scale shape: a single global concatenation order would serialize
     a 100 TB corpus into one sorted task. Instead docs are
@@ -274,8 +278,13 @@ def pack_sequences(
         .orderBy(F.col("__h"), F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    keep = [
+        c
+        for c in df.columns
+        if c not in ("shard", "bin_id", "offset_in_bin", "n_tokens")
+    ]
     staged = df.select(
-        F.col(key_col),
+        *keep,
         F.col(token_count_col).cast("long").alias("__n"),
         h.alias("__h"),
         shard,
@@ -283,7 +292,7 @@ def pack_sequences(
     cum = staged.withColumn("__end", F.sum("__n").over(w))
     start = F.col("__end") - F.col("__n")
     return cum.select(
-        F.col(key_col),
+        *keep,
         F.col("shard").cast("int").alias("shard"),
         F.floor(start / capacity).cast("long").alias("bin_id"),
         (start % capacity).cast("long").alias("offset_in_bin"),

@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
-SCALED = "/tmp/spark_graft_scaled"
+# NOTE: the scaled copies are cached by PATH, not by K — point this
+# env var at a fresh directory when changing the factor
+SCALED = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/spark_graft_scaled")
 
 
 def families(docs, spark):
@@ -184,6 +186,16 @@ def families(docs, spark):
     fams["dsir_weights"] = lambda: dsir_weights(
         docs.select("doc_id", "text"), target
     )
+    # r10: cross-document exact-substring dedup — the gram table is
+    # one narrow posexplode, duplicated-gram detection two map-side
+    # aggregates, span coverage a per-document window; there is no
+    # doc-pair join anywhere, so per-row cost must stay flat even as
+    # shared boilerplate multiplies with the replicated corpus
+    from etl_core_spark.operators.substring import substring_dedup
+
+    fams["substring_dedup"] = lambda: substring_dedup(
+        docs.select("doc_id", "text"), span_tokens=8
+    )
     return fams
 
 
@@ -243,6 +255,9 @@ def main() -> None:
     bound = 1.5
     if "--ratio" in sys.argv:
         bound = float(sys.argv[sys.argv.index("--ratio") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from etl_core_spark.session import get_spark
     from etl_core_spark.tables import load_table
@@ -278,6 +293,11 @@ def main() -> None:
     base_fams, scaled_fams = families(base, spark), families(scaled, spark)
     base_fams.update(emb_families(emb_base))
     scaled_fams.update(emb_families(emb_scaled))
+    if only is not None:
+        unknown = only - set(scaled_fams)
+        if unknown:
+            raise SystemExit(f"--only names unknown families: {sorted(unknown)}")
+        scaled_fams = {n: f for n, f in scaled_fams.items() if n in only}
     for name in scaled_fams:
         if name in base_fams:
             t1 = min(time_family(base_fams[name]) for _ in range(2))

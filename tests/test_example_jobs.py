@@ -680,3 +680,39 @@ def test_parquet_crawl_to_training_set(spark, tmp_path, tables):
     )
     assert sum(s["rows"] for s in manifest["shards"]) == n_out
     assert result.metrics["sink_shards"]["lines_received"] == n_out
+
+
+def test_parquet_selection_to_training(spark, tmp_path, tables):
+    """The selection-to-training-set capstone through the JSON
+    runner (VERDICT r9 item 6): NB quality soft gate -> DSIR Gumbel
+    top-k toward the positive domain -> self-trained BPE token counts
+    -> GPT-style sequence packing -> sharded export with manifest
+    verification. Every stage's evidence column must survive to the
+    exported shards."""
+
+    def inputs(d):
+        tables["documents"].select(
+            "doc_id", "text", "source"
+        ).write.parquet(str(d / "crawl.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_selection_to_training.json", inputs
+    )
+    from etl_core_spark.sources.export_io import read_manifest, verify_export
+
+    export_dir = str(out / "training")
+    back = spark.read.parquet(export_dir)
+    rows = back.collect()
+    assert len(rows) == 60  # dsir_select k survives the whole chain
+    # provenance + per-stage evidence all present in the export
+    assert {
+        "doc_id", "source", "score", "log_weight", "gumbel_key",
+        "n_bpe_tokens", "bin_id", "offset_in_bin",
+    } <= set(back.columns)
+    # packing contract on real subword counts
+    assert all(0 <= r["offset_in_bin"] < 128 for r in rows)
+    # manifest agrees with the directory, every shard fingerprints ok
+    assert read_manifest(spark, export_dir)["total_rows"] == 60
+    assert set(verify_export(spark, export_dir).values()) == {"ok"}
+    # per-component metrics flow through the runner
+    assert result.metrics["select"]["lines_forwarded"] == 60
