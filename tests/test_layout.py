@@ -496,3 +496,30 @@ def test_upsert_parquet_multi_column_partitions(spark, tmp_path):
     # sibling leaf (d1, de) under the touched ds=d1 dir: untouched
     assert snapshot("d1", "de") == before_d1_de
     assert snapshot("d2", "en") == before_d2_en
+
+
+def test_certification_doc_is_fresh():
+    """docs/CERTIFICATION.md must match what the generator produces
+    from the current registry + CORRECTNESS history — a stale table
+    defeats the point (mechanical freshness visibility)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    doc = repo / "docs" / "CERTIFICATION.md"
+    assert doc.exists(), "run scripts/gen_certification.py"
+    before = doc.read_text()
+    # the generator writes in place: rerun it, compare, and restore
+    # the committed copy on mismatch so the failure is inspectable
+    subprocess.run(
+        [sys.executable, str(repo / "scripts" / "gen_certification.py")],
+        check=True,
+        capture_output=True,
+    )
+    after = doc.read_text()
+    if after != before:
+        doc.write_text(before)
+    assert after == before, (
+        "docs/CERTIFICATION.md is stale — rerun scripts/gen_certification.py"
+    )
