@@ -78,6 +78,9 @@ _JDBC_READ = [
     f("upperBound", "integer"),
     f("numPartitions", "integer"),
     f("fetchsize", "integer"),
+    f("wire", "string", enum=["jdbc", "dbapi"],
+      desc="'dbapi' = jar-less driver-side read over a DBAPI/stdlib "
+           "wire (reference full-materialization semantics)"),
     _SCHEMA_FIELD,
 ]
 
@@ -92,6 +95,9 @@ _JDBC_WRITE = [
     f("where_columns", "array", items={"type": "string"}, desc="match columns (update)"),
     f("set_columns", "array", items={"type": "string"}, desc="columns to SET (update; default = non-where)"),
     f("batch_size", "integer", default=1000, desc="DML rows per executemany batch"),
+    f("wire", "string", enum=["jdbc", "dbapi"],
+      desc="'dbapi' routes insert/truncate through the executor-side "
+           "DML path (jar-less mode; upsert/update always use it)"),
 ]
 
 FIELD_SPECS: dict[str, list[dict[str, Any]]] = {

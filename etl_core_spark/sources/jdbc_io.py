@@ -19,14 +19,25 @@ Parity with the reference database components
   batches of ``batch_size`` rather than the reference's row-by-row
   ``iterrows()`` loop (postgresql_receiver.py:102-152).
 
-No JDBC driver jars nor live database servers exist in this
-container. DML generation and config validation are unit-tested, and
-the executor-side DML wire path (``foreachPartition`` →
-``_execute_dml_partition``) runs end-to-end against an in-process
-SQLite DB via the ``jdbc:sqlite:`` DBAPI mapping (the postgres
-upsert/update SQL is valid SQLite verbatim). The server-backed
-read/insert paths execute unchanged on a cluster with the driver jar
-on the classpath.
+Wire coverage in this container (no JDBC driver jars, no psycopg2):
+
+- PostgreSQL: LIVE — the image ships a real PostgreSQL 15 server;
+  ``tests/test_pg_live.py`` initdb's a throwaway cluster and drives
+  upsert/update/insert/truncate plus the ``wire='dbapi'`` read
+  end-to-end over the pure-stdlib v3 protocol frontend
+  (``sources/pg_wire.py``), which ``_dbapi_connect`` falls back to
+  when psycopg2 is absent.
+- MariaDB / SQL Server: no servers — DML generation and config
+  validation are unit-tested, and the executor-side DML wire path
+  (``foreachPartition`` → ``_execute_dml_partition``) runs
+  end-to-end against an in-process SQLite DB via the
+  ``jdbc:sqlite:`` DBAPI mapping (the postgres upsert/update SQL is
+  valid SQLite verbatim).
+
+The JDBC-native read/insert paths execute unchanged on a cluster
+with the driver jar on the classpath; ``wire='dbapi'`` is the
+documented jar-less mode (reference full-materialization semantics
+on read, executor-batched DML on write).
 """
 
 from __future__ import annotations
@@ -219,6 +230,19 @@ def _make_jdbc_read(dialect: str):
             c = self.config
             query = c.get("query") or f"SELECT * FROM {c['entity_name']}"
             query = bind_named_params(query, c.get("params"), c["dialect"])
+            if c.get("wire") == "dbapi":
+                # jar-less mode: run the query over the DBAPI wire on
+                # the driver and parallelize the result — exactly the
+                # reference's full-materialization semantics
+                # (postgresql_receiver.py:17-79); the JDBC partitioned
+                # path below stays the scale mode when the jar exists
+                return _dbapi_read(
+                    spark,
+                    self._jdbc_options()["url"],
+                    c.get("user"),
+                    c.get("password"),
+                    query,
+                )
             reader = spark.read.format("jdbc").options(**self._jdbc_options())
             # partitioned parallel read — strict upgrade over the
             # reference's full materialization. Spark FORBIDS the
@@ -260,13 +284,49 @@ def _make_jdbc_write(dialect: str):
             op = c.get("operation", "insert")
             table = c["entity_name"]
             opts = self._jdbc_options()
-            if op in ("insert", "truncate"):
+            if op in ("insert", "truncate") and c.get("wire") != "dbapi":
                 writer = df.write.format("jdbc").options(**opts).option("dbtable", table)
                 if op == "truncate":
                     writer = writer.option("truncate", True).mode("overwrite")
                 else:
                     writer = writer.mode("append")
                 writer.save()
+                return
+            if op in ("insert", "truncate"):
+                # wire='dbapi': route plain inserts through the same
+                # executor-side DML path upsert/update use — the
+                # jar-less mode that runs e2e against a live server
+                # (truncate empties the table once, driver-side, then
+                # appends)
+                cols = df.columns
+                if op == "truncate":
+                    conn, _ = _dbapi_connect(
+                        opts["url"], c.get("user"), c.get("password")
+                    )
+                    try:
+                        cur = conn.cursor()
+                        cur.execute(
+                            f"TRUNCATE TABLE {quote_ident(c['dialect'], table)}"
+                        )
+                        conn.commit()
+                    finally:
+                        conn.close()
+                insert_sql = (
+                    f"INSERT INTO {quote_ident(c['dialect'], table)} ("
+                    + ", ".join(quote_ident(c["dialect"], x) for x in cols)
+                    + ") VALUES ("
+                    + ", ".join("?" for _ in cols)
+                    + ")"
+                )
+                batch = int(c.get("batch_size", 1000))
+                url2, u2, p2 = opts["url"], c.get("user"), c.get("password")
+
+                def run_insert(rows: Iterable[Row]) -> None:
+                    _execute_dml_partition(
+                        rows, insert_sql, cols, url2, u2, p2, batch
+                    )
+
+                df.foreachPartition(run_insert)
                 return
             # upsert/update: executor-side batched DML
             columns = df.columns
@@ -291,6 +351,56 @@ def _make_jdbc_write(dialect: str):
 
     WriteJdbc.__name__ = f"Write{dialect.capitalize()}"
     return WriteJdbc
+
+
+def _dbapi_read(spark, url: str, user, password, query: str) -> DataFrame:
+    """Driver-side DBAPI query → DataFrame (the ``wire='dbapi'`` read
+    mode). Schema derives from the cursor description's type OIDs for
+    the common scalars (everything else rides as string; NUMERIC maps
+    to double — the documented dev-wire trade). Bounded by whatever
+    the query returns — the same full-materialization contract as the
+    reference's readers; use the JDBC partitioned path for scale."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    conn, _style = _dbapi_connect(url, user, password)
+    try:
+        cur = conn.cursor()
+        cur.execute(query)
+        rows = cur.fetchall()
+        desc = cur.description or []
+    finally:
+        conn.close()
+    oid_types = {
+        16: T.BooleanType(),
+        20: T.LongType(),
+        21: T.IntegerType(),
+        23: T.IntegerType(),
+        26: T.LongType(),
+        700: T.FloatType(),
+        701: T.DoubleType(),
+        1700: T.DoubleType(),
+    }
+    fields = [
+        T.StructField(d[0], oid_types.get(d[1], T.StringType()), True)
+        for d in desc
+    ]
+    schema = T.StructType(fields)
+
+    def conv(v, dt):
+        if v is None:
+            return None
+        if isinstance(v, Decimal):
+            return float(v)
+        if isinstance(dt, T.StringType) and not isinstance(v, str):
+            return str(v)
+        return v
+
+    data = [
+        tuple(conv(v, f.dataType) for v, f in zip(r, fields)) for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
 
 
 def _qmark_to_pyformat(sql: str) -> str:
@@ -349,10 +459,32 @@ def _dbapi_connect(url: str, user, password):
     if url.startswith("jdbc:postgresql:"):
         try:
             import psycopg2  # type: ignore
-        except ImportError as exc:
-            raise RuntimeError("psycopg2 required on executors for postgres upsert") from exc
-        dsn = url.removeprefix("jdbc:")
-        return psycopg2.connect(dsn=dsn, user=user, password=password), "pyformat"
+
+            dsn = url.removeprefix("jdbc:")
+            return (
+                psycopg2.connect(dsn=dsn, user=user, password=password),
+                "pyformat",
+            )
+        except ImportError:
+            # in-repo pure-stdlib v3 wire frontend (sources/pg_wire.py)
+            # — the psycopg2-less fallback that makes the postgres DML
+            # path live-testable against the container's real server;
+            # qmark params render client-side there (documented trade)
+            from etl_core_spark.sources.pg_wire import connect as pg_connect
+
+            rest = url.removeprefix("jdbc:postgresql://")
+            hostport, _, dbname = rest.partition("/")
+            host, _, port = hostport.partition(":")
+            return (
+                pg_connect(
+                    host=host or "127.0.0.1",
+                    port=int(port or 5432),
+                    user=user or "postgres",
+                    database=(dbname.split("?")[0] or "postgres"),
+                    password=password,
+                ),
+                "qmark",
+            )
     if url.startswith("jdbc:mariadb:") or url.startswith("jdbc:mysql:"):
         try:
             import pymysql  # type: ignore

@@ -1,0 +1,273 @@
+"""LIVE PostgreSQL e2e: the container ships a real PostgreSQL 15
+server (no JDBC jar, no psycopg2) — these tests initdb a throwaway
+cluster, start it on a loopback port, and drive the ENGINE's postgres
+write path (executor-side foreachPartition DML over the pure-stdlib
+v3 wire client, sources/pg_wire.py) and the ``wire='dbapi'`` read
+mode against it. This closes the five-round-old "live connectors are
+environment-blocked" item for postgres; MariaDB / SQL Server / Mongo
+servers remain absent (their grammar + fake-wire tests stand).
+
+Skips cleanly (with the reason) if the server binaries ever leave
+the image.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+import time
+
+import pytest
+
+PG_PORT = 54329
+
+
+def _pg_bin(name: str) -> str | None:
+    return shutil.which(name)
+
+
+def _as_server_user(cmd: list[str]) -> list[str]:
+    """postgres refuses to run as root; when the test runs as root
+    (the container default) re-exec server commands as the packaged
+    ``postgres`` user via runuser."""
+    if os.geteuid() != 0:
+        return cmd
+    return ["runuser", "-u", "postgres", "--"] + cmd
+
+
+def _server_available() -> bool:
+    if not (
+        _pg_bin("initdb") and _pg_bin("pg_ctl") and _pg_bin("postgres")
+    ):
+        return False
+    if os.geteuid() == 0:
+        try:
+            subprocess.run(
+                ["id", "postgres"], check=True, capture_output=True
+            )
+        except (OSError, subprocess.CalledProcessError):
+            return False
+        return shutil.which("runuser") is not None
+    return True
+
+
+pytestmark = pytest.mark.skipif(
+    not _server_available(),
+    reason="postgresql server binaries (or a non-root user) unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    # NOT tmp_path_factory: its /tmp/pytest-of-root parents are 0700,
+    # which the postgres user cannot traverse
+    data = tempfile.mkdtemp(prefix="pg_live_", dir="/tmp")
+    if os.geteuid() == 0:
+        shutil.chown(data, "postgres", "postgres")
+    logf = os.path.join(data, "server.log")
+    subprocess.run(
+        _as_server_user(
+            [
+                _pg_bin("initdb"),
+                "-D", data,
+                "--auth=trust",
+                "-U", "etl",
+                "--no-sync",
+            ]
+        ),
+        check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        _as_server_user(
+            [
+                _pg_bin("pg_ctl"), "-D", data, "-l", logf,
+                "-o",
+                f"-p {PG_PORT} -c listen_addresses=127.0.0.1 "
+                f"-k {data} -c fsync=off",
+                "start",
+            ]
+        ),
+        check=True,
+        capture_output=True,
+    )
+    from etl_core_spark.sources.pg_wire import PgWireError, connect
+
+    deadline = time.monotonic() + 30
+    last: Exception | None = None
+    while time.monotonic() < deadline:
+        try:
+            conn = connect(port=PG_PORT, user="etl", database="postgres")
+            conn.close()
+            break
+        except (OSError, PgWireError) as exc:  # still starting
+            last = exc
+            time.sleep(0.3)
+    else:
+        raise RuntimeError(f"postgres did not come up: {last}")
+    yield {"port": PG_PORT, "user": "etl", "database": "postgres"}
+    subprocess.run(
+        _as_server_user(
+            [_pg_bin("pg_ctl"), "-D", data, "-m", "immediate", "stop"]
+        ),
+        capture_output=True,
+    )
+    shutil.rmtree(data, ignore_errors=True)
+
+
+def _conn(pg_server):
+    from etl_core_spark.sources.pg_wire import connect
+
+    return connect(
+        port=pg_server["port"],
+        user=pg_server["user"],
+        database=pg_server["database"],
+    )
+
+
+def test_wire_client_roundtrip_types_and_errors(pg_server):
+    """The stdlib v3 frontend against a real server: DDL, executemany
+    with qmark params, typed decode (bool/int/float/numeric/text),
+    NULLs, quoted-identifier safety, and server errors surfacing as
+    PgWireError."""
+    from decimal import Decimal
+
+    from etl_core_spark.sources.pg_wire import PgWireError
+
+    conn = _conn(pg_server)
+    try:
+        cur = conn.cursor()
+        cur.execute("DROP TABLE IF EXISTS wire_t")
+        cur.execute(
+            'CREATE TABLE wire_t (id bigint, ok boolean, x double precision,'
+            ' amt numeric(10,2), "weird name" text)'
+        )
+        cur.executemany(
+            'INSERT INTO wire_t (id, ok, x, amt, "weird name") '
+            "VALUES (?, ?, ?, ?, ?)",
+            [
+                (1, True, 1.5, Decimal("10.25"), "it's quoted"),
+                (2, False, None, None, None),
+            ],
+        )
+        cur.execute('SELECT id, ok, x, amt, "weird name" FROM wire_t ORDER BY id')
+        rows = cur.fetchall()
+        assert rows == [
+            (1, True, 1.5, Decimal("10.25"), "it's quoted"),
+            (2, False, None, None, None),
+        ]
+        # '?' inside a string literal is content, not a placeholder
+        cur.execute("SELECT 'what?' AS q, ? AS v", (7,))
+        assert cur.fetchall() == [("what?", 7)]
+        with pytest.raises(PgWireError, match="does not exist"):
+            cur.execute("SELECT * FROM no_such_table_xyz")
+        # the connection survives an error (ReadyForQuery resync)
+        cur.execute("SELECT 1 AS one")
+        assert cur.fetchone() == (1,)
+    finally:
+        conn.close()
+
+
+def test_engine_write_postgresql_upsert_update_live(spark, pg_server):
+    """The ENGINE's write_postgresql upsert + update operations,
+    executor-parallel foreachPartition DML, against the live server —
+    ON CONFLICT DO UPDATE semantics verified by reading back."""
+    from etl_core_spark.operators.base import get_operator
+
+    url = f"jdbc:postgresql://127.0.0.1:{pg_server['port']}/postgres"
+    conn = _conn(pg_server)
+    try:
+        conn.execute("DROP TABLE IF EXISTS engine_t")
+        conn.execute(
+            "CREATE TABLE engine_t (k bigint PRIMARY KEY, v text, n bigint)"
+        )
+    finally:
+        conn.close()
+
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    ).repartition(3)
+    get_operator("write_postgresql")(
+        url=url, user="etl", entity_name="engine_t",
+        operation="upsert", key_columns=["k"],
+    ).write(df1)
+    # second wave: update k=2, insert k=4 — upsert semantics
+    df2 = spark.createDataFrame(
+        [(2, "B!", 200), (4, "d", 40)], "k long, v string, n long"
+    )
+    get_operator("write_postgresql")(
+        url=url, user="etl", entity_name="engine_t",
+        operation="upsert", key_columns=["k"],
+    ).write(df2)
+    conn = _conn(pg_server)
+    try:
+        got = conn.execute(
+            "SELECT k, v, n FROM engine_t ORDER BY k"
+        ).fetchall()
+        assert got == [(1, "a", 10), (2, "B!", 200), (3, "c", 30), (4, "d", 40)]
+    finally:
+        conn.close()
+
+    # update operation: SET v WHERE k matches
+    upd = spark.createDataFrame([("z", 1), ("y", 3)], "v string, k long")
+    get_operator("write_postgresql")(
+        url=url, user="etl", entity_name="engine_t",
+        operation="update", where_columns=["k"], set_columns=["v"],
+    ).write(upd)
+    conn = _conn(pg_server)
+    try:
+        got = conn.execute(
+            "SELECT k, v FROM engine_t WHERE k IN (1, 3) ORDER BY k"
+        ).fetchall()
+        assert got == [(1, "z"), (3, "y")]
+    finally:
+        conn.close()
+
+
+def test_engine_insert_truncate_and_read_dbapi_live(spark, pg_server):
+    """wire='dbapi' insert + truncate (the jar-less mode) and the
+    wire='dbapi' read path: write a real table through the engine,
+    read it back as a DataFrame with typed columns, including bound
+    :name params."""
+    from etl_core_spark.operators.base import get_operator
+
+    url = f"jdbc:postgresql://127.0.0.1:{pg_server['port']}/postgres"
+    conn = _conn(pg_server)
+    try:
+        conn.execute("DROP TABLE IF EXISTS io_t")
+        conn.execute(
+            "CREATE TABLE io_t (k bigint, v text, ok boolean, x double precision)"
+        )
+        conn.execute("INSERT INTO io_t VALUES (99, 'stale', false, 0.0)")
+    finally:
+        conn.close()
+    df = spark.createDataFrame(
+        [(1, "a", True, 1.5), (2, "b", False, 2.5)],
+        "k long, v string, ok boolean, x double",
+    ).repartition(2)
+    # truncate mode wipes the stale row first
+    get_operator("write_postgresql")(
+        url=url, user="etl", entity_name="io_t",
+        operation="truncate", wire="dbapi",
+    ).write(df)
+    # plain insert appends
+    get_operator("write_postgresql")(
+        url=url, user="etl", entity_name="io_t",
+        operation="insert", wire="dbapi",
+    ).write(spark.createDataFrame(
+        [(3, "c", True, None)], "k long, v string, ok boolean, x double"
+    ))
+    back = get_operator("read_postgresql")(
+        url=url, user="etl", wire="dbapi",
+        query="SELECT k, v, ok, x FROM io_t WHERE k <= :kmax",
+        params={"kmax": 10},
+    ).read()
+    assert dict(back.dtypes) == {
+        "k": "bigint", "v": "string", "ok": "boolean", "x": "double"
+    }
+    rows = sorted(map(tuple, back.collect()))
+    assert rows == [
+        (1, "a", True, 1.5), (2, "b", False, 2.5), (3, "c", True, None)
+    ]
