@@ -57,7 +57,16 @@ class SinkOperator(Operator):
         self.write(df)
         return {"out": df}
 
-    def write(self, df: DataFrame) -> None:  # pragma: no cover - abstract
+    def write(self, df: DataFrame):  # pragma: no cover - abstract
+        """Terminal action. MUST finish with a SQL (DataFrame)
+        action, never a bare RDD action: the runner and builder ride
+        ``df.observe`` row counters on the plan, and an RDD action
+        (``foreachPartition``) never fires the
+        QueryExecutionListener, starving every upstream
+        ``Observation.get`` forever. Per-partition imperative writes
+        (DML, bulk wire protocols) go through ``run_partition_dml``.
+        May return a row count; the runner prefers it over the sink
+        observation when present."""
         raise NotImplementedError
 
 
@@ -86,3 +95,38 @@ def plain_columnar_write(df: DataFrame, config: dict, fmt: str) -> None:
     if config.get("compression"):
         writer = writer.option("compression", config["compression"])
     writer.format(fmt).save(str(config["filepath"]))
+
+
+def run_partition_dml(df: DataFrame, fn) -> None:
+    """Execute ``fn(list_of_row_dicts)`` once per partition INSIDE a
+    SQL action (``mapInArrow`` + noop write) instead of a bare RDD
+    ``foreachPartition``.
+
+    Load-bearing, not cosmetic: the runner and builder attach
+    ``df.observe`` row counters to every live plan, and observations
+    complete ONLY when a SQL (DataFrame) action finishes — an RDD
+    action never fires the QueryExecutionListener, so every upstream
+    ``Observation.get`` blocks forever (found live by
+    ``tests/test_pg_live.py``'s runner job). Arrow also preserves
+    nullable integers exactly, where a pandas hop would coerce them
+    to float64/NaN and corrupt DML values.
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        rows: list[dict] = []
+        for b in batches:
+            rows.extend(b.to_pylist())
+        if rows:
+            fn(rows)
+        yield pa.RecordBatch.from_pylist(
+            [{"rows_written": len(rows)}],
+            schema=pa.schema([("rows_written", pa.int64())]),
+        )
+
+    (
+        df.mapInArrow(gen, "rows_written bigint")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )

@@ -321,12 +321,14 @@ def _make_jdbc_write(dialect: str):
                 batch = int(c.get("batch_size", 1000))
                 url2, u2, p2 = opts["url"], c.get("user"), c.get("password")
 
-                def run_insert(rows: Iterable[Row]) -> None:
+                def run_insert(rows) -> None:
                     _execute_dml_partition(
                         rows, insert_sql, cols, url2, u2, p2, batch
                     )
 
-                df.foreachPartition(run_insert)
+                from etl_core_spark.sources.base_io import run_partition_dml
+
+                run_partition_dml(df, run_insert)
                 return
             # upsert/update: executor-side batched DML
             columns = df.columns
@@ -342,12 +344,14 @@ def _make_jdbc_write(dialect: str):
             batch_size = int(c.get("batch_size", 1000))
             url, user, password = opts["url"], c.get("user"), c.get("password")
 
-            def run_partition(rows: Iterable[Row]) -> None:
+            def run_partition(rows) -> None:
                 _execute_dml_partition(
                     rows, sql, param_cols, url, user, password, batch_size
                 )
 
-            df.foreachPartition(run_partition)
+            from etl_core_spark.sources.base_io import run_partition_dml
+
+            run_partition_dml(df, run_partition)
 
     WriteJdbc.__name__ = f"Write{dialect.capitalize()}"
     return WriteJdbc

@@ -198,7 +198,9 @@ class WriteMongodb(SinkOperator):
                 key_fields, match_filter, update_fields, ordered,
             )
 
-        df.foreachPartition(run_partition)
+        from etl_core_spark.sources.base_io import run_partition_dml
+
+        run_partition_dml(df, run_partition)
 
 
 def _execute_mongo_partition(

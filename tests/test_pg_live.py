@@ -21,7 +21,15 @@ import time
 
 import pytest
 
-PG_PORT = 54329
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
 
 
 def _pg_bin(name: str) -> str | None:
@@ -62,7 +70,9 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def pg_server():
     # NOT tmp_path_factory: its /tmp/pytest-of-root parents are 0700,
-    # which the postgres user cannot traverse
+    # which the postgres user cannot traverse. Port is dynamic so a
+    # stale server from an interrupted run can't collide.
+    port = _free_port()
     data = tempfile.mkdtemp(prefix="pg_live_", dir="/tmp")
     if os.geteuid() == 0:
         shutil.chown(data, "postgres", "postgres")
@@ -85,7 +95,7 @@ def pg_server():
             [
                 _pg_bin("pg_ctl"), "-D", data, "-l", logf,
                 "-o",
-                f"-p {PG_PORT} -c listen_addresses=127.0.0.1 "
+                f"-p {port} -c listen_addresses=127.0.0.1 "
                 f"-k {data} -c fsync=off",
                 "start",
             ]
@@ -99,7 +109,7 @@ def pg_server():
     last: Exception | None = None
     while time.monotonic() < deadline:
         try:
-            conn = connect(port=PG_PORT, user="etl", database="postgres")
+            conn = connect(port=port, user="etl", database="postgres")
             conn.close()
             break
         except (OSError, PgWireError) as exc:  # still starting
@@ -107,7 +117,7 @@ def pg_server():
             time.sleep(0.3)
     else:
         raise RuntimeError(f"postgres did not come up: {last}")
-    yield {"port": PG_PORT, "user": "etl", "database": "postgres"}
+    yield {"port": port, "user": "etl", "database": "postgres"}
     subprocess.run(
         _as_server_user(
             [_pg_bin("pg_ctl"), "-D", data, "-m", "immediate", "stop"]
@@ -271,3 +281,70 @@ def test_engine_insert_truncate_and_read_dbapi_live(spark, pg_server):
     assert rows == [
         (1, "a", True, 1.5), (2, "b", False, 2.5), (3, "c", True, None)
     ]
+
+
+def test_json_runner_pg_to_pg_live(spark, pg_server):
+    """Component-layer live e2e: a dict job config reads a postgres
+    table (wire='dbapi'), filters it, and upserts the survivors into
+    a second postgres table — the reference's db-to-db job shape
+    against a real server, through build_job/JobRunner."""
+    from etl_core_spark.plans import JobRunner, build_job
+
+    url = f"jdbc:postgresql://127.0.0.1:{pg_server['port']}/postgres"
+    conn = _conn(pg_server)
+    try:
+        conn.execute("DROP TABLE IF EXISTS src_t")
+        conn.execute("DROP TABLE IF EXISTS dst_t")
+        conn.execute("CREATE TABLE src_t (k bigint, score bigint)")
+        conn.cursor().executemany(
+            "INSERT INTO src_t VALUES (?, ?)",
+            [(i, i * 10) for i in range(10)],
+        )
+        conn.execute(
+            "CREATE TABLE dst_t (k bigint PRIMARY KEY, score bigint)"
+        )
+        # pre-existing row that the upsert must overwrite
+        conn.execute("INSERT INTO dst_t VALUES (7, -1)")
+    finally:
+        conn.close()
+    job = {
+        "name": "pg_to_pg_live",
+        "components": [
+            {
+                "name": "src",
+                "comp_type": "read_postgresql",
+                "url": url,
+                "user": "etl",
+                "wire": "dbapi",
+                "query": "SELECT k, score FROM src_t",
+                "routes": {"out": [{"to": "keep", "in_port": "in"}]},
+            },
+            {
+                "name": "keep",
+                "comp_type": "filter",
+                "rule": {"column": "score", "operator": ">=", "value": 50},
+                "routes": {"pass": [{"to": "dst", "in_port": "in"}]},
+            },
+            {
+                "name": "dst",
+                "comp_type": "write_postgresql",
+                "url": url,
+                "user": "etl",
+                "entity_name": "dst_t",
+                "operation": "upsert",
+                "key_columns": ["k"],
+            },
+        ],
+    }
+    result = JobRunner(build_job(spark, job)).run()
+    assert result.status == "SUCCESS", result.error
+    # the DML sink's row count comes from the action accumulator
+    # (foreachPartition fires no observation — the hang this test
+    # originally exposed)
+    assert result.metrics["dst"]["lines_received"] == 5
+    conn = _conn(pg_server)
+    try:
+        got = conn.execute("SELECT k, score FROM dst_t ORDER BY k").fetchall()
+        assert got == [(k, k * 10) for k in range(5, 10)]
+    finally:
+        conn.close()
