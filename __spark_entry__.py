@@ -6762,7 +6762,9 @@ _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity (operators/graph.py modularity) of the
-    certified 3-round LPA assignment on the part-supplier bipartite
+    certified-shape LPA assignment (2 rounds here — plan depth is
+    the bench price, the value contract is identical at any fixed
+    count) on the part-supplier bipartite
     graph — the community-quality meter: per community
     (n_nodes, internal_edges, degree_sum, q_contrib), total
     modularity = sum(q_contrib). Two membership equi-joins + three
@@ -6775,7 +6777,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     lpa = get_operator("label_propagation")(
-        src="src", dst="dst", iterations=3
+        src="src", dst="dst", iterations=2
     ).apply({"in": edges})["out"]
     return get_operator("modularity")(
         src="src", dst="dst", node_col="node", community_col="label"
@@ -6783,8 +6785,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MODULARITY = f"""
-WITH {_sql_label_propagation_ctes(3)},
-mem AS (SELECT node AS n, label AS community FROM l3),
+WITH {_sql_label_propagation_ctes(2)},
+mem AS (SELECT node AS n, label AS community FROM l2),
 canon AS (SELECT s, t FROM ed WHERE s < t),
 mt AS (SELECT count(*) AS m FROM canon),
 deg AS (SELECT s AS n, count(*) AS d FROM ed GROUP BY s),

@@ -922,13 +922,30 @@ def modularity(
     (m) ride as a broadcast one-row crossJoin — nothing driver-sized,
     no iteration. ``q_contrib`` floor-quantized (graph-family
     convention)."""
-    sym = _normalized_edges(edges, src, dst, symmetrize=True).where(
-        F.col("__s") != F.col("__t")
+    from etl_core_spark.session import (
+        persist_intermediate,
+        track_local_checkpoint,
+    )
+
+    # both bounded relations are consumed TWICE (sym: canon + degrees;
+    # mem: two membership joins + the per-community rollup). sym's
+    # lineage is shallow — persist covers it. mem can carry an
+    # EXPENSIVE upstream (a multi-round LPA chain): persist alone
+    # still duplicates its full logical plan into both join subtrees
+    # for Catalyst to re-analyze, so it gets a LAZY localCheckpoint
+    # barrier (LogicalRDD leaf, no extra action — materializes inside
+    # the consumer's job, cached for the second reference).
+    sym = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True).where(
+            F.col("__s") != F.col("__t")
+        )
     )
     canon = sym.where(F.col("__s") < F.col("__t"))  # each edge once
     mem = assignment.select(
-        F.col(node_col).alias("__n"), F.col(community_col).alias("community")
-    ).where(F.col("__n").isNotNull())
+        F.col(node_col).alias("__n"),
+        F.col(community_col).alias("community"),
+    ).where(F.col("__n").isNotNull()).localCheckpoint(eager=False)
+    track_local_checkpoint(mem)
     m_tot = canon.agg(F.count(F.lit(1)).alias("__m"))
     # internal edges per community: both endpoints in the community
     lc = (
