@@ -43,9 +43,9 @@ on read, executor-batched DML on write).
 from __future__ import annotations
 
 import math
-from typing import Any, Iterable, Sequence
+from typing import Any, Sequence
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
 
 from etl_core_spark.operators.base import OperatorConfigError, register_operator
 from etl_core_spark.sources.base_io import SinkOperator, SourceOperator
