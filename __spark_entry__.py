@@ -3226,6 +3226,47 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_dedup_pairs(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py
+    containment_pairs, Broder 1997): |A∩B|/|A| over distinct
+    3-shingle sets — catches short-quoted-in-long redundancy that
+    resemblance (Jaccard) misses. xxhash64-keyed shingle equi-join
+    with the doc-frequency fan-out cap; the oracle mirrors the cap
+    on raw shingle strings (hash-collision-free by 2^-64)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("containment_pairs")(
+        threshold=0.3, shingle_n=3, max_shingle_freq=100
+    ).apply({"in": docs})["out"]
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, list_distinct({_shingles_sql(3)}) AS ds FROM t
+  WHERE len(list_distinct({_shingles_sql(3)})) > 0
+), ex AS (
+  SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM shl
+), rare AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) <= 100
+), exf AS (
+  SELECT ex.* FROM ex JOIN rare USING (s)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS n_shared, any_value(a.n) AS na
+  FROM exf a JOIN exf b USING (s)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / CAST(na AS DOUBLE), 6) AS containment
+FROM p
+WHERE round(n_shared / CAST(na AS DOUBLE), 6) >= 0.3
+"""
+
+
 _SQL_JACCARD_PAIRS = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -7037,7 +7078,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the 19 r06-vintage rows VERDICT r9 "What's missing" #1 names
 # (4 rounds stale — the oldest cohort), then r07-vintage rows in
 # registry order to fill 50. Remaining r07 rows lead the r11 window:
-# q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
+# q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
 # q9_product_profit, q10_returned_items, q4_order_priority,
 # q6_forecast_revenue, q14_promo_ratio, agg_global, filter_rule_*,
 # join_inner/left/right/outer, multimodal_features,
@@ -7048,7 +7089,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
-    "modularity",
+    "modularity", "containment_pairs",
     # operator/entry code changed this round
     "pagerank", "pagerank_weighted", "personalized_pagerank",
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
@@ -7066,7 +7107,7 @@ _R10_WINDOW = [
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
     "asof_join", "range_join", "dedup_minhash", "agg_ops",
-    "gaps_islands", "q1_pricing_summary",
+    "gaps_islands",
 ]
 
 
@@ -7097,6 +7138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk_refined": q_ivf_topk_refined,
         "jaccard_pairs": q_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "gaps_islands_per_key": q_gaps_islands_per_key,
         "decontaminate": q_decontaminate,
         "repetition_metrics": q_repetition_metrics,
@@ -7333,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _SQL_MINHASH_SIG,
         "minhash_near_dup_pairs": _SQL_MINHASH_PAIRS,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
         "typo_pairs": _SQL_TYPO_PAIRS,
         "simhash": _SQL_SIMHASH,

@@ -1499,3 +1499,110 @@ class MinHashIndexSink(SinkOperator):
             int(c.get("shingle_n", 3)),
             str(c.get("mode", "append")),
         )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs (Broder 1997, "On the resemblance
+    and containment of documents"): ``containment = |A ∩ B| / |A|``
+    over distinct shingle sets — "what fraction of A also appears in
+    B". The dedup-ladder member resemblance misses: a short document
+    QUOTED inside a long one has high containment but low Jaccard
+    (the union is dominated by the long side), so near-dup passes
+    keep both while the short one is pure redundancy. Output is
+    ORDERED pairs ``(id_a, id_b, n_shared, containment)`` — A
+    contained in B; both directions emitted when both clear the
+    threshold.
+
+    Scale shape: the shingle table (computed once, persisted) feeds
+    an exploded xxhash64-keyed equi-join — 8-byte join keys, the
+    winnow_near_dup_pairs discipline — with ``max_shingle_freq``
+    capping join fan-out at cap² per shingle (hot boilerplate
+    shingles are exactly what exact/substring dedup handles; capped
+    shingles still count toward |A|, so containment can only
+    UNDERCOUNT — the conservative direction). One pair-keyed
+    aggregate; no all-pairs comparison anywhere.
+    """
+    if not 0 < float(threshold) <= 1:
+        raise OperatorConfigError(
+            "containment threshold must be in (0, 1]"
+        )
+    from etl_core_spark.session import persist_intermediate
+
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sized = sh.where(F.size("sh") > 0).select(
+        F.col(id_col), F.size("sh").alias("__n"), "sh"
+    )
+    ex = persist_intermediate(  # consumed by the freq cap + both join sides
+        sized.select(
+            F.col(id_col),
+            "__n",
+            F.explode("sh").alias("__s0"),
+        ).select(F.col(id_col), "__n", F.xxhash64("__s0").alias("__s"))
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            ex.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= int(max_shingle_freq))
+            .select("__s")
+        )
+        ex = ex.join(rare, on="__s")
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+    )
+    b = ex.select(F.col(id_col).alias("id_b"), "__s")
+    return (
+        a.join(b, on="__s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("__na").alias("__na"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.col("__na"), 6),
+        )
+        .where(F.col("containment") >= float(threshold))
+        .select("id_a", "id_b", "n_shared", "containment")
+    )
+
+
+@register_operator("containment_pairs")
+class ContainmentPairsOperator(Operator):
+    """Config: ``text_col``, ``id_col``, ``threshold``, ``shingle_n``,
+    ``max_shingle_freq``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        t = float(self.config.get("threshold", 0.8))
+        if not 0 < t <= 1:
+            raise OperatorConfigError(
+                "containment threshold must be in (0, 1]"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": containment_pairs(
+                self.single_input(inputs),
+                c.get("text_col", "text"),
+                c.get("id_col", "doc_id"),
+                float(c.get("threshold", 0.8)),
+                int(c.get("shingle_n", 3)),
+                (
+                    int(c["max_shingle_freq"])
+                    if c.get("max_shingle_freq") is not None
+                    else None
+                ),
+            )
+        }

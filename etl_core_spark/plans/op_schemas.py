@@ -512,6 +512,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("min_count", "integer", default=2,
           desc="corpus occurrence threshold for a span to count as duplicated"),
     ],
+    "containment_pairs": [
+        f("text_col", "string", default="text"),
+        f("id_col", "string", default="doc_id"),
+        f("threshold", "number", default=0.8,
+          desc="|A∩B|/|A| floor — asymmetric (Broder containment)"),
+        f("shingle_n", "integer", default=3),
+        f("max_shingle_freq", "integer", default=100,
+          desc="drop shingles in more docs than this before the join "
+               "(fan-out cap; containment then only undercounts)"),
+    ],
     "substring_dup_spans": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

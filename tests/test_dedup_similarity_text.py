@@ -582,3 +582,72 @@ def test_pq_topk_null_vectors(spark, tables):
     )
     with _pytest.raises(OperatorConfigError, match="NULL"):
         pq_topk(emb, null_q, k=5, m=8, k_codes=64)
+
+
+def test_containment_pairs_asymmetric_semantics(spark):
+    """Broder containment: a short doc quoted inside a long one has
+    HIGH containment (short in long) but low the other way — the
+    redundancy Jaccard misses."""
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    from etl_core_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_dedup_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "introduction paragraph with plenty of extra context words "
+        f"here {quote} and a long closing discussion of unrelated "
+        "material that keeps going for many more tokens than the "
+        "quoted passage itself contains overall"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "completely unrelated text")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in rows  # the quote is contained in the long doc
+    assert rows[(1, 2)]["containment"] >= 0.9
+    assert (2, 1) not in rows  # but not vice versa
+    assert not any(3 in k for k in rows)
+    # Jaccard at the same floor misses the pair (union dominated by
+    # the long side) — the reason containment is its own operator
+    jac = jaccard_dedup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+    # identical docs contain each other: both ordered rows emitted
+    dup = spark.createDataFrame(
+        [(1, quote), (2, quote)], "doc_id long, text string"
+    )
+    both = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(dup, "text", "doc_id").collect()
+    }
+    assert both == {(1, 2): 1.0, (2, 1): 1.0}
+    with pytest.raises(OperatorConfigError):
+        get_operator("containment_pairs")(threshold=0)
+
+
+def test_containment_pairs_freq_cap_undercounts_only(spark):
+    """Capped hot shingles still count toward |A| — containment can
+    only drop, never inflate."""
+    from etl_core_spark.operators.dedup import containment_pairs
+
+    docs = [(i, "hot shared boiler plate line") for i in range(1, 7)]
+    docs.append((9, "hot shared boiler plate line plus unique tail"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.1, max_shingle_freq=None
+        ).collect()
+    }
+    capped = containment_pairs(
+        df, "text", "doc_id", threshold=0.1, max_shingle_freq=3
+    ).collect()
+    assert uncapped  # the boilerplate family is all mutually contained
+    for r in capped:
+        key = (r["id_a"], r["id_b"])
+        assert r["containment"] <= uncapped[key] + 1e-9
