@@ -3553,6 +3553,37 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2)
 
 
+def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class k-means assignment table (operators/similarity.py
+    kmeans_cluster): 8 clusters seeded from the lowest-id vectors,
+    iterations=0 — the fully SQL-expressible shape (the refinement
+    fixpoint keeps the ivf_topk_refined rows-only convention);
+    unit-dot argmax, ties to the lowest cluster id, ann-convention
+    cosine rounding."""
+    from etl_core_spark.operators.base import get_operator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return get_operator("kmeans_cluster")(k=8).apply({"in": emb})["out"]
+
+
+_SQL_KMEANS_CLUSTER = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cs,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                      DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       round(round(cs, 6), 4) AS cosine
+FROM scored WHERE rn = 1
+"""
+
+
 def q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_topk with kmeans_iters > 0 (operators/similarity.py:
     refine_centroids): deterministic Lloyd rounds rebalance the
@@ -7078,7 +7109,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the 19 r06-vintage rows VERDICT r9 "What's missing" #1 names
 # (4 rounds stale — the oldest cohort), then r07-vintage rows in
 # registry order to fill 50. Remaining r07 rows lead the r11 window:
-# q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
+# gaps_islands, q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
 # q9_product_profit, q10_returned_items, q4_order_priority,
 # q6_forecast_revenue, q14_promo_ratio, agg_global, filter_rule_*,
 # join_inner/left/right/outer, multimodal_features,
@@ -7089,7 +7120,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
-    "modularity", "containment_pairs",
+    "modularity", "containment_pairs", "kmeans_cluster",
     # operator/entry code changed this round
     "pagerank", "pagerank_weighted", "personalized_pagerank",
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
@@ -7107,7 +7138,6 @@ _R10_WINDOW = [
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
     "asof_join", "range_join", "dedup_minhash", "agg_ops",
-    "gaps_islands",
 ]
 
 
@@ -7158,6 +7188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split_counts": q_hash_split_counts,
         "ivf_topk": q_ivf_topk,
+        "kmeans_cluster": q_kmeans_cluster,
         "json_roundtrip": q_json_roundtrip,
         "lang_id": q_lang_id,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
@@ -7383,6 +7414,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_numpy": _SQL_ANN_BRUTE,
         "ivf_topk": _SQL_IVF_TOPK,
+        "kmeans_cluster": _SQL_KMEANS_CLUSTER,
         "token_frequency": _SQL_TOKEN_FREQ,
         "quality_filter": _SQL_QUALITY_FILTER,
         "training_pipeline": _SQL_TRAINING_PIPELINE,

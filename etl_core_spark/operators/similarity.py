@@ -1579,3 +1579,108 @@ class KnnGraphOperator(Operator):
                 int(c.get("seed", 42)),
             )
         }
+
+
+def kmeans_cluster(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 0,
+    emit_similarity: bool = True,
+) -> DataFrame:
+    """First-class k-means clustering over an embedding column →
+    ``(id, cluster_id[, cosine])`` — the standalone surface of the
+    IVF machinery semdedup/ivf_topk use internally: cluster-then-
+    sample, per-cluster stats, and topic-bucketing workloads want
+    the ASSIGNMENT TABLE itself, not a search result.
+
+    Deterministic end to end: centroids seed from the ``k``
+    lowest-id non-null vectors (unit-normalized), ``iterations``
+    Lloyd rounds via ``refine_centroids`` (no randomness; empty
+    cells keep their centroid), assignment by unit-dot argmax with
+    ties to the lowest cluster id. ``iterations=0`` (pure seeded
+    assignment) is the fully SQL-expressible certified shape —
+    the refinement fixpoint keeps the ivf_topk_refined rows-only
+    convention.
+
+    Scale shape: centroids are a bounded broadcast (k rows);
+    assignment is ONE broadcast crossJoin + per-id argmax window —
+    a narrow map over the corpus; each Lloyd round adds one
+    map-side-combinable (cell, dim) average (the unavoidable k-means
+    cost). NULL vectors are dropped (cluster membership is undefined
+    for them), matching the ANN family convention.
+    """
+    if int(k) < 1:
+        raise OperatorConfigError("kmeans_cluster k must be >= 1")
+    if int(iterations) < 0:
+        raise OperatorConfigError("kmeans_cluster iterations must be >= 0")
+    from etl_core_spark.session import (
+        ensure_parallelism,
+        persist_intermediate,
+    )
+
+    nn = df.where(F.col(vec_col).isNotNull())
+    cent = V.select_unit(
+        nn.orderBy(F.col(id_col).asc()).limit(int(k)),
+        (F.col(id_col), "__cid"),
+        vec_col,
+        "__cvec",
+    )
+    # (__corpus_id, __cv): the refine_centroids input contract
+    c_unit = V.select_unit(
+        ensure_parallelism(
+            nn.select(
+                F.col(id_col).alias("__corpus_id"),
+                F.col(vec_col).alias("__cv0"),
+            )
+        ),
+        (F.col("__corpus_id"), "__corpus_id"),
+        "__cv0",
+        "__cv",
+    )
+    if int(iterations) > 0:
+        c_unit = persist_intermediate(c_unit)
+        cent = refine_centroids(c_unit, cent, int(iterations))
+    scored = c_unit.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim", V.dot(F.col("__cv"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("__corpus_id").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    out = (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .where(F.col("__crn") == 1)
+        .select(
+            F.col("__corpus_id").alias(id_col),
+            F.col("__cid").cast("long").alias("cluster_id"),
+            F.round(F.round(F.col("__sim"), 6), 4).alias("cosine"),
+        )
+    )
+    return out if emit_similarity else out.select(id_col, "cluster_id")
+
+
+@register_operator("kmeans_cluster")
+class KmeansClusterOperator(Operator):
+    """Config: ``k``, ``vec_col``, ``id_col``, ``iterations``,
+    ``emit_similarity``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if int(self.config.get("k", 8)) < 1:
+            raise OperatorConfigError("kmeans_cluster k must be >= 1")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": kmeans_cluster(
+                self.single_input(inputs),
+                int(c.get("k", 8)),
+                c.get("vec_col", "embedding"),
+                c.get("id_col", "vec_id"),
+                int(c.get("iterations", 0)),
+                bool(c.get("emit_similarity", True)),
+            )
+        }

@@ -512,6 +512,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("min_count", "integer", default=2,
           desc="corpus occurrence threshold for a span to count as duplicated"),
     ],
+    "kmeans_cluster": [
+        f("k", "integer", default=8, desc="number of clusters"),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+        f("iterations", "integer", default=0,
+          desc="deterministic Lloyd rounds (0 = seeded assignment, "
+               "the SQL-certifiable shape)"),
+        f("emit_similarity", "boolean", default=True,
+          desc="include cosine to the assigned centroid"),
+    ],
     "containment_pairs": [
         f("text_col", "string", default="text"),
         f("id_col", "string", default="doc_id"),

@@ -651,3 +651,46 @@ def test_containment_pairs_freq_cap_undercounts_only(spark):
     for r in capped:
         key = (r["id_a"], r["id_b"])
         assert r["containment"] <= uncapped[key] + 1e-9
+
+
+def test_kmeans_cluster_assignment_semantics(spark, tables):
+    """kmeans_cluster (operators/similarity.py): full assignment
+    table, deterministic seeding, Lloyd refinement preserves the
+    row-per-vector contract, NULL vectors dropped, and seed vectors
+    assign to their own cluster at iterations=0."""
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    from etl_core_spark.operators.similarity import kmeans_cluster
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    out = kmeans_cluster(emb, k=8).collect()
+    assert len(out) == n  # every vector assigned
+    by_id = {r["vec_id"]: r for r in out}
+    # seeds (8 lowest ids) are their own centroids -> self-assignment
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    for sid in seed_ids:
+        assert by_id[sid]["cluster_id"] == sid
+        assert by_id[sid]["cosine"] == pytest.approx(1.0, abs=1e-3)
+    assert {r["cluster_id"] for r in out} <= set(seed_ids)
+    # refinement keeps the contract and stays deterministic
+    r1 = kmeans_cluster(emb, k=8, iterations=2).collect()
+    r2 = kmeans_cluster(emb, k=8, iterations=2).collect()
+    assert len(r1) == n
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # NULL vectors drop
+    null_row = emb.limit(1).select(
+        *[
+            F.lit(777_777).alias(c) if c == "vec_id"
+            else F.lit(None).cast(emb.schema[c].dataType).alias(c)
+            for c in emb.columns
+        ]
+    )
+    dirty = emb.unionByName(null_row)
+    out2 = kmeans_cluster(dirty, k=8).collect()
+    assert len(out2) == n and all(r["vec_id"] != 777_777 for r in out2)
+    via_op = get_operator("kmeans_cluster")(k=4, emit_similarity=False).apply(
+        {"in": emb}
+    )["out"]
+    assert via_op.columns == ["vec_id", "cluster_id"]
+    with pytest.raises(OperatorConfigError):
+        kmeans_cluster(emb, k=0)
