@@ -196,6 +196,14 @@ def families(docs, spark):
     fams["substring_dedup"] = lambda: substring_dedup(
         docs.select("doc_id", "text"), span_tokens=8
     )
+    # r10: asymmetric containment — winnow-shaped xxhash64 shingle
+    # equi-join with the doc-frequency fan-out cap; the replicated
+    # corpus multiplies hot shingles, exactly what the cap bounds
+    from etl_core_spark.operators.dedup import containment_pairs
+
+    fams["containment_pairs"] = lambda: containment_pairs(
+        docs, "text", "doc_id", threshold=0.3, max_shingle_freq=100
+    )
     return fams
 
 
@@ -226,7 +234,17 @@ def emb_families(emb):
         # corpus streams through one encode+ADC mapInPandas with
         # per-batch candidate cuts; per-row cost must stay flat
         "pq_topk": lambda: _pq(emb),
+        # r10: k-means assignment — k scales with the corpus (the
+        # semdedup k ∝ n rule) so the broadcast argmax term stays
+        # bounded per row
+        "kmeans_cluster": lambda: _kmeans(emb, k_cells),
     }
+
+
+def _kmeans(emb, k):
+    from etl_core_spark.operators.similarity import kmeans_cluster
+
+    return kmeans_cluster(emb, k=k, iterations=1)
 
 
 def _pq(emb):
