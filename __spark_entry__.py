@@ -5146,6 +5146,40 @@ ORDER BY bin
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (operators/timeseries.py ewma):
+    s = 0.3*x + (1-0.3)*s along (ts, event_id) — a total order, so
+    the Arrow-batched per-key recursion and the DuckDB recursive CTE
+    replay the IDENTICAL float sequence (the oracle parenthesizes
+    0.3e0*x + (1e0 - 0.3e0)*s to match); 9dp floors pin rendering."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("ewma")(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.3,
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "user_id", "ewma")
+
+
+_SQL_EWMA = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT event_id, user_id, rn, CAST(value AS DOUBLE) AS s
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn,
+         0.3e0 * o.value + (1e0 - 0.3e0) * r.s AS s
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, floor(s * 1e9) / 1e9 AS ewma FROM r
+"""
+
+
 def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-day per-customer order totals
     (operators/timeseries.py rolling_aggregate): RANGE-frame window
@@ -7109,7 +7143,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the 19 r06-vintage rows VERDICT r9 "What's missing" #1 names
 # (4 rounds stale — the oldest cohort), then r07-vintage rows in
 # registry order to fill 50. Remaining r07 rows lead the r11 window:
-# gaps_islands, q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
+# agg_ops, gaps_islands, q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
 # q9_product_profit, q10_returned_items, q4_order_priority,
 # q6_forecast_revenue, q14_promo_ratio, agg_global, filter_rule_*,
 # join_inner/left/right/outer, multimodal_features,
@@ -7120,7 +7154,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
-    "modularity", "containment_pairs", "kmeans_cluster",
+    "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
     "pagerank", "pagerank_weighted", "personalized_pagerank",
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
@@ -7137,7 +7171,7 @@ _R10_WINDOW = [
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    "asof_join", "range_join", "dedup_minhash", "agg_ops",
+    "asof_join", "range_join", "dedup_minhash",
 ]
 
 
@@ -7282,6 +7316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "histogram": q_histogram,
         "rolling_aggregate": q_rolling_aggregate,
+        "ewma": q_ewma,
         "diff_datasets": q_diff_datasets,
         "scd2_merge": q_scd2_merge,
         "mad_outliers": q_mad_outliers,
@@ -7457,6 +7492,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _SQL_COLLOCATIONS,
         "histogram": _SQL_HISTOGRAM,
         "rolling_aggregate": _SQL_ROLLING,
+        "ewma": _SQL_EWMA,
         "diff_datasets": _SQL_DIFF_DATASETS,
         "scd2_merge": _SQL_SCD2_MERGE,
         "mad_outliers": _SQL_MAD_OUTLIERS,

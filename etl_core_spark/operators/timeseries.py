@@ -943,3 +943,105 @@ class InterpolateOperator(Operator):
                 c.get("method", "linear"),
             )
         }
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+    quantize: int = 9,
+) -> DataFrame:
+    """Exponentially weighted moving average per key —
+    ``s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}`` along
+    ``order_cols`` (which must be a TOTAL order within each key for
+    cross-engine determinism — add a row id to break timestamp
+    ties). The standard smoother for drift/metric series the
+    rolling_aggregate window can't express (EWMA weights every
+    prior point, recursively).
+
+    Rows with NULL ``value_col`` don't advance the smoother: they
+    carry the previous state (NULL before the first observation).
+    Row-preserving; ``out_col`` floor-quantized (graph-family
+    convention — the recursion is the identical float sequence in
+    both engines when the oracle parenthesizes ``alpha*x +
+    (1e0-alpha)*s`` the same way, so quantization only pins the
+    decimal rendering).
+
+    Scale shape: ONE hash shuffle on the key + an Arrow-batched
+    ``applyInPandas`` per key group (EWMA is inherently sequential
+    per series; Spark has no recursive window). Group size is
+    bounded by series length — the per-entity-history class
+    (markov_transitions, event_paths); a single pathological
+    mega-key is the caller's re-keying problem, as there.
+    """
+    if not key_cols:
+        raise OperatorConfigError("ewma requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("ewma requires order_cols")
+    if not 0 < float(alpha) <= 1:
+        raise OperatorConfigError("ewma alpha must be in (0, 1]")
+    a = float(alpha)
+    q = float(10 ** int(quantize))
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in df.schema.fields
+    ) + f", `{out_col}` double"
+    order_names = list(order_cols)
+    vc = value_col
+
+    def smooth(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        s = None
+        out = []
+        for x in pdf[vc]:
+            if x is not None and not (isinstance(x, float) and math.isnan(x)):
+                xf = float(x)
+                s = xf if s is None else a * xf + (1.0 - a) * s
+            out.append(
+                None if s is None else math.floor(s * q) / q
+            )
+        res = pdf.copy()
+        res[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
+        return res
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, out_schema).select(
+        *cols, out_col
+    )
+
+
+@register_operator("ewma")
+class EwmaOperator(Operator):
+    """Config: ``key_cols`` (list, required), ``order_cols`` (list,
+    required — must totally order rows within a key), ``value_col``
+    (required); ``alpha``, ``out_col``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"ewma requires {key!r}")
+        if not 0 < float(self.config.get("alpha", 0.3)) <= 1:
+            raise OperatorConfigError("ewma alpha must be in (0, 1]")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": ewma(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                float(c.get("alpha", 0.3)),
+                c.get("out_col", "ewma"),
+                int(c.get("quantize", 9)),
+            )
+        }

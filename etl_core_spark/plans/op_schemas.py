@@ -763,6 +763,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "ewma": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("order_cols", "array", required=True, items={"type": "string"},
+          desc="must totally order rows within a key (add a row id "
+               "to break timestamp ties)"),
+        f("value_col", "string", required=True),
+        f("alpha", "number", default=0.3,
+          desc="smoothing factor in (0, 1]: s = a*x + (1-a)*s"),
+        f("out_col", "string", default="ewma"),
+        f("quantize", "integer", default=9),
+    ],
     "ks_drift": [
         f("value_col", "string", required=True),
         f("group_cols", "array", items={"type": "string"},

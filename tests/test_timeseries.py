@@ -237,3 +237,49 @@ def test_densify_keeps_off_grid_buckets(spark):
     got = {r["bucket"]: r["n"] for r in out.collect()}
     # grid 0,2,4,6 filled; observed off-grid 5 and 7 retained
     assert got == {0: 1, 2: 0, 4: 0, 6: 0, 5: 1, 7: 1}
+
+
+def test_ewma_recursion_and_null_policy(spark):
+    """EWMA per key: hand-computed recursion, NULL values don't
+    advance the smoother (carry previous state; NULL before the
+    first observation), total-order tiebreak, validation."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+    from etl_core_spark.operators.timeseries import ewma
+
+    rows = [
+        # key 1: plain series
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, 0.0),
+        # key 2: NULL before first obs, NULL mid-series
+        (2, 1, None), (2, 2, 4.0), (2, 3, None), (2, 4, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, value double")
+    out = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma(
+            df, ["k"], ["seq"], "value", alpha=0.5
+        ).collect()
+    }
+    f = lambda v: math.floor(v * 1e9) / 1e9  # noqa: E731
+    s1 = 10.0
+    s2 = 0.5 * 20.0 + 0.5 * s1
+    s3 = 0.5 * 0.0 + 0.5 * s2
+    assert out[(1, 1)] == f(s1) and out[(1, 2)] == f(s2)
+    assert out[(1, 3)] == f(s3)
+    assert out[(2, 1)] is None          # no observation yet
+    assert out[(2, 2)] == f(4.0)
+    assert out[(2, 3)] == f(4.0)        # NULL carries state
+    assert out[(2, 4)] == f(0.5 * 8.0 + 0.5 * 4.0)
+    # row-preserving and registry-routed
+    op_out = get_operator("ewma")(
+        key_cols=["k"], order_cols=["seq"], value_col="value"
+    ).apply({"in": df})["out"]
+    assert op_out.count() == len(rows)
+    assert set(op_out.columns) == {"k", "seq", "value", "ewma"}
+    with _pytest.raises(OperatorConfigError):
+        ewma(df, [], ["seq"], "value")
+    with _pytest.raises(OperatorConfigError):
+        ewma(df, ["k"], ["seq"], "value", alpha=0.0)
