@@ -483,3 +483,32 @@ def test_bfs_round_join_keeps_aqe(spark, tables):
     s = tables["supplier"].select(F.col("s_suppkey").alias("node")).limit(5)
     plan = plan_of(bfs_distances(e, s, max_hops=1))
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_broadcast_not_cartesian(spark, tables):
+    """kmeans_cluster's centroid scoring must plan as a BROADCAST
+    nested-loop over the k-row centroid side — never a cartesian —
+    and the corpus side must stay JVM-side (no per-row Python)."""
+    from etl_core_spark.operators.similarity import kmeans_cluster
+
+    plan = plan_of(kmeans_cluster(tables["embeddings"], k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_substring_and_containment_have_no_pair_cartesian(spark, tables):
+    """The r10 dedup additions must keep every join keyed: substring
+    dedup has NO doc-pair join at all, and containment's shingle
+    self-join is an equi-join on the hashed shingle key."""
+    from etl_core_spark.operators.dedup import containment_pairs
+    from etl_core_spark.operators.substring import substring_dup_spans
+
+    docs = tables["documents"]
+    for df in (
+        substring_dup_spans(docs, span_tokens=8),
+        containment_pairs(docs, "text", "doc_id", threshold=0.3),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
