@@ -5377,6 +5377,138 @@ WHERE uk IS NOT NULL
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (operators/compare.py cdc_apply): the
+    orders snapshot takes a derived change batch — two competing
+    updates per %14 key (last sequence wins), deletes (%11, beating
+    earlier updates on shared keys), brand-new inserts (%19, carried
+    o_custkey NULL — the log has no image for it), and deletes of
+    never-present keys (%23, a no-op). ONE keyed window over the
+    batch + ONE null-safe full-outer join; the oracle replays the
+    identical last-writer-wins rule (explicit NULLS LAST tiebreak
+    chain)."""
+    from etl_core_spark.operators.base import get_operator
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def ch(where, key, seq, op, status, price):
+        return orders.where(where).select(
+            key.alias("o_orderkey"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+        )
+
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    changes = (
+        ch(k % 7 == 0, k, 1, "U", F.lit("U1"), F.col("o_totalprice") + 100.0)
+        .unionByName(ch(k % 14 == 0, k, 2, "U", F.lit("U2"),
+                        F.col("o_totalprice") + 200.0))
+        .unionByName(ch(k % 11 == 0, k, 3, "D", nul_s, nul_d))
+        .unionByName(ch(k % 19 == 0, k + 100000000, 1, "I", F.lit("NEW"),
+                        F.lit(1.0)))
+        .unionByName(ch(k % 23 == 0, k + 200000000, 1, "D", nul_s, nul_d))
+    )
+    out = get_operator("cdc_apply")(key_cols=["o_orderkey"]).apply(
+        {"snapshot": orders, "changes": changes}
+    )["out"]
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_SQL_CDC_APPLY = """
+WITH ch AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, 'U1' AS status,
+         o_totalprice + 100.0 AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'U2', o_totalprice + 200.0
+  FROM orders WHERE o_orderkey % 14 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 1, 'I', 'NEW', 1.0
+  FROM orders WHERE o_orderkey % 19 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, 1, 'D', CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE)
+  FROM orders WHERE o_orderkey % 23 = 0
+), last AS (
+  SELECT k, op, status, price FROM (
+    SELECT ch.*, row_number() OVER (
+      PARTITION BY k
+      ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+               status DESC NULLS LAST, price DESC NULLS LAST) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT coalesce(s.o_orderkey, l.k) AS o_orderkey,
+       s.o_custkey AS o_custkey,
+       CASE WHEN l.k IS NOT NULL THEN l.status
+            ELSE s.o_orderstatus END AS o_orderstatus,
+       CASE WHEN l.k IS NOT NULL THEN l.price
+            ELSE s.o_totalprice END AS o_totalprice
+FROM orders s FULL OUTER JOIN last l ON s.o_orderkey = l.k
+WHERE l.k IS NULL OR l.op <> 'D'
+"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership flagging (operators/sketch.py
+    bloom_membership): every document probed against a benchmark
+    set (texts of the %17 cohort) through a m=2^14, k=3 Bloom filter
+    — no false negatives; false positives deterministic (md5
+    positions), so the oracle replays the identical filter with the
+    same three hash functions and three broadcast-shaped left joins.
+    The 100 TB story: the corpus side never shuffles — the filter is
+    a ≤m-row broadcast position table."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    out = get_operator("bloom_membership")(
+        key_col="text", m_bits=1 << 14, k=3
+    ).apply({"in": docs, "keys": members})["out"]
+    return out.select("doc_id", "bloom_hit")
+
+
+_BLOOM_H = (
+    "CAST(('0x' || substr(md5('bloom:{i}:' || coalesce({x}, "
+    "chr(0) || '__NULL_KEY__')), 1, 8)) AS BIGINT) % 16384"
+)
+
+_SQL_BLOOM_DECONTAMINATE = """
+WITH members AS (
+  SELECT text FROM documents WHERE doc_id % 17 = 0
+), pos AS (
+  SELECT DISTINCT {h0m} AS p FROM members
+  UNION
+  SELECT DISTINCT {h1m} FROM members
+  UNION
+  SELECT DISTINCT {h2m} FROM members
+)
+SELECT d.doc_id AS doc_id,
+       (p0.p IS NOT NULL AND p1.p IS NOT NULL AND p2.p IS NOT NULL)
+         AS bloom_hit
+FROM documents d
+LEFT JOIN pos p0 ON p0.p = {h0d}
+LEFT JOIN pos p1 ON p1.p = {h1d}
+LEFT JOIN pos p2 ON p2.p = {h2d}
+""".format(
+    h0m=_BLOOM_H.format(i=0, x="text"),
+    h1m=_BLOOM_H.format(i=1, x="text"),
+    h2m=_BLOOM_H.format(i=2, x="text"),
+    h0d=_BLOOM_H.format(i=0, x="d.text"),
+    h1d=_BLOOM_H.format(i=1, x="d.text"),
+    h2d=_BLOOM_H.format(i=2, x="d.text"),
+)
+
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outliers by modified z-score (operators/
     timeseries.py mad_outliers, Iglewicz-Hoaglin 0.6745*(x-med)/MAD):
@@ -7153,6 +7285,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # take_tokens_per_group, text_roundtrip, binary_ingest, pca_project.
 _R10_WINDOW = [
     # never driver-checked (new this round)
+    "cdc_apply", "bloom_decontaminate",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7171,7 +7304,7 @@ _R10_WINDOW = [
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    "asof_join", "range_join", "dedup_minhash",
+    "asof_join",
 ]
 
 
@@ -7319,6 +7452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "diff_datasets": q_diff_datasets,
         "scd2_merge": q_scd2_merge,
+        "cdc_apply": q_cdc_apply,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
@@ -7495,6 +7630,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma": _SQL_EWMA,
         "diff_datasets": _SQL_DIFF_DATASETS,
         "scd2_merge": _SQL_SCD2_MERGE,
+        "cdc_apply": _SQL_CDC_APPLY,
+        "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,

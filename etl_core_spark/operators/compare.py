@@ -413,3 +413,132 @@ class KsDriftOperator(Operator):
                 int(c.get("quantize", 6)),
             )
         }
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    value_cols: list[str] | None = None,
+    delete_ops: list[str] | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture log to a base snapshot — the
+    warehouse "merge the CDC feed into the table" primitive
+    (Debezium/Delta-CDF apply semantics). ``changes`` carries one row
+    per captured event: the key, a per-key ordering column
+    (``seq_col`` — LSN, binlog offset, commit timestamp), an
+    operation code (``op_col``), and full-row images in
+    ``value_cols``. Per key, the LATEST change wins:
+
+    - latest op in ``delete_ops`` (default ``["D"]``) → the key is
+      absent from the result (deleting a key the snapshot never had
+      is a no-op, idempotent re-delivery is free);
+    - any other latest op (insert, update, read/snapshot markers
+      alike) → UPSERT: the result row takes the change's
+      ``value_cols``; snapshot columns NOT in ``value_cols`` carry
+      over from the snapshot (NULL for brand-new keys);
+    - key untouched by the log → the snapshot row passes through.
+
+    ``value_cols`` defaults to every non-key snapshot column also
+    present in ``changes``. Several changes for one key: highest
+    ``seq_col`` wins, ties broken on (op, value columns) descending —
+    total and deterministic, matching ``scd2_merge``'s batch rule;
+    NULL sequence numbers sort last (lowest priority) in BOTH engines
+    (explicit NULLS LAST).
+
+    Scale shape: the change batch dedupes on ONE keyed window (the
+    log is the small side — a day of changes, not the table); then
+    ONE null-safe full-outer equi-join against the snapshot and a
+    narrow projection. No second pass, no per-branch re-join. At
+    100 TB the snapshot side never shuffles twice: one hash exchange
+    on the key feeds both the join and the (absent) downstream
+    bucketing.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise OperatorConfigError("cdc_apply requires key_cols")
+    dels = [str(x) for x in (delete_ops if delete_ops is not None else ["D"])]
+    if value_cols is None:
+        ccols = set(changes.columns)
+        value_cols = [
+            c for c in snapshot.columns
+            if c not in set(key_cols) and c in ccols
+        ]
+    missing = [c for c in value_cols if c not in changes.columns]
+    if missing:
+        raise OperatorConfigError(
+            f"cdc_apply value_cols missing from changes: {missing}"
+        )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc_nulls_last(),
+        F.col(op_col).desc_nulls_last(),
+        *[F.col(c).desc_nulls_last() for c in value_cols],
+    )
+    last = (
+        changes.select(*key_cols, seq_col, op_col, *value_cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__c_{k}") for k in key_cols],
+            *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+            F.col(op_col).alias("__c_op"),
+            F.lit(1).alias("__cp"),
+        )
+    )
+    cond = _all_eq([(F.col(k), F.col(f"__c_{k}")) for k in key_cols])
+    j = snapshot.withColumn("__sp", F.lit(1)).join(
+        last, on=cond, how="full_outer"
+    )
+    kept = j.where(
+        F.col("__cp").isNull() | ~F.col("__c_op").isin(dels)
+    )
+    out = []
+    for c in snapshot.columns:
+        if c in key_cols:
+            out.append(F.coalesce(F.col(c), F.col(f"__c_{c}")).alias(c))
+        elif c in set(value_cols):
+            out.append(
+                F.when(F.col("__cp").isNotNull(), F.col(f"__c_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            # carried column: snapshot value when the key existed,
+            # NULL for brand-new keys (the log has no image for it)
+            out.append(F.col(c).alias(c))
+    return kept.select(*out)
+
+
+@register_operator("cdc_apply")
+class CdcApplyOperator(Operator):
+    """Config: ``key_cols`` (required); ``seq_col``, ``op_col``,
+    ``value_cols``, ``delete_ops``. Ports: ``snapshot`` (the table)
+    and ``changes`` (the CDC batch)."""
+
+    in_ports = ("snapshot", "changes")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("key_cols"):
+            raise OperatorConfigError("cdc_apply requires 'key_cols'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"snapshot", "changes"}:
+            raise OperatorConfigError(
+                f"cdc_apply takes ports snapshot/changes, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": cdc_apply(
+                inputs["snapshot"],
+                inputs["changes"],
+                list(c["key_cols"]),
+                c.get("seq_col", "seq"),
+                c.get("op_col", "op"),
+                list(c["value_cols"]) if c.get("value_cols") else None,
+                list(c["delete_ops"]) if c.get("delete_ops") is not None else None,
+            )
+        }

@@ -306,3 +306,133 @@ class ApproxTopKOperator(Operator):
                 int(c.get("capacity", 4096)),
             )
         }
+
+
+def bloom_membership(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    keys_col: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    mode: str = "flag",
+    out_col: str = "bloom_hit",
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter membership test of ``big[key_col]`` against the
+    key set in ``keys`` — the shuffle-free decontamination / join
+    pruning primitive (Bloom 1970). The filter is represented as the
+    DISTINCT set of its SET BIT POSITIONS (≤ ``m_bits`` rows, a few
+    MB even at the default m=2^20), broadcast to every executor; the
+    big side probes it with ``k`` hash functions. Guarantees are the
+    textbook ones: NO false negatives (a key in ``keys`` always
+    hits), false positives at ~(1-e^(-kn/m))^k — deterministic, not
+    random: positions come from md5 (``hash_bucket``), so the same
+    inputs produce the same hits in any engine, which is what makes
+    this oracle-checkable.
+
+    ``mode``: ``flag`` appends boolean ``out_col``; ``drop`` keeps
+    only non-hits (decontaminate: survivors are PROVABLY absent from
+    the key set); ``keep`` keeps only hits (approximate semi-join:
+    a superset of the true matches, to be exactified downstream).
+
+    NULL keys hash via the ``hash_bucket`` NULL sentinel on BOTH
+    sides, so a NULL probe hits iff the key set contained a NULL —
+    membership semantics, not SQL-equality semantics (documented
+    divergence from ``=``; it is what decontamination wants).
+
+    Scale shape: the 100 TB side NEVER shuffles — the bit-position
+    table aggregates map-side to ≤ m distinct longs, broadcasts
+    once, and the probe is k BROADCAST hash joins + a narrow
+    conjunction. Saturation is the caller's dial: at n distinct keys
+    ≫ m/k every probe hits and ``drop`` mode degenerates to keeping
+    nothing — size m_bits ≥ ~10×n·k for ~1% FP. This is the sketch
+    counterpart of decontaminate's exact n-gram anti-join: use bloom
+    to cheaply pre-prune at full scale, exact-join the survivors.
+    """
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    if mode not in ("flag", "drop", "keep"):
+        raise OperatorConfigError(
+            f"bloom_membership mode must be flag/drop/keep, got {mode!r}"
+        )
+    if int(k) < 1 or int(m_bits) < 2:
+        raise OperatorConfigError("bloom_membership needs k >= 1, m_bits >= 2")
+    if key_col not in big.columns:
+        raise OperatorConfigError(f"bloom_membership: {key_col!r} not in big")
+    kc = keys_col or key_col
+    if kc not in keys.columns:
+        raise OperatorConfigError(f"bloom_membership: {kc!r} not in keys")
+    m = int(m_bits)
+    kk = int(k)
+
+    def pos(col, i):
+        return (hash_bucket(col, salt=f"{salt}:{i}:") % m).cast("long")
+
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[pos(F.col(kc), i) for i in range(kk)])
+            ).alias("__pos")
+        )
+        .distinct()
+    )
+    probe = big
+    hit = None
+    for i in range(kk):
+        tbl = bits.select(
+            F.col("__pos").alias(f"__pos{i}"), F.lit(1).alias(f"__hit{i}")
+        )
+        probe = probe.join(
+            F.broadcast(tbl),
+            on=pos(F.col(key_col), i) == F.col(f"__pos{i}"),
+            how="left",
+        )
+        h = F.col(f"__hit{i}").isNotNull()
+        hit = h if hit is None else (hit & h)
+    drop_aux = [c for i in range(kk) for c in (f"__pos{i}", f"__hit{i}")]
+    flagged = probe.withColumn(out_col, hit).drop(*drop_aux)
+    if mode == "flag":
+        return flagged
+    if mode == "drop":
+        return flagged.where(~F.col(out_col)).drop(out_col)
+    return flagged.where(F.col(out_col)).drop(out_col)
+
+
+@register_operator("bloom_membership")
+class BloomMembershipOperator(Operator):
+    """Config: ``key_col`` (required); ``keys_col`` (defaults to
+    ``key_col``), ``m_bits``, ``k``, ``mode`` (flag/drop/keep),
+    ``out_col``, ``salt``. Ports: ``in`` (the big side) and ``keys``
+    (the membership set)."""
+
+    in_ports = ("in", "keys")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("key_col"):
+            raise OperatorConfigError("bloom_membership requires 'key_col'")
+        if self.config.get("mode", "flag") not in ("flag", "drop", "keep"):
+            raise OperatorConfigError(
+                "bloom_membership mode must be flag/drop/keep"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"in", "keys"}:
+            raise OperatorConfigError(
+                f"bloom_membership takes ports in/keys, got {sorted(inputs)}"
+            )
+        c = self.config
+        return {
+            "out": bloom_membership(
+                inputs["in"],
+                inputs["keys"],
+                c["key_col"],
+                c.get("keys_col"),
+                int(c.get("m_bits", 1 << 20)),
+                int(c.get("k", 4)),
+                c.get("mode", "flag"),
+                c.get("out_col", "bloom_hit"),
+                c.get("salt", "bloom"),
+            )
+        }

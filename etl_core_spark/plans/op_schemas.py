@@ -668,6 +668,29 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("from_col", "string", default="valid_from"),
         f("to_col", "string", default="valid_to"),
     ],
+    "bloom_membership": [
+        f("key_col", "string", required=True),
+        f("keys_col", "string", desc="key column on the keys port "
+          "(defaults to key_col)"),
+        f("m_bits", "integer", default=1 << 20,
+          desc="filter positions; size >= ~10*n*k for ~1% FP"),
+        f("k", "integer", default=4, desc="hash functions"),
+        f("mode", "string", default="flag", enum=["flag", "drop", "keep"]),
+        f("out_col", "string", default="bloom_hit"),
+        f("salt", "string", default="bloom"),
+    ],
+    "cdc_apply": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("seq_col", "string", default="seq",
+          desc="per-key change order (LSN / binlog offset / commit ts)"),
+        f("op_col", "string", default="op"),
+        f("value_cols", "array", items={"type": "string"},
+          desc="full-row-image columns taken from the change; "
+               "defaults to non-key snapshot columns present in both"),
+        f("delete_ops", "array", items={"type": "string"},
+          desc="op codes meaning delete (default ['D']); every other "
+               "op upserts"),
+    ],
     "mad_outliers": [
         f("value_col", "string", required=True),
         f("group_cols", "array", items={"type": "string"}),

@@ -327,3 +327,81 @@ def test_markov_transitions_tiebreak_is_deterministic(spark):
         .collect()
     }
     assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def _cdc(spark, snap_rows, change_rows, **cfg):
+    snap = spark.createDataFrame(snap_rows, "k long, v string, extra double")
+    ch = spark.createDataFrame(change_rows, "k long, seq long, op string, v string")
+    out = (
+        get_operator("cdc_apply")(key_cols=["k"], **cfg)
+        .apply({"snapshot": snap, "changes": ch})["out"]
+    )
+    assert out.columns == ["k", "v", "extra"]
+    return {r["k"]: (r["v"], r["extra"]) for r in out.collect()}
+
+
+def test_cdc_apply_upsert_delete_passthrough(spark):
+    out = _cdc(
+        spark,
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        [
+            (2, 10, "U", "B"),      # update existing
+            (3, 10, "D", None),     # delete existing
+            (4, 10, "I", "d"),      # brand-new key
+            (5, 10, "D", None),     # delete of a key we never had: no-op
+        ],
+    )
+    # 1 untouched; 2 updated (extra carries over); 3 gone; 4 new
+    # (extra NULL: the log carries no image for it)
+    assert out == {1: ("a", 1.0), 2: ("B", 2.0), 4: ("d", None)}
+
+
+def test_cdc_apply_last_writer_wins(spark):
+    out = _cdc(
+        spark,
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        [
+            (1, 1, "U", "x"), (1, 3, "U", "z"), (1, 2, "U", "y"),
+            (2, 1, "U", "x"), (2, 2, "D", None),  # delete is latest
+        ],
+    )
+    assert out == {1: ("z", 1.0)}
+
+
+def test_cdc_apply_delete_then_reinsert(spark):
+    # latest op is the insert: the delete at seq 1 is superseded
+    out = _cdc(spark, [(1, "a", 1.0)], [(1, 1, "D", None), (1, 2, "I", "re")])
+    assert out == {1: ("re", 1.0)}
+
+
+def test_cdc_apply_null_seq_sorts_last(spark):
+    # NULL sequence = lowest priority: the seq=1 update beats it
+    out = _cdc(spark, [(1, "a", 1.0)], [(1, None, "U", "nul"), (1, 1, "U", "one")])
+    assert out == {1: ("one", 1.0)}
+
+
+def test_cdc_apply_custom_delete_ops_and_validation(spark):
+    out = _cdc(
+        spark,
+        [(1, "a", 1.0)],
+        [(1, 1, "remove", None)],
+        delete_ops=["remove"],
+    )
+    assert out == {}
+    with pytest.raises(OperatorConfigError):
+        get_operator("cdc_apply")(key_cols=[])
+
+
+def test_cdc_apply_missing_value_col_raises(spark):
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    ch = spark.createDataFrame([(1, 1, "U")], "k long, seq long, op string")
+    with pytest.raises(OperatorConfigError, match="value_cols missing"):
+        get_operator("cdc_apply")(key_cols=["k"], value_cols=["v"]).apply(
+            {"snapshot": snap, "changes": ch}
+        )
+
+
+def test_cdc_apply_wrong_ports_raises(spark):
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(OperatorConfigError, match="ports"):
+        get_operator("cdc_apply")(key_cols=["k"]).apply({"in": snap})

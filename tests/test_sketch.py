@@ -188,3 +188,79 @@ def test_hll_streaming_windowed_distinct(spark, tmp_path):
     # by hour 1's events; 50 distinct is far under sketch capacity →
     # exact-mode estimate
     assert got[0] == 50
+
+
+# ---------------------------------------------------------------- bloom
+
+def _bloom(spark, big_keys, member_keys, **cfg):
+    big = spark.createDataFrame([(x,) for x in big_keys], "k string")
+    keys = spark.createDataFrame([(x,) for x in member_keys], "k string")
+    return get_operator("bloom_membership")(key_col="k", **cfg).apply(
+        {"in": big, "keys": keys}
+    )["out"]
+
+
+def test_bloom_no_false_negatives_and_flag(spark):
+    members = [f"m{i}" for i in range(50)]
+    out = {
+        r["k"]: r["bloom_hit"]
+        for r in _bloom(
+            spark, members + ["absent1", "absent2"], members, m_bits=1 << 16
+        ).collect()
+    }
+    # every true member hits — the Bloom no-false-negative guarantee
+    assert all(out[m] for m in members)
+    # at m=65536, k=4, n=50 the FP odds are ~1e-12: absents miss
+    assert not out["absent1"] and not out["absent2"]
+
+
+def test_bloom_drop_and_keep_partition_the_flag(spark):
+    members = [f"m{i}" for i in range(20)]
+    probe = members[:5] + [f"x{i}" for i in range(10)]
+    kept = {
+        r["k"] for r in _bloom(spark, probe, members, mode="keep",
+                               m_bits=1 << 16).collect()
+    }
+    dropped = {
+        r["k"] for r in _bloom(spark, probe, members, mode="drop",
+                               m_bits=1 << 16).collect()
+    }
+    assert kept | dropped == set(probe) and not (kept & dropped)
+    assert set(members[:5]) <= kept  # no false negatives
+    # drop-mode survivors are PROVABLY absent from the member set
+    assert not (dropped & set(members))
+
+
+def test_bloom_null_keys_membership_semantics(spark):
+    out = {
+        r["k"]: r["bloom_hit"]
+        for r in _bloom(spark, [None, "a"], [None], m_bits=1 << 16).collect()
+    }
+    assert out[None] is True  # NULL probe hits: the set held a NULL
+    assert out["a"] is False
+
+
+def test_bloom_saturation_all_hit(spark):
+    # m_bits=2 with 10 keys saturates both positions: everything hits
+    out = _bloom(
+        spark, ["q1", "q2"], [f"z{i}" for i in range(10)], m_bits=2, k=2
+    ).collect()
+    assert all(r["bloom_hit"] for r in out)
+
+
+def test_bloom_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("bloom_membership")(key_col="k", mode="nope")
+    with pytest.raises(OperatorConfigError):
+        get_operator("bloom_membership")(key_col="")
+
+
+def test_bloom_plan_broadcasts_never_shuffles_big(spark):
+    big = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    keys = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    out = get_operator("bloom_membership")(key_col="k", k=3).apply(
+        {"in": big, "keys": keys}
+    )["out"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
