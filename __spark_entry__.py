@@ -5509,6 +5509,63 @@ LEFT JOIN pos p2 ON p2.p = {h2d}
 
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key (functions/layout.py zvalue via
+    operators/layout.py zorder_key, range method): p_size and
+    p_retailprice each min-max normalized to a 2^16 grid, bucket bits
+    interleaved — the write-time clustering key behind the parquet
+    sink's zorder_by option, certified here as closed-form
+    deterministic arithmetic (ONE tiny min/max aggregate + shift/mask
+    codegen; the oracle unrolls the identical 16-bit interleave)."""
+    from etl_core_spark.operators.base import get_operator
+
+    part = _t(spark, sf_dir, "part")
+    out = get_operator("zorder_key")(
+        cols=["p_size", "p_retailprice"]
+    ).apply({"in": part})["out"]
+    return out.select("p_partkey", "zvalue")
+
+
+def _zorder_sql() -> str:
+    def spread(bucket: str, offset: int) -> str:
+        return " + ".join(
+            f"((({bucket} >> {b}) & 1) << {b * 2 + offset})"
+            for b in range(16)
+        )
+
+    def bucket(col: str, i: int) -> str:
+        lo, hi = f"mm.lo{i}", f"mm.hi{i}"
+        frac = (
+            f"CASE WHEN {hi} - {lo} > 0 THEN "
+            f"(CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo}) "
+            f"ELSE 0.0 END"
+        )
+        return (
+            f"coalesce(least(CAST(floor(({frac}) * 65536) AS BIGINT), "
+            f"65535), 0)"
+        )
+
+    return f"""
+WITH mm AS (
+  SELECT min(CAST(p_size AS DOUBLE)) AS lo0,
+         max(CAST(p_size AS DOUBLE)) AS hi0,
+         min(CAST(p_retailprice AS DOUBLE)) AS lo1,
+         max(CAST(p_retailprice AS DOUBLE)) AS hi1
+  FROM part
+), b AS (
+  SELECT p_partkey,
+         {bucket("p_size", 0)} AS b0,
+         {bucket("p_retailprice", 1)} AS b1
+  FROM part, mm
+)
+SELECT p_partkey, {spread("b0", 0)} + {spread("b1", 1)} AS zvalue
+FROM b
+"""
+
+
+_SQL_ZORDER_KEY = _zorder_sql()
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outliers by modified z-score (operators/
     timeseries.py mad_outliers, Iglewicz-Hoaglin 0.6745*(x-med)/MAD):
@@ -7285,7 +7342,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # take_tokens_per_group, text_roundtrip, binary_ingest, pca_project.
 _R10_WINDOW = [
     # never driver-checked (new this round)
-    "cdc_apply", "bloom_decontaminate",
+    "cdc_apply", "bloom_decontaminate", "zorder_key",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7304,7 +7361,6 @@ _R10_WINDOW = [
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    "asof_join",
 ]
 
 
@@ -7454,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "cdc_apply": q_cdc_apply,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "zorder_key": q_zorder_key,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
@@ -7632,6 +7689,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge": _SQL_SCD2_MERGE,
         "cdc_apply": _SQL_CDC_APPLY,
         "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
+        "zorder_key": _SQL_ZORDER_KEY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,

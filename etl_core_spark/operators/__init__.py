@@ -34,6 +34,7 @@ from etl_core_spark.operators import (  # noqa: F401
     selection,
     bpe,
     substring,
+    layout,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

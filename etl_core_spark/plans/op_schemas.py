@@ -679,6 +679,18 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("out_col", "string", default="bloom_hit"),
         f("salt", "string", default="bloom"),
     ],
+    "zorder_key": [
+        f("cols", "array", required=True, items={"type": "string"},
+          desc="1-4 layout columns whose bucket bits interleave"),
+        f("method", "string", default="range",
+          enum=["range", "quantile"],
+          desc="range = min-max grid (deterministic); quantile = "
+               "approx-CDF buckets for skewed dimensions"),
+        f("out_col", "string", default="zvalue"),
+        f("partitions", "integer",
+          desc="when set: range-partition + sort on the z-value "
+               "(the clustered-write layout)"),
+    ],
     "cdc_apply": [
         f("key_cols", "array", required=True, items={"type": "string"}),
         f("seq_col", "string", default="seq",

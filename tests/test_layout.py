@@ -523,3 +523,53 @@ def test_certification_doc_is_fresh():
     assert after == before, (
         "docs/CERTIFICATION.md is stale — rerun scripts/gen_certification.py"
     )
+
+
+# ------------------------------------------------- zorder_key operator
+
+def test_zorder_key_operator_matches_zvalue_function(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 5.0), (3, 20.0, 9.0)],
+        "id long, x double, y double",
+    )
+    got = {
+        r["id"]: r["zvalue"]
+        for r in get_operator("zorder_key")(cols=["x", "y"])
+        .apply({"in": df})["out"]
+        .collect()
+    }
+    want = {
+        r["id"]: r["__z"] for r in zvalue(df, ["x", "y"]).collect()
+    }
+    assert got == want
+
+
+def test_zorder_key_partitions_range_clusters(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    out = get_operator("zorder_key")(cols=["x", "y"], partitions=8).apply(
+        {"in": df}
+    )["out"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # within every partition the z-values are sorted (the clustered
+    # layout the parquet writer needs for tight zone maps)
+    parts = out.select("zvalue").rdd.glom().collect()
+    for p in parts:
+        vals = [r["zvalue"] for r in p]
+        assert vals == sorted(vals)
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("zorder_key")(cols=[])
+    with pytest.raises(OperatorConfigError):
+        get_operator("zorder_key")(cols=["a", "b", "c", "d", "e"])
+    with pytest.raises(OperatorConfigError):
+        get_operator("zorder_key")(cols=["x"], method="sorted")
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(OperatorConfigError, match="not found"):
+        get_operator("zorder_key")(cols=["nope"]).apply({"in": df})
