@@ -5830,6 +5830,104 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality certification for the stateful
+    streaming sessionizer (streaming/stream.py sessionize,
+    applyInPandasWithState + EventTimeTimeout): a REAL availableNow
+    file-stream over the events table plus one far-future SENTINEL
+    row (user_id −1, year-2100 constant). The watermark is computed
+    from ALL data the batch saw, so after the single data
+    micro-batch it sits decades past the last real event and the
+    trailing no-data batch fires every real session's event-time
+    timer — in-batch
+    gaps close mid-sessions, timers close each user's final session:
+    EVERY real session emits deterministically in TWO micro-batches
+    (the cheapest certification shape). The emitted sessions must
+    then equal the full batch
+    gaps-and-islands answer, which is the DuckDB oracle. Event times
+    truncate to whole seconds in the state function (int64
+    ns // 1e9), mirrored by floor(epoch(ts)) in the SQL."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from etl_core_spark.streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stream_sess_", dir=shm)
+    try:
+        src = os.path.join(work, "src")
+        # constant far-future sentinel (data is 2024-vintage): no
+        # max(ts) pre-scan needed, and the parallel multi-file stage
+        # write is safe because with maxFilesPerTrigger unset the
+        # FileStreamSource takes every file in ONE data micro-batch
+        sentinel = datetime.datetime(2100, 1, 1)
+        ev.unionByName(
+            spark.createDataFrame([(-1, sentinel)], ev.schema)
+        ).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out_dir = os.path.join(work, "out")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                sessionize(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        got = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+        rows = got.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp_ntz, "
+        "session_end timestamp_ntz, n_events long",
+    )
+
+
+_SQL_STREAMING_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), g AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                   OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                      > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), isl AS (
+  SELECT user_id, s,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       make_timestamp(min(s) * 1000000) AS session_start,
+       make_timestamp(max(s) * 1000000) AS session_end,
+       count(*) AS n_events
+FROM isl GROUP BY user_id, sid
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/selection.py dsir_weights,
     Xie et al. 2023): hashed unigram+bigram bucket features, target
@@ -7343,6 +7441,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
+    "streaming_sessionize",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7360,7 +7459,7 @@ _R10_WINDOW = [
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
-    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
+    "token_frequency", "winnow_fingerprint",
 ]
 
 
@@ -7511,6 +7610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "bloom_decontaminate": q_bloom_decontaminate,
         "zorder_key": q_zorder_key,
+        "streaming_sessionize": q_streaming_sessionize,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
@@ -7690,6 +7790,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply": _SQL_CDC_APPLY,
         "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
         "zorder_key": _SQL_ZORDER_KEY,
+        "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,
