@@ -5566,6 +5566,44 @@ FROM b
 _SQL_ZORDER_KEY = _zorder_sql()
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/timeseries.py winsorize):
+    event values clipped to the exact interpolated [p5, p95] of
+    their event_type — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation bit-for-bit (the
+    q_percentiles precedent); NULL/NaN pass through; 6dp floor
+    quantization. One percentile aggregate + one keyed join-back +
+    a narrow clip."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("winsorize")(
+        value_col="value", group_cols=["event_type"],
+        lower=0.05, upper=0.95,
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "event_type", "value_w")
+
+
+_SQL_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(CASE WHEN NOT isnan(CAST(value AS DOUBLE))
+                            THEN CAST(value AS DOUBLE) END, 0.05) AS lo,
+         quantile_cont(CASE WHEN NOT isnan(CAST(value AS DOUBLE))
+                            THEN CAST(value AS DOUBLE) END, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL OR isnan(CAST(e.value AS DOUBLE))
+                 THEN CAST(e.value AS DOUBLE)
+            WHEN b.lo IS NULL THEN CAST(e.value AS DOUBLE)
+            ELSE floor(least(greatest(CAST(e.value AS DOUBLE), b.lo),
+                             b.hi) * 1000000.0) / 1000000.0
+       END AS value_w
+FROM events e LEFT JOIN b ON e.event_type = b.event_type
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outliers by modified z-score (operators/
     timeseries.py mad_outliers, Iglewicz-Hoaglin 0.6745*(x-med)/MAD):
@@ -7153,6 +7191,63 @@ def _sql_label_propagation_ctes(n_iter: int) -> str:
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py k_core, Seidman
+    1983): 3-core of the part-supplier bipartite graph by 4 peel
+    rounds. The peel is monotone, so the operator's early fixpoint
+    exit can never disagree with the oracle's literal 4-round
+    unroll; returned degrees are within-core degrees, all-integer —
+    bit-exact."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 2)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("k_core")(k=3, max_rounds=4).apply(
+        {"in": edges}
+    )["out"]
+
+
+def _sql_k_core(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peel oracle: degrees over the surviving edges, keep
+    nodes >= k, restrict edges to kept x kept, repeat."""
+    parts = ["""
+WITH e0 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t
+    FROM lineitem
+    WHERE l_orderkey % 4 = 2
+      AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    UNION ALL
+    SELECT l_suppkey * 2 + 1, l_partkey * 2
+    FROM lineitem
+    WHERE l_orderkey % 4 = 2
+      AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  )
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", d{r} AS (
+  SELECT s, count(*) AS deg FROM e{r - 1} GROUP BY s
+), k{r} AS (
+  SELECT s, deg FROM d{r} WHERE deg >= {k}
+)""")
+        if r < rounds:
+            parts.append(f""", e{r} AS (
+  SELECT e.s, e.t FROM e{r - 1} e
+  JOIN k{r} a ON e.s = a.s
+  JOIN k{r} b ON e.t = b.s
+)""")
+    parts.append(f"""
+SELECT s AS node, CAST(deg AS BIGINT) AS degree FROM k{rounds}
+""")
+    return "".join(parts)
+
+
+_SQL_K_CORE = _sql_k_core()
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity (operators/graph.py modularity) of the
     certified-shape LPA assignment (2 rounds here — plan depth is
@@ -7441,7 +7536,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
-    "streaming_sessionize",
+    "streaming_sessionize", "winsorize", "k_core",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7459,7 +7554,6 @@ _R10_WINDOW = [
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
-    "token_frequency", "winnow_fingerprint",
 ]
 
 
@@ -7611,6 +7705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "zorder_key": q_zorder_key,
         "streaming_sessionize": q_streaming_sessionize,
+        "winsorize": q_winsorize,
+        "k_core": q_k_core,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
@@ -7791,6 +7887,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
         "zorder_key": _SQL_ZORDER_KEY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
+        "winsorize": _SQL_WINSORIZE,
+        "k_core": _SQL_K_CORE,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,

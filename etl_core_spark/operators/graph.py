@@ -1025,3 +1025,94 @@ class ModularityOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983):
+    repeatedly delete nodes of degree < ``k`` until none remain —
+    the surviving subgraph is the k-core, the standard density
+    filter (spam-farm detection, community pre-pruning, keeping only
+    well-embedded nodes of a link graph before trust propagation).
+    Returns ``(node, degree)`` of the survivors; ``degree`` is the
+    node's within-subgraph degree at the round it last qualified (at
+    fixpoint: its k-core degree). Undirected: the edge list is
+    symmetrized and deduplicated first (``_normalized_edges`` —
+    NULL endpoints drop; a self-loop counts once toward degree).
+
+    The peel is MONOTONE (each round's survivor set contains the
+    next round's), so once a round removes nobody the result is the
+    true fixpoint for every later round — which makes a
+    ``max_rounds``-truncated run a pure function of the graph: the
+    certified row unrolls the identical rounds in SQL, and the early
+    fixpoint exit can never disagree with the longer unroll.
+
+    Scale shape: per round ONE map-side-combinable degree aggregate
+    + two semi-joins restricting the edge relation (all AQE-sized
+    keyed joins, nothing driver-sized), and exactly ONE action — the
+    survivor table is lazily localCheckpoint-ed and the fixpoint
+    probe's count() materializes it (the bfs_distances fold).
+    State is O(alive edges), monotonically shrinking.
+    """
+    if int(k) < 1:
+        raise OperatorConfigError("k_core requires k >= 1")
+    if int(max_rounds) < 1:
+        raise OperatorConfigError("k_core requires max_rounds >= 1")
+    from etl_core_spark.session import (
+        persist_intermediate,
+        track_local_checkpoint,
+    )
+
+    e = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True)
+    )
+    alive = e
+    keep = None
+    prev_n = None
+    for _ in range(int(max_rounds)):
+        deg = alive.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= int(k)).localCheckpoint(
+            eager=False
+        )
+        track_local_checkpoint(keep)
+        n = keep.count()
+        if n == 0 or n == prev_n:
+            break
+        prev_n = n
+        alive = alive.join(
+            keep.select("__s"), on="__s", how="left_semi"
+        ).join(
+            keep.select(F.col("__s").alias("__t")), on="__t", how="left_semi"
+        )
+    return keep.select(
+        F.col("__s").alias("node"), F.col("__deg").cast("long").alias("degree")
+    )
+
+
+@register_operator("k_core")
+class KCoreOperator(Operator):
+    """Config: ``k`` (required); ``src``, ``dst``, ``max_rounds``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if int(self.config.get("k", 0)) < 1:
+            raise OperatorConfigError("k_core requires k >= 1")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": k_core(
+                self.single_input(inputs),
+                int(c["k"]),
+                c.get("src", "src"),
+                c.get("dst", "dst"),
+                int(c.get("max_rounds", 20)),
+            )
+        }

@@ -1045,3 +1045,101 @@ class EwmaOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+    quantize: int = 6,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its per-group exact
+    [``lower``, ``upper``] interpolated percentile bounds — the
+    robust-scaling step before aggregates a heavy tail would wreck
+    (means, z-scores, regression features). Complements mad_outliers
+    (which FLAGS) and zscore (which SCORES): winsorize REPAIRS, so
+    downstream stays dense.
+
+    Pins: percentile bounds use the linear-interpolation definition
+    shared bit-for-bit by Spark ``percentile`` and DuckDB
+    ``quantile_cont`` (the q_percentiles precedent); NULL values stay
+    NULL; NaN values pass through unclipped (they have no place on a
+    quantile scale); a group whose bounds are NULL (all-NULL values)
+    passes its rows through; the output is floor-quantized to
+    ``quantize`` dp (engine-rendering hygiene). Row-preserving.
+
+    Scale shape: ONE map-side-combinable percentile aggregate per
+    group + ONE keyed join-back (AQE-sized; broadcast one-row
+    crossJoin when ungrouped) + a narrow clip projection. Exact
+    percentile sorts value-lists per group inside the aggregate —
+    the approx_quantiles sketch is the looser/cheaper alternative at
+    extreme group cardinality.
+    """
+    if not value_col:
+        raise OperatorConfigError("winsorize requires value_col")
+    if not 0.0 <= float(lower) < float(upper) <= 1.0:
+        raise OperatorConfigError(
+            "winsorize needs 0 <= lower < upper <= 1"
+        )
+    g = list(group_cols or [])
+    oc = out_col or f"{value_col}_w"
+    q = float(10 ** int(quantize))
+    xd = F.col(value_col).cast("double")
+    clean = F.when(~F.isnan(xd), xd)
+    # percentile must see NaN-free input (NaN sorts above +inf and
+    # would drag the upper bound); build bounds from the cleaned col
+    bounds = df.select(*g, clean.alias("__v")).groupBy(*g).agg(
+        F.percentile(F.col("__v"), F.lit(float(lower))).alias("__lo"),
+        F.percentile(F.col("__v"), F.lit(float(upper))).alias("__hi"),
+    )
+    if g:
+        joined = df.join(bounds, on=g, how="left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    clipped = (
+        F.when(xd.isNull() | F.isnan(xd), xd)
+        .when(F.col("__lo").isNull(), xd)
+        .otherwise(F.least(F.greatest(xd, F.col("__lo")), F.col("__hi")))
+    )
+    out = F.when(
+        clipped.isNotNull() & ~F.isnan(clipped),
+        F.floor(clipped * q) / q,
+    ).otherwise(clipped)
+    return joined.withColumn(oc, out).drop("__lo", "__hi")
+
+
+@register_operator("winsorize")
+class WinsorizeOperator(Operator):
+    """Config: ``value_col`` (required); ``group_cols``, ``lower``,
+    ``upper``, ``out_col`` (default ``<value_col>_w``),
+    ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("winsorize requires 'value_col'")
+        lo = float(self.config.get("lower", 0.01))
+        hi = float(self.config.get("upper", 0.99))
+        if not 0.0 <= lo < hi <= 1.0:
+            raise OperatorConfigError(
+                "winsorize needs 0 <= lower < upper <= 1"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": winsorize(
+                self.single_input(inputs),
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                float(c.get("lower", 0.01)),
+                float(c.get("upper", 0.99)),
+                c.get("out_col"),
+                int(c.get("quantize", 6)),
+            )
+        }

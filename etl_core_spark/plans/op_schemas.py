@@ -703,6 +703,22 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="op codes meaning delete (default ['D']); every other "
                "op upserts"),
     ],
+    "k_core": [
+        f("k", "integer", required=True, desc="minimum degree"),
+        f("src", "string", default="src"),
+        f("dst", "string", default="dst"),
+        f("max_rounds", "integer", default=20,
+          desc="peel-round budget; the peel is monotone, so a "
+               "truncated run is still a pure function of the graph"),
+    ],
+    "winsorize": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("lower", "number", default=0.01),
+        f("upper", "number", default=0.99),
+        f("out_col", "string", desc="default <value_col>_w"),
+        f("quantize", "integer", default=6),
+    ],
     "mad_outliers": [
         f("value_col", "string", required=True),
         f("group_cols", "array", items={"type": "string"}),

@@ -176,6 +176,12 @@ def families(docs, spark):
     fams["bfs_distances"] = lambda: bfs_distances(
         graph, seeds, max_hops=3
     )
+    # r10 session 2: k-core peel on the same graph — per round one
+    # degree aggregate + two semi-joins over a monotonically
+    # shrinking edge set; 3 rounds pinned
+    from etl_core_spark.operators.graph import k_core
+
+    fams["k_core"] = lambda: k_core(graph, k=2, max_rounds=3)
     # r9 selection family: DSIR importance weights (two bounded
     # bucket aggregates + a broadcast B-row ratio join — the token
     # stream is the only corpus-sized relation) against a FIXED-size
@@ -204,6 +210,36 @@ def families(docs, spark):
     fams["containment_pairs"] = lambda: containment_pairs(
         docs, "text", "doc_id", threshold=0.3, max_shingle_freq=100
     )
+    # r10 session 2: CDC apply (FIXED-size change batch against the
+    # scaling snapshot — one batch-side window + ONE keyed full-outer
+    # join), Bloom membership (the corpus side NEVER shuffles: k
+    # broadcast position joins against a bounded bit table), and the
+    # z-order layout key (one min/max aggregate + a narrow shift/mask
+    # codegen projection). All three must be per-row flat.
+    from etl_core_spark.operators.compare import cdc_apply
+    from etl_core_spark.operators.layout import zorder_key
+    from etl_core_spark.operators.sketch import bloom_membership
+
+    snap = docs.select("doc_id", "lang", "n_chars")
+    chg = docs.orderBy("doc_id").limit(500).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("seq"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    fams["cdc_apply"] = lambda: cdc_apply(snap, chg, ["doc_id"])
+    fams["bloom_membership"] = lambda: bloom_membership(
+        docs, bench, key_col="text", m_bits=1 << 20, k=4
+    )
+    layout_in = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(1000)).cast("double").alias("y"),
+    )
+    fams["zorder_key"] = lambda: zorder_key(layout_in, ["x", "y"])
     return fams
 
 

@@ -716,3 +716,39 @@ def test_parquet_selection_to_training(spark, tmp_path, tables):
     assert set(verify_export(spark, export_dir).values()) == {"ok"}
     # per-component metrics flow through the runner
     assert result.metrics["select"]["lines_forwarded"] == 60
+
+
+def test_parquet_cdc_zorder_compact(spark, tmp_path):
+    """Lakehouse maintenance chain: apply the CDC feed to the
+    snapshot, then re-cluster the merged table on the z-order key
+    before the write."""
+
+    def inputs(d):
+        snap = spark.createDataFrame(
+            [(i, f"v{i}", float(i % 10), float(i % 7)) for i in range(40)],
+            "k long, v string, x double, y double",
+        )
+        snap.coalesce(1).write.parquet(str(d / "snapshot.parquet"))
+        ch = spark.createDataFrame(
+            [
+                (1, 1, "U", "upd", 99.0, 0.0),
+                (2, 1, "D", None, None, None),
+                (100, 1, "I", "new", 5.0, 5.0),
+            ],
+            "k long, seq long, op string, v string, x double, y double",
+        )
+        ch.coalesce(1).write.parquet(str(d / "changes.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_cdc_zorder_compact.json", inputs
+    )
+    table = spark.read.parquet(str(out / "table"))
+    got = {r["k"]: (r["v"], r["x"]) for r in table.collect()}
+    assert len(got) == 40  # 40 - 1 delete + 1 insert
+    assert 2 not in got
+    assert got[1] == ("upd", 99.0)
+    assert got[100] == ("new", 5.0)
+    assert "zvalue" in table.columns
+    # component metrics flowed for every stage (the runner-deadlock
+    # regression class: every observed component must complete)
+    assert result.status == "SUCCESS"

@@ -628,3 +628,38 @@ def test_modularity_policies(spark):
         {"in": edges, "assignment": assign}
     )["out"]
     assert out.count() == 2
+
+
+# ------------------------------------------------------------- k_core
+
+def _kcore(spark, edges, k, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = get_operator("k_core")(k=k, **kw).apply({"in": df})["out"]
+    return {r["node"]: r["degree"] for r in out.collect()}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    # triangle {1,2,3} + pendant 4-1 + chain 5-6
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6)]
+    # 2-core: the triangle; node 1's degree drops 3 -> 2 after the
+    # pendant peels (the returned degree is the WITHIN-CORE degree)
+    assert _kcore(spark, edges, 2) == {1: 2, 2: 2, 3: 2}
+    # 3-core: empty (node 1 alone survives round 1, then starves)
+    assert _kcore(spark, edges, 3) == {}
+
+
+def test_k_core_truncated_rounds_are_deterministic(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6)]
+    # one peel round only: survivors still carry their ROUND-1 degree
+    assert _kcore(spark, edges, 2, max_rounds=1) == {1: 3, 2: 2, 3: 2}
+
+
+def test_k_core_1_keeps_every_connected_node(spark):
+    edges = [(1, 2), (3, 3), (4, None)]
+    # self-loop counts once; NULL endpoint drops the edge entirely
+    assert _kcore(spark, edges, 1) == {1: 1, 2: 1, 3: 1}
+
+
+def test_k_core_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("k_core")(k=0)

@@ -283,3 +283,61 @@ def test_ewma_recursion_and_null_policy(spark):
         ewma(df, [], ["seq"], "value")
     with _pytest.raises(OperatorConfigError):
         ewma(df, ["k"], ["seq"], "value", alpha=0.0)
+
+
+# ----------------------------------------------------------- winsorize
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    rows = [(1, float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "g long, v double")
+    out = {
+        r["v"]: r["v_w"]
+        for r in get_operator("winsorize")(
+            value_col="v", lower=0.05, upper=0.95
+        ).apply({"in": df})["out"].collect()
+    }
+    # interpolated p5 of 1..100 = 5.95, p95 = 95.05
+    assert out[1.0] == 5.95 and out[3.0] == 5.95
+    assert out[100.0] == 95.05 and out[99.0] == 95.05
+    assert out[50.0] == 50.0  # interior values untouched
+
+
+def test_winsorize_per_group_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0), ("b", None)],
+        "g string, v double",
+    )
+    out = [
+        (r["g"], r["v"], r["v_w"])
+        for r in get_operator("winsorize")(
+            value_col="v", group_cols=["g"], lower=0.0, upper=0.5
+        ).apply({"in": df})["out"].collect()
+    ]
+    by = {(g, v): w for g, v, w in out}
+    assert by[("a", 100.0)] == 2.0  # clipped to group-a median
+    assert by[("b", 5.0)] == 5.0    # group-b median is itself
+    assert by[("b", None)] is None  # NULL passes through
+    assert len(out) == 5            # row-preserving
+
+
+def test_winsorize_nan_passthrough_and_all_null_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("n", None)],
+        "g string, v double",
+    )
+    out = {
+        (r["g"], str(r["v"])): r["v_w"]
+        for r in get_operator("winsorize")(
+            value_col="v", group_cols=["g"]
+        ).apply({"in": df})["out"].collect()
+    }
+    import math
+    assert math.isnan(out[("a", "nan")])   # NaN unclipped
+    assert out[("n", "None")] is None      # all-NULL group passes rows
+
+
+def test_winsorize_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("winsorize")(value_col="")
+    with pytest.raises(OperatorConfigError):
+        get_operator("winsorize")(value_col="v", lower=0.9, upper=0.1)
