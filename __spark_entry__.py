@@ -2298,6 +2298,80 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality for the built-in windowed aggregate
+    (streaming/stream.py windowed_aggregate): the events table runs
+    as a REAL availableNow stream in APPEND mode — a window row only
+    emits once the watermark passes its end, so a year-2100 sentinel
+    event (dropped from the result) pushes the watermark beyond
+    every real 2024 window and the emitted set must equal the batch
+    hourly rollup, which is the events_hourly DuckDB oracle
+    verbatim. Completes the streaming certification trio: custom
+    MG state (streaming_topk), stateful timers
+    (streaming_sessionize), and the built-in windowed aggregate
+    (this row)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from etl_core_spark.streaming import windowed_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stream_hourly_", dir=shm)
+    try:
+        src = os.path.join(work, "src")
+        sentinel = datetime.datetime(2100, 1, 1)
+        ev.unionByName(
+            spark.createDataFrame(
+                [(sentinel, "__SENTINEL__", 0.0)], ev.schema
+            )
+        ).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = windowed_aggregate(
+            stream, ts_col="ts", window_duration="1 hour",
+            aggs=[("value", "sum", "sum_value"), ("*", "count", "n_events")],
+            group_by=["event_type"],
+        ).select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            F.round("sum_value", 6).alias("sum_value"),
+            "n_events",
+        )
+        out_dir = os.path.join(work, "out")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rows = (
+            spark.read.parquet(out_dir)
+            .where(F.col("event_type") != "__SENTINEL__")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "hour_start string, event_type string, sum_value double, "
+        "n_events long",
+    )
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h window, 30 min slide): every
     event lands in two overlapping windows."""
@@ -7537,6 +7611,7 @@ _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
+    "streaming_hourly",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7553,7 +7628,7 @@ _R10_WINDOW = [
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
-    "quality_filter", "sessionize", "simhash", "text_metrics",
+    "quality_filter", "sessionize", "simhash",
 ]
 
 
@@ -7707,6 +7782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "winsorize": q_winsorize,
         "k_core": q_k_core,
+        "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
@@ -7889,6 +7965,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "winsorize": _SQL_WINSORIZE,
         "k_core": _SQL_K_CORE,
+        "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,
