@@ -3570,6 +3570,81 @@ QUALIFY rank <= 5
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py mmr_rerank,
+    Carbonell & Goldstein 1998): 8 queries fetch a 50-candidate
+    brute-force shortlist, then 5 greedy picks trade 6dp-rounded
+    cosine relevance against max similarity to the already-picked
+    set (λ=0.5, ties by id asc). The oracle unrolls the identical
+    greedy trajectory step by step in SQL."""
+    from etl_core_spark.operators.base import get_operator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = get_operator("mmr_rerank")(
+        k=5, fetch_n=50, lambda_=0.5
+    ).apply({"in": emb, "queries": queries})["out"]
+    return out.select(
+        "query_id", "vec_id", "cosine", "mmr_score", "rank"
+    )
+
+
+def _sql_mmr_rerank(k: int = 5, fetch_n: int = 50) -> str:
+    """Unrolled greedy MMR oracle: per step one windowed argmax over
+    the live candidates + one state update folding the new winner
+    into every candidate's max-similarity."""
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), cand0 AS (
+  SELECT qid, e.vec_id AS cid, e.embedding::DOUBLE[] AS cv,
+         round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6)
+           AS rel,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(list_cosine_similarity(qv,
+                          e.embedding::DOUBLE[]), 6) DESC,
+                    e.vec_id ASC) AS rn
+  FROM q CROSS JOIN embeddings e
+), st0 AS (
+  SELECT qid, cid, cv, rel, 0.0 AS ms, FALSE AS sel
+  FROM cand0 WHERE rn <= {fetch_n}
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f""", w{r} AS (
+  SELECT qid, cid AS wcid, cv AS wv, rel AS wrel,
+         0.5 * rel - 0.5 * ms AS wscore
+  FROM (
+    SELECT st.*, row_number() OVER (
+      PARTITION BY qid
+      ORDER BY (0.5 * rel - 0.5 * ms) DESC, cid ASC) AS rn
+    FROM st{r - 1} st WHERE NOT sel)
+  WHERE rn = 1
+)""")
+        if r < k:
+            parts.append(f""", st{r} AS (
+  SELECT s.qid, s.cid, s.cv, s.rel,
+         CASE WHEN w.wcid IS NULL OR s.cid = w.wcid THEN s.ms
+              ELSE greatest(s.ms,
+                   round(list_cosine_similarity(s.cv, w.wv), 6)) END AS ms,
+         (s.sel OR (w.wcid IS NOT NULL AND s.cid = w.wcid)) AS sel
+  FROM st{r - 1} s LEFT JOIN w{r} w ON s.qid = w.qid
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, wcid AS vec_id, wrel AS cosine, "
+        f"wscore AS mmr_score, CAST({r} AS BIGINT) AS rank FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel + "\n")
+    return "".join(parts)
+
+
+_SQL_MMR_RERANK = _sql_mmr_rerank()
+
+
 def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/numpy BLAS ANN kernel (operators/similarity.py
     brute_force_topk_numpy) under the SAME oracle as the JVM
@@ -7611,7 +7686,7 @@ _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
-    "streaming_hourly",
+    "streaming_hourly", "mmr_rerank",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7628,7 +7703,7 @@ _R10_WINDOW = [
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
-    "quality_filter", "sessionize", "simhash",
+    "quality_filter", "sessionize",
 ]
 
 
@@ -7782,6 +7857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "winsorize": q_winsorize,
         "k_core": q_k_core,
+        "mmr_rerank": q_mmr_rerank,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -7965,6 +8041,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "winsorize": _SQL_WINSORIZE,
         "k_core": _SQL_K_CORE,
+        "mmr_rerank": _SQL_MMR_RERANK,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

@@ -703,6 +703,19 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="op codes meaning delete (default ['D']); every other "
                "op upserts"),
     ],
+    "mmr_rerank": [
+        f("k", "integer", default=5, desc="picks per query"),
+        f("fetch_n", "integer", default=50,
+          desc="ANN shortlist size the greedy pass runs over"),
+        f("lambda_", "number", default=0.5,
+          desc="relevance weight: 1 = pure relevance, 0 = pure "
+               "diversity"),
+        f("vec_col", "string", default="embedding"),
+        f("id_col", "string", default="vec_id"),
+        f("query_id_col", "string", default="query_id"),
+        f("broadcast_corpus", "boolean",
+          desc="force/deny broadcasting the corpus in stage 1"),
+    ],
     "k_core": [
         f("k", "integer", required=True, desc="minimum degree"),
         f("src", "string", default="src"),

@@ -5,7 +5,7 @@ cell; query batches probe only their cells' partition directories."""
 import pytest
 from pyspark.sql import functions as F
 
-from etl_core_spark.operators.base import OperatorConfigError
+from etl_core_spark.operators.base import OperatorConfigError, get_operator
 from etl_core_spark.operators.similarity import (
     ivf_index_topk,
     ivf_index_update,
@@ -97,3 +97,107 @@ def test_ivf_index_probe_is_partition_pruned(spark, tables, tmp_path):
     assert filters and re.search(r"__cid#\d+L? (= \d+|IN \(\d+\))", filters[0]), (
         filters, plan[:1500],
     )
+
+
+# ---------------------------------------------------------------- MMR
+
+def _py_mmr(corpus, queries, k, fetch_n, lam):
+    """Pure-Python replay of the pinned MMR arithmetic: 6dp-rounded
+    unit-vector cosines, lambda math on the rounded doubles, ties by
+    candidate id ascending."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    def cos(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return round(s, 6)
+
+    out = []
+    for qid, qv in queries:
+        qu = unit(qv)
+        scored = sorted(
+            ((cos(qu, unit(cv)), cid, unit(cv)) for cid, cv in corpus),
+            key=lambda t: (-t[0], t[1]),
+        )[:fetch_n]
+        state = [
+            {"cid": cid, "rel": rel, "cv": cv, "ms": 0.0, "sel": False}
+            for rel, cid, cv in scored
+        ]
+        for rank in range(1, k + 1):
+            live = [s for s in state if not s["sel"]]
+            if not live:
+                break
+            win = min(
+                live,
+                key=lambda s: (-(lam * s["rel"] - (1 - lam) * s["ms"]),
+                               s["cid"]),
+            )
+            out.append(
+                (qid, win["cid"],
+                 lam * win["rel"] - (1 - lam) * win["ms"], rank)
+            )
+            win["sel"] = True
+            for s in state:
+                if not s["sel"]:
+                    s["ms"] = max(s["ms"], cos(s["cv"], win["cv"]))
+    return sorted(out)
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    queries = [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+               for i in range(3)]
+    cdf = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in queries],
+        "query_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["mmr_score"], r["rank"])
+        for r in get_operator("mmr_rerank")(k=5, fetch_n=20)
+        .apply({"in": cdf, "queries": qdf})["out"]
+        .collect()
+    )
+    want = _py_mmr(corpus, queries, k=5, fetch_n=20, lam=0.5)
+    assert [(g[0], g[1], g[3]) for g in got] == [
+        (w[0], w[1], w[3]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-9
+
+
+def test_mmr_lambda_extremes(spark):
+    # lambda=1: pure relevance — MMR must equal brute-force top-k order
+    cdf = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.2])], "query_id long, embedding array<double>"
+    )
+    mmr = get_operator("mmr_rerank")(k=4, fetch_n=10, lambda_=1.0).apply(
+        {"in": cdf, "queries": qdf}
+    )["out"]
+    from etl_core_spark.operators.similarity import brute_force_topk
+
+    top = brute_force_topk(cdf, qdf, k=4)
+    assert [r["vec_id"] for r in mmr.orderBy("rank").collect()] == [
+        r["vec_id"] for r in top.orderBy("rank").collect()
+    ]
+
+
+def test_mmr_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("mmr_rerank")(lambda_=1.5)
+    with pytest.raises(OperatorConfigError):
+        get_operator("mmr_rerank")(k=10, fetch_n=5)
