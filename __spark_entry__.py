@@ -4234,6 +4234,33 @@ QUALIFY rank <= 5
 """
 
 
+def q_hll_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode certification of the HLL sketch aggregate
+    (operators/sketch.py hll_distinct): per-user distinct event
+    types. DataSketches HLL stays in coupon-list EXACT mode far
+    below sketch capacity, and per-user event-type NDV is single
+    digits — so the estimate IS the exact distinct count and the
+    sketch aggregate hash-matches count(DISTINCT). The full-corpus
+    hll_distinct row keeps its rows-only estimate contract; this row
+    certifies the same aggregate's algebra where exactness is
+    provable."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("hll_distinct")(
+        group_cols=["user_id"], value_col="event_type"
+    ).apply({"in": ev})["out"]
+    return out.select(
+        "user_id", F.col("est_ndv").cast("long").alias("est_ndv")
+    )
+
+
+_SQL_HLL_DISTINCT_EXACT = """
+SELECT user_id, count(DISTINCT event_type) AS est_ndv
+FROM events GROUP BY user_id
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch NDV (operators/sketch.py): per-event-type
     approximate distinct users via DataSketches HLL. Approximate BY
@@ -7686,7 +7713,7 @@ _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
-    "streaming_hourly", "mmr_rerank",
+    "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7703,7 +7730,7 @@ _R10_WINDOW = [
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
-    "quality_filter", "sessionize",
+    "quality_filter",
 ]
 
 
@@ -7858,6 +7885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "k_core": q_k_core,
         "mmr_rerank": q_mmr_rerank,
+        "hll_distinct_exact": q_hll_distinct_exact,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8042,6 +8070,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _SQL_WINSORIZE,
         "k_core": _SQL_K_CORE,
         "mmr_rerank": _SQL_MMR_RERANK,
+        "hll_distinct_exact": _SQL_HLL_DISTINCT_EXACT,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

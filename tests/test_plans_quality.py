@@ -512,3 +512,75 @@ def test_substring_and_containment_have_no_pair_cartesian(spark, tables):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_apply_single_join_no_bnlj(spark, tables):
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.compare import cdc_apply
+
+    orders = tables["orders"]
+    changes = orders.limit(100).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    plan = plan_of(cdc_apply(orders, changes, ["o_orderkey"]))
+    # the null-safe key equality must compile to ONE hash-joinable
+    # full-outer equi-join, never a nested-loop pair scan; the batch
+    # dedup window is the only other exchange consumer
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    join_nodes = re.findall(r"\(\d+\) +\w*Join", plan)
+    assert len(join_nodes) == 1, join_nodes
+
+
+def test_winsorize_one_aggregate_one_joinback(spark, tables):
+    from etl_core_spark.operators.timeseries import winsorize
+
+    ev = tables["events"]
+    plan = plan_of(
+        winsorize(ev, "value", ["event_type"], lower=0.05, upper=0.95)
+    )
+    # percentile bounds: one (partial+final) aggregate, one keyed
+    # join-back; the big side must not be windowed or re-aggregated
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("percentile") >= 1
+
+
+def test_zorder_key_is_narrow_after_stats(spark, tables):
+    from etl_core_spark.operators.layout import zorder_key
+
+    part = tables["part"]
+    plan = plan_of(zorder_key(part, ["p_size", "p_retailprice"]))
+    # min/max ride a one-row broadcast; the z-value itself is a pure
+    # codegen projection — no shuffle of the big side, no UDF
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mmr_greedy_stage_joins_stay_keyed(spark):
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.similarity import mmr_rerank
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.col("id") * (i + 3) % 17).cast("double") for i in range(8)
+        ]).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(mmr_rerank(emb, q, k=3, fetch_n=10))
+    # stage 1 is the documented brute-force cross product; the greedy
+    # rounds themselves must never introduce a second pair-space scan
+    assert plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1
