@@ -5960,6 +5960,63 @@ SELECT v AS value, n FROM c ORDER BY n DESC, value ASC LIMIT 50
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality for bounded-state streaming dedup
+    (streaming/stream.py streaming_dedup,
+    dropDuplicatesWithinWatermark): the events table replayed as ONE
+    availableNow micro-batch — watermark eviction only runs BETWEEN
+    batches, so every key stays remembered for the whole batch and
+    the first-arrival survivors' KEY COLUMNS equal batch DISTINCT
+    exactly (keys-only projection: which duplicate's payload
+    survives is arrival-order-dependent by contract, the key set is
+    not). Fourth certified streaming shape (MG state / timers /
+    windowed agg / dedup state store)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_core_spark.streaming import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stream_dedup_", dir=shm)
+    try:
+        src = os.path.join(work, "src")
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        deduped = streaming_dedup(
+            stream, ["user_id", "event_type"], "ts"
+        ).select("user_id", "event_type")
+        out_dir = os.path.join(work, "out")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string"
+    )
+
+
+_SQL_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-vs-batch equality certification for streaming_topk
     (streaming/stream.py): a REAL availableNow file-stream over the
@@ -7714,6 +7771,7 @@ _R10_WINDOW = [
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
+    "streaming_dedup",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7730,7 +7788,6 @@ _R10_WINDOW = [
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
-    "quality_filter",
 ]
 
 
@@ -7886,6 +7943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "mmr_rerank": q_mmr_rerank,
         "hll_distinct_exact": q_hll_distinct_exact,
+        "streaming_dedup": q_streaming_dedup,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8071,6 +8129,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _SQL_K_CORE,
         "mmr_rerank": _SQL_MMR_RERANK,
         "hll_distinct_exact": _SQL_HLL_DISTINCT_EXACT,
+        "streaming_dedup": _SQL_STREAMING_DEDUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

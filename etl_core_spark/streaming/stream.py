@@ -71,6 +71,14 @@ def streaming_dedup(
     groupBy, first-arrival survivor instead of min-id (a stream has
     no total order to pick min over).
     """
+    if df.isStreaming and isinstance(
+        df.schema[event_time_col].dataType, T.TimestampNTZType
+    ):
+        # watermarks require ltz; UTC session pins instants (the
+        # windowed_aggregate / sessionize convention)
+        df = df.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp")
+        )
     out = df.withWatermark(event_time_col, watermark)
     return out.dropDuplicatesWithinWatermark(list(keys))
 
