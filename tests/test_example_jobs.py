@@ -752,3 +752,43 @@ def test_parquet_cdc_zorder_compact(spark, tmp_path):
     # component metrics flowed for every stage (the runner-deadlock
     # regression class: every observed component must complete)
     assert result.status == "SUCCESS"
+
+
+def test_parquet_bloom_decontaminate(spark, tmp_path):
+    """The scale decontamination pattern: a broadcast Bloom filter
+    pre-prunes at full corpus width (misses are PROVABLY not
+    verbatim benchmark members), and only the flagged superset pays
+    the exact n-gram check."""
+
+    def inputs(d):
+        bench_text = "leaked benchmark question about spark joins"
+        docs = spark.createDataFrame(
+            [
+                (1, bench_text, "en"),                 # verbatim leak
+                (2, "a perfectly ordinary document", "en"),
+                (3, "another clean document entirely", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        bench = spark.createDataFrame(
+            [(bench_text,)], "text string"
+        )
+        bench.coalesce(1).write.parquet(str(d / "benchmark.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_bloom_decontaminate.json", inputs
+    )
+    clean = {r["doc_id"] for r in spark.read.parquet(str(out / "clean")).collect()}
+    import os
+    rescued_dir = str(out / "rescued")
+    rescued = (
+        {r["doc_id"] for r in spark.read.parquet(rescued_dir).collect()}
+        if os.path.isdir(rescued_dir)
+        else set()
+    )
+    # doc 1 is a verbatim leak: bloom-flagged AND n-gram-contaminated,
+    # so it lands in NEITHER output; docs 2-3 come out (clean path or
+    # rescued-after-exact-check path, depending on bloom FPs)
+    assert 1 not in clean | rescued
+    assert clean | rescued == {2, 3}
