@@ -7424,6 +7424,39 @@ def _sql_label_propagation_ctes(n_iter: int) -> str:
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity gate (operators/validate.py k_anonymize, Sweeney
+    2002): customers bucketed by (market segment, acctbal/100) —
+    every row flagged by whether >= 3 rows share its quasi-identifier
+    class. One class count + one keyed join-back; all-integer
+    class sizes, bit-exact."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    prep = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(100.0)).cast("long").alias("bal"),
+    )
+    out = get_operator("k_anonymize")(
+        quasi_cols=["seg", "bal"], k=3, mode="flag"
+    ).apply({"in": prep})["out"]
+    return out.select("c_custkey", "k_anonymous")
+
+
+_SQL_K_ANONYMIZE = """
+WITH q AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal
+  FROM customer
+), cls AS (
+  SELECT seg, bal, count(*) AS n FROM q GROUP BY seg, bal
+)
+SELECT q.c_custkey, (cls.n >= 3) AS k_anonymous
+FROM q JOIN cls ON q.seg = cls.seg AND q.bal = cls.bal
+"""
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (operators/graph.py k_core, Seidman
     1983): 3-core of the part-supplier bipartite graph by 4 peel
@@ -7771,7 +7804,7 @@ _R10_WINDOW = [
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
-    "streaming_dedup",
+    "streaming_dedup", "k_anonymize",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7787,7 +7820,7 @@ _R10_WINDOW = [
     "minhash_near_dup_pairs", "minhash_signature", "lang_id",
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
-    "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
+    "near_dup_clusters", "parquet_partitioned",
 ]
 
 
@@ -7944,6 +7977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hll_distinct_exact": q_hll_distinct_exact,
         "streaming_dedup": q_streaming_dedup,
+        "k_anonymize": q_k_anonymize,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8130,6 +8164,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _SQL_MMR_RERANK,
         "hll_distinct_exact": _SQL_HLL_DISTINCT_EXACT,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
+        "k_anonymize": _SQL_K_ANONYMIZE,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

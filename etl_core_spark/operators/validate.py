@@ -117,3 +117,95 @@ class ValidateOperator(Operator):
             return {"valid": df, "invalid": df.limit(0)}
         ok = F.coalesce(cond, F.lit(False))
         return {"valid": df.filter(ok), "invalid": df.filter(~ok)}
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    mode: str = "drop",
+    out_col: str = "k_anonymous",
+) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002): a row is k-anonymous
+    when at least ``k`` rows share its full quasi-identifier
+    combination — smaller equivalence classes re-identify
+    individuals by linkage, so they are suppressed (``mode="drop"``)
+    or flagged (``mode="flag"``) before a dataset leaves the
+    trust boundary. The release-gate companion to PII redaction
+    (functions/text.py): redaction scrubs direct identifiers,
+    k-anonymity bounds what the remaining quasi-identifiers can
+    leak in combination.
+
+    NULL quasi-values form their own equivalence class (engine
+    NULL-keeps rule — a NULL zip code is itself a linkable value).
+    Generalization (coarsening values until classes reach k) is the
+    caller's upstream step: compose with histogram bucketing /
+    type_conversion, then gate here.
+
+    Scale shape: ONE map-side-combinable count per equivalence class
+    + ONE keyed join-back (AQE-sized; the class table is |distinct
+    combos| rows, usually broadcastable) — the big side shuffles at
+    most once and only for the join. Row-preserving in flag mode.
+    """
+    if not quasi_cols:
+        raise OperatorConfigError("k_anonymize requires quasi_cols")
+    missing = [c for c in quasi_cols if c not in df.columns]
+    if missing:
+        raise OperatorConfigError(
+            f"k_anonymize: columns not found: {missing}"
+        )
+    if int(k) < 1:
+        raise OperatorConfigError("k_anonymize requires k >= 1")
+    if mode not in ("drop", "flag"):
+        raise OperatorConfigError(
+            f"k_anonymize mode must be drop/flag, got {mode!r}"
+        )
+    g = list(quasi_cols)
+    classes = df.groupBy(*g).agg(F.count(F.lit(1)).alias("__cls_n"))
+    cond = None
+    for c in g:
+        eq = F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    left = df.select(
+        *[F.col(c) for c in df.columns],
+        *[F.col(c).alias(f"__l_{c}") for c in g],
+    )
+    right = classes.select(
+        *[F.col(c).alias(f"__r_{c}") for c in g], "__cls_n"
+    )
+    joined = left.join(right, on=cond, how="left").drop(
+        *[f"__l_{c}" for c in g], *[f"__r_{c}" for c in g]
+    )
+    ok = F.col("__cls_n") >= int(k)
+    if mode == "flag":
+        return joined.withColumn(out_col, ok).drop("__cls_n")
+    return joined.where(ok).drop("__cls_n")
+
+
+@register_operator("k_anonymize")
+class KAnonymizeOperator(Operator):
+    """Config: ``quasi_cols`` (required); ``k`` (default 5), ``mode``
+    (drop/flag), ``out_col``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("quasi_cols"):
+            raise OperatorConfigError("k_anonymize requires 'quasi_cols'")
+        if int(self.config.get("k", 5)) < 1:
+            raise OperatorConfigError("k_anonymize requires k >= 1")
+        if self.config.get("mode", "drop") not in ("drop", "flag"):
+            raise OperatorConfigError("k_anonymize mode must be drop/flag")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": k_anonymize(
+                self.single_input(inputs),
+                list(c["quasi_cols"]),
+                int(c.get("k", 5)),
+                c.get("mode", "drop"),
+                c.get("out_col", "k_anonymous"),
+            )
+        }

@@ -716,6 +716,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("broadcast_corpus", "boolean",
           desc="force/deny broadcasting the corpus in stage 1"),
     ],
+    "k_anonymize": [
+        f("quasi_cols", "array", required=True, items={"type": "string"},
+          desc="quasi-identifier columns; a row is kept when >= k "
+               "rows share its full combination"),
+        f("k", "integer", default=5),
+        f("mode", "string", default="drop", enum=["drop", "flag"]),
+        f("out_col", "string", default="k_anonymous"),
+    ],
     "k_core": [
         f("k", "integer", required=True, desc="minimum degree"),
         f("src", "string", default="src"),

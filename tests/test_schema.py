@@ -80,3 +80,44 @@ def test_roundtrip_from_struct_type():
     )
     s = struct_type_to_schema(st)
     assert s.to_struct_type() == st
+
+
+# ---------------------------------------------------------- k_anonymize
+
+def _kanon(spark, rows, **cfg):
+    from etl_core_spark.operators.base import get_operator
+
+    df = spark.createDataFrame(rows, "zip string, age long, payload string")
+    return get_operator("k_anonymize")(quasi_cols=["zip", "age"], **cfg).apply(
+        {"in": df}
+    )["out"]
+
+
+def test_k_anonymize_drops_small_classes(spark):
+    rows = [("94110", 30, f"p{i}") for i in range(3)] + [
+        ("94110", 31, "solo"),            # class of 1: suppressed
+        (None, 30, "n1"), (None, 30, "n2"),  # NULL class of 2: kept at k=2
+    ]
+    out = _kanon(spark, rows, k=2)
+    kept = {r["payload"] for r in out.collect()}
+    assert kept == {"p0", "p1", "p2", "n1", "n2"}
+    assert out.columns == ["zip", "age", "payload"]
+
+
+def test_k_anonymize_flag_mode_row_preserving(spark):
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z")]
+    out = _kanon(spark, rows, k=2, mode="flag")
+    got = {r["payload"]: r["k_anonymous"] for r in out.collect()}
+    assert got == {"x": True, "y": True, "z": False}
+
+
+def test_k_anonymize_validation(spark):
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+    with pytest.raises(OperatorConfigError):
+        get_operator("k_anonymize")(quasi_cols=[])
+    with pytest.raises(OperatorConfigError):
+        get_operator("k_anonymize")(quasi_cols=["zip"], mode="mask")
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(OperatorConfigError, match="not found"):
+        get_operator("k_anonymize")(quasi_cols=["zip"]).apply({"in": df})
