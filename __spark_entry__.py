@@ -7424,6 +7424,65 @@ def _sql_label_propagation_ctes(n_iter: int) -> str:
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
+def _pca_fixed_model():
+    """Deterministic pinned PCA basis shared by the Spark entry and
+    the SQL generator: small rational components/mean from a closed
+    formula, so both engines embed the IDENTICAL double literals."""
+    dim = 64
+    mean = [((i % 5) - 2) / 10.0 for i in range(dim)]
+    comps = [
+        [(((i * (j + 2) + 7) % 13) - 6) / 10.0 for i in range(dim)]
+        for j in range(2)
+    ]
+    return mean, comps
+
+
+def q_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-basis PCA projection (operators/similarity.py
+    pca_project) — the bpe_encode_fixed precedent applied to the PCA
+    family: PROJECTION with a pinned (mean, components) model is
+    closed-form deterministic even though FITTING is iterative
+    numpy SVD (pca_project stays rows-only). The centered dot is a
+    left-associative fold from 0.0 (functions/vectors.py dot),
+    mirrored by an unrolled left-assoc sum in the oracle — bit-exact,
+    so the 4dp floor quantization (tie-free, the random_projection
+    convention) matches exactly."""
+    from etl_core_spark.operators.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps = _pca_fixed_model()
+    out = pca_project(
+        emb, {"components": comps, "mean": mean}, "embedding"
+    )
+    return out.select(
+        "vec_id",
+        F.col("pc")[0].alias("pc0"),
+        F.col("pc")[1].alias("pc1"),
+    )
+
+
+def _sql_pca_project_fixed() -> str:
+    mean, comps = _pca_fixed_model()
+
+    def dot_expr(c):
+        terms = " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE - ({mean[i]!r})) * ({c[i]!r})"
+            for i in range(len(mean))
+        )
+        return f"floor((0.0 + {terms}) * 10000.0) / 10000.0"
+
+    return (
+        "SELECT vec_id, "
+        + dot_expr(comps[0])
+        + " AS pc0, "
+        + dot_expr(comps[1])
+        + " AS pc1 FROM embeddings"
+    )
+
+
+_SQL_PCA_PROJECT_FIXED = _sql_pca_project_fixed()
+
+
 def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity gate (operators/validate.py k_anonymize, Sweeney
     2002): customers bucketed by (market segment, acctbal/100) —
@@ -7804,7 +7863,7 @@ _R10_WINDOW = [
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
-    "streaming_dedup", "k_anonymize",
+    "streaming_dedup", "k_anonymize", "pca_project_fixed",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7820,7 +7879,7 @@ _R10_WINDOW = [
     "minhash_near_dup_pairs", "minhash_signature", "lang_id",
     "interval_join", "tf_idf_top_terms", "hll_distinct",
     # r07-vintage (3 rounds stale), registry order
-    "near_dup_clusters", "parquet_partitioned",
+    "near_dup_clusters",
 ]
 
 
@@ -7978,6 +8037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_exact": q_hll_distinct_exact,
         "streaming_dedup": q_streaming_dedup,
         "k_anonymize": q_k_anonymize,
+        "pca_project_fixed": q_pca_project_fixed,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8165,6 +8225,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_exact": _SQL_HLL_DISTINCT_EXACT,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
         "k_anonymize": _SQL_K_ANONYMIZE,
+        "pca_project_fixed": _SQL_PCA_PROJECT_FIXED,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

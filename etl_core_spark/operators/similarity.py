@@ -1124,9 +1124,14 @@ def pca_project(
     out_col: str = "pc",
 ) -> DataFrame:
     """Project ``vec_col`` onto a fitted PCA basis (``pca_fit``
-    output): centered dot against each component, double-rounded for
-    cross-engine determinism. Like ``random_projection`` this is a
-    pure narrow map over literal directions — zero shuffle."""
+    output): centered dot against each component, floor-quantized to
+    4dp — the ``random_projection`` tie-free convention (floor has no
+    rounding ties, so two engines that fold the dot in the same
+    left-assoc order produce bit-identical output; Spark's ``round``
+    HALF_UPs the decimal string and disagrees with C-style rounding
+    on exact ...5 ties — observed 1/500 rows). Like
+    ``random_projection`` this is a pure narrow map over literal
+    directions — zero shuffle."""
     comps = model["components"]
     mean = model["mean"]
     mean_arr = F.array(*[F.lit(float(x)) for x in mean])
@@ -1134,10 +1139,11 @@ def pca_project(
         F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
     )
     out = [
-        F.round(
-            F.round(V.dot(centered, F.array(*[F.lit(float(x)) for x in c])), 6),
-            4,
-        )
+        F.floor(
+            V.dot(centered, F.array(*[F.lit(float(x)) for x in c]))
+            * F.lit(10000.0)
+        ).cast("double")
+        / F.lit(10000.0)
         for c in comps
     ]
     return df.withColumn(out_col, F.array(*out))

@@ -95,11 +95,11 @@ def test_pca_project_matches_numpy(spark, emb):
     ids, x = _np_embeddings(emb)
     comps = np.array(model["components"])
     mean = np.array(model["mean"])
-    want = np.round(np.round((x - mean) @ comps.T, 6), 4)
+    want = np.floor((x - mean) @ comps.T * 10000.0) / 10000.0
     exact = 0
     for i, vid in enumerate(ids):
-        # same one-rounding-step bound as the JL test (summation-order
-        # divergence at the 4dp boundary)
+        # same one-quantization-step bound as the JL test (summation-
+        # order divergence at the 4dp boundary)
         assert got[vid] == pytest.approx(list(want[i]), abs=1.01e-4)
         exact += sum(a == b for a, b in zip(got[vid], want[i]))
     assert exact >= 0.99 * len(ids) * 3
