@@ -5356,6 +5356,49 @@ SELECT event_id, user_id, floor(s * 1e9) / 1e9 AS ewma FROM r
 """
 
 
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (operators/timeseries.py
+    holt_linear): per-user level+trend along (ts, event_id). Both
+    engines replay the IDENTICAL float recursion — the oracle's
+    recursive CTE computes l_new once in a subquery layer and reuses
+    it, matching the Python fold's parenthesization; 9dp floors pin
+    rendering (the ewma precedent)."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("holt_linear")(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.3, beta=0.2,
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "user_id", "level", "trend")
+
+
+_SQL_HOLT_LINEAR = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT event_id, user_id, rn, x AS l, 0e0 AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT event_id, user_id, rn, lnew AS l,
+         0.2e0 * (lnew - l_prev) + (1e0 - 0.2e0) * b_prev AS b
+  FROM (
+    SELECT o.event_id, o.user_id, o.rn,
+           0.3e0 * o.x + (1e0 - 0.3e0) * (r.l + r.b) AS lnew,
+           r.l AS l_prev, r.b AS b_prev
+    FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+  )
+)
+SELECT event_id, user_id,
+       floor(l * 1e9) / 1e9 AS level,
+       floor(b * 1e9) / 1e9 AS trend
+FROM r
+"""
+
+
 def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-day per-customer order totals
     (operators/timeseries.py rolling_aggregate): RANGE-frame window
@@ -7424,6 +7467,43 @@ def _sql_label_propagation_ctes(n_iter: int) -> str:
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity gate (operators/validate.py l_diversity,
+    Machanavajjhala et al. 2007): customer classes by (segment,
+    acctbal/1000 bucket) must span >= 5 distinct nations. Two
+    map-side aggregates (no count-distinct Expand) + one keyed
+    join-back; all-integer, bit-exact."""
+    from etl_core_spark.operators.base import get_operator
+
+    cust = _t(spark, sf_dir, "customer")
+    prep = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    out = get_operator("l_diversity")(
+        quasi_cols=["seg", "bal"], sensitive_col="nat", l=5, mode="flag"
+    ).apply({"in": prep})["out"]
+    return out.select("c_custkey", "l_diverse")
+
+
+_SQL_L_DIVERSITY = """
+WITH q AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal,
+         c_nationkey AS nat
+  FROM customer
+), fine AS (
+  SELECT seg, bal, nat FROM q GROUP BY seg, bal, nat
+), cls AS (
+  SELECT seg, bal, count(*) AS ndv FROM fine GROUP BY seg, bal
+)
+SELECT q.c_custkey, (cls.ndv >= 5) AS l_diverse
+FROM q JOIN cls ON q.seg = cls.seg AND q.bal = cls.bal
+"""
+
+
 def _pca_fixed_model():
     """Deterministic pinned PCA basis shared by the Spark entry and
     the SQL generator: small rational components/mean from a closed
@@ -7864,6 +7944,7 @@ _R10_WINDOW = [
     "streaming_sessionize", "winsorize", "k_core",
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
     "streaming_dedup", "k_anonymize", "pca_project_fixed",
+    "l_diversity", "holt_linear",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7877,9 +7958,9 @@ _R10_WINDOW = [
     "csv_roundtrip", "json_roundtrip", "events_json_filter",
     "dedup_exact", "hash_sample", "hash_split_counts",
     "minhash_near_dup_pairs", "minhash_signature", "lang_id",
-    "interval_join", "tf_idf_top_terms", "hll_distinct",
-    # r07-vintage (3 rounds stale), registry order
-    "near_dup_clusters",
+    "interval_join", "tf_idf_top_terms",
+    # (hll_distinct rotated out: rows-only, and its full-value
+    # sibling hll_distinct_exact in this window certifies more)
 ]
 
 
@@ -8038,6 +8119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "k_anonymize": q_k_anonymize,
         "pca_project_fixed": q_pca_project_fixed,
+        "l_diversity": q_l_diversity,
+        "holt_linear": q_holt_linear,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8226,6 +8309,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _SQL_STREAMING_DEDUP,
         "k_anonymize": _SQL_K_ANONYMIZE,
         "pca_project_fixed": _SQL_PCA_PROJECT_FIXED,
+        "l_diversity": _SQL_L_DIVERSITY,
+        "holt_linear": _SQL_HOLT_LINEAR,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

@@ -1143,3 +1143,122 @@ class WinsorizeOperator(Operator):
                 int(c.get("quantize", 6)),
             )
         }
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    quantize: int = 9,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key
+    (Holt 1957) — the forecasting step up from ``ewma`` when the
+    series drifts: a smoothed LEVEL plus a smoothed TREND, so the
+    h-step forecast is ``level + h*trend``::
+
+        l_1 = x_1;  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Pins (the ewma conventions): ``order_cols`` must totally order
+    rows within a key; NULL values don't advance the smoother (state
+    carries, NULL level/trend before the first observation); both
+    outputs floor-quantized; the recursion is the identical float
+    sequence in any engine that parenthesizes ``a*x + (1-a)*(l+b)``
+    and ``b*(l_new-l) + (1-b)*t`` the same way, with ``l_new``
+    computed ONCE and reused.
+
+    Scale shape: ONE hash shuffle on the key + an Arrow-batched
+    ``applyInPandas`` per key group (inherently sequential per
+    series, like ewma/markov — Spark has no recursive window).
+    """
+    if not key_cols:
+        raise OperatorConfigError("holt_linear requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("holt_linear requires order_cols")
+    if not 0 < float(alpha) <= 1 or not 0 <= float(beta) <= 1:
+        raise OperatorConfigError(
+            "holt_linear needs alpha in (0,1], beta in [0,1]"
+        )
+    a = float(alpha)
+    bb = float(beta)
+    q = float(10 ** int(quantize))
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in df.schema.fields
+    ) + f", `{level_col}` double, `{trend_col}` double"
+    order_names = list(order_cols)
+    vc = value_col
+
+    def smooth(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        lv = None
+        tv = 0.0
+        levels, trends = [], []
+        for x in pdf[vc]:
+            if x is not None and not (isinstance(x, float) and math.isnan(x)):
+                xf = float(x)
+                if lv is None:
+                    lv, tv = xf, 0.0
+                else:
+                    lnew = a * xf + (1.0 - a) * (lv + tv)
+                    tv = bb * (lnew - lv) + (1.0 - bb) * tv
+                    lv = lnew
+            if lv is None:
+                levels.append(None)
+                trends.append(None)
+            else:
+                levels.append(math.floor(lv * q) / q)
+                trends.append(math.floor(tv * q) / q)
+        res = pdf.copy()
+        res[level_col] = pd.Series(levels, index=pdf.index, dtype="float64")
+        res[trend_col] = pd.Series(trends, index=pdf.index, dtype="float64")
+        return res
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, out_schema).select(
+        *cols, level_col, trend_col
+    )
+
+
+@register_operator("holt_linear")
+class HoltLinearOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``value_col``
+    (required); ``alpha``, ``beta``, ``level_col``, ``trend_col``,
+    ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"holt_linear requires {key!r}")
+        if not 0 < float(self.config.get("alpha", 0.3)) <= 1:
+            raise OperatorConfigError("holt_linear alpha must be in (0, 1]")
+        if not 0 <= float(self.config.get("beta", 0.2)) <= 1:
+            raise OperatorConfigError("holt_linear beta must be in [0, 1]")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": holt_linear(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                float(c.get("alpha", 0.3)),
+                float(c.get("beta", 0.2)),
+                c.get("level_col", "level"),
+                c.get("trend_col", "trend"),
+                int(c.get("quantize", 9)),
+            )
+        }

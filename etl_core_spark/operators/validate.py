@@ -209,3 +209,97 @@ class KAnonymizeOperator(Operator):
                 c.get("out_col", "k_anonymous"),
             )
         }
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    mode: str = "drop",
+    out_col: str = "l_diverse",
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al. 2007): a
+    quasi-identifier equivalence class is safe only if it contains at
+    least ``l`` DISTINCT sensitive values — the gap k-anonymity
+    leaves open (a class of 50 rows that all share one diagnosis is
+    k-anonymous and still discloses it). ``mode="drop"`` suppresses
+    rows in under-diverse classes; ``"flag"`` appends ``out_col``.
+
+    NULL quasi-values form their own class (the k_anonymize rule); a
+    NULL sensitive value counts as one distinct value (it is a
+    disclosure-relevant state of its own).
+
+    Scale shape: one two-level aggregate — groupBy(quasi, sensitive)
+    then groupBy(quasi) — both map-side combinable (the substring-
+    dedup pattern; no count-distinct Expand), then ONE null-safe
+    keyed join-back. Row-preserving in flag mode.
+    """
+    if not quasi_cols:
+        raise OperatorConfigError("l_diversity requires quasi_cols")
+    if not sensitive_col:
+        raise OperatorConfigError("l_diversity requires sensitive_col")
+    missing = [
+        c for c in [*quasi_cols, sensitive_col] if c not in df.columns
+    ]
+    if missing:
+        raise OperatorConfigError(
+            f"l_diversity: columns not found: {missing}"
+        )
+    if int(l) < 1:
+        raise OperatorConfigError("l_diversity requires l >= 1")
+    if mode not in ("drop", "flag"):
+        raise OperatorConfigError(
+            f"l_diversity mode must be drop/flag, got {mode!r}"
+        )
+    g = list(quasi_cols)
+    fine = df.groupBy(*g, sensitive_col).agg(F.count(F.lit(1)).alias("__n"))
+    classes = fine.groupBy(*g).agg(F.count(F.lit(1)).alias("__ndv"))
+    cond = None
+    for c in g:
+        eq = F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    left = df.select(
+        *[F.col(c) for c in df.columns],
+        *[F.col(c).alias(f"__l_{c}") for c in g],
+    )
+    right = classes.select(
+        *[F.col(c).alias(f"__r_{c}") for c in g], "__ndv"
+    )
+    joined = left.join(right, on=cond, how="left").drop(
+        *[f"__l_{c}" for c in g], *[f"__r_{c}" for c in g]
+    )
+    ok = F.col("__ndv") >= int(l)
+    if mode == "flag":
+        return joined.withColumn(out_col, ok).drop("__ndv")
+    return joined.where(ok).drop("__ndv")
+
+
+@register_operator("l_diversity")
+class LDiversityOperator(Operator):
+    """Config: ``quasi_cols``, ``sensitive_col`` (required); ``l``
+    (default 2), ``mode`` (drop/flag), ``out_col``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("quasi_cols"):
+            raise OperatorConfigError("l_diversity requires 'quasi_cols'")
+        if not self.config.get("sensitive_col"):
+            raise OperatorConfigError("l_diversity requires 'sensitive_col'")
+        if self.config.get("mode", "drop") not in ("drop", "flag"):
+            raise OperatorConfigError("l_diversity mode must be drop/flag")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": l_diversity(
+                self.single_input(inputs),
+                list(c["quasi_cols"]),
+                c["sensitive_col"],
+                int(c.get("l", 2)),
+                c.get("mode", "drop"),
+                c.get("out_col", "l_diverse"),
+            )
+        }

@@ -716,6 +716,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("broadcast_corpus", "boolean",
           desc="force/deny broadcasting the corpus in stage 1"),
     ],
+    "l_diversity": [
+        f("quasi_cols", "array", required=True, items={"type": "string"}),
+        f("sensitive_col", "string", required=True,
+          desc="a class is safe only with >= l DISTINCT values here"),
+        f("l", "integer", default=2),
+        f("mode", "string", default="drop", enum=["drop", "flag"]),
+        f("out_col", "string", default="l_diverse"),
+    ],
     "k_anonymize": [
         f("quasi_cols", "array", required=True, items={"type": "string"},
           desc="quasi-identifier columns; a row is kept when >= k "
@@ -834,6 +842,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("salt", "string", default="",
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
+    ],
+    "holt_linear": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("order_cols", "array", required=True, items={"type": "string"},
+          desc="must totally order rows within a key"),
+        f("value_col", "string", required=True),
+        f("alpha", "number", default=0.3, desc="level smoothing, (0,1]"),
+        f("beta", "number", default=0.2, desc="trend smoothing, [0,1]"),
+        f("level_col", "string", default="level"),
+        f("trend_col", "string", default="trend"),
+        f("quantize", "integer", default=9),
     ],
     "ewma": [
         f("key_cols", "array", required=True, items={"type": "string"}),

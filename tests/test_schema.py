@@ -121,3 +121,36 @@ def test_k_anonymize_validation(spark):
     df = spark.createDataFrame([("x",)], "a string")
     with pytest.raises(OperatorConfigError, match="not found"):
         get_operator("k_anonymize")(quasi_cols=["zip"]).apply({"in": df})
+
+
+def test_l_diversity_drop_and_flag(spark):
+    from etl_core_spark.operators.base import get_operator
+
+    rows = [
+        ("94110", "flu", "a"), ("94110", "cold", "b"),   # 2 distinct: ok
+        ("94111", "flu", "c"), ("94111", "flu", "d"),    # 1 distinct: bad
+        (None, "flu", "e"), (None, None, "f"),           # NULL class, NULL
+    ]                                                    # counts distinct
+    df = spark.createDataFrame(rows, "zip string, dx string, payload string")
+    op = get_operator("l_diversity")(
+        quasi_cols=["zip"], sensitive_col="dx", l=2
+    )
+    kept = {r["payload"] for r in op.apply({"in": df})["out"].collect()}
+    assert kept == {"a", "b", "e", "f"}
+    flag = get_operator("l_diversity")(
+        quasi_cols=["zip"], sensitive_col="dx", l=2, mode="flag"
+    ).apply({"in": df})["out"]
+    got = {r["payload"]: r["l_diverse"] for r in flag.collect()}
+    assert got == {"a": True, "b": True, "c": False, "d": False,
+                   "e": True, "f": True}
+
+
+def test_l_diversity_validation(spark):
+    from etl_core_spark.operators.base import OperatorConfigError, get_operator
+
+    with pytest.raises(OperatorConfigError):
+        get_operator("l_diversity")(quasi_cols=["z"], sensitive_col="")
+    with pytest.raises(OperatorConfigError):
+        get_operator("l_diversity")(
+            quasi_cols=["z"], sensitive_col="dx", mode="mask"
+        )

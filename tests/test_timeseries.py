@@ -341,3 +341,55 @@ def test_winsorize_validation(spark):
         get_operator("winsorize")(value_col="")
     with pytest.raises(OperatorConfigError):
         get_operator("winsorize")(value_col="v", lower=0.9, upper=0.1)
+
+
+# --------------------------------------------------------- holt_linear
+
+def test_holt_linear_matches_python_recursion(spark):
+    import math
+
+    xs = [10.0, 12.0, 15.0, 13.0, 18.0, 21.0]
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["t"]: (r["level"], r["trend"])
+        for r in get_operator("holt_linear")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            alpha=0.3, beta=0.2,
+        ).apply({"in": df})["out"].collect()
+    }
+    lv, tv = None, 0.0
+    for i, x in enumerate(xs):
+        if lv is None:
+            lv, tv = x, 0.0
+        else:
+            lnew = 0.3 * x + (1.0 - 0.3) * (lv + tv)
+            tv = 0.2 * (lnew - lv) + (1.0 - 0.2) * tv
+            lv = lnew
+        assert out[i] == (
+            math.floor(lv * 1e9) / 1e9, math.floor(tv * 1e9) / 1e9
+        )
+
+
+def test_holt_linear_null_carries_state(spark):
+    rows = [(1, 0, None), (1, 1, 10.0), (1, 2, None), (1, 3, 20.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["t"]: (r["level"], r["trend"])
+        for r in get_operator("holt_linear")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+        ).apply({"in": df})["out"].collect()
+    }
+    assert out[0] == (None, None)       # before the first observation
+    assert out[1] == (10.0, 0.0)
+    assert out[2] == (10.0, 0.0)        # NULL carries state
+    assert out[3][0] > 10.0             # the 20.0 advances the level
+
+
+def test_holt_linear_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("holt_linear")(key_cols=[], order_cols=["t"], value_col="v")
+    with pytest.raises(OperatorConfigError):
+        get_operator("holt_linear")(
+            key_cols=["k"], order_cols=["t"], value_col="v", beta=1.5
+        )
