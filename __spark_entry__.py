@@ -5399,6 +5399,46 @@ FROM r
 """
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift alarm (operators/timeseries.py cusum,
+    Page 1954): per-user cumulative sums vs target 50, slack 5,
+    alarm at 200. The oracle's recursive CTE replays max(0, s + d)
+    with identical parenthesization; 9dp floors pin rendering."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("cusum")(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", target=50.0, slack=5.0, threshold=200.0,
+    ).apply({"in": ev})["out"]
+    return out.select("event_id", "user_id", "s_pos", "s_neg", "alarm")
+
+
+_SQL_CUSUM = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT event_id, user_id, rn,
+         greatest(0e0, 0e0 + (x - 50e0 - 5e0)) AS sp,
+         greatest(0e0, 0e0 + (50e0 - x - 5e0)) AS sn
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn,
+         greatest(0e0, r.sp + (o.x - 50e0 - 5e0)) AS sp,
+         greatest(0e0, r.sn + (50e0 - o.x - 5e0)) AS sn
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id,
+       floor(sp * 1e9) / 1e9 AS s_pos,
+       floor(sn * 1e9) / 1e9 AS s_neg,
+       (sp > 200e0 OR sn > 200e0) AS alarm
+FROM r
+"""
+
+
 def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-day per-customer order totals
     (operators/timeseries.py rolling_aggregate): RANGE-frame window
@@ -7922,29 +7962,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r10 window: the four never-driver-checked rows lead (substring
-# dedup pair, the BPE fixed-merge encode certification, modularity),
-# then every row whose OPERATOR OR ENTRY CODE changed this round
-# (graph loop fold + 5→3 cert-depth trims; selection literal
-# refactor + empty-corpus guards; pq NULL filter; bpe merges param),
-# then the 19 r06-vintage rows VERDICT r9 "What's missing" #1 names
-# (4 rounds stale — the oldest cohort), then r07-vintage rows in
-# registry order to fill 50. Remaining r07 rows lead the r11 window:
-# agg_ops, gaps_islands, q1_pricing_summary, q3_shipping_priority, q5_region_revenue, q7_volume_shipping,
-# q9_product_profit, q10_returned_items, q4_order_priority,
-# q6_forecast_revenue, q14_promo_ratio, agg_global, filter_rule_*,
-# join_inner/left/right/outer, multimodal_features,
-# incremental_dedup, line_dedup, lm_score, pii_redact, mix_corpora,
-# domain_stats, orc_roundtrip, quantile_filter,
-# strip_duplicate_spans, assemble_docs, weighted_sample,
-# take_tokens_per_group, text_roundtrip, binary_ingest, pca_project.
+# r10 window (final, after the session-2 wave): the 21 never-
+# driver-checked rows lead — 14 session-2 additions (cdc_apply,
+# bloom_decontaminate, zorder_key, streaming_sessionize/hourly/
+# dedup, winsorize, k_core, mmr_rerank, hll_distinct_exact,
+# k_anonymize, pca_project_fixed, l_diversity, holt_linear) plus the
+# 7 session-1 rows (substring pair, bpe_encode_fixed, modularity,
+# containment_pairs, kmeans_cluster, ewma) — then every row whose
+# operator/entry code changed this round, then the 19-row r06
+# cohort VERDICT r9 names (minus hll_distinct: rows-only, its
+# full-value sibling hll_distinct_exact is in-window). The r11
+# window should lead with whatever r11 adds, then the r07-vintage
+# cohort (4 rounds stale by then): near_dup_clusters,
+# parquet_partitioned, jaccard_pairs, quality_filter, sessionize,
+# simhash, text_metrics, token_frequency, winnow_fingerprint,
+# winnow_near_dup_pairs, asof_join, range_join, dedup_minhash,
+# hll_distinct, then r08-vintage rows (agg_ops, gaps_islands, the
+# TPC-H q1/q3-q10 cohort, join_*, filter_rule_*, agg_global,
+# multimodal_features, incremental_dedup, line_dedup, lm_score,
+# pii_redact, mix_corpora, domain_stats, orc_roundtrip,
+# quantile_filter, strip_duplicate_spans, assemble_docs,
+# weighted_sample, take_tokens_per_group, text_roundtrip,
+# binary_ingest, pca_project) in registry order.
 _R10_WINDOW = [
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
     "streaming_dedup", "k_anonymize", "pca_project_fixed",
-    "l_diversity", "holt_linear",
+    "l_diversity", "holt_linear", "cusum",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -7958,9 +8004,11 @@ _R10_WINDOW = [
     "csv_roundtrip", "json_roundtrip", "events_json_filter",
     "dedup_exact", "hash_sample", "hash_split_counts",
     "minhash_near_dup_pairs", "minhash_signature", "lang_id",
-    "interval_join", "tf_idf_top_terms",
-    # (hll_distinct rotated out: rows-only, and its full-value
-    # sibling hll_distinct_exact in this window certifies more)
+    "interval_join",
+    # (hll_distinct and tf_idf_top_terms rotated out to fit: the
+    # judge pre-verified tf_idf at sf0.01 in r9, and hll_distinct is
+    # rows-only with its full-value sibling hll_distinct_exact
+    # in-window)
 ]
 
 
@@ -8121,6 +8169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project_fixed": q_pca_project_fixed,
         "l_diversity": q_l_diversity,
         "holt_linear": q_holt_linear,
+        "cusum": q_cusum,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8311,6 +8360,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_project_fixed": _SQL_PCA_PROJECT_FIXED,
         "l_diversity": _SQL_L_DIVERSITY,
         "holt_linear": _SQL_HOLT_LINEAR,
+        "cusum": _SQL_CUSUM,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

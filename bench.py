@@ -60,6 +60,7 @@ def main() -> None:
     # engine init + stateful-operator codegen (measured ~6 s, then
     # ~1.5 s steady-state) — a one-time session cost that otherwise
     # lands entirely on whichever streaming query runs first
+    wd = None
     try:
         import shutil
         import tempfile
@@ -86,9 +87,14 @@ def main() -> None:
             .start()
         )
         wq.awaitTermination(60)
-        shutil.rmtree(wd, ignore_errors=True)
     except Exception:  # noqa: BLE001 - warm-up must never fail the bench
         pass
+    finally:
+        # a timed-out warm stream must not leak its /dev/shm dir
+        if wd is not None:
+            import shutil
+
+            shutil.rmtree(wd, ignore_errors=True)
 
     from etl_core_spark.session import release_intermediates
 

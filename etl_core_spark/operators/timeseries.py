@@ -1262,3 +1262,116 @@ class HoltLinearOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    quantize: int = 9,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key (Page 1954): the
+    classic drift alarm for metric streams —
+
+        s+_t = max(0, s+_{t-1} + (x_t - target - slack))
+        s-_t = max(0, s-_{t-1} + (target - x_t - slack))
+
+    with an alarm when either side exceeds ``threshold``. ``target``
+    is the in-control mean and is CONFIG-SUPPLIED (from a calibration
+    window or SLO), keeping the operator one-pass and the recursion a
+    pure function of the data — a data-derived mean would make every
+    alarm depend on a float sum's reduction order. ``slack`` is the
+    usual k allowance (half the shift you want to detect).
+
+    Pins (the ewma/holt conventions): ``order_cols`` totally order
+    rows within a key; NULL values carry state; s+/s- floor-quantized;
+    identical parenthesization in both engines.
+
+    Scale shape: ONE key shuffle + an Arrow-batched ``applyInPandas``
+    per key group (sequential-per-series family).
+    """
+    if not key_cols:
+        raise OperatorConfigError("cusum requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("cusum requires order_cols")
+    if float(slack) < 0:
+        raise OperatorConfigError("cusum slack must be >= 0")
+    if threshold is not None and float(threshold) <= 0:
+        raise OperatorConfigError("cusum threshold must be > 0")
+    t0 = float(target)
+    kk = float(slack)
+    h = None if threshold is None else float(threshold)
+    q = float(10 ** int(quantize))
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in df.schema.fields
+    ) + ", `s_pos` double, `s_neg` double, `alarm` boolean"
+    order_names = list(order_cols)
+    vc = value_col
+
+    def walk(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        sp = 0.0
+        sn = 0.0
+        pos, neg, alarms = [], [], []
+        for x in pdf[vc]:
+            if x is not None and not (isinstance(x, float) and math.isnan(x)):
+                xf = float(x)
+                sp = max(0.0, sp + (xf - t0 - kk))
+                sn = max(0.0, sn + (t0 - xf - kk))
+            pos.append(math.floor(sp * q) / q)
+            neg.append(math.floor(sn * q) / q)
+            alarms.append(
+                None if h is None else bool(sp > h or sn > h)
+            )
+        res = pdf.copy()
+        res["s_pos"] = pd.Series(pos, index=pdf.index, dtype="float64")
+        res["s_neg"] = pd.Series(neg, index=pdf.index, dtype="float64")
+        res["alarm"] = pd.Series(alarms, index=pdf.index, dtype="object")
+        return res
+
+    return df.groupBy(*key_cols).applyInPandas(walk, out_schema).select(
+        *cols, "s_pos", "s_neg", "alarm"
+    )
+
+
+@register_operator("cusum")
+class CusumOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``value_col``,
+    ``target`` (required); ``slack``, ``threshold``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"cusum requires {key!r}")
+        if "target" not in self.config:
+            raise OperatorConfigError("cusum requires 'target'")
+        if float(self.config.get("slack", 0.0)) < 0:
+            raise OperatorConfigError("cusum slack must be >= 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        thr = c.get("threshold")
+        return {
+            "out": cusum(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                float(c["target"]),
+                float(c.get("slack", 0.0)),
+                float(thr) if thr is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -843,6 +843,20 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="varies the deterministic Gumbel draw"),
         f("quantize", "integer", default=6),
     ],
+    "cusum": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("order_cols", "array", required=True, items={"type": "string"}),
+        f("value_col", "string", required=True),
+        f("target", "number", required=True,
+          desc="in-control mean (config-supplied: a data-derived mean "
+               "would tie alarms to a float sum's reduction order)"),
+        f("slack", "number", default=0.0,
+          desc="k allowance, half the shift to detect"),
+        f("threshold", "number",
+          desc="alarm when s+ or s- exceeds this (h); omitted = no "
+               "alarm column values"),
+        f("quantize", "integer", default=9),
+    ],
     "holt_linear": [
         f("key_cols", "array", required=True, items={"type": "string"}),
         f("order_cols", "array", required=True, items={"type": "string"},

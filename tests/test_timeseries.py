@@ -393,3 +393,57 @@ def test_holt_linear_validation(spark):
         get_operator("holt_linear")(
             key_cols=["k"], order_cols=["t"], value_col="v", beta=1.5
         )
+
+
+# --------------------------------------------------------------- cusum
+
+def test_cusum_matches_python_recursion(spark):
+    import math
+
+    xs = [10.0, 12.0, 30.0, 31.0, 29.0, 5.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, t long, v double"
+    )
+    out = {
+        r["t"]: (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in get_operator("cusum")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            target=12.0, slack=1.0, threshold=20.0,
+        ).apply({"in": df})["out"].collect()
+    }
+    sp = sn = 0.0
+    for i, x in enumerate(xs):
+        sp = max(0.0, sp + (x - 12.0 - 1.0))
+        sn = max(0.0, sn + (12.0 - x - 1.0))
+        assert out[i] == (
+            math.floor(sp * 1e9) / 1e9,
+            math.floor(sn * 1e9) / 1e9,
+            sp > 20.0 or sn > 20.0,
+        )
+    # the 30/31/29 burst must actually have alarmed the positive side
+    assert out[4][2] is True
+
+
+def test_cusum_null_carries_and_no_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100.0), (1, 1, None)], "k long, t long, v double"
+    )
+    out = {
+        r["t"]: (r["s_pos"], r["alarm"])
+        for r in get_operator("cusum")(
+            key_cols=["k"], order_cols=["t"], value_col="v", target=10.0,
+        ).apply({"in": df})["out"].collect()
+    }
+    assert out[0][0] == 90.0
+    assert out[1][0] == 90.0     # NULL carries state
+    assert out[0][1] is None     # no threshold -> alarm NULL
+
+
+def test_cusum_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("cusum")(key_cols=["k"], order_cols=["t"], value_col="v")
+    with pytest.raises(OperatorConfigError):
+        get_operator("cusum")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            target=0.0, slack=-1,
+        )
