@@ -487,6 +487,79 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality for the watermarked STREAM-STREAM
+    interval join (streaming/stream.py attribution_join): views and
+    purchases run as two REAL availableNow file streams; inner-join
+    matches emit as soon as both sides arrive, so a single data
+    micro-batch per side yields exactly the batch attribution answer
+    — the oracle is _SQL_ATTRIBUTION_JOIN verbatim. Completes the
+    streaming certification matrix: state store, event-time timers,
+    windowed aggregate, dedup state, and now the two-stream join.
+    (Event time casts to ltz for the watermark; the UTC session
+    makes the instants — and lag arithmetic — identical.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_core_spark.streaming.stream import attribution_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stream_attr_", dir=shm)
+    try:
+        v_src = os.path.join(work, "views")
+        p_src = os.path.join(work, "purchases")
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts"
+        ).write.parquet(v_src)
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts"
+        ).write.parquet(p_src)
+        schema = "user_id long, ts timestamp"
+        vs = spark.readStream.schema(schema).parquet(v_src)
+        ps = spark.readStream.schema(schema).parquet(p_src)
+        joined = attribution_join(vs, ps)
+        out_dir = os.path.join(work, "out")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rows = (
+            spark.read.parquet(out_dir)
+            .select(
+                "user_id",
+                F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+                F.col("purchase_ts").cast("timestamp_ntz").alias(
+                    "purchase_ts"
+                ),
+                "lag_seconds",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, view_ts timestamp_ntz, "
+        "purchase_ts timestamp_ntz, lag_seconds long",
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group: Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
@@ -7991,6 +8064,7 @@ _R10_WINDOW = [
     "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
     "streaming_dedup", "k_anonymize", "pca_project_fixed",
     "l_diversity", "holt_linear", "cusum",
+    "streaming_attribution",
     "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
     "modularity", "containment_pairs", "kmeans_cluster", "ewma",
     # operator/entry code changed this round
@@ -8004,7 +8078,6 @@ _R10_WINDOW = [
     "csv_roundtrip", "json_roundtrip", "events_json_filter",
     "dedup_exact", "hash_sample", "hash_split_counts",
     "minhash_near_dup_pairs", "minhash_signature", "lang_id",
-    "interval_join",
     # (hll_distinct and tf_idf_top_terms rotated out to fit: the
     # judge pre-verified tf_idf at sf0.01 in r9, and hll_distinct is
     # rows-only with its full-value sibling hll_distinct_exact
@@ -8170,6 +8243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "holt_linear": q_holt_linear,
         "cusum": q_cusum,
+        "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
         "retention_cohorts": q_retention_cohorts,
@@ -8361,6 +8435,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _SQL_L_DIVERSITY,
         "holt_linear": _SQL_HOLT_LINEAR,
         "cusum": _SQL_CUSUM,
+        "streaming_attribution": _SQL_ATTRIBUTION_JOIN,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
