@@ -35,6 +35,7 @@ from etl_core_spark.operators import (  # noqa: F401
     bpe,
     substring,
     layout,
+    linkage,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -1,0 +1,256 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969).
+
+Beyond-reference (the reference has no linkage at all): classic
+blocking + agreement-weight scoring, the standard published method
+for entity resolution across noisy feeds — the step between exact
+dedup (same key) and similarity dedup (MinHash et al.) when records
+have STRUCTURED fields with per-field reliabilities.
+
+Method: candidate pairs come from an equi-join on ``block_cols``
+(blocking IS the scale story — the quadratic pair space never
+materializes, only within-block pairs do). Each configured field
+comparison yields an agreement bit; the pair's score is the sum of
+per-field log-likelihood weights
+
+    agree:    w_a = ln(m / u)
+    disagree: w_d = ln((1 - m) / (1 - u))
+
+where ``m`` = P(field agrees | pair is a true match) and ``u`` =
+P(field agrees | pair is a non-match), both config-supplied (in
+production they come from EM or clerical review — data-derived
+estimates would tie every score to an iterative fit, the cusum
+config-target rule). Scores above ``upper`` classify ``match``,
+above ``lower`` ``possible`` (the clerical-review band), else the
+pair is dropped — emitting non-matches would be output linear in the
+candidate-pair count for no downstream use.
+
+Determinism pins: the weights are folded DRIVER-SIDE with
+``math.log`` and injected as double literals (`repr`), so Spark and
+any SQL oracle fold the identical constants; the score sum is
+left-associative in comparison-list order; ``levenshtein`` is the
+classic DP edit distance in both Spark and DuckDB; equality
+comparisons are null-safe (NULL vs NULL agrees) via
+``IS NOT DISTINCT FROM`` semantics; the score is floor-quantized.
+
+Scale shape: ONE equi-join on the block key (hash-join shaped, never
+cartesian) + built-in JVM expressions per pair — zero Python in the
+pair loop. ``max_block_size`` guards skew: a hot block (e.g. a NULL
+or default-valued blocking key) makes the within-block pair count
+quadratic; policy ``error`` probes block sizes with ONE bounded
+aggregate and raises naming the block, ``skip`` drops oversized
+blocks (documented recall trade, the standard practice).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_core_spark.operators.base import Operator, OperatorConfigError, PortMap, register_operator
+
+_KINDS = ("equal", "levenshtein", "abs_diff")
+
+
+def _weights(comparisons: list[dict]) -> list[tuple[float, float]]:
+    """Per-field (agree, disagree) log-weights, folded driver-side."""
+    out = []
+    for i, c in enumerate(comparisons):
+        try:
+            m = float(c["m"])
+            u = float(c["u"])
+        except KeyError as exc:
+            raise OperatorConfigError(
+                f"record_linkage comparison #{i} needs m and u"
+            ) from exc
+        if not 0.0 < u < m < 1.0:
+            raise OperatorConfigError(
+                f"record_linkage comparison #{i}: need 0 < u < m < 1 "
+                f"(got m={m}, u={u})"
+            )
+        out.append((math.log(m / u), math.log((1.0 - m) / (1.0 - u))))
+    return out
+
+
+def _agree(col: str, kind: str, threshold, left: str, right: str):
+    a, b = F.col(f"{left}.{col}"), F.col(f"{right}.{col}")
+    if kind == "equal":
+        return a.eqNullSafe(b)
+    if kind == "levenshtein":
+        return F.coalesce(
+            F.levenshtein(a, b) <= F.lit(int(threshold)), F.lit(False)
+        )
+    if kind == "abs_diff":
+        return F.coalesce(
+            F.abs(a.cast("double") - b.cast("double"))
+            <= F.lit(float(threshold)),
+            F.lit(False),
+        )
+    raise OperatorConfigError(
+        f"record_linkage comparison kind must be one of {_KINDS}, got {kind!r}"
+    )
+
+
+def record_linkage(
+    df_a: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    comparisons: list[dict],
+    lower: float,
+    upper: float,
+    df_b: DataFrame | None = None,
+    max_block_size: int | None = 10000,
+    oversize_policy: str = "error",
+    quantize: int = 6,
+) -> DataFrame:
+    """Score candidate pairs; see module docstring for the method.
+
+    ``df_b=None`` is self-linkage (dedup mode): pairs within
+    ``df_a`` with ``id_a < id_b``. With ``df_b``, pairs cross the
+    two inputs (both must carry ``id_col``, ``block_cols`` and every
+    comparison column). Comparisons: list of ``{"col", "kind"
+    ("equal" | "levenshtein" | "abs_diff"), "threshold" (for the
+    latter two), "m", "u"}``. Output: ``id_a``, ``id_b``, one
+    ``agree_<col>`` boolean per comparison, floor-quantized
+    ``score``, and ``match_class`` ('match' when score >= upper,
+    else 'possible'); pairs under ``lower`` are dropped.
+    """
+    if not id_col:
+        raise OperatorConfigError("record_linkage requires id_col")
+    if not block_cols:
+        raise OperatorConfigError(
+            "record_linkage requires block_cols — unblocked linkage is "
+            "the all-pairs cartesian; block on a stable attribute"
+        )
+    if not comparisons:
+        raise OperatorConfigError("record_linkage requires comparisons")
+    if not float(lower) <= float(upper):
+        raise OperatorConfigError("record_linkage needs lower <= upper")
+    if oversize_policy not in ("error", "skip"):
+        raise OperatorConfigError(
+            "record_linkage oversize_policy must be 'error' or 'skip'"
+        )
+    ws = _weights(comparisons)
+    q = float(10 ** int(quantize))
+    self_mode = df_b is None
+
+    left = df_a
+    right = df_a if self_mode else df_b
+
+    if max_block_size is not None:
+        cap = int(max_block_size)
+        for name, side in (("left", left), ("right", right)):
+            sizes = side.where(
+                functools.reduce(
+                    lambda x, y: x & y,
+                    [F.col(c).isNotNull() for c in block_cols],
+                )
+            ).groupBy(*block_cols).count()
+            if oversize_policy == "error":
+                row = sizes.agg(F.max("count").alias("mx")).collect()[0]
+                if row["mx"] is not None and row["mx"] > cap:
+                    raise OperatorConfigError(
+                        f"record_linkage: a {name} block holds {row['mx']} "
+                        f"records (> max_block_size={cap}) — within-block "
+                        "pairs are quadratic; refine block_cols, or pass "
+                        "oversize_policy='skip' to drop hot blocks "
+                        "(documented recall trade)"
+                    )
+            else:
+                keep = sizes.where(F.col("count") <= cap).drop("count")
+                if name == "left":
+                    left = left.join(keep, block_cols, "left_semi")
+                    if self_mode:
+                        right = left
+                        break
+                else:
+                    right = right.join(keep, block_cols, "left_semi")
+            if self_mode:
+                break
+
+    a = left.alias("__la")
+    b = right.alias("__rb")
+    cond = [
+        F.col(f"__la.{c}").eqNullSafe(F.col(f"__rb.{c}")) for c in block_cols
+    ]
+    # NULL block keys pair NULL-with-NULL under eqNullSafe; exclude
+    # them — a NULL blocking key is "unknown", not a block.
+    pairs = a.join(b, cond, "inner").where(
+        functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"__la.{c}").isNotNull() for c in block_cols],
+        )
+    )
+    if self_mode:
+        pairs = pairs.where(F.col(f"__la.{id_col}") < F.col(f"__rb.{id_col}"))
+
+    agree_cols = []
+    score = None
+    for comp, (wa, wd) in zip(comparisons, ws):
+        flag = _agree(
+            comp["col"], comp.get("kind", "equal"), comp.get("threshold"),
+            "__la", "__rb",
+        )
+        agree_cols.append(flag.alias(f"agree_{comp['col']}"))
+        term = F.when(flag, F.lit(wa)).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+
+    out = pairs.select(
+        F.col(f"__la.{id_col}").alias("id_a"),
+        F.col(f"__rb.{id_col}").alias("id_b"),
+        *agree_cols,
+        score.alias("__score"),
+    ).where(F.col("__score") >= F.lit(float(lower)))
+    return out.select(
+        "id_a",
+        "id_b",
+        *[f"agree_{c['col']}" for c in comparisons],
+        (F.floor(F.col("__score") * F.lit(q)) / F.lit(q)).alias("score"),
+        F.when(F.col("__score") >= F.lit(float(upper)), "match")
+        .otherwise("possible")
+        .alias("match_class"),
+    )
+
+
+@register_operator("record_linkage")
+class RecordLinkageOperator(Operator):
+    """Config: ``id_col``, ``block_cols``, ``comparisons``, ``lower``,
+    ``upper`` (required); ``max_block_size`` (None skips the guard),
+    ``oversize_policy`` ('error' | 'skip'), ``quantize``. Ports:
+    ``in`` (and optional ``in_b`` for two-dataset linkage)."""
+
+    in_ports = ("in", "in_b")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("id_col", "block_cols", "comparisons"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"record_linkage requires {key!r}")
+        for key in ("lower", "upper"):
+            if key not in self.config:
+                raise OperatorConfigError(f"record_linkage requires {key!r}")
+        _weights(list(self.config["comparisons"]))
+        if self.config.get("oversize_policy", "error") not in ("error", "skip"):
+            raise OperatorConfigError(
+                "record_linkage oversize_policy must be 'error' or 'skip'"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        mbs = c.get("max_block_size", 10000)
+        return {
+            "out": record_linkage(
+                inputs["in"],
+                c["id_col"],
+                list(c["block_cols"]),
+                list(c["comparisons"]),
+                float(c["lower"]),
+                float(c["upper"]),
+                inputs.get("in_b"),
+                int(mbs) if mbs is not None else None,
+                c.get("oversize_policy", "error"),
+                int(c.get("quantize", 6)),
+            )
+        }

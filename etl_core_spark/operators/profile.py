@@ -225,3 +225,144 @@ class HistogramOperator(Operator):
                 None if hi is None else float(hi),
             )
         }
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+# repr'd double literals — the SAME strings are rendered into the
+# Spark expression and any SQL oracle, so both engines fold the
+# identical constants.
+import math as _math
+
+BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float | None = 15.507,
+    quantize: int = 9,
+) -> DataFrame:
+    """Benford's-law first-digit conformance per group (Benford 1938;
+    Nigrini's fraud/data-quality screen): naturally occurring
+    positive amounts have first significant digit d with probability
+    log10(1 + 1/d), and synthetic/corrupted/truncated feeds don't —
+    a one-aggregate drift test for ingest pipelines, complementing
+    ``ks_drift`` (distribution vs distribution) with distribution vs
+    LAW.
+
+    Emits per group: ``n`` (rows tested), ``chi2`` (Pearson statistic
+    over the 9 digit bins, floor-quantized), ``mad`` (Nigrini's mean
+    absolute deviation of digit shares), and ``alarm`` (chi2 >
+    ``threshold``; default 15.507 = chi-square 0.95 critical value at
+    8 degrees of freedom; None omits alarm values).
+
+    Determinism pins: the first digit comes from the INTEGER cents
+    string — ``substr(cast(floor(v*100 + 0.5) as bigint) as string),
+    1, 1)`` — never from ``log10``, whose libm rounding at
+    power-of-ten boundaries differs across engines; digit counts are
+    exact integers, so shares and the fixed left-to-right chi2/mad
+    sums replay identically anywhere. Rows with ``v*100 + 0.5 < 1``
+    (non-positive or sub-cent) are excluded from the test.
+
+    Scale shape: ONE map-side-combinable aggregate over conditional
+    integer counts — no shuffle beyond the group-by, no UDF, no
+    second pass.
+    """
+    if not value_col:
+        raise OperatorConfigError("benford_deviation requires value_col")
+    if threshold is not None and float(threshold) <= 0:
+        raise OperatorConfigError("benford_deviation threshold must be > 0")
+    gcols = list(group_cols or [])
+    q = float(10 ** int(quantize))
+
+    digit = F.substring(
+        F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    )
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & (
+            F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+            >= F.lit(1)
+        )
+    ).select(*gcols, digit.alias("__d"))
+
+    counts = [
+        F.sum(F.when(F.col("__d") == str(d), 1).otherwise(0)).alias(f"__c{d}")
+        for d in range(1, 10)
+    ]
+    agged = (
+        base.groupBy(*gcols).agg(*counts)
+        if gcols
+        else base.agg(*counts)
+    )
+
+    n = None
+    for d in range(1, 10):
+        c = F.col(f"__c{d}")
+        n = c if n is None else n + c
+    n = n.alias("n")
+
+    def share(d: int):
+        return F.col(f"__c{d}").cast("double") / F.col("n").cast("double")
+
+    chi2 = None
+    mad = None
+    for d in range(1, 10):
+        p = F.lit(BENFORD_P[d - 1])
+        term = (
+            (share(d) - p) * (share(d) - p) / p
+        )
+        adev = F.abs(share(d) - p)
+        chi2 = term if chi2 is None else chi2 + term
+        mad = adev if mad is None else mad + adev
+    chi2 = (F.col("n").cast("double") * chi2).alias("__chi2")
+
+    out = agged.select(*gcols, n, *[F.col(f"__c{d}") for d in range(1, 10)])
+    out = out.select(
+        *gcols,
+        "n",
+        chi2,
+        (mad / F.lit(9.0)).alias("__mad"),
+    ).select(
+        *gcols,
+        "n",
+        (F.floor(F.col("__chi2") * F.lit(q)) / F.lit(q)).alias("chi2"),
+        (F.floor(F.col("__mad") * F.lit(q)) / F.lit(q)).alias("mad"),
+        *(
+            [(F.col("__chi2") > F.lit(float(threshold))).alias("alarm")]
+            if threshold is not None
+            else []
+        ),
+    )
+    return out
+
+
+@register_operator("benford_deviation")
+class BenfordDeviationOperator(Operator):
+    """Config: ``value_col`` (required); ``group_cols``,
+    ``threshold`` (None omits the alarm column), ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("benford_deviation requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        thr = c.get("threshold", 15.507)
+        return {
+            "out": benford_deviation(
+                self.single_input(inputs),
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                float(thr) if thr is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }

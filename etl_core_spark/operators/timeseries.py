@@ -1264,6 +1264,162 @@ class HoltLinearOperator(Operator):
         }
 
 
+def holt_winters(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    quantize: int = 9,
+) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing per key
+    (Winters 1960) — the seasonal step up from ``holt_linear`` when
+    the series cycles with period ``m``: a smoothed LEVEL, a smoothed
+    TREND, and ``m`` smoothed SEASONAL indices::
+
+        l_1 = x_1;  b_1 = 0;  s_j = 0 for the initial ring
+        l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t) + (1-gamma)*s_{t-m}
+
+    Zero seasonal init (rather than the textbook first-cycle means)
+    keeps the recursion a pure left-to-right fold — a mean-based init
+    would tie every output to a float sum's reduction order, the same
+    reason ``cusum`` takes a config target. The indices converge to
+    the cycle shape after a few periods regardless.
+
+    Pins (the ewma/holt conventions): ``order_cols`` must totally
+    order rows within a key; NULL values carry ALL state (the
+    seasonal ring does not rotate on a NULL); level/trend/seasonal
+    floor-quantized; the recursion is the identical float sequence in
+    any engine that parenthesizes ``a*(x - s_old) + (1-a)*(l + b)``,
+    ``b*(l_new - l) + (1-b)*t`` and ``g*(x - l_new) + (1-g)*s_old``
+    the same way, with ``l_new`` computed ONCE and reused.
+
+    Scale shape: ONE hash shuffle on the key + an Arrow-batched
+    ``applyInPandas`` per key group (inherently sequential per
+    series — the ewma/holt/cusum family).
+    """
+    if not key_cols:
+        raise OperatorConfigError("holt_winters requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("holt_winters requires order_cols")
+    if int(period) < 2:
+        raise OperatorConfigError("holt_winters period must be >= 2")
+    if not 0 < float(alpha) <= 1:
+        raise OperatorConfigError("holt_winters alpha must be in (0, 1]")
+    if not 0 <= float(beta) <= 1 or not 0 <= float(gamma) <= 1:
+        raise OperatorConfigError(
+            "holt_winters needs beta and gamma in [0, 1]"
+        )
+    m = int(period)
+    a = float(alpha)
+    bb = float(beta)
+    g = float(gamma)
+    q = float(10 ** int(quantize))
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in df.schema.fields
+    ) + (
+        f", `{level_col}` double, `{trend_col}` double,"
+        f" `{seasonal_col}` double"
+    )
+    order_names = list(order_cols)
+    vc = value_col
+
+    def smooth(pdf):
+        import collections
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        lv = None
+        tv = 0.0
+        sv = 0.0
+        ring = collections.deque([0.0] * m)
+        levels, trends, seasons = [], [], []
+        for x in pdf[vc]:
+            if x is not None and not (isinstance(x, float) and math.isnan(x)):
+                xf = float(x)
+                if lv is None:
+                    lv, tv, sv = xf, 0.0, 0.0
+                else:
+                    s_old = ring.popleft()
+                    lnew = a * (xf - s_old) + (1.0 - a) * (lv + tv)
+                    tv = bb * (lnew - lv) + (1.0 - bb) * tv
+                    sv = g * (xf - lnew) + (1.0 - g) * s_old
+                    lv = lnew
+                    ring.append(sv)
+            if lv is None:
+                levels.append(None)
+                trends.append(None)
+                seasons.append(None)
+            else:
+                levels.append(math.floor(lv * q) / q)
+                trends.append(math.floor(tv * q) / q)
+                seasons.append(math.floor(sv * q) / q)
+        res = pdf.copy()
+        res[level_col] = pd.Series(levels, index=pdf.index, dtype="float64")
+        res[trend_col] = pd.Series(trends, index=pdf.index, dtype="float64")
+        res[seasonal_col] = pd.Series(seasons, index=pdf.index, dtype="float64")
+        return res
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, out_schema).select(
+        *cols, level_col, trend_col, seasonal_col
+    )
+
+
+@register_operator("holt_winters")
+class HoltWintersOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``value_col``, ``period``
+    (required); ``alpha``, ``beta``, ``gamma``, ``level_col``,
+    ``trend_col``, ``seasonal_col``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"holt_winters requires {key!r}")
+        if "period" not in self.config:
+            raise OperatorConfigError("holt_winters requires 'period'")
+        if int(self.config["period"]) < 2:
+            raise OperatorConfigError("holt_winters period must be >= 2")
+        if not 0 < float(self.config.get("alpha", 0.3)) <= 1:
+            raise OperatorConfigError("holt_winters alpha must be in (0, 1]")
+        for k in ("beta", "gamma"):
+            v = float(self.config.get(k, 0.1 if k == "beta" else 0.2))
+            if not 0 <= v <= 1:
+                raise OperatorConfigError(f"holt_winters {k} must be in [0, 1]")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": holt_winters(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                int(c["period"]),
+                float(c.get("alpha", 0.3)),
+                float(c.get("beta", 0.1)),
+                float(c.get("gamma", 0.2)),
+                c.get("level_col", "level"),
+                c.get("trend_col", "trend"),
+                c.get("seasonal_col", "seasonal"),
+                int(c.get("quantize", 9)),
+            )
+        }
+
+
 def cusum(
     df: DataFrame,
     key_cols: list[str],
@@ -1372,6 +1528,147 @@ class CusumOperator(Operator):
                 float(c["target"]),
                 float(c.get("slack", 0.0)),
                 float(thr) if thr is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    time_divisor: float = 1.0,
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    max_points: int | None = 10000,
+    quantize: int = 9,
+) -> DataFrame:
+    """Theil-Sen robust trend per key (Theil 1950, Sen 1968): the
+    slope estimate is the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / ((t_j - t_i) / time_divisor)`` over observation
+    pairs with ``t_i < t_j`` (strictly — equal-time pairs are
+    excluded, their slope is undefined), and the intercept is the
+    median of per-observation residuals ``v - slope * (t /
+    time_divisor)``. Breakdown point ~29%: a fifth of the series can
+    be corrupted and the trend barely moves, unlike OLS — the robust
+    counterpart to ``holt_linear`` for drift estimation over noisy
+    metric series.
+
+    ``time_col`` must be numeric (convert timestamps upstream, e.g.
+    ``unix_micros``); ``time_divisor`` rescales the slope unit (e.g.
+    86400e6 for per-day over microsecond times) INSIDE the pair
+    expression so both engines divide identically. NULL times/values
+    are dropped before pairing. One output row per key: ``n_obs``,
+    ``n_pairs``, floor-quantized slope and intercept.
+
+    Cross-engine: the pairwise-slope multiset is order-independent,
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (n-1)*p linear-interpolation definition (the winsorize pin),
+    and the intercept reuses the UNquantized slope double — identical
+    math end-to-end, so floor-quantization only pins rendering.
+
+    Scale shape: ONE hash shuffle on the key, then a within-key
+    self-join — O(n²) pairs per series, the bounded-series-length
+    class (markov_transitions, event_paths). ``max_points`` guards
+    the quadratic blowup with a bounded one-row aggregate probe and a
+    loud error naming the re-keying fix; pass None to skip the probe
+    (one fewer job) when series lengths are known-bounded.
+    """
+    if not key_cols:
+        raise OperatorConfigError("theil_sen requires key_cols")
+    if not time_col or not value_col:
+        raise OperatorConfigError("theil_sen requires time_col and value_col")
+    if float(time_divisor) <= 0:
+        raise OperatorConfigError("theil_sen time_divisor must be > 0")
+    dv = float(time_divisor)
+    q = float(10 ** int(quantize))
+
+    obs = df.select(
+        *[F.col(k) for k in key_cols],
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+
+    if max_points is not None:
+        worst = obs.groupBy(*key_cols).count().agg(
+            F.max("count").alias("mx")
+        ).collect()[0]["mx"]
+        if worst is not None and worst > int(max_points):
+            raise OperatorConfigError(
+                f"theil_sen: a key holds {worst} observations "
+                f"(> max_points={max_points}); pairwise slopes are "
+                "quadratic per series — re-key to shorter series "
+                "(e.g. add a time bucket to key_cols) or raise "
+                "max_points explicitly"
+            )
+
+    a = obs.alias("a")
+    b = obs.alias("b")
+    key_eq = [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+    pairs = a.join(b, key_eq, "inner").where(
+        F.col("a.__t") < F.col("b.__t")
+    ).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        (
+            (F.col("b.__v") - F.col("a.__v"))
+            / ((F.col("b.__t") - F.col("a.__t")) / F.lit(dv))
+        ).alias("__slope"),
+    )
+    slopes = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("__m"),
+    )
+    # keyed join, NOT broadcast: `slopes` is one row per key, which
+    # grows with the key count; both sides are already hash-
+    # partitioned on the key from the groupBy, so this reuses the
+    # exchange instead of shipping an unbounded build side.
+    resid = obs.join(slopes, key_cols, "inner").select(
+        *key_cols,
+        "n_pairs",
+        "__m",
+        (F.col("__v") - F.col("__m") * (F.col("__t") / F.lit(dv))).alias("__r"),
+    )
+    return resid.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.first("n_pairs").alias("n_pairs"),
+        (F.floor(F.first("__m") * F.lit(q)) / F.lit(q)).alias(slope_col),
+        (
+            F.floor(F.percentile(F.col("__r"), F.lit(0.5)) * F.lit(q))
+            / F.lit(q)
+        ).alias(intercept_col),
+    )
+
+
+@register_operator("theil_sen")
+class TheilSenOperator(Operator):
+    """Config: ``key_cols``, ``time_col``, ``value_col`` (required);
+    ``time_divisor``, ``slope_col``, ``intercept_col``,
+    ``max_points`` (None skips the guard probe), ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "time_col", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"theil_sen requires {key!r}")
+        if float(self.config.get("time_divisor", 1.0)) <= 0:
+            raise OperatorConfigError("theil_sen time_divisor must be > 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        mp = c.get("max_points", 10000)
+        return {
+            "out": theil_sen(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                c["time_col"],
+                c["value_col"],
+                float(c.get("time_divisor", 1.0)),
+                c.get("slope_col", "slope"),
+                c.get("intercept_col", "intercept"),
+                int(mp) if mp is not None else None,
                 int(c.get("quantize", 9)),
             )
         }

@@ -868,6 +868,64 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("trend_col", "string", default="trend"),
         f("quantize", "integer", default=9),
     ],
+    "holt_winters": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("order_cols", "array", required=True, items={"type": "string"},
+          desc="must totally order rows within a key"),
+        f("value_col", "string", required=True),
+        f("period", "integer", required=True,
+          desc="seasonal cycle length m >= 2"),
+        f("alpha", "number", default=0.3, desc="level smoothing, (0,1]"),
+        f("beta", "number", default=0.1, desc="trend smoothing, [0,1]"),
+        f("gamma", "number", default=0.2, desc="seasonal smoothing, [0,1]"),
+        f("level_col", "string", default="level"),
+        f("trend_col", "string", default="trend"),
+        f("seasonal_col", "string", default="seasonal"),
+        f("quantize", "integer", default=9),
+    ],
+    "theil_sen": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("time_col", "string", required=True,
+          desc="numeric time axis (convert timestamps upstream)"),
+        f("value_col", "string", required=True),
+        f("time_divisor", "number", default=1.0,
+          desc="slope unit rescale, e.g. 86400e6 for per-day over "
+               "microsecond times"),
+        f("slope_col", "string", default="slope"),
+        f("intercept_col", "string", default="intercept"),
+        f("max_points", "integer", default=10000,
+          desc="per-key observation cap (pairs are quadratic); "
+               "null skips the guard probe"),
+        f("quantize", "integer", default=9),
+    ],
+    "benford_deviation": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("threshold", "number", default=15.507,
+          desc="chi-square alarm level (default: 0.95 critical value "
+               "at 8 dof); null omits the alarm column"),
+        f("quantize", "integer", default=9),
+    ],
+    "record_linkage": [
+        f("id_col", "string", required=True),
+        f("block_cols", "array", required=True, items={"type": "string"},
+          desc="equi-join blocking keys — unblocked linkage is the "
+               "all-pairs cartesian"),
+        f("comparisons", "array", required=True, items={"type": "object"},
+          desc="[{col, kind: equal|levenshtein|abs_diff, threshold, "
+               "m, u}] with 0 < u < m < 1"),
+        f("lower", "number", required=True,
+          desc="pairs scoring below this are dropped"),
+        f("upper", "number", required=True,
+          desc="score >= upper classifies 'match', else 'possible'"),
+        f("max_block_size", "integer", default=10000,
+          desc="hot-block guard (within-block pairs are quadratic); "
+               "null skips the probe"),
+        f("oversize_policy", "string", default="error",
+          desc="'error' raises naming the block; 'skip' drops "
+               "oversized blocks (documented recall trade)"),
+        f("quantize", "integer", default=6),
+    ],
     "ewma": [
         f("key_cols", "array", required=True, items={"type": "string"}),
         f("order_cols", "array", required=True, items={"type": "string"},

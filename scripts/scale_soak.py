@@ -240,6 +240,63 @@ def families(docs, spark):
         F.pmod(F.xxhash64("doc_id"), F.lit(1000)).cast("double").alias("y"),
     )
     fams["zorder_key"] = lambda: zorder_key(layout_in, ["x", "y"])
+    # r10 session 3: Fellegi-Sunter linkage — blocked on fixed-width
+    # doc_id ranges (replica ids are salted-unique, so block COUNT
+    # scales with the data while block SIZE stays ~50): within-block
+    # pairs, and so the candidate set, grow linearly. This mirrors the
+    # real-world rule the operator documents: blocking granularity
+    # must scale with the corpus, the max_block_size guard is what
+    # catches a blocking key that didn't.
+    from etl_core_spark.operators.linkage import record_linkage
+
+    link_in = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / F.lit(50)).alias("blk"),
+        "lang",
+        F.col("n_chars").cast("double").alias("nc"),
+    )
+    fams["record_linkage"] = lambda: record_linkage(
+        link_in,
+        "doc_id",
+        ["blk"],
+        [
+            {"col": "lang", "kind": "equal", "m": 0.9, "u": 0.2},
+            {"col": "nc", "kind": "abs_diff", "threshold": 50.0,
+             "m": 0.8, "u": 0.1},
+        ],
+        lower=-10.0,
+        upper=2.0,
+        max_block_size=None,
+    )
+    # r10 session 3: Holt-Winters per fixed-width key ranges — the
+    # sequential per-series fold is O(series length); keys scale with
+    # the data, series stay ~30 rows, so per-row cost must be flat
+    from etl_core_spark.operators.timeseries import holt_winters, theil_sen
+
+    hw_in = docs.select(
+        F.floor(F.col("doc_id") / F.lit(30)).alias("k"),
+        "doc_id",
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    fams["holt_winters"] = lambda: holt_winters(
+        hw_in, ["k"], ["doc_id"], "v", period=4
+    )
+    # r10 session 3: Theil-Sen per fixed-width key ranges — pairwise
+    # slopes are quadratic PER SERIES but series length is pinned at
+    # ~30 by the key width, so the pair table grows linearly
+    fams["theil_sen"] = lambda: theil_sen(
+        hw_in, ["k"], "doc_id", "v", max_points=None
+    )
+    # r10 session 3: Benford conformance — one map-side-combinable
+    # conditional-count aggregate per lang; trivially linear, included
+    # so the data-quality family has a measured scale row
+    from etl_core_spark.operators.profile import benford_deviation
+
+    fams["benford_deviation"] = lambda: benford_deviation(
+        docs.select("lang", F.col("n_chars").cast("double").alias("v")),
+        "v",
+        ["lang"],
+    )
     return fams
 
 

@@ -52,6 +52,12 @@ ALLOWED_DIRECT = {
     # signature-agreement arithmetic (incremental_dedup the OPERATOR
     # annotates/drops rows instead)
     "q_incremental_dedup",
+    # fixed-basis projection kernel: the registered "pca" operator
+    # FITS then projects (rows-only contract); this row certifies the
+    # projection arithmetic alone with a pinned model, which has no
+    # registered wrapper by design (a config-supplied basis is not a
+    # pipeline component, it is the certification harness)
+    "q_pca_project_fixed",
 }
 
 

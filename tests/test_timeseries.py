@@ -447,3 +447,156 @@ def test_cusum_validation(spark):
             key_cols=["k"], order_cols=["t"], value_col="v",
             target=0.0, slack=-1,
         )
+
+
+# -------------------------------------------------------- holt_winters
+
+def test_holt_winters_matches_python_recursion(spark):
+    import collections
+    import math
+
+    xs = [10.0, 14.0, 8.0, 12.0, 11.0, 15.0, 9.0, 13.0, 12.0, 16.0]
+    m, a, bb, g = 4, 0.3, 0.1, 0.2
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["t"]: (r["level"], r["trend"], r["seasonal"])
+        for r in get_operator("holt_winters")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            period=m, alpha=a, beta=bb, gamma=g,
+        ).apply({"in": df})["out"].collect()
+    }
+    lv, tv, sv = None, 0.0, 0.0
+    ring = collections.deque([0.0] * m)
+    for i, x in enumerate(xs):
+        if lv is None:
+            lv, tv, sv = x, 0.0, 0.0
+        else:
+            s_old = ring.popleft()
+            lnew = a * (x - s_old) + (1.0 - a) * (lv + tv)
+            tv = bb * (lnew - lv) + (1.0 - bb) * tv
+            sv = g * (x - lnew) + (1.0 - g) * s_old
+            lv = lnew
+            ring.append(sv)
+        assert out[i] == (
+            math.floor(lv * 1e9) / 1e9,
+            math.floor(tv * 1e9) / 1e9,
+            math.floor(sv * 1e9) / 1e9,
+        )
+
+
+def test_holt_winters_seasonal_converges_to_cycle(spark):
+    # a pure period-2 alternating series: the seasonal indices should
+    # take opposite signs once warmed up, and the trend should stay
+    # near zero (no drift in the series)
+    xs = [10.0, 20.0] * 20
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = sorted(
+        get_operator("holt_winters")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            period=2, alpha=0.3, beta=0.1, gamma=0.4,
+        ).apply({"in": df})["out"].collect(),
+        key=lambda r: r["t"],
+    )
+    tail = out[-4:]
+    lows = [r["seasonal"] for r in tail if r["v"] == 10.0]
+    highs = [r["seasonal"] for r in tail if r["v"] == 20.0]
+    assert all(s < -2.0 for s in lows)
+    assert all(s > 2.0 for s in highs)
+    assert all(abs(r["trend"]) < 1.0 for r in tail)
+
+
+def test_holt_winters_null_carries_all_state(spark):
+    rows = [(1, 0, 10.0), (1, 1, None), (1, 2, 20.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["t"]: (r["level"], r["trend"], r["seasonal"])
+        for r in get_operator("holt_winters")(
+            key_cols=["k"], order_cols=["t"], value_col="v", period=3,
+        ).apply({"in": df})["out"].collect()
+    }
+    assert out[1] == out[0]              # NULL carries, ring untouched
+    assert out[2][0] > out[0][0]         # the 20.0 advances the level
+
+
+def test_holt_winters_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("holt_winters")(
+            key_cols=["k"], order_cols=["t"], value_col="v", period=1
+        )
+    with pytest.raises(OperatorConfigError):
+        get_operator("holt_winters")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            period=4, gamma=1.5,
+        )
+    with pytest.raises(OperatorConfigError):
+        get_operator("holt_winters")(
+            key_cols=[], order_cols=["t"], value_col="v", period=4
+        )
+
+
+# ----------------------------------------------------------- theil_sen
+
+def test_theil_sen_known_series(spark):
+    import math
+    import statistics
+
+    # v = 2*t + noise on one key; hand-check against the definition
+    pts = [(0.0, 1.0), (1.0, 3.5), (2.0, 4.5), (3.0, 7.5), (4.0, 8.0)]
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in pts], "k long, t double, v double"
+    )
+    out = get_operator("theil_sen")(
+        key_cols=["k"], time_col="t", value_col="v",
+    ).apply({"in": df})["out"].collect()
+    assert len(out) == 1
+    r = out[0]
+    slopes = sorted(
+        (vj - vi) / ((tj - ti) / 1.0)
+        for i, (ti, vi) in enumerate(pts)
+        for tj, vj in pts[i + 1:]
+    )
+    med = statistics.median(slopes)
+    assert r["n_obs"] == 5 and r["n_pairs"] == 10
+    assert r["slope"] == math.floor(med * 1e9) / 1e9
+    resid = sorted(v - med * t for t, v in pts)
+    assert r["intercept"] == math.floor(statistics.median(resid) * 1e9) / 1e9
+
+
+def test_theil_sen_robust_to_outlier_and_equal_times_excluded(spark):
+    rows = [(1, float(t), 2.0 * t) for t in range(10)]
+    rows[5] = (1, 5.0, 500.0)             # one wild outlier
+    rows.append((1, 9.0, 999.0))          # duplicate time: pairs with
+    df = spark.createDataFrame(rows, "k long, t double, v double")
+    r = get_operator("theil_sen")(
+        key_cols=["k"], time_col="t", value_col="v",
+    ).apply({"in": df})["out"].collect()[0]
+    assert abs(r["slope"] - 2.0) < 1.0    # OLS would be wrecked
+    # 11 obs -> 55 unordered pairs minus the 1 equal-time pair
+    assert r["n_pairs"] == 54
+
+
+def test_theil_sen_max_points_guard(spark):
+    df = spark.createDataFrame(
+        [(1, float(i), float(i)) for i in range(30)],
+        "k long, t double, v double",
+    )
+    with pytest.raises(OperatorConfigError, match="max_points"):
+        get_operator("theil_sen")(
+            key_cols=["k"], time_col="t", value_col="v", max_points=10,
+        ).apply({"in": df})["out"]
+    # None skips the probe entirely
+    out = get_operator("theil_sen")(
+        key_cols=["k"], time_col="t", value_col="v", max_points=None,
+    ).apply({"in": df})["out"]
+    assert out.count() == 1
+
+
+def test_theil_sen_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("theil_sen")(key_cols=[], time_col="t", value_col="v")
+    with pytest.raises(OperatorConfigError):
+        get_operator("theil_sen")(
+            key_cols=["k"], time_col="t", value_col="v", time_divisor=0.0
+        )
