@@ -415,6 +415,175 @@ class KsDriftOperator(Operator):
         }
 
 
+def psi_drift(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    edges: list[float],
+    group_cols: list[str] | None = None,
+    epsilon: float = 1e-4,
+    threshold: float | None = 0.2,
+    quantize: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group — THE standard production
+    ML drift score (banking scorecard lineage, the 0.1/0.2 bands):
+    bucket both samples over FIXED edges and take
+
+        PSI = sum_i (a_i - e_i) * ln(a_i / e_i)
+
+    where ``e_i``/``a_i`` are the reference (``left``) and current
+    (``right``) bucket shares. Complements the resident drift pair:
+    ks_drift is exact but edge-free (sup of CDF gap), corpus_divergence
+    is symmetric JS over token space; PSI is the fixed-binning,
+    monitoring-dashboard convention with its published alert bands.
+
+    Pins: ``edges`` are CONFIG-SUPPLIED (the cusum rule — quantile-
+    derived edges would tie every score to an interpolation over a
+    float sort); bucket b of B = len(edges)+1 is the searched-CASE
+    index (v < edges[0] -> 0, ... else B-1), identical literals both
+    engines; shares are Laplace-smoothed ``(c_i + eps) / (n + B*eps)``
+    so empty buckets never hit ln(0) and the smoothing is a pure
+    expression, not a data-dependent fixup; the bucket sum is
+    left-associative in bucket order; floor-quantized. NULL values
+    drop. A group on only one side keeps its PSI (the smoothed empty
+    side's shares are uniform 1/B-ish — a large, honest score).
+
+    Scale shape: ONE map-side-combinable conditional-count aggregate
+    per side (B int columns), a keyed outer join on the group, and a
+    fixed-size expression — no window, no UDF, nothing row-sized
+    past the first aggregate.
+    """
+    if not value_col:
+        raise OperatorConfigError("psi_drift requires value_col")
+    if not edges or sorted(float(e) for e in edges) != [
+        float(e) for e in edges
+    ] or len(set(float(e) for e in edges)) != len(edges):
+        raise OperatorConfigError(
+            "psi_drift requires strictly increasing bucket edges "
+            "(config-supplied, e.g. from a calibration window)"
+        )
+    if float(epsilon) <= 0:
+        raise OperatorConfigError("psi_drift epsilon must be > 0")
+    es = [float(e) for e in edges]
+    nb = len(es) + 1
+    eps = float(epsilon)
+    q = float(10 ** int(quantize))
+    g = list(group_cols or [])
+
+    def bucket(vc):
+        expr = F.lit(nb - 1)
+        for i in range(len(es) - 1, -1, -1):
+            expr = F.when(vc < F.lit(es[i]), F.lit(i)).otherwise(expr)
+        return expr
+
+    def side_counts(df, prefix):
+        v = F.col(value_col).cast("double")
+        base = df.where(v.isNotNull()).select(*g, bucket(v).alias("__b"))
+        aggs = [
+            F.sum(F.when(F.col("__b") == i, 1).otherwise(0)).alias(
+                f"__{prefix}{i}"
+            )
+            for i in range(nb)
+        ]
+        return base.groupBy(*g).agg(*aggs) if g else base.agg(*aggs)
+
+    lc = side_counts(left, "e")
+    rc = side_counts(right, "a")
+    joined = (
+        lc.join(rc, g, "full_outer")
+        if g
+        else lc.crossJoin(rc)  # two one-row aggregates
+    )
+    # a side absent for a group contributes zero counts
+    zero = [
+        F.coalesce(F.col(f"__{p}{i}"), F.lit(0)).alias(f"__{p}{i}")
+        for p in ("e", "a")
+        for i in range(nb)
+    ]
+    joined = joined.select(*g, *zero)
+
+    def total(prefix):
+        t = None
+        for i in range(nb):
+            c = F.col(f"__{prefix}{i}")
+            t = c if t is None else t + c
+        return t
+
+    joined = joined.select(
+        *g,
+        *[F.col(f"__e{i}") for i in range(nb)],
+        *[F.col(f"__a{i}") for i in range(nb)],
+        total("e").alias("__ne"),
+        total("a").alias("__na"),
+    )
+
+    def share(prefix, i, n):
+        return (F.col(f"__{prefix}{i}").cast("double") + F.lit(eps)) / (
+            n.cast("double") + F.lit(float(nb) * eps)
+        )
+
+    psi = None
+    for i in range(nb):
+        e_i = share("e", i, F.col("__ne"))
+        a_i = share("a", i, F.col("__na"))
+        term = (a_i - e_i) * F.log(a_i / e_i)
+        psi = term if psi is None else psi + term
+
+    out = joined.select(
+        *g,
+        F.col("__ne").cast("long").alias("n_left"),
+        F.col("__na").cast("long").alias("n_right"),
+        psi.alias("__psi"),
+    )
+    return out.select(
+        *g,
+        "n_left",
+        "n_right",
+        (F.floor(F.col("__psi") * F.lit(q)) / F.lit(q)).alias("psi"),
+        *(
+            [(F.col("__psi") > F.lit(float(threshold))).alias("drift")]
+            if threshold is not None
+            else []
+        ),
+    )
+
+
+@register_operator("psi_drift")
+class PsiDriftOperator(Operator):
+    """Config: ``value_col``, ``edges`` (required); ``group_cols``,
+    ``epsilon``, ``threshold`` (None omits the drift column),
+    ``quantize``. Ports: ``left`` (reference), ``right`` (current)."""
+
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("psi_drift requires 'value_col'")
+        if not self.config.get("edges"):
+            raise OperatorConfigError("psi_drift requires 'edges'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"left", "right"}:
+            raise OperatorConfigError(
+                f"psi_drift takes ports left/right, got {sorted(inputs)}"
+            )
+        c = self.config
+        thr = c.get("threshold", 0.2)
+        return {
+            "out": psi_drift(
+                inputs["left"],
+                inputs["right"],
+                c["value_col"],
+                [float(e) for e in c["edges"]],
+                list(c.get("group_cols") or []),
+                float(c.get("epsilon", 1e-4)),
+                float(thr) if thr is not None else None,
+                int(c.get("quantize", 6)),
+            )
+        }
+
+
 def cdc_apply(
     snapshot: DataFrame,
     changes: DataFrame,

@@ -93,10 +93,56 @@ def _agree(col: str, kind: str, threshold, left: str, right: str):
     )
 
 
+def _global_rank(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Contiguous 1-based global rank by ``sort_cols`` (which must be
+    a TOTAL order), computed the distributed way: a range shuffle
+    orders partitions, a partition-LOCAL row_number ranks within each
+    (never a single-partition global window), and per-partition
+    offsets — a #partitions-sized aggregate — add up via one tiny
+    broadcast join. The rank itself is partitioning-independent
+    because the order is total.
+
+    Honest cost note: Catalyst inserts a second, pid-keyed hash
+    exchange to satisfy the window's partitioning (it cannot prove
+    the range layout already groups __pid), and the size aggregate
+    re-scans a two-column pruned projection — a constant ~2x on the
+    shuffle bytes, not a scale shape problem. If that constant ever
+    matters, the upgrade path is bucketing the sort key by a
+    percentile-sketch cut table (one narrow pre-pass, one shuffle);
+    the rank stays identical because ANY ordered bucketing yields the
+    same total order."""
+    from pyspark.sql import Window
+
+    ranked = df.repartitionByRange(*sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*[F.col(c) for c in sort_cols])
+    )
+    ranked = ranked.withColumn("__lrn", local)
+    sizes = ranked.groupBy("__pid").count()
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__pid")
+        .withColumn("__rn", F.col("__off") + F.col("__lrn"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def record_linkage(
     df_a: DataFrame,
     id_col: str,
-    block_cols: list[str],
+    block_cols: list[str] | None,
     comparisons: list[dict],
     lower: float,
     upper: float,
@@ -104,25 +150,41 @@ def record_linkage(
     max_block_size: int | None = 10000,
     oversize_policy: str = "error",
     quantize: int = 6,
+    method: str = "block",
+    sort_cols: list[str] | None = None,
+    window: int | None = None,
 ) -> DataFrame:
     """Score candidate pairs; see module docstring for the method.
 
-    ``df_b=None`` is self-linkage (dedup mode): pairs within
-    ``df_a`` with ``id_a < id_b``. With ``df_b``, pairs cross the
-    two inputs (both must carry ``id_col``, ``block_cols`` and every
-    comparison column). Comparisons: list of ``{"col", "kind"
-    ("equal" | "levenshtein" | "abs_diff"), "threshold" (for the
-    latter two), "m", "u"}``. Output: ``id_a``, ``id_b``, one
-    ``agree_<col>`` boolean per comparison, floor-quantized
-    ``score``, and ``match_class`` ('match' when score >= upper,
-    else 'possible'); pairs under ``lower`` are dropped.
+    Candidate generation, ``method``:
+
+    - ``"block"`` (default): equi-join on ``block_cols``;
+      ``df_b=None`` is self-linkage (dedup mode) with ``id_a <
+      id_b``, with ``df_b`` pairs cross the two inputs.
+    - ``"sorted"``: sorted-neighborhood (Hernández & Stolfo 1995) —
+      records within ``window`` positions of each other in the
+      global ``sort_cols`` order pair up (``id_col`` is appended as
+      the tie-break, making the order total). The standard answer
+      when no clean blocking key exists but a fuzzy sort key does:
+      candidates are n*(window-1), linear. Self-mode only; ``id_a``
+      is the LOWER-RANKED record. Scale shape: one range shuffle +
+      partition-local ranks + a #partitions-sized offset broadcast
+      (never a single-partition global window), then a banded
+      equi-join on floor(rank/window) — each qualifying pair lands
+      in exactly one of the two probed bands.
+
+    Comparisons: list of ``{"col", "kind" ("equal" | "levenshtein" |
+    "abs_diff"), "threshold" (for the latter two), "m", "u"}``.
+    Output: ``id_a``, ``id_b``, one ``agree_<col>`` boolean per
+    comparison, floor-quantized ``score``, and ``match_class``
+    ('match' when score >= upper, else 'possible'); pairs under
+    ``lower`` are dropped.
     """
     if not id_col:
         raise OperatorConfigError("record_linkage requires id_col")
-    if not block_cols:
+    if method not in ("block", "sorted"):
         raise OperatorConfigError(
-            "record_linkage requires block_cols — unblocked linkage is "
-            "the all-pairs cartesian; block on a stable attribute"
+            "record_linkage method must be 'block' or 'sorted'"
         )
     if not comparisons:
         raise OperatorConfigError("record_linkage requires comparisons")
@@ -134,6 +196,44 @@ def record_linkage(
         )
     ws = _weights(comparisons)
     q = float(10 ** int(quantize))
+
+    if method == "sorted":
+        if df_b is not None:
+            raise OperatorConfigError(
+                "record_linkage method='sorted' is self-linkage only "
+                "(union the inputs upstream for multi-source SNM)"
+            )
+        if not sort_cols:
+            raise OperatorConfigError(
+                "record_linkage method='sorted' requires sort_cols"
+            )
+        if window is None or int(window) < 2:
+            raise OperatorConfigError(
+                "record_linkage method='sorted' requires window >= 2"
+            )
+        w = int(window)
+        ranked = _global_rank(df_a, list(sort_cols) + [id_col])
+        ranked = ranked.withColumn(
+            "__bkt", F.floor(F.col("__rn") / F.lit(w))
+        )
+        probe = ranked.withColumn(
+            "__bkt", F.explode(F.array(F.col("__bkt"), F.col("__bkt") + 1))
+        )
+        a = probe.alias("__la")
+        b = ranked.alias("__rb")
+        pairs = a.join(
+            b, F.col("__la.__bkt") == F.col("__rb.__bkt"), "inner"
+        ).where(
+            (F.col("__rb.__rn") - F.col("__la.__rn") >= 1)
+            & (F.col("__rb.__rn") - F.col("__la.__rn") < F.lit(w))
+        )
+        return _score_pairs(pairs, id_col, comparisons, ws, lower, upper, q)
+
+    if not block_cols:
+        raise OperatorConfigError(
+            "record_linkage requires block_cols — unblocked linkage is "
+            "the all-pairs cartesian; block on a stable attribute"
+        )
     self_mode = df_b is None
 
     left = df_a
@@ -185,7 +285,12 @@ def record_linkage(
     )
     if self_mode:
         pairs = pairs.where(F.col(f"__la.{id_col}") < F.col(f"__rb.{id_col}"))
+    return _score_pairs(pairs, id_col, comparisons, ws, lower, upper, q)
 
+
+def _score_pairs(pairs, id_col, comparisons, ws, lower, upper, q):
+    """Fellegi-Sunter scoring over __la/__rb-aliased candidate pairs
+    (shared by both candidate generators)."""
     agree_cols = []
     score = None
     for comp, (wa, wd) in zip(comparisons, ws):
@@ -225,7 +330,15 @@ class RecordLinkageOperator(Operator):
     out_ports = ("out",)
 
     def validate_config(self) -> None:
-        for key in ("id_col", "block_cols", "comparisons"):
+        method = self.config.get("method", "block")
+        if method not in ("block", "sorted"):
+            raise OperatorConfigError(
+                "record_linkage method must be 'block' or 'sorted'"
+            )
+        needs = ["id_col", "comparisons"] + (
+            ["block_cols"] if method == "block" else ["sort_cols", "window"]
+        )
+        for key in needs:
             if not self.config.get(key):
                 raise OperatorConfigError(f"record_linkage requires {key!r}")
         for key in ("lower", "upper"):
@@ -240,11 +353,14 @@ class RecordLinkageOperator(Operator):
     def apply(self, inputs: PortMap) -> PortMap:
         c = self.config
         mbs = c.get("max_block_size", 10000)
+        bc = c.get("block_cols")
+        sc = c.get("sort_cols")
+        win = c.get("window")
         return {
             "out": record_linkage(
                 inputs["in"],
                 c["id_col"],
-                list(c["block_cols"]),
+                list(bc) if bc else None,
                 list(c["comparisons"]),
                 float(c["lower"]),
                 float(c["upper"]),
@@ -252,5 +368,8 @@ class RecordLinkageOperator(Operator):
                 int(mbs) if mbs is not None else None,
                 c.get("oversize_policy", "error"),
                 int(c.get("quantize", 6)),
+                c.get("method", "block"),
+                list(sc) if sc else None,
+                int(win) if win is not None else None,
             )
         }

@@ -906,11 +906,32 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "at 8 dof); null omits the alarm column"),
         f("quantize", "integer", default=9),
     ],
+    "psi_drift": [
+        f("value_col", "string", required=True),
+        f("edges", "array", required=True, items={"type": "number"},
+          desc="strictly increasing bucket edges (config-supplied "
+               "from a calibration window — the cusum rule)"),
+        f("group_cols", "array", items={"type": "string"}),
+        f("epsilon", "number", default=1e-4,
+          desc="Laplace smoothing so empty buckets never hit ln(0)"),
+        f("threshold", "number", default=0.2,
+          desc="drift alert level (the published 0.2 band); null "
+               "omits the drift column"),
+        f("quantize", "integer", default=6),
+    ],
     "record_linkage": [
         f("id_col", "string", required=True),
-        f("block_cols", "array", required=True, items={"type": "string"},
-          desc="equi-join blocking keys — unblocked linkage is the "
-               "all-pairs cartesian"),
+        f("method", "string", default="block",
+          desc="'block' (equi-join on block_cols) or 'sorted' "
+               "(sorted-neighborhood over sort_cols within window)"),
+        f("block_cols", "array", items={"type": "string"},
+          desc="equi-join blocking keys (method='block'; required "
+               "there — unblocked linkage is the all-pairs cartesian)"),
+        f("sort_cols", "array", items={"type": "string"},
+          desc="fuzzy sort key for method='sorted' (id_col appended "
+               "as the tie-break)"),
+        f("window", "integer",
+          desc="neighborhood width for method='sorted' (>= 2)"),
         f("comparisons", "array", required=True, items={"type": "object"},
           desc="[{col, kind: equal|levenshtein|abs_diff, threshold, "
                "m, u}] with 0 < u < m < 1"),

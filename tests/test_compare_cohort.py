@@ -405,3 +405,59 @@ def test_cdc_apply_wrong_ports_raises(spark):
     snap = spark.createDataFrame([(1, "a")], "k long, v string")
     with pytest.raises(OperatorConfigError, match="ports"):
         get_operator("cdc_apply")(key_cols=["k"]).apply({"in": snap})
+
+
+# ----------------------------------------------------------- psi_drift
+
+def test_psi_matches_hand_computation(spark):
+    import math
+
+    edges = [10.0, 20.0]
+    nb, eps = 3, 1e-4
+    lrows = [5.0] * 6 + [15.0] * 3 + [25.0] * 1
+    rrows = [5.0] * 2 + [15.0] * 3 + [25.0] * 5
+    left = spark.createDataFrame([(v,) for v in lrows], "value double")
+    right = spark.createDataFrame([(v,) for v in rrows], "value double")
+    r = get_operator("psi_drift")(
+        value_col="value", edges=edges,
+    ).apply({"left": left, "right": right})["out"].collect()[0]
+    ec, ac = [6, 3, 1], [2, 3, 5]
+    psi = 0.0
+    for i in range(nb):
+        e_i = (ec[i] + eps) / (10 + nb * eps)
+        a_i = (ac[i] + eps) / (10 + nb * eps)
+        psi = psi + (a_i - e_i) * math.log(a_i / e_i)
+    assert r["n_left"] == 10 and r["n_right"] == 10
+    assert r["psi"] == math.floor(psi * 1e6) / 1e6
+    assert r["drift"] == (psi > 0.2)
+
+
+def test_psi_identical_distributions_score_zero(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "value double"
+    )
+    r = get_operator("psi_drift")(
+        value_col="value", edges=[25.0, 50.0, 75.0],
+    ).apply({"left": df, "right": df})["out"].collect()[0]
+    assert r["psi"] == 0.0 and r["drift"] is False
+
+
+def test_psi_one_sided_group_is_loud_not_null(spark):
+    left = spark.createDataFrame([("g1", 5.0), ("g2", 5.0)], "g string, value double")
+    right = spark.createDataFrame([("g1", 5.0)], "g string, value double")
+    rows = {r["g"]: r for r in get_operator("psi_drift")(
+        value_col="value", edges=[10.0], group_cols=["g"],
+    ).apply({"left": left, "right": right})["out"].collect()}
+    assert rows["g2"]["n_right"] == 0
+    assert rows["g2"]["psi"] is not None and rows["g2"]["drift"] is True
+
+
+def test_psi_validation(spark):
+    with pytest.raises(OperatorConfigError, match="edges"):
+        get_operator("psi_drift")(value_col="v", edges=[])
+    from etl_core_spark.operators.compare import psi_drift as psi_fn
+    df = None
+    with pytest.raises(OperatorConfigError, match="increasing"):
+        psi_fn(df, df, "v", [2.0, 1.0])
+    with pytest.raises(OperatorConfigError, match="epsilon"):
+        psi_fn(df, df, "v", [1.0], epsilon=0.0)

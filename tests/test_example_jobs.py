@@ -792,3 +792,34 @@ def test_parquet_bloom_decontaminate(spark, tmp_path):
     # rescued-after-exact-check path, depending on bloom FPs)
     assert 1 not in clean | rescued
     assert clean | rescued == {2, 3}
+
+
+def test_parquet_entity_resolution(spark, tmp_path):
+    def inputs(d):
+        rows = [
+            # three spellings of one entity in nation 1 / AUTO
+            (1, "Customer#000000001", 1, 100.0, "AUTO"),
+            (2, "Customer#000000002", 1, 120.0, "AUTO"),
+            (3, "Customer#000000003", 1, 140.0, "AUTO"),
+            # a lone record in the same block, far away on every field
+            (4, "Zzzz#999999999", 1, 9000.0, "AUTO"),
+            # a pair in another block
+            (10, "Customer#000000010", 2, 50.0, "BUILDING"),
+            (11, "Customer#000000011", 2, 55.0, "BUILDING"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.parquet(str(d / "customer.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_entity_resolution.json", inputs
+    )
+    back = spark.read.parquet(str(out / "entities"))
+    comp = {r["node"]: r["component"] for r in back.collect()}
+    # 1,2,3 merge into one entity; 10,11 into another; 4 never matches
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 4 not in comp
+    assert result.metrics["sink"]["lines_received"] == 5

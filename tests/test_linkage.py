@@ -140,3 +140,72 @@ def test_linkage_plan_is_hash_join_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert "Join" in plan
+
+
+# --------------------------------------------- sorted-neighborhood
+
+def test_snm_pairs_are_rank_adjacent(spark):
+    # sort key: v; ranks are 10,20,...,100 -> window 3 pairs ranks
+    # within distance 1..2
+    rows = [(i, float(i * 10)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    comps = [{"col": "v", "kind": "abs_diff", "threshold": 15.0,
+              "m": 0.8, "u": 0.1}]
+    out = record_linkage(
+        df, "id", None, comps, lower=-100.0, upper=100.0,
+        method="sorted", sort_cols=["v"], window=3,
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    exp = sorted(
+        (i, j) for i in range(1, 11) for j in range(1, 11)
+        if 1 <= j - i <= 2
+    )
+    assert got == exp                    # 9 + 8 = 17 pairs, each once
+    # distance-1 neighbors agree on abs_diff<=15, distance-2 don't
+    agree = {(r["id_a"], r["id_b"]): r["agree_v"] for r in out}
+    assert agree[(1, 2)] is True and agree[(1, 3)] is False
+
+
+def test_snm_id_a_is_lower_rank_not_lower_id(spark):
+    # descending values: id 1 has the HIGHEST v, so it ranks last
+    rows = [(1, 30.0), (2, 20.0), (3, 10.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    comps = [{"col": "v", "kind": "equal", "m": 0.8, "u": 0.1}]
+    out = record_linkage(
+        df, "id", None, comps, lower=-100.0, upper=100.0,
+        method="sorted", sort_cols=["v"], window=2,
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert got == [(2, 1), (3, 2)]       # rank order, not id order
+
+
+def test_snm_rank_survives_many_partitions(spark):
+    # enough rows that repartitionByRange actually spreads them; the
+    # distributed rank must still produce exactly n-1 adjacent pairs
+    n = 5000
+    df = spark.range(n).selectExpr("id", "cast(id * 7 % 4999 as double) as v")
+    comps = [{"col": "v", "kind": "abs_diff", "threshold": 1e9,
+              "m": 0.8, "u": 0.1}]
+    out = record_linkage(
+        df, "id", None, comps, lower=-100.0, upper=100.0,
+        method="sorted", sort_cols=["v"], window=2,
+    )
+    assert out.count() == n - 1
+
+
+def test_snm_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    comps = [{"col": "v", "kind": "equal", "m": 0.8, "u": 0.1}]
+    with pytest.raises(OperatorConfigError, match="sort_cols"):
+        record_linkage(df, "id", None, comps, 0.0, 1.0, method="sorted")
+    with pytest.raises(OperatorConfigError, match="window"):
+        record_linkage(df, "id", None, comps, 0.0, 1.0,
+                       method="sorted", sort_cols=["v"], window=1)
+    with pytest.raises(OperatorConfigError, match="self-linkage"):
+        record_linkage(df, "id", None, comps, 0.0, 1.0, df_b=df,
+                       method="sorted", sort_cols=["v"], window=2)
+    with pytest.raises(OperatorConfigError, match="method"):
+        get_operator("record_linkage")(
+            id_col="id", comparisons=comps, lower=0.0, upper=1.0,
+            method="shuffled",
+        )

@@ -584,3 +584,91 @@ def test_mmr_greedy_stage_joins_stay_keyed(spark):
     assert plan.count("CartesianProduct") + plan.count(
         "BroadcastNestedLoopJoin"
     ) <= 1
+
+
+def test_record_linkage_block_join_is_hash_shaped(spark, tables):
+    import re
+
+    from etl_core_spark.operators.linkage import record_linkage
+
+    cust = tables["customer"]
+    plan = plan_of(record_linkage(
+        cust, "c_custkey", ["c_nationkey", "c_mktsegment"],
+        [
+            {"col": "c_name", "kind": "levenshtein", "threshold": 2,
+             "m": 0.9, "u": 0.05},
+            {"col": "c_acctbal", "kind": "abs_diff", "threshold": 100.0,
+             "m": 0.85, "u": 0.1},
+        ],
+        lower=-2.0, upper=3.0, max_block_size=None,
+    ))
+    # the blocked candidate join must be a single hash-shaped
+    # equi-join; the levenshtein/abs_diff residuals ride as post-join
+    # filters, never a pair scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_nodes = re.findall(r"\(\d+\) +\w*Join", plan)
+    assert len(join_nodes) == 1, join_nodes
+
+
+def test_snm_rank_has_no_single_partition_global_window(spark, tables):
+    from etl_core_spark.operators.linkage import _global_rank
+
+    plan = plan_of(_global_rank(tables["customer"], ["c_acctbal", "c_custkey"]))
+    # the data-sized window is partitioned by __pid (partition-local
+    # ranks); the only SinglePartition exchange feeds the
+    # #partitions-sized offsets window, never the data relation
+    assert "rangepartitioning" in plan.lower()
+    windows = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert windows and all("__pid" in ln for ln in windows), windows
+    # the offsets side joins back as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_psi_drift_is_two_aggregates_one_join_no_window(spark, tables):
+    import re
+
+    from etl_core_spark.operators.compare import psi_drift
+
+    ev = tables["events"]
+    plan = plan_of(psi_drift(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        "value", [10.0, 20.0, 50.0], ["user_id"],
+    ))
+    assert "Window" not in plan
+    join_nodes = re.findall(r"\(\d+\) +\w*Join", plan)
+    assert len(join_nodes) == 1, join_nodes
+
+
+def test_benford_single_aggregate_no_join_no_window(spark, tables):
+    from etl_core_spark.operators.profile import benford_deviation
+
+    plan = plan_of(benford_deviation(
+        tables["orders"], "o_totalprice", ["o_orderpriority"]
+    ))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # digit extraction is a codegen projection over the scan, so the
+    # whole thing is one partial+final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_theil_sen_pair_join_is_keyed_and_slopes_join_not_broadcast_built(
+    spark, tables
+):
+    from etl_core_spark.operators.timeseries import theil_sen
+
+    ev = tables["events"].where(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.unix_micros(
+            F.col("ts").cast("timestamp")
+        ).alias("t"),
+    )
+    plan = plan_of(theil_sen(ev, ["user_id"], "t", "value",
+                             time_divisor=86400e6, max_points=None))
+    # within-key self-join and the slope join-back are both keyed
+    # equi-joins; nothing cartesian, nothing nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
