@@ -584,6 +584,145 @@ class PsiDriftOperator(Operator):
         }
 
 
+def prop_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    group_cols: list[str] | None = None,
+    z_crit: float | None = 1.959963984540054,
+    quantize: int = 9,
+) -> DataFrame:
+    """Two-proportion z-test per group — the A/B experiment readout:
+
+        z = (p_t - p_c) / sqrt(p*(1-p) * (1/n_c + 1/n_t))
+
+    with ``p`` the pooled success rate. Rows where ``variant_col``
+    equals ``control``/``treatment`` split the sample; ``success_col``
+    is a boolean column (NULL counts as failure — an unobserved
+    conversion is a non-conversion). Emits per group: ``n_c``,
+    ``x_c``, ``n_t``, ``x_t`` (exact counts), floor-quantized
+    ``p_c``/``p_t``/``z``, and ``significant`` (|z| > ``z_crit``,
+    default the two-sided 95% critical value; None omits it). ``z``
+    is NULL when either arm is empty or the pooled rate is 0 or 1
+    (no variance — the test is undefined, not "significant").
+
+    Determinism: every input to the float expression is an exact
+    integer count, the expression is fixed, and IEEE-754 ``sqrt`` is
+    correctly rounded in every conforming engine — so no quantization
+    slack is needed beyond rendering. p-values are deliberately NOT
+    emitted: the normal CDF (erf) is NOT correctly rounded and
+    differs across libms; compare ``z`` against ``z_crit`` instead.
+
+    Scale shape: ONE map-side-combinable conditional-count aggregate.
+    """
+    if not variant_col or not success_col:
+        raise OperatorConfigError(
+            "prop_ztest requires variant_col and success_col"
+        )
+    if control == treatment:
+        raise OperatorConfigError(
+            "prop_ztest control and treatment must differ"
+        )
+    g = list(group_cols or [])
+    q = float(10 ** int(quantize))
+
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    ok = F.coalesce(F.col(success_col).cast("boolean"), F.lit(False))
+    base = df.where(is_c | is_t).select(
+        *g,
+        F.when(is_c, 1).otherwise(0).alias("__c"),
+        F.when(is_t, 1).otherwise(0).alias("__t"),
+        F.when(is_c & ok, 1).otherwise(0).alias("__cx"),
+        F.when(is_t & ok, 1).otherwise(0).alias("__tx"),
+    )
+    agged = (
+        base.groupBy(*g) if g else base.groupBy()
+    ).agg(
+        F.sum("__c").alias("n_c"),
+        F.sum("__cx").alias("x_c"),
+        F.sum("__t").alias("n_t"),
+        F.sum("__tx").alias("x_t"),
+    )
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    xc = F.col("x_c").cast("double")
+    xt = F.col("x_t").cast("double")
+    pc = xc / nc
+    pt = xt / nt
+    pp = (xc + xt) / (nc + nt)
+    z = (pt - pc) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / nc + F.lit(1.0) / nt)
+    )
+    defined = (
+        (F.col("n_c") > 0)
+        & (F.col("n_t") > 0)
+        & (F.col("x_c") + F.col("x_t") > 0)
+        & (F.col("x_c") + F.col("x_t") < F.col("n_c") + F.col("n_t"))
+    )
+    zq = F.when(defined, F.floor(z * F.lit(q)) / F.lit(q))
+    return agged.select(
+        *g,
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.when(
+            F.col("n_c") > 0, F.floor(pc * F.lit(q)) / F.lit(q)
+        ).alias("p_c"),
+        F.when(
+            F.col("n_t") > 0, F.floor(pt * F.lit(q)) / F.lit(q)
+        ).alias("p_t"),
+        zq.alias("z"),
+        *(
+            [
+                F.when(defined, F.abs(z) > F.lit(float(z_crit))).alias(
+                    "significant"
+                )
+            ]
+            if z_crit is not None
+            else []
+        ),
+    )
+
+
+@register_operator("prop_ztest")
+class PropZtestOperator(Operator):
+    """Config: ``variant_col``, ``success_col``, ``control``,
+    ``treatment`` (required); ``group_cols``, ``z_crit`` (None omits
+    the significant column), ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("variant_col", "success_col", "control", "treatment"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"prop_ztest requires {key!r}")
+        if self.config["control"] == self.config["treatment"]:
+            raise OperatorConfigError(
+                "prop_ztest control and treatment must differ"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        zc = c.get("z_crit", 1.959963984540054)
+        return {
+            "out": prop_ztest(
+                self.single_input(inputs),
+                c["variant_col"],
+                c["success_col"],
+                c["control"],
+                c["treatment"],
+                list(c.get("group_cols") or []),
+                float(zc) if zc is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }
+
+
 def cdc_apply(
     snapshot: DataFrame,
     changes: DataFrame,

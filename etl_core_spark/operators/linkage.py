@@ -79,8 +79,12 @@ def _agree(col: str, kind: str, threshold, left: str, right: str):
     if kind == "equal":
         return a.eqNullSafe(b)
     if kind == "levenshtein":
+        # banded DP: with the threshold passed down, Spark computes
+        # O(k*n) cells and returns -1 when the distance exceeds k —
+        # same predicate as `levenshtein(a,b) <= k`, ~an order of
+        # magnitude cheaper on the all-pairs hot path
         return F.coalesce(
-            F.levenshtein(a, b) <= F.lit(int(threshold)), F.lit(False)
+            F.levenshtein(a, b, int(threshold)) >= F.lit(0), F.lit(False)
         )
     if kind == "abs_diff":
         return F.coalesce(

@@ -721,3 +721,80 @@ class ShuffleRowsOperator(Operator):
                 c.get("pos_col", "shuffle_pos"),
             )
         }
+
+
+def systematic_sample(
+    df: DataFrame,
+    sort_cols: list[str],
+    step: int,
+    offset: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Systematic sampling (the survey-methodology classic): every
+    ``step``-th record of the global ``sort_cols`` order, starting at
+    ``offset`` (0-based). Complements the resident samplers —
+    hash_sample is per-record independent, stratified/weighted are
+    per-group; systematic guarantees EXACTLY-even coverage along an
+    axis (time, id, score), the standard shape for eval holdouts and
+    QA spot-check panels ("every 100th document by ingest order").
+
+    ``sort_cols`` must be a TOTAL order (add the id column to break
+    ties) — with ties unbroken, membership would depend on the
+    shuffle. Row-preserving columns plus optionally the 1-based
+    global rank (``rank_col``).
+
+    Scale shape: the distributed global rank (range shuffle +
+    partition-local row_number + a #partitions-sized offset
+    broadcast — see linkage._global_rank, shared machinery with
+    sorted-neighborhood linkage), then a narrow modulo filter.
+    """
+    from etl_core_spark.operators.linkage import _global_rank
+
+    if not sort_cols:
+        raise OperatorConfigError("systematic_sample requires sort_cols")
+    if int(step) < 1:
+        raise OperatorConfigError("systematic_sample step must be >= 1")
+    if not 0 <= int(offset) < int(step):
+        raise OperatorConfigError(
+            "systematic_sample offset must be in [0, step)"
+        )
+    cols = list(df.columns)
+    ranked = _global_rank(df, list(sort_cols))
+    out = ranked.where(
+        (F.col("__rn") - F.lit(1)) % F.lit(int(step)) == F.lit(int(offset))
+    )
+    if rank_col:
+        return out.select(*cols, F.col("__rn").alias(rank_col))
+    return out.select(*cols)
+
+
+@register_operator("systematic_sample")
+class SystematicSampleOperator(Operator):
+    """Config: ``sort_cols`` (required — must totally order rows),
+    ``step`` (required); ``offset``, ``rank_col``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("sort_cols"):
+            raise OperatorConfigError("systematic_sample requires sort_cols")
+        if int(self.config.get("step", 0)) < 1:
+            raise OperatorConfigError("systematic_sample step must be >= 1")
+        off = int(self.config.get("offset", 0))
+        if not 0 <= off < int(self.config["step"]):
+            raise OperatorConfigError(
+                "systematic_sample offset must be in [0, step)"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": systematic_sample(
+                self.single_input(inputs),
+                list(c["sort_cols"]),
+                int(c["step"]),
+                int(c.get("offset", 0)),
+                c.get("rank_col"),
+            )
+        }

@@ -906,6 +906,43 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "at 8 dof); null omits the alarm column"),
         f("quantize", "integer", default=9),
     ],
+    "ols_trend": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("time_col", "string", required=True,
+          desc="numeric time axis (convert timestamps upstream)"),
+        f("value_col", "string", required=True),
+        f("x_offset", "integer", default=0,
+          desc="subtract from times so decimal moments stay inside "
+               "128 bits (center epochs!)"),
+        f("value_scale", "integer", default=100,
+          desc="fixed-point units per value (100 = cents)"),
+        f("time_divisor", "number", default=1.0,
+          desc="slope unit rescale, e.g. 86400e6 for per-day over "
+               "microsecond times"),
+        f("quantize", "integer", default=9),
+    ],
+    "prop_ztest": [
+        f("variant_col", "string", required=True),
+        f("success_col", "string", required=True,
+          desc="boolean; NULL counts as failure"),
+        f("control", "string", required=True),
+        f("treatment", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("z_crit", "number", default=1.959963984540054,
+          desc="two-sided critical value for the significant flag; "
+               "null omits it (p-values deliberately absent: erf is "
+               "libm-specific)"),
+        f("quantize", "integer", default=9),
+    ],
+    "systematic_sample": [
+        f("sort_cols", "array", required=True, items={"type": "string"},
+          desc="must totally order rows (append the id column)"),
+        f("step", "integer", required=True,
+          desc="keep every step-th record of the global order"),
+        f("offset", "integer", default=0, desc="0-based, in [0, step)"),
+        f("rank_col", "string",
+          desc="emit the 1-based global rank under this name"),
+    ],
     "psi_drift": [
         f("value_col", "string", required=True),
         f("edges", "array", required=True, items={"type": "number"},

@@ -297,6 +297,30 @@ def families(docs, spark):
         "v",
         ["lang"],
     )
+    # r10 session 3: systematic sampling — exercises the distributed
+    # global rank (range shuffle + partition-local row_number +
+    # #partitions-sized offset broadcast) at scale; per-row cost must
+    # stay flat as the sort and the modulo filter both scale linearly
+    from etl_core_spark.operators.sampling import systematic_sample
+
+    fams["systematic_sample"] = lambda: systematic_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["n_chars", "doc_id"],
+        step=100,
+    )
+    # r10 session 3: exact-decimal OLS — one six-sum aggregate
+    from etl_core_spark.operators.timeseries import ols_trend
+
+    fams["ols_trend"] = lambda: ols_trend(
+        docs.select(
+            F.floor(F.col("doc_id") / F.lit(30)).alias("k"),
+            F.col("doc_id").alias("t"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        ["k"],
+        "t",
+        "v",
+    )
     return fams
 
 

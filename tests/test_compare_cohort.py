@@ -461,3 +461,58 @@ def test_psi_validation(spark):
         psi_fn(df, df, "v", [2.0, 1.0])
     with pytest.raises(OperatorConfigError, match="epsilon"):
         psi_fn(df, df, "v", [1.0], epsilon=0.0)
+
+
+# ---------------------------------------------------------- prop_ztest
+
+def test_prop_ztest_matches_hand_formula(spark):
+    import math
+
+    rows = (
+        [("A", True)] * 30 + [("A", False)] * 70
+        + [("B", True)] * 45 + [("B", False)] * 55
+    )
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    r = get_operator("prop_ztest")(
+        variant_col="variant", success_col="ok",
+        control="A", treatment="B",
+    ).apply({"in": df})["out"].collect()[0]
+    assert (r["n_c"], r["x_c"], r["n_t"], r["x_t"]) == (100, 30, 100, 45)
+    pc, pt, pp = 0.3, 0.45, 0.375
+    z = (pt - pc) / math.sqrt(pp * (1.0 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert r["z"] == math.floor(z * 1e9) / 1e9
+    assert r["significant"] == (abs(z) > 1.959963984540054)
+    assert r["significant"] is True
+
+
+def test_prop_ztest_null_success_counts_as_failure(spark):
+    rows = [("A", True), ("A", None), ("B", None), ("B", True)]
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    r = get_operator("prop_ztest")(
+        variant_col="variant", success_col="ok",
+        control="A", treatment="B",
+    ).apply({"in": df})["out"].collect()[0]
+    assert (r["x_c"], r["x_t"]) == (1, 1)
+
+
+def test_prop_ztest_undefined_cases_are_null(spark):
+    # no treatment arm; all-success pooled rate
+    df1 = spark.createDataFrame([("A", True)], "variant string, ok boolean")
+    r1 = get_operator("prop_ztest")(
+        variant_col="variant", success_col="ok", control="A", treatment="B",
+    ).apply({"in": df1})["out"].collect()[0]
+    assert r1["z"] is None and r1["significant"] is None
+    df2 = spark.createDataFrame(
+        [("A", True), ("B", True)], "variant string, ok boolean"
+    )
+    r2 = get_operator("prop_ztest")(
+        variant_col="variant", success_col="ok", control="A", treatment="B",
+    ).apply({"in": df2})["out"].collect()[0]
+    assert r2["z"] is None
+
+
+def test_prop_ztest_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("prop_ztest")(
+            variant_col="v", success_col="s", control="A", treatment="A"
+        )

@@ -266,3 +266,38 @@ def test_shuffle_rows_null_key_kept(spark):
     rows = shuffle_rows(df, "doc_id", n_buckets=4).collect()
     assert sorted(r["shuffle_pos"] for r in rows) == [0, 1, 2]
     assert any(r["doc_id"] is None for r in rows)
+
+
+# -------------------------------------------------- systematic_sample
+
+def test_systematic_sample_exact_membership(spark):
+    df = spark.range(100).selectExpr("id", "cast(id as double) as v")
+    out = get_operator("systematic_sample")(
+        sort_cols=["id"], step=10, offset=4, rank_col="rn",
+    ).apply({"in": df})["out"].collect()
+    got = sorted((r["id"], r["rn"]) for r in out)
+    # rank of id i is i+1; (rank-1) % 10 == 4 -> ids 4, 14, ..., 94
+    assert got == [(i, i + 1) for i in range(4, 100, 10)]
+
+
+def test_systematic_sample_partition_invariant(spark):
+    df = spark.range(5000).selectExpr(
+        "cast(id * 13 % 4999 as long) as key", "id"
+    )
+    op = get_operator("systematic_sample")(
+        sort_cols=["key", "id"], step=97, offset=0,
+    )
+    a = sorted(r["id"] for r in op.apply(
+        {"in": df.coalesce(1)})["out"].collect())
+    b = sorted(r["id"] for r in op.apply(
+        {"in": df.repartition(32)})["out"].collect())
+    assert a == b and len(a) == 52  # ceil(5000/97)
+
+
+def test_systematic_sample_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("systematic_sample")(sort_cols=[], step=10)
+    with pytest.raises(OperatorConfigError):
+        get_operator("systematic_sample")(sort_cols=["id"], step=0)
+    with pytest.raises(OperatorConfigError):
+        get_operator("systematic_sample")(sort_cols=["id"], step=5, offset=5)

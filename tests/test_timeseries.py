@@ -600,3 +600,79 @@ def test_theil_sen_validation(spark):
         get_operator("theil_sen")(
             key_cols=["k"], time_col="t", value_col="v", time_divisor=0.0
         )
+
+
+# ----------------------------------------------------------- ols_trend
+
+def test_ols_exact_line_and_hand_check(spark):
+    import math
+
+    # exact line y = 2t + 5 -> slope 2, intercept 5, r2 = 1
+    rows = [(1, t, 2.0 * t + 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    r = get_operator("ols_trend")(
+        key_cols=["k"], time_col="t", value_col="v",
+    ).apply({"in": df})["out"].collect()[0]
+    assert r["n"] == 10
+    assert abs(r["slope"] - 2.0) < 1e-9
+    assert abs(r["intercept"] - 5.0) < 1e-9
+    assert r["r2"] == math.floor(1.0 * 1e9) / 1e9 or r["r2"] == 1.0
+
+    # noisy series: compare against the numpy-free textbook formula
+    vals = [3.0, 7.0, 6.0, 12.0, 11.0, 18.0]
+    df2 = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate(vals)], "k long, t long, v double"
+    )
+    r2 = get_operator("ols_trend")(
+        key_cols=["k"], time_col="t", value_col="v",
+    ).apply({"in": df2})["out"].collect()[0]
+    n = len(vals)
+    xs = list(range(n))
+    ys = [round(v * 100) for v in vals]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    sl = num / den
+    assert r2["slope"] == math.floor(sl / 100.0 * 1e9) / 1e9 or abs(
+        r2["slope"] - sl / 100.0
+    ) < 1e-8
+    exp_r2 = (num * num) / (den * (n * syy - sy * sy))
+    assert abs(r2["r2"] - exp_r2) < 1e-8
+
+
+def test_ols_degenerate_fits_are_null(spark):
+    # all x equal -> vertical; all y equal -> zero variance
+    df = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 5, 2.0), (2, 1, 7.0), (2, 2, 7.0)],
+        "k long, t long, v double",
+    )
+    rows = {r["k"]: r for r in get_operator("ols_trend")(
+        key_cols=["k"], time_col="t", value_col="v",
+    ).apply({"in": df})["out"].collect()}
+    assert rows[1]["slope"] is None and rows[1]["r2"] is None
+    assert rows[2]["slope"] is None
+
+
+def test_ols_moments_are_reduction_order_independent(spark):
+    # same data, 1 vs 32 partitions: identical output (integer sums)
+    rows = [(1, t, float((t * 37) % 101) + 0.13) for t in range(2000)]
+    df1 = spark.createDataFrame(rows, "k long, t long, v double").coalesce(1)
+    df32 = spark.createDataFrame(rows, "k long, t long, v double").repartition(32)
+    op = get_operator("ols_trend")(key_cols=["k"], time_col="t", value_col="v")
+    a = op.apply({"in": df1})["out"].collect()[0]
+    b = op.apply({"in": df32})["out"].collect()[0]
+    assert (a["slope"], a["intercept"], a["r2"]) == (
+        b["slope"], b["intercept"], b["r2"]
+    )
+
+
+def test_ols_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("ols_trend")(key_cols=[], time_col="t", value_col="v")
+    with pytest.raises(OperatorConfigError):
+        get_operator("ols_trend")(
+            key_cols=["k"], time_col="t", value_col="v", value_scale=0
+        )
