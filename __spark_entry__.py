@@ -8608,6 +8608,137 @@ WHERE (rank - 1) % 100 = 3
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (operators/timeseries.py
+    kaplan_meier, 1958): per-user product-limit estimator over the
+    event values, error events right-censored. d/n come from exact
+    integer aggregates and window cumsums; the survival product is a
+    left-to-right fold whose censor-only steps multiply by exactly
+    1.0 (a float no-op), replayed verbatim by the oracle's recursive
+    CTE (the ewma discipline — 1e0*x == x bit-exact, so the base case
+    drops the leading factor); 9dp floors pin rendering."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value",
+        (F.col("event_type") != F.lit("error")).alias("ev"),
+    )
+    out = get_operator("kaplan_meier")(
+        key_cols=["user_id"], duration_col="value", event_col="ev",
+    ).apply({"in": ev})["out"]
+    return out.select(
+        "user_id", "t", "n_risk", "n_event", "n_censor", "survival"
+    )
+
+
+_SQL_KAPLAN_MEIER = """
+WITH RECURSIVE s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS t,
+         (event_type != 'error') AS e
+  FROM events WHERE value IS NOT NULL
+), a AS (
+  SELECT user_id, t,
+         CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+         CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+  FROM s GROUP BY user_id, t
+), w AS (
+  SELECT user_id, t, n_event, n_censor,
+         CAST(SUM(n_event + n_censor) OVER (PARTITION BY user_id)
+              - SUM(n_event + n_censor) OVER (
+                  PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + n_event + n_censor AS BIGINT) AS n_risk,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+  FROM a
+), r AS (
+  SELECT user_id, t, n_risk, n_event, n_censor, rn,
+         (1e0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS sv
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id, w.t, w.n_risk, w.n_event, w.n_censor, w.rn,
+         r.sv * (1e0 - CAST(w.n_event AS DOUBLE)
+                       / CAST(w.n_risk AS DOUBLE)) AS sv
+  FROM r JOIN w ON w.user_id = r.user_id AND w.rn = r.rn + 1
+)
+SELECT user_id, t, n_risk, n_event, n_censor,
+       floor(sv * 1e9) / 1e9 AS survival
+FROM r
+"""
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/compare.py
+    mannwhitney_u): view-vs-purchase value location shift per user.
+    Tie-averaged rank sums are sums of exact half-integer doubles
+    (floating addition is exact below 2^53, so reduction order can't
+    matter) — U is bit-identical cross-engine with no quantization;
+    z adds the tie-corrected variance and IEEE sqrt."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_operator("mannwhitney_u")(
+        value_col="value", group_cols=["user_id"],
+    ).apply({
+        "left": ev.where(F.col("event_type") == "view"),
+        "right": ev.where(F.col("event_type") == "purchase"),
+    })["out"]
+    return out.select("user_id", "n_left", "n_right", "u", "z", "significant")
+
+
+def _mwu_sql() -> str:
+    zc = 1.959963984540054
+    return f"""
+WITH b AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s2
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+), c AS (
+  SELECT user_id, v,
+         CAST(SUM(s1) AS BIGINT) AS c1, CAST(SUM(s2) AS BIGINT) AS c2
+  FROM b GROUP BY user_id, v
+), w AS (
+  SELECT user_id, c1, c2, (c1 + c2) AS tt,
+         CAST(coalesce(SUM(c1 + c2) OVER (
+             PARTITION BY user_id ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS bef
+  FROM c
+), a AS (
+  SELECT user_id,
+         CAST(SUM(c1) AS BIGINT) AS n_left,
+         CAST(SUM(c2) AS BIGINT) AS n_right,
+         SUM(CAST(c2 AS DOUBLE)
+             * (CAST(bef AS DOUBLE)
+                + (CAST(tt AS DOUBLE) + 1e0) / 2e0)) AS r2,
+         CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS ties
+  FROM w GROUP BY user_id
+), e AS (
+  SELECT user_id, n_left, n_right,
+         CAST(n_left AS DOUBLE) AS n1, CAST(n_right AS DOUBLE) AS n2,
+         r2 - CAST(n_right AS DOUBLE)
+              * (CAST(n_right AS DOUBLE) + 1e0) / 2e0 AS u,
+         ties
+  FROM a
+), z AS (
+  SELECT user_id, n_left, n_right, u,
+         sqrt((n1 * n2 / 12e0)
+              * ((n1 + n2 + 1e0)
+                 - CAST(ties AS DOUBLE)
+                   / ((n1 + n2) * (n1 + n2 - 1e0)))) AS sg,
+         (u - n1 * n2 / 2e0) AS num
+  FROM e
+)
+SELECT user_id, n_left, n_right, u,
+       CASE WHEN n_left > 0 AND n_right > 0 AND sg > 0e0
+            THEN floor((num / sg) * 1e9) / 1e9 END AS z,
+       CASE WHEN n_left > 0 AND n_right > 0 AND sg > 0e0
+            THEN abs(num / sg) > {zc!r}e0 END AS significant
+FROM z
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8648,7 +8779,7 @@ _R10_WINDOW = [
     # never driver-checked (new this round, session 3)
     "holt_winters", "theil_sen", "benford_deviation", "record_linkage",
     "snm_linkage", "psi_drift", "ols_trend", "prop_ztest",
-    "systematic_sample",
+    "systematic_sample", "kaplan_meier", "mannwhitney_u",
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
@@ -8663,7 +8794,6 @@ _R10_WINDOW = [
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
     "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
     # r06-vintage, 4 rounds stale (the VERDICT r9 item-1 list)
-    "q11_important_parts", "q13_customer_distribution",
     "q15_top_supplier", "q16_parts_supplier_cnt",
     "q17_small_qty_revenue", "q20_heavy_suppliers", "q21_last_shippers",
 
@@ -8676,7 +8806,9 @@ _R10_WINDOW = [
     # verdict; hash_sample, hash_split_counts and minhash_signature
     # are md5-deterministic end-to-end (no float, no ordering
     # surface); events_json_filter, dedup_exact and lang_id are the
-    # simplest remaining rows. ALL NINE were re-run locally through
+    # simplest remaining rows; q11_important_parts and
+    # q13_customer_distribution went to kaplan_meier/mannwhitney_u.
+    # ALL ELEVEN displaced rows were re-run locally through
     # scripts/check_oracles.py at sf0.01 this session — see the
     # round-10 session-3 ROUND_NOTES — and lead the r11 rotation
     # together with the r07 cohort.)
@@ -8850,6 +8982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "prop_ztest": q_prop_ztest,
         "systematic_sample": q_systematic_sample,
+        "kaplan_meier": q_kaplan_meier,
+        "mannwhitney_u": q_mannwhitney_u,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
@@ -9051,6 +9185,8 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": _ols_sql(),
         "prop_ztest": _prop_ztest_sql(),
         "systematic_sample": _SQL_SYSTEMATIC_SAMPLE,
+        "kaplan_meier": _SQL_KAPLAN_MEIER,
+        "mannwhitney_u": _mwu_sql(),
         "streaming_attribution": _SQL_ATTRIBUTION_JOIN,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,

@@ -850,3 +850,150 @@ class CdcApplyOperator(Operator):
                 list(c["delete_ops"]) if c.get("delete_ops") is not None else None,
             )
         }
+
+
+def mannwhitney_u(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z_crit: float | None = 1.959963984540054,
+    quantize: int = 9,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per group — the
+    nonparametric location test: ranks both samples together
+    (average ranks on ties) and asks whether one sample's ranks run
+    systematically high. Completes the drift-test rack: ks_drift
+    (any distributional difference), psi_drift (fixed-bin monitoring
+    score), mannwhitney_u (median shift, outlier-robust).
+
+    Emits per group: ``n_left``, ``n_right``, ``u`` (the U statistic
+    for the RIGHT sample against the left), ``z`` (normal
+    approximation WITH the tie correction), and ``significant``
+    (|z| > ``z_crit``; None omits it). ``z`` is NULL when either
+    side is empty or every value is tied (zero variance).
+
+    Exactness: tie-averaged rank sums are sums of exact half-integer
+    doubles (every term is k/2 with the total far below 2^53), so
+    floating addition is EXACT and reduction-order independent —
+    U is bit-identical in any engine, no quantization slack needed;
+    z adds one fixed expression + IEEE sqrt. The same no-transcendental
+    discipline as prop_ztest (no p-values; erf is libm-specific).
+
+    Scale shape: one (group, value) count aggregate (map-side
+    combinable — ranks walk DISTINCT values, not rows), one per-group
+    ordered window for the cumulative rank offsets, one final
+    aggregate. The ks_drift shape exactly.
+    """
+    if not value_col:
+        raise OperatorConfigError("mannwhitney_u requires value_col")
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    q = float(10 ** int(quantize))
+
+    lv = left.select(*g, F.col(value_col).cast("double").alias("__v")).where(
+        F.col(value_col).isNotNull()
+    ).withColumn("__side", F.lit(0))
+    rv = right.select(*g, F.col(value_col).cast("double").alias("__v")).where(
+        F.col(value_col).isNotNull()
+    ).withColumn("__side", F.lit(1))
+    counts = lv.unionByName(rv).groupBy(*g, "__v").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__c1"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__c2"),
+    )
+    w = (
+        Window.partitionBy(*g).orderBy("__v")
+        if g
+        else Window.orderBy("__v")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        *g,
+        "__c1",
+        "__c2",
+        (F.col("__c1") + F.col("__c2")).alias("__tt"),
+        F.coalesce(
+            F.sum(F.col("__c1") + F.col("__c2")).over(w), F.lit(0)
+        ).cast("long").alias("__before"),
+    )
+    # average rank of a distinct value's tie block: before + (t+1)/2
+    # — an exact half-integer double
+    avg_rank = (
+        F.col("__before").cast("double")
+        + (F.col("__tt").cast("double") + F.lit(1.0)) / F.lit(2.0)
+    )
+    agged = ranked.groupBy(*g).agg(
+        F.sum("__c1").alias("n_left"),
+        F.sum("__c2").alias("n_right"),
+        F.sum(F.col("__c2").cast("double") * avg_rank).alias("__r2"),
+        F.sum(
+            F.col("__tt").cast("long") * F.col("__tt") * F.col("__tt")
+            - F.col("__tt")
+        ).alias("__ties"),
+    )
+    n1 = F.col("n_left").cast("double")
+    n2 = F.col("n_right").cast("double")
+    nn = n1 + n2
+    u = F.col("__r2") - n2 * (n2 + F.lit(1.0)) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        (n1 * n2 / F.lit(12.0))
+        * (
+            (nn + F.lit(1.0))
+            - F.col("__ties").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    defined = (
+        (F.col("n_left") > 0)
+        & (F.col("n_right") > 0)
+        & (sigma > F.lit(0.0))
+    )
+    z = (u - mu) / sigma
+    return agged.select(
+        *g,
+        "n_left",
+        "n_right",
+        u.alias("u"),
+        F.when(defined, F.floor(z * F.lit(q)) / F.lit(q)).alias("z"),
+        *(
+            [
+                F.when(defined, F.abs(z) > F.lit(float(z_crit))).alias(
+                    "significant"
+                )
+            ]
+            if z_crit is not None
+            else []
+        ),
+    )
+
+
+@register_operator("mannwhitney_u")
+class MannWhitneyUOperator(Operator):
+    """Config: ``value_col`` (required); ``group_cols``, ``z_crit``
+    (None omits the significant column), ``quantize``. Ports:
+    ``left``, ``right``."""
+
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("mannwhitney_u requires 'value_col'")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"left", "right"}:
+            raise OperatorConfigError(
+                f"mannwhitney_u takes ports left/right, got {sorted(inputs)}"
+            )
+        c = self.config
+        zc = c.get("z_crit", 1.959963984540054)
+        return {
+            "out": mannwhitney_u(
+                inputs["left"],
+                inputs["right"],
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                float(zc) if zc is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -949,7 +949,7 @@ def _sequential_fold(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
-    value_col: str,
+    value_col: str | list[str],
     out_fields: list[tuple[str, str]],
     init,
     step,
@@ -966,13 +966,16 @@ def _sequential_fold(
 
     ``init() -> carry``; ``step(carry, x) -> (carry, (out, ...))``
     with one output value per ``out_fields`` (name, spark type).
+    ``value_col`` may be a list of column names, in which case ``x``
+    is a tuple in that order.
     """
     cols = list(df.columns)
     out_schema = ", ".join(
         f"`{fld.name}` {fld.dataType.simpleString()}" for fld in df.schema.fields
     ) + "".join(f", `{n}` {t}" for n, t in out_fields)
     keys = list(key_cols)
-    vc = value_col
+    vcs = [value_col] if isinstance(value_col, str) else list(value_col)
+    single = isinstance(value_col, str)
     n_out = len(out_fields)
 
     def gen(batches):
@@ -983,7 +986,12 @@ def _sequential_fold(
         for pdf in batches:
             outs = [[] for _ in range(n_out)]
             key_iter = zip(*[pdf[k].values for k in keys])
-            for key, x in zip(key_iter, pdf[vc]):
+            val_iter = (
+                iter(pdf[vcs[0]])
+                if single
+                else zip(*[pdf[v] for v in vcs])
+            )
+            for key, x in zip(key_iter, val_iter):
                 if key != cur:
                     cur = key
                     carry = init()
@@ -1817,6 +1825,120 @@ class OlsTrendOperator(Operator):
                 int(c.get("x_offset", 0)),
                 int(c.get("value_scale", 100)),
                 float(c.get("time_divisor", 1.0)),
+                int(c.get("quantize", 9)),
+            )
+        }
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+    quantize: int = 9,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator per key (Kaplan
+    & Meier 1958) — the standard retention/churn/time-to-failure
+    curve with right-censoring: subjects still alive when observation
+    ends (``event_col`` false) leave the risk set without counting as
+    deaths. At each distinct duration t::
+
+        S(t) = prod_{t_j <= t} (1 - d_j / n_j)
+
+    with ``d_j`` events and ``n_j`` subjects at risk at t_j. One row
+    per (key, distinct duration): ``n_risk``, ``n_event``,
+    ``n_censor``, floor-quantized ``survival``.
+
+    Cross-engine: d/n come from exact integer aggregates and window
+    cumsums; the product is a left-to-right fold along ascending
+    duration (censor-only steps multiply by exactly 1.0 — a float
+    no-op — so the recursion is uniform), replayed verbatim by a
+    recursive-CTE oracle. NULL durations drop.
+
+    Scale shape: one (key, duration) aggregate, one per-key window
+    cumsum over DISTINCT durations (not rows), then the
+    ``_sequential_fold`` stream for the product — the
+    sequential-per-series family; series length = distinct durations
+    per key.
+    """
+    if not key_cols:
+        raise OperatorConfigError("kaplan_meier requires key_cols")
+    if not duration_col or not event_col:
+        raise OperatorConfigError(
+            "kaplan_meier requires duration_col and event_col"
+        )
+    from pyspark.sql import Window
+
+    q = float(10 ** int(quantize))
+    ev = F.coalesce(F.col(event_col).cast("boolean"), F.lit(False))
+    base = df.where(F.col(duration_col).isNotNull()).select(
+        *key_cols,
+        F.col(duration_col).cast("double").alias("t"),
+        ev.alias("__e"),
+    )
+    agg = base.groupBy(*key_cols, "t").agg(
+        F.sum(F.when(F.col("__e"), 1).otherwise(0)).alias("n_event"),
+        F.sum(F.when(F.col("__e"), 0).otherwise(1)).alias("n_censor"),
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    staged = agg.select(
+        *key_cols,
+        "t",
+        "n_event",
+        "n_censor",
+        (
+            F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
+            - F.sum(F.col("n_event") + F.col("n_censor")).over(w_cum)
+            + F.col("n_event")
+            + F.col("n_censor")
+        ).cast("long").alias("n_risk"),
+    )
+
+    def init():
+        return 1.0
+
+    def step(s, x):
+        import math
+
+        d, n = x
+        s = s * (1.0 - float(d) / float(n))
+        return s, (math.floor(s * q) / q,)
+
+    out = _sequential_fold(
+        staged, key_cols, ["t"], ["n_event", "n_risk"],
+        [("survival", "double")], init, step,
+    )
+    return out.select(
+        *key_cols, "t", "n_risk", "n_event", "n_censor", "survival"
+    )
+
+
+@register_operator("kaplan_meier")
+class KaplanMeierOperator(Operator):
+    """Config: ``key_cols``, ``duration_col``, ``event_col``
+    (required); ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "duration_col", "event_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"kaplan_meier requires {key!r}")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": kaplan_meier(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                c["duration_col"],
+                c["event_col"],
                 int(c.get("quantize", 9)),
             )
         }

@@ -906,6 +906,23 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "at 8 dof); null omits the alarm column"),
         f("quantize", "integer", default=9),
     ],
+    "kaplan_meier": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("duration_col", "string", required=True,
+          desc="numeric time-to-event"),
+        f("event_col", "string", required=True,
+          desc="boolean: true = event observed, false/NULL = "
+               "right-censored"),
+        f("quantize", "integer", default=9),
+    ],
+    "mannwhitney_u": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("z_crit", "number", default=1.959963984540054,
+          desc="two-sided critical value; null omits the significant "
+               "column (no p-values: erf is libm-specific)"),
+        f("quantize", "integer", default=9),
+    ],
     "ols_trend": [
         f("key_cols", "array", required=True, items={"type": "string"}),
         f("time_col", "string", required=True,

@@ -308,6 +308,18 @@ def families(docs, spark):
         ["n_chars", "doc_id"],
         step=100,
     )
+    # r10 session 3: Kaplan-Meier — exercises the multi-value
+    # _sequential_fold stream plus the per-key distinct-duration
+    # window; series length pinned by the key width, so per-row cost
+    # must stay flat
+    from etl_core_spark.operators.timeseries import kaplan_meier
+
+    km_in = docs.select(
+        F.floor(F.col("doc_id") / F.lit(30)).alias("k"),
+        F.col("n_chars").cast("double").alias("d"),
+        (F.col("doc_id") % 3 != 0).alias("e"),
+    )
+    fams["kaplan_meier"] = lambda: kaplan_meier(km_in, ["k"], "d", "e")
     # r10 session 3: exact-decimal OLS — one six-sum aggregate
     from etl_core_spark.operators.timeseries import ols_trend
 

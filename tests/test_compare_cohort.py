@@ -516,3 +516,51 @@ def test_prop_ztest_validation(spark):
         get_operator("prop_ztest")(
             variant_col="v", success_col="s", control="A", treatment="A"
         )
+
+
+# ------------------------------------------------------- mannwhitney_u
+
+def test_mwu_matches_hand_ranks_with_ties(spark):
+    left = spark.createDataFrame(
+        [(v,) for v in [1.0, 2.0, 2.0, 5.0]], "value double"
+    )
+    right = spark.createDataFrame(
+        [(v,) for v in [2.0, 6.0, 7.0]], "value double"
+    )
+    r = get_operator("mannwhitney_u")(
+        value_col="value",
+    ).apply({"left": left, "right": right})["out"].collect()[0]
+    # combined sorted: 1(L) 2 2 2(L,L,R) 5(L) 6(R) 7(R)
+    # avg rank of the 2-tie block = (2+3+4)/3 = 3
+    # R2 = 3 + 6 + 7 = 16; U = 16 - 3*4/2 = 10
+    assert (r["n_left"], r["n_right"]) == (4, 3)
+    assert r["u"] == 10.0
+    import math
+
+    n1, n2, nn = 4.0, 3.0, 7.0
+    ties = 3 ** 3 - 3
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+    z = (10.0 - n1 * n2 / 2.0) / sigma
+    assert r["z"] == math.floor(z * 1e9) / 1e9
+
+
+def test_mwu_shift_is_significant_and_zero_variance_null(spark):
+    left = spark.createDataFrame([(float(v),) for v in range(30)], "value double")
+    right = spark.createDataFrame(
+        [(float(v + 100),) for v in range(30)], "value double"
+    )
+    r = get_operator("mannwhitney_u")(
+        value_col="value",
+    ).apply({"left": left, "right": right})["out"].collect()[0]
+    assert r["u"] == 900.0                    # complete separation
+    assert r["significant"] is True
+    same = spark.createDataFrame([(5.0,)] * 10, "value double")
+    r2 = get_operator("mannwhitney_u")(
+        value_col="value",
+    ).apply({"left": same, "right": same})["out"].collect()[0]
+    assert r2["z"] is None and r2["significant"] is None
+
+
+def test_mwu_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("mannwhitney_u")(value_col="")

@@ -676,3 +676,47 @@ def test_ols_validation(spark):
         get_operator("ols_trend")(
             key_cols=["k"], time_col="t", value_col="v", value_scale=0
         )
+
+
+# -------------------------------------------------------- kaplan_meier
+
+def test_kaplan_meier_textbook_example(spark):
+    # durations: events at 1, 3; censored at 2; event at 4
+    rows = [
+        (1, 1.0, True), (1, 2.0, False), (1, 3.0, True), (1, 4.0, True),
+    ]
+    df = spark.createDataFrame(rows, "k long, d double, e boolean")
+    out = {r["t"]: r for r in get_operator("kaplan_meier")(
+        key_cols=["k"], duration_col="d", event_col="e",
+    ).apply({"in": df})["out"].collect()}
+    import math
+
+    # t=1: n=4, d=1 -> S = 3/4
+    s1 = 1.0 * (1.0 - 1.0 / 4.0)
+    assert out[1.0]["n_risk"] == 4 and out[1.0]["n_event"] == 1
+    assert out[1.0]["survival"] == math.floor(s1 * 1e9) / 1e9
+    # t=2: censor only -> S unchanged, risk set shrinks
+    s2 = s1 * (1.0 - 0.0 / 3.0)
+    assert out[2.0]["n_censor"] == 1 and out[2.0]["n_risk"] == 3
+    assert out[2.0]["survival"] == math.floor(s2 * 1e9) / 1e9
+    # t=3: n=2, d=1 -> S = 3/4 * 1/2
+    s3 = s2 * (1.0 - 1.0 / 2.0)
+    assert out[3.0]["survival"] == math.floor(s3 * 1e9) / 1e9
+    # t=4: last subject dies -> S = 0
+    assert out[4.0]["survival"] == 0.0
+
+
+def test_kaplan_meier_ties_and_null_event_is_censor(spark):
+    rows = [(1, 5.0, True), (1, 5.0, True), (1, 5.0, None), (1, 7.0, False)]
+    df = spark.createDataFrame(rows, "k long, d double, e boolean")
+    out = sorted(get_operator("kaplan_meier")(
+        key_cols=["k"], duration_col="d", event_col="e",
+    ).apply({"in": df})["out"].collect(), key=lambda r: r["t"])
+    assert out[0]["n_risk"] == 4 and out[0]["n_event"] == 2
+    assert out[0]["n_censor"] == 1            # NULL event flag = censored
+    assert out[1]["n_risk"] == 1 and out[1]["survival"] == out[0]["survival"]
+
+
+def test_kaplan_meier_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("kaplan_meier")(key_cols=[], duration_col="d", event_col="e")
