@@ -8739,6 +8739,129 @@ FROM z
 """
 
 
+_SPSI_EDGES = [10.0, 20.0, 30.0, 50.0, 80.0]
+_SPSI_REF = [1, 1, 1, 1, 1, 1]  # uniform calibration histogram
+
+
+def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (streaming/stream.py
+    streaming_psi): hourly windows of event values scored against a
+    uniform calibration histogram, run as a REAL availableNow stream
+    in APPEND mode — the year-2100 sentinel (window dropped from the
+    result) pushes the watermark past every 2024 window so all real
+    windows emit. The sixth certified streaming shape (MG state /
+    timers / windowed agg / dedup state / two-stream join / windowed
+    DRIFT SCORE); the oracle is the identical fixed-order PSI
+    expression over DuckDB hour buckets with the same repr'd
+    reference-share literals."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from etl_core_spark.streaming import streaming_psi
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="stream_psi_", dir=shm)
+    try:
+        src = os.path.join(work, "src")
+        sentinel = datetime.datetime(2100, 1, 1)
+        ev.unionByName(
+            spark.createDataFrame([(sentinel, 0.0)], ev.schema)
+        ).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        scored = streaming_psi(
+            stream, ts_col="ts", value_col="value",
+            edges=_SPSI_EDGES, reference_counts=_SPSI_REF,
+            window_duration="1 hour",
+        ).select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "psi",
+            "drift",
+        )
+        out_dir = os.path.join(work, "out")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                scored.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rows = (
+            spark.read.parquet(out_dir)
+            .where(F.col("window_start") < "2099")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start string, n long, psi double, drift boolean"
+    )
+
+
+def _streaming_psi_sql() -> str:
+    es = _SPSI_EDGES
+    nb = len(es) + 1
+    eps = 1e-4
+    ref_tot = float(sum(int(c) for c in _SPSI_REF))
+    ref_shares = [
+        (float(int(c)) + eps) / (ref_tot + float(nb) * eps)
+        for c in _SPSI_REF
+    ]
+    whens = " ".join(
+        f"WHEN v < {e!r}e0 THEN {i}" for i, e in enumerate(es)
+    )
+    bucket = f"CASE {whens} ELSE {nb - 1} END"
+    counts = ",\n         ".join(
+        f"SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS a{i}"
+        for i in range(nb)
+    )
+    n_expr = " + ".join(f"a{i}" for i in range(nb))
+
+    def a(i):
+        return (
+            f"((CAST(a{i} AS DOUBLE) + {eps!r}e0)"
+            f" / (CAST(n AS DOUBLE) + {float(nb) * eps!r}e0))"
+        )
+
+    terms = " + ".join(
+        f"({a(i)} - {ref_shares[i]!r}e0)"
+        f" * ln({a(i)} / {ref_shares[i]!r}e0)"
+        for i in range(nb)
+    )
+    return f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, {bucket} AS b
+  FROM (SELECT ts, CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL)
+), c AS (
+  SELECT h, {counts}
+  FROM b GROUP BY h
+), t AS (
+  SELECT h, CAST({n_expr} AS BIGINT) AS n,
+         {", ".join(f"CAST(a{i} AS BIGINT) AS a{i}" for i in range(nb))}
+  FROM c
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, n,
+       floor(({terms}) * 1e6) / 1e6 AS psi,
+       ({terms}) > 0.2e0 AS drift
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8780,6 +8903,7 @@ _R10_WINDOW = [
     "holt_winters", "theil_sen", "benford_deviation", "record_linkage",
     "snm_linkage", "psi_drift", "ols_trend", "prop_ztest",
     "systematic_sample", "kaplan_meier", "mannwhitney_u",
+    "streaming_psi",
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
@@ -8794,7 +8918,7 @@ _R10_WINDOW = [
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
     "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
     # r06-vintage, 4 rounds stale (the VERDICT r9 item-1 list)
-    "q15_top_supplier", "q16_parts_supplier_cnt",
+    "q16_parts_supplier_cnt",
     "q17_small_qty_revenue", "q20_heavy_suppliers", "q21_last_shippers",
 
     # (hll_distinct and tf_idf_top_terms rotated out to fit: the
@@ -8806,9 +8930,10 @@ _R10_WINDOW = [
     # verdict; hash_sample, hash_split_counts and minhash_signature
     # are md5-deterministic end-to-end (no float, no ordering
     # surface); events_json_filter, dedup_exact and lang_id are the
-    # simplest remaining rows; q11_important_parts and
-    # q13_customer_distribution went to kaplan_meier/mannwhitney_u.
-    # ALL ELEVEN displaced rows were re-run locally through
+    # simplest remaining rows; q11_important_parts,
+    # q13_customer_distribution and q15_top_supplier went to
+    # kaplan_meier/mannwhitney_u/streaming_psi.
+    # ALL TWELVE displaced rows were re-run locally through
     # scripts/check_oracles.py at sf0.01 this session — see the
     # round-10 session-3 ROUND_NOTES — and lead the r11 rotation
     # together with the r07 cohort.)
@@ -8984,6 +9109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "systematic_sample": q_systematic_sample,
         "kaplan_meier": q_kaplan_meier,
         "mannwhitney_u": q_mannwhitney_u,
+        "streaming_psi": q_streaming_psi,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
@@ -9187,6 +9313,7 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": _SQL_SYSTEMATIC_SAMPLE,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
         "mannwhitney_u": _mwu_sql(),
+        "streaming_psi": _streaming_psi_sql(),
         "streaming_attribution": _SQL_ATTRIBUTION_JOIN,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,

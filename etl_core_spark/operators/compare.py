@@ -415,6 +415,18 @@ class KsDriftOperator(Operator):
         }
 
 
+def bucket_index(vc: Column, edges: list[float]) -> Column:
+    """Searched-CASE bucket index over strictly increasing edges:
+    ``v < edges[0] -> 0, ..., else len(edges)`` — the shared binning
+    expression for psi_drift and its streaming sibling (identical
+    literals render into any SQL oracle)."""
+    nb = len(edges) + 1
+    expr = F.lit(nb - 1)
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(vc < F.lit(float(edges[i])), F.lit(i)).otherwise(expr)
+    return expr
+
+
 def psi_drift(
     left: DataFrame,
     right: DataFrame,
@@ -469,12 +481,7 @@ def psi_drift(
     eps = float(epsilon)
     q = float(10 ** int(quantize))
     g = list(group_cols or [])
-
-    def bucket(vc):
-        expr = F.lit(nb - 1)
-        for i in range(len(es) - 1, -1, -1):
-            expr = F.when(vc < F.lit(es[i]), F.lit(i)).otherwise(expr)
-        return expr
+    bucket = lambda vc: bucket_index(vc, es)  # noqa: E731
 
     def side_counts(df, prefix):
         v = F.col(value_col).cast("double")

@@ -4,6 +4,7 @@ from etl_core_spark.streaming.stream import (
     windowed_aggregate,
     sessionize,
     streaming_export_shards,
+    streaming_psi,
     streaming_topk,
     write_stream_foreach_batch,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "windowed_aggregate",
     "sessionize",
     "streaming_export_shards",
+    "streaming_psi",
     "streaming_topk",
     "write_stream_foreach_batch",
 ]

@@ -687,3 +687,103 @@ def streaming_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_psi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    edges: list[float],
+    reference_counts: list[int],
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    epsilon: float = 1e-4,
+    threshold: float | None = 0.2,
+    quantize: int = 6,
+) -> DataFrame:
+    """Streaming Population Stability Index: per event-time window,
+    bucket the value stream over FIXED config ``edges`` and score the
+    window's distribution against a STATIC calibration histogram
+    (``reference_counts``, one int per bucket — from a batch
+    calibration run). The production drift monitor as a stream: each
+    closed window emits (window, n, psi, drift) once the watermark
+    passes, so a dashboard sees one drift score per window per key of
+    time — no unbounded state beyond the open windows.
+
+    Determinism pins (the psi_drift conventions): reference shares
+    fold DRIVER-side from the config ints into double literals; the
+    window's shares are Laplace-smoothed in-engine from exact counts;
+    the bucket sum is a fixed-order expression. Works identically on
+    a batch DataFrame (window() is just a grouping expression), which
+    is how the stream-vs-batch certification replays it.
+
+    Scale shape: ONE streaming windowed aggregate (B conditional int
+    counts — map-side combinable, state bounded by open windows) and
+    a fixed scalar projection. Nothing else.
+    """
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.compare import bucket_index
+
+    es = [float(e) for e in edges]
+    if not es or sorted(es) != es or len(set(es)) != len(es):
+        raise OperatorConfigError(
+            "streaming_psi requires strictly increasing edges"
+        )
+    nb = len(es) + 1
+    if len(reference_counts) != nb:
+        raise OperatorConfigError(
+            f"streaming_psi needs len(edges)+1 = {nb} reference_counts, "
+            f"got {len(reference_counts)}"
+        )
+    if float(epsilon) <= 0:
+        raise OperatorConfigError("streaming_psi epsilon must be > 0")
+    eps = float(epsilon)
+    q = float(10 ** int(quantize))
+    ref_tot = float(sum(int(c) for c in reference_counts))
+    ref_shares = [
+        (float(int(c)) + eps) / (ref_tot + float(nb) * eps)
+        for c in reference_counts
+    ]
+
+    if df.isStreaming:
+        if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(ts_col).alias("__ts"), bucket_index(v, es).alias("__b")
+    )
+    counts = [
+        F.sum(F.when(F.col("__b") == i, 1).otherwise(0)).alias(f"__a{i}")
+        for i in range(nb)
+    ]
+    agged = base.groupBy(
+        F.window(F.col("__ts"), window_duration).alias("window")
+    ).agg(*counts)
+
+    n = None
+    for i in range(nb):
+        c = F.col(f"__a{i}")
+        n = c if n is None else n + c
+    n = n.cast("long").alias("n")
+    agged = agged.select("window", *[f"__a{i}" for i in range(nb)], n)
+
+    psi = None
+    for i in range(nb):
+        a_i = (F.col(f"__a{i}").cast("double") + F.lit(eps)) / (
+            F.col("n").cast("double") + F.lit(float(nb) * eps)
+        )
+        e_i = F.lit(ref_shares[i])
+        term = (a_i - e_i) * F.log(a_i / e_i)
+        psi = term if psi is None else psi + term
+
+    return agged.select(
+        "window",
+        "n",
+        (F.floor(psi * F.lit(q)) / F.lit(q)).alias("psi"),
+        *(
+            [(psi > F.lit(float(threshold))).alias("drift")]
+            if threshold is not None
+            else []
+        ),
+    )

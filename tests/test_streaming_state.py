@@ -560,3 +560,99 @@ def test_streaming_topk_matches_mg_reference(spark, tmp_path):
     assert final == mg([b1, b2])
     # 'a' (freq 12 > n/capacity = 19/3) is guaranteed to survive
     assert "a" in final and final["a"] <= 12
+
+
+def test_streaming_psi_batch_mode_matches_hand_psi(spark):
+    import math
+
+    from etl_core_spark.streaming import streaming_psi
+
+    # two hourly windows with known bucket mixes vs a uniform ref
+    import datetime
+
+    h0 = datetime.datetime(2024, 1, 1, 0)
+    h1 = datetime.datetime(2024, 1, 1, 1)
+    rows = (
+        [(h0, 5.0)] * 6 + [(h0, 15.0)] * 4        # window 0: 6/4/0
+        + [(h1, 25.0)] * 10                        # window 1: all bucket 2
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    edges, ref = [10.0, 20.0], [1, 1, 1]
+    out = {r["window"]["start"]: r for r in streaming_psi(
+        df, "ts", "value", edges, ref,
+    ).collect()}
+    eps, nb = 1e-4, 3
+    ref_share = (1.0 + eps) / (3.0 + 3 * eps)
+
+    def psi(counts):
+        n = sum(counts)
+        s = 0.0
+        for c in counts:
+            a = (c + eps) / (n + nb * eps)
+            s = s + (a - ref_share) * math.log(a / ref_share)
+        return s
+
+    assert out[h0]["n"] == 10
+    assert out[h0]["psi"] == math.floor(psi([6, 4, 0]) * 1e6) / 1e6
+    assert out[h1]["psi"] == math.floor(psi([0, 0, 10]) * 1e6) / 1e6
+    assert out[h1]["drift"] is True            # total concentration
+
+
+def test_streaming_psi_validation(spark):
+    import pytest as _pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.streaming import streaming_psi
+
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    with _pytest.raises(OperatorConfigError, match="increasing"):
+        streaming_psi(df, "ts", "value", [2.0, 1.0], [1, 1, 1])
+    with _pytest.raises(OperatorConfigError, match="reference_counts"):
+        streaming_psi(df, "ts", "value", [1.0, 2.0], [1, 1])
+
+
+def test_streaming_psi_real_stream_equals_batch(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.streaming import streaming_psi
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "value"
+    )
+    edges, ref = [20.0, 60.0], [2, 5, 3]
+    batch = {
+        r["window"]["start"]: (r["n"], r["psi"])
+        for r in streaming_psi(
+            ev.withColumn("ts", F.col("ts").cast("timestamp")),
+            "ts", "value", edges, ref, window_duration="6 hours",
+        ).collect()
+    }
+    src = str(tmp_path / "src")
+    sentinel = datetime.datetime(2100, 1, 1)
+    ev.unionByName(
+        spark.createDataFrame([(sentinel, 0.0)], ev.schema)
+    ).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_psi(
+            stream, "ts", "value", edges, ref, window_duration="6 hours",
+        )
+        .select("window", "n", "psi")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    got = {
+        r["window"]["start"]: (r["n"], r["psi"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["window"]["start"].year < 2099
+    }
+    assert got == batch
