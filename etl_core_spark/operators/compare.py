@@ -1004,3 +1004,302 @@ class MannWhitneyUOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def welch_ttest(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    value_scale: int = 100,
+    t_crit: float | None = 1.959963984540054,
+    quantize: int = 9,
+) -> DataFrame:
+    """Welch's unequal-variance t-test per group — the parametric
+    mean-difference test completing the rack (prop_ztest:
+    proportions; mannwhitney_u: ranks; this: means)::
+
+        t = (m1 - m2) / sqrt(v1/n1 + v2/n2)
+
+    with Welch-Satterthwaite degrees of freedom emitted alongside.
+
+    Exactness (the ols_trend trick): values quantize to
+    ``value_scale`` fixed-point units and every moment (Σy, Σy²)
+    accumulates in DECIMAL(38,0) — reduction-order independent — so
+    means and ddof-1 variances come out of EXACT integer arithmetic
+    with one double division each; t and df are then fixed
+    expressions + IEEE sqrt. ``significant`` compares |t| against
+    ``t_crit`` (config; the z critical value is the df→∞ bar —
+    p-values need the incomplete beta, which is libm-specific, the
+    prop_ztest rule). NULL when either side has < 2 observations or
+    both variances are zero.
+
+    Scale shape: ONE map-side-combinable aggregate per side + a
+    keyed outer join on the group.
+    """
+    if not value_col:
+        raise OperatorConfigError("welch_ttest requires value_col")
+    if int(value_scale) <= 0:
+        raise OperatorConfigError("welch_ttest value_scale must be > 0")
+    g = list(group_cols or [])
+    q = float(10 ** int(quantize))
+    vs = float(int(value_scale))
+    dec = "decimal(38,0)"
+
+    def side(df, p):
+        y = F.floor(
+            F.col(value_col).cast("double") * F.lit(vs) + F.lit(0.5)
+        ).cast(dec)
+        base = df.where(F.col(value_col).isNotNull()).select(
+            *g, y.alias("__y")
+        )
+        return base.groupBy(*g).agg(
+            F.count(F.lit(1)).alias(f"n_{p}"),
+            F.sum("__y").alias(f"__s_{p}"),
+            F.sum(F.col("__y") * F.col("__y")).alias(f"__ss_{p}"),
+        )
+
+    lc = side(left, "l")
+    rc = side(right, "r")
+    j = lc.join(rc, g, "full_outer") if g else lc.crossJoin(rc)
+    j = j.select(
+        *g,
+        F.coalesce(F.col("n_l"), F.lit(0)).alias("n_left"),
+        F.coalesce(F.col("n_r"), F.lit(0)).alias("n_right"),
+        "__s_l", "__ss_l", "__s_r", "__ss_r",
+    )
+
+    def stats(p, n_col):
+        n = F.col(n_col).cast(dec)
+        s = F.col(f"__s_{p}")
+        ss = F.col(f"__ss_{p}")
+        mean = (
+            s.cast("double") / F.col(n_col).cast("double")
+        ) / F.lit(vs)
+        # ddof=1 sample variance from exact integer moments
+        var = (
+            (n * ss - s * s).cast("double")
+            / (
+                F.col(n_col).cast("double")
+                * (F.col(n_col).cast("double") - F.lit(1.0))
+            )
+        ) / F.lit(vs * vs)
+        return mean, var
+
+    m1, v1 = stats("l", "n_left")
+    m2, v2 = stats("r", "n_right")
+    n1d = F.col("n_left").cast("double")
+    n2d = F.col("n_right").cast("double")
+    se2 = v1 / n1d + v2 / n2d
+    t = (m1 - m2) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+        + (v2 / n2d) * (v2 / n2d) / (n2d - F.lit(1.0))
+    )
+    defined = (
+        (F.col("n_left") >= 2) & (F.col("n_right") >= 2) & (se2 > F.lit(0.0))
+    )
+    return j.select(
+        *g,
+        "n_left",
+        "n_right",
+        F.when(
+            F.col("n_left") > 0, F.floor(m1 * F.lit(q)) / F.lit(q)
+        ).alias("mean_left"),
+        F.when(
+            F.col("n_right") > 0, F.floor(m2 * F.lit(q)) / F.lit(q)
+        ).alias("mean_right"),
+        F.when(defined, F.floor(t * F.lit(q)) / F.lit(q)).alias("t"),
+        F.when(defined, F.floor(dfree * F.lit(q)) / F.lit(q)).alias("df"),
+        *(
+            [
+                F.when(defined, F.abs(t) > F.lit(float(t_crit))).alias(
+                    "significant"
+                )
+            ]
+            if t_crit is not None
+            else []
+        ),
+    )
+
+
+@register_operator("welch_ttest")
+class WelchTtestOperator(Operator):
+    """Config: ``value_col`` (required); ``group_cols``,
+    ``value_scale``, ``t_crit`` (None omits the significant column),
+    ``quantize``. Ports: ``left``, ``right``."""
+
+    in_ports = ("left", "right")
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("value_col"):
+            raise OperatorConfigError("welch_ttest requires 'value_col'")
+        if int(self.config.get("value_scale", 100)) <= 0:
+            raise OperatorConfigError("welch_ttest value_scale must be > 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        if set(inputs) != {"left", "right"}:
+            raise OperatorConfigError(
+                f"welch_ttest takes ports left/right, got {sorted(inputs)}"
+            )
+        c = self.config
+        tc = c.get("t_crit", 1.959963984540054)
+        return {
+            "out": welch_ttest(
+                inputs["left"],
+                inputs["right"],
+                c["value_col"],
+                list(c.get("group_cols") or []),
+                int(c.get("value_scale", 100)),
+                float(tc) if tc is not None else None,
+                int(c.get("quantize", 9)),
+            )
+        }
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    categories_a: list[str],
+    categories_b: list[str],
+    group_cols: list[str] | None = None,
+    quantize: int = 9,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns over CONFIG-SUPPLIED category lists (the
+    psi_drift fixed-edges rule: a data-derived category set would
+    make the cell order — and so the float sum — depend on the
+    data), plus Cramér's V effect size::
+
+        chi2 = sum_ij (n_ij - e_ij)^2 / e_ij,  e_ij = r_i * c_j / n
+        V = sqrt(chi2 / (n * (min(|A|, |B|) - 1)))
+
+    Rows whose value falls outside the configured lists are EXCLUDED
+    from the test (documented — list the long tail explicitly or
+    bucket it upstream). Emits per group: ``n``, floor-quantized
+    ``chi2``, ``dof``, ``cramers_v``; NULL chi2/V when any marginal
+    is zero (the statistic is undefined on a degenerate table).
+
+    Exactness: all |A|x|B| cell counts are exact conditional-sum
+    integers; chi2/V are fixed expressions over them in configured
+    category order — deterministic in any engine.
+
+    Scale shape: ONE map-side-combinable aggregate (|A|*|B| int
+    columns) + a fixed scalar projection.
+    """
+    if not col_a or not col_b:
+        raise OperatorConfigError("chi2_independence requires col_a and col_b")
+    if not categories_a or not categories_b:
+        raise OperatorConfigError(
+            "chi2_independence requires categories_a and categories_b "
+            "(config-supplied — the psi_drift fixed-edges rule)"
+        )
+    if len(set(categories_a)) != len(categories_a) or len(
+        set(categories_b)
+    ) != len(categories_b):
+        raise OperatorConfigError(
+            "chi2_independence categories must be unique"
+        )
+    g = list(group_cols or [])
+    q = float(10 ** int(quantize))
+    ca = [str(c) for c in categories_a]
+    cb = [str(c) for c in categories_b]
+    na, nb_ = len(ca), len(cb)
+
+    base = df.where(
+        F.col(col_a).isin(ca) & F.col(col_b).isin(cb)
+    ).select(*g, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cells = [
+        F.sum(
+            F.when((F.col("__a") == ca[i]) & (F.col("__b") == cb[j]), 1)
+            .otherwise(0)
+        ).alias(f"__c_{i}_{j}")
+        for i in range(na)
+        for j in range(nb_)
+    ]
+    agged = base.groupBy(*g).agg(*cells)
+
+    def cell(i, j):
+        return F.col(f"__c_{i}_{j}")
+
+    n = None
+    for i in range(na):
+        for j in range(nb_):
+            n = cell(i, j) if n is None else n + cell(i, j)
+    rows = [sum_or(None, [cell(i, j) for j in range(nb_)]) for i in range(na)]
+    colsm = [sum_or(None, [cell(i, j) for i in range(na)]) for j in range(nb_)]
+
+    agged = agged.select(
+        *g,
+        *[cell(i, j) for i in range(na) for j in range(nb_)],
+        n.cast("long").alias("n"),
+        *[rows[i].cast("long").alias(f"__r{i}") for i in range(na)],
+        *[colsm[j].cast("long").alias(f"__k{j}") for j in range(nb_)],
+    )
+
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for i in range(na):
+        for j in range(nb_):
+            e = (
+                F.col(f"__r{i}").cast("double")
+                * F.col(f"__k{j}").cast("double")
+            ) / nd
+            d = cell(i, j).cast("double") - e
+            term = d * d / e
+            chi2 = term if chi2 is None else chi2 + term
+    dof = (na - 1) * (nb_ - 1)
+    vden = nd * F.lit(float(min(na, nb_) - 1))
+    ok = F.col("n") > 0
+    for i in range(na):
+        ok = ok & (F.col(f"__r{i}") > 0)
+    for j in range(nb_):
+        ok = ok & (F.col(f"__k{j}") > 0)
+    return agged.select(
+        *g,
+        "n",
+        F.when(ok, F.floor(chi2 * F.lit(q)) / F.lit(q)).alias("chi2"),
+        F.lit(dof).alias("dof"),
+        F.when(
+            ok, F.floor(F.sqrt(chi2 / vden) * F.lit(q)) / F.lit(q)
+        ).alias("cramers_v"),
+    )
+
+
+def sum_or(acc, cols):
+    """Fixed-order left-associative column sum (chi2 helper)."""
+    for c in cols:
+        acc = c if acc is None else acc + c
+    return acc
+
+
+@register_operator("chi2_independence")
+class Chi2IndependenceOperator(Operator):
+    """Config: ``col_a``, ``col_b``, ``categories_a``,
+    ``categories_b`` (required); ``group_cols``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("col_a", "col_b", "categories_a", "categories_b"):
+            if not self.config.get(key):
+                raise OperatorConfigError(
+                    f"chi2_independence requires {key!r}"
+                )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": chi2_independence(
+                self.single_input(inputs),
+                c["col_a"],
+                c["col_b"],
+                list(c["categories_a"]),
+                list(c["categories_b"]),
+                list(c.get("group_cols") or []),
+                int(c.get("quantize", 9)),
+            )
+        }

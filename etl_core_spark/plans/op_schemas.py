@@ -906,6 +906,29 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "at 8 dof); null omits the alarm column"),
         f("quantize", "integer", default=9),
     ],
+    "welch_ttest": [
+        f("value_col", "string", required=True),
+        f("group_cols", "array", items={"type": "string"}),
+        f("value_scale", "integer", default=100,
+          desc="fixed-point units per value — moments accumulate "
+               "exactly in DECIMAL(38,0)"),
+        f("t_crit", "number", default=1.959963984540054,
+          desc="|t| bar for the significant flag; null omits it "
+               "(p-values need the incomplete beta — libm-specific)"),
+        f("quantize", "integer", default=9),
+    ],
+    "chi2_independence": [
+        f("col_a", "string", required=True),
+        f("col_b", "string", required=True),
+        f("categories_a", "array", required=True,
+          items={"type": "string"},
+          desc="config category list (the psi_drift fixed-edges "
+               "rule); values outside it are excluded"),
+        f("categories_b", "array", required=True,
+          items={"type": "string"}),
+        f("group_cols", "array", items={"type": "string"}),
+        f("quantize", "integer", default=9),
+    ],
     "kaplan_meier": [
         f("key_cols", "array", required=True, items={"type": "string"}),
         f("duration_col", "string", required=True,

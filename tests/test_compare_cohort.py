@@ -564,3 +564,98 @@ def test_mwu_shift_is_significant_and_zero_variance_null(spark):
 def test_mwu_validation(spark):
     with pytest.raises(OperatorConfigError):
         get_operator("mannwhitney_u")(value_col="")
+
+
+# --------------------------------------------------------- welch_ttest
+
+def test_welch_matches_hand_formula_exact_moments(spark):
+    import math
+
+    lvals = [10.0, 12.0, 11.5, 9.5, 13.0]
+    rvals = [14.0, 15.5, 16.0, 13.5]
+    left = spark.createDataFrame([(v,) for v in lvals], "value double")
+    right = spark.createDataFrame([(v,) for v in rvals], "value double")
+    r = get_operator("welch_ttest")(
+        value_col="value",
+    ).apply({"left": left, "right": right})["out"].collect()[0]
+
+    def mv(xs):
+        ys = [round(v * 100) for v in xs]
+        n, s, ss = len(ys), sum(ys), sum(y * y for y in ys)
+        return (s / n) / 100.0, ((n * ss - s * s) / (n * (n - 1))) / 1e4, n
+
+    m1, v1, n1 = mv(lvals)
+    m2, v2, n2 = mv(rvals)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    assert r["mean_left"] == math.floor(m1 * 1e9) / 1e9
+    assert r["t"] == math.floor(t * 1e9) / 1e9
+    assert r["df"] == math.floor(dfree * 1e9) / 1e9
+    assert r["significant"] == (abs(t) > 1.959963984540054)
+
+
+def test_welch_partition_invariance_and_degenerate_null(spark):
+    rows = [(float((i * 37) % 101) + 0.13,) for i in range(2000)]
+    l1 = spark.createDataFrame(rows, "value double").coalesce(1)
+    l32 = spark.createDataFrame(rows, "value double").repartition(32)
+    right = spark.createDataFrame(rows[:500], "value double")
+    op = get_operator("welch_ttest")(value_col="value")
+    a = op.apply({"left": l1, "right": right})["out"].collect()[0]
+    b = op.apply({"left": l32, "right": right})["out"].collect()[0]
+    assert (a["t"], a["df"]) == (b["t"], b["df"])
+    # constant samples: zero variance -> NULL t, not inf
+    const = spark.createDataFrame([(5.0,)] * 10, "value double")
+    r = op.apply({"left": const, "right": const})["out"].collect()[0]
+    assert r["t"] is None and r["significant"] is None
+
+
+# -------------------------------------------------- chi2_independence
+
+def test_chi2_matches_hand_contingency(spark):
+    import math
+
+    rows = (
+        [("x", "p")] * 20 + [("x", "q")] * 10
+        + [("y", "p")] * 5 + [("y", "q")] * 25
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = get_operator("chi2_independence")(
+        col_a="a", col_b="b", categories_a=["x", "y"],
+        categories_b=["p", "q"],
+    ).apply({"in": df})["out"].collect()[0]
+    cells = {("x", "p"): 20, ("x", "q"): 10, ("y", "p"): 5, ("y", "q"): 25}
+    n = 60
+    chi2 = 0.0
+    for (i, j), c in cells.items():
+        ri = sum(v for (a, _), v in cells.items() if a == i)
+        kj = sum(v for (_, b), v in cells.items() if b == j)
+        e = ri * kj / n
+        chi2 = chi2 + (c - e) * (c - e) / e
+    assert r["n"] == 60 and r["dof"] == 1
+    assert r["chi2"] == math.floor(chi2 * 1e9) / 1e9
+    v = math.sqrt(chi2 / (n * 1))
+    assert r["cramers_v"] == math.floor(v * 1e9) / 1e9
+
+
+def test_chi2_out_of_list_excluded_and_degenerate_null(spark):
+    rows = [("x", "p"), ("x", "q"), ("UNLISTED", "p"), ("x", "ALSO_NOT")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = get_operator("chi2_independence")(
+        col_a="a", col_b="b", categories_a=["x", "y"],
+        categories_b=["p", "q"],
+    ).apply({"in": df})["out"].collect()[0]
+    assert r["n"] == 2                       # only the listed pairs
+    assert r["chi2"] is None                 # y-row marginal is zero
+
+
+def test_chi2_validation(spark):
+    with pytest.raises(OperatorConfigError, match="categories"):
+        get_operator("chi2_independence")(
+            col_a="a", col_b="b", categories_a=[], categories_b=["p"],
+        )
+    with pytest.raises(OperatorConfigError, match="unique"):
+        from etl_core_spark.operators.compare import chi2_independence
+        chi2_independence(None, "a", "b", ["x", "x"], ["p"])
