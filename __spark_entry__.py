@@ -9039,6 +9039,100 @@ FROM t
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/timeseries.py
+    seasonal_decompose): per-user trend/seasonal/residual with period
+    4 along (ts, event_id). Everything up to the final expressions is
+    INTEGER window arithmetic (cents, the 2xm centered-MA numerator,
+    the detrended numerator y*2m - N), so the decomposition is
+    reduction-order independent and the oracle replays it with the
+    same window frames; 9dp floors pin rendering."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = get_operator("seasonal_decompose")(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", period=4,
+    ).apply({"in": ev})["out"]
+    return out.select(
+        "user_id", "event_id", "trend", "seasonal", "residual"
+    )
+
+
+_SQL_SEASONAL_DECOMPOSE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 100e0 + 0.5e0)
+              AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT user_id, ts, event_id, y,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1) % 4 AS p,
+         lag(y, 2) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS ylag,
+         lead(y, 2) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS ylead,
+         SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ymid,
+         COUNT(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cmid
+  FROM o
+), s AS (
+  SELECT user_id, ts, event_id, y, p,
+         CASE WHEN ylag IS NOT NULL AND ylead IS NOT NULL AND cmid = 3
+              THEN ylag + 2 * ymid + ylead END AS n
+  FROM r
+), d AS (
+  SELECT user_id, ts, event_id, y, p, n, y * 8 - n AS dd
+  FROM s
+), ph AS (
+  SELECT user_id,
+         SUM(CASE WHEN p = 0 THEN dd END) AS ds0,
+         SUM(CASE WHEN p = 1 THEN dd END) AS ds1,
+         SUM(CASE WHEN p = 2 THEN dd END) AS ds2,
+         SUM(CASE WHEN p = 3 THEN dd END) AS ds3,
+         CAST(SUM(CASE WHEN p = 0 AND dd IS NOT NULL THEN 1 END)
+              AS BIGINT) AS dc0,
+         CAST(SUM(CASE WHEN p = 1 AND dd IS NOT NULL THEN 1 END)
+              AS BIGINT) AS dc1,
+         CAST(SUM(CASE WHEN p = 2 AND dd IS NOT NULL THEN 1 END)
+              AS BIGINT) AS dc2,
+         CAST(SUM(CASE WHEN p = 3 AND dd IS NOT NULL THEN 1 END)
+              AS BIGINT) AS dc3
+  FROM d GROUP BY user_id
+), sp AS (
+  SELECT user_id,
+         CAST(ds0 AS DOUBLE) / (CAST(dc0 AS DOUBLE) * 800e0) AS s0,
+         CAST(ds1 AS DOUBLE) / (CAST(dc1 AS DOUBLE) * 800e0) AS s1,
+         CAST(ds2 AS DOUBLE) / (CAST(dc2 AS DOUBLE) * 800e0) AS s2,
+         CAST(ds3 AS DOUBLE) / (CAST(dc3 AS DOUBLE) * 800e0) AS s3
+  FROM ph
+), ctr AS (
+  SELECT user_id, s0, s1, s2, s3,
+         (s0 + s1 + s2 + s3) / 4e0 AS sbar
+  FROM sp
+)
+SELECT d.user_id AS user_id, d.event_id AS event_id,
+       floor((CAST(d.n AS DOUBLE) / 800e0) * 1e9) / 1e9 AS trend,
+       floor((CASE d.p WHEN 0 THEN ctr.s0 - ctr.sbar
+                       WHEN 1 THEN ctr.s1 - ctr.sbar
+                       WHEN 2 THEN ctr.s2 - ctr.sbar
+                       ELSE ctr.s3 - ctr.sbar END) * 1e9) / 1e9
+         AS seasonal,
+       floor((CAST(d.y AS DOUBLE) / 100e0
+              - CAST(d.n AS DOUBLE) / 800e0
+              - (CASE d.p WHEN 0 THEN ctr.s0 - ctr.sbar
+                          WHEN 1 THEN ctr.s1 - ctr.sbar
+                          WHEN 2 THEN ctr.s2 - ctr.sbar
+                          ELSE ctr.s3 - ctr.sbar END)) * 1e9) / 1e9
+         AS residual
+FROM d JOIN ctr ON d.user_id = ctr.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9081,6 +9175,7 @@ _R10_WINDOW = [
     "snm_linkage", "psi_drift", "ols_trend", "prop_ztest",
     "systematic_sample", "kaplan_meier", "mannwhitney_u",
     "streaming_psi", "welch_ttest", "chi2_independence",
+    "seasonal_decompose",
     # never driver-checked (new this round)
     "cdc_apply", "bloom_decontaminate", "zorder_key",
     "streaming_sessionize", "winsorize", "k_core",
@@ -9095,7 +9190,7 @@ _R10_WINDOW = [
     "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
     "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
     # r06-vintage, 4 rounds stale (the VERDICT r9 item-1 list)
-    "q20_heavy_suppliers", "q21_last_shippers",
+    "q21_last_shippers",
 
     # (hll_distinct and tf_idf_top_terms rotated out to fit: the
     # judge pre-verified tf_idf at sf0.01 in r9, and hll_distinct is
@@ -9109,8 +9204,8 @@ _R10_WINDOW = [
     # simplest remaining rows; q11_important_parts,
     # q13_customer_distribution and q15_top_supplier went to
     # kaplan_meier/mannwhitney_u/streaming_psi, q16/q17 to
-    # welch_ttest/chi2_independence.
-    # ALL FOURTEEN displaced rows were re-run locally through
+    # welch_ttest/chi2_independence, q20 to seasonal_decompose.
+    # ALL FIFTEEN displaced rows were re-run locally through
     # scripts/check_oracles.py at sf0.01 this session — see the
     # round-10 session-3 ROUND_NOTES — and lead the r11 rotation
     # together with the r07 cohort.)
@@ -9289,6 +9384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi": q_streaming_psi,
         "welch_ttest": q_welch_ttest,
         "chi2_independence": q_chi2_independence,
+        "seasonal_decompose": q_seasonal_decompose,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
@@ -9495,6 +9591,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_psi": _streaming_psi_sql(),
         "welch_ttest": _welch_sql(),
         "chi2_independence": _chi2_sql(),
+        "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
         "streaming_attribution": _SQL_ATTRIBUTION_JOIN,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,

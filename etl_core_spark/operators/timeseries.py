@@ -1942,3 +1942,191 @@ class KaplanMeierOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    value_scale: int = 100,
+    quantize: int = 9,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key
+    (Macaulay's centered-moving-average method): ``y = trend +
+    seasonal + residual`` with the textbook estimators —
+
+    - ``trend``: centered moving average over one period (the 2xm
+      double average when ``period`` is even — half weights at both
+      ends — the plain m-window when odd); NULL at the first/last
+      half-window of each series;
+    - ``seasonal``: the phase means of the detrended series,
+      centered to sum to zero across the m phases;
+    - ``residual``: what's left.
+
+    The model-free EDA complement to holt_winters (which FITS a
+    recursion; this MEASURES the cycle). Phase = 0-based position in
+    the series modulo m, so series are assumed phase-aligned at
+    their first observation.
+
+    Exactness design (what makes this full-value certifiable): the
+    value quantizes to integer ``value_scale`` units, the centered
+    MA numerator ``N_t`` and the detrended numerator
+    ``D_t = y*K - N_t`` (K = 2m even / m odd) are INTEGER window
+    sums — order-independent — and the phase means are exact-int
+    sums with one division; only the final fixed expressions are
+    float. Keys missing a full trend window for some phase emit
+    NULL seasonal/residual everywhere in that key (a partial phase
+    mean would silently bias the cycle — fail loud, not wrong).
+
+    Scale shape: ONE key shuffle; per-key ordered window frames
+    (rank, the +-half-window sums), one (key, phase) aggregate, one
+    m-column pivot joined back — nothing data-sized on the driver,
+    no UDF.
+    """
+    if not key_cols:
+        raise OperatorConfigError("seasonal_decompose requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("seasonal_decompose requires order_cols")
+    if int(period) < 2:
+        raise OperatorConfigError("seasonal_decompose period must be >= 2")
+    if int(value_scale) <= 0:
+        raise OperatorConfigError(
+            "seasonal_decompose value_scale must be > 0"
+        )
+    from pyspark.sql import Window
+
+    m = int(period)
+    vs = int(value_scale)
+    even = m % 2 == 0
+    h = m // 2 if even else (m - 1) // 2
+    k_fac = 2 * m if even else m
+    q = float(10 ** int(quantize))
+
+    yc = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(vs)) + F.lit(0.5)
+    ).cast("long")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *key_cols, *order_cols, yc.alias("__y")
+    )
+    w_ord = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    base = base.withColumn(
+        "__p", (F.row_number().over(w_ord) - F.lit(1)) % F.lit(m)
+    )
+    if even:
+        w_mid = w_ord.rowsBetween(-(h - 1), h - 1)
+        n_expr = (
+            F.lag("__y", h).over(w_ord)
+            + F.lit(2) * F.sum("__y").over(w_mid)
+            + F.lead("__y", h).over(w_ord)
+        )
+        full = (
+            F.lag("__y", h).over(w_ord).isNotNull()
+            & F.lead("__y", h).over(w_ord).isNotNull()
+            & (F.count("__y").over(w_mid) == F.lit(2 * h - 1))
+        )
+    else:
+        w_full = w_ord.rowsBetween(-h, h)
+        n_expr = F.sum("__y").over(w_full)
+        full = F.count("__y").over(w_full) == F.lit(m)
+    staged = base.withColumn(
+        "__n", F.when(full, n_expr)
+    ).withColumn(
+        "__d", F.col("__y") * F.lit(k_fac) - F.col("__n")
+    )
+
+    # phase means of the detrended numerator (exact int sums)
+    ph = staged.groupBy(*key_cols).agg(
+        *[
+            F.sum(
+                F.when(F.col("__p") == p, F.col("__d"))
+            ).alias(f"__ds{p}")
+            for p in range(m)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("__p") == p, F.when(F.col("__d").isNotNull(), 1)
+                )
+            ).alias(f"__dc{p}")
+            for p in range(m)
+        ],
+    )
+    denom = float(k_fac) * float(vs)
+
+    def s_raw(p):
+        return F.col(f"__ds{p}").cast("double") / (
+            F.col(f"__dc{p}").cast("double") * F.lit(denom)
+        )
+
+    s_cols = [s_raw(p).alias(f"__s{p}") for p in range(m)]
+    ph = ph.select(*key_cols, *s_cols)
+    sbar = None
+    for p in range(m):
+        c = F.col(f"__s{p}")
+        sbar = c if sbar is None else sbar + c
+    ph = ph.select(
+        *key_cols,
+        *[F.col(f"__s{p}") for p in range(m)],
+        (sbar / F.lit(float(m))).alias("__sbar"),
+    )
+    seas_cols = [
+        (F.col(f"__s{p}") - F.col("__sbar")).alias(f"__seas{p}")
+        for p in range(m)
+    ]
+    ph = ph.select(*key_cols, *seas_cols)
+
+    joined = staged.join(ph, key_cols, "left")
+    seas = None
+    for p in range(m):
+        c = F.col(f"__seas{p}")
+        seas = (
+            F.when(F.col("__p") == p, c)
+            if seas is None
+            else seas.when(F.col("__p") == p, c)
+        )
+    trend = F.col("__n").cast("double") / F.lit(denom)
+    yq = F.col("__y").cast("double") / F.lit(float(vs))
+    resid = yq - trend - seas
+    return joined.select(
+        *key_cols,
+        *order_cols,
+        (F.floor(trend * F.lit(q)) / F.lit(q)).alias("trend"),
+        (F.floor(seas * F.lit(q)) / F.lit(q)).alias("seasonal"),
+        (F.floor(resid * F.lit(q)) / F.lit(q)).alias("residual"),
+    )
+
+
+@register_operator("seasonal_decompose")
+class SeasonalDecomposeOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``value_col``,
+    ``period`` (required); ``value_scale``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(
+                    f"seasonal_decompose requires {key!r}"
+                )
+        if int(self.config.get("period", 0)) < 2:
+            raise OperatorConfigError(
+                "seasonal_decompose period must be >= 2"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": seasonal_decompose(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                int(c["period"]),
+                int(c.get("value_scale", 100)),
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -906,6 +906,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "at 8 dof); null omits the alarm column"),
         f("quantize", "integer", default=9),
     ],
+    "seasonal_decompose": [
+        f("key_cols", "array", required=True, items={"type": "string"}),
+        f("order_cols", "array", required=True, items={"type": "string"},
+          desc="must totally order rows within a key"),
+        f("value_col", "string", required=True),
+        f("period", "integer", required=True,
+          desc="cycle length m >= 2 (2xm centered MA when even)"),
+        f("value_scale", "integer", default=100,
+          desc="fixed-point units — the window sums stay integer"),
+        f("quantize", "integer", default=9),
+    ],
     "welch_ttest": [
         f("value_col", "string", required=True),
         f("group_cols", "array", items={"type": "string"}),

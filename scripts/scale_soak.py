@@ -320,6 +320,14 @@ def families(docs, spark):
         (F.col("doc_id") % 3 != 0).alias("e"),
     )
     fams["kaplan_meier"] = lambda: kaplan_meier(km_in, ["k"], "d", "e")
+    # r10 session 3: classical decomposition — per-key integer window
+    # frames + an m-column phase pivot; series length pinned by the
+    # key width, per-row cost must stay flat
+    from etl_core_spark.operators.timeseries import seasonal_decompose
+
+    fams["seasonal_decompose"] = lambda: seasonal_decompose(
+        hw_in, ["k"], ["doc_id"], "v", period=4
+    )
     # r10 session 3: exact-decimal OLS — one six-sum aggregate
     from etl_core_spark.operators.timeseries import ols_trend
 

@@ -823,3 +823,31 @@ def test_parquet_entity_resolution(spark, tmp_path):
     assert comp[10] == comp[11] == 10
     assert 4 not in comp
     assert result.metrics["sink"]["lines_received"] == 5
+
+
+def test_parquet_drift_monitor(spark, tmp_path):
+    def inputs(d):
+        ref = [("a", float(v % 90)) for v in range(200)] + [
+            ("b", float(v % 90)) for v in range(200)
+        ]
+        # segment a drifts hard (shift +60); segment b is identical
+        cur = [("a", float(v % 30) + 60.0) for v in range(200)] + [
+            ("b", float(v % 90)) for v in range(200)
+        ]
+        spark.createDataFrame(ref, "segment string, value double").write.parquet(
+            str(d / "reference.parquet")
+        )
+        spark.createDataFrame(cur, "segment string, value double").write.parquet(
+            str(d / "current.parquet")
+        )
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_drift_monitor.json", inputs
+    )
+    psi = {r["segment"]: r for r in spark.read.parquet(str(out / "psi")).collect()}
+    ks = {r["segment"]: r for r in spark.read.parquet(str(out / "ks")).collect()}
+    tt = {r["segment"]: r for r in spark.read.parquet(str(out / "ttest")).collect()}
+    # all three lenses agree: a drifted, b did not
+    assert psi["a"]["drift"] is True and psi["b"]["drift"] is False
+    assert ks["a"]["ks_stat"] > 0.5 and ks["b"]["ks_stat"] == 0.0
+    assert tt["a"]["significant"] is True and tt["b"]["significant"] is False

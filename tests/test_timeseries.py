@@ -720,3 +720,61 @@ def test_kaplan_meier_ties_and_null_event_is_censor(spark):
 def test_kaplan_meier_validation(spark):
     with pytest.raises(OperatorConfigError):
         get_operator("kaplan_meier")(key_cols=[], duration_col="d", event_col="e")
+
+
+# -------------------------------------------------- seasonal_decompose
+
+def test_seasonal_decompose_recovers_cycle_and_linear_trend(spark):
+    cyc = [5.0, -3.0, 1.0, -3.0]              # sums to zero already
+    rows = [(1, t, 10.0 + 0.5 * t + cyc[t % 4]) for t in range(24)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {r["t"]: r for r in get_operator("seasonal_decompose")(
+        key_cols=["k"], order_cols=["t"], value_col="v", period=4,
+    ).apply({"in": df})["out"].collect()}
+    # edge rows: no full centered window
+    assert out[0]["trend"] is None and out[23]["trend"] is None
+    for t in range(2, 22):
+        assert abs(out[t]["trend"] - (10.0 + 0.5 * t)) < 1e-6
+        assert abs(out[t]["seasonal"] - cyc[t % 4]) < 1e-6
+        assert abs(out[t]["residual"]) < 1e-6
+
+
+def test_seasonal_decompose_odd_period_and_partition_invariance(spark):
+    cyc = [2.0, 0.0, -2.0]
+    rows = [(1, t, 7.0 + cyc[t % 3]) for t in range(30)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    op = get_operator("seasonal_decompose")(
+        key_cols=["k"], order_cols=["t"], value_col="v", period=3,
+    )
+    a = sorted(op.apply({"in": df.coalesce(1)})["out"].collect(),
+               key=lambda r: r["t"])
+    b = sorted(op.apply({"in": df.repartition(16)})["out"].collect(),
+               key=lambda r: r["t"])
+    assert [(r["trend"], r["seasonal"], r["residual"]) for r in a] == [
+        (r["trend"], r["seasonal"], r["residual"]) for r in b
+    ]
+    mid = a[10]
+    assert abs(mid["trend"] - 7.0) < 1e-6
+    assert abs(mid["seasonal"] - cyc[10 % 3]) < 1e-6
+
+
+def test_seasonal_decompose_short_series_null_seasonal(spark):
+    # 3 rows with period 4: no phase ever gets a valid detrended value
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0)], "k long, t long, v double"
+    )
+    out = get_operator("seasonal_decompose")(
+        key_cols=["k"], order_cols=["t"], value_col="v", period=4,
+    ).apply({"in": df})["out"].collect()
+    assert all(r["seasonal"] is None and r["residual"] is None for r in out)
+
+
+def test_seasonal_decompose_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("seasonal_decompose")(
+            key_cols=["k"], order_cols=["t"], value_col="v", period=1
+        )
+    with pytest.raises(OperatorConfigError):
+        get_operator("seasonal_decompose")(
+            key_cols=[], order_cols=["t"], value_col="v", period=4
+        )
