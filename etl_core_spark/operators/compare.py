@@ -1202,6 +1202,12 @@ def chi2_independence(
         raise OperatorConfigError(
             "chi2_independence categories must be unique"
         )
+    if len(categories_a) < 2 or len(categories_b) < 2:
+        raise OperatorConfigError(
+            "chi2_independence needs >= 2 categories on each side "
+            "(a 1-category margin makes dof = 0 and Cramér's V divide "
+            f"by zero; got |A|={len(categories_a)}, |B|={len(categories_b)})"
+        )
     g = list(group_cols or [])
     q = float(10 ** int(quantize))
     ca = [str(c) for c in categories_a]
@@ -1288,6 +1294,12 @@ class Chi2IndependenceOperator(Operator):
             if not self.config.get(key):
                 raise OperatorConfigError(
                     f"chi2_independence requires {key!r}"
+                )
+        for key in ("categories_a", "categories_b"):
+            if len(self.config[key]) < 2:
+                raise OperatorConfigError(
+                    f"chi2_independence {key!r} needs >= 2 categories "
+                    "(1-category margins make dof = 0)"
                 )
 
     def apply(self, inputs: PortMap) -> PortMap:

@@ -70,6 +70,19 @@ def _weights(comparisons: list[dict]) -> list[tuple[float, float]]:
                 f"record_linkage comparison #{i}: need 0 < u < m < 1 "
                 f"(got m={m}, u={u})"
             )
+        kind = c.get("kind", "equal")
+        if kind not in _KINDS:
+            raise OperatorConfigError(
+                f"record_linkage comparison #{i}: kind must be one of "
+                f"{_KINDS}, got {kind!r}"
+            )
+        if kind in ("levenshtein", "abs_diff"):
+            thr = c.get("threshold")
+            if not isinstance(thr, (int, float)) or isinstance(thr, bool):
+                raise OperatorConfigError(
+                    f"record_linkage comparison #{i}: kind {kind!r} needs a "
+                    f"numeric 'threshold', got {thr!r}"
+                )
         out.append((math.log(m / u), math.log((1.0 - m) / (1.0 - u))))
     return out
 
@@ -355,6 +368,11 @@ class RecordLinkageOperator(Operator):
             )
 
     def apply(self, inputs: PortMap) -> PortMap:
+        if "in" not in inputs or not set(inputs) <= {"in", "in_b"}:
+            raise OperatorConfigError(
+                "record_linkage takes port 'in' (optionally 'in_b'), "
+                f"got {sorted(inputs)}"
+            )
         c = self.config
         mbs = c.get("max_block_size", 10000)
         bc = c.get("block_cols")

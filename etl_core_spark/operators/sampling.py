@@ -759,6 +759,12 @@ def systematic_sample(
             "systematic_sample offset must be in [0, step)"
         )
     cols = list(df.columns)
+    if rank_col and rank_col in cols:
+        raise OperatorConfigError(
+            f"systematic_sample rank_col {rank_col!r} already exists in the "
+            "input — pick an unused name (duplicate column names break "
+            "downstream resolution)"
+        )
     ranked = _global_rank(df, list(sort_cols))
     out = ranked.where(
         (F.col("__rn") - F.lit(1)) % F.lit(int(step)) == F.lit(int(offset))

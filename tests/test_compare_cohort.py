@@ -658,4 +658,14 @@ def test_chi2_validation(spark):
         )
     with pytest.raises(OperatorConfigError, match="unique"):
         from etl_core_spark.operators.compare import chi2_independence
-        chi2_independence(None, "a", "b", ["x", "x"], ["p"])
+        chi2_independence(None, "a", "b", ["x", "x"], ["p", "q"])
+    # single-element category lists would make dof = 0 and Cramér's V
+    # divide by zero — rejected at config time
+    with pytest.raises(OperatorConfigError, match=">= 2"):
+        get_operator("chi2_independence")(
+            col_a="a", col_b="b", categories_a=["x"],
+            categories_b=["p", "q"],
+        )
+    with pytest.raises(OperatorConfigError, match=">= 2"):
+        from etl_core_spark.operators.compare import chi2_independence
+        chi2_independence(None, "a", "b", ["x", "y"], ["p"])

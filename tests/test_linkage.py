@@ -130,6 +130,36 @@ def test_linkage_validation(spark):
             [{"col": "name", "kind": "soundex", "m": 0.9, "u": 0.1}],
             lower=0.0, upper=1.0,
         ).collect()
+    # levenshtein / abs_diff comparisons require a numeric threshold at
+    # config time (not a raw TypeError at apply time)
+    for kind in ("levenshtein", "abs_diff"):
+        with pytest.raises(OperatorConfigError, match="threshold"):
+            get_operator("record_linkage")(
+                id_col="id", block_cols=["b"],
+                comparisons=[
+                    {"col": "name", "kind": kind, "m": 0.9, "u": 0.1}
+                ],
+                lower=0.0, upper=1.0,
+            )
+    with pytest.raises(OperatorConfigError, match="threshold"):
+        get_operator("record_linkage")(
+            id_col="id", block_cols=["b"],
+            comparisons=[{"col": "name", "kind": "levenshtein",
+                          "threshold": "two", "m": 0.9, "u": 0.1}],
+            lower=0.0, upper=1.0,
+        )
+
+
+def test_linkage_port_validation(spark):
+    op = get_operator("record_linkage")(
+        id_col="id", block_cols=["b"], comparisons=COMPS,
+        lower=0.0, upper=1.0,
+    )
+    df = _people(spark)
+    with pytest.raises(OperatorConfigError, match="port"):
+        op.apply({"in_b": df})
+    with pytest.raises(OperatorConfigError, match="port"):
+        op.apply({"input": df})
 
 
 def test_linkage_plan_is_hash_join_not_cartesian(spark):

@@ -301,3 +301,9 @@ def test_systematic_sample_validation(spark):
         get_operator("systematic_sample")(sort_cols=["id"], step=0)
     with pytest.raises(OperatorConfigError):
         get_operator("systematic_sample")(sort_cols=["id"], step=5, offset=5)
+    # rank_col colliding with an input column would emit a duplicate
+    # column name — rejected loudly instead
+    from etl_core_spark.operators.sampling import systematic_sample
+    df = spark.range(10).select(F.col("id"), F.lit(1).alias("rk"))
+    with pytest.raises(OperatorConfigError, match="already exists"):
+        systematic_sample(df, ["id"], 3, rank_col="rk")
