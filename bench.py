@@ -16,6 +16,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The r01 baseline workload (BENCH_r01.json's 48 query keys, 94.381 s
+# total at sf0.1): the fixed query set behind the `baseline47_seconds`
+# stamp. Frozen here — never edit — so the number stays comparable
+# across rounds regardless of registry growth.
+_BASELINE_R01_QUERIES = (
+    "q1_pricing_summary q3_shipping_priority q5_region_revenue agg_ops "
+    "agg_global filter_rule_pass filter_rule_fail join_inner join_left "
+    "join_right join_outer join_multi_step join_semi join_anti "
+    "set_intersect set_except pivot_event_counts rollup_orders "
+    "cube_lineitem dedup_minhash type_conversion merge_union "
+    "split_aggregate top_k window_rank window_running_sum events_hourly "
+    "events_sliding_window mapping_rules asof_join range_join "
+    "events_json_filter sessionize hash_sample hash_split_counts "
+    "dedup_exact text_metrics lang_id minhash_signature "
+    "minhash_near_dup_pairs simhash ann_brute_force ivf_topk "
+    "token_frequency quality_filter cosine_near_dup ann_lsh "
+    "multimodal_features"
+).split()
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -138,6 +157,14 @@ def main() -> None:
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
+    # Constant-workload gate stamp (VERDICT r10 #2): the registry grows
+    # ~38 queries/round, so the naive total stopped being comparable to
+    # BENCH_r01 (94.4 s / 48 queries) around r9. Sum the SAME fixed
+    # workload — the r01 baseline query set — every round, so the
+    # 2x-of-baseline gate is always measured like-for-like.
+    baseline47 = round(
+        sum(timings.get(n, 0.0) for n in _BASELINE_R01_QUERIES), 3
+    )
     # The round driver keeps only the TAIL of stdout and parses it as
     # JSON — a multi-kB per-query dict on stdout starts the captured
     # window MID-JSON (BENCH_r06 recorded parsed:null). stdout carries
@@ -148,6 +175,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
+        "baseline47_seconds": baseline47,
+        "baseline47_n": sum(1 for n in _BASELINE_R01_QUERIES if n in timings),
         "reruns": reruns,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries_file": "bench_queries.json",

@@ -343,28 +343,41 @@ def ks_drift(
     totals = counts.groupBy(*g).agg(
         F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2")
     )
-    on = g if g else None
-    if on:
-        joined = counts.join(totals, on=on)
+    # try_divide in both branches: a one-sided group's absent side has
+    # n=0 — NULL there (not an ANSI divide-by-zero crash), resolved to
+    # the documented D=1.0 below
+    if g:
+        joined = counts.join(totals, on=g)
+        w = Window.partitionBy(*g).orderBy("__v")
+        run = joined.select(
+            *g,
+            "__n1",
+            "__n2",
+            (
+                F.try_divide(F.sum("__c1").over(w), F.col("__n1"))
+                - F.try_divide(F.sum("__c2").over(w), F.col("__n2"))
+            ).alias("__d"),
+        )
     else:
-        joined = counts.crossJoin(F.broadcast(totals))
-    w = (
-        Window.partitionBy(*g).orderBy("__v")
-        if g
-        else Window.partitionBy(F.lit(1)).orderBy("__v")
-    )
-    run = joined.select(
-        *g,
-        "__n1",
-        "__n2",
-        (
-            # try_divide: a one-sided group's absent side has n=0 —
-            # NULL here (not an ANSI divide-by-zero crash), resolved
-            # to the documented D=1.0 below
-            F.try_divide(F.sum("__c1").over(w), F.col("__n1"))
-            - F.try_divide(F.sum("__c2").over(w), F.col("__n2"))
-        ).alias("__d"),
-    )
+        # ungrouped: the running CDFs walk ALL distinct values — a
+        # global window would be single-partition, so use the
+        # distributed prefix-sum machinery instead (exact integer
+        # cumulative counts; identical values, any partitioning)
+        from etl_core_spark.operators.linkage import _global_prefix_sums
+
+        ps = _global_prefix_sums(
+            counts.crossJoin(F.broadcast(totals)),
+            ["__v"],
+            ["__c1", "__c2"],
+        )
+        run = ps.select(
+            "__n1",
+            "__n2",
+            (
+                F.try_divide(F.col("__ps___c1"), F.col("__n1"))
+                - F.try_divide(F.col("__ps___c2"), F.col("__n2"))
+            ).alias("__d"),
+        )
     q = F.lit(float(10 ** int(quantize)))
     agg = run.groupBy(*g).agg(
         F.first("__n1").alias("n_left"),
@@ -909,20 +922,34 @@ def mannwhitney_u(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__c1"),
         F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__c2"),
     )
-    w = (
-        Window.partitionBy(*g).orderBy("__v")
-        if g
-        else Window.orderBy("__v")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    ranked = counts.select(
-        *g,
-        "__c1",
-        "__c2",
-        (F.col("__c1") + F.col("__c2")).alias("__tt"),
-        F.coalesce(
-            F.sum(F.col("__c1") + F.col("__c2")).over(w), F.lit(0)
-        ).cast("long").alias("__before"),
-    )
+    pre = counts.withColumn("__t", F.col("__c1") + F.col("__c2"))
+    if g:
+        w = Window.partitionBy(*g).orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ranked = pre.select(
+            *g,
+            "__c1",
+            "__c2",
+            F.col("__t").alias("__tt"),
+            F.coalesce(F.sum("__t").over(w), F.lit(0))
+            .cast("long")
+            .alias("__before"),
+        )
+    else:
+        # ungrouped: cumulative tie-block offsets walk ALL distinct
+        # values — distributed prefix sum instead of a global window
+        # (exact integer counts; identical values, any partitioning)
+        from etl_core_spark.operators.linkage import _global_prefix_sums
+
+        ranked = _global_prefix_sums(
+            pre, ["__v"], ["__t"], exclusive=True
+        ).select(
+            "__c1",
+            "__c2",
+            F.col("__t").alias("__tt"),
+            F.col("__ps___t").cast("long").alias("__before"),
+        )
     # average rank of a distinct value's tie block: before + (t+1)/2
     # — an exact half-integer double
     avg_rank = (

@@ -156,6 +156,63 @@ def _global_rank(df: DataFrame, sort_cols: list[str]) -> DataFrame:
     )
 
 
+def _global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    exclusive: bool = False,
+) -> DataFrame:
+    """Distributed running sums of ``sum_cols`` in the global
+    ``order_cols`` order (which must be TOTAL, e.g. distinct values):
+    the ``_global_rank`` machinery generalized from row_number to
+    prefix sums — a range shuffle orders partitions, partition-LOCAL
+    running sums, and per-partition totals add up via one tiny
+    broadcast join (never a single-partition global window).
+    ``exclusive=True`` excludes the current row (the window idiom
+    ``rowsBetween(unboundedPreceding, -1)``). Adds ``__ps_<col>``
+    (0 when nothing precedes); the result is exact because the local
+    sums and offsets are plain integer arithmetic, so any ordered
+    partitioning yields identical values."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    local = part.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"__ls{i}")
+            for i, c in enumerate(sum_cols)
+        ],
+    )
+    totals = part.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t{i}") for i, c in enumerate(sum_cols)]
+    )
+    # #partitions-sized: the pid-ordered window here is bounded by the
+    # partition count, not the data (same note as _global_rank)
+    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t{i}").over(offw), F.lit(0)).alias(f"__o{i}")
+            for i in range(len(sum_cols))
+        ],
+    )
+    out = local.join(F.broadcast(offs), "__pid")
+    for i, c in enumerate(sum_cols):
+        out = out.withColumn(f"__ps_{c}", F.col(f"__o{i}") + F.col(f"__ls{i}"))
+    return out.drop(
+        "__pid",
+        *[f"__ls{i}" for i in range(len(sum_cols))],
+        *[f"__o{i}" for i in range(len(sum_cols))],
+    )
+
+
 def record_linkage(
     df_a: DataFrame,
     id_col: str,

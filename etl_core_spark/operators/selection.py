@@ -96,6 +96,19 @@ def _bucket_dist(feat: DataFrame) -> DataFrame:
     return feat.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
 
 
+def _require_features(*sides: tuple[DataFrame, str, str]) -> None:
+    """Loudly reject empty (or all-empty-text) corpora with a cheap
+    take(1) existence probe per side — incremental take touches one
+    partition in the common case, vs the full-corpus total aggregate
+    it replaced (ADVICE r9 loudness, VERDICT r10 #4 cost)."""
+    for feat, who, consequence in sides:
+        if not feat.select(F.lit(1)).take(1):
+            raise OperatorConfigError(
+                f"{who} contributes no features (no rows or all-empty "
+                f"text); {consequence}"
+            )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -123,47 +136,43 @@ def dsir_weights(
     feat_raw = _feature_stream(raw, text_col, id_col, b)
     feat_tgt = _feature_stream(target, text_col, id_col, b)
 
-    # totals are bounded one-row aggregates — collect them eagerly so
-    # an EMPTY corpus raises loudly here (all-NULL log_weights
-    # downstream would silently starve dsir_select) and the totals
-    # ride into the ratio expression as literals instead of two
-    # crossJoins. The ratio table is B rows, built bucket-outer so
-    # unseen-on-one-side buckets get their smoothed mass. The bucket
-    # tables PERSIST (B-row bound) so the probe's pass over the
-    # corpus-sized feature stream is the only one — without it the
-    # main action recomputed both distributions from scratch
-    # (measured ~2x the query cost at sf0.1).
+    # loud empty-corpus check as a near-free EXISTENCE probe (r11:
+    # the r10 eager full-total probes cost ~1.1 s of the query at
+    # sf0.1; take(1) stops at the first featureful document). With
+    # existence proven, the totals are safely lazy broadcast one-row
+    # aggregates again — zero extra corpus passes, and the float
+    # arithmetic is unchanged (same double values feed the same
+    # expressions whether they arrive as literal or column).
+    _require_features(
+        (feat_tgt, "dsir: target corpus", "every log_weight would be NULL"),
+        (feat_raw, "dsir: raw corpus", "nothing to weight"),
+    )
     from etl_core_spark.session import persist_intermediate
 
     cr = persist_intermediate(_bucket_dist(feat_raw))
     ct = persist_intermediate(_bucket_dist(feat_tgt))
-    tr_val = cr.agg(F.sum("__c")).first()[0]
-    tt_val = ct.agg(F.sum("__c")).first()[0]
-    if not tt_val:
-        raise OperatorConfigError(
-            "dsir: target corpus contributes no features (no rows or "
-            "all-empty text); every log_weight would be NULL"
-        )
-    if not tr_val:
-        raise OperatorConfigError(
-            "dsir: raw corpus contributes no features (no rows or "
-            "all-empty text); nothing to weight"
-        )
+    tr = cr.agg(F.sum("__c").alias("__tr"))
+    tt = ct.agg(F.sum("__c").alias("__tt"))
     # F.log stays Spark-side so quantized values match the certified
-    # oracle arithmetic bit-for-bit (literal totals, same expressions)
+    # oracle arithmetic bit-for-bit. The ratio table is B rows, built
+    # bucket-outer so unseen-on-one-side buckets get their smoothed
+    # mass; the bucket tables PERSIST (B-row bound) so the totals and
+    # the ratio share one materialization.
     ratio = (
         ct.withColumnRenamed("__c", "__cT")
         .join(cr.withColumnRenamed("__c", "__cR"), on="__b", how="full")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
         .select(
             "__b",
             (
                 F.log(
                     (F.coalesce(F.col("__cT"), F.lit(0)) + F.lit(a))
-                    / (F.lit(tt_val) + F.lit(a) * F.lit(float(b)))
+                    / (F.col("__tt") + F.lit(a) * F.lit(float(b)))
                 )
                 - F.log(
                     (F.coalesce(F.col("__cR"), F.lit(0)) + F.lit(a))
-                    / (F.lit(tr_val) + F.lit(a) * F.lit(float(b)))
+                    / (F.col("__tr") + F.lit(a) * F.lit(float(b)))
                 )
             ).alias("__lr"),
         )
@@ -277,45 +286,49 @@ def nb_quality_score(
     feat_neg = _feature_stream(negative, text_col, id_col, b)
     from etl_core_spark.session import persist_intermediate
 
-    # bucket tables persist (B-row bound) so the eager total probes
-    # below don't force a second pass over the training feature
-    # streams (the dsir_weights lesson)
+    # loud empty-class check as a near-free take(1) existence probe
+    # (the dsir_weights r11 lesson: eager full-total probes cost ~1 s
+    # each at sf0.1). A class with a feature necessarily has a
+    # document, so the priors below are finite too; with existence
+    # proven, totals and priors are safely lazy broadcast one-row
+    # aggregates — zero extra corpus passes.
+    _require_features(
+        (
+            feat_pos,
+            "quality_classifier: positive corpus",
+            "every score would be NULL",
+        ),
+        (
+            feat_neg,
+            "quality_classifier: negative corpus",
+            "every score would be NULL",
+        ),
+    )
+    # bucket tables persist (B-row bound) so the totals and the ratio
+    # share one materialization of each training feature stream
     cp = persist_intermediate(_bucket_dist(feat_pos))
     cn = persist_intermediate(_bucket_dist(feat_neg))
-    # bounded one-row totals and priors, collected eagerly: an empty
-    # (or all-empty-text) training class would otherwise make every
-    # log_odds NULL — and quality_gate then silently drops ALL rows
-    tp_val = cp.agg(F.sum("__c")).first()[0]
-    tn_val = cn.agg(F.sum("__c")).first()[0]
-    np_val = positive.count()
-    nn_val = negative.count()
-    if not np_val or not tp_val:
-        raise OperatorConfigError(
-            "quality_classifier: positive corpus contributes no "
-            f"documents/features (docs={np_val}, features={tp_val or 0}); "
-            "every score would be NULL"
-        )
-    if not nn_val or not tn_val:
-        raise OperatorConfigError(
-            "quality_classifier: negative corpus contributes no "
-            f"documents/features (docs={nn_val}, features={tn_val or 0}); "
-            "every score would be NULL"
-        )
-    # F.log stays Spark-side (literal totals) so the quantized values
-    # match the certified oracle arithmetic bit-for-bit
+    tp = cp.agg(F.sum("__c").alias("__tp"))
+    tn = cn.agg(F.sum("__c").alias("__tn"))
+    np_ = positive.agg(F.count(F.lit(1)).alias("__np"))
+    nn_ = negative.agg(F.count(F.lit(1)).alias("__nn"))
+    # F.log stays Spark-side so the quantized values match the
+    # certified oracle arithmetic bit-for-bit
     ratio = (
         cp.withColumnRenamed("__c", "__cP")
         .join(cn.withColumnRenamed("__c", "__cN"), on="__b", how="full")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
         .select(
             "__b",
             (
                 F.log(
                     (F.coalesce(F.col("__cP"), F.lit(0)) + F.lit(a))
-                    / (F.lit(tp_val) + F.lit(a) * F.lit(float(b)))
+                    / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
                 )
                 - F.log(
                     (F.coalesce(F.col("__cN"), F.lit(0)) + F.lit(a))
-                    / (F.lit(tn_val) + F.lit(a) * F.lit(float(b)))
+                    / (F.col("__tn") + F.lit(a) * F.lit(float(b)))
                 )
             ).alias("__lr"),
         )
@@ -331,10 +344,12 @@ def nb_quality_score(
     # differential). 0 + a == a bitwise, so the default is the exact
     # ratio-table formula at zero counts.
     lr_default = F.log(
-        F.lit(a) / (F.lit(tp_val) + F.lit(a) * F.lit(float(b)))
-    ) - F.log(F.lit(a) / (F.lit(tn_val) + F.lit(a) * F.lit(float(b))))
+        F.lit(a) / (F.col("__tp") + F.lit(a) * F.lit(float(b)))
+    ) - F.log(F.lit(a) / (F.col("__tn") + F.lit(a) * F.lit(float(b))))
     doc_s = (
         tf.join(F.broadcast(ratio), on="__b", how="left")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
         .withColumn("__lr", F.coalesce(F.col("__lr"), lr_default))
         .groupBy("__id")
         .agg(
@@ -342,7 +357,7 @@ def nb_quality_score(
             F.sum(F.col("__tf") * F.col("__lr")).alias("__s"),
         )
     )
-    prior = F.log(F.lit(np_val) / F.lit(nn_val))
+    prior = F.log(F.col("__np") / F.col("__nn"))
     q = F.lit(float(10 ** int(quantize)))
     lo = F.col("__s") + prior
     # composability: replace stale same-named evidence columns from
@@ -352,6 +367,8 @@ def nb_quality_score(
     ]
     return (
         df.join(doc_s, df[id_col] == doc_s["__id"], "left")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nn_))
         .select(
             *[df[c] for c in keep],
             F.coalesce(F.col("__nf"), F.lit(0))

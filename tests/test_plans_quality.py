@@ -627,6 +627,33 @@ def test_snm_rank_has_no_single_partition_global_window(spark, tables):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ungrouped_rank_tests_have_no_single_partition_window(spark, tables):
+    """VERDICT r10 #6: mannwhitney_u / ks_drift UNGROUPED modes walk
+    all distinct values — their cumulative sums must use the
+    distributed prefix-sum machinery, never a global Window.orderBy
+    (a single-partition shuffle of the whole distinct-value relation
+    at scale)."""
+    from etl_core_spark.operators.compare import ks_drift, mannwhitney_u
+
+    ev = tables["events"]
+    left = ev.where(F.col("event_type") == "view")
+    right = ev.where(F.col("event_type") == "purchase")
+    for df in (
+        mannwhitney_u(left, right, "value", []),
+        ks_drift(left, right, "value", []),
+    ):
+        plan = plan_of(df)
+        assert "rangepartitioning" in plan.lower()
+        windows = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        # every data-sized window is __pid-partitioned; the only
+        # unpartitioned window is the #partitions-sized offsets side,
+        # which joins back as a broadcast
+        assert windows and all("__pid" in ln for ln in windows), windows
+        assert "BroadcastHashJoin" in plan
+
+
 def test_psi_drift_is_two_aggregates_one_join_no_window(spark, tables):
     import re
 
