@@ -486,6 +486,16 @@ FROM v JOIN p ON v.user_id = p.user_id
  AND view_ts >= purchase_ts - INTERVAL 1 HOUR
 """
 
+# streaming_attribution certifies on the 1-in-4 user panel (see
+# q_streaming_attribution) — same join, panel-filtered both sides
+_SQL_STREAMING_ATTRIBUTION = _SQL_ATTRIBUTION_JOIN.replace(
+    "WHERE event_type = 'view'",
+    "WHERE event_type = 'view' AND user_id % 4 = 0",
+).replace(
+    "WHERE event_type = 'purchase'",
+    "WHERE event_type = 'purchase' AND user_id % 4 = 0",
+)
+
 
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-vs-batch equality for the watermarked STREAM-STREAM
@@ -493,9 +503,11 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases run as two REAL availableNow file streams; inner-join
     matches emit as soon as both sides arrive, so a single data
     micro-batch per side yields exactly the batch attribution answer
-    — the oracle is _SQL_ATTRIBUTION_JOIN verbatim. Completes the
-    streaming certification matrix: state store, event-time timers,
-    windowed aggregate, dedup state, and now the two-stream join.
+    — the oracle is _SQL_ATTRIBUTION_JOIN over the same 1-in-4 user
+    panel (VERDICT r10 #5: the certified thing is the two-stream
+    join's state shape, not corpus size). Completes the streaming
+    certification matrix: state store, event-time timers, windowed
+    aggregate, dedup state, and the two-stream join.
     (Event time casts to ltz for the watermark; the UTC session
     makes the instants — and lag arithmetic — identical.)"""
     import os
@@ -504,8 +516,12 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.streaming.stream import attribution_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 0)
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="stream_attr_", dir=shm)
@@ -525,7 +541,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(work, "out")
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
             q = (
                 joined.writeStream.outputMode("append")
                 .format("parquet")
@@ -2370,6 +2386,13 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
 FROM events GROUP BY 1, 2
 """
 
+# streaming_hourly certifies on the first-quarter-hour panel (see
+# q_streaming_hourly) — same rollup, panel-filtered input
+_SQL_STREAMING_HOURLY = _SQL_EVENTS_HOURLY.replace(
+    "FROM events GROUP BY 1, 2",
+    "FROM events WHERE date_part('minute', ts) < 15 GROUP BY 1, 2",
+)
+
 
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-vs-batch equality for the built-in windowed aggregate
@@ -2390,7 +2413,14 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.streaming import windowed_aggregate
 
-    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # deterministic first-quarter-hour panel (VERDICT r10 #5): every
+    # hourly window stays populated at a quarter of the rows; the
+    # oracle applies the same minute predicate
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.minute("ts") < 15)
+        .select("ts", "event_type", "value")
+    )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="stream_hourly_", dir=shm)
     try:
@@ -2417,7 +2447,7 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(work, "out")
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
             q = (
                 agg.writeStream.outputMode("append")
                 .format("parquet")
@@ -6293,7 +6323,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.streaming import sessionize
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # deterministic 1-in-4 user panel (VERDICT r10 #5): what this row
+    # certifies is the STATEFUL SHAPE (timers, watermark, state
+    # eviction), not corpus size — the panel quarters the bench cost
+    # at every sf and the oracle applies the same predicate
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 0)
+        .select("user_id", "ts")
+    )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="stream_sess_", dir=shm)
     try:
@@ -6310,7 +6348,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(work, "out")
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
             q = (
                 sessionize(stream)
                 .writeStream.outputMode("append")
@@ -6346,6 +6384,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STREAMING_SESSIONIZE = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+  WHERE user_id % 4 = 0
 ), g AS (
   SELECT user_id, s,
          CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
@@ -8761,7 +8800,14 @@ def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_core_spark.streaming import streaming_psi
 
-    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    # deterministic first-quarter-hour panel (VERDICT r10 #5): keeps
+    # every hourly window alive with a quarter of the rows; the
+    # oracle applies the same minute predicate
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.minute("ts") < 15)
+        .select("ts", "value")
+    )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="stream_psi_", dir=shm)
     try:
@@ -8786,7 +8832,7 @@ def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(work, "out")
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
             q = (
                 scored.writeStream.outputMode("append")
                 .format("parquet")
@@ -8846,7 +8892,7 @@ def _streaming_psi_sql() -> str:
 WITH b AS (
   SELECT date_trunc('hour', ts) AS h, {bucket} AS b
   FROM (SELECT ts, CAST(value AS DOUBLE) AS v FROM events
-        WHERE value IS NOT NULL)
+        WHERE value IS NOT NULL AND date_part('minute', ts) < 15)
 ), c AS (
   SELECT h, {counts}
   FROM b GROUP BY h
@@ -9592,8 +9638,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": _welch_sql(),
         "chi2_independence": _chi2_sql(),
         "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
-        "streaming_attribution": _SQL_ATTRIBUTION_JOIN,
-        "streaming_hourly": _SQL_EVENTS_HOURLY,
+        "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
+        "streaming_hourly": _SQL_STREAMING_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "markov_transitions": _SQL_MARKOV_TRANSITIONS,
