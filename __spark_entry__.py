@@ -4396,6 +4396,67 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "n_bytes", "sha256")
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode certification (operators/png_codec.py +
+    multimodal.png_features): 48 synthetic RGB PNGs whose pixels
+    follow a closed-form formula of (media_id, x, y), encoded
+    driver-side with filter_mode="cycle" so every scanline filter
+    type (None/Sub/Up/Average/Paeth) is on the wire, then decoded
+    DISTRIBUTED through the Arrow-batched mapInPandas path. The
+    outputs are exact integer channel sums, so the DuckDB oracle
+    recomputes them straight from the generating formula — any
+    unfilter or inflate bug breaks the sums. Closes the r7-r10
+    "codec honestly stubbed" item with a pure-stdlib spec decoder."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(48):
+        w, h = 16 + i % 5, 12 + i % 7
+        px = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (7 * x + 13 * y + i) % 256,
+                (3 * x + 5 * y + 2 * i) % 256,
+                (x * y + i) % 256,
+            )
+        )
+        rows.append((i, encode_png(w, h, px, filter_mode="cycle")))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("png_features")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select(
+        "media_id", "width", "height", "channels",
+        "sum_c0", "sum_c1", "sum_c2",
+    )
+
+
+_SQL_PNG_DECODE = """
+WITH imgs AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         16 + i % 5 AS w, 12 + i % 7 AS h
+  FROM generate_series(0, 47) AS t(i)
+), px AS (
+  SELECT media_id, w, h, x, y
+  FROM imgs, generate_series(0, 19) gx(x), generate_series(0, 17) gy(y)
+  WHERE x < w AND y < h
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM((7*x + 13*y + media_id) % 256) AS BIGINT) AS sum_c0,
+       CAST(SUM((3*x + 5*y + 2*media_id) % 256) AS BIGINT) AS sum_c1,
+       CAST(SUM((x*y + media_id) % 256) AS BIGINT) AS sum_c2
+FROM px GROUP BY media_id, w, h
+"""
+
+
 # payload_bytes=256 over a 64-char hex seed -> exactly 4 repeats;
 # the UDF hashes the raw payload BYTES, DuckDB the identical ASCII text
 _SQL_MULTIMODAL = """
@@ -9369,6 +9430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "png_decode": q_png_decode,
         "incremental_dedup": q_incremental_dedup,
         "ivf_index_topk": q_ivf_index_topk,
         "line_dedup": q_line_dedup,
@@ -9582,6 +9644,7 @@ def oracle_sql() -> dict[str, str]:
         # is ASCII-safe so DuckDB's VARCHAR sha256 recomputes it.
         "ann_lsh": _sql_ann_lsh(),
         "multimodal_features": _SQL_MULTIMODAL,
+        "png_decode": _SQL_PNG_DECODE,
         "incremental_dedup": _sql_incremental_dedup(),
         # the persisted-index path must return exactly what the direct
         # IVF path returns -> the same oracle certifies both

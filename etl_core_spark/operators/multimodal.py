@@ -3,9 +3,12 @@ as opaque ``binary`` columns with typed metadata structs, processed
 by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 The Spark-side plumbing here is REAL and tested: schemas, batch
-iteration, partition sizing, UDF signatures. The codec step itself is
-STUBBED (``decode_stub=True`` → deterministic fake features) because
-image/audio libraries are not in this container; swap
+iteration, partition sizing, UDF signatures. Since r11 the IMAGE
+decode is real too for PNG — ``png_features`` runs the pure-stdlib
+spec decoder (``png_codec.py``: zlib inflate + all five unfilters)
+inside the Arrow batch path. The generic ``extract_features``
+embedding step remains a deterministic hash stub (a learned image
+embedding needs a model, which this container doesn't ship); swap
 ``_decode_image_batch`` for a Pillow/torchvision call to go live —
 the plan shape (narrow mapInPandas, no shuffle) is unchanged.
 
@@ -119,6 +122,133 @@ def extract_features(
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
         op, FEATURE_SCHEMA
     )
+
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sum_c0", T.LongType(), True),
+        T.StructField("sum_c1", T.LongType(), True),
+        T.StructField("sum_c2", T.LongType(), True),
+        T.StructField("sum_c3", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def png_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """REAL image decode (no stub): pure-stdlib PNG decode
+    (``png_codec.decode_png`` — zlib inflate + all five spec
+    unfilters) inside an Arrow-batched ``mapInPandas``, emitting per
+    image the dimensions, channel count and EXACT per-channel pixel
+    sums (integers — certifiable against a closed-form oracle).
+    ``on_error="null"`` records the failure message in ``error`` and
+    NULLs the stats instead of failing the job (the type_conversion
+    deviation-port philosophy); the default raises.
+
+    Scale shape: narrow map over binary payloads, zero shuffle —
+    100 TB of image shards across 1000 executors decode
+    embarrassingly parallel; ``max_records_per_batch`` bounds the
+    per-step working set exactly as extract_features does. The
+    per-pixel Python loop is the honest cost of a stdlib-only
+    container (documented); with an image library present, swap the
+    decode call and the plan is unchanged."""
+    if on_error not in ("raise", "null"):
+        raise OperatorConfigError("png_features on_error must be raise|null")
+    cap = max(1, int(max_records_per_batch))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import error as zlib_error
+
+        from etl_core_spark.operators.png_codec import (
+            PngFormatError,
+            decode_png,
+        )
+
+        def one(raw):
+            if raw is None:
+                return (None, None, None, None, None, None, None, None)
+            try:
+                w, h, ch, px = decode_png(bytes(raw))
+            except (PngFormatError, zlib_error) as exc:
+                if on_error == "raise":
+                    raise
+                return (None, None, None, None, None, None, None, str(exc))
+            sums = [0, 0, 0, 0]
+            for c in range(ch):
+                sums[c] = sum(px[c::ch])
+            return (
+                w,
+                h,
+                ch,
+                sums[0],
+                sums[1] if ch > 1 else None,
+                sums[2] if ch > 2 else None,
+                sums[3] if ch > 3 else None,
+                None,
+            )
+
+        for whole in batches:
+            for start in range(0, len(whole), cap):
+                pdf = whole.iloc[start:start + cap]
+                cols = list(zip(*(one(r) for r in pdf[payload_col])))
+                if not cols:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col],
+                        "width": cols[0],
+                        "height": cols[1],
+                        "channels": cols[2],
+                        "sum_c0": cols[3],
+                        "sum_c1": cols[4],
+                        "sum_c2": cols[5],
+                        "sum_c3": cols[6],
+                        "error": cols[7],
+                    }
+                )
+
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, PNG_FEATURE_SCHEMA
+    )
+
+
+@register_operator("png_features")
+class PngFeaturesOperator(Operator):
+    """Config: ``payload_col``, ``id_col``, ``on_error``
+    (raise|null), ``max_records_per_batch``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("on_error", "raise") not in ("raise", "null"):
+            raise OperatorConfigError(
+                "png_features on_error must be raise|null"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": png_features(
+                self.single_input(inputs),
+                payload_col=c.get("payload_col", "payload"),
+                id_col=c.get("id_col", "media_id"),
+                on_error=c.get("on_error", "raise"),
+                max_records_per_batch=int(c.get("max_records_per_batch", 256)),
+            )
+        }
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000, id_col: str = "media_id") -> DataFrame:

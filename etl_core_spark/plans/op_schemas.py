@@ -499,6 +499,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("id_col", "string", default="media_id"),
         f("max_records_per_batch", "integer", default=256, desc="Arrow batch rows (bound blob memory)"),
     ],
+    "png_features": [
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("on_error", "string", default="raise", enum=["raise", "null"],
+          desc="null records the failure message per row instead of failing"),
+        f("max_records_per_batch", "integer", default=256,
+          desc="Arrow batch rows (bound blob memory)"),
+    ],
     "hash_split": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
         f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),
