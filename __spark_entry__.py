@@ -7692,6 +7692,88 @@ def _sql_label_propagation_ctes(n_iter: int) -> str:
 _SQL_LABEL_PROPAGATION = _sql_label_propagation(3)
 
 
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain modularity ascent (operators/graph.py louvain,
+    Blondel et al. 2008 level-1 local moves, parity-alternating
+    half-sweeps) on the same part-supplier graph the modularity
+    meter certifies. Gains compare in exact integer arithmetic
+    (2m·k_in − k_i·Σtot with the own-community −k_i correction), so
+    the unrolled 2-half-round CTE oracle is bit-exact — the third
+    iterative graph algorithm certified at full value. The
+    Q(louvain) >= Q(lpa) refinement inequality is pytest-enforced
+    (tests/test_graph.py)."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 16 == 3)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("louvain")(
+        src="src", dst="dst", iterations=2
+    ).apply({"in": edges})["out"]
+
+
+def _sql_louvain(n_iter: int = 2) -> str:
+    """Unrolled parity-alternating Louvain oracle: per half-round the
+    movable-parity nodes score every neighboring community (plus an
+    always-present stay row at k=0 — dominated whenever a real
+    own-community row exists, exactly as in the operator) with the
+    integer gain 2m·k − d·(Σtot − [own]·d), and take the top gain,
+    ties to the smallest community id. Node ids here are positive,
+    so plain % matches Spark's pmod."""
+    ctes = [
+        "pe AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 16 = 3)",
+        "ed AS MATERIALIZED (SELECT s, t FROM ("
+        "SELECT s, t FROM pe UNION SELECT t AS s, s AS t FROM pe"
+        ") WHERE s <> t)",
+        "deg AS MATERIALIZED (SELECT s AS n, count(*) AS d FROM ed GROUP BY s)",
+        "mt AS (SELECT count(*) AS m FROM ed WHERE s < t)",
+        "a0 AS (SELECT n, n AS c FROM deg)",
+    ]
+    for i in range(n_iter):
+        p, a = i % 2, f"a{i}"
+        ctes.append(
+            f"kin{i} AS (SELECT ed.s AS n, {a}.c AS nc, count(*) AS k "
+            f"FROM ed JOIN {a} ON ed.t = {a}.n WHERE ed.s % 2 = {p} "
+            f"GROUP BY ed.s, {a}.c)"
+        )
+        ctes.append(
+            f"tot{i} AS (SELECT {a}.c AS nc, sum(deg.d) AS st "
+            f"FROM {a} JOIN deg ON {a}.n = deg.n GROUP BY {a}.c)"
+        )
+        ctes.append(
+            f"cand{i} AS (SELECT n, nc, k FROM kin{i} UNION ALL "
+            f"SELECT n, c AS nc, 0 AS k FROM {a} WHERE n % 2 = {p})"
+        )
+        ctes.append(
+            f"sc{i} AS (SELECT c.n, c.nc, "
+            f"2 * mt.m * c.k - deg.d * (t.st - "
+            f"CASE WHEN c.nc = {a}.c THEN deg.d ELSE 0 END) AS g "
+            f"FROM cand{i} c JOIN {a} ON c.n = {a}.n "
+            f"JOIN deg ON c.n = deg.n JOIN tot{i} t ON c.nc = t.nc "
+            f"CROSS JOIN mt)"
+        )
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT n, nc AS c FROM ("
+            f"SELECT n, nc, row_number() OVER "
+            f"(PARTITION BY n ORDER BY g DESC, nc ASC) AS rn FROM sc{i}"
+            f") WHERE rn = 1 UNION ALL "
+            f"SELECT n, c FROM {a} WHERE n % 2 <> {p})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n AS node, CAST(c AS BIGINT) AS community FROM a{n_iter}"
+    )
+
+
+_SQL_LOUVAIN = _sql_louvain(2)
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity gate (operators/validate.py l_diversity,
     Machanavajjhala et al. 2007): customer classes by (segment,
@@ -7876,6 +7958,87 @@ SELECT s AS node, CAST(deg AS BIGINT) AS degree FROM k{rounds}
 
 
 _SQL_K_CORE = _sql_k_core()
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-celled DBSCAN (operators/density.py, Ester et al. 1996)
+    over an integer-exact 2-D embedding of events: x = the cent
+    value folded into a 0..2000 band, y = user_id * 100 (so only
+    same-user points can ever be within eps=50). Integer coords +
+    integer eps make every distance comparison exact, the banded
+    cell join never materializes all pairs, and the oracle replays
+    core/border/noise with a band self-join + recursive-CTE
+    closure over the core graph. cluster = min member id; border
+    points take the smallest adjacent core cluster (the
+    deterministic variant of the textbook's scan-order rule)."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        # deterministic 1-in-4 user panel: the certified thing is the
+        # grid-join/core/border/noise machinery, not corpus size
+        & (F.col("user_id") % 4 == 0)
+    ).select(
+        F.col("event_id").alias("id"),
+        (
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            % F.lit(2000)
+        ).alias("x"),
+        (F.col("user_id") * F.lit(100)).alias("y"),
+    )
+    return get_operator("dbscan")(
+        x_col="x", y_col="y", eps=50, min_pts=4, id_col="id"
+    ).apply({"in": pts})["out"]
+
+
+_SQL_DBSCAN = """
+WITH RECURSIVE p AS (
+  SELECT event_id AS id,
+         CAST(floor(value*100 + 0.5) AS BIGINT) % 2000 AS x,
+         user_id * 100 AS y
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    AND user_id % 4 = 0
+), nb AS (
+  SELECT a.id AS qid, b.id AS nid
+  FROM p a JOIN p b
+    ON b.x BETWEEN a.x - 50 AND a.x + 50
+   AND b.y BETWEEN a.y - 50 AND a.y + 50
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500
+), cnt AS (
+  SELECT qid, count(*) AS n FROM nb GROUP BY qid
+), core AS (
+  SELECT qid AS id FROM cnt WHERE n >= 4
+), ce AS (
+  SELECT nb.qid AS s, nb.nid AS t FROM nb
+  JOIN core ca ON nb.qid = ca.id JOIN core cb ON nb.nid = cb.id
+  WHERE nb.qid <> nb.nid
+), reach(src, dst) AS (
+  SELECT s, s FROM ce
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN ce e ON r.dst = e.s
+), cc AS (
+  SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src
+), corec AS (
+  SELECT core.id, coalesce(cc.cluster, core.id) AS cluster
+  FROM core LEFT JOIN cc ON core.id = cc.id
+), border AS (
+  SELECT nb.qid AS id, MIN(corec.cluster) AS cluster
+  FROM nb
+  JOIN corec ON nb.nid = corec.id
+  WHERE nb.qid NOT IN (SELECT id FROM core)
+  GROUP BY nb.qid
+)
+SELECT p.id,
+       coalesce(corec.cluster, border.cluster) AS cluster,
+       corec.id IS NOT NULL AS is_core
+FROM p
+LEFT JOIN corec ON p.id = corec.id
+LEFT JOIN border ON p.id = border.id
+"""
 
 
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9516,6 +9679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_gaps": q_interpolate_gaps,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
+        "louvain": q_louvain,
+        "dbscan": q_dbscan,
         "modularity": q_modularity,
         "knn_graph": q_knn_graph,
         "triangle_count": q_triangle_count,
@@ -9722,6 +9887,8 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_gaps": _SQL_INTERPOLATE,
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,
+        "louvain": _SQL_LOUVAIN,
+        "dbscan": _SQL_DBSCAN,
         "modularity": _SQL_MODULARITY,
         "knn_graph": _SQL_KNN_GRAPH,
         "triangle_count": _SQL_TRIANGLE_COUNT,

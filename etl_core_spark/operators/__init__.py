@@ -36,6 +36,7 @@ from etl_core_spark.operators import (  # noqa: F401
     substring,
     layout,
     linkage,
+    density,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -1116,3 +1116,166 @@ class KCoreOperator(Operator):
                 int(c.get("max_rounds", 20)),
             )
         }
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """One-level Louvain modularity ascent (Blondel et al. 2008,
+    the local-move phase) → ``(node, community)`` — the refinement
+    step above label_propagation: LPA votes on raw neighbor counts,
+    Louvain moves a node only when the move strictly RAISES Newman
+    modularity, so its assignment scores at least as dense as its
+    starting point by construction (the ``modularity`` operator is
+    the meter; the pytest asserts Q(louvain) >= Q(lpa) on the
+    certified graph).
+
+    Every node starts as its own community. Rounds alternate by node
+    PARITY — round ``r`` lets only nodes with ``pmod(id, 2) == r % 2``
+    move (the standard distributed-Louvain fix: fully synchronous
+    updates pairwise-swap on symmetric structures and DESCEND — Q
+    went negative on both the toy and certification graphs — while
+    parity alternation reached the exact two-community optimum on
+    the toy in one even/odd sweep). A moving node evaluates joining
+    each neighboring community — plus staying put, with itself
+    removed first — and takes the best move, ties to the SMALLEST
+    community id. Gains compare in EXACT integer arithmetic: with
+    unit weights the argmax of ``ΔQ(i→C)`` is the argmax of
+    ``2m·k_i,in(C) − k_i·Σtot(C)`` (the common ``1/2m²`` factor
+    drops out), with ``Σtot`` corrected by ``−k_i`` for the node's
+    own community. No floats anywhere, so the assignment is a pure
+    function of the graph, bit-identical in any engine — which is
+    what makes the unrolled-CTE oracle a full-value certification.
+
+    ``iterations`` counts half-sweeps (one parity class each); use an
+    EVEN number so both classes get the same number of turns —
+    default 4 = two full sweeps. Multi-level coarsening (collapse
+    communities into super-nodes, repeat) is the documented
+    extension; one level is the refinement the meter certifies.
+
+    Scale shape: per round ONE keyed equi-join (edges × assignment on
+    the neighbor end) + two map-side-combinable aggregates (k_in
+    counts, per-community degree totals) + one struct-min argmax — the
+    label_propagation lazy-chain discipline (linear lineage, zero
+    driver actions); edge and degree relations persist once (bounded:
+    |E| and |V|). The graph total ``m`` rides as a broadcast one-row
+    crossJoin. Gain terms stay within int64 while
+    ``2·m·max_degree < 2^63`` — beyond that, promote to decimal.
+    """
+    if int(iterations) < 1:
+        raise OperatorConfigError("louvain iterations must be >= 1")
+    from etl_core_spark.session import (
+        persist_intermediate,
+        track_local_checkpoint,
+    )
+
+    e = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True).where(
+            F.col("__s") != F.col("__t")
+        )
+    )
+    deg = persist_intermediate(
+        e.groupBy(F.col("__s").alias("__id")).agg(
+            F.count(F.lit(1)).cast("long").alias("__d")
+        )
+    )
+    m_tot = e.where(F.col("__s") < F.col("__t")).agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    assign = deg.select("__id", F.col("__id").alias("__c"))
+    for rnd in range(int(iterations)):
+        par = rnd % 2
+        movable = F.pmod(F.col("__id"), F.lit(2)) == F.lit(par)
+        # k_in: edges from each MOVABLE node into each neighboring
+        # community (communities read from the full assignment)
+        kin = (
+            e.where(F.pmod(F.col("__s"), F.lit(2)) == F.lit(par))
+            .join(
+                assign.select(
+                    F.col("__id").alias("__t"), F.col("__c").alias("__nc")
+                ),
+                on="__t",
+            )
+            .groupBy(F.col("__s").alias("__id"), "__nc")
+            .agg(F.count(F.lit(1)).cast("long").alias("__k"))
+        )
+        tot = (
+            assign.join(deg.select("__id", "__d"), on="__id")
+            .groupBy(F.col("__c").alias("__nc"))
+            .agg(F.sum("__d").alias("__st"))
+        )
+        # stay option rides as an always-present k=0 candidate: when a
+        # real own-community row exists in kin it strictly dominates
+        # (2m·k > 0 with the same Σtot correction), so the duplicate
+        # is harmless and saves an anti-join per round
+        cands = kin.unionByName(
+            assign.where(movable).select(
+                "__id", F.col("__c").alias("__nc"), F.lit(0).cast("long").alias("__k")
+            )
+        )
+        own = assign.select("__id", F.col("__c").alias("__own"))
+        scored = (
+            cands.join(own, on="__id")
+            .join(deg, on="__id")
+            .join(tot, on="__nc")
+            .crossJoin(F.broadcast(m_tot))
+        )
+        gain = F.lit(2) * F.col("__m") * F.col("__k") - F.col("__d") * (
+            F.col("__st")
+            - F.when(F.col("__nc") == F.col("__own"), F.col("__d")).otherwise(
+                F.lit(0)
+            )
+        )
+        moved = (
+            scored.withColumn("__g", gain)
+            .groupBy("__id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__g")).alias("g"), F.col("__nc").alias("c")
+                    )
+                )["c"].alias("__c")
+            )
+        )
+        # unlike LPA (one reference per round, linear lineage) the
+        # assignment feeds FIVE subtrees per round (kin, tot, stay
+        # candidates, own, the keep-union) — without a barrier the
+        # logical plan grows ~5^rounds. A LAZY localCheckpoint (the
+        # modularity discipline) cuts lineage with no extra action:
+        # it materializes inside the next round's first job
+        assign = moved.unionByName(assign.where(~movable)).localCheckpoint(
+            eager=False
+        )
+        track_local_checkpoint(assign)
+    return assign.select(
+        F.col("__id").alias("node"), F.col("__c").alias("community")
+    )
+
+
+@register_operator("louvain")
+class LouvainOperator(Operator):
+    """Config: ``src``, ``dst`` (required); ``iterations``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"louvain requires {key!r}")
+        if int(self.config.get("iterations", 4)) < 1:
+            raise OperatorConfigError("louvain iterations must be >= 1")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": louvain(
+                self.single_input(inputs),
+                c["src"],
+                c["dst"],
+                int(c.get("iterations", 4)),
+            )
+        }

@@ -1149,6 +1149,22 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("community_col", "string", default="community"),
         f("quantize", "integer", default=9),
     ],
+    "dbscan": [
+        f("x_col", "string", required=True),
+        f("y_col", "string", required=True),
+        f("eps", "number", required=True, desc="neighborhood radius"),
+        f("min_pts", "integer", required=True,
+          desc="core threshold, self included"),
+        f("id_col", "string", default="id"),
+        f("max_cell_size", "integer", default=5000,
+          desc="loud guard against degenerate grid cells"),
+    ],
+    "louvain": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("iterations", "integer", default=4,
+          desc="parity-alternating half-sweeps; use an even count"),
+    ],
     "triangle_count": [
         f("src", "string", required=True),
         f("dst", "string", required=True),
