@@ -9417,68 +9417,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r10 window (final, after the session-2 wave): the 21 never-
-# driver-checked rows lead — 14 session-2 additions (cdc_apply,
-# bloom_decontaminate, zorder_key, streaming_sessionize/hourly/
-# dedup, winsorize, k_core, mmr_rerank, hll_distinct_exact,
-# k_anonymize, pca_project_fixed, l_diversity, holt_linear) plus the
-# 7 session-1 rows (substring pair, bpe_encode_fixed, modularity,
-# containment_pairs, kmeans_cluster, ewma) — then every row whose
-# operator/entry code changed this round, then the 19-row r06
-# cohort VERDICT r9 names (minus hll_distinct: rows-only, its
-# full-value sibling hll_distinct_exact is in-window). The r11
-# window should lead with whatever r11 adds, then the r07-vintage
-# cohort (4 rounds stale by then): near_dup_clusters,
-# parquet_partitioned, jaccard_pairs, quality_filter, sessionize,
-# simhash, text_metrics, token_frequency, winnow_fingerprint,
-# winnow_near_dup_pairs, asof_join, range_join, dedup_minhash,
-# hll_distinct, then r08-vintage rows (agg_ops, gaps_islands, the
-# TPC-H q1/q3-q10 cohort, join_*, filter_rule_*, agg_global,
-# multimodal_features, incremental_dedup, line_dedup, lm_score,
-# pii_redact, mix_corpora, domain_stats, orc_roundtrip,
-# quantile_filter, strip_duplicate_spans, assemble_docs,
-# weighted_sample, take_tokens_per_group, text_roundtrip,
-# binary_ingest, pca_project) in registry order.
-_R10_WINDOW = [
-    # never driver-checked (new this round, session 3)
-    "holt_winters", "theil_sen", "benford_deviation", "record_linkage",
-    "snm_linkage", "psi_drift", "ols_trend", "prop_ztest",
-    "systematic_sample", "kaplan_meier", "mannwhitney_u",
-    "streaming_psi", "welch_ttest", "chi2_independence",
-    "seasonal_decompose",
-    # never driver-checked (new this round)
-    "cdc_apply", "bloom_decontaminate", "zorder_key",
-    "streaming_sessionize", "winsorize", "k_core",
-    "streaming_hourly", "mmr_rerank", "hll_distinct_exact",
-    "streaming_dedup", "k_anonymize", "pca_project_fixed",
-    "l_diversity", "holt_linear", "cusum",
-    "streaming_attribution",
-    "substring_dup_spans", "substring_dedup", "bpe_encode_fixed",
-    "modularity", "containment_pairs", "kmeans_cluster", "ewma",
-    # operator/entry code changed this round
-    "pagerank", "pagerank_weighted", "personalized_pagerank",
-    "bfs_distances", "ppr_directed", "dsir_weights", "dsir_select",
-    "quality_classifier", "quality_gate", "pq_topk", "bpe_tokenize",
-    # r06-vintage, 4 rounds stale (the VERDICT r9 item-1 list)
-    "q21_last_shippers",
-
-    # (hll_distinct and tf_idf_top_terms rotated out to fit: the
-    # judge pre-verified tf_idf at sf0.01 in r9, and hll_distinct is
-    # rows-only with its full-value sibling hll_distinct_exact
-    # in-window. Nine r06-vintage rows yielded their slots to the
-    # nine session-3 operators: csv_roundtrip, json_roundtrip and
-    # minhash_near_dup_pairs are judge-verified at sf0.01 in the r9
-    # verdict; hash_sample, hash_split_counts and minhash_signature
-    # are md5-deterministic end-to-end (no float, no ordering
-    # surface); events_json_filter, dedup_exact and lang_id are the
-    # simplest remaining rows; q11_important_parts,
-    # q13_customer_distribution and q15_top_supplier went to
-    # kaplan_meier/mannwhitney_u/streaming_psi, q16/q17 to
-    # welch_ttest/chi2_independence, q20 to seasonal_decompose.
-    # ALL FIFTEEN displaced rows were re-run locally through
-    # scripts/check_oracles.py at sf0.01 this session — see the
-    # round-10 session-3 ROUND_NOTES — and lead the r11 rotation
-    # together with the r07 cohort.)
+# r11 window: 3 new rows (png_decode, louvain, dbscan), then the 4
+# streaming rows whose certification INPUT changed this round
+# (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
+# r10 #5), then the 10 rows whose operator code changed (distributed
+# prefix sums in mannwhitney_u/ks_drift ungrouped; existence probes +
+# lazy broadcast totals in the dsir/quality quartet; validation
+# hardening in the linkage pair, systematic_sample and
+# chi2_independence), then the ENTIRE 18-row r06-vintage cohort
+# (displaced in r10, individually re-verified locally then; 5 rounds
+# stale by the driver's ledger), then 15 of the 47 r07-vintage rows:
+# the 13 VERDICT r10 item-1 names still r07-stale, plus
+# multimodal_features (module changed this round: the PNG codec
+# landed beside the untouched extract_features) and agg_global.
+# The 32 r07 rows that do not fit were ALL re-run locally through
+# scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
+# r11) and lead the r12 rotation together with the r08 cohort
+# (45 rows: gaps_islands, percentiles, funnel, the TPC-H q12/q18/q19/
+# q22 analogs, set ops, pivot/rollup/cube family, type_conversion,
+# merge/split, window family, ntile, ivf_index_topk, json_expand,
+# top_n_per_group, ...) in registry order.
+_R11_WINDOW = [
+    # new this round
+    "png_decode", "louvain", "dbscan",
+    # streaming rows re-certified on bounded panels (input changed)
+    "streaming_sessionize", "streaming_psi", "streaming_attribution",
+    "streaming_hourly",
+    # operator code changed this round
+    "mannwhitney_u", "ks_drift", "dsir_weights", "dsir_select",
+    "quality_classifier", "quality_gate", "record_linkage",
+    "snm_linkage", "systematic_sample", "chi2_independence",
+    # r06-vintage cohort, 5 rounds stale (complete)
+    "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
+    "hash_split_counts", "hll_distinct", "interval_join",
+    "json_roundtrip", "lang_id", "minhash_near_dup_pairs",
+    "minhash_signature", "q11_important_parts",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_cnt", "q17_small_qty_revenue",
+    "q20_heavy_suppliers", "tf_idf_top_terms",
+    # r07-vintage, 4 rounds stale (the VERDICT r10 item-1 names
+    # still at r07, + multimodal_features and agg_global)
+    "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
+    "quality_filter", "sessionize", "simhash", "text_metrics",
+    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
+    "asof_join", "range_join", "dedup_minhash", "multimodal_features",
+    "agg_global",
 ]
 
 
@@ -9690,10 +9673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "graph_components": q_graph_components,
     }
-    assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
+    assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(base)
     return {
-        **{k: base[k] for k in _R10_WINDOW},
-        **{k: v for k, v in base.items() if k not in set(_R10_WINDOW)},
+        **{k: base[k] for k in _R11_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R11_WINDOW)},
     }
 
 
