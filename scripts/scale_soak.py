@@ -341,6 +341,34 @@ def families(docs, spark):
         "t",
         "v",
     )
+    # r11: Louvain parity half-sweeps on the doc-derived graph — per
+    # round one edges×assignment equi-join + two map-side aggregates
+    # + an argmax, all scaling with E; the per-round lazy
+    # localCheckpoint keeps plan analysis flat too
+    from etl_core_spark.operators.graph import louvain
+
+    fams["louvain"] = lambda: louvain(graph, iterations=2)
+    # r11: grid-celled DBSCAN — the operator's cost model is
+    # O(n · local density), so the soak PINS density by scaling the
+    # coordinate space with the corpus (y modulus = row count):
+    # replicating points into a FIXED space would densify cells and
+    # grow pairs ~K per row by the algorithm's own definition — that
+    # densification is exactly what the degenerate-cell guard
+    # exists to catch in production
+    from etl_core_spark.operators.density import dbscan
+
+    n_docs = docs.count()
+    db_in = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(2000)).alias("x"),
+        F.pmod(F.xxhash64("doc_id", F.lit(5)), F.lit(max(n_docs, 1))).alias(
+            "y"
+        ),
+    )
+    fams["dbscan"] = lambda: dbscan(
+        db_in, "x", "y", eps=50, min_pts=4, id_col="doc_id",
+        max_cell_size=100000,
+    )
     return fams
 
 

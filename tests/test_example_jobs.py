@@ -851,3 +851,32 @@ def test_parquet_drift_monitor(spark, tmp_path):
     assert psi["a"]["drift"] is True and psi["b"]["drift"] is False
     assert ks["a"]["ks_stat"] > 0.5 and ks["b"]["ks_stat"] == 0.0
     assert tt["a"]["significant"] is True and tt["b"]["significant"] is False
+
+
+def test_parquet_density_noise_filter(spark, tmp_path):
+    """DBSCAN through the JSON runner: cluster 2-D points, then gate
+    on is_core — core points to one sink, borders+noise to the
+    other."""
+
+    def inputs(d):
+        rows = []
+        i = 0
+        for bx, by in ((0, 0), (100, 100)):
+            for dx in range(5):
+                for dy in range(4):
+                    rows.append((i, bx + dx * 2, by + dy * 2))
+                    i += 1
+        for k in range(5):
+            rows.append((i, 40 + k * 9, 300 + k * 13))
+            i += 1
+        spark.createDataFrame(rows, "id long, x long, y long").write.parquet(
+            str(d / "points.parquet")
+        )
+
+    out, _ = run_example(
+        spark, tmp_path, "parquet_density_noise_filter.json", inputs
+    )
+    core = spark.read.parquet(str(out / "core")).collect()
+    rest = spark.read.parquet(str(out / "rest")).collect()
+    assert len(core) == 40 and all(r["cluster"] in (0, 20) for r in core)
+    assert len(rest) == 5 and all(r["cluster"] is None for r in rest)
