@@ -545,3 +545,36 @@ def test_bm25_matches_pure_python_reference(spark, docs, terms):
         for r in bm25_score(df, terms).collect()
     }
     assert got == _py_bm25(rows, terms)
+
+
+# ------------------------------------------------- png codec round-trip
+
+@given(
+    w=st.integers(1, 23),
+    h=st.integers(1, 17),
+    ctype=st.sampled_from([0, 2, 4, 6]),
+    fmode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_png_codec_round_trips_any_size_and_color_type(
+    w, h, ctype, fmode, seed
+):
+    """decode(encode(px)) == px for every supported color type and
+    both filter modes, on arbitrary dimensions and pseudo-random
+    pixel data (pure Python — no Spark session needed)."""
+    from etl_core_spark.operators.png_codec import decode_png, encode_png
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    n = w * h * ch
+    # xorshift-ish deterministic bytes from the seed
+    px = bytearray(n)
+    s = seed or 1
+    for i in range(n):
+        s ^= (s << 13) & 0xFFFFFFFF
+        s ^= s >> 17
+        s ^= (s << 5) & 0xFFFFFFFF
+        px[i] = s & 0xFF
+    px = bytes(px)
+    data = encode_png(w, h, px, color_type=ctype, filter_mode=fmode)
+    assert decode_png(data) == (w, h, ch, px)
