@@ -7296,6 +7296,59 @@ SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
 """
 
 
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap link prediction (operators/graph.py
+    link_predict, Liben-Nowell & Kleinberg 2007) on the part
+    co-purchase graph, resource-allocation index (Zhou-Lü-Zhang
+    2009) — the certified mode: per-hub weight is the INTEGRAL
+    division 10^12 div deg(z), so the score sum is bit-exact across
+    engines regardless of reduction order. max_degree=25 exercises
+    the hub cap (the documented exclusion contract, mirrored in the
+    oracle); existing edges are anti-joined away (the prediction
+    use-case); min_common=2 bounds the pair table."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 2)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return get_operator("link_predict")(
+        src="src", dst="dst", method="resource_allocation",
+        max_degree=25, min_common=2,
+    ).apply({"in": edges})["out"]
+
+
+_SQL_LINK_PREDICT = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_orderkey % 4 = 2 AND a.l_partkey < b.l_partkey
+), sym AS (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+), deg AS (
+  SELECT s, count(*) AS d FROM sym GROUP BY s
+), nbr AS (
+  SELECT sym.s AS z, sym.t AS u, 1000000000000 // deg.d AS w
+  FROM sym JOIN deg USING (s) WHERE deg.d <= 25
+), g AS (
+  SELECT x.u AS a, y.u AS b, count(*) AS cn, sum(x.w) AS sw
+  FROM nbr x JOIN nbr y ON x.z = y.z AND x.u < y.u
+  GROUP BY x.u, y.u
+  HAVING count(*) >= 2
+)
+SELECT g.a AS src, g.b AS dst, CAST(g.cn AS BIGINT) AS common_neighbors,
+       floor(CAST(g.sw AS DOUBLE) / 1e12 * 1e9) / 1e9 AS score
+FROM g
+WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.s = g.a AND sym.t = g.b)
+"""
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (pagerank weight_col): the same
     part-supplier graph as q_pagerank but with edge weight = lineitem
@@ -9403,6 +9456,112 @@ FROM d JOIN ctr ON d.user_id = ctr.user_id
 """
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sample autocorrelation at lags 1-3
+    (operators/timeseries.py acf, Box-Jenkins estimator with the
+    full-series denominator) over the events value series ordered by
+    (ts, event_id) — DECIMAL(38,0) integer moments so the r_k
+    numerator/denominator are exact integers and the single final
+    division hash-matches the DuckDB HUGEINT replay bit-for-bit."""
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    return get_operator("acf")(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", max_lag=3,
+    ).apply({"in": ev})["out"]
+
+
+def _sql_acf(max_lag: int = 3) -> str:
+    """HUGEINT replay of the exact integer ACF moments: lead() over
+    the same (ts, event_id) order, conditional head/tail sums, and
+    the identical n^2-scaled closed form."""
+    lead_cols = ", ".join(
+        f"lead(y,{k}) OVER w AS y{k}" for k in range(1, max_lag + 1)
+    )
+    lag_aggs = ", ".join(
+        f"count(y{k}) AS np{k}, sum(y*y{k}) AS sp{k}, "
+        f"sum(CASE WHEN y{k} IS NOT NULL THEN y END) AS h{k}, "
+        f"sum(y{k}) AS t{k}"
+        for k in range(1, max_lag + 1)
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT user_id, n, s, syy, {k} AS lag, np{k} AS np, "
+        f"sp{k} AS sp, h{k} AS h, t{k} AS t FROM g"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value*100 + 0.5) AS HUGEINT) AS y
+  FROM events WHERE value IS NOT NULL
+), led AS (
+  SELECT user_id, y, {lead_cols}
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n, sum(y) AS s,
+         sum(y*y) AS syy, {lag_aggs}
+  FROM led GROUP BY user_id
+), e AS (
+  {branches}
+)
+SELECT user_id, CAST(lag AS INTEGER) AS lag, CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN n*(n*syy - s*s) <> 0 THEN
+         floor(CAST(n*n*sp - n*s*(h+t) + CAST(np AS HUGEINT)*s*s AS DOUBLE)
+               / CAST(n*(n*syy - s*s) AS DOUBLE) * 1e9) / 1e9
+       END AS acf
+FROM e WHERE np > 0
+"""
+
+
+_SQL_ACF = _sql_acf()
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/assoc.py
+    assoc_rules, Agrawal & Srikant 1994) on order baskets: parts
+    co-purchased within an order, A-priori support prune at count 2,
+    support/confidence/lift as single double divisions over exact
+    integer counts — hash-matched bit-for-bit."""
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem")
+    return get_operator("assoc_rules")(
+        basket_col="l_orderkey", item_col="l_partkey",
+        min_support_count=2,
+    ).apply({"in": li})["out"]
+
+
+_SQL_ASSOC_RULES = """
+WITH obs AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), nb AS (
+  SELECT count(DISTINCT b) AS n FROM obs
+), ic AS (
+  SELECT i, count(*) AS ci FROM obs GROUP BY i HAVING count(*) >= 2
+), pr AS (
+  SELECT obs.b, obs.i FROM obs JOIN ic USING (i)
+), p AS (
+  SELECT x.i AS a, y.i AS c, count(*) AS cab
+  FROM pr x JOIN pr y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING count(*) >= 2
+)
+SELECT p.a AS antecedent, p.c AS consequent,
+       CAST(p.cab AS BIGINT) AS pair_count,
+       CAST(ca.ci AS BIGINT) AS count_a,
+       CAST(cb.ci AS BIGINT) AS count_b,
+       floor(CAST(p.cab AS DOUBLE) / CAST(nb.n AS DOUBLE) * 1e9) / 1e9
+         AS support,
+       floor(CAST(p.cab AS DOUBLE) / CAST(ca.ci AS DOUBLE) * 1e9) / 1e9
+         AS confidence_ab,
+       floor(CAST(p.cab AS DOUBLE) / CAST(cb.ci AS DOUBLE) * 1e9) / 1e9
+         AS confidence_ba,
+       floor(CAST(p.cab * nb.n AS DOUBLE)
+             / CAST(ca.ci * cb.ci AS DOUBLE) * 1e9) / 1e9 AS lift
+FROM p JOIN ic ca ON ca.i = p.a JOIN ic cb ON cb.i = p.c, nb
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9417,7 +9576,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window: 3 new rows (png_decode, louvain, dbscan), then the 4
+# r11 window: 6 new rows (png_decode, louvain, dbscan, then the
+# session-2 wave link_predict, acf, assoc_rules), then the 4
 # streaming rows whose certification INPUT changed this round
 # (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
 # r10 #5), then the 10 rows whose operator code changed (distributed
@@ -9430,6 +9590,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 13 VERDICT r10 item-1 names still r07-stale, plus
 # multimodal_features (module changed this round: the PNG codec
 # landed beside the untouched extract_features) and agg_global.
+# To make room for the session-2 wave, three rows whose ONLY change
+# this round was config-validation hardening (new OperatorConfigError
+# paths, each pytest-covered; query path untouched and r10-certified
+# one round ago) moved out: chi2_independence, systematic_sample,
+# snm_linkage — all three re-verified locally at sf0.01 through
+# scripts/check_oracles.py this session.
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
 # r11) and lead the r12 rotation together with the r08 cohort
@@ -9440,13 +9606,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     # new this round
     "png_decode", "louvain", "dbscan",
+    "link_predict", "acf", "assoc_rules",
     # streaming rows re-certified on bounded panels (input changed)
     "streaming_sessionize", "streaming_psi", "streaming_attribution",
     "streaming_hourly",
     # operator code changed this round
     "mannwhitney_u", "ks_drift", "dsir_weights", "dsir_select",
     "quality_classifier", "quality_gate", "record_linkage",
-    "snm_linkage", "systematic_sample", "chi2_independence",
     # r06-vintage cohort, 5 rounds stale (complete)
     "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
     "hash_split_counts", "hll_distinct", "interval_join",
@@ -9639,6 +9805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "chi2_independence": q_chi2_independence,
         "seasonal_decompose": q_seasonal_decompose,
+        "acf": q_acf,
+        "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
         "mad_outliers": q_mad_outliers,
@@ -9672,6 +9840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "pagerank_weighted": q_pagerank_weighted,
         "graph_components": q_graph_components,
+        "link_predict": q_link_predict,
     }
     assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(base)
     return {
@@ -9849,6 +10018,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": _welch_sql(),
         "chi2_independence": _chi2_sql(),
         "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
+        "acf": _SQL_ACF,
+        "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,
         "mad_outliers": _SQL_MAD_OUTLIERS,
@@ -9880,6 +10051,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _SQL_BFS_DISTANCES,
         "pagerank_weighted": _SQL_PAGERANK_WEIGHTED,
         "graph_components": _SQL_GRAPH_COMPONENTS,
+        "link_predict": _SQL_LINK_PREDICT,
         "quantile_filter": _SQL_QUANTILE_FILTER,
         "strip_duplicate_spans": _SQL_STRIP_SPANS,
         "substring_dup_spans": _SQL_SUBSTR_SPANS,

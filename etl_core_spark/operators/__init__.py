@@ -37,6 +37,7 @@ from etl_core_spark.operators import (  # noqa: F401
     layout,
     linkage,
     density,
+    assoc,
 )
 
 __all__ = ["Operator", "register_operator", "get_operator", "operator_names"]

@@ -1279,3 +1279,177 @@ class LouvainOperator(Operator):
                 int(c.get("iterations", 4)),
             )
         }
+
+
+def link_predict(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    method: str = "resource_allocation",
+    max_degree: int = 10_000,
+    min_common: int = 1,
+    exclude_adjacent: bool = True,
+    weight_scale: int = 12,
+    quantize: int = 9,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    2007) over the undirected simple graph → ``(src, dst,
+    common_neighbors, score)`` for every unordered candidate pair
+    sharing at least ``min_common`` common neighbors — "which nodes
+    are likely to connect / be the same entity": related-document
+    suggestion on a citation graph, seed expansion on a domain graph,
+    blocking-free entity-pair generation on a co-occurrence graph.
+
+    Methods (per common neighbor ``z`` of degree ``d(z)``):
+
+    - ``common_neighbors`` — score = |N(u) ∩ N(v)| (integer,
+      bit-exact).
+    - ``resource_allocation`` (Zhou, Lü & Zhang 2009) — score =
+      Σ 1/d(z), computed in EXACT integer arithmetic as
+      Σ (10^weight_scale div d(z)) / 10^weight_scale: the per-hub
+      weight is an integral division, so Spark's long sums and any
+      other engine agree bit-for-bit regardless of reduction order
+      (a double Σ1/d depends on the partition schedule). This is the
+      certified mode.
+    - ``adamic_adar`` (Adamic & Adar 2003) — score =
+      Σ 1/ln(d(z)) in doubles (libm ln is not bit-portable across
+      engines, so this mode is floor-quantized best-effort, not
+      oracle-certified; RA ranks hubs almost identically and IS
+      exact).
+
+    Scale design: the wedge self-join through a common neighbor ``z``
+    fans out d(z)^2 pairs — ONE celebrity hub with 10^6 neighbors
+    would emit 10^12 rows. ``max_degree`` EXCLUDES hubs above the cap
+    from scoring (the documented contract, mirrored by the oracle):
+    the same move as winnowing's document-frequency cap, and
+    semantically aligned with all three indices, which by
+    construction assign hubs vanishing weight (RA/AA) or pure noise
+    (CN — everything co-occurs with a hub). With the cap the pair
+    relation is bounded by Σ min(d(z), cap)^2 ≤ cap · E. Existing
+    edges are removed with ONE left-anti equi-join when
+    ``exclude_adjacent`` (the prediction use-case; set False for
+    similarity scoring). Plan shape: degree aggregate + one keyed
+    self-join + one groupBy — no windows, no driver collects, fully
+    lazy.
+    """
+    if method not in ("common_neighbors", "resource_allocation",
+                      "adamic_adar"):
+        raise OperatorConfigError(
+            f"link_predict: unknown method {method!r}"
+        )
+    if int(max_degree) < 2:
+        raise OperatorConfigError("link_predict max_degree must be >= 2")
+    if int(min_common) < 1:
+        raise OperatorConfigError("link_predict min_common must be >= 1")
+    from etl_core_spark.session import persist_intermediate
+
+    q = float(10 ** int(quantize))
+    unit = 10 ** int(weight_scale)
+    sym = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True).where(
+            F.col("__s") != F.col("__t")
+        )
+    )
+    deg = sym.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
+    if method == "resource_allocation":
+        w = F.expr(f"CAST({unit} AS BIGINT) div __d")
+    elif method == "adamic_adar":
+        # a degree-1 hub can never close a wedge, but guard ln(1)=0
+        w = F.when(
+            F.col("__d") > 1, F.lit(1.0) / F.log(F.col("__d").cast("double"))
+        ).otherwise(F.lit(0.0))
+    else:
+        w = F.lit(1)
+    # nbr: hub z -> neighbor u, hubs above the cap excluded; the
+    # per-hub weight is computed HERE, once per (z, u) row, so the
+    # wedge self-join carries it without re-referencing the degree
+    nbr = (
+        sym.join(deg, on="__s")
+        .where(F.col("__d") <= int(max_degree))
+        .select(
+            F.col("__s").alias("__z"),
+            F.col("__t").alias("__u"),
+            w.alias("__w"),
+        )
+    )
+    pairs = (
+        nbr.alias("x")
+        .join(nbr.alias("y"), F.col("x.__z") == F.col("y.__z"))
+        .where(F.col("x.__u") < F.col("y.__u"))
+        .select(
+            F.col("x.__u").alias("__a"),
+            F.col("y.__u").alias("__b"),
+            F.col("x.__w").alias("__w"),
+        )
+    )
+    scored = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__cn"), F.sum("__w").alias("__sw")
+    ).where(F.col("__cn") >= int(min_common))
+    if exclude_adjacent:
+        scored = scored.join(
+            sym,
+            (F.col("__a") == F.col("__s")) & (F.col("__b") == F.col("__t")),
+            "left_anti",
+        )
+    if method == "resource_allocation":
+        score = (
+            F.floor(
+                F.col("__sw").cast("double") / F.lit(float(unit)) * F.lit(q)
+            )
+            / F.lit(q)
+        )
+    elif method == "adamic_adar":
+        score = F.floor(F.col("__sw") * F.lit(q)) / F.lit(q)
+    else:
+        score = F.col("__cn").cast("double")
+    return scored.select(
+        F.col("__a").alias("src"),
+        F.col("__b").alias("dst"),
+        F.col("__cn").cast("long").alias("common_neighbors"),
+        score.alias("score"),
+    )
+
+
+@register_operator("link_predict")
+class LinkPredictOperator(Operator):
+    """Config: ``src``, ``dst`` (required); ``method``,
+    ``max_degree``, ``min_common``, ``exclude_adjacent``,
+    ``weight_scale``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"link_predict requires {key!r}")
+        m = self.config.get("method", "resource_allocation")
+        if m not in ("common_neighbors", "resource_allocation",
+                     "adamic_adar"):
+            raise OperatorConfigError(
+                f"link_predict: unknown method {m!r}"
+            )
+        if int(self.config.get("max_degree", 10_000)) < 2:
+            raise OperatorConfigError(
+                "link_predict max_degree must be >= 2"
+            )
+        if int(self.config.get("min_common", 1)) < 1:
+            raise OperatorConfigError(
+                "link_predict min_common must be >= 1"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": link_predict(
+                self.single_input(inputs),
+                c["src"],
+                c["dst"],
+                c.get("method", "resource_allocation"),
+                int(c.get("max_degree", 10_000)),
+                int(c.get("min_common", 1)),
+                bool(c.get("exclude_adjacent", True)),
+                int(c.get("weight_scale", 12)),
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -2130,3 +2130,155 @@ class SeasonalDecomposeOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def acf(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 5,
+    value_scale: int = 100,
+    quantize: int = 9,
+) -> DataFrame:
+    """Sample autocorrelation function per key (Box & Jenkins 1970)
+    → ``(key…, lag, n_pairs, acf)`` for lags 1..``max_lag``::
+
+        r_k = sum_{t=1..n-k} (y_t - ybar)(y_{t+k} - ybar)
+              / sum_{t=1..n} (y_t - ybar)^2
+
+    the standard full-series-denominator estimator — the seasonality
+    / burst-detection meter next to ``seasonal_decompose``: a spike
+    at lag 24 on hourly buckets is a daily cycle, near-1 at lag 1
+    means the series is trend-dominated, all-near-0 means white
+    noise (|r_k| > 2/sqrt(n) is the usual significance rule).
+
+    Exactness design (the ``ols_trend`` discipline): ``y`` becomes
+    ``floor(v*value_scale + 0.5)`` integer units and every moment is
+    a DECIMAL(38,0) sum, so the mean never materializes as a float —
+    multiply r_k through by n^2 and both sides are exact integers::
+
+        n^2 * num_k = n^2*S_yy'^k - n*S*(head_k + tail_k) + n_k*S^2
+        n^2 * den   = n*(n*S_y2 - S^2)
+
+    (S_yy'^k = sum of y_t*y_{t+k}; head/tail = sums of the paired
+    prefix/suffix). The only float math is the final division,
+    floor-quantized. Bit-identical across engines regardless of
+    reduction order. Magnitude bound: n^3*y^2 must stay inside 38
+    digits — per-key series up to ~10^8 points at value_scale 100.
+
+    ``order_cols`` must be a TOTAL order within each key (add a
+    unique id as tiebreak) or lead() is nondeterministic. Rows with
+    NULL value drop first. Lags with no pairs (n <= k) emit no row;
+    constant series (den = 0) emit NULL acf.
+
+    Scale shape: ONE key-partitioned window sort carrying all
+    ``max_lag`` lead columns + ONE map-side-combinable groupBy(key)
+    producing the 3*max_lag+3 exact moments + a per-key explode to
+    long form. No global window, no driver collects, fully lazy.
+    """
+    if not key_cols:
+        raise OperatorConfigError("acf requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("acf requires order_cols")
+    if not value_col:
+        raise OperatorConfigError("acf requires value_col")
+    if int(max_lag) < 1:
+        raise OperatorConfigError("acf max_lag must be >= 1")
+    if int(value_scale) <= 0:
+        raise OperatorConfigError("acf value_scale must be > 0")
+    from pyspark.sql import Window
+
+    L = int(max_lag)
+    q = float(10 ** int(quantize))
+    dec = "decimal(38,0)"
+    y = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(value_scale))
+        + F.lit(0.5)
+    ).cast(dec)
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *key_cols, *[c for c in order_cols if c not in key_cols],
+        y.alias("__y"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    led = base.select(
+        *key_cols,
+        "__y",
+        *[F.lead("__y", k).over(w).alias(f"__y{k}") for k in range(1, L + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    ]
+    for k in range(1, L + 1):
+        lead_k = F.col(f"__y{k}")
+        aggs += [
+            F.count(lead_k).alias(f"__np{k}"),
+            F.sum(F.col("__y") * lead_k).alias(f"__sp{k}"),
+            F.sum(F.when(lead_k.isNotNull(), F.col("__y"))).alias(
+                f"__h{k}"
+            ),
+            F.sum(lead_k).alias(f"__t{k}"),
+        ]
+    g = led.groupBy(*key_cols).agg(*aggs)
+    nd = F.col("__n").cast(dec)
+    den = nd * (nd * F.col("__syy") - F.col("__s") * F.col("__s"))
+    lag_structs = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col(f"__np{k}").cast("long").alias("n_pairs"),
+            (
+                nd * nd * F.col(f"__sp{k}")
+                - nd * F.col("__s") * (F.col(f"__h{k}") + F.col(f"__t{k}"))
+                + F.col(f"__np{k}").cast(dec) * F.col("__s") * F.col("__s")
+            ).alias("num"),
+        )
+        for k in range(1, L + 1)
+    ]
+    exploded = g.select(
+        *key_cols,
+        den.alias("__den"),
+        F.explode(F.array(*lag_structs)).alias("__e"),
+    ).where(F.col("__e.n_pairs") > 0)
+    r = F.col("__e.num").cast("double") / F.col("__den").cast("double")
+    return exploded.select(
+        *key_cols,
+        F.col("__e.lag").cast("int").alias("lag"),
+        F.col("__e.n_pairs").alias("n_pairs"),
+        F.when(
+            F.col("__den") != 0, F.floor(r * F.lit(q)) / F.lit(q)
+        ).alias("acf"),
+    )
+
+
+@register_operator("acf")
+class AcfOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``value_col``
+    (required); ``max_lag``, ``value_scale``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "value_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"acf requires {key!r}")
+        if int(self.config.get("max_lag", 5)) < 1:
+            raise OperatorConfigError("acf max_lag must be >= 1")
+        if int(self.config.get("value_scale", 100)) <= 0:
+            raise OperatorConfigError("acf value_scale must be > 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": acf(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["value_col"],
+                int(c.get("max_lag", 5)),
+                int(c.get("value_scale", 100)),
+                int(c.get("quantize", 9)),
+            )
+        }

@@ -1169,6 +1169,22 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("src", "string", required=True),
         f("dst", "string", required=True),
     ],
+    "link_predict": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("method", "string", default="resource_allocation",
+          enum=["common_neighbors", "resource_allocation",
+                "adamic_adar"]),
+        f("max_degree", "integer", default=10000,
+          desc="common neighbors above this degree are excluded "
+               "from scoring (the hub fan-out cap)"),
+        f("min_common", "integer", default=1),
+        f("exclude_adjacent", "boolean", default=True,
+          desc="anti-join existing edges away (prediction mode)"),
+        f("weight_scale", "integer", default=12,
+          desc="resource_allocation weight = 10^scale div degree"),
+        f("quantize", "integer", default=9),
+    ],
     "label_propagation": [
         f("src", "string", required=True),
         f("dst", "string", required=True),
@@ -1184,6 +1200,28 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="grid stride: INTERVAL string for timestamps, "
                "integer for numeric time"),
         f("method", "string", default="linear", enum=["linear", "ffill"]),
+    ],
+    "assoc_rules": [
+        f("basket_col", "string", required=True),
+        f("item_col", "string", required=True),
+        f("min_support_count", "integer", default=2,
+          desc="A-priori prune floor: items AND pairs below this "
+               "absolute count drop"),
+        f("max_basket_size", "integer", default=10000,
+          desc="loud guard on post-prune basket fan-out"),
+        f("quantize", "integer", default=9),
+    ],
+    "acf": [
+        f("key_cols", "array", items={"type": "string"}, required=True),
+        f("order_cols", "array", items={"type": "string"}, required=True,
+          desc="must be a TOTAL order within each key (add a unique "
+               "id as tiebreak)"),
+        f("value_col", "string", required=True),
+        f("max_lag", "integer", default=5),
+        f("value_scale", "integer", default=100,
+          desc="y = floor(v*scale + 0.5) integer units for the "
+               "exact decimal moments"),
+        f("quantize", "integer", default=9),
     ],
     "rolling_aggregate": [
         f("time_col", "string", required=True),

@@ -369,6 +369,51 @@ def families(docs, spark):
         db_in, "x", "y", eps=50, min_pts=4, id_col="doc_id",
         max_cell_size=100000,
     )
+    # r11 session 2: link prediction — wedge fan-out is bounded by
+    # max_degree, and the dst-bucket space scales with the corpus
+    # (the dbscan density-pinning move) so the degree DISTRIBUTION
+    # stays constant under replication: cost must track E, not E^2
+    from etl_core_spark.operators.graph import link_predict
+
+    lp_graph = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("src"),
+        F.pmod(
+            F.xxhash64("doc_id", F.lit(13)), F.lit(max(n_docs // 2, 1))
+        ).alias("dst"),
+    )
+    fams["link_predict"] = lambda: link_predict(
+        lp_graph, max_degree=50, min_common=2
+    )
+    # r11 session 2: ACF — one key-partitioned window carrying the
+    # lead columns + one moment aggregate; series length pinned at 30
+    # (keys scale with the corpus), so per-row cost must stay flat
+    from etl_core_spark.operators.timeseries import acf as acf_op
+
+    fams["acf"] = lambda: acf_op(
+        docs.select(
+            F.floor(F.col("doc_id") / F.lit(30)).alias("k"),
+            F.col("doc_id").alias("t"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        ["k"],
+        ["t"],
+        "v",
+        max_lag=4,
+    )
+    # r11 session 2: association rules — basket size pinned at 10 and
+    # the item space scales with the corpus, so both the A-priori
+    # aggregates and the within-basket pair join stay linear
+    from etl_core_spark.operators.assoc import assoc_rules
+
+    ar_in = docs.select(
+        F.floor(F.col("doc_id") / F.lit(10)).alias("b"),
+        F.pmod(
+            F.xxhash64("doc_id", F.lit(17)), F.lit(max(n_docs // 10, 1))
+        ).alias("i"),
+    )
+    fams["assoc_rules"] = lambda: assoc_rules(
+        ar_in, "b", "i", min_support_count=2
+    )
     return fams
 
 

@@ -738,3 +738,110 @@ def test_louvain_validation(spark):
         get_operator("louvain")(src="src", dst="dst", iterations=0)
     with pytest.raises(OperatorConfigError):
         get_operator("louvain")(src="", dst="dst")
+
+
+# ---------------------------------------------------------------- link_predict
+
+
+def _lp(spark, edges, **cfg):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = get_operator("link_predict")(src="src", dst="dst", **cfg).apply(
+        {"in": df}
+    )["out"]
+    return {(r["src"], r["dst"]): (r["common_neighbors"], r["score"])
+            for r in out.collect()}
+
+
+def test_link_predict_square_with_diagonal(spark):
+    # square 1-2-3-4 plus diagonal 1-3: only non-adjacent pair is
+    # (2,4), common neighbors {1,3} both of degree 3
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    got = _lp(spark, edges, method="resource_allocation")
+    assert set(got) == {(2, 4)}
+    cn, score = got[(2, 4)]
+    assert cn == 2
+    import math
+
+    assert score == math.floor(2 * (10**12 // 3) / 1e12 * 1e9) / 1e9
+
+
+def test_link_predict_matches_python_reference(spark):
+    import itertools
+    import random
+
+    rng = random.Random(23)
+    edges = sorted({tuple(sorted(rng.sample(range(14), 2)))
+                    for _ in range(45)})
+    got = _lp(spark, list(edges), method="resource_allocation",
+              exclude_adjacent=False)
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        common = adj[a] & adj[b]
+        if common:
+            sw = sum(10**12 // len(adj[z]) for z in common)
+            import math
+            ref[(a, b)] = (len(common),
+                           math.floor(sw / 1e12 * 1e9) / 1e9)
+    assert got == ref
+
+
+def test_link_predict_common_neighbors_and_adjacent_exclusion(spark):
+    # path 1-2-3: (1,3) share {2}; with exclude_adjacent the
+    # adjacent pairs never appear even when they share neighbors
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4)]
+    got = _lp(spark, edges, method="common_neighbors")
+    assert (1, 3) not in got and (1, 2) not in got
+    got_all = _lp(spark, edges, method="common_neighbors",
+                  exclude_adjacent=False)
+    assert got_all[(1, 3)][0] == 2  # common {2, 4}
+
+
+def test_link_predict_max_degree_excludes_hub(spark):
+    # star center 0 with leaves 1..5 plus edge 1-2: without the cap
+    # every leaf pair scores through 0; capping at degree 4 excludes
+    # the center (degree 5), leaving only the wedge through 1 and 2
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    uncapped = _lp(spark, star, method="common_neighbors")
+    assert (3, 4) in uncapped
+    capped = _lp(spark, star, method="common_neighbors", max_degree=4)
+    assert (3, 4) not in capped
+    # every surviving wedge closes an EXISTING edge -> prediction
+    # mode anti-joins them all away
+    assert capped == {}
+    # without the exclusion the (0, x) wedges through the degree-2
+    # hubs 1 and 2 remain
+    capped_all = _lp(spark, star, method="common_neighbors",
+                     max_degree=4, exclude_adjacent=False)
+    assert capped_all == {(0, 1): (1, 1.0), (0, 2): (1, 1.0)}
+
+
+def test_link_predict_adamic_adar_weights(spark):
+    import math
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    got = _lp(spark, edges, method="adamic_adar")
+    cn, score = got[(2, 4)]
+    expect = math.floor((2 / math.log(3)) * 1e9) / 1e9
+    assert cn == 2 and abs(score - expect) < 1e-12
+
+
+def test_link_predict_validation(spark):
+    import pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+
+    with pytest.raises(OperatorConfigError):
+        get_operator("link_predict")(src="src", dst="dst",
+                                     method="katz").validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("link_predict")(src="src", dst="dst",
+                                     max_degree=1).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("link_predict")(src="src", dst="dst",
+                                     min_common=0).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("link_predict")(dst="dst").validate_config()

@@ -778,3 +778,91 @@ def test_seasonal_decompose_validation(spark):
         get_operator("seasonal_decompose")(
             key_cols=[], order_cols=["t"], value_col="v", period=4
         )
+
+
+# ------------------------------------------------------------------------ acf
+
+
+def _acf_ref(ys, k, scale=100):
+    import math
+
+    y = [math.floor(v * scale + 0.5) for v in ys]
+    n = len(y)
+    if n <= k:
+        return None
+    yb = sum(y) / n
+    num = sum((y[t] - yb) * (y[t + k] - yb) for t in range(n - k))
+    den = sum((v - yb) ** 2 for v in y)
+    if den == 0:
+        return None
+    return math.floor(num / den * 1e9) / 1e9
+
+
+def test_acf_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        ys = [round(rng.uniform(0, 50), 2) for _ in range(30)]
+        series[key] = ys
+        rows += [(key, t, v) for t, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = get_operator("acf")(
+        key_cols=["k"], order_cols=["t"], value_col="v", max_lag=4
+    ).apply({"in": df})["out"]
+    got = {(r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+           for r in out.collect()}
+    for key, ys in series.items():
+        for k in range(1, 5):
+            assert got[(key, k)] == (len(ys) - k, _acf_ref(ys, k))
+
+
+def test_acf_perfect_cycle_and_constant_series(spark):
+    # period-2 alternating series: acf(2) near +1, acf(1) near -1
+    ys = [1.0, 5.0] * 10
+    rows = [("a", t, v) for t, v in enumerate(ys)]
+    rows += [("c", t, 3.0) for t in range(8)]  # constant -> NULL
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = get_operator("acf")(
+        key_cols=["k"], order_cols=["t"], value_col="v", max_lag=2
+    ).apply({"in": df})["out"]
+    got = {(r["k"], r["lag"]): r["acf"] for r in out.collect()}
+    assert got[("a", 2)] > 0.85 and got[("a", 1)] < -0.85
+    assert got[("c", 1)] is None and got[("c", 2)] is None
+
+
+def test_acf_short_series_emits_only_feasible_lags(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0)], "k string, t int, v double"
+    )
+    out = get_operator("acf")(
+        key_cols=["k"], order_cols=["t"], value_col="v", max_lag=5
+    ).apply({"in": df})["out"]
+    rows = out.collect()
+    assert [r["lag"] for r in rows] == [1] and rows[0]["n_pairs"] == 1
+
+
+def test_acf_null_values_drop_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 2.0), ("a", 3, 4.0)],
+        "k string, t int, v double",
+    )
+    out = get_operator("acf")(
+        key_cols=["k"], order_cols=["t"], value_col="v", max_lag=1
+    ).apply({"in": df})["out"]
+    # NULL row drops BEFORE pairing: 3 points -> 2 lag-1 pairs
+    assert out.collect()[0]["n_pairs"] == 2
+    with pytest.raises(OperatorConfigError):
+        get_operator("acf")(
+            key_cols=["k"], order_cols=["t"], value_col="v", max_lag=0
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("acf")(
+            key_cols=[], order_cols=["t"], value_col="v"
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("acf")(
+            key_cols=["k"], order_cols=[], value_col="v"
+        ).validate_config()
