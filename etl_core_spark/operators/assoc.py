@@ -72,7 +72,10 @@ def assoc_rules(
 
     q = float(10 ** int(quantize))
     dec = "decimal(38,0)"
-    obs = (
+    # the deduped observation relation feeds THREE consumers
+    # (n_baskets, item counts, the pruned pairing relation) — persist
+    # it once or the distinct shuffle repeats per consumer
+    obs = persist_intermediate(
         df.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )

@@ -880,3 +880,36 @@ def test_parquet_density_noise_filter(spark, tmp_path):
     rest = spark.read.parquet(str(out / "rest")).collect()
     assert len(core) == 40 and all(r["cluster"] in (0, 20) for r in core)
     assert len(rest) == 5 and all(r["cluster"] is None for r in rest)
+
+
+def test_parquet_basket_affinity(spark, tmp_path):
+    """Market-basket composition: assoc_rules mines frequent
+    co-purchase pairs, and link_predict treats those pairs as an
+    affinity GRAPH — predicting related items that were never bought
+    together (a, c below share the frequent neighbor b)."""
+
+    def inputs(d):
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "b"), (3, "c"),
+            (4, "b"), (4, "c"),
+        ]
+        spark.createDataFrame(
+            rows, "basket_id long, item string"
+        ).coalesce(1).write.parquet(str(d / "baskets.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_basket_affinity.json", inputs
+    )
+    rules = {
+        (r["antecedent"], r["consequent"]): r["pair_count"]
+        for r in spark.read.parquet(str(out / "rules")).collect()
+    }
+    assert rules == {("a", "b"): 2, ("b", "c"): 2}
+    preds = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["score"])
+        for r in spark.read.parquet(str(out / "predictions")).collect()
+    }
+    # a and c never co-occur but share the degree-2 neighbor b
+    assert preds == {("a", "c"): (1, (10**12 // 2) / 1e12)}
