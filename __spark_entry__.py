@@ -9517,6 +9517,155 @@ FROM e WHERE np > 0
 _SQL_ACF = _sql_acf()
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators/sampling.py
+    negative_sample): every document gets 3 md5-derived pseudo-random
+    other documents via the bucket-and-rank construction — the
+    random-negatives half of a contrastive training set, stable
+    across engines/reruns/partitionings. The oracle replays the
+    exact md5 chains (bucket, in-bucket rank, pick)."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("negative_sample")(
+        id_col="doc_id", k=3, buckets=16
+    ).apply({"in": docs})["out"]
+
+
+def _sql_negative_sample(k: int = 3, b: int = 16) -> str:
+    """DuckDB replay of the md5 bucket/rank/pick chains. Matches
+    sampling.hash_bucket: bucket = first 8 md5 hex digits of
+    (salt || id) as an integer; salts '' / '#rank' / '#pick'."""
+    return f"""
+WITH ids AS (
+  SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id IS NOT NULL
+), h AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {b} AS bkt,
+         CAST(('0x' || substr(md5('#rank' || CAST(id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rh
+  FROM ids
+), ranked AS (
+  SELECT id, bkt, row_number() OVER (PARTITION BY bkt ORDER BY rh, id) - 1
+           AS rnk
+  FROM h
+), sizes AS (
+  SELECT bkt, count(*) AS sz FROM ranked GROUP BY bkt
+), offs AS (
+  SELECT h.id AS a, (h.bkt + j.j) % {b} AS tb, j.j
+  FROM h, (SELECT unnest(generate_series(1, {k})) AS j) j
+), pick AS (
+  SELECT o.a, o.j, o.tb,
+         CAST(('0x' || substr(md5('#pick' || CAST(o.a AS VARCHAR) || '#'
+                                  || CAST(o.j AS VARCHAR)), 1, 8))
+              AS BIGINT) % s.sz AS r
+  FROM offs o JOIN sizes s ON s.bkt = o.tb
+)
+SELECT p.a AS anchor, CAST(p.j AS INTEGER) AS neg_rank,
+       rk.id AS negative
+FROM pick p JOIN ranked rk ON rk.bkt = p.tb AND rk.rnk = p.r
+WHERE rk.id <> p.a
+"""
+
+
+_SQL_NEGATIVE_SAMPLE = _sql_negative_sample()
+
+
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cross-correlation at row lags -2..+2
+    (operators/timeseries.py ccf) between hourly event count and
+    hourly value mass. The grid is made exact BEFORE the operator:
+    x = count, y = sum of floor(value*100+0.5) integer units
+    (a float sum would be reduction-order dependent and poison the
+    certification), then ccf runs at value_scale=1. The final float
+    chain (casts, two sqrts, two muls, one divide) is IEEE
+    correctly-rounded and mirrored operation-for-operation in the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    ev = _t(spark, sf_dir, "events")
+    grid = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            ).cast("double").alias("y"),
+        )
+    )
+    return get_operator("ccf")(
+        key_cols=["user_id"], order_cols=["h"], x_col="x", y_col="y",
+        max_lag=2, value_scale=1,
+    ).apply({"in": grid})["out"]
+
+
+def _sql_ccf(max_lag: int = 2) -> str:
+    lead_cols = ", ".join(
+        f"lead(y,{k}) OVER w AS yl{k}, lead(x,{k}) OVER w AS xl{k}"
+        for k in range(1, max_lag + 1)
+    )
+    lag_aggs = ", ".join(
+        f"count(yl{k}) AS np{k}, sum(x*yl{k}) AS sp{k}, "
+        f"sum(CASE WHEN yl{k} IS NOT NULL THEN x END) AS hx{k}, "
+        f"sum(yl{k}) AS ty{k}, "
+        f"sum(y*xl{k}) AS sm{k}, "
+        f"sum(CASE WHEN xl{k} IS NOT NULL THEN y END) AS hy{k}, "
+        f"sum(xl{k}) AS tx{k}"
+        for k in range(1, max_lag + 1)
+    )
+    branches = ["SELECT user_id, n, sx, sy, dx, dy, 0 AS lag, "
+                "n AS np, n*n*sxy0 - n*sx*sy AS num FROM g"]
+    for k in range(1, max_lag + 1):
+        branches.append(
+            f"SELECT user_id, n, sx, sy, dx, dy, {k} AS lag, np{k} AS np, "
+            f"n*n*sp{k} - n*sy*hx{k} - n*sx*ty{k} + np{k}*sx*sy AS num "
+            "FROM g"
+        )
+        branches.append(
+            f"SELECT user_id, n, sx, sy, dx, dy, -{k} AS lag, np{k} AS np, "
+            f"n*n*sm{k} - n*sx*hy{k} - n*sy*tx{k} + np{k}*sx*sy AS num "
+            "FROM g"
+        )
+    u = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH grid AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS HUGEINT) AS x,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS HUGEINT)) AS HUGEINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, date_trunc('hour', ts)
+), led AS (
+  SELECT user_id, x, y, {lead_cols}
+  FROM grid WINDOW w AS (PARTITION BY user_id ORDER BY h)
+), g AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy0,
+         CAST(count(*) AS HUGEINT)*sum(x*x) - sum(x)*sum(x) AS dx,
+         CAST(count(*) AS HUGEINT)*sum(y*y) - sum(y)*sum(y) AS dy,
+         {lag_aggs}
+  FROM led GROUP BY user_id
+), e AS (
+  {u}
+)
+SELECT user_id, CAST(lag AS INTEGER) AS lag, CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN dx <> 0 AND dy <> 0 THEN
+         floor(CAST(num AS DOUBLE)
+               / (CAST(n AS DOUBLE) * sqrt(CAST(dx AS DOUBLE))
+                  * sqrt(CAST(dy AS DOUBLE))) * 1e9) / 1e9
+       END AS ccf
+FROM e WHERE np > 0
+"""
+
+
+_SQL_CCF = _sql_ccf()
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/assoc.py
     assoc_rules, Agrawal & Srikant 1994) on order baskets: parts
@@ -9576,8 +9725,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window: 6 new rows (png_decode, louvain, dbscan, then the
-# session-2 wave link_predict, acf, assoc_rules), then the 4
+# r11 window: 8 new rows (png_decode, louvain, dbscan, then the
+# session-2 wave link_predict, acf, assoc_rules, ccf,
+# negative_sample), then the 4
 # streaming rows whose certification INPUT changed this round
 # (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
 # r10 #5), then the 10 rows whose operator code changed (distributed
@@ -9590,12 +9740,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 13 VERDICT r10 item-1 names still r07-stale, plus
 # multimodal_features (module changed this round: the PNG codec
 # landed beside the untouched extract_features) and agg_global.
-# To make room for the session-2 wave, three rows whose ONLY change
-# this round was config-validation hardening (new OperatorConfigError
-# paths, each pytest-covered; query path untouched and r10-certified
-# one round ago) moved out: chi2_independence, systematic_sample,
-# snm_linkage — all three re-verified locally at sf0.01 through
-# scripts/check_oracles.py this session.
+# To make room for the session-2 wave, five rows moved out, each
+# re-verified locally at sf0.01 through scripts/check_oracles.py
+# this session: chi2_independence, systematic_sample, snm_linkage,
+# record_linkage (ONLY config-validation hardening this round — new
+# OperatorConfigError paths, each pytest-covered; query path
+# untouched and r10-certified one round ago) and multimodal_features
+# (operator code unchanged since r7; the module-level change — the
+# PNG codec — is certified by the in-window png_decode row).
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
 # r11) and lead the r12 rotation together with the r08 cohort
@@ -9606,13 +9758,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     # new this round
     "png_decode", "louvain", "dbscan",
-    "link_predict", "acf", "assoc_rules",
+    "link_predict", "acf", "assoc_rules", "ccf", "negative_sample",
     # streaming rows re-certified on bounded panels (input changed)
     "streaming_sessionize", "streaming_psi", "streaming_attribution",
     "streaming_hourly",
     # operator code changed this round
     "mannwhitney_u", "ks_drift", "dsir_weights", "dsir_select",
-    "quality_classifier", "quality_gate", "record_linkage",
+    "quality_classifier", "quality_gate",
     # r06-vintage cohort, 5 rounds stale (complete)
     "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
     "hash_split_counts", "hll_distinct", "interval_join",
@@ -9626,8 +9778,7 @@ _R11_WINDOW = [
     "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
     "quality_filter", "sessionize", "simhash", "text_metrics",
     "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    "asof_join", "range_join", "dedup_minhash", "multimodal_features",
-    "agg_global",
+    "asof_join", "range_join", "dedup_minhash", "agg_global",
 ]
 
 
@@ -9806,6 +9957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "seasonal_decompose": q_seasonal_decompose,
         "acf": q_acf,
+        "ccf": q_ccf,
+        "negative_sample": q_negative_sample,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10019,6 +10172,8 @@ def oracle_sql() -> dict[str, str]:
         "chi2_independence": _chi2_sql(),
         "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
         "acf": _SQL_ACF,
+        "ccf": _SQL_CCF,
+        "negative_sample": _SQL_NEGATIVE_SAMPLE,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

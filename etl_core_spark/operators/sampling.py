@@ -804,3 +804,141 @@ class SystematicSampleOperator(Operator):
                 c.get("rank_col"),
             )
         }
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform-ish negative sampling for contrastive
+    training pairs → ``(anchor, neg_rank 1..k, negative)``: every id
+    in the corpus gets up to ``k`` pseudo-random OTHER ids (the
+    random-negatives half of a contrastive set; the hard-negatives
+    half is ``knn_graph``). Hash-derived end to end (the
+    ``hash_sample`` md5 machinery), so the assignment is stable
+    across reruns, partitionings, and engines — reproducible
+    training data, replayable by any engine with md5.
+
+    Construction: candidates land in ``buckets`` md5 buckets and are
+    ranked inside each bucket by an independent md5 (ties broken by
+    id — a total order). Anchor ``a`` with offset ``j`` targets
+    bucket ``(bucket(a)+j) mod buckets`` and picks the member at
+    rank ``md5(a#j) mod size``: each (anchor, j) resolves by ONE
+    equi-join row, so the whole sampler is two narrow maps + one
+    (bucket, rank) equi-join — n·k join rows total, no candidate
+    fan-out, no windows over the corpus (per-bucket rank windows are
+    bounded by n/buckets; raise ``buckets`` with the corpus).
+    Self-picks are structurally impossible — offsets ``1..k < B``
+    never target the anchor's own bucket (a belt-and-braces
+    inequality filter keeps the invariant loud in the plan). A
+    bucket count above the corpus size leaves some buckets empty and
+    those (anchor, j) rows drop — the documented "up to k" contract;
+    keep ``buckets`` << corpus size. NULL ids drop.
+    """
+    if not id_col:
+        raise OperatorConfigError("negative_sample requires id_col")
+    if int(k) < 1:
+        raise OperatorConfigError("negative_sample k must be >= 1")
+    if int(buckets) < 2:
+        raise OperatorConfigError("negative_sample buckets must be >= 2")
+    if int(k) >= int(buckets):
+        raise OperatorConfigError(
+            "negative_sample needs k < buckets (offsets must hit "
+            "distinct buckets)"
+        )
+    from pyspark.sql import Window
+
+    from etl_core_spark.session import persist_intermediate
+
+    B = int(buckets)
+    ids = df.select(F.col(id_col).alias("__id")).where(
+        F.col(id_col).isNotNull()
+    ).distinct()
+    bucket = F.pmod(hash_bucket(F.col("__id"), salt), F.lit(B))
+    rank_hash = hash_bucket(F.col("__id"), salt + "#rank")
+    w = Window.partitionBy("__bkt").orderBy("__rh", "__id")
+    ranked = persist_intermediate(
+        ids.select(
+            "__id", bucket.alias("__bkt"), rank_hash.alias("__rh")
+        ).withColumn("__rank", F.row_number().over(w) - F.lit(1))
+    )
+    sizes = ranked.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__sz"))
+    offsets = ranked.select(
+        F.col("__id").alias("__a"), F.col("__bkt").alias("__ab")
+    ).select(
+        "__a", "__ab",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, int(k) + 1)])
+        ).alias("__j"),
+    ).withColumn("__tb", F.pmod(F.col("__ab") + F.col("__j"), F.lit(B)))
+    pick = offsets.join(
+        F.broadcast(sizes.withColumnRenamed("__bkt", "__tb")), on="__tb"
+    ).withColumn(
+        "__r",
+        F.pmod(
+            hash_bucket(
+                F.concat(
+                    F.col("__a").cast("string"),
+                    F.lit("#"),
+                    F.col("__j").cast("string"),
+                ),
+                salt + "#pick",
+            ),
+            F.col("__sz"),
+        ),
+    )
+    return (
+        pick.join(
+            ranked.select(
+                F.col("__bkt").alias("__tb"),
+                F.col("__rank").alias("__r"),
+                F.col("__id").alias("__neg"),
+            ),
+            on=["__tb", "__r"],
+        )
+        .where(F.col("__neg") != F.col("__a"))
+        .select(
+            F.col("__a").alias("anchor"),
+            F.col("__j").cast("int").alias("neg_rank"),
+            F.col("__neg").alias("negative"),
+        )
+    )
+
+
+@register_operator("negative_sample")
+class NegativeSampleOperator(Operator):
+    """Config: ``id_col`` (required); ``k``, ``buckets``, ``salt``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if not self.config.get("id_col"):
+            raise OperatorConfigError("negative_sample requires 'id_col'")
+        k = int(self.config.get("k", 5))
+        b = int(self.config.get("buckets", 64))
+        if k < 1:
+            raise OperatorConfigError("negative_sample k must be >= 1")
+        if b < 2:
+            raise OperatorConfigError(
+                "negative_sample buckets must be >= 2"
+            )
+        if k >= b:
+            raise OperatorConfigError(
+                "negative_sample needs k < buckets"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": negative_sample(
+                self.single_input(inputs),
+                c["id_col"],
+                int(c.get("k", 5)),
+                int(c.get("buckets", 64)),
+                c.get("salt", ""),
+            )
+        }

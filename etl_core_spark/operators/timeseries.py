@@ -2282,3 +2282,202 @@ class AcfOperator(Operator):
                 int(c.get("quantize", 9)),
             )
         }
+
+
+def ccf(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+    value_scale: int = 100,
+    quantize: int = 9,
+) -> DataFrame:
+    """Sample cross-correlation function per key (Box & Jenkins 1970)
+    → ``(key…, lag, n_pairs, ccf)`` for lags -``max_lag``..+``max_lag``
+    between two aligned series::
+
+        r_xy(k) = sum_{t} (x_t - xbar)(y_{t+k} - ybar)
+                  / sqrt( sum (x_t - xbar)^2 * sum (y_t - ybar)^2 )
+
+    positive lag = y LAGS x by k rows (x leads: a peak at k=+2 means
+    x predicts y two steps ahead); negative lag mirrors with x
+    lagging. Lag 0 is the plain Pearson numerator on the shared
+    grid. The lead-lag diagnostic next to ``acf``: does search
+    volume lead purchases, does error rate lead latency.
+
+    Lags are ROW lags on the provided grid — align/densify the two
+    series upstream (``interpolate``/``densify_buckets``) if
+    calendar lags are meant. Rows where EITHER value is NULL drop
+    first (pairwise-complete on the aligned grid).
+
+    Exactness: the ``acf`` discipline — integer units, DECIMAL(38,0)
+    moments, r multiplied through by n² so numerator and both
+    variance terms are exact integers; the only float math is
+    CAST → sqrt → sqrt → divide, all IEEE correctly-rounded and
+    therefore bit-identical across engines, then floor-quantize.
+    Zero x- or y-variance → NULL.
+
+    Scale shape: ONE key-partitioned window carrying 2·max_lag lead
+    columns + ONE map-side-combinable groupBy(key) + a per-key
+    explode. No global window, no driver collects, fully lazy.
+    """
+    if not key_cols:
+        raise OperatorConfigError("ccf requires key_cols")
+    if not order_cols:
+        raise OperatorConfigError("ccf requires order_cols")
+    if not x_col or not y_col:
+        raise OperatorConfigError("ccf requires x_col and y_col")
+    if int(max_lag) < 0:
+        raise OperatorConfigError("ccf max_lag must be >= 0")
+    if int(value_scale) <= 0:
+        raise OperatorConfigError("ccf value_scale must be > 0")
+    from pyspark.sql import Window
+
+    L = int(max_lag)
+    q = float(10 ** int(quantize))
+    dec = "decimal(38,0)"
+
+    def units(col: str):
+        return F.floor(
+            F.col(col).cast("double") * F.lit(float(value_scale))
+            + F.lit(0.5)
+        ).cast(dec)
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        units(x_col).alias("__x"),
+        units(y_col).alias("__y"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    lead_cols = []
+    for k in range(1, L + 1):
+        lead_cols.append(F.lead("__y", k).over(w).alias(f"__yl{k}"))
+        lead_cols.append(F.lead("__x", k).over(w).alias(f"__xl{k}"))
+    led = base.select(*key_cols, "__x", "__y", *lead_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy0"),
+    ]
+    for k in range(1, L + 1):
+        yl, xl = F.col(f"__yl{k}"), F.col(f"__xl{k}")
+        aggs += [
+            # +k: x_t against y_{t+k}
+            F.count(yl).alias(f"__np{k}"),
+            F.sum(F.col("__x") * yl).alias(f"__sp{k}"),
+            F.sum(F.when(yl.isNotNull(), F.col("__x"))).alias(f"__hx{k}"),
+            F.sum(yl).alias(f"__ty{k}"),
+            # -k: y_t against x_{t+k}
+            F.sum(F.col("__y") * xl).alias(f"__sm{k}"),
+            F.sum(F.when(xl.isNotNull(), F.col("__y"))).alias(f"__hy{k}"),
+            F.sum(xl).alias(f"__tx{k}"),
+        ]
+    g = led.groupBy(*key_cols).agg(*aggs)
+    nd = F.col("__n").cast(dec)
+    dx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+
+    def num(k: int):
+        """n^2-scaled cross-covariance numerator at row lag k."""
+        if k == 0:
+            return (
+                nd * nd * F.col("__sxy0")
+                - nd * F.col("__sx") * F.col("__sy")
+            )
+        if k > 0:
+            return (
+                nd * nd * F.col(f"__sp{k}")
+                - nd * F.col("__sy") * F.col(f"__hx{k}")
+                - nd * F.col("__sx") * F.col(f"__ty{k}")
+                + F.col(f"__np{k}").cast(dec)
+                * F.col("__sx") * F.col("__sy")
+            )
+        m = -k
+        return (
+            nd * nd * F.col(f"__sm{m}")
+            - nd * F.col("__sx") * F.col(f"__hy{m}")
+            - nd * F.col("__sy") * F.col(f"__tx{m}")
+            + F.col(f"__np{m}").cast(dec)
+            * F.col("__sx") * F.col("__sy")
+        )
+
+    def npairs(k: int):
+        return (
+            F.col("__n") if k == 0 else F.col(f"__np{abs(k)}")
+        ).cast("long")
+
+    lag_structs = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            npairs(k).alias("n_pairs"),
+            num(k).alias("num"),
+        )
+        for k in range(-L, L + 1)
+    ]
+    exploded = g.select(
+        *key_cols,
+        "__n",
+        dx.alias("__dx"),
+        dy.alias("__dy"),
+        F.explode(F.array(*lag_structs)).alias("__e"),
+    ).where(F.col("__e.n_pairs") > 0)
+    # num is n^2-scaled; dx/dy are n-scaled (n*Sxx - Sx^2 = n*D), so
+    # sqrt(dx)*sqrt(dy) carries one factor of n — divide the other
+    # out explicitly. The float chain (3 casts, 2 sqrts, 2 muls,
+    # 1 div) is IEEE correctly-rounded end-to-end and mirrored
+    # operation-for-operation in the oracle.
+    r = F.col("__e.num").cast("double") / (
+        F.col("__n").cast("double")
+        * F.sqrt(F.col("__dx").cast("double"))
+        * F.sqrt(F.col("__dy").cast("double"))
+    )
+    return exploded.select(
+        *key_cols,
+        F.col("__e.lag").cast("int").alias("lag"),
+        F.col("__e.n_pairs").alias("n_pairs"),
+        F.when(
+            (F.col("__dx") != 0) & (F.col("__dy") != 0),
+            F.floor(r * F.lit(q)) / F.lit(q),
+        ).alias("ccf"),
+    )
+
+
+@register_operator("ccf")
+class CcfOperator(Operator):
+    """Config: ``key_cols``, ``order_cols``, ``x_col``, ``y_col``
+    (required); ``max_lag``, ``value_scale``, ``quantize``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("key_cols", "order_cols", "x_col", "y_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"ccf requires {key!r}")
+        if int(self.config.get("max_lag", 5)) < 0:
+            raise OperatorConfigError("ccf max_lag must be >= 0")
+        if int(self.config.get("value_scale", 100)) <= 0:
+            raise OperatorConfigError("ccf value_scale must be > 0")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": ccf(
+                self.single_input(inputs),
+                list(c["key_cols"]),
+                list(c["order_cols"]),
+                c["x_col"],
+                c["y_col"],
+                int(c.get("max_lag", 5)),
+                int(c.get("value_scale", 100)),
+                int(c.get("quantize", 9)),
+            )
+        }

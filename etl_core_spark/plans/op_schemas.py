@@ -1201,6 +1201,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "integer for numeric time"),
         f("method", "string", default="linear", enum=["linear", "ffill"]),
     ],
+    "negative_sample": [
+        f("id_col", "string", required=True),
+        f("k", "integer", default=5,
+          desc="negatives per anchor (up to k when buckets are "
+               "sparse)"),
+        f("buckets", "integer", default=64,
+          desc="md5 bucket count; the per-bucket rank window is "
+               "bounded by n/buckets — raise with the corpus"),
+        f("salt", "string", default=""),
+    ],
     "assoc_rules": [
         f("basket_col", "string", required=True),
         f("item_col", "string", required=True),
@@ -1221,6 +1231,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("value_scale", "integer", default=100,
           desc="y = floor(v*scale + 0.5) integer units for the "
                "exact decimal moments"),
+        f("quantize", "integer", default=9),
+    ],
+    "ccf": [
+        f("key_cols", "array", items={"type": "string"}, required=True),
+        f("order_cols", "array", items={"type": "string"}, required=True),
+        f("x_col", "string", required=True),
+        f("y_col", "string", required=True),
+        f("max_lag", "integer", default=5,
+          desc="emits row lags -max_lag..+max_lag; positive = x "
+               "leads y"),
+        f("value_scale", "integer", default=100),
         f("quantize", "integer", default=9),
     ],
     "rolling_aggregate": [

@@ -414,6 +414,32 @@ def families(docs, spark):
     fams["assoc_rules"] = lambda: assoc_rules(
         ar_in, "b", "i", min_support_count=2
     )
+    # r11 session 2: CCF shares acf's shape (one key window + one
+    # moment aggregate) with 2L lead columns; series length pinned
+    from etl_core_spark.operators.timeseries import ccf as ccf_op
+
+    fams["ccf"] = lambda: ccf_op(
+        docs.select(
+            F.floor(F.col("doc_id") / F.lit(30)).alias("k"),
+            F.col("doc_id").alias("t"),
+            F.col("n_chars").cast("double").alias("x"),
+            F.length("text").cast("double").alias("y"),
+        ),
+        ["k"],
+        ["t"],
+        "x",
+        "y",
+        max_lag=3,
+    )
+    # r11 session 2: negative sampling — bucket count scales with the
+    # corpus so the per-bucket rank windows stay bounded (the
+    # documented lever); whole sampler is two narrow maps + one
+    # (bucket, rank) equi-join, n·k join rows
+    from etl_core_spark.operators.sampling import negative_sample
+
+    fams["negative_sample"] = lambda: negative_sample(
+        docs, "doc_id", k=3, buckets=max(16, n_docs // 1000)
+    )
     return fams
 
 

@@ -307,3 +307,81 @@ def test_systematic_sample_validation(spark):
     df = spark.range(10).select(F.col("id"), F.lit(1).alias("rk"))
     with pytest.raises(OperatorConfigError, match="already exists"):
         systematic_sample(df, ["id"], 3, rank_col="rk")
+
+
+# -------------------------------------------------------------- negative_sample
+
+
+def test_negative_sample_shape_and_determinism(spark):
+    df = spark.range(200).selectExpr("id AS doc_id")
+    op = get_operator("negative_sample")(id_col="doc_id", k=3, buckets=8)
+    rows = op.apply({"in": df})["out"].collect()
+    assert len(rows) == 600  # offsets never hit the anchor's bucket
+    per_anchor = {}
+    for r in rows:
+        assert r["anchor"] != r["negative"]
+        per_anchor.setdefault(r["anchor"], set()).add(r["neg_rank"])
+    assert len(per_anchor) == 200
+    assert all(v == {1, 2, 3} for v in per_anchor.values())
+    again = op.apply({"in": df})["out"].collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_sample_matches_python_reference(spark):
+    import hashlib
+
+    def hb(key, salt=""):
+        return int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+
+    ids = list(range(50))
+    B, K = 4, 2
+    byb = {}
+    for i in ids:
+        byb.setdefault(hb(i) % B, []).append(i)
+    ranked = {
+        b: [i for i in sorted(members, key=lambda i: (hb(i, "#rank"), i))]
+        for b, members in byb.items()
+    }
+    ref = set()
+    for a in ids:
+        ab = hb(a) % B
+        for j in range(1, K + 1):
+            tb = (ab + j) % B
+            m = ranked.get(tb)
+            if not m:
+                continue
+            neg = m[hb(f"{a}#{j}", "#pick") % len(m)]
+            if neg != a:
+                ref.add((a, j, neg))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = get_operator("negative_sample")(
+        id_col="doc_id", k=K, buckets=B
+    ).apply({"in": df})["out"]
+    got = {(r["anchor"], r["neg_rank"], r["negative"]) for r in out.collect()}
+    assert got == ref
+
+
+def test_negative_sample_nulls_drop_and_validation(spark):
+    import pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "doc_id long"
+    )
+    out = get_operator("negative_sample")(
+        id_col="doc_id", k=1, buckets=2
+    ).apply({"in": df})["out"]
+    rows = out.collect()
+    assert all(r["anchor"] is not None and r["negative"] is not None
+               for r in rows)
+    with pytest.raises(OperatorConfigError):
+        get_operator("negative_sample")(
+            id_col="doc_id", k=8, buckets=8
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("negative_sample")(
+            id_col="doc_id", k=0
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("negative_sample")(k=1).validate_config()

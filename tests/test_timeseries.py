@@ -866,3 +866,79 @@ def test_acf_null_values_drop_and_validation(spark):
         get_operator("acf")(
             key_cols=["k"], order_cols=[], value_col="v"
         ).validate_config()
+
+
+# ------------------------------------------------------------------------ ccf
+
+
+def _ccf_ref(xs, ys, k, scale=100):
+    import math
+
+    X = [math.floor(v * scale + 0.5) for v in xs]
+    Y = [math.floor(v * scale + 0.5) for v in ys]
+    n = len(X)
+    sx, sy = sum(X), sum(Y)
+    if k >= 0:
+        pairs = [(X[t], Y[t + k]) for t in range(n - k)]
+    else:
+        pairs = [(X[t - k], Y[t]) for t in range(n + k)]
+    nk = len(pairs)
+    if nk == 0:
+        return None
+    num = (n * n * sum(x * y for x, y in pairs)
+           - n * sy * sum(x for x, _ in pairs)
+           - n * sx * sum(y for _, y in pairs)
+           + nk * sx * sy)
+    dx = n * sum(v * v for v in X) - sx * sx
+    dy = n * sum(v * v for v in Y) - sy * sy
+    if dx == 0 or dy == 0:
+        return (nk, None)
+    r = num / (n * math.sqrt(dx) * math.sqrt(dy))
+    return (nk, math.floor(r * 1e9) / 1e9)
+
+
+def test_ccf_matches_python_reference_and_finds_lead(spark):
+    import random
+
+    rng = random.Random(13)
+    xs = [round(rng.uniform(0, 20), 2) for _ in range(30)]
+    # y follows x two steps later
+    ys = [round(x * 0.7 + rng.uniform(0, 2), 2)
+          for x in [0.0, 0.0] + xs[:-2]]
+    rows = [("a", t, x, y) for t, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    out = get_operator("ccf")(
+        key_cols=["k"], order_cols=["t"], x_col="x", y_col="y", max_lag=3
+    ).apply({"in": df})["out"]
+    got = {r["lag"]: (r["n_pairs"], r["ccf"]) for r in out.collect()}
+    for k in range(-3, 4):
+        assert got[k] == _ccf_ref(xs, ys, k)
+    assert max(got, key=lambda k: got[k][1]) == 2
+
+
+def test_ccf_constant_series_null_and_symmetry(spark):
+    # ccf of (x, x) at lag k equals acf at |k| and is symmetric
+    ys = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 6.0]
+    rows = [("a", t, v, v) for t, v in enumerate(ys)]
+    rows += [("c", t, 2.0, float(t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    out = get_operator("ccf")(
+        key_cols=["k"], order_cols=["t"], x_col="x", y_col="y", max_lag=2
+    ).apply({"in": df})["out"]
+    got = {(r["k"], r["lag"]): r["ccf"] for r in out.collect()}
+    assert got[("a", 0)] == 1.0  # exact: num == n*sqrt(dx)*sqrt(dx)
+    assert got[("a", 1)] == got[("a", -1)]
+    assert got[("a", 2)] == got[("a", -2)]
+    assert all(got[("c", k)] is None for k in range(-2, 3))
+
+
+def test_ccf_validation(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("ccf")(
+            key_cols=["k"], order_cols=["t"], x_col="x"
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("ccf")(
+            key_cols=["k"], order_cols=["t"], x_col="x", y_col="y",
+            max_lag=-1,
+        ).validate_config()
