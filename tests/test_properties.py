@@ -578,3 +578,137 @@ def test_png_codec_round_trips_any_size_and_color_type(
     px = bytes(px)
     data = encode_png(w, h, px, color_type=ctype, filter_mode=fmode)
     assert decode_png(data) == (w, h, ch, px)
+
+
+# ------------------------------------------------- session-2 wave invariants
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    ),
+    cap=st.integers(2, 12),
+)
+def test_link_predict_invariants_vs_python_model(spark, edges, cap):
+    """Differential property on random graphs: RA scores and CN
+    counts vs a plain-Python adjacency model, including the
+    max_degree exclusion and the adjacency anti-join."""
+    import itertools
+    import math
+
+    from etl_core_spark.operators.graph import link_predict
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["score"])
+        for r in link_predict(
+            df, method="resource_allocation", max_degree=cap
+        ).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        common = {z for z in adj[a] & adj[b] if len(adj[z]) <= cap}
+        if common:
+            sw = sum(10**12 // len(adj[z]) for z in common)
+            ref[(a, b)] = (len(common), math.floor(sw / 1e12 * 1e9) / 1e9)
+    assert got == ref
+    # every common neighbor has degree >= 2 (it touches both ends),
+    # so RA score <= cn/2 always
+    for cn, score in got.values():
+        assert score <= cn / 2 + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    ys=st.lists(
+        st.floats(0, 100, allow_nan=False, width=32).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_acf_bounded_and_lag_symmetric_base(spark, ys):
+    """|r_k| <= 1 for every lag (Cauchy-Schwarz on the full-series
+    denominator) and n_pairs bookkeeping holds on random series."""
+    from etl_core_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(ys)], "k string, t int, v double"
+    )
+    rows = acf(df, ["k"], ["t"], "v", max_lag=3).collect()
+    n = len(ys)
+    for r in rows:
+        assert r["n_pairs"] == n - r["lag"]
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 7)),
+        min_size=1,
+        max_size=60,
+    ),
+    floor=st.integers(1, 4),
+)
+def test_assoc_rules_metric_identities(spark, rows, floor):
+    """Exact-count identities on random baskets: pair_count <=
+    min(count_a, count_b), support <= confidence (n_baskets >=
+    marginal counts), and the floored metrics reproduce from the
+    emitted integer counts."""
+    import math
+
+    from etl_core_spark.operators.assoc import assoc_rules
+
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = assoc_rules(df, "b", "i", min_support_count=floor).collect()
+    n = len({b for b, _ in rows})
+    fq = lambda x: math.floor(x * 1e9) / 1e9  # noqa: E731
+    for r in out:
+        assert r["pair_count"] <= min(r["count_a"], r["count_b"])
+        assert r["pair_count"] >= floor
+        assert r["support"] == fq(r["pair_count"] / n)
+        assert r["confidence_ab"] == fq(r["pair_count"] / r["count_a"])
+        assert r["confidence_ba"] == fq(r["pair_count"] / r["count_b"])
+        assert r["lift"] == fq(
+            r["pair_count"] * n / (r["count_a"] * r["count_b"])
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(2, 60),
+    k=st.integers(1, 3),
+    b=st.integers(4, 16),
+    salt=st.sampled_from(["", "s1"]),
+)
+def test_negative_sample_structural_invariants(spark, n, k, b, salt):
+    """No self-negatives, neg_rank coverage, and every negative is a
+    real corpus id — for random corpus sizes, k, buckets and salts."""
+    from etl_core_spark.operators.sampling import negative_sample
+
+    if k >= b:
+        return
+    df = spark.range(n).selectExpr("id AS doc_id")
+    rows = negative_sample(df, "doc_id", k=k, buckets=b, salt=salt).collect()
+    ids = set(range(n))
+    for r in rows:
+        assert r["anchor"] != r["negative"]
+        assert r["negative"] in ids and r["anchor"] in ids
+        assert 1 <= r["neg_rank"] <= k
+    # an (anchor, rank) pair resolves to at most one negative
+    keys = [(r["anchor"], r["neg_rank"]) for r in rows]
+    assert len(keys) == len(set(keys))
