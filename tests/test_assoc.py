@@ -108,3 +108,19 @@ def test_assoc_rules_validation(spark):
         get_operator("assoc_rules")(
             basket_col="b", item_col="i", max_basket_size=1
         ).validate_config()
+
+
+def test_assoc_rules_empty_and_single_item_inputs(spark):
+    empty = spark.createDataFrame([], "b int, i string")
+    out = get_operator("assoc_rules")(
+        basket_col="b", item_col="i"
+    ).apply({"in": empty})["out"]
+    assert out.count() == 0
+    # single-item baskets: no pairs, no error
+    single = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "b int, i string"
+    )
+    out2 = get_operator("assoc_rules")(
+        basket_col="b", item_col="i"
+    ).apply({"in": single})["out"]
+    assert out2.count() == 0

@@ -845,3 +845,15 @@ def test_link_predict_validation(spark):
                                      min_common=0).validate_config()
     with pytest.raises(OperatorConfigError):
         get_operator("link_predict")(dst="dst").validate_config()
+
+
+def test_link_predict_empty_and_no_wedge_graphs(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = get_operator("link_predict")(src="src", dst="dst").apply(
+        {"in": empty}
+    )["out"]
+    assert out.count() == 0
+    # a single edge has no wedges
+    assert _lp(spark, [(1, 2)]) == {}
+    # self-loops alone produce nothing
+    assert _lp(spark, [(3, 3)]) == {}

@@ -385,3 +385,18 @@ def test_negative_sample_nulls_drop_and_validation(spark):
         ).validate_config()
     with pytest.raises(OperatorConfigError):
         get_operator("negative_sample")(k=1).validate_config()
+
+
+def test_negative_sample_empty_and_tiny_corpora(spark):
+    empty = spark.createDataFrame([], "doc_id long")
+    out = get_operator("negative_sample")(
+        id_col="doc_id", k=1, buckets=2
+    ).apply({"in": empty})["out"]
+    assert out.count() == 0
+    # corpus of one: the only candidate lives in the anchor's own
+    # bucket, which offsets never target -> zero rows, no error
+    one = spark.createDataFrame([(7,)], "doc_id long")
+    out2 = get_operator("negative_sample")(
+        id_col="doc_id", k=1, buckets=4
+    ).apply({"in": one})["out"]
+    assert out2.count() == 0

@@ -942,3 +942,16 @@ def test_ccf_validation(spark):
             key_cols=["k"], order_cols=["t"], x_col="x", y_col="y",
             max_lag=-1,
         ).validate_config()
+
+
+def test_acf_ccf_empty_inputs(spark):
+    empty = spark.createDataFrame([], "k string, t int, v double")
+    out = get_operator("acf")(
+        key_cols=["k"], order_cols=["t"], value_col="v"
+    ).apply({"in": empty})["out"]
+    assert out.count() == 0
+    empty2 = spark.createDataFrame([], "k string, t int, x double, y double")
+    out2 = get_operator("ccf")(
+        key_cols=["k"], order_cols=["t"], x_col="x", y_col="y"
+    ).apply({"in": empty2})["out"]
+    assert out2.count() == 0
