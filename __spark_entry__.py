@@ -9517,6 +9517,37 @@ FROM e WHERE np > 0
 _SQL_ACF = _sql_acf()
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (operators/text_analysis.py
+    feature_hash, Weinberger et al. 2009) of documents into 256-dim
+    signed sparse vectors — weights are exact ±1 term-frequency sums,
+    bit-exact; the oracle replays the md5 index and sign chains."""
+    from etl_core_spark.operators.base import get_operator
+
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("feature_hash")(
+        id_col="doc_id", text_col="text", dim=256
+    ).apply({"in": docs})["out"]
+
+
+_SQL_FEATURE_HASH = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5('#sign' || tok), 1, 8))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM x
+)
+SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+       CAST(sum(s) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, idx
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negatives (operators/sampling.py
     negative_sample): every document gets 3 md5-derived pseudo-random
@@ -9725,9 +9756,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window: 8 new rows (png_decode, louvain, dbscan, then the
+# r11 window: 9 new rows (png_decode, louvain, dbscan, then the
 # session-2 wave link_predict, acf, assoc_rules, ccf,
-# negative_sample), then the 4
+# negative_sample, feature_hash), then the 4
 # streaming rows whose certification INPUT changed this round
 # (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
 # r10 #5), then the 10 rows whose operator code changed (distributed
@@ -9747,7 +9778,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # OperatorConfigError paths, each pytest-covered; query path
 # untouched and r10-certified one round ago) and multimodal_features
 # (operator code unchanged since r7; the module-level change — the
-# PNG codec — is certified by the in-window png_decode row).
+# PNG codec — is certified by the in-window png_decode row), plus
+# quality_gate (selection.py's probe rework is exercised by the
+# three sibling rows still in the window: dsir_weights, dsir_select,
+# quality_classifier).
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
 # r11) and lead the r12 rotation together with the r08 cohort
@@ -9759,12 +9793,13 @@ _R11_WINDOW = [
     # new this round
     "png_decode", "louvain", "dbscan",
     "link_predict", "acf", "assoc_rules", "ccf", "negative_sample",
+    "feature_hash",
     # streaming rows re-certified on bounded panels (input changed)
     "streaming_sessionize", "streaming_psi", "streaming_attribution",
     "streaming_hourly",
     # operator code changed this round
     "mannwhitney_u", "ks_drift", "dsir_weights", "dsir_select",
-    "quality_classifier", "quality_gate",
+    "quality_classifier",
     # r06-vintage cohort, 5 rounds stale (complete)
     "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
     "hash_split_counts", "hll_distinct", "interval_join",
@@ -9959,6 +9994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "ccf": q_ccf,
         "negative_sample": q_negative_sample,
+        "feature_hash": q_feature_hash,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10174,6 +10210,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _SQL_ACF,
         "ccf": _SQL_CCF,
         "negative_sample": _SQL_NEGATIVE_SAMPLE,
+        "feature_hash": _SQL_FEATURE_HASH,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

@@ -1492,3 +1492,102 @@ class CorpusDivergenceOperator(Operator):
                 int(c.get("quantize", 6)),
             )
         }
+
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    signed: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009) → the
+    long-form sparse vector ``(id, idx, weight)``: every token maps
+    to ``idx = md5(token) mod dim`` with a ±1 sign from an
+    independent md5 bit, and ``weight`` is the signed term-frequency
+    sum per (document, index). The fixed-dimension featurizer for
+    linear/logistic baselines, dedup-classifier features, and
+    quality-model inputs at corpus scale — no vocabulary pass, no
+    fitted state, memory O(dim) per row downstream.
+
+    The sign trick makes collisions cancel in expectation
+    (E[w_collision] = 0, the paper's unbiasedness argument);
+    ``signed=False`` gives plain counting-hash features. Weights are
+    exact integers (a sum of ±1 per token occurrence), so the output
+    is bit-exact across engines, partitionings, and reruns — md5
+    end to end, replayable by any engine (the ``hash_sample``
+    portability contract). Zero-weight cells (perfect cancellation)
+    are EMITTED: the row set is then exactly "document × distinct
+    hashed index", the same relation a counting implementation
+    produces, and downstream consumers see collisions explicitly.
+    Documents with no tokens emit nothing.
+
+    Scale shape: ONE explode bounded by corpus token count + ONE
+    map-side-combinable groupBy (id, idx). No joins, no windows, no
+    driver state, fully lazy.
+    """
+    if not id_col or not text_col:
+        raise OperatorConfigError(
+            "feature_hash requires id_col and text_col"
+        )
+    if int(dim) < 2:
+        raise OperatorConfigError("feature_hash dim must be >= 2")
+    from etl_core_spark.functions.text import tokens
+    from etl_core_spark.operators.sampling import hash_bucket
+
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text)).alias("__tok"),
+    )
+    idx = F.pmod(hash_bucket(F.col("__tok")), F.lit(int(dim)))
+    if signed:
+        sign = F.when(
+            F.pmod(hash_bucket(F.col("__tok"), "#sign"), F.lit(2)) == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+    else:
+        sign = F.lit(1)
+    return (
+        tok.select("__id", idx.alias("__idx"), sign.alias("__s"))
+        .groupBy("__id", "__idx")
+        .agg(F.sum("__s").alias("__w"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__idx").cast("int").alias("idx"),
+            F.col("__w").cast("long").alias("weight"),
+        )
+    )
+
+
+@register_operator("feature_hash")
+class FeatureHashOperator(Operator):
+    """Config: ``id_col``, ``text_col`` (required); ``dim``,
+    ``signed``, ``lowercase``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("id_col", "text_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(f"feature_hash requires {key!r}")
+        if int(self.config.get("dim", 1024)) < 2:
+            raise OperatorConfigError("feature_hash dim must be >= 2")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": feature_hash(
+                self.single_input(inputs),
+                c["id_col"],
+                c["text_col"],
+                int(c.get("dim", 1024)),
+                bool(c.get("signed", True)),
+                bool(c.get("lowercase", True)),
+            )
+        }

@@ -806,6 +806,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="retrieval mode: return only the best-k documents"),
         f("lowercase", "boolean", default=True),
     ],
+    "feature_hash": [
+        f("id_col", "string", required=True),
+        f("text_col", "string", required=True),
+        f("dim", "integer", default=1024,
+          desc="hashed feature dimension; token -> md5(token) mod dim"),
+        f("signed", "boolean", default=True,
+          desc="±1 sign from an independent md5 bit so collisions "
+               "cancel in expectation (Weinberger et al. 2009)"),
+        f("lowercase", "boolean", default=True),
+    ],
     "pagerank": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

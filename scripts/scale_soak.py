@@ -440,6 +440,13 @@ def families(docs, spark):
     fams["negative_sample"] = lambda: negative_sample(
         docs, "doc_id", k=3, buckets=max(16, n_docs // 1000)
     )
+    # r11 session 2: hashing-trick featurization — one token explode
+    # + one (id, idx) aggregate, both linear in corpus token count
+    from etl_core_spark.operators.text_analysis import feature_hash
+
+    fams["feature_hash"] = lambda: feature_hash(
+        docs, "doc_id", "text", dim=512
+    )
     return fams
 
 

@@ -870,3 +870,69 @@ def test_corpus_divergence_matches_pure_python(spark):
     # poles: identical distributions -> 0; disjoint -> exactly ln 2
     assert got[("a", "b")][0] == 0.0
     assert got[("a", "c")][0] == math.floor(math.log(2) * 1e6) / 1e6
+
+
+# ---------------------------------------------------------------- feature_hash
+
+
+def test_feature_hash_matches_python_reference(spark):
+    import hashlib
+    import re
+
+    def hb(s, salt=""):
+        return int(hashlib.md5((salt + s).encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "  Weighted   spaces\tand TABS  "),
+        (3, ""),          # no tokens -> no rows
+        (4, "dup dup dup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = get_operator("feature_hash")(
+        id_col="doc_id", text_col="text", dim=32
+    ).apply({"in": df})["out"]
+    got = {(r["doc_id"], r["idx"]): r["weight"] for r in out.collect()}
+    ref: dict = {}
+    for did, text in rows:
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        for t in toks:
+            idx = hb(t) % 32
+            s = 1 if hb(t, "#sign") % 2 == 0 else -1
+            ref[(did, idx)] = ref.get((did, idx), 0) + s
+    assert got == ref
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_feature_hash_unsigned_counts_and_dim_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c a")], "doc_id long, text string"
+    )
+    out = get_operator("feature_hash")(
+        id_col="doc_id", text_col="text", dim=8, signed=False
+    ).apply({"in": df})["out"]
+    rows = out.collect()
+    assert sum(r["weight"] for r in rows) == 5  # plain tf sums
+    assert all(0 <= r["idx"] < 8 for r in rows)
+    assert all(r["weight"] > 0 for r in rows)
+
+
+def test_feature_hash_deterministic_and_validation(spark):
+    import pytest
+
+    from etl_core_spark.operators.base import OperatorConfigError
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    op = get_operator("feature_hash")(id_col="doc_id", text_col="text",
+                                      dim=16)
+    a = sorted(map(tuple, op.apply({"in": df})["out"].collect()))
+    b = sorted(map(tuple, op.apply({"in": df})["out"].collect()))
+    assert a == b
+    with pytest.raises(OperatorConfigError):
+        get_operator("feature_hash")(id_col="doc_id", text_col="text",
+                                     dim=1).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("feature_hash")(text_col="text").validate_config()
