@@ -9784,7 +9784,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # quality_classifier).
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
-# r11) and lead the r12 rotation together with the r08 cohort
+# r11) and lead the r12 rotation together with the six rows this
+# window displaced for the session-2 wave (chi2_independence,
+# systematic_sample, snm_linkage, record_linkage,
+# multimodal_features, quality_gate — each re-verified locally at
+# sf0.01 when displaced) and the r08 cohort
 # (45 rows: gaps_islands, percentiles, funnel, the TPC-H q12/q18/q19/
 # q22 analogs, set ops, pivot/rollup/cube family, type_conversion,
 # merge/split, window family, ntile, ivf_index_topk, json_expand,
