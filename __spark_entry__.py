@@ -4457,6 +4457,70 @@ FROM px GROUP BY media_id, w, h
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprints (multimodal.image_phash,
+    aHash / Zauner 2010) over 48 synthetic RGB PNGs decoded through
+    the real stdlib codec. Dimensions are multiples of 8, so every
+    8x8 cell has equal pixel count and each hash bit reduces to the
+    exact integer test 64*cell_sum > total_sum on the Rec. 601
+    luminance (299R+587G+114B, never divided) — the DuckDB oracle
+    recomputes the bits straight from the generating pixel formula
+    and string_aggs them in cell order."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(48):
+        w, h = 16 + 8 * (i % 4), 16 + 8 * (i % 3)
+        px = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (7 * x + 13 * y + i) % 256,
+                (3 * x + 5 * y + 2 * i) % 256,
+                (x * y + i) % 256,
+            )
+        )
+        rows.append((i, encode_png(w, h, px, filter_mode="cycle")))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("image_phash")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select("media_id", "width", "height", "phash")
+
+
+_SQL_IMAGE_PHASH = """
+WITH imgs AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         16 + 8*(i % 4) AS w, 16 + 8*(i % 3) AS h
+  FROM generate_series(0, 47) AS t(i)
+), px AS (
+  SELECT media_id, w, h,
+         299*((7*x + 13*y + media_id) % 256)
+       + 587*((3*x + 5*y + 2*media_id) % 256)
+       + 114*((x*y + media_id) % 256) AS lum,
+         (y*8//h)*8 + (x*8//w) AS cell
+  FROM imgs, generate_series(0, 39) gx(x), generate_series(0, 31) gy(y)
+  WHERE x < w AND y < h
+), cells AS (
+  SELECT media_id, w, h, cell, SUM(lum) AS s
+  FROM px GROUP BY media_id, w, h, cell
+), tot AS (
+  SELECT media_id, SUM(s) AS t FROM cells GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(c.w AS INTEGER) AS width,
+       CAST(c.h AS INTEGER) AS height,
+       string_agg(CASE WHEN 64*c.s > tot.t THEN '1' ELSE '0' END, ''
+                  ORDER BY c.cell) AS phash
+FROM cells c JOIN tot USING (media_id)
+GROUP BY c.media_id, c.w, c.h
+"""
+
+
 # payload_bytes=256 over a 64-char hex seed -> exactly 4 repeats;
 # the UDF hashes the raw payload BYTES, DuckDB the identical ASCII text
 _SQL_MULTIMODAL = """
@@ -9756,9 +9820,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window: 9 new rows (png_decode, louvain, dbscan, then the
+# r11 window: 10 new rows (png_decode, louvain, dbscan, then the
 # session-2 wave link_predict, acf, assoc_rules, ccf,
-# negative_sample, feature_hash), then the 4
+# negative_sample, feature_hash, image_phash), then the 4
 # streaming rows whose certification INPUT changed this round
 # (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
 # r10 #5), then the 10 rows whose operator code changed (distributed
@@ -9779,9 +9843,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # untouched and r10-certified one round ago) and multimodal_features
 # (operator code unchanged since r7; the module-level change — the
 # PNG codec — is certified by the in-window png_decode row), plus
-# quality_gate (selection.py's probe rework is exercised by the
-# three sibling rows still in the window: dsir_weights, dsir_select,
-# quality_classifier).
+# quality_gate and dsir_select (selection.py's probe rework is
+# exercised by the sibling rows still in the window: dsir_weights
+# and quality_classifier).
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
 # r11) and lead the r12 rotation together with the six rows this
@@ -9797,12 +9861,12 @@ _R11_WINDOW = [
     # new this round
     "png_decode", "louvain", "dbscan",
     "link_predict", "acf", "assoc_rules", "ccf", "negative_sample",
-    "feature_hash",
+    "feature_hash", "image_phash",
     # streaming rows re-certified on bounded panels (input changed)
     "streaming_sessionize", "streaming_psi", "streaming_attribution",
     "streaming_hourly",
     # operator code changed this round
-    "mannwhitney_u", "ks_drift", "dsir_weights", "dsir_select",
+    "mannwhitney_u", "ks_drift", "dsir_weights",
     "quality_classifier",
     # r06-vintage cohort, 5 rounds stale (complete)
     "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
@@ -9999,6 +10063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf": q_ccf,
         "negative_sample": q_negative_sample,
         "feature_hash": q_feature_hash,
+        "image_phash": q_image_phash,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10215,6 +10280,7 @@ def oracle_sql() -> dict[str, str]:
         "ccf": _SQL_CCF,
         "negative_sample": _SQL_NEGATIVE_SAMPLE,
         "feature_hash": _SQL_FEATURE_HASH,
+        "image_phash": _SQL_IMAGE_PHASH,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

@@ -314,3 +314,153 @@ class MultimodalFeaturesOperator(Operator):
                 max_records_per_batch=int(self.config.get("max_records_per_batch", 256)),
             )
         }
+
+
+PHASH_SCHEMA = (
+    "media_id long, width int, height int, phash string, error string"
+)
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 8,
+    on_error: str = "raise",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Perceptual average-hash image fingerprint (aHash; Zauner 2010
+    benchmarks the family) over REAL decoded pixels → ``(media_id,
+    width, height, phash, error)``: the image-dedup primitive —
+    re-encoded, resized or lightly-edited copies of one image land
+    within a few hamming bits of each other, exact binary dedup
+    misses all of them.
+
+    Construction: decode (``png_codec``), integer luminance
+    ``L = 299·R + 587·G + 114·B`` (the Rec. 601 weights scaled by
+    1000 — never divided, so everything stays an exact integer;
+    single-channel images use the raw value), average-pool onto a
+    ``grid``×``grid`` cell lattice (cell boundaries
+    ``floor(i·h/grid)``), then one bit per cell: 1 iff the cell mean
+    EXCEEDS the mean of cell means (strict; ties → 0, constant
+    images hash to all zeros). Means are compared as exact rationals
+    (``fractions.Fraction``), so the hash is a pure function of the
+    pixels — bit-for-bit reproducible across engines and replayable
+    by a closed-form oracle. Output is the row-major ``grid²``-char
+    '0'/'1' string (portable: no int64 sign traps at bit 63).
+
+    Near-dup usage: group by a band of the hash (pigeonhole: two
+    hashes within hamming k share an identical (k+1)-way band) and
+    verify candidates with a popcount — the simhash discipline on an
+    image column.
+
+    Scale shape: narrow Arrow-batched map, zero shuffle —
+    embarrassingly parallel over 100 TB of shards;
+    ``max_records_per_batch`` bounds the working set. The per-pixel
+    Python loop is the documented stdlib-container cost, exactly as
+    ``png_features``.
+    """
+    if on_error not in ("raise", "null"):
+        raise OperatorConfigError("image_phash on_error must be raise|null")
+    if int(grid) < 2:
+        raise OperatorConfigError("image_phash grid must be >= 2")
+    g = int(grid)
+    cap = max(1, int(max_records_per_batch))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fractions import Fraction
+        from zlib import error as zlib_error
+
+        from etl_core_spark.operators.png_codec import (
+            PngFormatError,
+            decode_png,
+        )
+
+        def one(raw):
+            if raw is None:
+                return (None, None, None, None)
+            try:
+                w, h, ch, px = decode_png(bytes(raw))
+            except (PngFormatError, zlib_error) as exc:
+                if on_error == "raise":
+                    raise
+                return (None, None, None, str(exc))
+            if w < g or h < g:
+                msg = f"image {w}x{h} smaller than the {g}x{g} grid"
+                if on_error == "raise":
+                    raise OperatorConfigError(f"image_phash: {msg}")
+                return (None, None, None, msg)
+            sums = [0] * (g * g)
+            counts = [0] * (g * g)
+            for y in range(h):
+                cy = y * g // h
+                row = y * w
+                for x in range(w):
+                    p = (row + x) * ch
+                    if ch >= 3:
+                        lum = 299 * px[p] + 587 * px[p + 1] + 114 * px[p + 2]
+                    else:
+                        lum = px[p]
+                    c = cy * g + (x * g // w)
+                    sums[c] += lum
+                    counts[c] += 1
+            means = [Fraction(sums[i], counts[i]) for i in range(g * g)]
+            mean_of_means = sum(means) / (g * g)
+            bits = "".join(
+                "1" if m > mean_of_means else "0" for m in means
+            )
+            return (w, h, bits, None)
+
+        for whole in batches:
+            for start in range(0, len(whole), cap):
+                pdf = whole.iloc[start:start + cap]
+                cols = list(zip(*(one(r) for r in pdf[payload_col])))
+                if not cols:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col],
+                        "width": cols[0],
+                        "height": cols[1],
+                        "phash": cols[2],
+                        "error": cols[3],
+                    }
+                )
+
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, PHASH_SCHEMA
+    )
+
+
+@register_operator("image_phash")
+class ImagePhashOperator(Operator):
+    """Config: ``payload_col``, ``id_col``, ``grid``, ``on_error``
+    (raise|null), ``max_records_per_batch``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("on_error", "raise") not in ("raise", "null"):
+            raise OperatorConfigError(
+                "image_phash on_error must be raise|null"
+            )
+        if int(self.config.get("grid", 8)) < 2:
+            raise OperatorConfigError("image_phash grid must be >= 2")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": image_phash(
+                self.single_input(inputs),
+                payload_col=c.get("payload_col", "payload"),
+                id_col=c.get("id_col", "media_id"),
+                grid=int(c.get("grid", 8)),
+                on_error=c.get("on_error", "raise"),
+                max_records_per_batch=int(
+                    c.get("max_records_per_batch", 256)
+                ),
+            )
+        }

@@ -507,6 +507,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("max_records_per_batch", "integer", default=256,
           desc="Arrow batch rows (bound blob memory)"),
     ],
+    "image_phash": [
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("grid", "integer", default=8,
+          desc="cell lattice size; hash is grid^2 bits"),
+        f("on_error", "string", default="raise", enum=["raise", "null"]),
+        f("max_records_per_batch", "integer", default=256),
+    ],
     "hash_split": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
         f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),

@@ -251,3 +251,85 @@ def test_streaming_export_seed_skips_dataless_dir_but_propagates_errors(
         q.stop()
     assert read_manifest(spark, str(out))["total_rows"] == 12
     assert set(verify_export(spark, str(out)).values()) == {"ok"}
+
+
+# ----------------------------------------------------------------- image_phash
+
+
+def test_image_phash_matches_python_reference(spark):
+    from fractions import Fraction
+
+    from etl_core_spark.operators.png_codec import encode_png
+
+    rows = []
+    ref = {}
+    for i in range(6):
+        w, h = 16, 24
+        pix = [
+            ((7 * x + 13 * y + i) % 256,
+             (3 * x + 5 * y + i) % 256,
+             (x * y + 2 * i) % 256)
+            for y in range(h) for x in range(w)
+        ]
+        payload = bytes(v for p in pix for v in p)
+        rows.append((i, encode_png(w, h, payload, filter_mode="cycle")))
+        sums = [0] * 64
+        cnts = [0] * 64
+        for y in range(h):
+            for x in range(w):
+                r, gch, b = pix[y * w + x]
+                c = (y * 8 // h) * 8 + (x * 8 // w)
+                sums[c] += 299 * r + 587 * gch + 114 * b
+                cnts[c] += 1
+        means = [Fraction(sums[c], cnts[c]) for c in range(64)]
+        mm = sum(means) / 64
+        ref[i] = "".join("1" if m > mm else "0" for m in means)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = get_operator("image_phash")().apply({"in": df})["out"]
+    got = {r["media_id"]: r["phash"] for r in out.collect()}
+    assert got == ref
+
+
+def test_image_phash_near_copy_and_edge_cases(spark):
+    from etl_core_spark.operators.png_codec import encode_png
+
+    w = h = 16
+    def img(lo, hi):
+        return encode_png(w, h, bytes(
+            v for y in range(h) for x in range(w)
+            for v in ((lo,) * 3 if x < 8 else (hi,) * 3)
+        ))
+
+    df = spark.createDataFrame(
+        [(0, img(0, 255)), (1, img(10, 250)),    # near-copy pair
+         (2, img(128, 128)),                      # constant -> all zeros
+         (3, None)],                              # NULL payload
+        "media_id long, payload binary",
+    )
+    out = get_operator("image_phash")().apply({"in": df})["out"]
+    got = {r["media_id"]: r["phash"] for r in out.collect()}
+    assert got[0] == got[1]              # hamming 0 for the near-copy
+    assert set(got[2]) == {"0"}
+    assert got[3] is None
+    # undersized image: raise by default, null-mode records the error
+    tiny = spark.createDataFrame(
+        [(9, __import__("etl_core_spark.operators.png_codec",
+                        fromlist=["encode_png"]).encode_png(
+            4, 4, bytes(48)))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="smaller than"):
+        get_operator("image_phash")().apply({"in": tiny})["out"].collect()
+    rows = get_operator("image_phash")(on_error="null").apply(
+        {"in": tiny}
+    )["out"].collect()
+    assert rows[0]["phash"] is None and "smaller than" in rows[0]["error"]
+
+
+def test_image_phash_validation(spark):
+    from etl_core_spark.operators.base import OperatorConfigError
+
+    with pytest.raises(OperatorConfigError):
+        get_operator("image_phash")(grid=1).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("image_phash")(on_error="skip").validate_config()
