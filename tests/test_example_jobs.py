@@ -913,3 +913,38 @@ def test_parquet_basket_affinity(spark, tmp_path):
     }
     # a and c never co-occur but share the degree-2 neighbor b
     assert preds == {("a", "c"): (1, (10**12 // 2) / 1e12)}
+
+
+def test_parquet_image_dedup(spark, tmp_path):
+    """Image dedup through the real codec: perceptual fingerprints,
+    then exact dedup on the hash — the re-encoded near-copy collapses
+    onto the original (min media_id survives), the distinct image
+    stays."""
+    from etl_core_spark.operators.png_codec import encode_png
+
+    def inputs(d):
+        w = h = 16
+        def img(lo, hi, mode="none"):
+            return encode_png(w, h, bytes(
+                v for y in range(h) for x in range(w)
+                for v in ((lo,) * 3 if x < 8 else (hi,) * 3)
+            ), filter_mode=mode)
+
+        rows = [
+            (1, img(0, 255)),
+            (2, img(10, 250, mode="cycle")),  # near-copy, other filters
+            (3, img(255, 0)),                  # mirrored: distinct hash
+        ]
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.parquet(str(d / "media.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_image_dedup.json", inputs
+    )
+    fp = {r["media_id"]: r["phash"]
+          for r in spark.read.parquet(str(out / "fingerprints")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    unique = {r["media_id"]
+              for r in spark.read.parquet(str(out / "unique")).collect()}
+    assert unique == {1, 3}
