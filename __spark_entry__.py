@@ -9820,39 +9820,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window: 10 new rows (png_decode, louvain, dbscan, then the
-# session-2 wave link_predict, acf, assoc_rules, ccf,
-# negative_sample, feature_hash, image_phash), then the 4
-# streaming rows whose certification INPUT changed this round
-# (deterministic 1-in-4 user / first-quarter-hour panels — VERDICT
-# r10 #5), then the 10 rows whose operator code changed (distributed
-# prefix sums in mannwhitney_u/ks_drift ungrouped; existence probes +
-# lazy broadcast totals in the dsir/quality quartet; validation
-# hardening in the linkage pair, systematic_sample and
-# chi2_independence), then the ENTIRE 18-row r06-vintage cohort
+# r11 window (50 = 10 + 4 + 4 + 18 + 14): 10 new rows (png_decode,
+# louvain, dbscan, then the session-2 wave link_predict, acf,
+# assoc_rules, ccf, negative_sample, feature_hash, image_phash),
+# then the 4 streaming rows whose certification INPUT changed this
+# round (deterministic 1-in-4 user / first-quarter-hour panels —
+# VERDICT r10 #5), then 4 rows whose operator code changed
+# (distributed prefix sums in mannwhitney_u/ks_drift ungrouped;
+# existence probes + lazy broadcast totals behind dsir_weights and
+# quality_classifier), then the ENTIRE 18-row r06-vintage cohort
 # (displaced in r10, individually re-verified locally then; 5 rounds
-# stale by the driver's ledger), then 15 of the 47 r07-vintage rows:
-# the 13 VERDICT r10 item-1 names still r07-stale, plus
-# multimodal_features (module changed this round: the PNG codec
-# landed beside the untouched extract_features) and agg_global.
-# To make room for the session-2 wave, five rows moved out, each
+# stale by the driver's ledger), then 14 of the 47 r07-vintage rows
+# (the VERDICT r10 item-1 names still r07-stale, plus agg_global).
+# To make room for the session-2 wave, SEVEN rows moved out, each
 # re-verified locally at sf0.01 through scripts/check_oracles.py
 # this session: chi2_independence, systematic_sample, snm_linkage,
 # record_linkage (ONLY config-validation hardening this round — new
 # OperatorConfigError paths, each pytest-covered; query path
-# untouched and r10-certified one round ago) and multimodal_features
+# untouched and r10-certified one round ago), multimodal_features
 # (operator code unchanged since r7; the module-level change — the
-# PNG codec — is certified by the in-window png_decode row), plus
-# quality_gate and dsir_select (selection.py's probe rework is
+# PNG codec — is certified by the in-window png_decode row), and
+# quality_gate + dsir_select (selection.py's probe rework is
 # exercised by the sibling rows still in the window: dsir_weights
 # and quality_classifier).
 # The 32 r07 rows that do not fit were ALL re-run locally through
 # scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
-# r11) and lead the r12 rotation together with the six rows this
+# r11) and lead the r12 rotation together with the SEVEN rows this
 # window displaced for the session-2 wave (chi2_independence,
 # systematic_sample, snm_linkage, record_linkage,
-# multimodal_features, quality_gate — each re-verified locally at
-# sf0.01 when displaced) and the r08 cohort
+# multimodal_features, quality_gate, dsir_select — each re-verified
+# locally at sf0.01 when displaced) and the r08 cohort
 # (45 rows: gaps_islands, percentiles, funnel, the TPC-H q12/q18/q19/
 # q22 analogs, set ops, pivot/rollup/cube family, type_conversion,
 # merge/split, window family, ntile, ivf_index_topk, json_expand,

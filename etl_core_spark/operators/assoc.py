@@ -26,7 +26,7 @@ def assoc_rules(
     basket_col: str,
     item_col: str,
     min_support_count: int = 2,
-    max_basket_size: int = 10_000,
+    max_basket_size: int | None = 10_000,
     quantize: int = 9,
 ) -> DataFrame:
     """Frequent unordered item pairs with the standard rule metrics
@@ -50,7 +50,9 @@ def assoc_rules(
     distribution this removes most of the long tail), then a loud
     ``max_basket_size`` existence probe rejects degenerate baskets
     that would still fan out quadratically (the ``theil_sen``
-    max_points discipline — re-key or raise the support floor).
+    max_points discipline — re-key or raise the support floor;
+    ``None`` skips the probe — one fewer eager job — for callers
+    whose baskets are known-bounded).
     Plan shape: two group aggregates + one basket-keyed self-join +
     one pair aggregate + two item-keyed joins for the marginals;
     n_baskets rides as a broadcast one-row aggregate. No windows, no
@@ -64,7 +66,7 @@ def assoc_rules(
         raise OperatorConfigError(
             "assoc_rules min_support_count must be >= 1"
         )
-    if int(max_basket_size) < 2:
+    if max_basket_size is not None and int(max_basket_size) < 2:
         raise OperatorConfigError(
             "assoc_rules max_basket_size must be >= 2"
         )
@@ -100,7 +102,7 @@ def assoc_rules(
         .agg(F.count(F.lit(1)).alias("__sz"))
         .where(F.col("__sz") > int(max_basket_size))
         .take(1)
-    )
+    ) if max_basket_size is not None else []
     if oversized:
         raise OperatorConfigError(
             f"assoc_rules: basket {oversized[0]['__b']!r} still has "
@@ -160,7 +162,8 @@ class AssocRulesOperator(Operator):
             raise OperatorConfigError(
                 "assoc_rules min_support_count must be >= 1"
             )
-        if int(self.config.get("max_basket_size", 10_000)) < 2:
+        mbs = self.config.get("max_basket_size", 10_000)
+        if mbs is not None and int(mbs) < 2:
             raise OperatorConfigError(
                 "assoc_rules max_basket_size must be >= 2"
             )
@@ -173,7 +176,7 @@ class AssocRulesOperator(Operator):
                 c["basket_col"],
                 c["item_col"],
                 int(c.get("min_support_count", 2)),
-                int(c.get("max_basket_size", 10_000)),
+                c.get("max_basket_size", 10_000),
                 int(c.get("quantize", 9)),
             )
         }

@@ -1382,8 +1382,17 @@ def link_predict(
             F.col("x.__w").alias("__w"),
         )
     )
+    # RA weights are ~10^weight_scale each: sum in DECIMAL(38,0) so a
+    # pair with tens of millions of common neighbors cannot wrap a
+    # long (the oracle sums in a 128-bit type; bit-exact means the
+    # Spark side must not overflow first). AA stays double.
+    w_agg = (
+        F.sum(F.col("__w").cast("decimal(38,0)"))
+        if method == "resource_allocation"
+        else F.sum("__w")
+    )
     scored = pairs.groupBy("__a", "__b").agg(
-        F.count(F.lit(1)).alias("__cn"), F.sum("__w").alias("__sw")
+        F.count(F.lit(1)).alias("__cn"), w_agg.alias("__sw")
     ).where(F.col("__cn") >= int(min_common))
     if exclude_adjacent:
         scored = scored.join(

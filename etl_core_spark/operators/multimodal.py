@@ -78,6 +78,25 @@ def _decode_image_batch(payloads: pd.Series, feature_dim: int) -> list[list[floa
     return feats
 
 
+def _cap_slices(
+    batches: Iterator[pd.DataFrame], cap: int
+) -> Iterator[pd.DataFrame]:
+    """Yield sub-frames of at most ``cap`` rows (empty slices
+    skipped). The cap is enforced by SLICING inside the UDF because
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is read at
+    EXECUTION time — setting it around a lazy plan build and
+    restoring it in a ``finally`` reverts it before any action runs,
+    so the conf route never applied (a 32-row corpus arrived as one
+    32-row batch). Shared by every multimodal mapInPandas operator;
+    for the Arrow TRANSFER batch itself, set the conf session-wide
+    when ingesting 100 MB-blob columns (see session.py note)."""
+    for whole in batches:
+        for start in range(0, len(whole), cap):
+            pdf = whole.iloc[start:start + cap]
+            if len(pdf):
+                yield pdf
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -89,33 +108,25 @@ def extract_features(
     mapInPandas, processing at most ``max_records_per_batch`` rows at
     a time.
 
-    The cap is enforced by SLICING inside the UDF: the session conf
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is read at
-    EXECUTION time, so setting it around this (lazy) plan build and
-    restoring it in a ``finally`` reverted it before any action ran —
-    the cap never applied (a 32-row corpus arrived as one 32-row
-    batch). Slicing bounds the per-step working set regardless of the
-    session conf; for the Arrow TRANSFER batch itself, set the conf
-    session-wide when ingesting 100 MB-blob columns (see session.py
-    note)."""
+    The cap is enforced by slicing inside the UDF (``_cap_slices``
+    — see its docstring for why the Arrow session conf cannot do
+    this)."""
 
     cap = max(1, int(max_records_per_batch))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for whole in batches:
-            for start in range(0, len(whole), cap):
-                pdf = whole.iloc[start:start + cap]
-                payloads = pdf[payload_col]
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf[id_col],
-                        "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
-                        "sha256": payloads.map(
-                            lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
-                        ),
-                        "feature": _decode_image_batch(payloads, feature_dim),
-                    }
-                )
+        for pdf in _cap_slices(batches, cap):
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                    "feature": _decode_image_batch(payloads, feature_dim),
+                }
+            )
 
     from etl_core_spark.session import ensure_parallelism
 
@@ -197,25 +208,21 @@ def png_features(
                 None,
             )
 
-        for whole in batches:
-            for start in range(0, len(whole), cap):
-                pdf = whole.iloc[start:start + cap]
-                cols = list(zip(*(one(r) for r in pdf[payload_col])))
-                if not cols:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf[id_col],
-                        "width": cols[0],
-                        "height": cols[1],
-                        "channels": cols[2],
-                        "sum_c0": cols[3],
-                        "sum_c1": cols[4],
-                        "sum_c2": cols[5],
-                        "sum_c3": cols[6],
-                        "error": cols[7],
-                    }
-                )
+        for pdf in _cap_slices(batches, cap):
+            cols = list(zip(*(one(r) for r in pdf[payload_col])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "channels": cols[2],
+                    "sum_c0": cols[3],
+                    "sum_c1": cols[4],
+                    "sum_c2": cols[5],
+                    "sum_c3": cols[6],
+                    "error": cols[7],
+                }
+            )
 
     from etl_core_spark.session import ensure_parallelism
 
@@ -411,21 +418,17 @@ def image_phash(
             )
             return (w, h, bits, None)
 
-        for whole in batches:
-            for start in range(0, len(whole), cap):
-                pdf = whole.iloc[start:start + cap]
-                cols = list(zip(*(one(r) for r in pdf[payload_col])))
-                if not cols:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf[id_col],
-                        "width": cols[0],
-                        "height": cols[1],
-                        "phash": cols[2],
-                        "error": cols[3],
-                    }
-                )
+        for pdf in _cap_slices(batches, cap):
+            cols = list(zip(*(one(r) for r in pdf[payload_col])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "phash": cols[2],
+                    "error": cols[3],
+                }
+            )
 
     from etl_core_spark.session import ensure_parallelism
 

@@ -1236,7 +1236,8 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="A-priori prune floor: items AND pairs below this "
                "absolute count drop"),
         f("max_basket_size", "integer", default=10000,
-          desc="loud guard on post-prune basket fan-out"),
+          desc="loud guard on post-prune basket fan-out; null skips "
+               "the eager probe for known-bounded baskets"),
         f("quantize", "integer", default=9),
     ],
     "acf": [

@@ -124,3 +124,24 @@ def test_assoc_rules_empty_and_single_item_inputs(spark):
         basket_col="b", item_col="i"
     ).apply({"in": single})["out"]
     assert out2.count() == 0
+
+
+def test_assoc_rules_probe_opt_out(spark):
+    """max_basket_size=None skips the eager guard probe (the
+    theil_sen opt-out) — zero Spark jobs at plan-build time."""
+    rows = [(1, f"i{j}") for j in range(30)]
+    rows += [(2, f"i{j}") for j in range(30)]
+    df = spark.createDataFrame(rows, "b int, i string")
+    sc = spark.sparkContext
+    group = "assoc_probe_optout"
+    sc.setJobGroup(group, "assoc_rules without probe must be lazy")
+    try:
+        out = get_operator("assoc_rules")(
+            basket_col="b", item_col="i", min_support_count=2,
+            max_basket_size=None,
+        ).apply({"in": df})["out"]
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # and it still computes: 30 items all count 2 -> C(30,2) pairs
+    assert out.count() == 435
