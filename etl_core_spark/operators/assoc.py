@@ -104,6 +104,13 @@ def assoc_rules(
         .take(1)
     ) if max_basket_size is not None else []
     if oversized:
+        # release the persisted intermediates before raising — the
+        # plan is abandoned, so nothing downstream will unpersist them
+        for cached in (pruned, item_cnt, obs):
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
         raise OperatorConfigError(
             f"assoc_rules: basket {oversized[0]['__b']!r} still has "
             f"{oversized[0]['__sz']} frequent items after the support "

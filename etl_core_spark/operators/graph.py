@@ -1341,6 +1341,13 @@ def link_predict(
         raise OperatorConfigError("link_predict max_degree must be >= 2")
     if int(min_common) < 1:
         raise OperatorConfigError("link_predict min_common must be >= 1")
+    if int(weight_scale) < 1:
+        # weight_scale <= 0 makes the RA unit weight collapse to 1
+        # (or a negative power formatted into the SQL expression),
+        # silently zeroing every score instead of raising
+        raise OperatorConfigError("link_predict weight_scale must be >= 1")
+    if int(quantize) < 1:
+        raise OperatorConfigError("link_predict quantize must be >= 1")
     from etl_core_spark.session import persist_intermediate
 
     q = float(10 ** int(quantize))
@@ -1445,6 +1452,14 @@ class LinkPredictOperator(Operator):
         if int(self.config.get("min_common", 1)) < 1:
             raise OperatorConfigError(
                 "link_predict min_common must be >= 1"
+            )
+        if int(self.config.get("weight_scale", 12)) < 1:
+            raise OperatorConfigError(
+                "link_predict weight_scale must be >= 1"
+            )
+        if int(self.config.get("quantize", 9)) < 1:
+            raise OperatorConfigError(
+                "link_predict quantize must be >= 1"
             )
 
     def apply(self, inputs: PortMap) -> PortMap:

@@ -396,7 +396,9 @@ def image_phash(
                 msg = f"image {w}x{h} smaller than the {g}x{g} grid"
                 if on_error == "raise":
                     raise OperatorConfigError(f"image_phash: {msg}")
-                return (None, None, None, msg)
+                # the decode succeeded — keep the dimensions on the
+                # error row so on_error='null' stays diagnosable
+                return (w, h, None, msg)
             sums = [0] * (g * g)
             counts = [0] * (g * g)
             for y in range(h):

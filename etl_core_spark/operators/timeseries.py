@@ -2165,7 +2165,11 @@ def acf(
     prefix/suffix). The only float math is the final division,
     floor-quantized. Bit-identical across engines regardless of
     reduction order. Magnitude bound: n^3*y^2 must stay inside 38
-    digits — per-key series up to ~10^8 points at value_scale 100.
+    digits — per-key series up to ~10^8 points at value_scale 100;
+    beyond it the moments would overflow DECIMAL(38,0) to NULL, which
+    the final projection detects (NULL moment with n_pairs > 0 cannot
+    be zero variance) and raises loudly instead of emitting a NULL
+    acf indistinguishable from a constant series.
 
     ``order_cols`` must be a TOTAL order within each key (add a
     unique id as tiebreak) or lead() is nondeterministic. Rows with
@@ -2242,11 +2246,25 @@ def acf(
         F.explode(F.array(*lag_structs)).alias("__e"),
     ).where(F.col("__e.n_pairs") > 0)
     r = F.col("__e.num").cast("double") / F.col("__den").cast("double")
+    # DECIMAL(38,0) moments overflow silently to NULL in non-ANSI
+    # Spark once n^3*y^2 exceeds 38 digits (~10^8 points per key at
+    # value_scale 100). A legitimately constant series yields den = 0
+    # (never NULL) with n_pairs > 0, so NULL den/num here can ONLY be
+    # overflow — raise loudly instead of emitting a NULL acf that is
+    # indistinguishable from zero variance.
+    overflow = F.col("__den").isNull() | F.col("__e.num").isNull()
     return exploded.select(
         *key_cols,
         F.col("__e.lag").cast("int").alias("lag"),
         F.col("__e.n_pairs").alias("n_pairs"),
         F.when(
+            overflow,
+            F.raise_error(F.lit(
+                "acf: DECIMAL(38,0) moment overflow — n^3*y^2 "
+                "exceeded 38 digits for a key; lower value_scale or "
+                "shard the key"
+            )).cast("double"),
+        ).when(
             F.col("__den") != 0, F.floor(r * F.lit(q)) / F.lit(q)
         ).alias("acf"),
     )
@@ -2439,11 +2457,26 @@ def ccf(
         * F.sqrt(F.col("__dx").cast("double"))
         * F.sqrt(F.col("__dy").cast("double"))
     )
+    # same overflow contract as acf: NULL moments with n_pairs > 0
+    # can only be DECIMAL(38,0) overflow (constant series → 0, not
+    # NULL) — raise loudly rather than emit an ambiguous NULL
+    overflow = (
+        F.col("__dx").isNull()
+        | F.col("__dy").isNull()
+        | F.col("__e.num").isNull()
+    )
     return exploded.select(
         *key_cols,
         F.col("__e.lag").cast("int").alias("lag"),
         F.col("__e.n_pairs").alias("n_pairs"),
         F.when(
+            overflow,
+            F.raise_error(F.lit(
+                "ccf: DECIMAL(38,0) moment overflow — n^3*v^2 "
+                "exceeded 38 digits for a key; lower value_scale or "
+                "shard the key"
+            )).cast("double"),
+        ).when(
             (F.col("__dx") != 0) & (F.col("__dy") != 0),
             F.floor(r * F.lit(q)) / F.lit(q),
         ).alias("ccf"),

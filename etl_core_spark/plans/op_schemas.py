@@ -1236,8 +1236,10 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="A-priori prune floor: items AND pairs below this "
                "absolute count drop"),
         f("max_basket_size", "integer", default=10000,
-          desc="loud guard on post-prune basket fan-out; null skips "
-               "the eager probe for known-bounded baskets"),
+          desc="loud guard on post-prune basket fan-out; runs ONE "
+               "eager existence probe (a Spark job over the pruned "
+               "relation) at graph-build time; null skips the probe "
+               "for known-bounded baskets"),
         f("quantize", "integer", default=9),
     ],
     "acf": [
@@ -1249,7 +1251,9 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("max_lag", "integer", default=5),
         f("value_scale", "integer", default=100,
           desc="y = floor(v*scale + 0.5) integer units for the "
-               "exact decimal moments"),
+               "exact decimal moments; n^3*y^2 must fit 38 digits "
+               "(~1e8 points/key at scale 100) — overflow raises at "
+               "execution instead of emitting NULL"),
         f("quantize", "integer", default=9),
     ],
     "ccf": [

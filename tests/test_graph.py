@@ -845,6 +845,18 @@ def test_link_predict_validation(spark):
                                      min_common=0).validate_config()
     with pytest.raises(OperatorConfigError):
         get_operator("link_predict")(dst="dst").validate_config()
+    # weight_scale<=0 would silently zero every RA score (ADVICE r11)
+    with pytest.raises(OperatorConfigError, match="weight_scale"):
+        get_operator("link_predict")(src="src", dst="dst",
+                                     weight_scale=0).validate_config()
+    with pytest.raises(OperatorConfigError, match="quantize"):
+        get_operator("link_predict")(src="src", dst="dst",
+                                     quantize=0).validate_config()
+    from etl_core_spark.operators.graph import link_predict
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(OperatorConfigError, match="weight_scale"):
+        link_predict(edges, weight_scale=-3)
 
 
 def test_link_predict_empty_and_no_wedge_graphs(spark):

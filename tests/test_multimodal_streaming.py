@@ -324,6 +324,8 @@ def test_image_phash_near_copy_and_edge_cases(spark):
         {"in": tiny}
     )["out"].collect()
     assert rows[0]["phash"] is None and "smaller than" in rows[0]["error"]
+    # the decode itself succeeded, so the error row keeps the dims
+    assert rows[0]["width"] == 4 and rows[0]["height"] == 4
 
 
 def test_image_phash_validation(spark):

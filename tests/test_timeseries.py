@@ -944,6 +944,49 @@ def test_ccf_validation(spark):
         ).validate_config()
 
 
+def test_acf_ccf_moment_overflow_raises_loudly(spark):
+    """DECIMAL(38,0) moment overflow must be loud, never a NULL acf
+    that reads as zero variance (ADVICE r11). Under ANSI Spark the
+    decimal arithmetic itself raises; with ansi off the NULL-moment
+    guard in the final projection fires. Either way: an error."""
+    rows = [("k", t, 9e17, 9e17) for t in range(20)]
+
+    def build(ansi_df):
+        a = get_operator("acf")(
+            key_cols=["k"], order_cols=["t"], value_col="v",
+            value_scale=1, max_lag=1,
+        ).apply({"in": ansi_df})["out"]
+        c = get_operator("ccf")(
+            key_cols=["k"], order_cols=["t"], x_col="v", y_col="y",
+            value_scale=1, max_lag=1,
+        ).apply({"in": ansi_df})["out"]
+        return a, c
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        # exercise OUR guard: non-ANSI overflow silently NULLs the
+        # moments, and the projection must turn that into a raise.
+        # The null-on-overflow flag is baked in at ANALYSIS time, so
+        # the plan must be BUILT under ansi=false as well.
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        df = spark.createDataFrame(
+            rows, "k string, t int, v double, y double"
+        )
+        acf_out, ccf_out = build(df)
+        with pytest.raises(Exception, match="overflow"):
+            acf_out.collect()
+        with pytest.raises(Exception, match="overflow"):
+            ccf_out.collect()
+        # ANSI path: Spark's own decimal check raises first
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        acf_ansi, _ = build(df)
+        with pytest.raises(Exception,
+                           match="overflow|cannot be represented"):
+            acf_ansi.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_acf_ccf_empty_inputs(spark):
     empty = spark.createDataFrame([], "k string, t int, v double")
     out = get_operator("acf")(
