@@ -1815,22 +1815,24 @@ WHERE rn <= 3
 
 
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands via window arithmetic: maximal runs of
+    """Gaps-and-islands via rank arithmetic: maximal runs of
     consecutive o_orderkey values among high-value orders
-    (key - row_number is constant within an island). One window sort
-    over the filtered subset, one aggregation — no self-join. The
-    unpartitioned row_number serializes into one task by nature of
-    the problem (islands need a global order); at 100 TB the same
-    identity runs per partition key (e.g. per day/user) with the
-    window partitioned — the global form here is for bounded,
-    pre-filtered subsets."""
-    from pyspark.sql import Window
+    (key - global_rank is constant within an island). The global
+    rank comes from ``linkage._global_rank`` — a range shuffle, a
+    partition-LOCAL row_number, and a broadcast of #partitions
+    offsets — NEVER a single-partition global window, so the same
+    plan holds at 100 TB (the rank is partitioning-independent
+    because o_orderkey is a total order). One aggregation after —
+    no self-join. ``gaps_islands_per_key`` is the keyed sibling."""
+    from etl_core_spark.operators.linkage import _global_rank
 
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0)
-    w = Window.orderBy("o_orderkey")
-    grouped = orders.select(
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000.0
+    ).select("o_orderkey")
+    ranked = _global_rank(orders, ["o_orderkey"])
+    grouped = ranked.select(
         "o_orderkey",
-        (F.col("o_orderkey") - F.row_number().over(w)).alias("__grp"),
+        (F.col("o_orderkey") - F.col("__rn")).alias("__grp"),
     )
     return (
         grouped.groupBy("__grp")
@@ -1857,15 +1859,30 @@ HAVING count(*) >= 5
 
 
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window ntile: customers cut into account-balance deciles
+    """Distributed ntile: customers cut into account-balance deciles
     (ties broken by c_custkey for a total, engine-independent order),
-    profiled per decile."""
-    from pyspark.sql import Window
+    profiled per decile. ntile is definitionally global, but it does
+    NOT need a single-partition window: the decile is pure integer
+    arithmetic on the ``linkage._global_rank`` distributed rank plus
+    one broadcast one-row count — with q = n div 10 and r = n mod 10,
+    the first r tiles take q+1 rows (the SQL-standard big-tiles-first
+    split both Spark's and DuckDB's ntile implement), so
+    tile = (rn-1) div (q+1) + 1 inside the first r*(q+1) rows and
+    r + (rn - r*(q+1) - 1) div q + 1 after. Scales like any ranked
+    aggregation at 100 TB."""
+    from etl_core_spark.operators.linkage import _global_rank
 
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    tiled = cust.select(
-        "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+    cust = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = _global_rank(cust, ["c_acctbal", "c_custkey"])
+    n_row = cust.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    tiled = ranked.crossJoin(F.broadcast(n_row)).selectExpr(
+        "c_acctbal",
+        """CASE WHEN __rn <= (__n % 10) * (__n div 10 + 1)
+                THEN (__rn - 1) div (__n div 10 + 1) + 1
+                ELSE (__n % 10)
+                     + (__rn - (__n % 10) * (__n div 10 + 1) - 1)
+                       div (__n div 10) + 1
+           END AS decile""",
     )
     return (
         tiled.groupBy("decile")

@@ -138,11 +138,19 @@ def _global_rank(df: DataFrame, sort_cols: list[str]) -> DataFrame:
     )
     ranked = ranked.withColumn("__lrn", local)
     sizes = ranked.groupBy("__pid").count()
+    # partitionBy(__pid & 0): the input here is #partitions rows
+    # (bounded by cluster config, not data), so single-partition
+    # execution is the CORRECT shape — the constant-valued partition
+    # key states that intent and keeps WindowExec from logging the
+    # all-data-to-one-partition warning that applies to data-sized
+    # windows (a bare literal would be folded out of the spec)
     offs = sizes.select(
         "__pid",
         F.coalesce(
             F.sum("count").over(
-                Window.orderBy("__pid").rowsBetween(
+                Window.partitionBy(
+                    F.col("__pid").bitwiseAND(F.lit(0))
+                ).orderBy("__pid").rowsBetween(
                     Window.unboundedPreceding, -1
                 )
             ),
@@ -194,8 +202,13 @@ def _global_prefix_sums(
         *[F.sum(c).alias(f"__t{i}") for i, c in enumerate(sum_cols)]
     )
     # #partitions-sized: the pid-ordered window here is bounded by the
-    # partition count, not the data (same note as _global_rank)
-    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # partition count, not the data (same note as _global_rank); the
+    # constant-valued partition key states that and silences the
+    # WindowExec single-partition warning that applies to data-sized
+    # windows (a bare literal would be folded out of the spec)
+    offw = Window.partitionBy(
+        F.col("__pid").bitwiseAND(F.lit(0))
+    ).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.select(
         "__pid",
         *[
