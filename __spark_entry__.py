@@ -4538,6 +4538,83 @@ GROUP BY c.media_id, c.w, c.h
 """
 
 
+def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: real PNG decode →
+    ``image_phash`` aHash fingerprints → ``hamming_near_dup_pairs``
+    pigeonhole banding (dedup.py — the simhash band-join reused on
+    the 64-bit perceptual hash; candidates are an equi-join on
+    (band, bits), the verify one XOR + popcount, never all-pairs).
+    The corpus is 24 base images plus one +1-seed variant each: a
+    uniform luminance shift preserves every 64*cell_sum > total bit
+    except where channel values wrap past 256, so each (base,
+    variant) pair lands at a small, data-dependent hamming distance
+    while cross-base pairs sit near 32. The DuckDB oracle recomputes
+    the bits from the generating pixel formula and pairs them
+    quadratically with BIT xor + bit_count — feasible at 48 images,
+    which is exactly why the engine side must NOT be quadratic."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(48):
+        base, v = divmod(i, 2)
+        s = 16 * base + v
+        w, h = 16 + 8 * (base % 4), 16 + 8 * (base % 3)
+        px = bytes(
+            c
+            for y in range(h)
+            for x in range(w)
+            for c in (
+                (7 * x + 13 * y + s) % 256,
+                (3 * x + 5 * y + 2 * s) % 256,
+                (x * y + s) % 256,
+            )
+        )
+        rows.append((i, encode_png(w, h, px, filter_mode="cycle")))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    fp = get_operator("image_phash")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return get_operator("hamming_near_dup_pairs")(
+        fp_col="phash", id_col="media_id", max_hamming=10
+    ).apply({"in": fp})["out"]
+
+
+_SQL_PHASH_NEAR_DUP = """
+WITH imgs AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         16*(i//2) + (i % 2) AS s,
+         16 + 8*((i//2) % 4) AS w, 16 + 8*((i//2) % 3) AS h
+  FROM generate_series(0, 47) AS t(i)
+), px AS (
+  SELECT media_id, w, h,
+         299*((7*x + 13*y + s) % 256)
+       + 587*((3*x + 5*y + 2*s) % 256)
+       + 114*((x*y + s) % 256) AS lum,
+         (y*8//h)*8 + (x*8//w) AS cell
+  FROM imgs, generate_series(0, 39) gx(x), generate_series(0, 31) gy(y)
+  WHERE x < w AND y < h
+), cells AS (
+  SELECT media_id, cell, SUM(lum) AS sm FROM px GROUP BY media_id, cell
+), tot AS (
+  SELECT media_id, SUM(sm) AS t FROM cells GROUP BY media_id
+), hashes AS (
+  SELECT c.media_id,
+         string_agg(CASE WHEN 64*c.sm > tot.t THEN '1' ELSE '0' END, ''
+                    ORDER BY c.cell) AS phash
+  FROM cells c JOIN tot USING (media_id)
+  GROUP BY c.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash::BIT, b.phash::BIT)) AS BIGINT)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash::BIT, b.phash::BIT)) <= 10
+"""
+
+
 # payload_bytes=256 over a 64-char hex seed -> exactly 4 repeats;
 # the UDF hashes the raw payload BYTES, DuckDB the identical ASCII text
 _SQL_MULTIMODAL = """
@@ -10078,6 +10155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "feature_hash": q_feature_hash,
         "image_phash": q_image_phash,
+        "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10295,6 +10373,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sample": _SQL_NEGATIVE_SAMPLE,
         "feature_hash": _SQL_FEATURE_HASH,
         "image_phash": _SQL_IMAGE_PHASH,
+        "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

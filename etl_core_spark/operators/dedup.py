@@ -933,6 +933,193 @@ def simhash_near_dup_pairs(
     )
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    bits: int = 64,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose PRECOMPUTED bit-string
+    fingerprints differ in at most ``max_hamming`` bits — the
+    ``simhash_near_dup_pairs`` pigeonhole banding generalized to any
+    fingerprint column: a 64-bit perceptual image hash
+    (``image_phash``), an externally computed simhash, an audio
+    fingerprint. This is the join primitive behind perceptual image
+    dedup: decode → ``image_phash`` → hamming band-join.
+
+    Scale shape (identical to simhash): the fingerprint splits into
+    ``max_hamming + 1`` disjoint bands covering all ``bits`` bits; k
+    differing bits cannot touch all k+1 bands, so every pair within
+    distance k agrees EXACTLY on at least one band. Candidates are an
+    equi-join on (band index, band bits) — never all-pairs — and the
+    verify is XOR + popcount over 32-bit chunks (`F.conv` of each
+    32-char slice into a long; 32-bit chunks always fit a signed
+    long, so any ``bits`` ≤ 1024 works without unsigned overflow).
+
+    NULL fingerprints (e.g. ``image_phash`` error rows in
+    ``on_error='null'`` mode) are excluded up front. A non-NULL
+    fingerprint that is not exactly ``bits`` of [01] raises loudly at
+    execution — a malformed fingerprint is a pipeline bug, not data
+    to skip. ``max_band_freq`` optionally drops hotter-than-cap band
+    keys (mass-identical content), as in ``minhash_candidates``.
+    """
+    from etl_core_spark.session import persist_intermediate
+
+    if int(max_hamming) < 0:
+        raise OperatorConfigError(
+            "hamming_near_dup_pairs max_hamming must be >= 0"
+        )
+    if int(bits) < 1 or int(bits) > 1024:
+        raise OperatorConfigError(
+            "hamming_near_dup_pairs bits must be in [1, 1024]"
+        )
+    if max_band_freq is not None and int(max_band_freq) < 1:
+        raise OperatorConfigError(
+            "hamming_near_dup_pairs max_band_freq must be >= 1"
+        )
+    bits = int(bits)
+    fp_raw = F.col(fp_col)
+    fp = F.when(
+        fp_raw.rlike(f"^[01]{{{bits}}}$"), fp_raw
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(
+                f"hamming_near_dup_pairs: {fp_col!r} must be a "
+                f"{bits}-char [01] fingerprint, got "
+            ),
+            fp_raw,
+        )).cast("string")
+    )
+    n_chunks = -(-bits // 32)
+    chunks = [
+        F.conv(F.substring(fp, j * 32 + 1, 32), 2, 10)
+        .cast("long")
+        .alias(f"__c{j}")
+        for j in range(n_chunks)
+    ]
+    # consumed 3x (banding + both verify sides)
+    base = persist_intermediate(
+        df.where(fp_raw.isNotNull()).select(F.col(id_col), fp.alias("__fp"), *chunks)
+    )
+    n_bands = int(max_hamming) + 1
+    width = -(-bits // n_bands)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                # band key as a long for a narrow shuffle; the last
+                # band may be shorter (substring truncates) — conv
+                # handles it. width <= 62 keeps conv inside a long.
+                F.conv(
+                    F.substring(F.col("__fp"), i * width + 1, width), 2, 10
+                ).cast("long").alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    ) if width <= 62 else F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(
+                    F.substring(F.col("__fp"), i * width + 1, width)
+                ).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    ex = base.select(F.col(id_col), F.explode(bands).alias("__b")).select(
+        F.col(id_col), F.col("__b.band_idx"), F.col("__b.band_val")
+    )
+    band_cols = ["band_idx", "band_val"]
+    if max_band_freq is not None:
+        rare = (
+            ex.groupBy(*band_cols)
+            .agg(F.count(F.lit(1)).alias("__bf"))
+            .where(F.col("__bf") <= int(max_band_freq))
+            .select(*band_cols)
+        )
+        ex = ex.join(rare, on=band_cols)
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(b, on=band_cols)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"__c{j}").alias(f"__ca{j}") for j in range(n_chunks)],
+    )
+    fb = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"__c{j}").alias(f"__cb{j}") for j in range(n_chunks)],
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"__ca{j}").bitwiseXOR(F.col(f"__cb{j}")))
+            for j in range(n_chunks)
+        ),
+        F.lit(0),
+    )
+    return (
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register_operator("hamming_near_dup_pairs")
+class HammingNearDupPairsOperator(Operator):
+    """Config: ``fp_col``, ``id_col`` (required); ``max_hamming``,
+    ``bits``, ``max_band_freq``. Emits (id_a, id_b, hamming) for
+    precomputed bit-string fingerprints within the hamming budget —
+    banded candidates, never all-pairs."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("fp_col", "id_col"):
+            if not self.config.get(key):
+                raise OperatorConfigError(
+                    f"hamming_near_dup_pairs requires {key!r}"
+                )
+        if int(self.config.get("max_hamming", 6)) < 0:
+            raise OperatorConfigError(
+                "hamming_near_dup_pairs max_hamming must be >= 0"
+            )
+        if not 1 <= int(self.config.get("bits", 64)) <= 1024:
+            raise OperatorConfigError(
+                "hamming_near_dup_pairs bits must be in [1, 1024]"
+            )
+        mbf = self.config.get("max_band_freq")
+        if mbf is not None and int(mbf) < 1:
+            raise OperatorConfigError(
+                "hamming_near_dup_pairs max_band_freq must be >= 1"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        mbf = c.get("max_band_freq")
+        return {
+            "out": hamming_near_dup_pairs(
+                self.single_input(inputs),
+                c["fp_col"],
+                c["id_col"],
+                int(c.get("max_hamming", 6)),
+                int(c.get("bits", 64)),
+                int(mbf) if mbf is not None else None,
+            )
+        }
+
+
 def typo_near_dup_pairs(
     df: DataFrame,
     text_col: str,

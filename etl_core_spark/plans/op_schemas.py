@@ -515,6 +515,21 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("on_error", "string", default="raise", enum=["raise", "null"]),
         f("max_records_per_batch", "integer", default=256),
     ],
+    "hamming_near_dup_pairs": [
+        f("fp_col", "string", required=True,
+          desc="precomputed bit-string fingerprint column "
+               "(image_phash output, an external simhash, ...)"),
+        f("id_col", "string", required=True),
+        f("max_hamming", "integer", default=6,
+          desc="pair budget; fingerprints split into max_hamming+1 "
+               "pigeonhole bands (banded equi-join, never all-pairs)"),
+        f("bits", "integer", default=64,
+          desc="fingerprint length in bits (1..1024); NULL rows drop, "
+               "malformed fingerprints raise at execution"),
+        f("max_band_freq", "integer",
+          desc="drop hotter-than-cap band keys (mass-identical "
+               "content), as in minhash_candidates"),
+    ],
     "hash_split": [
         f("key_col", "string", required=True, desc="deterministic md5-bucket key"),
         f("weights", "object", required=True, desc="split name -> weight, e.g. {train: 0.8, val: 0.1, test: 0.1}"),

@@ -694,3 +694,88 @@ def test_kmeans_cluster_assignment_semantics(spark, tables):
     assert via_op.columns == ["vec_id", "cluster_id"]
     with pytest.raises(OperatorConfigError):
         kmeans_cluster(emb, k=0)
+
+
+# ---------------------------------------------------------------------------
+# hamming_near_dup_pairs: generic banded fingerprint pairing (r12)
+# ---------------------------------------------------------------------------
+
+def _ham_pairs(spark, rows, **cfg):
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    out = get_operator("hamming_near_dup_pairs")(
+        fp_col="fp", id_col="doc_id", **cfg
+    ).apply({"in": df})["out"]
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_hamming_pairs_matches_quadratic_reference(spark):
+    """Banded candidates must equal the brute-force hamming join for
+    every pair within budget — the pigeonhole argument is exhaustive,
+    so on a deterministic 40-fingerprint corpus the two agree."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(12)]
+    fps = []
+    for i, b in enumerate(base):
+        fps.append((i * 3, b))
+        # near copy: flip 2 bits; far copy: flip 17 bits
+        fps.append((i * 3 + 1, b ^ (1 << (i % 64)) ^ (1 << ((i * 7 + 3) % 64))))
+        far = b
+        for j in range(17):
+            far ^= 1 << ((i * 5 + j * 3) % 64)
+        fps.append((i * 3 + 2, far))
+    rows = [(i, format(v, "064b")) for i, v in fps]
+    got = _ham_pairs(spark, rows, max_hamming=4)
+    byid = dict(fps)
+    want = sorted(
+        (a, b, bin(byid[a] ^ byid[b]).count("1"))
+        for a in byid for b in byid
+        if a < b and bin(byid[a] ^ byid[b]).count("1") <= 4
+    )
+    assert got == want and len(want) >= 12  # every near pair found
+
+
+def test_hamming_pairs_nulls_malformed_and_zero_budget(spark):
+    rows = [(1, "0" * 64), (2, "0" * 62 + "11"), (3, None), (4, "0" * 64)]
+    # NULL drops; exact budget 0 -> only the identical pair
+    assert _ham_pairs(spark, rows, max_hamming=0) == [(1, 4, 0)]
+    assert _ham_pairs(spark, rows, max_hamming=2) == [
+        (1, 2, 2), (1, 4, 0), (2, 4, 2)
+    ]
+    # malformed fingerprints are a pipeline bug: loud, not skipped
+    with pytest.raises(Exception, match="must be a 64-char"):
+        _ham_pairs(spark, [(9, "01x")], max_hamming=2)
+    with pytest.raises(Exception, match="must be a 64-char"):
+        _ham_pairs(spark, [(9, "0" * 63)], max_hamming=2)
+    # non-64 widths work end-to-end (bits config)
+    rows16 = [(1, "0" * 16), (2, "0" * 15 + "1")]
+    df = spark.createDataFrame(rows16, "doc_id long, fp string")
+    out = get_operator("hamming_near_dup_pairs")(
+        fp_col="fp", id_col="doc_id", bits=16, max_hamming=1
+    ).apply({"in": df})["out"]
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 1)]
+
+
+def test_hamming_pairs_band_cap_and_validation(spark):
+    from etl_core_spark.operators.base import OperatorConfigError
+
+    # 30 identical fingerprints: every band key is hot; cap kills them
+    rows = [(i, "1" * 64) for i in range(30)]
+    assert _ham_pairs(spark, rows, max_hamming=2, max_band_freq=10) == []
+    with pytest.raises(OperatorConfigError, match="max_hamming"):
+        get_operator("hamming_near_dup_pairs")(
+            fp_col="fp", id_col="doc_id", max_hamming=-1
+        ).validate_config()
+    with pytest.raises(OperatorConfigError, match="bits"):
+        get_operator("hamming_near_dup_pairs")(
+            fp_col="fp", id_col="doc_id", bits=0
+        ).validate_config()
+    with pytest.raises(OperatorConfigError, match="fp_col"):
+        get_operator("hamming_near_dup_pairs")(
+            id_col="doc_id"
+        ).validate_config()
+    with pytest.raises(OperatorConfigError, match="max_band_freq"):
+        get_operator("hamming_near_dup_pairs")(
+            fp_col="fp", id_col="doc_id", max_band_freq=0
+        ).validate_config()
