@@ -4538,6 +4538,63 @@ GROUP BY c.media_id, c.w, c.h
 """
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: 40 synthetic 16-bit PCM WAV clips (mono and
+    stereo, closed-form integer sawtooth samples s(j) =
+    ((a*j + b) % 65536) - 32768 over the FLAT interleaved index)
+    encoded by ``wav_codec.encode_wav``, decoded distributed by
+    ``multimodal.wav_features`` (struct-only RIFF chunk walk inside
+    an Arrow-batched mapInPandas — the png_features shape: narrow
+    map, zero shuffle). Every output statistic is an exact integer
+    (sum, sum of squares, peak |amplitude|), so the DuckDB oracle
+    replays the generating formula bit-for-bit with generate_series —
+    no floats anywhere on either side."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.wav_codec import encode_wav
+
+    rows = []
+    for i in range(40):
+        ch = 1 + (i % 2)
+        frames = 200 + 31 * i
+        a, b = 3 + 2 * i, 17 * i
+        samples = [((a * j + b) % 65536) - 32768
+                   for j in range(frames * ch)]
+        rows.append((i, encode_wav(8000 + 100 * i, ch, samples)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("wav_features")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select(
+        "media_id", "sample_rate", "channels", "n_frames",
+        "sum_amp", "sum_sq", "peak",
+    )
+
+
+_SQL_WAV_FEATURES = """
+WITH w AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         8000 + 100*i AS rate, 1 + (i % 2) AS ch,
+         200 + 31*i AS frames, 3 + 2*i AS a, 17*i AS b
+  FROM generate_series(0, 39) AS t(i)
+), s AS (
+  SELECT media_id, ((a*j + b) % 65536) - 32768 AS v
+  FROM w, generate_series(0, 4095) g(j)
+  WHERE j < frames * ch
+)
+SELECT w.media_id,
+       CAST(w.rate AS INTEGER) AS sample_rate,
+       CAST(w.ch AS INTEGER) AS channels,
+       CAST(w.frames AS BIGINT) AS n_frames,
+       CAST(SUM(s.v) AS BIGINT) AS sum_amp,
+       CAST(SUM(s.v * s.v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(s.v)) AS INTEGER) AS peak
+FROM w JOIN s USING (media_id)
+GROUP BY w.media_id, w.rate, w.ch, w.frames
+"""
+
+
 def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs: real PNG decode →
     ``image_phash`` aHash fingerprints → ``hamming_near_dup_pairs``
@@ -10156,6 +10213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "image_phash": q_image_phash,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
+        "wav_features": q_wav_features,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10374,6 +10432,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _SQL_FEATURE_HASH,
         "image_phash": _SQL_IMAGE_PHASH,
         "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
+        "wav_features": _SQL_WAV_FEATURES,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

@@ -469,3 +469,112 @@ class ImagePhashOperator(Operator):
                 ),
             )
         }
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_frames long, "
+    "sum_amp long, sum_sq long, peak int, error string"
+)
+
+
+def wav_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """REAL audio decode: pure-stdlib 16-bit PCM RIFF/WAVE parsing
+    (``wav_codec.decode_wav`` — struct-only chunk walk, loud
+    ``WavFormatError`` on compressed/float formats) inside an
+    Arrow-batched ``mapInPandas``, emitting per clip the sample rate,
+    channel count, frame count and EXACT integer amplitude statistics
+    (sum, sum of squares, peak |amplitude|) — all integers, so a
+    closed-form oracle replays them bit-for-bit; RMS/loudness are one
+    float sqrt away downstream when needed. ``on_error="null"``
+    records the failure message per row (the type_conversion
+    deviation-port philosophy); the default raises.
+
+    Scale shape: identical to ``png_features`` — narrow map over
+    binary payloads, zero shuffle, ``_cap_slices`` bounding the
+    per-step working set; 100 TB of audio shards decode
+    embarrassingly parallel. The sample loop is array('h') +
+    arithmetic, not per-byte Python."""
+    if on_error not in ("raise", "null"):
+        raise OperatorConfigError("wav_features on_error must be raise|null")
+    cap = max(1, int(max_records_per_batch))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_core_spark.operators.wav_codec import (
+            WavFormatError,
+            decode_wav,
+        )
+
+        def one(raw):
+            if raw is None:
+                return (None, None, None, None, None, None, None)
+            try:
+                rate, ch, samples = decode_wav(bytes(raw))
+            except WavFormatError as exc:
+                if on_error == "raise":
+                    raise
+                return (None, None, None, None, None, None, str(exc))
+            return (
+                rate,
+                ch,
+                len(samples) // ch,
+                sum(samples),
+                sum(v * v for v in samples),
+                max((abs(v) for v in samples), default=0),
+                None,
+            )
+
+        for pdf in _cap_slices(batches, cap):
+            cols = list(zip(*(one(r) for r in pdf[payload_col])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "sample_rate": cols[0],
+                    "channels": cols[1],
+                    "n_frames": cols[2],
+                    "sum_amp": cols[3],
+                    "sum_sq": cols[4],
+                    "peak": cols[5],
+                    "error": cols[6],
+                }
+            )
+
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, WAV_FEATURE_SCHEMA
+    )
+
+
+@register_operator("wav_features")
+class WavFeaturesOperator(Operator):
+    """Config: ``payload_col``, ``id_col``, ``on_error``
+    (raise|null), ``max_records_per_batch``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("on_error", "raise") not in ("raise", "null"):
+            raise OperatorConfigError(
+                "wav_features on_error must be raise|null"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": wav_features(
+                self.single_input(inputs),
+                payload_col=c.get("payload_col", "payload"),
+                id_col=c.get("id_col", "media_id"),
+                on_error=c.get("on_error", "raise"),
+                max_records_per_batch=int(
+                    c.get("max_records_per_batch", 256)
+                ),
+            )
+        }

@@ -515,6 +515,14 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("on_error", "string", default="raise", enum=["raise", "null"]),
         f("max_records_per_batch", "integer", default=256),
     ],
+    "wav_features": [
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("on_error", "string", default="raise", enum=["raise", "null"],
+          desc="null records the failure message per row; only "
+               "16-bit PCM RIFF/WAVE is decodable (loud otherwise)"),
+        f("max_records_per_batch", "integer", default=256),
+    ],
     "hamming_near_dup_pairs": [
         f("fp_col", "string", required=True,
           desc="precomputed bit-string fingerprint column "
