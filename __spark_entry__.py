@@ -4474,6 +4474,45 @@ FROM px GROUP BY media_id, w, h
 """
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second image codec certification (operators/bmp_codec.py):
+    the SAME closed-form pixel corpus as png_decode, but encoded as
+    uncompressed 24-bit BI_RGB BMPs (bottom-up rows, BGR byte order,
+    4-byte row padding — the struct-parsing surface), decoded
+    DISTRIBUTED through the same format-sniffing png_features path.
+    Same oracle shape: exact integer channel sums straight from the
+    generating formula — a row-order, byte-order or stride bug breaks
+    the sums. Makes image_phash format-agnostic (the cross-format
+    identity is pytest-covered in test_bmp_codec.py)."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.bmp_codec import encode_bmp
+
+    rows = []
+    for i in range(48):
+        w, h = 16 + i % 5, 12 + i % 7
+        px = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (7 * x + 13 * y + i) % 256,
+                (3 * x + 5 * y + 2 * i) % 256,
+                (x * y + i) % 256,
+            )
+        )
+        rows.append((i, encode_bmp(w, h, px)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("png_features")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select(
+        "media_id", "width", "height", "channels",
+        "sum_c0", "sum_c1", "sum_c2",
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash fingerprints (multimodal.image_phash,
     aHash / Zauner 2010) over 48 synthetic RGB PNGs decoded through
@@ -10214,6 +10253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "wav_features": q_wav_features,
+        "bmp_decode": q_bmp_decode,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10433,6 +10473,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _SQL_IMAGE_PHASH,
         "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
         "wav_features": _SQL_WAV_FEATURES,
+        "bmp_decode": _SQL_PNG_DECODE,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

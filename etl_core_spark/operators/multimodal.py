@@ -78,6 +78,37 @@ def _decode_image_batch(payloads: pd.Series, feature_dim: int) -> list[list[floa
     return feats
 
 
+def _decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Format-sniffing image decode: PNG (``png_codec``) or 24-bit
+    BI_RGB BMP (``bmp_codec``) by magic bytes → the shared
+    ``(width, height, channels, row-major pixels)`` convention.
+    Raises the codec's own error type for in-format failures and
+    ``BmpFormatError`` for unrecognized magics (both are caught by
+    the operators' ``_IMAGE_ERRORS``)."""
+    from etl_core_spark.operators.bmp_codec import BmpFormatError, decode_bmp
+    from etl_core_spark.operators.png_codec import decode_png
+
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(raw)
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    raise BmpFormatError(
+        "unrecognized image format (PNG and 24-bit BMP supported)"
+    )
+
+
+def _image_errors() -> tuple:
+    """Exception classes that mean 'this payload is not decodable
+    image data' (vs a bug): both codecs' format errors plus zlib's
+    inflate error from corrupt PNG streams."""
+    from zlib import error as zlib_error
+
+    from etl_core_spark.operators.bmp_codec import BmpFormatError
+    from etl_core_spark.operators.png_codec import PngFormatError
+
+    return (PngFormatError, BmpFormatError, zlib_error)
+
+
 def _cap_slices(
     batches: Iterator[pd.DataFrame], cap: int
 ) -> Iterator[pd.DataFrame]:
@@ -159,7 +190,8 @@ def png_features(
 ) -> DataFrame:
     """REAL image decode (no stub): pure-stdlib PNG decode
     (``png_codec.decode_png`` — zlib inflate + all five spec
-    unfilters) inside an Arrow-batched ``mapInPandas``, emitting per
+    unfilters) or 24-bit BI_RGB BMP decode (``bmp_codec``), sniffed
+    by magic bytes, inside an Arrow-batched ``mapInPandas``, emitting per
     image the dimensions, channel count and EXACT per-channel pixel
     sums (integers — certifiable against a closed-form oracle).
     ``on_error="null"`` records the failure message in ``error`` and
@@ -178,19 +210,14 @@ def png_features(
     cap = max(1, int(max_records_per_batch))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from zlib import error as zlib_error
-
-        from etl_core_spark.operators.png_codec import (
-            PngFormatError,
-            decode_png,
-        )
+        img_errors = _image_errors()
 
         def one(raw):
             if raw is None:
                 return (None, None, None, None, None, None, None, None)
             try:
-                w, h, ch, px = decode_png(bytes(raw))
-            except (PngFormatError, zlib_error) as exc:
+                w, h, ch, px = _decode_image(bytes(raw))
+            except img_errors as exc:
                 if on_error == "raise":
                     raise
                 return (None, None, None, None, None, None, None, str(exc))
@@ -343,7 +370,9 @@ def image_phash(
     within a few hamming bits of each other, exact binary dedup
     misses all of them.
 
-    Construction: decode (``png_codec``), integer luminance
+    Construction: decode (``png_codec`` or ``bmp_codec``, sniffed by
+    magic bytes — the SAME image hashes identically from either
+    container, which is the point of perceptual dedup), integer luminance
     ``L = 299·R + 587·G + 114·B`` (the Rec. 601 weights scaled by
     1000 — never divided, so everything stays an exact integer;
     single-channel images use the raw value), average-pool onto a
@@ -376,19 +405,15 @@ def image_phash(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fractions import Fraction
-        from zlib import error as zlib_error
 
-        from etl_core_spark.operators.png_codec import (
-            PngFormatError,
-            decode_png,
-        )
+        img_errors = _image_errors()
 
         def one(raw):
             if raw is None:
                 return (None, None, None, None)
             try:
-                w, h, ch, px = decode_png(bytes(raw))
-            except (PngFormatError, zlib_error) as exc:
+                w, h, ch, px = _decode_image(bytes(raw))
+            except img_errors as exc:
                 if on_error == "raise":
                     raise
                 return (None, None, None, str(exc))

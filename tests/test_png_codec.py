@@ -125,9 +125,10 @@ def test_png_features_on_error_modes(spark):
     }
     assert out[1]["channels"] == 1 and out[1]["sum_c1"] is None
     assert out[1]["sum_c0"] == sum(_pixels(3, 3, 1))
-    assert out[2]["width"] is None and "signature" in out[2]["error"]
+    # non-PNG/BMP magic: the format sniffer names the supported set
+    assert out[2]["width"] is None and "unrecognized" in out[2]["error"]
     assert out[3]["width"] is None and out[3]["error"] is None
-    with pytest.raises(Exception, match="signature"):
+    with pytest.raises(Exception, match="unrecognized image format"):
         get_operator("png_features")().apply({"in": df})["out"].collect()
     with pytest.raises(OperatorConfigError, match="on_error"):
         get_operator("png_features")(on_error="ignore")
