@@ -8081,6 +8081,160 @@ def _sql_louvain(n_iter: int = 2) -> str:
 _SQL_LOUVAIN = _sql_louvain(2)
 
 
+def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level Louvain (operators/graph.py louvain_multilevel,
+    Blondel et al. 2008 BOTH phases): level-1 local moves, communities
+    collapsed into super-nodes (fine-edge-count weights, degrees
+    carried so self-loop mass is implicit), coarse nodes RELABELED by
+    the distributed rank of their community label (labels inherit
+    smallest-id ties and can collapse onto one parity class,
+    starving the alternation), a WEIGHTED local-move pass one level
+    up, projection back down — and the exact-integer modularity score
+    guard Σ_C(2m·W_C − D_C²) picking the better level (ties to the
+    finest), which restores Q-monotonicity under parity-synchronous
+    coarse moves. Everything is integer arithmetic, so the unrolled
+    two-level CTE oracle — rank relabel, weighted rounds, projection
+    and the score CASE included — is bit-exact."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.base import get_operator
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 16 == 5)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return get_operator("louvain_multilevel")(
+        src="src", dst="dst", iterations=2, levels=2
+    ).apply({"in": edges})["out"]
+
+
+def _sql_louvain_multilevel(n_iter: int = 2) -> str:
+    """Two-level unrolled Louvain oracle: the ``_sql_louvain`` rounds,
+    then rank relabel (row_number over distinct community labels —
+    exactly linkage._global_rank's contiguous 1-based rank on a total
+    order), coarse weighted rounds (sum(w) k_in, coarse degrees =
+    summed fine degrees), projection, and the exact-integer score
+    CASE mirroring the engine's best-level pick (ties to level 1)."""
+    ctes = [
+        "pe AS (SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS t "
+        "FROM lineitem WHERE l_orderkey % 16 = 5)",
+        "ed AS MATERIALIZED (SELECT s, t FROM ("
+        "SELECT s, t FROM pe UNION SELECT t AS s, s AS t FROM pe"
+        ") WHERE s <> t)",
+        "deg AS MATERIALIZED (SELECT s AS n, count(*) AS d FROM ed GROUP BY s)",
+        "mt AS (SELECT count(*) AS m FROM ed WHERE s < t)",
+        "a0 AS (SELECT n, n AS c FROM deg)",
+    ]
+    for i in range(n_iter):
+        p, a = i % 2, f"a{i}"
+        ctes.append(
+            f"kin{i} AS (SELECT ed.s AS n, {a}.c AS nc, count(*) AS k "
+            f"FROM ed JOIN {a} ON ed.t = {a}.n WHERE ed.s % 2 = {p} "
+            f"GROUP BY ed.s, {a}.c)"
+        )
+        ctes.append(
+            f"tot{i} AS (SELECT {a}.c AS nc, sum(deg.d) AS st "
+            f"FROM {a} JOIN deg ON {a}.n = deg.n GROUP BY {a}.c)"
+        )
+        ctes.append(
+            f"cand{i} AS (SELECT n, nc, k FROM kin{i} UNION ALL "
+            f"SELECT n, c AS nc, 0 AS k FROM {a} WHERE n % 2 = {p})"
+        )
+        ctes.append(
+            f"sc{i} AS (SELECT c.n, c.nc, "
+            f"2 * mt.m * c.k - deg.d * (t.st - "
+            f"CASE WHEN c.nc = {a}.c THEN deg.d ELSE 0 END) AS g "
+            f"FROM cand{i} c JOIN {a} ON c.n = {a}.n "
+            f"JOIN deg ON c.n = deg.n JOIN tot{i} t ON c.nc = t.nc "
+            f"CROSS JOIN mt)"
+        )
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT n, nc AS c FROM ("
+            f"SELECT n, nc, row_number() OVER "
+            f"(PARTITION BY n ORDER BY g DESC, nc ASC) AS rn FROM sc{i}"
+            f") WHERE rn = 1 UNION ALL "
+            f"SELECT n, c FROM {a} WHERE n % 2 <> {p})"
+        )
+    A = f"a{n_iter}"
+    ctes += [
+        f"rt AS MATERIALIZED (SELECT lab, "
+        f"row_number() OVER (ORDER BY lab) AS rid "
+        f"FROM (SELECT DISTINCT c AS lab FROM {A}))",
+        f"ce AS MATERIALIZED (SELECT rs.rid AS s, rr.rid AS t, "
+        f"count(*) AS w "
+        f"FROM ed JOIN {A} x ON ed.s = x.n JOIN {A} y ON ed.t = y.n "
+        f"JOIN rt rs ON x.c = rs.lab JOIN rt rr ON y.c = rr.lab "
+        f"WHERE x.c <> y.c GROUP BY rs.rid, rr.rid)",
+        f"cdeg AS MATERIALIZED (SELECT rt.rid AS n, sum(deg.d) AS d "
+        f"FROM {A} JOIN deg ON {A}.n = deg.n "
+        f"JOIN rt ON {A}.c = rt.lab GROUP BY rt.rid)",
+        "b0 AS (SELECT n, n AS c FROM cdeg)",
+    ]
+    for i in range(n_iter):
+        p, b = i % 2, f"b{i}"
+        ctes.append(
+            f"kinb{i} AS (SELECT ce.s AS n, {b}.c AS nc, sum(ce.w) AS k "
+            f"FROM ce JOIN {b} ON ce.t = {b}.n WHERE ce.s % 2 = {p} "
+            f"GROUP BY ce.s, {b}.c)"
+        )
+        ctes.append(
+            f"totb{i} AS (SELECT {b}.c AS nc, sum(cdeg.d) AS st "
+            f"FROM {b} JOIN cdeg ON {b}.n = cdeg.n GROUP BY {b}.c)"
+        )
+        ctes.append(
+            f"candb{i} AS (SELECT n, nc, k FROM kinb{i} UNION ALL "
+            f"SELECT n, c AS nc, 0 AS k FROM {b} WHERE n % 2 = {p})"
+        )
+        ctes.append(
+            f"scb{i} AS (SELECT c.n, c.nc, "
+            f"2 * mt.m * c.k - cdeg.d * (t.st - "
+            f"CASE WHEN c.nc = {b}.c THEN cdeg.d ELSE 0 END) AS g "
+            f"FROM candb{i} c JOIN {b} ON c.n = {b}.n "
+            f"JOIN cdeg ON c.n = cdeg.n JOIN totb{i} t ON c.nc = t.nc "
+            f"CROSS JOIN mt)"
+        )
+        ctes.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT n, nc AS c FROM ("
+            f"SELECT n, nc, row_number() OVER "
+            f"(PARTITION BY n ORDER BY g DESC, nc ASC) AS rn FROM scb{i}"
+            f") WHERE rn = 1 UNION ALL "
+            f"SELECT n, c FROM {b} WHERE n % 2 <> {p})"
+        )
+    B = f"b{n_iter}"
+    ctes += [
+        f"proj AS MATERIALIZED (SELECT {A}.n AS n, {B}.c AS c "
+        f"FROM {A} JOIN rt ON {A}.c = rt.lab JOIN {B} ON rt.rid = {B}.n)",
+        f"d0 AS (SELECT {A}.c AS cc, sum(deg.d) AS dc "
+        f"FROM {A} JOIN deg ON {A}.n = deg.n GROUP BY {A}.c)",
+        f"w0 AS (SELECT x.c AS cc, count(*) AS wc "
+        f"FROM ed JOIN {A} x ON ed.s = x.n JOIN {A} y ON ed.t = y.n "
+        f"WHERE x.c = y.c GROUP BY x.c)",
+        "s0 AS (SELECT sum(2*mt.m*coalesce(w0.wc, 0) - d0.dc*d0.dc) AS s "
+        "FROM d0 LEFT JOIN w0 USING (cc) CROSS JOIN mt)",
+        "d1 AS (SELECT proj.c AS cc, sum(deg.d) AS dc "
+        "FROM proj JOIN deg ON proj.n = deg.n GROUP BY proj.c)",
+        "w1 AS (SELECT x.c AS cc, count(*) AS wc "
+        "FROM ed JOIN proj x ON ed.s = x.n JOIN proj y ON ed.t = y.n "
+        "WHERE x.c = y.c GROUP BY x.c)",
+        "s1 AS (SELECT sum(2*mt.m*coalesce(w1.wc, 0) - d1.dc*d1.dc) AS s "
+        "FROM d1 LEFT JOIN w1 USING (cc) CROSS JOIN mt)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS node, CAST(c AS BIGINT) AS community FROM (
+  SELECT {A}.n, {A}.c FROM {A}, s0, s1 WHERE s1.s <= s0.s
+  UNION ALL
+  SELECT proj.n, proj.c FROM proj, s0, s1 WHERE s1.s > s0.s
+) z"""
+    )
+
+
+_SQL_LOUVAIN_MULTILEVEL = _sql_louvain_multilevel(2)
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity gate (operators/validate.py l_diversity,
     Machanavajjhala et al. 2007): customer classes by (segment,
@@ -10279,6 +10433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "louvain_multilevel": q_louvain_multilevel,
         "dbscan": q_dbscan,
         "modularity": q_modularity,
         "knn_graph": q_knn_graph,
@@ -10497,6 +10652,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "label_propagation": _SQL_LABEL_PROPAGATION,
         "louvain": _SQL_LOUVAIN,
+        "louvain_multilevel": _SQL_LOUVAIN_MULTILEVEL,
         "dbscan": _SQL_DBSCAN,
         "modularity": _SQL_MODULARITY,
         "knn_graph": _SQL_KNN_GRAPH,

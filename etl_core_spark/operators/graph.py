@@ -1281,6 +1281,322 @@ class LouvainOperator(Operator):
         }
 
 
+def _louvain_local_move(
+    e: DataFrame,
+    deg: DataFrame,
+    m_tot: DataFrame,
+    iterations: int,
+) -> DataFrame:
+    """WEIGHTED Louvain local-move phase — the certified ``louvain``
+    round body generalized from unit weights to an edge-weight column
+    (``__w``): k_in sums weights instead of counting rows, and the
+    integer gain becomes ``2m·k_in(C) − k_i·(Σtot(C) − [own]·k_i)``
+    in weight units. ``e``: symmetric (``__s``, ``__t``, ``__w``)
+    with no self-loops; ``deg``: (``__id``, ``__d``) weighted degree
+    INCLUDING self-loop weight (at a coarse level this is exactly the
+    sum of the member nodes' fine degrees, which is what modularity
+    needs); ``m_tot``: the FINE-LEVEL one-row total — m is invariant
+    under coarsening, so every level shares it. Same parity
+    alternation, stay-candidate, struct-min tie-break and lazy
+    localCheckpoint barrier as ``louvain`` (graph.py:1121)."""
+    from etl_core_spark.session import track_local_checkpoint
+
+    assign = deg.select("__id", F.col("__id").alias("__c"))
+    for rnd in range(int(iterations)):
+        par = rnd % 2
+        movable = F.pmod(F.col("__id"), F.lit(2)) == F.lit(par)
+        kin = (
+            e.where(F.pmod(F.col("__s"), F.lit(2)) == F.lit(par))
+            .join(
+                assign.select(
+                    F.col("__id").alias("__t"), F.col("__c").alias("__nc")
+                ),
+                on="__t",
+            )
+            .groupBy(F.col("__s").alias("__id"), "__nc")
+            .agg(F.sum("__w").cast("long").alias("__k"))
+        )
+        tot = (
+            assign.join(deg.select("__id", "__d"), on="__id")
+            .groupBy(F.col("__c").alias("__nc"))
+            .agg(F.sum("__d").alias("__st"))
+        )
+        cands = kin.unionByName(
+            assign.where(movable).select(
+                "__id",
+                F.col("__c").alias("__nc"),
+                F.lit(0).cast("long").alias("__k"),
+            )
+        )
+        own = assign.select("__id", F.col("__c").alias("__own"))
+        scored = (
+            cands.join(own, on="__id")
+            .join(deg, on="__id")
+            .join(tot, on="__nc")
+            .crossJoin(F.broadcast(m_tot))
+        )
+        gain = F.lit(2) * F.col("__m") * F.col("__k") - F.col("__d") * (
+            F.col("__st")
+            - F.when(F.col("__nc") == F.col("__own"), F.col("__d")).otherwise(
+                F.lit(0)
+            )
+        )
+        moved = (
+            scored.withColumn("__g", gain)
+            .groupBy("__id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__g")).alias("g"), F.col("__nc").alias("c")
+                    )
+                )["c"].alias("__c")
+            )
+        )
+        assign = moved.unionByName(assign.where(~movable)).localCheckpoint(
+            eager=False
+        )
+        track_local_checkpoint(assign)
+    return assign
+
+
+def louvain_multilevel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    levels: int = 2,
+) -> DataFrame:
+    """Multi-level Louvain (Blondel et al. 2008, BOTH phases) →
+    ``(node, community)``: run the local-move phase, COLLAPSE each
+    community into a super-node (edge weights between super-nodes =
+    number of fine edges between the communities; intra-community
+    edges become self-loop weight, carried implicitly by keeping each
+    super-node's degree = the sum of its members' fine degrees), then
+    run the WEIGHTED local-move phase one level up and project the
+    coarse assignment back down. Modularity is invariant under the
+    collapse (the Blondel phase-2 construction).
+
+    Monotonicity guard: parity-SYNCHRONOUS coarse moves can conflict
+    (two super-nodes relocating on the same stale state — observed on
+    a ring of cliques, where sequential Louvain has no such hazard),
+    so the operator scores EVERY level's fine-projected assignment
+    with the exact-integer modularity score ``score = Σ_C (2m·W_C −
+    D_C²)`` (W_C = symmetric intra-community edge count, D_C = total
+    community degree; score/4m² = Q exactly) and returns the
+    best-scoring level, ties to the FINEST level. Q(multilevel) ≥
+    Q(one level) therefore holds BY CONSTRUCTION, and is strict on
+    structures where whole communities merge cleanly (path of
+    triangles; pytest-enforced). All arithmetic stays exact integers
+    (weights are fine-edge counts; the score fits int64 while
+    ``4m² < 2^63``), so the unrolled two-level CTE oracle is
+    bit-exact, level selection included.
+
+    Scale shape: the coarsening is ONE double equi-join + one
+    aggregate (|E| → |E'|, monotonically shrinking); each level's
+    rounds keep the ``louvain`` plan shape (one keyed equi-join + two
+    map-side-combinable aggregates + struct-min argmax, lazy
+    localCheckpoint barriers); the guard is two map-side-combinable
+    aggregates per level plus a #levels-row broadcast pick — fully
+    lazy, no driver actions. Levels beyond the second repeat the same
+    collapse; coarse graphs are strictly smaller, so level cost
+    decreases geometrically in practice. ``iterations`` counts
+    half-sweeps PER LEVEL (even numbers give both parities equal
+    turns); ``levels=1`` is exactly the certified one-level
+    operator's semantics."""
+    if int(iterations) < 1:
+        raise OperatorConfigError(
+            "louvain_multilevel iterations must be >= 1"
+        )
+    if int(levels) < 1:
+        raise OperatorConfigError("louvain_multilevel levels must be >= 1")
+    from etl_core_spark.session import persist_intermediate
+
+    e = persist_intermediate(
+        _normalized_edges(edges, src, dst, symmetrize=True)
+        .where(F.col("__s") != F.col("__t"))
+        .withColumn("__w", F.lit(1).cast("long"))
+    )
+    deg = persist_intermediate(
+        e.groupBy(F.col("__s").alias("__id")).agg(
+            F.sum("__w").cast("long").alias("__d")
+        )
+    )
+    # m is the FINE total and invariant under coarsening (self-loop
+    # weight keeps riding inside the coarse degrees)
+    m_tot = e.where(F.col("__s") < F.col("__t")).agg(
+        F.sum("__w").cast("long").alias("__m")
+    )
+    fine_e, fine_deg = e, deg
+    # node -> community at the finest level, refined level by level;
+    # each level's fine projection is scored and the best one wins
+    mapping = None
+    tagged_maps = []
+    tagged_scores = []
+    for _level in range(int(levels)):
+        assign = _louvain_local_move(e, deg, m_tot, int(iterations))
+        mapping = (
+            assign
+            if mapping is None
+            else mapping.select(
+                "__id", F.col("__c").alias("__mid")
+            ).join(
+                assign.select(
+                    F.col("__id").alias("__mid"), "__c"
+                ),
+                on="__mid",
+            ).select("__id", "__c")
+        )
+        ms = mapping.select(
+            F.col("__id").alias("__s"), F.col("__c").alias("__cs")
+        )
+        mt2 = mapping.select(
+            F.col("__id").alias("__t"), F.col("__c").alias("__ct")
+        )
+        intra = (
+            fine_e.join(ms, on="__s")
+            .join(mt2, on="__t")
+            .where(F.col("__cs") == F.col("__ct"))
+            .groupBy(F.col("__cs").alias("__cc"))
+            .agg(F.sum("__w").cast("long").alias("__wc"))
+        )
+        dsum = (
+            mapping.join(fine_deg, on="__id")
+            .groupBy(F.col("__c").alias("__cc"))
+            .agg(F.sum("__d").cast("long").alias("__dc"))
+        )
+        score = (
+            dsum.join(intra, on="__cc", how="left")
+            .crossJoin(F.broadcast(m_tot))
+            .agg(
+                F.sum(
+                    F.lit(2) * F.col("__m")
+                    * F.coalesce(F.col("__wc"), F.lit(0))
+                    - F.col("__dc") * F.col("__dc")
+                ).cast("long").alias("__score")
+            )
+            .select(F.lit(_level).alias("__lvl"), "__score")
+        )
+        tagged_scores.append(score)
+        tagged_maps.append(
+            mapping.select(F.lit(_level).alias("__lvl"), "__id", "__c")
+        )
+        if _level + 1 == int(levels):
+            break
+        # coarsen: communities become nodes; weights sum fine edges.
+        # Coarse nodes are RELABELED 1..K by the distributed
+        # _global_rank of their community label: labels inherit
+        # smallest-id ties and can collapse onto ONE parity class
+        # (observed: ALL-odd labels on a path of triangles, which
+        # starves the parity alternation and lets every super-node
+        # move in the same half-sweep — maximal churn), while
+        # contiguous ranks alternate parity by construction.
+        from etl_core_spark.operators.linkage import _global_rank
+
+        ranked = persist_intermediate(
+            _global_rank(
+                assign.select(F.col("__c").alias("__lab")).distinct(),
+                ["__lab"],
+            ).select("__lab", F.col("__rn").alias("__rid"))
+        )
+        ca = assign.select(
+            F.col("__id").alias("__s"), F.col("__c").alias("__cs")
+        )
+        cb = assign.select(
+            F.col("__id").alias("__t"), F.col("__c").alias("__ct")
+        )
+        lut_s = ranked.select(
+            F.col("__lab").alias("__cs"), F.col("__rid").alias("__rs")
+        )
+        lut_t = ranked.select(
+            F.col("__lab").alias("__ct"), F.col("__rid").alias("__rt")
+        )
+        e = persist_intermediate(
+            e.join(ca, on="__s")
+            .join(cb, on="__t")
+            .where(F.col("__cs") != F.col("__ct"))
+            .join(lut_s, on="__cs")
+            .join(lut_t, on="__ct")
+            .groupBy(
+                F.col("__rs").alias("__s"), F.col("__rt").alias("__t")
+            )
+            .agg(F.sum("__w").cast("long").alias("__w"))
+        )
+        deg = persist_intermediate(
+            assign.join(deg, on="__id")
+            .join(
+                ranked.select(
+                    F.col("__lab").alias("__c"), "__rid"
+                ),
+                on="__c",
+            )
+            .groupBy(F.col("__rid").alias("__id"))
+            .agg(F.sum("__d").cast("long").alias("__d"))
+        )
+        # move the running node->community mapping into rid space so
+        # the next level's assignment composes by equi-join
+        mapping = mapping.join(
+            ranked.select(F.col("__lab").alias("__c"), "__rid"), on="__c"
+        ).select("__id", F.col("__rid").alias("__c"))
+    if len(tagged_maps) == 1:
+        return tagged_maps[0].select(
+            F.col("__id").alias("node"), F.col("__c").alias("community")
+        )
+    scores = tagged_scores[0]
+    for s in tagged_scores[1:]:
+        scores = scores.unionByName(s)
+    # best level: highest exact score, ties to the FINEST level —
+    # a #levels-row argmin, broadcast into the assignment union
+    best = scores.agg(
+        F.min(
+            F.struct(
+                (-F.col("__score")).alias("s"), F.col("__lvl").alias("l")
+            )
+        )["l"].alias("__lvl")
+    )
+    allmaps = tagged_maps[0]
+    for t in tagged_maps[1:]:
+        allmaps = allmaps.unionByName(t)
+    return allmaps.join(F.broadcast(best), on="__lvl").select(
+        F.col("__id").alias("node"), F.col("__c").alias("community")
+    )
+
+
+@register_operator("louvain_multilevel")
+class LouvainMultilevelOperator(Operator):
+    """Config: ``src``, ``dst`` (required); ``iterations`` (per
+    level), ``levels``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        for key in ("src", "dst"):
+            if not self.config.get(key):
+                raise OperatorConfigError(
+                    f"louvain_multilevel requires {key!r}"
+                )
+        if int(self.config.get("iterations", 4)) < 1:
+            raise OperatorConfigError(
+                "louvain_multilevel iterations must be >= 1"
+            )
+        if int(self.config.get("levels", 2)) < 1:
+            raise OperatorConfigError(
+                "louvain_multilevel levels must be >= 1"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": louvain_multilevel(
+                self.single_input(inputs),
+                c["src"],
+                c["dst"],
+                int(c.get("iterations", 4)),
+                int(c.get("levels", 2)),
+            )
+        }
+
+
 def link_predict(
     edges: DataFrame,
     src: str = "src",

@@ -61,12 +61,15 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_batch(payloads: pd.Series, feature_dim: int) -> list[list[float]]:
-    """STUB decoder: deterministic fake feature from the payload hash.
-
-    Replace with a real codec (PIL.Image.open → resize → normalize)
-    when the library is available:
-
-        raise NotImplementedError("image codec not bundled")
+    """Deterministic fake feature from the payload hash — the
+    PERMANENTLY-CLOSED learned-embedding stand-in (README "Documented
+    deviations" #5): a learned embedding needs trained model weights
+    this container does not and will not bundle, the same closure as
+    the live-DB-server item. The *decode* side is no longer stubbed
+    anywhere — `png_features`/`image_phash` (PNG + BMP) and
+    `wav_features` run real codecs through the exact same Arrow
+    batch/schema/partitioning shape, so replacing this body with a
+    model call (PIL/torch forward) changes one function and no plan.
     """
     feats = []
     for raw in payloads:

@@ -1206,6 +1206,17 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
         f("iterations", "integer", default=4,
           desc="parity-alternating half-sweeps; use an even count"),
     ],
+    "louvain_multilevel": [
+        f("src", "string", required=True),
+        f("dst", "string", required=True),
+        f("iterations", "integer", default=4,
+          desc="half-sweeps PER LEVEL; use an even count"),
+        f("levels", "integer", default=2,
+          desc="coarsening depth; every level's fine projection is "
+               "scored with the exact-integer modularity score and "
+               "the best wins (ties to the finest), so more levels "
+               "never lose modularity"),
+    ],
     "triangle_count": [
         f("src", "string", required=True),
         f("dst", "string", required=True),

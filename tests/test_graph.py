@@ -740,6 +740,116 @@ def test_louvain_validation(spark):
         get_operator("louvain")(src="", dst="dst")
 
 
+def _clique_path(K, ring=False):
+    """K triangles in a path (or ring): triangle k = nodes
+    3k+1..3k+3, one bridge between consecutive triangles."""
+    tri = []
+    for k in range(K):
+        base = 3 * k
+        tri += [(base + 1, base + 2), (base + 2, base + 3),
+                (base + 1, base + 3)]
+        if ring or k < K - 1:
+            tri.append((base + 3, (3 * ((k + 1) % K)) + 1))
+    return tri
+
+
+def test_louvain_multilevel_level1_equals_louvain(spark):
+    """levels=1 must be bit-identical to the certified one-level
+    operator (the weighted helper at unit weights IS that round
+    body)."""
+    df = spark.createDataFrame(_TWO_TRIANGLES, "src long, dst long")
+    a = sorted(map(tuple, get_operator("louvain")(
+        src="src", dst="dst", iterations=4
+    ).apply({"in": df})["out"].collect()))
+    b = sorted(map(tuple, get_operator("louvain_multilevel")(
+        src="src", dst="dst", iterations=4, levels=1
+    ).apply({"in": df})["out"].collect()))
+    assert a == b
+
+
+def test_louvain_multilevel_strictly_improves_on_clique_path(spark):
+    """The resolution-limit structure: on a path of 16 bridged
+    triangles, single nodes cannot improve on one-triangle-per-
+    community, but whole communities can — the coarse level must
+    merge adjacent triangles into pairs and STRICTLY raise Q."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.graph import (
+        louvain,
+        louvain_multilevel,
+        modularity,
+    )
+
+    edges = spark.createDataFrame(_clique_path(16), "src long, dst long")
+
+    def q_of(assign):
+        return (
+            modularity(edges, assign, community_col="community")
+            .agg(F.sum("q_contrib"))
+            .first()[0]
+        )
+
+    q1 = q_of(louvain(edges, iterations=4))
+    out2 = louvain_multilevel(edges, iterations=4, levels=2)
+    q2 = q_of(out2)
+    assert q2 > q1
+    # the merge is the clean pairing: eight 6-node communities
+    import collections
+
+    sizes = sorted(collections.Counter(
+        r["community"] for r in out2.collect()
+    ).values())
+    assert sizes == [6] * 8
+
+
+def test_louvain_multilevel_monotonicity_guard(spark):
+    """On the RING of triangles the parity-synchronous coarse moves
+    can churn; the exact-integer score guard must still return an
+    assignment at least as good as one level — and a third level can
+    never lose to the second."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.graph import (
+        louvain,
+        louvain_multilevel,
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        _clique_path(16, ring=True), "src long, dst long"
+    )
+
+    def q_of(assign):
+        return (
+            modularity(edges, assign, community_col="community")
+            .agg(F.sum("q_contrib"))
+            .first()[0]
+        )
+
+    q1 = q_of(louvain(edges, iterations=4))
+    q2 = q_of(louvain_multilevel(edges, iterations=4, levels=2))
+    q3 = q_of(louvain_multilevel(edges, iterations=4, levels=3))
+    assert q2 >= q1 and q3 >= q2
+
+
+def test_louvain_multilevel_validation_and_empty(spark):
+    with pytest.raises(OperatorConfigError):
+        get_operator("louvain_multilevel")(
+            src="src", dst="dst", levels=0
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("louvain_multilevel")(
+            src="src", dst="dst", iterations=0
+        ).validate_config()
+    with pytest.raises(OperatorConfigError):
+        get_operator("louvain_multilevel")(dst="dst").validate_config()
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = get_operator("louvain_multilevel")(src="src", dst="dst").apply(
+        {"in": empty}
+    )["out"]
+    assert out.count() == 0
+
+
 # ---------------------------------------------------------------- link_predict
 
 
