@@ -10164,65 +10164,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r11 window (50 = 10 + 4 + 4 + 18 + 14): 10 new rows (png_decode,
-# louvain, dbscan, then the session-2 wave link_predict, acf,
-# assoc_rules, ccf, negative_sample, feature_hash, image_phash),
-# then the 4 streaming rows whose certification INPUT changed this
-# round (deterministic 1-in-4 user / first-quarter-hour panels —
-# VERDICT r10 #5), then 4 rows whose operator code changed
-# (distributed prefix sums in mannwhitney_u/ks_drift ungrouped;
-# existence probes + lazy broadcast totals behind dsir_weights and
-# quality_classifier), then the ENTIRE 18-row r06-vintage cohort
-# (displaced in r10, individually re-verified locally then; 5 rounds
-# stale by the driver's ledger), then 14 of the 47 r07-vintage rows
-# (the VERDICT r10 item-1 names still r07-stale, plus agg_global).
-# To make room for the session-2 wave, SEVEN rows moved out, each
-# re-verified locally at sf0.01 through scripts/check_oracles.py
-# this session: chi2_independence, systematic_sample, snm_linkage,
-# record_linkage (ONLY config-validation hardening this round — new
-# OperatorConfigError paths, each pytest-covered; query path
-# untouched and r10-certified one round ago), multimodal_features
-# (operator code unchanged since r7; the module-level change — the
-# PNG codec — is certified by the in-window png_decode row), and
-# quality_gate + dsir_select (selection.py's probe rework is
-# exercised by the sibling rows still in the window: dsir_weights
-# and quality_classifier).
-# The 32 r07 rows that do not fit were ALL re-run locally through
-# scripts/check_oracles.py at sf0.01 this session (see ROUND_NOTES
-# r11) and lead the r12 rotation together with the SEVEN rows this
-# window displaced for the session-2 wave (chi2_independence,
-# systematic_sample, snm_linkage, record_linkage,
-# multimodal_features, quality_gate, dsir_select — each re-verified
-# locally at sf0.01 when displaced) and the r08 cohort
-# (45 rows: gaps_islands, percentiles, funnel, the TPC-H q12/q18/q19/
-# q22 analogs, set ops, pivot/rollup/cube family, type_conversion,
-# merge/split, window family, ntile, ivf_index_topk, json_expand,
-# top_n_per_group, ...) in registry order.
-_R11_WINDOW = [
+# r12 window (50 = 4 + 5 + 6 + 33 + 2), executing the rotation plan
+# the r11 verdict ratified: 4 new rows (phash_near_dup_pairs,
+# wav_features, bmp_decode, louvain_multilevel — the r12 net-new cap
+# was <= 5), then 5 rows whose operator/entry code changed this
+# round (acf + ccf grew the loud DECIMAL-overflow projection guard;
+# ntile_deciles re-routed off the single-partition window onto
+# linkage._global_rank; mannwhitney_u + ks_drift consume
+# _global_prefix_sums, whose bounded offsets window got the
+# constant-parity partition key), then the SEVEN rows r11 displaced
+# (chi2_independence, systematic_sample, snm_linkage, record_linkage,
+# quality_gate, dsir_select here; multimodal_features rides in the
+# r07 cohort below), then the COMPLETE remaining 33-row r07-vintage
+# cohort (includes gaps_islands, whose entry also moved onto
+# _global_rank this round), then the first 2 r08 rows in registry
+# order (ann_numpy, and cosine_near_dup — the r11 watch item,
+# re-measured 0.97-1.04 s quiet-box this round). Rows with changed
+# code NOT in the window were each re-verified locally at sf0.01
+# through scripts/check_oracles.py this session and are
+# validation-/error-path-only changes: link_predict (weight_scale
+# guard), assoc_rules (probe unpersist-on-raise), image_phash
+# (error rows keep decoded dims; the new format-sniffing decode is
+# certified in-window by bmp_decode + phash_near_dup_pairs),
+# png_decode (same sniffer; PNG branch byte-identical), snm/record/
+# systematic (offsets-window change — in window via the displaced
+# list anyway). The r13 rotation takes the remaining 43-row r08
+# cohort (percentiles, funnel, q12/q18/q19/q22 analogs, set ops,
+# pivot/rollup/cube, type_conversion, window family, ivf_index_topk,
+# json_expand, top_n_per_group, ...) in registry order plus the
+# oldest r09 rows for the leftover slots.
+_R12_WINDOW = [
     # new this round
-    "png_decode", "louvain", "dbscan",
-    "link_predict", "acf", "assoc_rules", "ccf", "negative_sample",
-    "feature_hash", "image_phash",
-    # streaming rows re-certified on bounded panels (input changed)
-    "streaming_sessionize", "streaming_psi", "streaming_attribution",
-    "streaming_hourly",
-    # operator code changed this round
-    "mannwhitney_u", "ks_drift", "dsir_weights",
-    "quality_classifier",
-    # r06-vintage cohort, 5 rounds stale (complete)
-    "csv_roundtrip", "dedup_exact", "events_json_filter", "hash_sample",
-    "hash_split_counts", "hll_distinct", "interval_join",
-    "json_roundtrip", "lang_id", "minhash_near_dup_pairs",
-    "minhash_signature", "q11_important_parts",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_cnt", "q17_small_qty_revenue",
-    "q20_heavy_suppliers", "tf_idf_top_terms",
-    # r07-vintage, 4 rounds stale (the VERDICT r10 item-1 names
-    # still at r07, + multimodal_features and agg_global)
-    "near_dup_clusters", "parquet_partitioned", "jaccard_pairs",
-    "quality_filter", "sessionize", "simhash", "text_metrics",
-    "token_frequency", "winnow_fingerprint", "winnow_near_dup_pairs",
-    "asof_join", "range_join", "dedup_minhash", "agg_global",
+    "phash_near_dup_pairs", "wav_features", "bmp_decode",
+    "louvain_multilevel",
+    # operator/entry code changed this round
+    "acf", "ccf", "ntile_deciles", "mannwhitney_u", "ks_drift",
+    # the seven rows r11 displaced (multimodal_features -> r07 cohort)
+    "chi2_independence", "systematic_sample", "snm_linkage",
+    "record_linkage", "quality_gate", "dsir_select",
+    # r07-vintage cohort, complete (33)
+    "agg_ops", "assemble_docs", "binary_ingest", "domain_stats",
+    "filter_rule_fail", "filter_rule_pass", "gaps_islands",
+    "incremental_dedup", "join_inner", "join_left", "join_outer",
+    "join_right", "line_dedup", "lm_score", "mix_corpora",
+    "multimodal_features", "orc_roundtrip", "pca_project",
+    "pii_redact", "q10_returned_items", "q14_promo_ratio",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q9_product_profit", "quantile_filter", "strip_duplicate_spans",
+    "take_tokens_per_group", "text_roundtrip", "weighted_sample",
+    # r08 head in registry order (cosine_near_dup = r11 watch item)
+    "ann_numpy", "cosine_near_dup",
 ]
 
 
@@ -10445,10 +10437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "link_predict": q_link_predict,
     }
-    assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(base)
+    assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(base)
     return {
-        **{k: base[k] for k in _R11_WINDOW},
-        **{k: v for k, v in base.items() if k not in set(_R11_WINDOW)},
+        **{k: base[k] for k in _R12_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R12_WINDOW)},
     }
 
 

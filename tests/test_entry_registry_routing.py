@@ -52,6 +52,13 @@ ALLOWED_DIRECT = {
     # signature-agreement arithmetic (incremental_dedup the OPERATOR
     # annotates/drops rows instead)
     "q_incremental_dedup",
+    # DataFrame/SQL compositions over the shared distributed-rank
+    # MACHINERY (linkage._global_rank), not over an operator: the
+    # gaps-islands identity and the ntile integer formula are the
+    # query; the rank import replaces the single-partition global
+    # window the r11 verdict flagged (VERDICT r11 item 4)
+    "q_gaps_islands",
+    "q_ntile_deciles",
     # fixed-basis projection kernel: the registered "pca" operator
     # FITS then projects (rows-only contract); this row certifies the
     # projection arithmetic alone with a pinned model, which has no
