@@ -447,6 +447,41 @@ def families(docs, spark):
     fams["feature_hash"] = lambda: feature_hash(
         docs, "doc_id", "text", dim=512
     )
+    # r12: generic hamming fingerprint pairing — the simhash banding
+    # on a PRECOMPUTED 64-bit fingerprint column. The corpus-scaled
+    # low bits leave the HIGH bands constant-zero for every doc —
+    # deliberately the mass-identical-band pathology — so the family
+    # runs with the production lever for it (max_band_freq drops
+    # hotter-than-cap band keys); pairs then come from same-bucket
+    # collisions, which are pinned linear by the corpus-sized modulus
+    from etl_core_spark.operators.dedup import hamming_near_dup_pairs
+
+    fp_in = docs.select(
+        "doc_id",
+        F.lpad(
+            F.conv(
+                F.pmod(
+                    F.xxhash64("doc_id", F.lit(23)),
+                    F.lit(max(n_docs * 4, 16)),
+                ).cast("string"),
+                10,
+                2,
+            ),
+            64,
+            "0",
+        ).alias("fp"),
+    )
+    fams["hamming_pairs"] = lambda: hamming_near_dup_pairs(
+        fp_in, "fp", "doc_id", max_hamming=4, max_band_freq=64
+    )
+    # r12: multi-level Louvain — the louvain shape per level plus ONE
+    # shrinking coarsen join and the two score aggregates; cost must
+    # track E like the one-level family above
+    from etl_core_spark.operators.graph import louvain_multilevel
+
+    fams["louvain_multilevel"] = lambda: louvain_multilevel(
+        graph, iterations=2, levels=2
+    )
     return fams
 
 

@@ -916,24 +916,31 @@ def test_parquet_basket_affinity(spark, tmp_path):
 
 
 def test_parquet_image_dedup(spark, tmp_path):
-    """Image dedup through the real codec: perceptual fingerprints,
-    then exact dedup on the hash — the re-encoded near-copy collapses
-    onto the original (min media_id survives), the distinct image
-    stays."""
+    """Image dedup through the real codecs: perceptual fingerprints,
+    exact dedup on the hash, AND the hamming band-join for near-dup
+    pairs — the re-encoded near-copy collapses onto the original
+    (min media_id survives), the BMP re-container of image 1 hashes
+    identically from the other codec, the distinct image stays."""
+    from etl_core_spark.operators.bmp_codec import encode_bmp
     from etl_core_spark.operators.png_codec import encode_png
 
-    def inputs(d):
-        w = h = 16
-        def img(lo, hi, mode="none"):
-            return encode_png(w, h, bytes(
-                v for y in range(h) for x in range(w)
-                for v in ((lo,) * 3 if x < 8 else (hi,) * 3)
-            ), filter_mode=mode)
+    w = h = 16
 
+    def raw(lo, hi):
+        return bytes(
+            v for y in range(h) for x in range(w)
+            for v in ((lo,) * 3 if x < 8 else (hi,) * 3)
+        )
+
+    def inputs(d):
         rows = [
-            (1, img(0, 255)),
-            (2, img(10, 250, mode="cycle")),  # near-copy, other filters
-            (3, img(255, 0)),                  # mirrored: distinct hash
+            (1, encode_png(w, h, raw(0, 255))),
+            # near-copy, other filters on the wire
+            (2, encode_png(w, h, raw(10, 250), filter_mode="cycle")),
+            # mirrored: distinct hash
+            (3, encode_png(w, h, raw(255, 0))),
+            # the SAME pixels as 1 in the other container
+            (4, encode_bmp(w, h, raw(0, 255))),
         ]
         spark.createDataFrame(
             rows, "media_id long, payload binary"
@@ -944,7 +951,10 @@ def test_parquet_image_dedup(spark, tmp_path):
     )
     fp = {r["media_id"]: r["phash"]
           for r in spark.read.parquet(str(out / "fingerprints")).collect()}
-    assert fp[1] == fp[2] != fp[3]
+    assert fp[1] == fp[2] == fp[4] != fp[3]
     unique = {r["media_id"]
               for r in spark.read.parquet(str(out / "unique")).collect()}
     assert unique == {1, 3}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in spark.read.parquet(str(out / "pairs")).collect()}
+    assert pairs == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
