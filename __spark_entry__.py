@@ -4513,6 +4513,67 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third image codec certification (operators/gif_codec.py): 48
+    synthetic paletted GIFs — palette index (7x+13y+i) % 64 into the
+    closed-form palette ((j*3)%256, (j*5)%256, (j*7)%256) — encoded
+    driver-side (GIF-variant LZW with variable-width codes) and
+    decoded DISTRIBUTED through the same format-sniffing
+    png_features path as PNG and BMP. The oracle recomputes the
+    channel sums straight from the index/palette formulas, so any
+    LZW bit-packing, width-growth, palette or row-order bug breaks
+    the sums. Three-format phash identity is pytest-covered
+    (test_gif_codec.py)."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.gif_codec import encode_gif
+
+    rows = []
+    for i in range(48):
+        w, h = 16 + i % 5, 12 + i % 7
+        px = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                ((7 * x + 13 * y + i) % 64 * 3) % 256,
+                ((7 * x + 13 * y + i) % 64 * 5) % 256,
+                ((7 * x + 13 * y + i) % 64 * 7) % 256,
+            )
+        )
+        rows.append((i, encode_gif(w, h, px)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("png_features")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select(
+        "media_id", "width", "height", "channels",
+        "sum_c0", "sum_c1", "sum_c2",
+    )
+
+
+_SQL_GIF_DECODE = """
+WITH imgs AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         16 + i % 5 AS w, 12 + i % 7 AS h
+  FROM generate_series(0, 47) AS t(i)
+), px AS (
+  SELECT media_id, w, h, (7*x + 13*y + media_id) % 64 AS j
+  FROM imgs, generate_series(0, 19) gx(x), generate_series(0, 17) gy(y)
+  WHERE x < w AND y < h
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM((j*3) % 256) AS BIGINT) AS sum_c0,
+       CAST(SUM((j*5) % 256) AS BIGINT) AS sum_c1,
+       CAST(SUM((j*7) % 256) AS BIGINT) AS sum_c2
+FROM px GROUP BY media_id, w, h
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash fingerprints (multimodal.image_phash,
     aHash / Zauner 2010) over 48 synthetic RGB PNGs decoded through
@@ -10194,9 +10255,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # json_expand, top_n_per_group, ...) in registry order plus the
 # oldest r09 rows for the leftover slots.
 _R12_WINDOW = [
-    # new this round
+    # new this round (cap <= 5; gif_decode took the slot ann_numpy
+    # held in the first draft — ann_numpy stays r08-head for r13 and
+    # was re-verified in this session's full sf0.01 sweep)
     "phash_near_dup_pairs", "wav_features", "bmp_decode",
-    "louvain_multilevel",
+    "louvain_multilevel", "gif_decode",
     # operator/entry code changed this round
     "acf", "ccf", "ntile_deciles", "mannwhitney_u", "ks_drift",
     # the seven rows r11 displaced (multimodal_features -> r07 cohort)
@@ -10214,7 +10277,7 @@ _R12_WINDOW = [
     "q9_product_profit", "quantile_filter", "strip_duplicate_spans",
     "take_tokens_per_group", "text_roundtrip", "weighted_sample",
     # r08 head in registry order (cosine_near_dup = r11 watch item)
-    "ann_numpy", "cosine_near_dup",
+    "cosine_near_dup",
 ]
 
 
@@ -10400,6 +10463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "wav_features": q_wav_features,
         "bmp_decode": q_bmp_decode,
+        "gif_decode": q_gif_decode,
         "assoc_rules": q_assoc_rules,
         "streaming_attribution": q_streaming_attribution,
         "streaming_hourly": q_streaming_hourly,
@@ -10621,6 +10685,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
         "wav_features": _SQL_WAV_FEATURES,
         "bmp_decode": _SQL_PNG_DECODE,
+        "gif_decode": _SQL_GIF_DECODE,
         "assoc_rules": _SQL_ASSOC_RULES,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_hourly": _SQL_STREAMING_HOURLY,

@@ -82,34 +82,39 @@ def _decode_image_batch(payloads: pd.Series, feature_dim: int) -> list[list[floa
 
 
 def _decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
-    """Format-sniffing image decode: PNG (``png_codec``) or 24-bit
-    BI_RGB BMP (``bmp_codec``) by magic bytes → the shared
-    ``(width, height, channels, row-major pixels)`` convention.
-    Raises the codec's own error type for in-format failures and
-    ``BmpFormatError`` for unrecognized magics (both are caught by
-    the operators' ``_IMAGE_ERRORS``)."""
+    """Format-sniffing image decode: PNG (``png_codec``), 24-bit
+    BI_RGB BMP (``bmp_codec``) or GIF87a/89a (``gif_codec``, LZW +
+    palette, first frame) by magic bytes → the shared ``(width,
+    height, channels, row-major pixels)`` convention. Raises the
+    codec's own error type for in-format failures and
+    ``BmpFormatError`` for unrecognized magics (all caught by the
+    operators' ``_image_errors``)."""
     from etl_core_spark.operators.bmp_codec import BmpFormatError, decode_bmp
+    from etl_core_spark.operators.gif_codec import decode_gif
     from etl_core_spark.operators.png_codec import decode_png
 
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(raw)
     raise BmpFormatError(
-        "unrecognized image format (PNG and 24-bit BMP supported)"
+        "unrecognized image format (PNG, 24-bit BMP and GIF supported)"
     )
 
 
 def _image_errors() -> tuple:
     """Exception classes that mean 'this payload is not decodable
-    image data' (vs a bug): both codecs' format errors plus zlib's
+    image data' (vs a bug): the codecs' format errors plus zlib's
     inflate error from corrupt PNG streams."""
     from zlib import error as zlib_error
 
     from etl_core_spark.operators.bmp_codec import BmpFormatError
+    from etl_core_spark.operators.gif_codec import GifFormatError
     from etl_core_spark.operators.png_codec import PngFormatError
 
-    return (PngFormatError, BmpFormatError, zlib_error)
+    return (PngFormatError, BmpFormatError, GifFormatError, zlib_error)
 
 
 def _cap_slices(

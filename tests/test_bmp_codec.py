@@ -99,7 +99,7 @@ def test_phash_format_agnostic_and_png_features_reads_bmp(spark):
     assert by_id[0]["sum_c0"] == sum(px[0::3])
     # unknown magic: loud by default, recorded in null mode
     junk = spark.createDataFrame(
-        [(9, b"GIF89a\x00\x00")], "media_id long, payload binary"
+        [(9, b"RIFF\x00\x00\x00\x00WEBP")], "media_id long, payload binary"
     )
     with pytest.raises(Exception, match="unrecognized image format"):
         get_operator("image_phash")().apply({"in": junk})["out"].collect()

@@ -1,0 +1,121 @@
+"""GIF codec: pure-stdlib LZW decode certified against the encoder
+round-trip (Hypothesis), interlace de-pass, extension skipping, loud
+rejection of out-of-scope inputs — and three-format identity: the
+same pixels hash identically from PNG, BMP and GIF."""
+
+import struct
+
+import pytest
+
+from etl_core_spark.operators.base import get_operator
+from etl_core_spark.operators.gif_codec import (
+    GifFormatError,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _paletted_pixels(w, h, ncol, seed=0):
+    """<=ncol distinct colors from a closed-form palette."""
+    return b"".join(
+        bytes((
+            ((7 * x + 13 * y + seed) % ncol * 3) % 256,
+            ((7 * x + 13 * y + seed) % ncol * 5) % 256,
+            ((7 * x + 13 * y + seed) % ncol * 7) % 256,
+        ))
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def test_round_trip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=18),
+        ncol=st.integers(min_value=1, max_value=256),
+        seed=st.integers(min_value=0, max_value=999),
+    )
+    def check(w, h, ncol, seed):
+        px = _paletted_pixels(w, h, ncol, seed)
+        assert decode_gif(encode_gif(w, h, px)) == (w, h, 3, px)
+
+    check()
+
+
+def test_lzw_width_growth_and_table_reset_round_trip():
+    # enough distinct phrases to push the code width to 12 bits and
+    # through the 4096-entry clear-reset path
+    w, h = 200, 200
+    px = b"".join(
+        bytes(((i * 7) % 256, (i * 13) % 256, (i * 29) % 251))
+        for i in [(x * y) % 250 for y in range(h) for x in range(w)]
+    )
+    assert decode_gif(encode_gif(w, h, px)) == (w, h, 3, px)
+
+
+def test_decode_skips_extensions_and_handles_interlace():
+    w, h = 8, 8
+    px = _paletted_pixels(w, h, 5)
+    raw = encode_gif(w, h, px)
+    # splice a graphics-control extension before the image descriptor
+    at = raw.index(b"\x2C")
+    ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    assert decode_gif(raw[:at] + ext + raw[at:]) == (w, h, 3, px)
+    # hand-build an INTERLACED frame: rows stored in pass order
+    order = [r for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(s, h, t)]
+    reordered = b"".join(px[3 * w * r:3 * w * (r + 1)] for r in order)
+    il = encode_gif(w, h, reordered)
+    at = il.index(b"\x2C")
+    iflags = il[at + 9] | 0x40
+    il = il[:at + 9] + bytes([iflags]) + il[at + 10:]
+    assert decode_gif(il) == (w, h, 3, px)
+
+
+def test_decode_rejects_out_of_scope():
+    with pytest.raises(GifFormatError, match="signature"):
+        decode_gif(b"PNG?" + b"\x00" * 20)
+    with pytest.raises(GifFormatError, match="shorter"):
+        decode_gif(b"GIF89a")
+    good = encode_gif(3, 2, _paletted_pixels(3, 2, 3))
+    with pytest.raises(GifFormatError, match="truncated"):
+        decode_gif(good[:-6])
+    # trailer with no frame (3 colors -> 4-entry table = 12 bytes)
+    hdr_end = 13 + 3 * 4
+    assert good[hdr_end:hdr_end + 1] == b"\x2C"
+    with pytest.raises(GifFormatError, match="no image frame"):
+        decode_gif(good[:hdr_end] + b"\x3B")
+    with pytest.raises(GifFormatError, match="256 distinct"):
+        encode_gif(32, 32, bytes(
+            v for i in range(1024) for v in (i % 256, i // 4 % 256, 7)
+        ))
+    with pytest.raises(GifFormatError, match="pixel buffer"):
+        encode_gif(4, 4, b"\x00" * 5)
+
+
+def test_three_format_phash_identity(spark):
+    """The SAME pixels must fingerprint identically from PNG, BMP and
+    GIF — perceptual dedup across re-encoded containers."""
+    from etl_core_spark.operators.bmp_codec import encode_bmp
+    from etl_core_spark.operators.png_codec import encode_png
+
+    w = h = 16
+    px = _paletted_pixels(w, h, 12, seed=4)
+    df = spark.createDataFrame(
+        [
+            (0, encode_png(w, h, px)),
+            (1, encode_bmp(w, h, px)),
+            (2, encode_gif(w, h, px)),
+        ],
+        "media_id long, payload binary",
+    )
+    out = get_operator("image_phash")().apply({"in": df})["out"].collect()
+    got = {r["media_id"]: r["phash"] for r in out}
+    assert got[0] == got[1] == got[2] and len(got[0]) == 64
+    feats = get_operator("png_features")().apply({"in": df})["out"].collect()
+    sums = {(r["sum_c0"], r["sum_c1"], r["sum_c2"]) for r in feats}
+    assert len(sums) == 1  # identical channel sums from all three
