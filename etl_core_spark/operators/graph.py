@@ -1437,14 +1437,20 @@ def louvain_multilevel(
         mapping = (
             assign
             if mapping is None
-            else mapping.select(
-                "__id", F.col("__c").alias("__mid")
-            ).join(
-                assign.select(
-                    F.col("__id").alias("__mid"), "__c"
-                ),
-                on="__mid",
-            ).select("__id", "__c")
+            # the composed fine projection feeds FOUR subtrees (the
+            # two score joins, the level tag union, and — via the
+            # relabel — the next level's composition), so persist it;
+            # level 0's mapping IS the localCheckpointed assignment
+            else persist_intermediate(
+                mapping.select(
+                    "__id", F.col("__c").alias("__mid")
+                ).join(
+                    assign.select(
+                        F.col("__id").alias("__mid"), "__c"
+                    ),
+                    on="__mid",
+                ).select("__id", "__c")
+            )
         )
         ms = mapping.select(
             F.col("__id").alias("__s"), F.col("__c").alias("__cs")
