@@ -52,6 +52,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         )
     if width <= 0 or height == 0:
         raise BmpFormatError(f"bad dimensions {width}x{height}")
+    if pix_off < 14 + hdr_size:
+        raise BmpFormatError(
+            f"pixel offset {pix_off} overlaps the headers"
+        )
     top_down = height < 0
     h = -height if top_down else height
     stride = (3 * width + 3) & ~3

@@ -975,6 +975,18 @@ def hamming_near_dup_pairs(
         raise OperatorConfigError(
             "hamming_near_dup_pairs bits must be in [1, 1024]"
         )
+    if int(max_hamming) >= int(bits):
+        # a budget >= bits means EVERY pair qualifies — the banding
+        # would need max_hamming+1 non-empty bands but only `bits`
+        # exist, so the pigeonhole guarantee breaks (two maximally
+        # distant fingerprints agree only on bands PAST the end of
+        # the string, which carry no join key). That config is an
+        # all-pairs request, not a near-dup search: raise.
+        raise OperatorConfigError(
+            "hamming_near_dup_pairs max_hamming must be < bits "
+            "(a budget >= bits selects every pair — that is a cross "
+            "join, not a near-dup search)"
+        )
     if max_band_freq is not None and int(max_band_freq) < 1:
         raise OperatorConfigError(
             "hamming_near_dup_pairs max_band_freq must be >= 1"
@@ -1098,6 +1110,12 @@ class HammingNearDupPairsOperator(Operator):
         if not 1 <= int(self.config.get("bits", 64)) <= 1024:
             raise OperatorConfigError(
                 "hamming_near_dup_pairs bits must be in [1, 1024]"
+            )
+        if int(self.config.get("max_hamming", 6)) >= int(
+            self.config.get("bits", 64)
+        ):
+            raise OperatorConfigError(
+                "hamming_near_dup_pairs max_hamming must be < bits"
             )
         mbf = self.config.get("max_band_freq")
         if mbf is not None and int(mbf) < 1:

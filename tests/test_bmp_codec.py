@@ -107,3 +107,10 @@ def test_phash_format_agnostic_and_png_features_reads_bmp(spark):
         {"in": junk}
     )["out"].collect()
     assert "unrecognized" in rows[0]["error"]
+
+
+def test_decode_rejects_header_overlapping_pixel_offset():
+    good = encode_bmp(3, 2, _pixels(3, 2))
+    bad = good[:10] + struct.pack("<I", 8) + good[14:]
+    with pytest.raises(BmpFormatError, match="overlaps"):
+        decode_bmp(bad)

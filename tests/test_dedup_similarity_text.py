@@ -779,3 +779,12 @@ def test_hamming_pairs_band_cap_and_validation(spark):
         get_operator("hamming_near_dup_pairs")(
             fp_col="fp", id_col="doc_id", max_band_freq=0
         ).validate_config()
+    # budget >= bits would break the pigeonhole guarantee (only
+    # past-the-end bands could "agree" between maximally distant
+    # fingerprints) — that is an all-pairs request: loud
+    with pytest.raises(OperatorConfigError, match="must be < bits"):
+        _ham_pairs(spark, [(1, "0" * 4)], bits=4, max_hamming=4)
+    with pytest.raises(OperatorConfigError, match="must be < bits"):
+        get_operator("hamming_near_dup_pairs")(
+            fp_col="fp", id_col="doc_id", bits=4, max_hamming=4
+        ).validate_config()
