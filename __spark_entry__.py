@@ -10238,16 +10238,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # quality_gate, dsir_select here; multimodal_features rides in the
 # r07 cohort below), then the COMPLETE remaining 33-row r07-vintage
 # cohort (includes gaps_islands, whose entry also moved onto
-# _global_rank this round), then the first 2 r08 rows in registry
-# order (ann_numpy, and cosine_near_dup — the r11 watch item,
-# re-measured 0.97-1.04 s quiet-box this round). Rows with changed
-# code NOT in the window were each re-verified locally at sf0.01
-# through scripts/check_oracles.py this session and are
+# _global_rank this round), then cosine_near_dup — the r11 watch
+# item, re-measured 0.97-1.04 s quiet-box this round (its r08-head
+# sibling ann_numpy ceded its slot to the fifth new row gif_decode;
+# ann_numpy was re-verified in this session's full-registry sf0.01
+# sweep and leads r13). Rows with changed code NOT in the window
+# were each re-verified locally at sf0.01 through
+# scripts/check_oracles.py this session and are
 # validation-/error-path-only changes: link_predict (weight_scale
 # guard), assoc_rules (probe unpersist-on-raise), image_phash
-# (error rows keep decoded dims; the new format-sniffing decode is
-# certified in-window by bmp_decode + phash_near_dup_pairs),
-# png_decode (same sniffer; PNG branch byte-identical), snm/record/
+# (error rows keep decoded dims; the new format-sniffing decode and
+# the vectorized exact kernels are certified in-window by
+# bmp_decode + gif_decode + phash_near_dup_pairs + wav_features,
+# which run the exact same operators),
+# png_decode (same sniffer + kernels), snm/record/
 # systematic (offsets-window change — in window via the displaced
 # list anyway). The r13 rotation takes the remaining 43-row r08
 # cohort (percentiles, funnel, q12/q18/q19/q22 analogs, set ops,
