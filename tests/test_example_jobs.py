@@ -958,3 +958,37 @@ def test_parquet_image_dedup(spark, tmp_path):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in spark.read.parquet(str(out / "pairs")).collect()}
     assert pairs == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
+
+
+def test_parquet_audio_quality(spark, tmp_path):
+    """Audio triage through the real WAV codec: decode features in
+    null mode, route undecodable payloads and silent clips to their
+    own sinks, keep real audio."""
+    from etl_core_spark.operators.wav_codec import encode_wav
+
+    def inputs(d):
+        rows = [
+            (1, encode_wav(8000, 1, [100, -100, 50])),   # real audio
+            (2, encode_wav(44100, 2, [0, 0, 0, 0])),      # silent
+            (3, b"not a wav"),                             # undecodable
+            (4, encode_wav(8000, 1, [])),                  # zero frames
+        ]
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.parquet(str(d / "audio.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_audio_quality.json", inputs
+    )
+    kept = {r["media_id"]
+            for r in spark.read.parquet(str(out / "kept")).collect()}
+    silent = {r["media_id"]
+              for r in spark.read.parquet(str(out / "silent")).collect()}
+    undec = {r["media_id"]: r["error"] for r in
+             spark.read.parquet(str(out / "undecodable")).collect()}
+    assert kept == {1}
+    assert silent == {2}
+    # NULL n_frames (decode failure) rides the null->fail port
+    # semantics; the zero-frame clip fails the same predicate
+    assert set(undec) == {3, 4}
+    assert "RIFF" in undec[3] and undec[4] is None
