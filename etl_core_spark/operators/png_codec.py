@@ -172,29 +172,47 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise PngFormatError(
             f"decompressed to {len(raw)} bytes, need {(stride + 1) * height}"
         )
-    out = bytearray(stride * height)
-    prev = bytes(stride)
+    # Unfilter. None/Up/Sub vectorize exactly (Up is one wrapped byte
+    # add against the previous RECONSTRUCTED row; Sub is a per-lane
+    # prefix sum, and mod-256 distributes over addition, so an int64
+    # cumsum masked to the low byte is bit-identical to the
+    # byte-at-a-time loop). Average and Paeth stay sequential — their
+    # recurrences read the just-reconstructed LEFT byte through a
+    # floor-divide / data-dependent predictor, which has no closed
+    # vector form.
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ch = channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+        ft = int(rows[y, 0])
+        line = rows[y, 1:]
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            cur = (
+                line.reshape(-1, ch)
+                .cumsum(axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(-1)
         elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
+            cur = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif ft in (3, 4):
+            lb = bytearray(line.tobytes())
+            pb = prev.tobytes()
+            if ft == 3:  # Average
+                for i in range(stride):
+                    left = lb[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + ((left + pb[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    left = lb[i - ch] if i >= ch else 0
+                    ul = pb[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + _paeth(left, pb[i], ul)) & 0xFF
+            cur = np.frombuffer(bytes(lb), dtype=np.uint8)
+        else:
             raise PngFormatError(f"unknown filter type {ft} on row {y}")
-        out[y * stride:(y + 1) * stride] = line
-        prev = bytes(line)
-    return width, height, channels, bytes(out)
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.tobytes()
