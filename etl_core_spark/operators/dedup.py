@@ -874,6 +874,14 @@ def simhash_near_dup_pairs(
     """
     from etl_core_spark.session import persist_intermediate
 
+    if int(max_hamming) >= int(bits):
+        # same guard as hamming_near_dup_pairs: a budget >= bits
+        # admits EVERY pair, and the banding cannot build
+        # max_hamming+1 non-empty bands out of `bits` bits — that
+        # config is an all-pairs request, not a near-dup search.
+        raise OperatorConfigError(
+            "simhash_near_dup_pairs max_hamming must be < bits"
+        )
     # zero shingles ⇔ zero tokens ⇔ empty trimmed text (functions/
     # text.tokens); NULL text fails the predicate too
     clean = df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -887,14 +895,21 @@ def simhash_near_dup_pairs(
         simhash_fingerprints_long(clean, text_col, id_col, shingle_n, bits)
     )
     n_bands = max_hamming + 1
-    width = -(-bits // n_bands)
-    mask = (1 << width) - 1
+    # Balanced band boundaries: band i spans bit positions
+    # [i*bits//n_bands, (i+1)*bits//n_bands). Every band is non-empty
+    # whenever n_bands <= bits (floor boundaries strictly increase),
+    # unlike the uniform-width ceil(bits/n_bands) split, whose
+    # trailing bands fall PAST the fingerprint for some (bits,
+    # max_hamming) combos — here a past-the-end shift would yield a
+    # constant-0 band key shared by every row, i.e. an accidental
+    # all-pairs candidate generator.
+    cuts = [i * bits // n_bands for i in range(n_bands + 1)]
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftrightunsigned(F.col("simhash64"), i * width)
-                .bitwiseAND(F.lit(mask))
+                F.shiftrightunsigned(F.col("simhash64"), cuts[i])
+                .bitwiseAND(F.lit((1 << (cuts[i + 1] - cuts[i])) - 1))
                 .alias("band_val"),
             )
             for i in range(n_bands)
@@ -1016,26 +1031,45 @@ def hamming_near_dup_pairs(
         df.where(fp_raw.isNotNull()).select(F.col(id_col), fp.alias("__fp"), *chunks)
     )
     n_bands = int(max_hamming) + 1
-    width = -(-bits // n_bands)
+    # Balanced band boundaries: band i spans 1-based positions
+    # [cuts[i]+1, cuts[i+1]]. Every band is non-empty whenever
+    # n_bands <= bits (guaranteed above by max_hamming < bits) —
+    # unlike the uniform-width ceil(bits/n_bands) split, where for
+    # some (bits, max_hamming) combos (e.g. bits=64, max_hamming=8:
+    # width=8 covers 64 bits in 8 bands, leaving band 9 EMPTY) the
+    # trailing bands are empty substrings: conv('', 2, 10) is NULL,
+    # NULL band keys never equi-join, the effective band count drops
+    # below max_hamming+1, and the pigeonhole guarantee silently
+    # breaks (missed qualifying pairs). On the xxhash64 fallback the
+    # same empty bands hash to one constant key instead — an
+    # accidental all-pairs candidate generator. Balanced cuts remove
+    # both failure modes.
+    cuts = [i * bits // n_bands for i in range(n_bands + 1)]
+    max_width = max(cuts[i + 1] - cuts[i] for i in range(n_bands))
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                # band key as a long for a narrow shuffle; the last
-                # band may be shorter (substring truncates) — conv
-                # handles it. width <= 62 keeps conv inside a long.
+                # band key as a long for a narrow shuffle; widths
+                # <= 62 keep conv inside a signed long.
                 F.conv(
-                    F.substring(F.col("__fp"), i * width + 1, width), 2, 10
+                    F.substring(
+                        F.col("__fp"), cuts[i] + 1, cuts[i + 1] - cuts[i]
+                    ),
+                    2,
+                    10,
                 ).cast("long").alias("band_val"),
             )
             for i in range(n_bands)
         ]
-    ) if width <= 62 else F.array(
+    ) if max_width <= 62 else F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
                 F.xxhash64(
-                    F.substring(F.col("__fp"), i * width + 1, width)
+                    F.substring(
+                        F.col("__fp"), cuts[i] + 1, cuts[i + 1] - cuts[i]
+                    )
                 ).alias("band_val"),
             )
             for i in range(n_bands)

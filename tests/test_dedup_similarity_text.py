@@ -788,3 +788,87 @@ def test_hamming_pairs_band_cap_and_validation(spark):
         get_operator("hamming_near_dup_pairs")(
             fp_col="fp", id_col="doc_id", bits=4, max_hamming=4
         ).validate_config()
+
+
+def test_hamming_pairs_balanced_bands_no_empty_trailing_band(spark):
+    """Regression (r13): the uniform-width band split left trailing
+    bands as EMPTY substrings whenever ceil(bits/width) < k+1 (e.g.
+    bits=64, max_hamming=8: width=8 covers all 64 bits in 8 bands,
+    band 9 empty). conv('',2,10) is NULL, NULL band keys never
+    equi-join, so the effective band count dropped below k+1 and
+    qualifying pairs at exactly distance k were silently missed.
+    Balanced boundaries make every band non-empty; the banded result
+    must match the quadratic reference for EVERY previously-broken
+    budget."""
+    base = int("1010110011010001" * 4, 2)
+    rows_by_id = {0: base}
+    # id d differs from id 0 in exactly d bits, spread across the word
+    for d in range(1, 33):
+        v = base
+        for j in range(d):
+            v ^= 1 << ((j * 13 + 5) % 64)
+        rows_by_id[d] = v
+    rows = [(i, format(v, "064b")) for i, v in rows_by_id.items()]
+    # 8, 11, 13, 14 all had empty trailing bands with the old split
+    for k in (8, 11, 13, 14, 23, 31):
+        got = _ham_pairs(spark, rows, max_hamming=k)
+        want = sorted(
+            (a, b, bin(rows_by_id[a] ^ rows_by_id[b]).count("1"))
+            for a in rows_by_id for b in rows_by_id
+            if a < b
+            and bin(rows_by_id[a] ^ rows_by_id[b]).count("1") <= k
+        )
+        assert got == want, f"max_hamming={k}"
+        # the ADVICE repro shape: a pair at exactly distance k is found
+        assert (0, k, k) in got
+    # the xxhash64 fallback path (max band width > 62) with balanced
+    # cuts: bits=128, max_hamming=1 -> two 64-bit bands
+    wide = [(1, "0" * 128), (2, "0" * 127 + "1"), (3, "1" + "0" * 127)]
+    df = spark.createDataFrame(wide, "doc_id long, fp string")
+    out = get_operator("hamming_near_dup_pairs")(
+        fp_col="fp", id_col="doc_id", bits=128, max_hamming=1
+    ).apply({"in": df})["out"]
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, 2, 1), (1, 3, 1)
+    ]
+
+
+def test_simhash_pairs_budget_guard_and_balanced_bands(spark):
+    """simhash_near_dup_pairs shares the banding: budgets >= bits now
+    raise (all-pairs request), and a previously shift-past-the-end
+    budget (bits=60, max_hamming=13 -> old uniform width 5 covered 60
+    bits in 12 bands, bands 12-13 shifted past the end to a CONSTANT
+    0 key = accidental all-pairs generator) still returns the exact
+    quadratic answer with balanced cuts."""
+    from etl_core_spark.operators.base import OperatorConfigError
+    from etl_core_spark.operators.dedup import (
+        simhash_fingerprints_long,
+        simhash_near_dup_pairs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, body string")
+    fps = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash_fingerprints_long(df, "body", "doc_id").collect()
+    }
+    for k in (13, 17):
+        got = sorted(
+            tuple(r)
+            for r in simhash_near_dup_pairs(
+                df, "body", "doc_id", max_hamming=k
+            ).collect()
+        )
+        want = sorted(
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in fps for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= k
+        )
+        assert got == want, f"max_hamming={k}"
+    with pytest.raises(OperatorConfigError, match="must be < bits"):
+        simhash_near_dup_pairs(df, "body", "doc_id", max_hamming=60)
