@@ -4695,21 +4695,135 @@ GROUP BY w.media_id, w.rate, w.ch, w.frames
 """
 
 
-def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup pairs: real PNG decode →
-    ``image_phash`` aHash fingerprints → ``hamming_near_dup_pairs``
-    pigeonhole banding (dedup.py — the simhash band-join reused on
-    the 64-bit perceptual hash; candidates are an equi-join on
-    (band, bits), the verify one XOR + popcount, never all-pairs).
-    The corpus is 24 base images plus one +1-seed variant each: a
-    uniform luminance shift preserves every 64*cell_sum > total bit
-    except where channel values wrap past 256, so each (base,
-    variant) pair lands at a small, data-dependent hamming distance
-    while cross-base pairs sit near 32. The DuckDB oracle recomputes
-    the bits from the generating pixel formula and pairs them
-    quadratically with BIT xor + bit_count — feasible at 48 images,
-    which is exactly why the engine side must NOT be quadratic."""
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer energy-profile audio fingerprints over the same
+    closed-form sawtooth corpus as ``wav_features``
+    (``multimodal.audio_fingerprint``: decoded 16-bit PCM splits
+    into 64 balanced windows — sample j → window j*64//n — and bit
+    w is 1 iff 64*E_w > E_total with E_w the exact integer sum of
+    squared amplitudes; the audio analog of image_phash's aHash
+    rule, no FFT and no floats). The DuckDB oracle replays every bit
+    from the generating sample formula with generate_series — ragged
+    window boundaries (n not divisible by 64) included."""
     from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.wav_codec import encode_wav
+
+    rows = []
+    for i in range(40):
+        ch = 1 + (i % 2)
+        frames = 200 + 31 * i
+        a, b = 3 + 2 * i, 17 * i
+        samples = [((a * j + b) % 65536) - 32768
+                   for j in range(frames * ch)]
+        rows.append((i, encode_wav(8000 + 100 * i, ch, samples)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("audio_fingerprint")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return out.select("media_id", "afp", "n_samples")
+
+
+_SQL_AUDIO_FP = """
+WITH w AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         (200 + 31*i) * (1 + (i % 2)) AS n, 3 + 2*i AS a, 17*i AS b
+  FROM generate_series(0, 39) AS t(i)
+), s AS (
+  SELECT media_id, n, (j*64)//n AS win,
+         ((a*j + b) % 65536) - 32768 AS v
+  FROM w, generate_series(0, 2817) g(j)
+  WHERE j < n
+), e AS (
+  SELECT media_id, n, win, SUM(v*v) AS ew
+  FROM s GROUP BY media_id, n, win
+), tot AS (
+  SELECT media_id, SUM(ew) AS t FROM e GROUP BY media_id
+)
+SELECT e.media_id,
+       string_agg(CASE WHEN 64*e.ew > tot.t THEN '1' ELSE '0' END, ''
+                  ORDER BY e.win) AS afp,
+       CAST(MAX(e.n) AS BIGINT) AS n_samples
+FROM e JOIN tot USING (media_id)
+GROUP BY e.media_id
+"""
+
+
+def q_wav_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end (r12 verdict item 4): the natural
+    composition of ``audio_fingerprint`` and
+    ``hamming_near_dup_pairs`` — the audio mirror of
+    ``phash_near_dup_pairs``. The corpus is 20 base clips + one
+    variant each: every clip is 64 windows × 16 samples of
+    alternating-sign amplitude, loud (1000) or quiet (10) per a
+    closed-form window pattern; the variant flips base%4 + 1
+    specific windows, so each (base, variant) pair lands at an exact
+    planted hamming distance of 1–4 while cross-base pattern
+    distances are data-dependent. Candidates come from the balanced
+    pigeonhole band-join (never all-pairs); the DuckDB oracle
+    recomputes every fingerprint from the per-sample formula and
+    pairs them quadratically with BIT xor + bit_count."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.wav_codec import encode_wav
+
+    rows = []
+    for i in range(40):
+        base, var = divmod(i, 2)
+        samples = []
+        for w in range(64):
+            bit = ((3 * w + 5 * base + w * base) % 7) < 3
+            if var and (5 * (w - base)) % 64 <= base % 4:
+                bit = not bit
+            amp = 1000 if bit else 10
+            samples.extend(
+                amp if j % 2 == 0 else -amp for j in range(16)
+            )
+        rows.append((i, encode_wav(8000, 1, samples)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    fp = get_operator("audio_fingerprint")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    return get_operator("hamming_near_dup_pairs")(
+        fp_col="afp", id_col="media_id", max_hamming=6
+    ).apply({"in": fp})["out"]
+
+
+_SQL_WAV_NEAR_DUP = """
+WITH c AS (
+  SELECT CAST(i AS BIGINT) AS media_id, i//2 AS b, i % 2 AS var
+  FROM generate_series(0, 39) AS t(i)
+), s AS (
+  SELECT media_id, j//16 AS win,
+         CASE WHEN (((3*(j//16) + 5*b + (j//16)*b) % 7) < 3)
+                   != (var = 1 AND
+                       (((5*((j//16) - b)) % 64) + 64) % 64 <= b % 4)
+              THEN 1000 ELSE 10 END * (1 - 2*(j % 2)) AS v
+  FROM c, generate_series(0, 1023) g(j)
+), e AS (
+  SELECT media_id, win, SUM(v*v) AS ew FROM s GROUP BY media_id, win
+), tot AS (
+  SELECT media_id, SUM(ew) AS t FROM e GROUP BY media_id
+), h AS (
+  SELECT e.media_id,
+         string_agg(CASE WHEN 64*e.ew > tot.t THEN '1' ELSE '0' END, ''
+                    ORDER BY e.win) AS afp
+  FROM e JOIN tot USING (media_id)
+  GROUP BY e.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp::BIT, b.afp::BIT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp::BIT, b.afp::BIT)) <= 6
+"""
+
+
+def _phash_corpus(spark: SparkSession) -> DataFrame:
+    """48 synthetic PNGs: 24 base images + one +1-seed luminance
+    variant each (shared by ``phash_near_dup_pairs`` and
+    ``phash_near_dup_clusters``)."""
     from etl_core_spark.operators.png_codec import encode_png
 
     rows = []
@@ -4728,9 +4842,28 @@ def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows.append((i, encode_png(w, h, px, filter_mode="cycle")))
-    media = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "media_id long, payload binary"
     ).coalesce(4)
+
+
+def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: real PNG decode →
+    ``image_phash`` aHash fingerprints → ``hamming_near_dup_pairs``
+    pigeonhole banding (dedup.py — the simhash band-join reused on
+    the 64-bit perceptual hash; candidates are an equi-join on
+    (band, bits), the verify one XOR + popcount, never all-pairs).
+    The corpus is 24 base images plus one +1-seed variant each: a
+    uniform luminance shift preserves every 64*cell_sum > total bit
+    except where channel values wrap past 256, so each (base,
+    variant) pair lands at a small, data-dependent hamming distance
+    while cross-base pairs sit near 32. The DuckDB oracle recomputes
+    the bits from the generating pixel formula and pairs them
+    quadratically with BIT xor + bit_count — feasible at 48 images,
+    which is exactly why the engine side must NOT be quadratic."""
+    from etl_core_spark.operators.base import get_operator
+
+    media = _phash_corpus(spark)
     fp = get_operator("image_phash")(max_records_per_batch=8).apply(
         {"in": media}
     )["out"]
@@ -4739,8 +4872,7 @@ def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).apply({"in": fp})["out"]
 
 
-_SQL_PHASH_NEAR_DUP = """
-WITH imgs AS (
+_PHASH_HASHES_CTES = """imgs AS (
   SELECT CAST(i AS BIGINT) AS media_id,
          16*(i//2) + (i % 2) AS s,
          16 + 8*((i//2) % 4) AS w, 16 + 8*((i//2) % 3) AS h
@@ -4763,12 +4895,62 @@ WITH imgs AS (
                     ORDER BY c.cell) AS phash
   FROM cells c JOIN tot USING (media_id)
   GROUP BY c.media_id
-)
+)"""
+
+
+_SQL_PHASH_NEAR_DUP = f"""
+WITH {_PHASH_HASHES_CTES}
 SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash::BIT, b.phash::BIT)) AS BIGINT)
          AS hamming
 FROM hashes a JOIN hashes b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash::BIT, b.phash::BIT)) <= 10
+"""
+
+
+def q_phash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full perceptual image dedup pipeline as ONE certified row
+    (r12 verdict item 5): PNG decode → ``image_phash`` →
+    ``hamming_near_dup_pairs`` (pigeonhole band-join, never
+    all-pairs) → ``near_dup_clusters`` transitive-closure connected
+    components, cluster_id = min media_id reachable — the composition
+    the ``parquet_image_dedup.json`` example job runs, over the same
+    48-image corpus as ``phash_near_dup_pairs`` (24 bases + one
+    luminance-shift variant each). The DuckDB oracle recomputes the
+    phash bits from the generating pixel formula, pairs them
+    quadratically, and closes the pair graph with a recursive CTE —
+    exact at 48 images, which is exactly why the engine side must be
+    banded + iterative instead."""
+    from etl_core_spark.operators.base import get_operator
+
+    media = _phash_corpus(spark)
+    fp = get_operator("image_phash")(max_records_per_batch=8).apply(
+        {"in": media}
+    )["out"]
+    pairs = get_operator("hamming_near_dup_pairs")(
+        fp_col="phash", id_col="media_id", max_hamming=10
+    ).apply({"in": fp})["out"]
+    return get_operator("near_dup_clusters")().apply({"pairs": pairs})["out"]
+
+
+_SQL_PHASH_CLUSTERS = f"""
+WITH RECURSIVE {_PHASH_HASHES_CTES},
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash::BIT, b.phash::BIT)) <= 10
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
@@ -10225,63 +10407,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r12 window (50 = 4 + 5 + 6 + 33 + 2), executing the rotation plan
-# the r11 verdict ratified: 4 new rows (phash_near_dup_pairs,
-# wav_features, bmp_decode, louvain_multilevel — the r12 net-new cap
-# was <= 5), then 5 rows whose operator/entry code changed this
-# round (acf + ccf grew the loud DECIMAL-overflow projection guard;
-# ntile_deciles re-routed off the single-partition window onto
-# linkage._global_rank; mannwhitney_u + ks_drift consume
-# _global_prefix_sums, whose bounded offsets window got the
-# constant-parity partition key), then the SEVEN rows r11 displaced
-# (chi2_independence, systematic_sample, snm_linkage, record_linkage,
-# quality_gate, dsir_select here; multimodal_features rides in the
-# r07 cohort below), then the COMPLETE remaining 33-row r07-vintage
-# cohort (includes gaps_islands, whose entry also moved onto
-# _global_rank this round), then cosine_near_dup — the r11 watch
-# item, re-measured 0.97-1.04 s quiet-box this round (its r08-head
-# sibling ann_numpy ceded its slot to the fifth new row gif_decode;
-# ann_numpy was re-verified in this session's full-registry sf0.01
-# sweep and leads r13). Rows with changed code NOT in the window
-# were each re-verified locally at sf0.01 through
-# scripts/check_oracles.py this session and are
-# validation-/error-path-only changes: link_predict (weight_scale
-# guard), assoc_rules (probe unpersist-on-raise), image_phash
-# (error rows keep decoded dims; the new format-sniffing decode and
-# the vectorized exact kernels are certified in-window by
-# bmp_decode + gif_decode + phash_near_dup_pairs + wav_features,
-# which run the exact same operators),
-# png_decode (same sniffer + kernels), snm/record/
-# systematic (offsets-window change — in window via the displaced
-# list anyway). The r13 rotation takes the remaining 43-row r08
-# cohort (percentiles, funnel, q12/q18/q19/q22 analogs, set ops,
-# pivot/rollup/cube, type_conversion, window family, ivf_index_topk,
-# json_expand, top_n_per_group, ...) in registry order plus the
-# oldest r09 rows for the leftover slots.
-_R12_WINDOW = [
-    # new this round (cap <= 5; gif_decode took the slot ann_numpy
-    # held in the first draft — ann_numpy stays r08-head for r13 and
-    # was re-verified in this session's full sf0.01 sweep)
-    "phash_near_dup_pairs", "wav_features", "bmp_decode",
-    "louvain_multilevel", "gif_decode",
-    # operator/entry code changed this round
-    "acf", "ccf", "ntile_deciles", "mannwhitney_u", "ks_drift",
-    # the seven rows r11 displaced (multimodal_features -> r07 cohort)
-    "chi2_independence", "systematic_sample", "snm_linkage",
-    "record_linkage", "quality_gate", "dsir_select",
-    # r07-vintage cohort, complete (33)
-    "agg_ops", "assemble_docs", "binary_ingest", "domain_stats",
-    "filter_rule_fail", "filter_rule_pass", "gaps_islands",
-    "incremental_dedup", "join_inner", "join_left", "join_outer",
-    "join_right", "line_dedup", "lm_score", "mix_corpora",
-    "multimodal_features", "orc_roundtrip", "pca_project",
-    "pii_redact", "q10_returned_items", "q14_promo_ratio",
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
-    "q9_product_profit", "quantile_filter", "strip_duplicate_spans",
-    "take_tokens_per_group", "text_roundtrip", "weighted_sample",
-    # r08 head in registry order (cosine_near_dup = r11 watch item)
-    "cosine_near_dup",
+# r13 window (50 = 3 + 2 + 44 + 1), executing the rotation plan the
+# r12 verdict ratified: 3 new rows (audio_fingerprint +
+# wav_near_dup_pairs — the audio near-dup composition, verdict item
+# 4 — and phash_near_dup_clusters, the full perceptual-dedup
+# pipeline row, verdict item 5; net-new cap <= 5 held), then the 2
+# rows whose operator code changed this round
+# (phash_near_dup_pairs + simhash_near_dup_pairs run the
+# balanced-band pigeonhole fix for the ADVICE r12 high finding:
+# uniform ceil-width bands could leave trailing bands empty, whose
+# NULL conv keys silently dropped qualifying pairs; band i now
+# spans i*bits//(k+1)..(i+1)*bits//(k+1)), then the COMPLETE 44-row
+# r08-vintage cohort in registry order (joins semi/anti/multi-step,
+# set ops, pivot/rollup/cube, type_conversion, percentiles, funnel,
+# q18/q19/q22, the ANN family, graph rows), then top_n_per_group —
+# the first r09 row in registry order — for the leftover slot.
+# After r13 the staleness histogram's oldest bucket is r09
+# (39 rows), within the <= 4-round bound the r12 verdict set. The
+# r14 rotation takes the remaining 39-row r09 cohort in registry
+# order (json_expand, attribution_join, zscore_outliers,
+# densify_buckets, stratified_sample, ...) plus the oldest r10 rows
+# for the leftover slots. Rows consuming changed-but-additive code
+# NOT in the window: none — the only touched operator files this
+# round are dedup.py (both consumers in-window), multimodal.py
+# (audio_fingerprint is purely additive; wav_features/image_phash
+# bodies untouched) and op_schemas.py (one added registry entry).
+_R13_WINDOW = [
+    # new this round (cap <= 5)
+    "audio_fingerprint", "wav_near_dup_pairs", "phash_near_dup_clusters",
+    # operator code changed this round (balanced pigeonhole bands)
+    "phash_near_dup_pairs", "simhash_near_dup_pairs",
+    # r08-vintage cohort, complete (44), registry order
+    "ann_numpy", "ann_brute_force", "percentiles", "funnel",
+    "q18_large_orders", "q19_disjunctive_filter", "q22_idle_customers",
+    "join_multi_step", "join_semi", "join_anti", "set_intersect",
+    "set_except", "pivot_event_counts", "unpivot_measures",
+    "rollup_orders", "grouping_sets", "cube_lineitem",
+    "type_conversion", "cast_temporal", "ann_lsh", "ivf_index_topk",
+    "random_projection", "semdedup", "shuffle_rows", "salted_join",
+    "export_shards", "gopher_quality", "semdedup_atypical",
+    "corpus_overlap", "collocations", "histogram", "rolling_aggregate",
+    "scd2_merge", "mad_outliers", "retention_cohorts",
+    "markov_transitions", "event_paths", "approx_topk", "bm25_search",
+    "interpolate_gaps", "label_propagation", "knn_graph",
+    "triangle_count", "graph_components",
+    # r09 head in registry order
+    "top_n_per_group",
 ]
 
 
@@ -10465,6 +10636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "image_phash": q_image_phash,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
+        "phash_near_dup_clusters": q_phash_near_dup_clusters,
+        "audio_fingerprint": q_audio_fingerprint,
+        "wav_near_dup_pairs": q_wav_near_dup_pairs,
         "wav_features": q_wav_features,
         "bmp_decode": q_bmp_decode,
         "gif_decode": q_gif_decode,
@@ -10505,10 +10679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "link_predict": q_link_predict,
     }
-    assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(base)
+    assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(base)
     return {
-        **{k: base[k] for k in _R12_WINDOW},
-        **{k: v for k, v in base.items() if k not in set(_R12_WINDOW)},
+        **{k: base[k] for k in _R13_WINDOW},
+        **{k: v for k, v in base.items() if k not in set(_R13_WINDOW)},
     }
 
 
@@ -10687,6 +10861,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _SQL_FEATURE_HASH,
         "image_phash": _SQL_IMAGE_PHASH,
         "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
+        "phash_near_dup_clusters": _SQL_PHASH_CLUSTERS,
+        "audio_fingerprint": _SQL_AUDIO_FP,
+        "wav_near_dup_pairs": _SQL_WAV_NEAR_DUP,
         "wav_features": _SQL_WAV_FEATURES,
         "bmp_decode": _SQL_PNG_DECODE,
         "gif_decode": _SQL_GIF_DECODE,

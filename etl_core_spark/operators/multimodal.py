@@ -651,3 +651,149 @@ class WavFeaturesOperator(Operator):
                 ),
             )
         }
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp string, n_samples long, error string"
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bands: int = 64,
+    on_error: str = "raise",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Integer energy-profile audio fingerprint over decoded 16-bit
+    PCM (``wav_codec.decode_wav``): the flat interleaved sample
+    stream splits into ``bands`` contiguous windows — sample ``j``
+    lands in window ``j*bands//n``, the balanced partition (every
+    window non-empty whenever ``n >= bands``) — and bit ``w`` is 1
+    iff ``bands * E_w > E_total``, where ``E_w`` is the EXACT
+    integer sum of squared amplitudes in window ``w``. This is the
+    audio analog of ``image_phash``'s aHash rule (cell energy vs
+    global mean, cross-multiplied so the comparison stays in
+    integers — no FFT, no floats), so a closed-form oracle replays
+    every bit from the generating sample formula. Loud regions set
+    bits; re-encodings and localized edits of the same clip land at
+    small hamming distance, and the ``afp`` column feeds
+    ``hamming_near_dup_pairs`` — the same pigeonhole band-join that
+    pairs image phashes (reference parity: binary media ingest +
+    dedup paths, src/etl_core/receivers/... binary receivers).
+
+    Silence (``E_total == 0``) and empty clips fingerprint as all
+    zeros. ``on_error='null'`` records decode failures per row; the
+    default raises.
+
+    Scale shape: identical to ``wav_features`` — Arrow-batched
+    ``mapInPandas`` narrow map, zero shuffle, ``_cap_slices``
+    bounding the working set; the per-clip kernel is one
+    ``np.add.reduceat`` over the squared samples at the balanced
+    window cuts."""
+    if on_error not in ("raise", "null"):
+        raise OperatorConfigError(
+            "audio_fingerprint on_error must be raise|null"
+        )
+    if not 2 <= int(bands) <= 1024:
+        raise OperatorConfigError(
+            "audio_fingerprint bands must be in [2, 1024]"
+        )
+    bands = int(bands)
+    cap = max(1, int(max_records_per_batch))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_core_spark.operators.wav_codec import (
+            WavFormatError,
+            decode_wav,
+        )
+
+        def one(raw):
+            if raw is None:
+                return (None, None, None)
+            try:
+                _rate, _ch, samples = decode_wav(bytes(raw))
+            except WavFormatError as exc:
+                if on_error == "raise":
+                    raise
+                return (None, None, str(exc))
+            n = len(samples)
+            if n == 0:
+                return ("0" * bands, 0, None)
+            # window w spans samples [ceil(w*n/bands), ceil((w+1)*n/bands))
+            # == the preimage of j -> j*bands//n
+            starts = [-(-w * n // bands) for w in range(bands)]
+            if n <= (1 << 26):
+                # exact in int64: v² <= 2^30, total <= 2^56, and the
+                # threshold compare runs in Python ints anyway
+                a = np.asarray(samples, dtype=np.int64)
+                sq = a * a
+                st = np.asarray(starts)
+                ends = np.append(st[1:], n)
+                ew = np.add.reduceat(sq, np.minimum(st, n - 1))
+                ew[ends <= st] = 0  # empty windows (n < bands)
+                energies = [int(e) for e in ew]
+                total = int(sq.sum())
+            else:  # pragma: no cover - >64M-sample clips
+                cuts = starts + [n]
+                energies = [
+                    sum(v * v for v in samples[cuts[w]:cuts[w + 1]])
+                    for w in range(bands)
+                ]
+                total = sum(energies)
+            afp = "".join(
+                "1" if bands * e > total else "0" for e in energies
+            )
+            return (afp, n, None)
+
+        for pdf in _cap_slices(batches, cap):
+            cols = list(zip(*(one(r) for r in pdf[payload_col])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "afp": cols[0],
+                    "n_samples": cols[1],
+                    "error": cols[2],
+                }
+            )
+
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, AUDIO_FP_SCHEMA
+    )
+
+
+@register_operator("audio_fingerprint")
+class AudioFingerprintOperator(Operator):
+    """Config: ``payload_col``, ``id_col``, ``bands``, ``on_error``
+    (raise|null), ``max_records_per_batch``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("on_error", "raise") not in ("raise", "null"):
+            raise OperatorConfigError(
+                "audio_fingerprint on_error must be raise|null"
+            )
+        if not 2 <= int(self.config.get("bands", 64)) <= 1024:
+            raise OperatorConfigError(
+                "audio_fingerprint bands must be in [2, 1024]"
+            )
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        return {
+            "out": audio_fingerprint(
+                self.single_input(inputs),
+                payload_col=c.get("payload_col", "payload"),
+                id_col=c.get("id_col", "media_id"),
+                bands=int(c.get("bands", 64)),
+                on_error=c.get("on_error", "raise"),
+                max_records_per_batch=int(
+                    c.get("max_records_per_batch", 256)
+                ),
+            )
+        }

@@ -523,6 +523,15 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "16-bit PCM RIFF/WAVE is decodable (loud otherwise)"),
         f("max_records_per_batch", "integer", default=256),
     ],
+    "audio_fingerprint": [
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("bands", "integer", default=64,
+          desc="energy windows = fingerprint bits (2..1024); bit w "
+               "is 1 iff bands*E_w > E_total over the decoded PCM"),
+        f("on_error", "string", default="raise", enum=["raise", "null"]),
+        f("max_records_per_batch", "integer", default=256),
+    ],
     "hamming_near_dup_pairs": [
         f("fp_col", "string", required=True,
           desc="precomputed bit-string fingerprint column "

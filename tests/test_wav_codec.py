@@ -145,3 +145,95 @@ def test_wav_features_empty_and_zero_frame_inputs(spark):
     row = get_operator("wav_features")().apply({"in": zero})["out"].collect()
     assert row[0]["n_frames"] == 0 and row[0]["peak"] == 0
     assert row[0]["sum_amp"] == 0 and row[0]["sum_sq"] == 0
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint: integer energy-profile fingerprint (r13)
+# ---------------------------------------------------------------------------
+
+def _py_afp(samples, bands=64):
+    """Reference implementation straight from the definition: window
+    of sample j is j*bands//n; bit w = bands*E_w > E_total."""
+    n = len(samples)
+    if n == 0:
+        return "0" * bands
+    e = [0] * bands
+    for j, v in enumerate(samples):
+        e[j * bands // n] += v * v
+    total = sum(e)
+    return "".join("1" if bands * x > total else "0" for x in e)
+
+
+def test_audio_fingerprint_matches_python_reference(spark):
+    rows, want = [], {}
+    for i in range(14):
+        ch = 1 + (i % 2)
+        frames = 37 + 29 * i  # not divisible by bands: ragged windows
+        samples = [
+            ((13 * j * j + 7 * j + 3 * i) % 65536) - 32768
+            for j in range(frames * ch)
+        ]
+        rows.append((i, encode_wav(8000, ch, samples)))
+        want[i] = _py_afp(samples)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = get_operator("audio_fingerprint")(max_records_per_batch=4).apply(
+        {"in": df}
+    )["out"]
+    got = {r["media_id"]: r["afp"] for r in out.collect()}
+    assert got == want
+    assert all(len(v) == 64 for v in got.values())
+
+
+def test_audio_fingerprint_edge_cases_and_errors(spark):
+    rows = [
+        (0, encode_wav(8000, 1, [])),          # empty clip
+        (1, encode_wav(8000, 1, [0] * 500)),   # silence
+        (2, encode_wav(8000, 1, [9] * 10)),    # n < bands: empty windows
+        (3, b"not a wav"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = get_operator("audio_fingerprint")(on_error="null").apply(
+        {"in": df}
+    )["out"]
+    got = {r["media_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["afp"] == "0" * 64 and got[0]["n_samples"] == 0
+    assert got[1]["afp"] == "0" * 64  # silence: total energy 0
+    # constant amplitude over 10 samples: ragged windows still sum to
+    # the full energy; occupied windows exceed the 1/64 mean
+    assert got[2]["afp"] == _py_afp([9] * 10) and got[2]["afp"].count("1") == 10
+    assert got[3]["afp"] is None and "RIFF" in got[3]["error"]
+    assert got[4]["afp"] is None and got[4]["error"] is None
+    with pytest.raises(Exception, match="RIFF"):
+        get_operator("audio_fingerprint")().apply({"in": df})["out"].collect()
+    with pytest.raises(OperatorConfigError, match="bands"):
+        get_operator("audio_fingerprint")(bands=1).validate_config()
+    with pytest.raises(OperatorConfigError, match="on_error"):
+        get_operator("audio_fingerprint")(on_error="skip").validate_config()
+
+
+def test_audio_fingerprint_feeds_hamming_pairs(spark):
+    """The composition the operator exists for: loud/quiet window
+    patterns -> afp bits -> hamming_near_dup_pairs finds the planted
+    variant at its exact flip distance."""
+    def clip(pattern, m=8):
+        samples = []
+        for w, bit in enumerate(pattern):
+            amp = 1000 if bit else 10
+            samples += [amp if j % 2 == 0 else -amp for j in range(m)]
+        return encode_wav(8000, 1, samples)
+
+    base = [(3 * w + 1) % 5 < 2 for w in range(64)]
+    var = list(base)
+    for w in (5, 20, 40):
+        var[w] = not var[w]
+    far = [not b for b in base]
+    df = spark.createDataFrame(
+        [(0, clip(base)), (1, clip(var)), (2, clip(far))],
+        "media_id long, payload binary",
+    )
+    fp = get_operator("audio_fingerprint")().apply({"in": df})["out"]
+    pairs = get_operator("hamming_near_dup_pairs")(
+        fp_col="afp", id_col="media_id", max_hamming=6
+    ).apply({"in": fp})["out"]
+    assert [tuple(r) for r in pairs.collect()] == [(0, 1, 3)]
