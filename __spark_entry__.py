@@ -4908,6 +4908,75 @@ WHERE bit_count(xor(a.phash::BIT, b.phash::BIT)) <= 10
 """
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-frame GIF sampling over REAL animated payloads
+    (``multimodal.gif_frames`` → ``gif_codec.decode_gif_frames``:
+    every image descriptor, full LZW + per-frame local color tables +
+    NETSCAPE/GCE extension skipping): 30 synthetic animations of 2–5
+    frames, sampled every 2nd frame, each sampled frame emitting its
+    placement rectangle and EXACT integer per-channel pixel sums.
+    The DuckDB oracle replays the generating per-pixel formula with
+    generate_series for exactly the sampled frame indices."""
+    from etl_core_spark.operators.base import get_operator
+    from etl_core_spark.operators.gif_codec import encode_gif_animation
+
+    rows = []
+    for i in range(30):
+        nf = 2 + i % 4
+        w, h = 8 + 2 * (i % 5), 6 + 3 * (i % 3)
+        frames = []
+        for f in range(nf):
+            frames.append(bytes(
+                c
+                for y in range(h)
+                for x in range(w)
+                for c in (
+                    ((x + 2 * y + 5 * f + i) % 13 * 19 + i) % 256,
+                    ((x + 2 * y + 5 * f + i) % 13 * 7 + 2 * i) % 256,
+                    ((x + 2 * y + 5 * f + i) % 13 * 23 + 3 * i) % 256,
+                )
+            ))
+        rows.append((i, encode_gif_animation(w, h, frames)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+    out = get_operator("gif_frames")(
+        every_n=2, max_records_per_batch=8
+    ).apply({"in": media})["out"]
+    return out.select(
+        "media_id", "frame_idx", "frame_left", "frame_top",
+        "width", "height", "sum_r", "sum_g", "sum_b",
+    )
+
+
+_SQL_GIF_FRAMES = """
+WITH clips AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 2 + (i % 4) AS nf,
+         8 + 2*(i % 5) AS w, 6 + 3*(i % 3) AS h
+  FROM generate_series(0, 29) AS t(i)
+), fr AS (
+  SELECT media_id, w, h, f
+  FROM clips, generate_series(0, 4) g(f)
+  WHERE f < nf AND f % 2 = 0
+), px AS (
+  SELECT media_id, f, w, h,
+         ((x + 2*y + 5*f + media_id) % 13 * 19 + media_id) % 256 AS r,
+         ((x + 2*y + 5*f + media_id) % 13 * 7 + 2*media_id) % 256 AS g2,
+         ((x + 2*y + 5*f + media_id) % 13 * 23 + 3*media_id) % 256 AS b
+  FROM fr, generate_series(0, 15) gx(x), generate_series(0, 11) gy(y)
+  WHERE x < w AND y < h
+)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(0 AS INTEGER) AS frame_left, CAST(0 AS INTEGER) AS frame_top,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g2) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY media_id, f, w, h
+"""
+
+
 def q_phash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full perceptual image dedup pipeline as ONE certified row
     (r12 verdict item 5): PNG decode → ``image_phash`` →
@@ -10407,11 +10476,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS round lead, then rows by ascending certification vintage so no
 # row's latest driver check is ever more than two rounds old.
 #
-# r13 window (50 = 3 + 2 + 44 + 1), executing the rotation plan the
-# r12 verdict ratified: 3 new rows (audio_fingerprint +
+# r13 window (50 = 4 + 2 + 44), executing the rotation plan the
+# r12 verdict ratified: 4 new rows (audio_fingerprint +
 # wav_near_dup_pairs — the audio near-dup composition, verdict item
-# 4 — and phash_near_dup_clusters, the full perceptual-dedup
-# pipeline row, verdict item 5; net-new cap <= 5 held), then the 2
+# 4 — phash_near_dup_clusters, the full perceptual-dedup pipeline
+# row, verdict item 5, and gif_frames — multi-frame GIF sampling,
+# stretch item 7; net-new cap <= 5 held), then the 2
 # rows whose operator code changed this round
 # (phash_near_dup_pairs + simhash_near_dup_pairs run the
 # balanced-band pigeonhole fix for the ADVICE r12 high finding:
@@ -10420,21 +10490,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # spans i*bits//(k+1)..(i+1)*bits//(k+1)), then the COMPLETE 44-row
 # r08-vintage cohort in registry order (joins semi/anti/multi-step,
 # set ops, pivot/rollup/cube, type_conversion, percentiles, funnel,
-# q18/q19/q22, the ANN family, graph rows), then top_n_per_group —
-# the first r09 row in registry order — for the leftover slot.
-# After r13 the staleness histogram's oldest bucket is r09
-# (39 rows), within the <= 4-round bound the r12 verdict set. The
-# r14 rotation takes the remaining 39-row r09 cohort in registry
-# order (json_expand, attribution_join, zscore_outliers,
-# densify_buckets, stratified_sample, ...) plus the oldest r10 rows
-# for the leftover slots. Rows consuming changed-but-additive code
-# NOT in the window: none — the only touched operator files this
-# round are dedup.py (both consumers in-window), multimodal.py
-# (audio_fingerprint is purely additive; wav_features/image_phash
-# bodies untouched) and op_schemas.py (one added registry entry).
+# q18/q19/q22, the ANN family, graph rows). After r13 the staleness
+# histogram's oldest bucket is r09 (40 rows), within the <= 4-round
+# bound the r12 verdict set. The r14 rotation takes the 40-row r09
+# cohort in registry order (top_n_per_group, json_expand,
+# attribution_join, zscore_outliers, densify_buckets,
+# stratified_sample, ...) plus the oldest r10 rows for the leftover
+# slots. Rows consuming changed-but-additive code NOT in the
+# window: none — the touched operator files this round are dedup.py
+# (both banding consumers in-window), multimodal.py + gif_codec.py
+# (audio_fingerprint/gif_frames are purely additive; wav_features /
+# image_phash bodies untouched, decode_gif refactored to a lazy
+# frame walk with pytest-enforced first-frame parity and its
+# gif_decode row re-verified locally at sf0.01 this session) and
+# op_schemas.py (two added registry entries).
 _R13_WINDOW = [
     # new this round (cap <= 5)
     "audio_fingerprint", "wav_near_dup_pairs", "phash_near_dup_clusters",
+    "gif_frames",
     # operator code changed this round (balanced pigeonhole bands)
     "phash_near_dup_pairs", "simhash_near_dup_pairs",
     # r08-vintage cohort, complete (44), registry order
@@ -10451,8 +10524,6 @@ _R13_WINDOW = [
     "markov_transitions", "event_paths", "approx_topk", "bm25_search",
     "interpolate_gaps", "label_propagation", "knn_graph",
     "triangle_count", "graph_components",
-    # r09 head in registry order
-    "top_n_per_group",
 ]
 
 
@@ -10637,6 +10708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "phash_near_dup_clusters": q_phash_near_dup_clusters,
+        "gif_frames": q_gif_frames,
         "audio_fingerprint": q_audio_fingerprint,
         "wav_near_dup_pairs": q_wav_near_dup_pairs,
         "wav_features": q_wav_features,
@@ -10862,6 +10934,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _SQL_IMAGE_PHASH,
         "phash_near_dup_pairs": _SQL_PHASH_NEAR_DUP,
         "phash_near_dup_clusters": _SQL_PHASH_CLUSTERS,
+        "gif_frames": _SQL_GIF_FRAMES,
         "audio_fingerprint": _SQL_AUDIO_FP,
         "wav_near_dup_pairs": _SQL_WAV_NEAR_DUP,
         "wav_features": _SQL_WAV_FEATURES,

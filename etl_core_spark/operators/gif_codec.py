@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["GifFormatError", "decode_gif", "encode_gif"]
+__all__ = [
+    "GifFormatError",
+    "decode_gif",
+    "decode_gif_frames",
+    "encode_gif",
+    "encode_gif_animation",
+]
 
 
 class GifFormatError(ValueError):
@@ -90,9 +96,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
             return out
 
 
-def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """GIF → ``(width, height, 3, rgb_pixels_topdown)`` (first
-    frame)."""
+def _iter_gif_frames(data: bytes):
+    """Lazy frame walk: yields ``(left, top, width, height, rgb)``
+    per image descriptor in stream order. Laziness matters for
+    parity: ``decode_gif`` (the certified first-frame contract)
+    takes one item, so malformations in LATER frames never raise
+    there — exactly the pre-r13 behavior."""
     if len(data) < 13:
         raise GifFormatError("shorter than the GIF header")
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -106,10 +115,13 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         if len(gct) < 3 * n:
             raise GifFormatError("truncated global color table")
         pos += 3 * n
+    got_frame = False
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
-            raise GifFormatError("no image frame before trailer")
+            if not got_frame:
+                raise GifFormatError("no image frame before trailer")
+            return
         if b == 0x21:  # extension: label + sub-block chain
             pos += 2
             while pos < len(data) and data[pos] != 0:
@@ -121,7 +133,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         # image descriptor
         if pos + 10 > len(data):
             raise GifFormatError("truncated image descriptor")
-        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
         pos += 10
         table = gct
         if iflags & 0x80:
@@ -148,6 +160,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                 raise GifFormatError("truncated LZW sub-block")
             lzw += chunk
             pos += 1 + size
+        pos += 1  # the terminating zero-length sub-block
         idx = _lzw_decode(min_code, bytes(lzw), w * h)
         if len(idx) < w * h:
             raise GifFormatError(
@@ -172,8 +185,27 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                     f"palette index {ci} outside the {ncolors}-color table"
                 )
             out[3 * i:3 * i + 3] = table[3 * ci:3 * ci + 3]
-        return w, h, 3, bytes(out)
-    raise GifFormatError("no image frame found")
+        got_frame = True
+        yield left, top, w, h, bytes(out)
+    if not got_frame:
+        raise GifFormatError("no image frame found")
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """GIF → ``(width, height, 3, rgb_pixels_topdown)`` (first
+    frame)."""
+    _left, _top, w, h, rgb = next(_iter_gif_frames(data))
+    return w, h, 3, rgb
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, int, int, int, bytes]]:
+    """Every image descriptor in the stream → list of ``(left, top,
+    width, height, rgb)`` — animation frame enumeration. Each frame
+    decodes on its OWN rectangle through its own (local or global)
+    color table; disposal/compositing onto the logical screen is a
+    modeling decision left downstream (``gif_frames`` samples and
+    fingerprints per-frame pixels, it does not replay an animation)."""
+    return list(_iter_gif_frames(data))
 
 
 def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
@@ -232,17 +264,13 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
-    """Encode top-down row-major RGB pixels as a single-frame,
-    non-interlaced GIF89a (palette built from the distinct colors;
-    more than 256 distinct colors raise — quantization is a modeling
-    decision, not a codec's)."""
-    if width < 1 or height < 1:
-        raise GifFormatError(f"bad dimensions {width}x{height}")
-    if len(rgb) != 3 * width * height:
-        raise GifFormatError(
-            f"pixel buffer is {len(rgb)} bytes, want {3 * width * height}"
-        )
+def _palettize(
+    width: int, height: int, rgb: bytes
+) -> tuple[bytes, int, bytearray]:
+    """Build a color table from the distinct colors of one frame →
+    ``(table_bytes, size_bits, palette_indices)``; more than 256
+    distinct colors raise (quantization is a modeling decision, not
+    a codec's)."""
     palette: dict[bytes, int] = {}
     indices = bytearray()
     for i in range(width * height):
@@ -264,14 +292,79 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
     for c in palette:
         table += c
     table += b"\x00" * (3 * (1 << bits) - len(table))
-    min_code = max(2, bits)
-    lzw = _lzw_encode(min_code, bytes(indices))
+    return bytes(table), bits, indices
+
+
+def _sub_blocks(lzw: bytes) -> bytes:
+    """Split an LZW stream into 255-byte-max sub-blocks + terminator."""
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i:i + 255]
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)
+    return bytes(blocks)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode a list of full-screen top-down RGB frames as an
+    animated GIF89a: NETSCAPE2.0 looping application extension, then
+    per frame a Graphic Control Extension (delay ``delay_cs`` in
+    centiseconds, disposal 'do not dispose') + an image descriptor at
+    (0, 0) with its OWN local color table — each frame palettizes
+    independently, so frames may differ in palette freely. The
+    decoder side (``decode_gif_frames``) round-trips every frame's
+    pixels exactly."""
+    if not frames:
+        raise GifFormatError("animation needs at least one frame")
+    for f in frames:
+        if len(f) != 3 * width * height:
+            raise GifFormatError(
+                f"frame buffer is {len(f)} bytes, want {3 * width * height}"
+            )
+    out = bytearray()
+    out += b"GIF89a"
+    # no global color table: every frame carries a local one
+    out += struct.pack("<HHBBB", width, height, 0, 0, 0)
+    # NETSCAPE looping extension (exercises sub-block-chain skipping)
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for rgb in frames:
+        table, bits, indices = _palettize(width, height, rgb)
+        min_code = max(2, bits)
+        # GCE: disposal=1 (leave), no transparency
+        out += b"\x21\xF9\x04" + struct.pack(
+            "<BHB", 0x04, int(delay_cs), 0
+        ) + b"\x00"
+        out += b"\x2C" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x80 | (bits - 1)
+        )
+        out += table
+        out += bytes([min_code])
+        out += _sub_blocks(_lzw_encode(min_code, bytes(indices)))
+    out += b"\x3B"
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB pixels as a single-frame,
+    non-interlaced GIF89a (palette built from the distinct colors;
+    more than 256 distinct colors raise — quantization is a modeling
+    decision, not a codec's)."""
+    if width < 1 or height < 1:
+        raise GifFormatError(f"bad dimensions {width}x{height}")
+    if len(rgb) != 3 * width * height:
+        raise GifFormatError(
+            f"pixel buffer is {len(rgb)} bytes, want {3 * width * height}"
+        )
+    table, bits, indices = _palettize(width, height, rgb)
+    min_code = max(2, bits)
+    lzw = _lzw_encode(min_code, bytes(indices))
+    blocks = _sub_blocks(lzw)
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)

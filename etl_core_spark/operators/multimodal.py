@@ -653,6 +653,141 @@ class WavFeaturesOperator(Operator):
         }
 
 
+GIF_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_left int, frame_top int, "
+    "width int, height int, sum_r long, sum_g long, sum_b long, "
+    "error string"
+)
+
+
+def gif_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 1,
+    max_frames: int | None = None,
+    on_error: str = "raise",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Animated-GIF frame sampling over REAL payloads
+    (``gif_codec.decode_gif_frames``: every image descriptor in
+    stream order, full LZW + local color tables + extension
+    skipping): one output row per SAMPLED frame — original frame
+    indices ``0, every_n, 2*every_n, ...``, at most ``max_frames``
+    rows per clip — with the frame's placement rectangle and EXACT
+    integer per-channel pixel sums (certifiable against a
+    closed-form oracle, the ``png_features`` convention). Frames
+    decode on their own rectangles; animation compositing/disposal
+    replay is a modeling decision left downstream. This is the
+    video-style sampling path of ``frame_sample`` made real: the
+    container's one true multi-frame format enumerated instead of
+    synthetic timestamps.
+
+    ``on_error='null'`` emits one error row per undecodable payload
+    (frame_idx NULL) instead of failing the job; the default raises.
+    Scale shape: Arrow-batched ``mapInPandas`` narrow map, zero
+    shuffle, ``_cap_slices`` bounding the per-step working set; the
+    per-frame kernel is one numpy reshape-sum."""
+    if on_error not in ("raise", "null"):
+        raise OperatorConfigError("gif_frames on_error must be raise|null")
+    if int(every_n) < 1:
+        raise OperatorConfigError("gif_frames every_n must be >= 1")
+    if max_frames is not None and int(max_frames) < 1:
+        raise OperatorConfigError("gif_frames max_frames must be >= 1")
+    step = int(every_n)
+    limit = None if max_frames is None else int(max_frames)
+    cap = max(1, int(max_records_per_batch))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_core_spark.operators.gif_codec import (
+            GifFormatError,
+            decode_gif_frames,
+        )
+
+        def rows_for(mid, raw):
+            if raw is None:
+                return [(mid,) + (None,) * 9]
+            try:
+                frames = decode_gif_frames(bytes(raw))
+            except GifFormatError as exc:
+                if on_error == "raise":
+                    raise
+                return [(mid,) + (None,) * 8 + (str(exc),)]
+            picked = frames[::step] if limit is None else frames[::step][:limit]
+            out = []
+            for k, (left, top, w, h, rgb) in enumerate(picked):
+                sums = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .sum(axis=0, dtype=np.int64)
+                )
+                out.append(
+                    (
+                        mid, k * step, left, top, w, h,
+                        int(sums[0]), int(sums[1]), int(sums[2]), None,
+                    )
+                )
+            return out
+
+        cols = [
+            "media_id", "frame_idx", "frame_left", "frame_top",
+            "width", "height", "sum_r", "sum_g", "sum_b", "error",
+        ]
+        for pdf in _cap_slices(batches, cap):
+            recs = [
+                row
+                for mid, raw in zip(pdf[id_col], pdf[payload_col])
+                for row in rows_for(mid, raw)
+            ]
+            yield pd.DataFrame(recs, columns=cols)
+
+    from etl_core_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, GIF_FRAMES_SCHEMA
+    )
+
+
+@register_operator("gif_frames")
+class GifFramesOperator(Operator):
+    """Config: ``payload_col``, ``id_col``, ``every_n``,
+    ``max_frames``, ``on_error`` (raise|null),
+    ``max_records_per_batch``."""
+
+    in_ports = ("in",)
+    out_ports = ("out",)
+
+    def validate_config(self) -> None:
+        if self.config.get("on_error", "raise") not in ("raise", "null"):
+            raise OperatorConfigError(
+                "gif_frames on_error must be raise|null"
+            )
+        if int(self.config.get("every_n", 1)) < 1:
+            raise OperatorConfigError("gif_frames every_n must be >= 1")
+        mf = self.config.get("max_frames")
+        if mf is not None and int(mf) < 1:
+            raise OperatorConfigError("gif_frames max_frames must be >= 1")
+
+    def apply(self, inputs: PortMap) -> PortMap:
+        c = self.config
+        mf = c.get("max_frames")
+        return {
+            "out": gif_frames(
+                self.single_input(inputs),
+                payload_col=c.get("payload_col", "payload"),
+                id_col=c.get("id_col", "media_id"),
+                every_n=int(c.get("every_n", 1)),
+                max_frames=None if mf is None else int(mf),
+                on_error=c.get("on_error", "raise"),
+                max_records_per_batch=int(
+                    c.get("max_records_per_batch", 256)
+                ),
+            )
+        }
+
+
 AUDIO_FP_SCHEMA = "media_id long, afp string, n_samples long, error string"
 
 

@@ -523,6 +523,16 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
                "16-bit PCM RIFF/WAVE is decodable (loud otherwise)"),
         f("max_records_per_batch", "integer", default=256),
     ],
+    "gif_frames": [
+        f("payload_col", "string", default="payload"),
+        f("id_col", "string", default="media_id"),
+        f("every_n", "integer", default=1,
+          desc="sample every n-th animation frame"),
+        f("max_frames", "integer",
+          desc="cap sampled frames per clip (default unlimited)"),
+        f("on_error", "string", default="raise", enum=["raise", "null"]),
+        f("max_records_per_batch", "integer", default=256),
+    ],
     "audio_fingerprint": [
         f("payload_col", "string", default="payload"),
         f("id_col", "string", default="media_id"),

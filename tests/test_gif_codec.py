@@ -119,3 +119,107 @@ def test_three_format_phash_identity(spark):
     feats = get_operator("png_features")().apply({"in": df})["out"].collect()
     sums = {(r["sum_c0"], r["sum_c1"], r["sum_c2"]) for r in feats}
     assert len(sums) == 1  # identical channel sums from all three
+
+
+# ---------------------------------------------------------------------------
+# multi-frame animation: decode_gif_frames + gif_frames operator (r13)
+# ---------------------------------------------------------------------------
+
+def test_animation_round_trip_and_first_frame_parity():
+    from etl_core_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    w, h = 14, 9
+    frames = [_paletted_pixels(w, h, 5 + f, seed=3 * f) for f in range(5)]
+    raw = encode_gif_animation(w, h, frames)
+    got = decode_gif_frames(raw)
+    assert [(0, 0, w, h, f) for f in frames] == got
+    # decode_gif = first frame, byte-for-byte
+    assert decode_gif(raw) == (w, h, 3, frames[0])
+    # single-frame encode_gif payloads enumerate as exactly one frame
+    single = encode_gif(w, h, frames[2])
+    assert decode_gif_frames(single) == [(0, 0, w, h, frames[2])]
+    with pytest.raises(GifFormatError, match="at least one frame"):
+        encode_gif_animation(w, h, [])
+    with pytest.raises(GifFormatError, match="frame buffer"):
+        encode_gif_animation(w, h, [frames[0][:-3]])
+
+
+def test_animation_round_trip_through_12bit_reset():
+    """A frame with enough distinct LZW phrases to grow the code
+    width to 12 bits and through the 4096-entry table reset must
+    round-trip inside an animation too (the multi-frame walk resumes
+    cleanly after a reset-heavy stream)."""
+    from etl_core_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    w, h = 200, 200
+    noisy = b"".join(
+        bytes(((i * 7) % 256, (i * 13) % 256, (i * 29) % 251))
+        for i in [(x * y) % 250 for y in range(h) for x in range(w)]
+    )
+    flat = _paletted_pixels(w, h, 3, seed=1)
+    got = decode_gif_frames(encode_gif_animation(w, h, [noisy, flat, noisy]))
+    assert [g[4] for g in got] == [noisy, flat, noisy]
+
+
+def test_gif_frames_operator_sampling_and_errors(spark):
+    from etl_core_spark.operators.gif_codec import encode_gif_animation
+
+    w, h = 10, 6
+
+    def frame(i, f):
+        return bytes(
+            c
+            for y in range(h)
+            for x in range(w)
+            for c in (
+                ((x + 2 * y + 5 * f + i) % 13 * 19 + i) % 256,
+                ((x + 2 * y + 5 * f + i) % 13 * 7 + 2 * i) % 256,
+                ((x + 2 * y + 5 * f + i) % 13 * 23 + 3 * i) % 256,
+            )
+        )
+
+    rows = [
+        (0, encode_gif_animation(w, h, [frame(0, f) for f in range(5)])),
+        (1, encode_gif_animation(w, h, [frame(1, 0)])),
+        (2, b"not a gif"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = get_operator("gif_frames")(every_n=2, on_error="null").apply(
+        {"in": df}
+    )["out"]
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["sum_r"], r["error"] is not None)
+        for r in out.collect()
+    )
+
+    def sums(i, f):
+        px = frame(i, f)
+        return sum(px[0::3])
+
+    assert got == [
+        (0, 0, sums(0, 0), False),
+        (0, 2, sums(0, 2), False),
+        (0, 4, sums(0, 4), False),
+        (1, 0, sums(1, 0), False),
+        (2, None, None, True),
+        (3, None, None, False),
+    ]
+    # max_frames cap + raise mode
+    capped = get_operator("gif_frames")(max_frames=2).apply(
+        {"in": spark.createDataFrame(rows[:1], "media_id long, payload binary")}
+    )["out"]
+    assert [r["frame_idx"] for r in capped.collect()] == [0, 1]
+    with pytest.raises(Exception, match="GIF"):
+        get_operator("gif_frames")().apply({"in": df})["out"].collect()
+    from etl_core_spark.operators.base import OperatorConfigError
+    with pytest.raises(OperatorConfigError, match="every_n"):
+        get_operator("gif_frames")(every_n=0).validate_config()
+    with pytest.raises(OperatorConfigError, match="max_frames"):
+        get_operator("gif_frames")(max_frames=0).validate_config()
