@@ -1426,9 +1426,34 @@ def louvain_multilevel(
     m_tot = e.where(F.col("__s") < F.col("__t")).agg(
         F.sum("__w").cast("long").alias("__m")
     )
-    fine_e, fine_deg = e, deg
     # node -> community at the finest level, refined level by level;
-    # each level's fine projection is scored and the best one wins
+    # each level's fine projection is scored and the best one wins.
+    #
+    # Score algebra (r13 refinement, VERDICT r12 item 8): the level-L
+    # fine-projected score Σ_C (2m·W_C − D_C²) needs only TOTALS —
+    # Σ_C W_C and Σ_C D_C² — never per-community rows joined back to
+    # the fine edge list. Two exact identities make both totals fall
+    # out of structures the coarsening already builds:
+    #   (1) telescoping intra weight: the symmetric fine intra weight
+    #       of the level-L communities is T_0 − T_{L+1}, where T_l is
+    #       the total weight of the level-l coarse edge list (each
+    #       collapse removes EXACTLY the newly-intra weight from the
+    #       edge list and T_0 = 2m), plus — on the FINAL level only —
+    #       the intra weight of the final assignment measured on the
+    #       final (already-coarse, small) graph;
+    #   (2) D_C (fine degree mass of a level-L community) IS the
+    #       level-L+1 coarse degree (self-loop weight rides inside),
+    #       so Σ D_C² = Σ deg_{L+1}².
+    # Non-final levels therefore score from two one-row aggregates
+    # over the NEXT level's persisted coarse edges/degrees, and the
+    # final level joins only the final coarse graph — the fine edge
+    # list is never rescanned for scoring. Same exact integers as the
+    # per-community form (left-join + coalesce(W_C, 0) included,
+    # since 2m·Σ W_C − Σ D_C² sums the same terms), so the unrolled
+    # two-level CTE oracle still matches bit-for-bit.
+    two_m = persist_intermediate(
+        m_tot.select((F.lit(2) * F.col("__m")).cast("long").alias("__t0"))
+    )
     mapping = None
     tagged_maps = []
     tagged_scores = []
@@ -1437,9 +1462,8 @@ def louvain_multilevel(
         mapping = (
             assign
             if mapping is None
-            # the composed fine projection feeds FOUR subtrees (the
-            # two score joins, the level tag union, and — via the
-            # relabel — the next level's composition), so persist it;
+            # the composed fine projection feeds the level tag union
+            # and — via the relabel — the next level's composition;
             # level 0's mapping IS the localCheckpointed assignment
             else persist_intermediate(
                 mapping.select(
@@ -1452,41 +1476,56 @@ def louvain_multilevel(
                 ).select("__id", "__c")
             )
         )
-        ms = mapping.select(
-            F.col("__id").alias("__s"), F.col("__c").alias("__cs")
-        )
-        mt2 = mapping.select(
-            F.col("__id").alias("__t"), F.col("__c").alias("__ct")
-        )
-        intra = (
-            fine_e.join(ms, on="__s")
-            .join(mt2, on="__t")
-            .where(F.col("__cs") == F.col("__ct"))
-            .groupBy(F.col("__cs").alias("__cc"))
-            .agg(F.sum("__w").cast("long").alias("__wc"))
-        )
-        dsum = (
-            mapping.join(fine_deg, on="__id")
-            .groupBy(F.col("__c").alias("__cc"))
-            .agg(F.sum("__d").cast("long").alias("__dc"))
-        )
-        score = (
-            dsum.join(intra, on="__cc", how="left")
-            .crossJoin(F.broadcast(m_tot))
-            .agg(
-                F.sum(
-                    F.lit(2) * F.col("__m")
-                    * F.coalesce(F.col("__wc"), F.lit(0))
-                    - F.col("__dc") * F.col("__dc")
-                ).cast("long").alias("__score")
-            )
-            .select(F.lit(_level).alias("__lvl"), "__score")
-        )
-        tagged_scores.append(score)
         tagged_maps.append(
             mapping.select(F.lit(_level).alias("__lvl"), "__id", "__c")
         )
         if _level + 1 == int(levels):
+            if int(levels) > 1:
+                # final-level score, measured ON the final coarse
+                # graph: intra = T_0 − T_final + W_final(coarse)
+                ms = assign.select(
+                    F.col("__id").alias("__s"), F.col("__c").alias("__cs")
+                )
+                mt2 = assign.select(
+                    F.col("__id").alias("__t"), F.col("__c").alias("__ct")
+                )
+                intra_f = (
+                    e.join(ms, on="__s")
+                    .join(mt2, on="__t")
+                    .where(F.col("__cs") == F.col("__ct"))
+                    .agg(
+                        F.coalesce(F.sum("__w"), F.lit(0))
+                        .cast("long").alias("__wf")
+                    )
+                )
+                t_cur = e.agg(
+                    F.coalesce(F.sum("__w"), F.lit(0))
+                    .cast("long").alias("__tc")
+                )
+                dsq = (
+                    assign.join(deg, on="__id")
+                    .groupBy("__c")
+                    .agg(F.sum("__d").cast("long").alias("__dc"))
+                    .agg(
+                        F.coalesce(F.sum(F.col("__dc") * F.col("__dc")),
+                                   F.lit(0))
+                        .cast("long").alias("__sq")
+                    )
+                )
+                tagged_scores.append(
+                    two_m.crossJoin(F.broadcast(intra_f))
+                    .crossJoin(F.broadcast(t_cur))
+                    .crossJoin(F.broadcast(dsq))
+                    .select(
+                        F.lit(_level).alias("__lvl"),
+                        (
+                            F.col("__t0")
+                            * (F.col("__t0") - F.col("__tc")
+                               + F.col("__wf"))
+                            - F.col("__sq")
+                        ).cast("long").alias("__score"),
+                    )
+                )
             break
         # coarsen: communities become nodes; weights sum fine edges.
         # Coarse nodes are RELABELED 1..K by the distributed
@@ -1537,6 +1576,27 @@ def louvain_multilevel(
             )
             .groupBy(F.col("__rid").alias("__id"))
             .agg(F.sum("__d").cast("long").alias("__d"))
+        )
+        # this level's score from the freshly-built coarse structures
+        # (identities (1)+(2) above): two one-row aggregates, no fine
+        # edge rescans
+        t_next = e.agg(
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("__tn")
+        )
+        sq_next = deg.agg(
+            F.coalesce(F.sum(F.col("__d") * F.col("__d")), F.lit(0))
+            .cast("long").alias("__sq")
+        )
+        tagged_scores.append(
+            two_m.crossJoin(F.broadcast(t_next))
+            .crossJoin(F.broadcast(sq_next))
+            .select(
+                F.lit(_level).alias("__lvl"),
+                (
+                    F.col("__t0") * (F.col("__t0") - F.col("__tn"))
+                    - F.col("__sq")
+                ).cast("long").alias("__score"),
+            )
         )
         # move the running node->community mapping into rid space so
         # the next level's assignment composes by equi-join
