@@ -992,3 +992,49 @@ def test_parquet_audio_quality(spark, tmp_path):
     # semantics; the zero-frame clip fails the same predicate
     assert set(undec) == {3, 4}
     assert "RIFF" in undec[3] and undec[4] is None
+
+
+def test_parquet_audio_dedup(spark, tmp_path):
+    """Audio near-dup dedup through the real WAV codec: energy
+    fingerprints, pigeonhole hamming pairs, transitive-closure
+    clusters — the variant (3 flipped loud windows) and the exact
+    re-encode collapse onto the original; the distinct clip stays
+    unpaired."""
+    from etl_core_spark.operators.wav_codec import encode_wav
+
+    def clip(pattern, m=8, rate=8000):
+        samples = []
+        for bit in pattern:
+            amp = 1000 if bit else 10
+            samples += [amp if j % 2 == 0 else -amp for j in range(m)]
+        return encode_wav(rate, 1, samples)
+
+    base = [(5 * w + 2) % 7 < 3 for w in range(64)]
+    var = list(base)
+    for w in (3, 30, 60):
+        var[w] = not var[w]
+    far = [not b for b in base]
+
+    def inputs(d):
+        rows = [
+            (1, clip(base)),
+            (2, clip(var)),            # 3 flipped windows
+            (3, clip(far)),            # complement: distant
+            (4, clip(base, rate=44100)),  # same audio, other rate
+        ]
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.parquet(str(d / "media.parquet"))
+
+    out, result = run_example(
+        spark, tmp_path, "parquet_audio_dedup.json", inputs
+    )
+    fp = {r["media_id"]: r["afp"]
+          for r in spark.read.parquet(str(out / "fingerprints")).collect()}
+    assert fp[1] == fp[4] != fp[3] and len(fp[1]) == 64
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in spark.read.parquet(str(out / "pairs")).collect()}
+    assert pairs == {(1, 2): 3, (1, 4): 0, (2, 4): 3}
+    clusters = {r["id"]: r["cluster_id"] for r in
+                spark.read.parquet(str(out / "clusters")).collect()}
+    assert clusters == {1: 1, 2: 1, 4: 1}
