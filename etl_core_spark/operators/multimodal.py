@@ -371,6 +371,51 @@ PHASH_SCHEMA = (
 )
 
 
+def _ahash_bits(w: int, h: int, ch: int, px: bytes, g: int) -> str:
+    """The exact aHash kernel shared by ``image_phash`` and
+    ``gif_frames(with_phash=True)``: integer luminance (Rec. 601
+    weights ×1000 — never divided) pooled onto the g×g cell lattice
+    (cell boundaries ``floor(i·dim/g)``) with two ``np.add.reduceat``
+    passes, one bit per cell: 1 iff the cell mean strictly exceeds
+    the mean of cell means, compared as exact rationals
+    (``fractions.Fraction``) — a pure function of the pixels,
+    bit-for-bit replayable by a closed-form oracle. Requires
+    ``w, h >= g`` (callers guard); int64 cell sums never round for
+    any image below ~3.6e13 pixels."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(h, w, ch)
+    if ch >= 3:
+        lum = (
+            299 * arr[:, :, 0]
+            + 587 * arr[:, :, 1]
+            + 114 * arr[:, :, 2]
+        )
+    else:
+        lum = arr[:, :, 0]
+    col_starts = np.flatnonzero(
+        np.diff((np.arange(w) * g) // w, prepend=-1)
+    )
+    row_starts = np.flatnonzero(
+        np.diff((np.arange(h) * g) // h, prepend=-1)
+    )
+    sums = np.add.reduceat(
+        np.add.reduceat(lum, col_starts, axis=1), row_starts, axis=0
+    ).ravel()
+    counts = np.outer(
+        np.diff(np.append(row_starts, h)),
+        np.diff(np.append(col_starts, w)),
+    ).ravel()
+    means = [
+        Fraction(int(sums[i]), int(counts[i])) for i in range(g * g)
+    ]
+    mean_of_means = sum(means) / (g * g)
+    return "".join("1" if m > mean_of_means else "0" for m in means)
+
+
 def image_phash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -420,8 +465,6 @@ def image_phash(
     cap = max(1, int(max_records_per_batch))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fractions import Fraction
-
         img_errors = _image_errors()
 
         def one(raw):
@@ -440,48 +483,7 @@ def image_phash(
                 # the decode succeeded — keep the dimensions on the
                 # error row so on_error='null' stays diagnosable
                 return (w, h, None, msg)
-            # vectorized exact pooling: integer luminance pooled onto
-            # the g×g lattice with two np.add.reduceat passes over
-            # the grid-cell boundaries (w, h >= g is guaranteed by
-            # the too-small guard above, so every cell row/column is
-            # non-empty). int64 accumulation never rounds — lum is at
-            # most 255000 per pixel, so a cell sum stays inside int64
-            # for any image below ~3.6e13 pixels — bit-identical to
-            # the per-pixel Python loop it replaces, measured ~28x
-            # faster at 512x512
-            import numpy as np
-
-            arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-            arr = arr.reshape(h, w, ch)
-            if ch >= 3:
-                lum = (
-                    299 * arr[:, :, 0]
-                    + 587 * arr[:, :, 1]
-                    + 114 * arr[:, :, 2]
-                )
-            else:
-                lum = arr[:, :, 0]
-            col_starts = np.flatnonzero(
-                np.diff((np.arange(w) * g) // w, prepend=-1)
-            )
-            row_starts = np.flatnonzero(
-                np.diff((np.arange(h) * g) // h, prepend=-1)
-            )
-            sums = np.add.reduceat(
-                np.add.reduceat(lum, col_starts, axis=1), row_starts, axis=0
-            ).ravel()
-            counts = np.outer(
-                np.diff(np.append(row_starts, h)),
-                np.diff(np.append(col_starts, w)),
-            ).ravel()
-            means = [
-                Fraction(int(sums[i]), int(counts[i])) for i in range(g * g)
-            ]
-            mean_of_means = sum(means) / (g * g)
-            bits = "".join(
-                "1" if m > mean_of_means else "0" for m in means
-            )
-            return (w, h, bits, None)
+            return (w, h, _ahash_bits(w, h, ch, px, g), None)
 
         for pdf in _cap_slices(batches, cap):
             cols = list(zip(*(one(r) for r in pdf[payload_col])))
@@ -666,6 +668,8 @@ def gif_frames(
     id_col: str = "media_id",
     every_n: int = 1,
     max_frames: int | None = None,
+    with_phash: bool = False,
+    grid: int = 8,
     on_error: str = "raise",
     max_records_per_batch: int = 256,
 ) -> DataFrame:
@@ -683,19 +687,32 @@ def gif_frames(
     container's one true multi-frame format enumerated instead of
     synthetic timestamps.
 
+    ``with_phash=True`` additionally emits each sampled frame's
+    exact aHash perceptual fingerprint (``phash`` — the SAME
+    ``_ahash_bits`` kernel as ``image_phash``, on the frame's own
+    rectangle; frames smaller than the ``grid`` carry NULL): the
+    animation near-dup primitive — hash a derived
+    ``(media_id, frame_idx)`` key and feed ``hamming_near_dup_pairs``
+    to find re-encoded/edited animation copies frame-by-frame.
+
     ``on_error='null'`` emits one error row per undecodable payload
     (frame_idx NULL) instead of failing the job; the default raises.
     Scale shape: Arrow-batched ``mapInPandas`` narrow map, zero
     shuffle, ``_cap_slices`` bounding the per-step working set; the
-    per-frame kernel is one numpy reshape-sum."""
+    per-frame kernel is one numpy reshape-sum (plus the two-pass
+    reduceat pooling when fingerprinting)."""
     if on_error not in ("raise", "null"):
         raise OperatorConfigError("gif_frames on_error must be raise|null")
     if int(every_n) < 1:
         raise OperatorConfigError("gif_frames every_n must be >= 1")
     if max_frames is not None and int(max_frames) < 1:
         raise OperatorConfigError("gif_frames max_frames must be >= 1")
+    if int(grid) < 2:
+        raise OperatorConfigError("gif_frames grid must be >= 2")
     step = int(every_n)
     limit = None if max_frames is None else int(max_frames)
+    g = int(grid)
+    hash_frames = bool(with_phash)
     cap = max(1, int(max_records_per_batch))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -706,15 +723,17 @@ def gif_frames(
             decode_gif_frames,
         )
 
+        n_opt = 9 if hash_frames else 8
+
         def rows_for(mid, raw):
             if raw is None:
-                return [(mid,) + (None,) * 9]
+                return [(mid,) + (None,) * (n_opt + 1)]
             try:
                 frames = decode_gif_frames(bytes(raw))
             except GifFormatError as exc:
                 if on_error == "raise":
                     raise
-                return [(mid,) + (None,) * 8 + (str(exc),)]
+                return [(mid,) + (None,) * n_opt + (str(exc),)]
             picked = frames[::step] if limit is None else frames[::step][:limit]
             out = []
             for k, (left, top, w, h, rgb) in enumerate(picked):
@@ -723,18 +742,26 @@ def gif_frames(
                     .reshape(-1, 3)
                     .sum(axis=0, dtype=np.int64)
                 )
-                out.append(
-                    (
-                        mid, k * step, left, top, w, h,
-                        int(sums[0]), int(sums[1]), int(sums[2]), None,
-                    )
+                row = (
+                    mid, k * step, left, top, w, h,
+                    int(sums[0]), int(sums[1]), int(sums[2]),
                 )
+                if hash_frames:
+                    row += (
+                        _ahash_bits(w, h, 3, rgb, g)
+                        if w >= g and h >= g
+                        else None,
+                    )
+                out.append(row + (None,))
             return out
 
         cols = [
             "media_id", "frame_idx", "frame_left", "frame_top",
-            "width", "height", "sum_r", "sum_g", "sum_b", "error",
+            "width", "height", "sum_r", "sum_g", "sum_b",
         ]
+        if hash_frames:
+            cols.append("phash")
+        cols.append("error")
         for pdf in _cap_slices(batches, cap):
             recs = [
                 row
@@ -745,8 +772,13 @@ def gif_frames(
 
     from etl_core_spark.session import ensure_parallelism
 
+    schema = GIF_FRAMES_SCHEMA
+    if hash_frames:
+        schema = schema.replace(
+            "sum_b long,", "sum_b long, phash string,"
+        )
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
-        op, GIF_FRAMES_SCHEMA
+        op, schema
     )
 
 
@@ -769,6 +801,8 @@ class GifFramesOperator(Operator):
         mf = self.config.get("max_frames")
         if mf is not None and int(mf) < 1:
             raise OperatorConfigError("gif_frames max_frames must be >= 1")
+        if int(self.config.get("grid", 8)) < 2:
+            raise OperatorConfigError("gif_frames grid must be >= 2")
 
     def apply(self, inputs: PortMap) -> PortMap:
         c = self.config
@@ -780,6 +814,8 @@ class GifFramesOperator(Operator):
                 id_col=c.get("id_col", "media_id"),
                 every_n=int(c.get("every_n", 1)),
                 max_frames=None if mf is None else int(mf),
+                with_phash=bool(c.get("with_phash", False)),
+                grid=int(c.get("grid", 8)),
                 on_error=c.get("on_error", "raise"),
                 max_records_per_batch=int(
                     c.get("max_records_per_batch", 256)

@@ -530,6 +530,12 @@ FIELD_SPECS: dict[str, list[dict[str, Any]]] = {
           desc="sample every n-th animation frame"),
         f("max_frames", "integer",
           desc="cap sampled frames per clip (default unlimited)"),
+        f("with_phash", "boolean", default=False,
+          desc="also emit each sampled frame's aHash fingerprint "
+               "(the image_phash kernel on the frame rectangle)"),
+        f("grid", "integer", default=8,
+          desc="phash cell lattice; frames smaller than grid carry "
+               "NULL phash"),
         f("on_error", "string", default="raise", enum=["raise", "null"]),
         f("max_records_per_batch", "integer", default=256),
     ],

@@ -223,3 +223,63 @@ def test_gif_frames_operator_sampling_and_errors(spark):
         get_operator("gif_frames")(every_n=0).validate_config()
     with pytest.raises(OperatorConfigError, match="max_frames"):
         get_operator("gif_frames")(max_frames=0).validate_config()
+
+
+def test_gif_frames_with_phash_matches_image_phash_and_pairs(spark):
+    """Per-frame fingerprinting: gif_frames(with_phash=True) must
+    produce EXACTLY image_phash's hash for the same pixels (shared
+    kernel), and the derived (media, frame) key feeds
+    hamming_near_dup_pairs to pair a re-encoded animation with its
+    original frame-by-frame."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.gif_codec import encode_gif_animation
+    from etl_core_spark.operators.png_codec import encode_png
+
+    w = h = 16
+    frames = [_paletted_pixels(w, h, 7 + f, seed=11 * f) for f in range(3)]
+    # clip 0: the original; clip 1: same pixels re-encoded (palette
+    # order differs per frame — bytes differ, pixels identical)
+    anim = encode_gif_animation(w, h, frames)
+    df = spark.createDataFrame(
+        [(0, anim), (1, anim)], "media_id long, payload binary"
+    )
+    out = get_operator("gif_frames")(with_phash=True).apply({"in": df})[
+        "out"
+    ]
+    rows = out.collect()
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+    got = {(r["media_id"], r["frame_idx"]): r["phash"] for r in rows}
+    # identical to image_phash on the same pixels as single PNGs
+    singles = spark.createDataFrame(
+        [(f, encode_png(w, h, px)) for f, px in enumerate(frames)],
+        "media_id long, payload binary",
+    )
+    want = {
+        r["media_id"]: r["phash"]
+        for r in get_operator("image_phash")().apply({"in": singles})[
+            "out"
+        ].collect()
+    }
+    for (mid, f), ph in got.items():
+        assert ph == want[f] and len(ph) == 64
+    # composition: derived key -> hamming pairing finds every
+    # cross-clip same-frame pair at distance 0
+    keyed = out.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("fid"),
+        "phash",
+    )
+    pairs = get_operator("hamming_near_dup_pairs")(
+        fp_col="phash", id_col="fid", max_hamming=0
+    ).apply({"in": keyed})["out"]
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(f, 1000 + f) for f in range(3)} <= got_pairs
+    # tiny frames: NULL phash, no crash
+    tiny = spark.createDataFrame(
+        [(9, encode_gif_animation(4, 4, [_paletted_pixels(4, 4, 3)]))],
+        "media_id long, payload binary",
+    )
+    trow = get_operator("gif_frames")(with_phash=True).apply(
+        {"in": tiny}
+    )["out"].collect()
+    assert trow[0]["phash"] is None and trow[0]["sum_r"] is not None
