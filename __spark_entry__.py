@@ -10496,7 +10496,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # cohort in registry order (top_n_per_group, json_expand,
 # attribution_join, zscore_outliers, densify_buckets,
 # stratified_sample, ...) plus the oldest r10 rows for the leftover
-# slots. Rows consuming changed-but-additive code NOT in the
+# slots; its natural first NEW row is animation_near_dup — the
+# gif_frames(with_phash=True) → derived (media, frame) key →
+# hamming_near_dup_pairs composition built and pytest-certified this
+# round (tests/test_gif_codec.py; the shared _ahash_bits kernel is
+# hash-certified through image_phash/phash_* rows), held out of
+# r13's window so the r08 cohort stays complete under the 50-slot
+# budget. Rows consuming changed-but-additive code NOT in the
 # window: none — the touched operator files this round are dedup.py
 # (both banding consumers in-window), multimodal.py + gif_codec.py
 # (audio_fingerprint/gif_frames are purely additive; wav_features /
