@@ -283,3 +283,33 @@ def test_gif_frames_with_phash_matches_image_phash_and_pairs(spark):
         {"in": tiny}
     )["out"].collect()
     assert trow[0]["phash"] is None and trow[0]["sum_r"] is not None
+
+
+def test_animation_round_trip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_core_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=15),
+        nf=st.integers(min_value=1, max_value=4),
+        ncols=st.lists(
+            st.integers(min_value=1, max_value=256), min_size=4, max_size=4
+        ),
+        seed=st.integers(min_value=0, max_value=999),
+    )
+    def check(w, h, nf, ncols, seed):
+        frames = [
+            _paletted_pixels(w, h, ncols[f], seed + 31 * f)
+            for f in range(nf)
+        ]
+        got = decode_gif_frames(encode_gif_animation(w, h, frames))
+        assert [(0, 0, w, h, f) for f in frames] == got
+
+    check()
