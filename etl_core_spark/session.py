@@ -76,6 +76,17 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Deployment-time overrides without code edits (cluster sizing,
+    # shuffle codec, AQE thresholds): semicolon-separated k=v pairs,
+    # applied LAST so they win over engine defaults and caller
+    # extra_conf. Empty/unset = no-op, so local behavior and the
+    # bench driver contract are unchanged.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        pair = pair.strip()
+        if pair and "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
