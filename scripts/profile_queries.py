@@ -72,12 +72,34 @@ def main() -> int:
     # ---- parse the event log ----
     path = os.path.join(EVLOG_DIR, app_id)
     if not os.path.exists(path):
-        cands = [p for p in os.listdir(EVLOG_DIR) if p.startswith(app_id)]
-        if cands:
-            path = os.path.join(EVLOG_DIR, cands[0])
+        # Spark 4 rolling layout: eventlog_v2_<appId>/events_*_<appId>[.codec]
+        v2 = os.path.join(EVLOG_DIR, f"eventlog_v2_{app_id}")
+        if os.path.isdir(v2):
+            evs = sorted(
+                p for p in os.listdir(v2) if p.startswith("events_")
+            )
+            if evs:
+                path = os.path.join(v2, evs[0])
+        else:
+            cands = [
+                p for p in os.listdir(EVLOG_DIR) if p.startswith(app_id)
+            ]
+            if cands:
+                path = os.path.join(EVLOG_DIR, cands[0])
+
+    def _open(p):
+        if p.endswith(".zstd"):
+            import io
+            import subprocess
+
+            raw = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            return io.StringIO(raw.decode("utf-8", "replace"))
+        return open(p)
     jobs = {}  # jobId -> {desc, submit, complete, stages: [stageIds]}
     stages = {}  # stageId -> metrics dict
-    with open(path) as fh:
+    with _open(path) as fh:
         for line in fh:
             try:
                 ev = json.loads(line)
@@ -102,11 +124,15 @@ def main() -> int:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
-                stages[sid] = {
-                    "name": si.get("Stage Name", "")[:60],
-                    "tasks": si.get("Number of Tasks", 0),
-                    "wall_ms": (comp - sub) if sub and comp else 0,
-                }
+                # update, don't replace: TaskEnd events for this stage
+                # have already accumulated metrics into the same dict
+                stages.setdefault(sid, {}).update(
+                    {
+                        "name": si.get("Stage Name", "")[:60],
+                        "tasks": si.get("Number of Tasks", 0),
+                        "wall_ms": (comp - sub) if sub and comp else 0,
+                    }
+                )
             elif et == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
