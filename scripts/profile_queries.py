@@ -70,22 +70,29 @@ def main() -> int:
     time.sleep(1.0)
 
     # ---- parse the event log ----
-    path = os.path.join(EVLOG_DIR, app_id)
-    if not os.path.exists(path):
-        # Spark 4 rolling layout: eventlog_v2_<appId>/events_*_<appId>[.codec]
+    # Spark 4 rolling layout splits one app's log across
+    # events_1_..., events_2_... part files — read them ALL in order
+    # or every job after the first roll loses attribution
+    paths = []
+    single = os.path.join(EVLOG_DIR, app_id)
+    if os.path.exists(single):
+        paths = [single]
+    else:
         v2 = os.path.join(EVLOG_DIR, f"eventlog_v2_{app_id}")
         if os.path.isdir(v2):
-            evs = sorted(
-                p for p in os.listdir(v2) if p.startswith("events_")
-            )
-            if evs:
-                path = os.path.join(v2, evs[0])
-        else:
-            cands = [
-                p for p in os.listdir(EVLOG_DIR) if p.startswith(app_id)
+            paths = [
+                os.path.join(v2, p)
+                for p in sorted(
+                    (p for p in os.listdir(v2) if p.startswith("events_")),
+                    key=lambda p: int(p.split("_")[1]),
+                )
             ]
-            if cands:
-                path = os.path.join(EVLOG_DIR, cands[0])
+        else:
+            paths = [
+                os.path.join(EVLOG_DIR, p)
+                for p in sorted(os.listdir(EVLOG_DIR))
+                if p.startswith(app_id)
+            ]
 
     def _open(p):
         if p.endswith(".zstd"):
@@ -99,8 +106,14 @@ def main() -> int:
         return open(p)
     jobs = {}  # jobId -> {desc, submit, complete, stages: [stageIds]}
     stages = {}  # stageId -> metrics dict
-    with _open(path) as fh:
-        for line in fh:
+    import itertools
+
+    def _lines():
+        for p in paths:
+            with _open(p) as fh:
+                yield from fh
+
+    for line in itertools.chain(_lines()):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
