@@ -491,10 +491,25 @@ def jaccard_candidates(
     # carry the FULL distinct-shingle size: the size filter and prefix
     # length must be computed on the same set the verify stage measures
     # Jaccard on, or max_token_freq's frequency filtering would shrink
-    # __n and wrongly size-reject pairs that share rare tokens
+    # __n and wrongly size-reject pairs that share rare tokens.
+    #
+    # The candidate phase runs on xxhash64(shingle) LONGS, not shingle
+    # strings (r13 optimization, guide §2.3 "shuffle keys, not
+    # payloads" — the containment_pairs precedent): the doc-frequency
+    # aggregate, the rarity sort and the prefix equi-join shuffle an
+    # 8-byte key instead of the n-gram text, and the sort/join compare
+    # longs. Correctness: the prefix-filter theorem holds under ANY
+    # global total order on ANY key domain whose equality is implied
+    # by token equality — a hash collision can only MERGE keys, which
+    # raises the counted overlap and can only ADD candidates; the
+    # verify stage measures exact Jaccard on the raw shingle STRINGS,
+    # so the emitted pair set is identical. (Under ``max_token_freq``
+    # a collision could also merge a rare token's count into a hot
+    # key and hot-filter both — the same 2^-64 collision budget the
+    # containment operator documents.)
     ex = nonempty.select(
         F.col(id_col), F.size("sh").alias("__n"), F.explode("sh").alias("__s")
-    )
+    ).withColumn("__s", F.xxhash64("__s"))
     freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_token_freq is not None:
         freq = freq.where(F.col("__df") <= int(max_token_freq))

@@ -211,25 +211,35 @@ def pagerank(
         )
 
     # ---- directed: eager checkpointed loop (dangling possible) ----
-    # N is ONE long off a persisted distinct-node relation — the
-    # bounded-driver-collect class this repo allows
-    n = nodes.count()
+    # the dangling node SET is structural (rank-independent):
+    # compute it once, persist it node-sized, and let every round's
+    # mass aggregate semi-join against it instead of re-deriving the
+    # anti-join from the raw edge list per iteration. No dangling
+    # means the term (and its per-round broadcast-exchange job)
+    # disappears entirely, and the sequential-round fixed cost IS
+    # this mode's runtime
+    dang_nodes = persist_intermediate(
+        nodes.join(deg, nodes["__id"] == deg["__s"], "left_anti")
+    )
+    # ONE probe job for BOTH driver-side facts (r13 optimization:
+    # previously nodes.count() and a dangling limit-1 probe ran as
+    # two sequential jobs): N and the dangling count come out of a
+    # single aggregate over the same left join that defines the
+    # dangling set. Bounded driver collect — two longs.
+    probe = (
+        nodes.join(deg, nodes["__id"] == deg["__s"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("__s").isNull(), F.lit(1))).alias("__nd"),
+        )
+        .first()
+    )
+    n = probe["__n"]
     if n == 0:
         return nodes.select(
             F.col("__id").alias("node"), F.lit(0.0).alias("pagerank")
         )
-    # the dangling node SET is structural (rank-independent):
-    # compute it once, persist it node-sized, and let every round's
-    # mass aggregate semi-join against it instead of re-deriving the
-    # anti-join from the raw edge list per iteration. The same
-    # relation doubles as the has-dangling probe — no dangling means
-    # the term (and its per-round broadcast-exchange job) disappears
-    # entirely, and the sequential-round fixed cost IS this mode's
-    # runtime
-    dang_nodes = persist_intermediate(
-        nodes.join(deg, nodes["__id"] == deg["__s"], "left_anti")
-    )
-    has_dangling = dang_nodes.limit(1).count() > 0
+    has_dangling = probe["__nd"] > 0
     base = F.lit((1.0 - float(damping)) / n)
     ranks = nodes.select("__id", F.lit(1.0 / n).alias("__r"))
     ranks = ranks.localCheckpoint()
@@ -584,10 +594,13 @@ def personalized_pagerank(
         .distinct()
         .join(nodes, on="__id", how="left_semi")
     )
-    if seed_ids.limit(1).count() == 0:
-        raise OperatorConfigError(
-            "personalized_pagerank: no seed node appears in the graph"
-        )
+    if not directed:
+        # directed mode folds this emptiness probe into its combined
+        # seeds+dangling probe below (r13: one driver job, not two)
+        if seed_ids.limit(1).count() == 0:
+            raise OperatorConfigError(
+                "personalized_pagerank: no seed node appears in the graph"
+            )
     ns = seed_ids.agg(F.count(F.lit(1)).alias("__ns"))
     pvec = persist_intermediate(
         nodes.join(
@@ -646,12 +659,27 @@ def personalized_pagerank(
     deg_p = persist_intermediate(deg)
     edged = persist_intermediate(e.join(deg_p, on="__s"))
     # structural (rank-independent) dangling node set, computed once;
-    # its emptiness probe decides whether the per-round mass
-    # aggregate exists at all (the directed-pagerank discipline)
+    # its emptiness decides whether the per-round mass aggregate
+    # exists at all (the directed-pagerank discipline)
     dang_nodes = persist_intermediate(
         nodes.join(deg_p, nodes["__id"] == deg_p["__s"], "left_anti")
     )
-    has_dangling = dang_nodes.limit(1).count() > 0
+    # ONE probe job for BOTH driver-side facts (r13: the seeds
+    # emptiness guard and the has-dangling probe previously ran as
+    # two sequential limit-1 jobs): union two limit-1 projections,
+    # collect at most two tagged rows
+    flags = {
+        r["__f"]
+        for r in seed_ids.limit(1)
+        .select(F.lit(1).alias("__f"))
+        .unionByName(dang_nodes.limit(1).select(F.lit(2).alias("__f")))
+        .collect()
+    }
+    if 1 not in flags:
+        raise OperatorConfigError(
+            "personalized_pagerank: no seed node appears in the graph"
+        )
+    has_dangling = 2 in flags
     ranks = pvec.select("__id", F.col("__p").alias("__r"))
     ranks = ranks.localCheckpoint()
     track_local_checkpoint(ranks)
@@ -1202,6 +1230,14 @@ def louvain(
             .groupBy(F.col("__s").alias("__id"), "__nc")
             .agg(F.count(F.lit(1)).cast("long").alias("__k"))
         )
+        # NOTE (r13 optimization round): sharing one assign×deg join
+        # between `tot` and `scored` was tried and REVERTED — Catalyst
+        # has no common-subexpression elimination across DataFrame
+        # branches, so the "shared" join executed twice and replaced
+        # two cheap node-sized broadcast builds with two join
+        # executions (louvain_multilevel +1.4 s, consistent over two
+        # interleaved A/B rounds). The three-join shape below is the
+        # measured optimum.
         tot = (
             assign.join(deg.select("__id", "__d"), on="__id")
             .groupBy(F.col("__c").alias("__nc"))
