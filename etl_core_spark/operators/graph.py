@@ -41,6 +41,31 @@ def _normalized_edges(
     return raw.distinct()
 
 
+def _persist_loop_invariant(df: DataFrame, key: str) -> DataFrame:
+    """Persist a loop-invariant relation PRE-PARTITIONED on the key the
+    iterative rounds join it on (r13 optimization, guide §2.4 "remove
+    shuffles outright").
+
+    Every fixed-point loop in this module re-joins the same persisted
+    edge relation once per round. At cluster scale those joins plan as
+    sort-merge/shuffled-hash, and without a declared layout
+    EnsureRequirements re-exchanges the |E|-sized relation EVERY round
+    — rounds × |E| redundant shuffle. Caching it hash-partitioned on
+    the loop join key makes the cached ``outputPartitioning`` satisfy
+    the join's required distribution, so each round only shuffles the
+    node-sized rank/label side: one up-front repartition buys rounds×
+    exchange elisions. Measured at sf0.1 with auto-broadcast disabled
+    (forcing the cluster-scale SMJ shape — numbers in
+    OPTIMIZATION_r13.md); at bench scale with default conf AQE
+    broadcasts these joins and the layout is timing-neutral. Results
+    are partitioning-independent: repartition changes row placement,
+    never row content.
+    """
+    from etl_core_spark.session import persist_intermediate
+
+    return persist_intermediate(df.repartition(F.col(key)))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -165,8 +190,10 @@ def pagerank(
             e.groupBy("__s").agg(F.sum("__w").alias("__d"))
         )
     # degree rides on every edge so the per-iteration join is a
-    # single (ranks x edged) equi-join, not a three-way
-    edged = persist_intermediate(e.join(deg, on="__s"))
+    # single (ranks x edged) equi-join, not a three-way; cached
+    # pre-partitioned on __s so the per-round join never re-exchanges
+    # the edge side (_persist_loop_invariant)
+    edged = _persist_loop_invariant(e.join(deg, on="__s"), "__s")
     q = F.lit(float(10 ** int(quantize)))
     base_of = lambda n_col: (F.lit(1.0) - d) / n_col  # noqa: E731
 
@@ -361,8 +388,8 @@ def label_propagation(
         )
     from etl_core_spark.session import persist_intermediate
 
-    e = persist_intermediate(
-        _normalized_edges(edges, src, dst, symmetrize=True)
+    e = _persist_loop_invariant(
+        _normalized_edges(edges, src, dst, symmetrize=True), "__s"
     )
     nodes = persist_intermediate(
         e.select(F.col("__s").alias("__id")).distinct()
@@ -618,13 +645,14 @@ def personalized_pagerank(
     )
     q = F.lit(float(10 ** int(quantize)))
     if not directed:
-        edged = persist_intermediate(
+        edged = _persist_loop_invariant(
             e.join(deg, on="__s").join(
                 pvec.select(
                     F.col("__id").alias("__t"), F.col("__p").alias("__pt")
                 ),
                 on="__t",
-            )
+            ),
+            "__s",
         )
         ranks = pvec.select("__id", F.col("__p").alias("__r"))
         for _ in range(int(iterations)):
@@ -657,7 +685,7 @@ def personalized_pagerank(
     )
 
     deg_p = persist_intermediate(deg)
-    edged = persist_intermediate(e.join(deg_p, on="__s"))
+    edged = _persist_loop_invariant(e.join(deg_p, on="__s"), "__s")
     # structural (rank-independent) dangling node set, computed once;
     # its emptiness decides whether the per-round mass aggregate
     # exists at all (the directed-pagerank discipline)
@@ -804,8 +832,8 @@ def bfs_distances(
         track_local_checkpoint,
     )
 
-    e = persist_intermediate(
-        _normalized_edges(edges, src, dst, symmetrize=not directed)
+    e = _persist_loop_invariant(
+        _normalized_edges(edges, src, dst, symmetrize=not directed), "__s"
     )
     nodes = (
         e.select(F.col("__s").alias("__id"))
@@ -1200,10 +1228,12 @@ def louvain(
         track_local_checkpoint,
     )
 
-    e = persist_intermediate(
+    # the per-round kin join reads e keyed on __t (the neighbor end)
+    e = _persist_loop_invariant(
         _normalized_edges(edges, src, dst, symmetrize=True).where(
             F.col("__s") != F.col("__t")
-        )
+        ),
+        "__t",
     )
     deg = persist_intermediate(
         e.groupBy(F.col("__s").alias("__id")).agg(
@@ -1447,10 +1477,13 @@ def louvain_multilevel(
         raise OperatorConfigError("louvain_multilevel levels must be >= 1")
     from etl_core_spark.session import persist_intermediate
 
-    e = persist_intermediate(
+    # keyed on __t: every level's local-move sweeps join e on the
+    # neighbor end (_louvain_local_move kin)
+    e = _persist_loop_invariant(
         _normalized_edges(edges, src, dst, symmetrize=True)
         .where(F.col("__s") != F.col("__t"))
-        .withColumn("__w", F.lit(1).cast("long"))
+        .withColumn("__w", F.lit(1).cast("long")),
+        "__t",
     )
     deg = persist_intermediate(
         e.groupBy(F.col("__s").alias("__id")).agg(
@@ -1591,7 +1624,7 @@ def louvain_multilevel(
         lut_t = ranked.select(
             F.col("__lab").alias("__ct"), F.col("__rid").alias("__rt")
         )
-        e = persist_intermediate(
+        e = _persist_loop_invariant(
             e.join(ca, on="__s")
             .join(cb, on="__t")
             .where(F.col("__cs") != F.col("__ct"))
@@ -1600,7 +1633,8 @@ def louvain_multilevel(
             .groupBy(
                 F.col("__rs").alias("__s"), F.col("__rt").alias("__t")
             )
-            .agg(F.sum("__w").cast("long").alias("__w"))
+            .agg(F.sum("__w").cast("long").alias("__w")),
+            "__t",
         )
         deg = persist_intermediate(
             assign.join(deg, on="__id")

@@ -979,3 +979,49 @@ def test_link_predict_empty_and_no_wedge_graphs(spark):
     assert _lp(spark, [(1, 2)]) == {}
     # self-loops alone produce nothing
     assert _lp(spark, [(3, 3)]) == {}
+
+
+def test_loop_invariant_relations_cache_prepartitioned(spark):
+    """The iterative operators cache their loop-invariant edge
+    relation PRE-PARTITIONED on the per-round join key
+    (graph._persist_loop_invariant, r13 optimization): at cluster
+    scale the per-round SMJ then reuses the cached layout instead of
+    re-exchanging |E| every round. The repartition must appear in the
+    result lineage, and results must be partitioning-independent."""
+    from etl_core_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.graph import _persist_loop_invariant
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    # the helper inserts a keyed repartition below the cache
+    part = _persist_loop_invariant(
+        edges.select(F.col("src").alias("__s"), F.col("dst").alias("__t")),
+        "__s",
+    )
+    assert "RepartitionByExpression [__s" in (
+        part._jdf.queryExecution().analyzed().toString()
+    )
+    part.unpersist()
+    # the lazy-chain loops (no checkpoint barrier truncating lineage)
+    # must carry the keyed repartition in their analyzed plan; the
+    # directed loops checkpoint per round, so their lineage is opaque
+    for out in (
+        pagerank(edges, "src", "dst", iterations=2, undirected=True),
+        label_propagation(edges, "src", "dst", iterations=2),
+    ):
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "RepartitionByExpression" in analyzed
+    # partitioning never changes values: directed pagerank on a graph
+    # with a dangling node (5) still conserves probability mass
+    ranks = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, "src", "dst", iterations=3).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
