@@ -514,9 +514,27 @@ def jaccard_candidates(
     if max_token_freq is not None:
         freq = freq.where(F.col("__df") <= int(max_token_freq))
     # rarest-first per-doc ordering; prefix = the tokens that MUST
-    # overlap for any partner above the threshold
+    # overlap for any partner above the threshold.
+    #
+    # The per-doc aggregate's exchange is pinned to an EXPLICIT
+    # partition count (r14, guide §2.2): everything downstream — the
+    # rarity array_sort, the prefix self-join, the candidate distinct
+    # and (in jaccard_dedup_pairs) the exact-Jaccard verify — FUSES
+    # onto this exchange's reduce side because it is keyed on the
+    # doc id, and all of it is CPU-per-row work on few bytes, which
+    # AQE's byte-based coalescing collapses to a handful of tasks
+    # (r13 measured 6 → 4 tasks / ~10 s of re-serialized expression
+    # CPU once the candidate phase shuffled hashed longs). A keyed
+    # repartition with an explicit count is reused by the groupBy
+    # (same key — no extra exchange) and is never AQE-coalesced; the
+    # count comes from ``spark.sql.shuffle.partitions`` so cluster
+    # deployments keep sizing it the standard way (no local-core
+    # constant, and collect_list has no partial-aggregation byte
+    # reduction, so the exchanged volume is unchanged).
+    width = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ordered = (
         ex.join(freq, on="__s")
+        .repartition(width, id_col)
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
@@ -624,6 +642,12 @@ def jaccard_dedup_pairs(
     cands = jaccard_candidates(
         df, text_col, id_col, threshold, shingle_n, max_token_freq, sh=sh
     )
+    # The exact-Jaccard verify projection fuses onto the candidate
+    # phase's pinned-width stage (see the jaccard_candidates rarity
+    # exchange comment) when the shingle sides broadcast — the
+    # common case, since sh is the smaller persisted relation — so
+    # the CPU-dense verify keeps the session's full shuffle width
+    # instead of AQE's byte-coalesced handful of tasks.
     return (
         cands.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
