@@ -978,10 +978,7 @@ def modularity(
     (m) ride as a broadcast one-row crossJoin — nothing driver-sized,
     no iteration. ``q_contrib`` floor-quantized (graph-family
     convention)."""
-    from etl_core_spark.session import (
-        persist_intermediate,
-        track_local_checkpoint,
-    )
+    from etl_core_spark.session import track_local_checkpoint
 
     # both bounded relations are consumed TWICE (sym: canon + degrees;
     # mem: two membership joins + the per-community rollup). sym's
@@ -991,16 +988,31 @@ def modularity(
     # for Catalyst to re-analyze, so it gets a LAZY localCheckpoint
     # barrier (LogicalRDD leaf, no extra action — materializes inside
     # the consumer's job, cached for the second reference).
-    sym = persist_intermediate(
+    #
+    # Both are cached PRE-PARTITIONED on the key their consumers use
+    # (r14, the _persist_loop_invariant discipline, guide §2.4): sym
+    # on __s serves the degree aggregate AND canon's first membership
+    # join without re-exchanging the edge relation; mem on its node
+    # id serves both membership joins and the per-community rollup's
+    # join. At bench scale AQE broadcasts the node-sized mem side and
+    # the layout is timing-neutral; at cluster scale (SMJ) it elides
+    # one edge-sized and up to three node-sized exchanges.
+    sym = _persist_loop_invariant(
         _normalized_edges(edges, src, dst, symmetrize=True).where(
             F.col("__s") != F.col("__t")
-        )
+        ),
+        "__s",
     )
     canon = sym.where(F.col("__s") < F.col("__t"))  # each edge once
-    mem = assignment.select(
-        F.col(node_col).alias("__n"),
-        F.col(community_col).alias("community"),
-    ).where(F.col("__n").isNotNull()).localCheckpoint(eager=False)
+    mem = (
+        assignment.select(
+            F.col(node_col).alias("__n"),
+            F.col(community_col).alias("community"),
+        )
+        .where(F.col("__n").isNotNull())
+        .repartition(F.col("__n"))
+        .localCheckpoint(eager=False)
+    )
     track_local_checkpoint(mem)
     m_tot = canon.agg(F.count(F.lit(1)).alias("__m"))
     # internal edges per community: both endpoints in the community
