@@ -58,8 +58,12 @@ def _persist_loop_invariant(df: DataFrame, key: str) -> DataFrame:
     (forcing the cluster-scale SMJ shape — numbers in
     OPTIMIZATION_r13.md); at bench scale with default conf AQE
     broadcasts these joins and the layout is timing-neutral. Results
-    are partitioning-independent: repartition changes row placement,
-    never row content.
+    are value-identical up to floating-point summation order:
+    repartition changes row placement (and so the order partial
+    aggregates combine doubles), never row content — last-ULP
+    differences are absorbed by the family's floor-quantization and
+    re-verified against the oracle at two scales, but bit-exactness
+    across layouts is NOT guaranteed for the fp paths.
     """
     from etl_core_spark.session import persist_intermediate
 

@@ -151,6 +151,34 @@ def families(docs, spark):
         ),
     )
     fams["pagerank"] = lambda: pagerank(graph, undirected=True, iterations=10)
+    # r14: the three remaining top-10 cost centers that had no soak
+    # coverage — directed pagerank's eager dangling loop, directed
+    # TrustRank (ppr), and modularity's two membership joins — on the
+    # same doc-derived graph. Directed modes have real dangling mass
+    # (hashed dst space), so the per-round dangling aggregate is
+    # exercised, not skipped.
+    fams["pagerank_directed"] = lambda: pagerank(
+        graph, undirected=False, iterations=3
+    )
+    from etl_core_spark.operators.graph import (
+        modularity as modularity_op,
+        personalized_pagerank,
+    )
+
+    ppr_seeds = spark.range(1000).select(F.col("id").alias("node"))
+    fams["ppr_directed"] = lambda: personalized_pagerank(
+        graph, ppr_seeds, seed_col="node", directed=True, iterations=3
+    )
+    mod_assign = graph.select(
+        F.col("src").alias("node"),
+        F.pmod(F.col("src"), F.lit(97)).alias("community"),
+    ).union(
+        graph.select(
+            F.col("dst").alias("node"),
+            F.pmod(F.col("dst"), F.lit(97)).alias("community"),
+        )
+    ).distinct()
+    fams["modularity"] = lambda: modularity_op(graph, mod_assign)
     # r9: the remaining graph family on the same doc-derived graph —
     # LPA's lazy chained plan (one keyed join + one struct-min argmax
     # aggregate per round) and triangle counting's compact-forward

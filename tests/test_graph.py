@@ -1000,15 +1000,24 @@ def test_loop_invariant_relations_cache_prepartitioned(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
     )
-    # the helper inserts a keyed repartition below the cache
-    part = _persist_loop_invariant(
-        edges.select(F.col("src").alias("__s"), F.col("dst").alias("__t")),
-        "__s",
-    )
-    assert "RepartitionByExpression [__s" in (
-        part._jdf.queryExecution().analyzed().toString()
-    )
-    part.unpersist()
+    # the helper inserts a keyed repartition below the cache; match
+    # node name and key SEPARATELY (not one literal prefix) so a
+    # Spark-version change in plan toString formatting doesn't fail
+    # the test without a real regression
+    from etl_core_spark.session import release_intermediates
+
+    try:
+        part = _persist_loop_invariant(
+            edges.select(F.col("src").alias("__s"), F.col("dst").alias("__t")),
+            "__s",
+        )
+        analyzed_part = part._jdf.queryExecution().analyzed().toString()
+        assert "RepartitionByExpression" in analyzed_part
+        assert "__s" in analyzed_part
+    finally:
+        # release through the module's FIFO discipline, not a direct
+        # unpersist that bypasses _CACHED_INTERMEDIATES bookkeeping
+        release_intermediates()
     # the lazy-chain loops (no checkpoint barrier truncating lineage)
     # must carry the keyed repartition in their analyzed plan; the
     # directed loops checkpoint per round, so their lineage is opaque
