@@ -92,8 +92,21 @@ def assoc_rules(
         .agg(F.count(F.lit(1)).alias("__ci"))
         .where(F.col("__ci") >= int(min_support_count))
     )
+    # pruned is consumed by the oversized-basket probe (groupBy __b)
+    # and BOTH sides of the pair self-join (on __b) — cache it
+    # PRE-PARTITIONED on the basket key (r14, guide §2.4, the graph
+    # family's _persist_loop_invariant discipline; this is the
+    # in-session form of "bucket the basket key" from the r13 note).
+    # At cluster scale the self-join plans as SMJ and the cached
+    # layout satisfies both sides' required distribution: one upfront
+    # exchange of |pruned| replaces two at the join plus the probe's.
+    # At bench scale AQE broadcasts the 6 MB side and the layout is
+    # timing-neutral. Counts are exact integers, so results are
+    # placement-independent bit-for-bit.
     pruned = persist_intermediate(
-        obs.join(item_cnt.select("__i"), on="__i")
+        obs.join(item_cnt.select("__i"), on="__i").repartition(
+            F.col("__b")
+        )
     )
     # loud quadratic guard AFTER the A-priori prune: one existence
     # probe on the first offending basket, actionable message
