@@ -64,10 +64,37 @@ def _persist_loop_invariant(df: DataFrame, key: str) -> DataFrame:
     differences are absorbed by the family's floor-quantization and
     re-verified against the oracle at two scales, but bit-exactness
     across layouts is NOT guaranteed for the fp paths.
+
+    ``spark.graft.graph.loopJoinHint`` (default ``auto``): set to
+    ``merge`` to attach a SHUFFLE_MERGE join hint to the returned
+    relation. In the mid-size regime where the edge side still fits
+    under ``spark.sql.autoBroadcastJoinThreshold``, AQE broadcasts
+    the round join and — because each round re-instantiates the
+    cached relation with fresh expression ids — REBUILDS that
+    broadcast every round (ReuseExchange never fires across rounds).
+    Measured r14 on a 2M-edge / ~48 MB edged relation (just under
+    the 64 MB threshold): 1.32–1.43 s/round broadcast vs
+    0.49–0.70 s/round with the pre-partitioned SMJ shape — the
+    rebuild roughly DOUBLES round cost, and the hint recovers the
+    SMJ shape for the graph loops alone without disabling broadcast
+    session-wide. ``auto`` (the local/bench default) leaves AQE's
+    choice untouched: at bench scale the edge side is ~3 MB and the
+    per-round broadcast wins (r13 family measurement), so the knob is
+    a deployment setting for iteration-heavy loops on graphs near the
+    threshold, not a local win. Join strategy never changes values
+    beyond FP summation order (same quantize/oracle argument as the
+    layout above; oracle-verified with the hint forced on).
     """
     from etl_core_spark.session import persist_intermediate
 
-    return persist_intermediate(df.repartition(F.col(key)))
+    out = persist_intermediate(df.repartition(F.col(key)))
+    hint = df.sparkSession.conf.get("spark.graft.graph.loopJoinHint", "auto")
+    if hint == "merge":
+        # hint OUTSIDE the cache: the InMemoryRelation stays
+        # hint-free (shared), consumers joining this handle prefer
+        # sort-merge and reuse the cached layout with zero exchange
+        out = out.hint("merge")
+    return out
 
 
 def pagerank(

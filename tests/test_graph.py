@@ -1034,3 +1034,45 @@ def test_loop_invariant_relations_cache_prepartitioned(spark):
         for r in pagerank(edges, "src", "dst", iterations=3).collect()
     }
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_loop_join_hint_conf(spark):
+    """spark.graft.graph.loopJoinHint=merge makes joins against the
+    pre-partitioned loop-invariant cache plan as SortMergeJoin even
+    when the relation is tiny enough to broadcast (the r14 escape
+    hatch for the per-round broadcast-rebuild regime); the default
+    leaves AQE's broadcast choice untouched, and the strategy never
+    changes values."""
+    from pyspark.sql import functions as F
+
+    from etl_core_spark.operators.graph import _persist_loop_invariant
+    from etl_core_spark.session import release_intermediates
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    ).select(F.col("src").alias("__s"), F.col("dst").alias("__t"))
+    probe = spark.createDataFrame(
+        [(1, 0.5), (2, 0.25), (3, 0.25)], "__id long, __r double"
+    )
+
+    def round_join(rel):
+        out = probe.join(rel, probe["__id"] == rel["__s"])
+        out.write.format("noop").mode("overwrite").save()
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        default_plan = round_join(_persist_loop_invariant(edges, "__s"))
+        assert "BroadcastHashJoin" in default_plan  # tiny -> AQE broadcasts
+        spark.conf.set("spark.graft.graph.loopJoinHint", "merge")
+        hinted = _persist_loop_invariant(edges, "__s")
+        hinted_plan = round_join(hinted)
+        assert "SortMergeJoin" in hinted_plan
+        assert "BroadcastHashJoin" not in hinted_plan
+        # identical values either way
+        rows = lambda rel: sorted(  # noqa: E731
+            map(tuple, probe.join(rel, probe["__id"] == rel["__s"]).collect())
+        )
+        assert rows(hinted) == rows(_persist_loop_invariant(edges, "__s").hint("broadcast"))
+    finally:
+        spark.conf.unset("spark.graft.graph.loopJoinHint")
+        release_intermediates()
