@@ -735,6 +735,11 @@ def winnow_near_dup_pairs(
     # NULL entries (explode_outer of an empty doc) must STAY null —
     # xxhash64(NULL) is the non-null seed, which would fuse every
     # empty doc into one hot join key.
+    # cached PRE-PARTITIONED on the fingerprint key (r14, guide §2.4):
+    # all three consumers are keyed on __fp — the doc-freq groupBy
+    # runs exchange-free, its output keeps the layout so the rare
+    # semi-join is zero-exchange, and both self-join sides inherit
+    # it. One upfront exchange instead of up to four in the SMJ shape.
     ex = persist_intermediate(  # consumed 3× (doc-freq filter + both join sides)
         fp.select(F.col(id_col), F.explode_outer("fingerprints").alias("__fp0"))
         .select(
@@ -743,6 +748,7 @@ def winnow_near_dup_pairs(
                 F.col("__fp0").isNotNull(), F.xxhash64("__fp0")
             ).alias("__fp"),
         )
+        .repartition(F.col("__fp"))
     )
     rare = (
         ex.groupBy("__fp")
@@ -1817,12 +1823,18 @@ def containment_pairs(
     sized = sh.where(F.size("sh") > 0).select(
         F.col(id_col), F.size("sh").alias("__n"), "sh"
     )
+    # cached PRE-PARTITIONED on the shingle key (r14, guide §2.4):
+    # the freq-cap groupBy, its semi-join back, and both self-join
+    # sides are all keyed on __s — one upfront exchange replaces up
+    # to four in the SMJ shape.
     ex = persist_intermediate(  # consumed by the freq cap + both join sides
         sized.select(
             F.col(id_col),
             "__n",
             F.explode("sh").alias("__s0"),
-        ).select(F.col(id_col), "__n", F.xxhash64("__s0").alias("__s"))
+        )
+        .select(F.col(id_col), "__n", F.xxhash64("__s0").alias("__s"))
+        .repartition(F.col("__s"))
     )
     if max_shingle_freq is not None:
         rare = (

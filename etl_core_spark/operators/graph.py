@@ -1843,14 +1843,20 @@ def link_predict(
         raise OperatorConfigError("link_predict weight_scale must be >= 1")
     if int(quantize) < 1:
         raise OperatorConfigError("link_predict quantize must be >= 1")
-    from etl_core_spark.session import persist_intermediate
-
     q = float(10 ** int(quantize))
     unit = 10 ** int(weight_scale)
-    sym = persist_intermediate(
+    # cached PRE-PARTITIONED on __s (r14, the modularity treatment,
+    # guide §2.4): the degree aggregate (groupBy __s), the nbr join
+    # (on __s, whose deg side inherits the layout from the
+    # exchange-free aggregate) and the adjacency anti-join's edge
+    # side (__s is a subset of its join keys) all consume sym on
+    # __s — one upfront exchange, zero at the consumers in the SMJ
+    # shape.
+    sym = _persist_loop_invariant(
         _normalized_edges(edges, src, dst, symmetrize=True).where(
             F.col("__s") != F.col("__t")
-        )
+        ),
+        "__s",
     )
     deg = sym.groupBy("__s").agg(F.count(F.lit(1)).alias("__d"))
     if method == "resource_allocation":
